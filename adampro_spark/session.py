@@ -1,0 +1,98 @@
+"""SparkSession factory tuned for the engine.
+
+Reference config worth keeping (SparkStartup.scala:22-33): Kryo, a 50 MB
+broadcast-join threshold, small default partition counts.  On Spark 4 we
+instead lean on AQE (runtime coalescing, skew-join splitting) and keep
+shuffle partitions bounded so local runs do not over-partition while a
+cluster run can still scale them up via ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "adampro-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    AQE is enabled for runtime shuffle-partition coalescing and skew-join
+    handling — both matter far more at 100 TB than any static setting.
+    Arrow is enabled for the few pandas-UDF paths (index kernels).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(50 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # the synthetic testdata writes TIMESTAMP(NANOS) which Spark refuses
+        # by default (PARQUET_TYPE_ILLEGAL); read as long and convert in
+        # load_tables().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns], via pyarrow footer inspection."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every synthetic table in ``sf_dir`` as a DataFrame.
+
+    Plain ``spark.read.parquet`` — Catalyst handles column pruning and
+    predicate pushdown into the scan, so no eager caching here.
+    """
+    from pyspark.sql import functions as F
+
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # nanos timestamps arrive as long (nanosAsLong): restore
+            # microsecond-precision timestamps so date semantics match SQL
+            # engines reading the same files.
+            for c in _nanos_timestamp_cols(path):
+                df = df.withColumn(
+                    c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+                )
+            out[name] = df
+    return out
