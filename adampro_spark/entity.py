@@ -24,8 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import os
+
 from adampro_spark.catalog import Catalog
-from adampro_spark.operators.scan import boolean_filter
+from adampro_spark.operators.scan import predicates_to_column
 
 PK = "ap_id"
 
@@ -52,24 +54,36 @@ ATTRIBUTE_TYPES: dict[str, T.DataType] = {
 }
 
 
+MAX_BATCH = (1 << 16) - 1
+
+
 def pack_tid(batch: int) -> "F.Column":
     """Bit-packed tuple id, after Entity.scala:299-320 (12 bits nano-time |
     28 bits batch | 24 bits row-in-batch).
 
     Deviation (documented): the reference's 24-bit global row index needs a
-    coordinated counter and collides past 16M rows per batch.  We pack
-    12 bits batch | 19 bits partition id | 32 bits row-within-partition —
-    collision-free with no coordination at any cluster size (2^19
-    partitions x 2^32 rows per partition per batch), which is the property
-    that matters at 100 TB.  The batch counter comes from the catalog, so
-    ids remain unique across inserts.
+    coordinated counter and collides past 16M rows per batch, and its 12-bit
+    nano-time field collides probabilistically.  We pack
+    16 bits batch | 19 bits partition id | 28 bits row-within-partition —
+    deterministic and collision-free with no coordination up to 65 535
+    insert batches x 524 288 write tasks x 268M rows per task per batch.
+    ``insert`` raises once the batch counter would wrap (the one bound a
+    long-lived table could actually hit); the per-task row bound is far
+    above any sane task size at 100 TB (a task is a few GB, not 268M rows).
+    The batch counter comes from the catalog, so ids remain unique across
+    inserts.
     """
-    b = (batch & 0xFFF) << 51
+    if batch > MAX_BATCH:
+        raise ValueError(
+            f"insert batch counter {batch} exceeds {MAX_BATCH}; vacuum/re-create "
+            "the entity to reset (tid packing allows 2^16 batches)"
+        )
+    b = (batch & 0xFFFF) << 47
     part = F.spark_partition_id().cast("long") % F.lit(1 << 19).cast("long")
     # monotonically_increasing_id puts the partition id at bit 33; the low
-    # 33 bits are the per-partition row counter.
-    row = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 32) - 1).cast("long"))
-    return (F.lit(b) + F.shiftleft(part, 32) + row).cast("long")
+    # 33 bits are the per-partition row counter (we keep the low 28).
+    row = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 28) - 1).cast("long"))
+    return (F.lit(b) + F.shiftleft(part, 28) + row).cast("long")
 
 
 class Entity:
@@ -106,14 +120,21 @@ class Entity:
         return self.catalog.entity_path(self.name)
 
     def schema(self) -> T.StructType:
+        """Stored schema: ap_id + every attribute (AUTOTYPE stores as Long,
+        values generated at insert — AttributeTypes.scala:21)."""
         fields = [T.StructField(PK, T.LongType(), False)]
         for attr in self.catalog.entity(self.name)["attributes"]:
-            if attr["type"] == "auto":
-                continue  # auto columns are generated, not stored separately
             fields.append(
                 T.StructField(attr["name"], ATTRIBUTE_TYPES[attr["type"]], True)
             )
         return T.StructType(fields)
+
+    def _auto_attributes(self) -> list[str]:
+        return [
+            a["name"]
+            for a in self.catalog.entity(self.name)["attributes"]
+            if a["type"] == "auto"
+        ]
 
     def drop(self) -> None:
         self.catalog.drop_entity(self.name)
@@ -123,38 +144,70 @@ class Entity:
         return self.spark.read.schema(self.schema()).parquet(self.path)
 
     def insert(self, df: DataFrame) -> None:
-        """Append rows, attaching the bit-packed PK (Entity.scala:295-392)."""
+        """Append rows, attaching the bit-packed PK (Entity.scala:295-392).
+
+        The inserted-row count is captured from the write job itself via
+        ``Observation`` — no second pass over the input (a full extra job at
+        100 TB).  Missing AUTOTYPE columns are generated like the PK.
+        """
+        from pyspark.sql import Observation
+
         ent = self.catalog.entity(self.name)
         batch = ent["version"] + 1
         cols = [f.name for f in self.schema().fields if f.name != PK]
-        out = df.withColumn(PK, pack_tid(batch)).select(PK, *cols)
-        out.write.mode("append").parquet(self.path)
-        self.catalog.bump_version(self.name, added_tuples=df.count())
+        out = df.withColumn(PK, pack_tid(batch))
+        for auto_col in self._auto_attributes():
+            if auto_col not in df.columns:
+                out = out.withColumn(auto_col, F.col(PK))
+        obs = Observation("insert_count")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        out.select(PK, *cols).write.mode("append").parquet(self.path)
+        self.catalog.bump_version(self.name, added_tuples=int(obs.get["n"]))
+
+    def _swap_in(self, tmp_path: str) -> None:
+        """Atomically replace the entity directory with ``tmp_path``.
+
+        One write + one rename instead of the naive write-tmp/re-read/
+        re-write (which doubles I/O and leaks the tmp dir).  On object
+        stores the rename becomes a catalog pointer swap (Delta/Iceberg);
+        here local-FS rename is atomic enough.
+        """
+        import shutil
+
+        old = self.path + "_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
+        os.rename(tmp_path, self.path)
+        shutil.rmtree(old)
 
     def delete(self, predicates) -> int:
-        """Keep rows NOT matching (Entity.scala:415-450); returns rows removed."""
-        data = self.df().cache()
-        try:
-            before = data.count()
-            kept = data.subtract(boolean_filter(data, predicates))
-            kept_rows = kept.cache()
-            after = kept_rows.count()
-            kept_rows.write.mode("overwrite").parquet(self.path + "_tmp")
-        finally:
-            data.unpersist()
-        self.spark.read.parquet(self.path + "_tmp").write.mode("overwrite").parquet(
-            self.path
-        )
+        """Keep rows NOT matching (Entity.scala:415-450); returns rows removed.
+
+        A single pushdown-friendly anti-filter scan + one write: the
+        reference keeps ``filter(NOT pred)`` too (no subtract/shuffle).
+        Counts come from parquet footers (metadata-only), not extra jobs.
+        """
+        from pyspark.sql import Observation
+
+        before = self.count()
+        kept = self.df().filter(~predicates_to_column(predicates))
+        obs = Observation("delete_kept")
+        kept = kept.observe(obs, F.count(F.lit(1)).alias("n"))
+        tmp = self.path + "_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        after = int(obs.get["n"])
+        self._swap_in(tmp)
         self.catalog.bump_version(self.name, added_tuples=after - before)
         return before - after
 
     def vacuum(self, num_partitions: int | None = None) -> None:
-        """Compact small files (Entity.scala:397-407)."""
+        """Compact small files (Entity.scala:397-407): one repartitioned
+        write + directory swap."""
         n = num_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
-        self.df().repartition(n, PK).write.mode("overwrite").parquet(self.path + "_tmp")
-        self.spark.read.parquet(self.path + "_tmp").write.mode("overwrite").parquet(
-            self.path
-        )
+        tmp = self.path + "_tmp"
+        self.df().repartition(n, PK).write.mode("overwrite").parquet(tmp)
+        self._swap_in(tmp)
 
     def count(self) -> int:
         return self.df().count()

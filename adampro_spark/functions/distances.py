@@ -15,7 +15,8 @@ Semantics preserved (see each function's docstring for the file:line cite):
     (``Distance.scala:26-38``);
   * weights multiply per-element terms; functions that ignore weights in the
     reference ignore them here too (cosine/correlation/jaccard/spannorm/
-    haversine — each logs a warning in the reference);
+    haversine/kullbackleibler — the first five log a warning in the reference,
+    KL's element() silently drops its weight argument);
   * zero-guards match (cosine 0-norm -> 0, chi² x+y<=0 -> 0, KL zero -> 0).
 """
 
@@ -180,7 +181,8 @@ def kullbackleibler(
 
     NB the reference sums element(v1_q, v2) with v1_q = query, v2 = row vector,
     i.e. the divergence is computed FROM the query TO the row: q*log(q/x).
-    Weights multiply per-element terms.
+    Weights are IGNORED: the reference's ``element(v1, v2, w)`` override drops
+    ``w`` entirely (KullbackLeiblerDivergence.scala:15-21).
     """
     v, q = _as_vec(vec), _as_vec(query)
     terms = F.zip_with(
@@ -189,7 +191,7 @@ def kullbackleibler(
             a * F.log(a / b)
         ),
     )
-    return _null_guard(v, _sum(_weighted(terms, weights)))
+    return _null_guard(v, _sum(terms))
 
 
 def spannorm(vec: VectorLike, query: VectorLike, weights: VectorLike | None = None) -> Column:

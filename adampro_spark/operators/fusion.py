@@ -41,8 +41,13 @@ def intersect_fusion(left: DataFrame, right: DataFrame, pk: str = "ap_id") -> Da
 
 
 def except_fusion(left: DataFrame, right: DataFrame, pk: str = "ap_id") -> DataFrame:
-    """PK-set difference, set semantics (AggregationExpression.scala:390)."""
-    return _zero_distance(left.select(pk).exceptAll(right.select(pk)).distinct(), pk)
+    """PK-set difference, set semantics (AggregationExpression.scala:390).
+
+    ``subtract`` is Spark's set-semantic EXCEPT — a PK present on the right is
+    removed entirely even if it appears more often on the left (matters when
+    the left side is the output of union_fusion, which is union-all).
+    """
+    return _zero_distance(left.select(pk).subtract(right.select(pk)), pk)
 
 
 def _fuzzy(

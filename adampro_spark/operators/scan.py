@@ -114,19 +114,29 @@ def predicate(attribute: str, op: str | None, values: Sequence) -> Column:
     return fn(col, values[0])
 
 
+def predicates_to_column(predicates) -> Column:
+    """Normalize a predicate spec (Column / SQL string / triple list) to one
+    AND-conjoined Column, so callers can also negate it (delete)."""
+    if isinstance(predicates, Column):
+        return predicates
+    if isinstance(predicates, str):
+        return F.expr(predicates)
+    cond = None
+    for attr, op, values in predicates:
+        c = predicate(attr, op, values)
+        cond = c if cond is None else (cond & c)
+    if cond is None:
+        return F.lit(True)
+    return cond
+
+
 def boolean_filter(df: DataFrame, predicates) -> DataFrame:
     """Conjunction (AND) of predicates (BooleanFilterExpression.scala:151-160).
 
     ``predicates`` is a Column, a SQL string, or a list of
     ``(attribute, op, values)`` triples which are ANDed.
     """
-    if isinstance(predicates, (Column, str)):
-        return df.filter(predicates)
-    cond = None
-    for attr, op, values in predicates:
-        c = predicate(attr, op, values)
-        cond = c if cond is None else (cond & c)
-    return df if cond is None else df.filter(cond)
+    return df.filter(predicates_to_column(predicates))
 
 
 # ---------------------------------------------------------------------------

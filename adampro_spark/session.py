@@ -91,8 +91,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # microsecond-precision timestamps so date semantics match SQL
             # engines reading the same files.
             for c in _nanos_timestamp_cols(path):
-                df = df.withColumn(
-                    c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
-                )
+                # integer `div`, not float /: the double round-trip loses the
+                # low bits of epoch-nanos (53-bit mantissa) -> +-1us drift
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
             out[name] = df
     return out

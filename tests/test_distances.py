@@ -50,11 +50,12 @@ def np_expected(name, v, q, w=None):
     if name == "jaccard":
         return float(1.0 - np.minimum(v, q).sum() / np.maximum(v, q).sum())
     if name == "kullbackleibler":
-        # reference sums q*log(q/v) with zero-guards (element(v1_q=q, v2=v))
+        # reference sums q*log(q/v) with zero-guards (element(v1_q=q, v2=v));
+        # its element() override ignores the weight argument entirely
         terms = np.where(
             (np.abs(q) < 1e-5) | (np.abs(v) < 1e-5), 0.0, q * np.log(q / v)
         )
-        return float(np.sum(wt * terms))
+        return float(np.sum(terms))
     if name == "spannorm":
         d = v - q
         return float(d.max() - d.min())
@@ -65,7 +66,7 @@ def np_expected(name, v, q, w=None):
 
 WEIGHTED = {
     "manhattan", "euclidean", "squaredeuclidean", "chebyshev",
-    "chisquared", "hamming", "kullbackleibler", "modulo",
+    "chisquared", "hamming", "modulo",
 }
 ALL = sorted(set(D.DISTANCES) - {"haversine"})
 
