@@ -1,0 +1,581 @@
+"""Driver-contract query battery: (Spark query, DuckDB oracle SQL) pairs.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+``name -> callable(spark, sf_dir) -> DataFrame`` plus a matching ANSI-SQL
+string DuckDB runs on the same parquet files.  The driver compares
+row-count + schema + order-insensitive value hash, so:
+
+  * every computed column is aliased identically on both sides;
+  * float results are rounded to 4 decimals on both sides (ordering uses
+    full precision) — the distance kernels themselves are bit-reproducible
+    (Spark ``F.aggregate`` left-fold == DuckDB ``list_reduce`` left-fold,
+    verified), rounding only de-risks libm-dependent ops (log/pow/trig);
+  * every query orders deterministically before LIMIT (ties broken by PK).
+
+Parity cites: sequential kNN SequentialScanExpression.scala:24-184,
+projections ProjectionExpression.scala:17-115, predicates
+QueryObject.scala:29-74, fusions AggregationExpression.scala:137-392,
+stochastic fusion StochasticIndexQueryExpression.scala:28-92.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adampro_spark.operators.scan import (
+    DISTANCE_COL,
+    boolean_filter,
+    count_projection,
+    distinct_projection,
+    exists_projection,
+    predicate,
+    project,
+    sequential_scan,
+)
+from adampro_spark.operators import fusion as FU
+
+# ---------------------------------------------------------------------------
+# deterministic fixtures
+# ---------------------------------------------------------------------------
+
+DIM = 64
+# patterned, exactly-representable-ish literals (4 decimals) so the SQL
+# literal and the Python literal parse to identical doubles
+QVEC = [round(0.1 * ((i * 7) % 13) - 0.5, 4) for i in range(DIM)]
+QVEC2 = [round(0.05 * ((i * 11) % 17) - 0.3, 4) for i in range(DIM)]
+WVEC = [round(0.02 * ((i * 5) % 11) + 0.1, 4) for i in range(DIM)]
+# strictly-positive query vector for KL (log of ratios) and modulo (divisor)
+QVEC_POS = [round(0.1 * ((i * 7) % 13) + 0.25, 4) for i in range(DIM)]
+
+K = 20
+
+
+def _sql_list(vals: list[float]) -> str:
+    return "[" + ",".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+QS = _sql_list(QVEC)
+QS2 = _sql_list(QVEC2)
+WS = _sql_list(WVEC)
+QSP = _sql_list(QVEC_POS)
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table; restore nanos timestamps if present.
+
+    Runs with the *driver's* SparkSession, which may not carry our
+    ``nanosAsLong`` config — set it at runtime before touching files that
+    need it (events.ts is TIMESTAMP(NANOS) in the testdata).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def _round4(df: DataFrame, col: str = DISTANCE_COL) -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), 4))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB distance formula fragments (sequential left-fold == F.aggregate)
+# ---------------------------------------------------------------------------
+
+def _fold(terms: str) -> str:
+    return f"list_reduce({terms}, (a, b) -> a + b)"
+
+
+def _duck_distance(name: str) -> str:
+    """DuckDB expression for distance(embedding, QVEC) as a double ``d``."""
+    x = "x::DOUBLE"
+    if name == "manhattan":
+        return _fold(f"list_transform(embedding, (x,i) -> abs({x} - ({QS})[i]))")
+    if name == "euclidean":
+        return (
+            "sqrt("
+            + _fold(f"list_transform(embedding, (x,i) -> ({x} - ({QS})[i]) * ({x} - ({QS})[i]))")
+            + ")"
+        )
+    if name == "squaredeuclidean":
+        return _fold(
+            f"list_transform(embedding, (x,i) -> ({x} - ({QS})[i]) * ({x} - ({QS})[i]))"
+        )
+    if name == "chebyshev":
+        return f"list_aggregate(list_transform(embedding, (x,i) -> abs({x} - ({QS})[i])), 'max')"
+    if name == "cosine":
+        dot = _fold(f"list_transform(embedding, (x,i) -> {x} * ({QS})[i])")
+        nv = "sqrt(" + _fold(f"list_transform(embedding, (x,i) -> {x} * {x})") + ")"
+        nq = "sqrt(" + _fold(f"list_transform({QS}, (x,i) -> x * x)") + ")"
+        return f"(CASE WHEN {nv} < 1e-5 OR {nq} < 1e-5 THEN 0.0 ELSE 1.0 - ({dot}) / (({nv}) * ({nq})) END)"
+    if name == "chisquared":
+        return _fold(
+            f"list_transform(embedding, (x,i) -> CASE WHEN {x} + ({QS})[i] > 0 "
+            f"THEN ({x} - ({QS})[i]) * ({x} - ({QS})[i]) / ({x} + ({QS})[i]) ELSE 0.0 END)"
+        )
+    if name == "hamming":
+        # literals cast to DOUBLE (DuckDB would otherwise infer DECIMAL(2,1)
+        # and overflow on the fold)
+        return _fold(
+            f"list_transform(embedding, (x,i) -> CASE WHEN abs({x} - ({QS})[i]) > 1e-5 "
+            f"THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+        )
+    if name == "jaccard":
+        smin = _fold(f"list_transform(embedding, (x,i) -> least({x}, ({QS})[i]))")
+        smax = _fold(f"list_transform(embedding, (x,i) -> greatest({x}, ({QS})[i]))")
+        return f"(1.0 - ({smin}) / ({smax}))"
+    if name == "kullbackleibler":
+        # reference direction: q * ln(q / x), zero-guarded.  Computed over a
+        # strictly-positive derived vector (abs(x)+0.5) and positive query so
+        # DuckDB's ln never sees a negative ratio (Spark's log would NULL it,
+        # Scala's math.log would NaN — three engines, three behaviours; a
+        # positive domain is the only oracle-checkable one, and KL is only
+        # defined on positive distributions anyway).
+        return _fold(
+            f"list_transform(embedding, (x,i) -> ({QSP})[i] * ln(({QSP})[i] / (abs({x}) + 0.5)))"
+        )
+    if name == "spannorm":
+        diffs = f"list_transform(embedding, (x,i) -> {x} - ({QS})[i])"
+        return f"(list_aggregate({diffs}, 'max') - list_aggregate({diffs}, 'min'))"
+    if name == "modulo":
+        # strictly-positive divisor query vector (ANSI Spark errors on x % 0);
+        # DuckDB mod() is truncated like Spark/Java %, fmod() is floored
+        return _fold(f"list_transform(embedding, (x,i) -> mod({x}, ({QSP})[i]))")
+    if name == "minkowski3":
+        return (
+            "pow("
+            + _fold(f"list_transform(embedding, (x,i) -> pow(abs({x} - ({QS})[i]), 3.0))")
+            + ", 1.0/3.0)"
+        )
+    raise ValueError(name)
+
+
+def _knn_sql(dist_expr: str, k: int = K, where: str = "") -> str:
+    w = f"WHERE {where}" if where else ""
+    return f"""
+    SELECT vec_id, round(d, 4) AS {DISTANCE_COL} FROM (
+      SELECT vec_id, {dist_expr} AS d FROM embeddings {w}
+      ORDER BY d ASC, vec_id ASC LIMIT {k}
+    ) ORDER BY d
+    """
+
+
+def _knn_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    distance_name: str,
+    k: int = K,
+    weights=None,
+    p=None,
+    predicates=None,
+    prefilter_pred=None,
+    query_vec=None,
+    positive_vec: bool = False,
+) -> DataFrame:
+    df = _table(spark, sf_dir, "embeddings")
+    if positive_vec:
+        # derived strictly-positive vector (matches the oracle's abs(x)+0.5)
+        df = df.withColumn(
+            "embedding",
+            F.transform(F.col("embedding").cast("array<double>"),
+                        lambda x: F.abs(x) + F.lit(0.5)),
+        )
+    if predicates is not None:
+        df = boolean_filter(df, predicates)
+    pre = None
+    if prefilter_pred is not None:
+        pre = boolean_filter(
+            _table(spark, sf_dir, "embeddings"), prefilter_pred
+        ).select("vec_id")
+    res = sequential_scan(
+        df, "embedding", query_vec if query_vec is not None else QVEC, k,
+        distance_name, weights=weights, p=p, prefilter=pre, pk="vec_id",
+    )
+    return _round4(res.select("vec_id", DISTANCE_COL))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# -- sequential kNN, one per distance (SequentialScanExpression + §2.5) -----
+
+_DISTS = [
+    "manhattan", "euclidean", "squaredeuclidean", "chebyshev", "cosine",
+    "chisquared", "hamming", "jaccard", "spannorm",
+]
+
+for _d in _DISTS:
+    _register(
+        f"knn_seq_{_d}",
+        (lambda d: lambda spark, sf: _knn_spark(spark, sf, d))(_d),
+        _knn_sql(_duck_distance(_d)),
+    )
+
+_register(
+    "knn_seq_kullbackleibler",
+    lambda spark, sf: _knn_spark(
+        spark, sf, "kullbackleibler", query_vec=QVEC_POS, positive_vec=True
+    ),
+    _knn_sql(_duck_distance("kullbackleibler")),
+)
+
+_register(
+    "knn_seq_modulo",
+    lambda spark, sf: _knn_spark(spark, sf, "modulo", query_vec=QVEC_POS),
+    _knn_sql(_duck_distance("modulo")),
+)
+
+_register(
+    "knn_seq_minkowski3",
+    lambda spark, sf: _knn_spark(spark, sf, "minkowski", p=3.0),
+    _knn_sql(_duck_distance("minkowski3")),
+)
+
+
+def _correlation_sql() -> str:
+    # center both sides then cosine (CorrelationDistance.scala:16-24)
+    qmean = sum(QVEC) / DIM  # python-side constant; Spark centers q the same way
+    vc = "list_transform(embedding, (x,i) -> x::DOUBLE - vmean)"
+    dot = f"list_reduce(list_transform({vc}, (x,i) -> x * (({QS})[i] - qm)), (a,b)->a+b)"
+    nv = f"sqrt(list_reduce(list_transform({vc}, (x,i) -> x * x), (a,b)->a+b))"
+    nq = f"sqrt(list_reduce(list_transform({QS}, (x,i) -> (x - qm) * (x - qm)), (a,b)->a+b))"
+    d = f"(CASE WHEN {nv} < 1e-5 OR {nq} < 1e-5 THEN 0.0 ELSE 1.0 - ({dot}) / (({nv}) * ({nq})) END)"
+    return f"""
+    SELECT vec_id, round(d, 4) AS {DISTANCE_COL} FROM (
+      SELECT vec_id, {d} AS d FROM (
+        SELECT vec_id, embedding,
+               list_reduce(list_transform(embedding, (x,i) -> x::DOUBLE), (a,b)->a+b) / {DIM} AS vmean,
+               list_reduce({QS}, (a,b)->a+b) / {DIM} AS qm
+        FROM embeddings
+      )
+      ORDER BY d ASC, vec_id ASC LIMIT {K}
+    ) ORDER BY d
+    """
+
+
+_register(
+    "knn_seq_correlation",
+    lambda spark, sf: _knn_spark(spark, sf, "correlation"),
+    _correlation_sql(),
+)
+
+
+def _haversine_sql() -> str:
+    # first two dims as (lat, lng); clamp lat, normalize lng (HaversineDistance.scala:22-66)
+    lat = "radians(greatest(-90.0, least(90.0, {v})))"
+    lng = (
+        "radians(CASE WHEN m{n} < 180.0 THEN m{n} ELSE m{n} - 360.0 END)"
+    )
+    return f"""
+    SELECT vec_id, round(d, 4) AS {DISTANCE_COL} FROM (
+      SELECT vec_id,
+        2.0 * 6371000.0 * atan2(sqrt(a), sqrt(1.0 - a)) AS d
+      FROM (
+        SELECT vec_id,
+          pow(sin((lat2 - lat1) / 2.0), 2)
+          + cos(lat1) * cos(lat2) * pow(sin((lng2 - lng1) / 2.0), 2) AS a
+        FROM (
+          SELECT vec_id,
+            {lat.format(v='embedding[1]::DOUBLE')} AS lat1,
+            {lng.format(n='1')} AS lng1,
+            {lat.format(v=repr(float(QVEC[0])))} AS lat2,
+            {lng.format(n='2')} AS lng2
+          FROM (
+            SELECT vec_id, embedding,
+              fmod(fmod(embedding[2]::DOUBLE, 360.0) + 360.0, 360.0) AS m1,
+              fmod(fmod({QVEC[1]!r}, 360.0) + 360.0, 360.0) AS m2
+            FROM embeddings
+          )
+        )
+      )
+      ORDER BY d ASC, vec_id ASC LIMIT {K}
+    ) ORDER BY d
+    """
+
+
+_register(
+    "knn_seq_haversine",
+    lambda spark, sf: _knn_spark(spark, sf, "haversine"),
+    _haversine_sql(),
+)
+
+# -- weighted variants (ElementwiseSummedDistanceFunction.scala:45-87) ------
+
+_register(
+    "knn_seq_manhattan_weighted",
+    lambda spark, sf: _knn_spark(spark, sf, "manhattan", weights=WVEC),
+    _knn_sql(
+        _fold(
+            f"list_transform(embedding, (x,i) -> abs(x::DOUBLE - ({QS})[i]) * ({WS})[i])"
+        )
+    ),
+)
+
+_register(
+    "knn_seq_zero_weights",
+    # all-zero weights => all distances 0 (QueryTestSuite.scala:59-77);
+    # top-k then degenerates to first k PKs
+    lambda spark, sf: _knn_spark(spark, sf, "euclidean", weights=[0.0] * DIM),
+    f"""
+    SELECT vec_id, 0.0 AS {DISTANCE_COL} FROM embeddings
+    ORDER BY vec_id ASC LIMIT {K}
+    """,
+)
+
+# -- prefilter / combined boolean+kNN (SequentialScanExpression.scala:51-121)
+
+_register(
+    "knn_prefilter_semijoin",
+    lambda spark, sf: _knn_spark(
+        spark, sf, "manhattan", prefilter_pred=[("label", "=", [2])]
+    ),
+    _knn_sql(_duck_distance("manhattan"), where="label = 2"),
+)
+
+_register(
+    "knn_boolean_combined",
+    lambda spark, sf: _knn_spark(
+        spark, sf, "euclidean",
+        predicates=[("label", "!=", [0]), ("vec_id", "<", [400])],
+    ),
+    _knn_sql(_duck_distance("euclidean"), where="label != 0 AND vec_id < 400"),
+)
+
+# -- projections (ProjectionExpression.scala:17-115) ------------------------
+
+_register(
+    "projection_fields",
+    lambda spark, sf: project(
+        _table(spark, sf, "customer"), ["c_custkey", "c_name", "c_acctbal"]
+    ),
+    "SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+
+_register(
+    "projection_count",
+    lambda spark, sf: count_projection(_table(spark, sf, "lineitem")),
+    'SELECT count(*)::BIGINT AS "count" FROM lineitem',
+)
+
+_register(
+    "projection_exists",
+    lambda spark, sf: exists_projection(
+        boolean_filter(_table(spark, sf, "orders"), [("o_orderstatus", "=", ["F"])])
+    ),
+    """SELECT count(*) > 0 AS "exists" FROM (
+         SELECT 1 FROM orders WHERE o_orderstatus = 'F' LIMIT 1)""",
+)
+
+_register(
+    "projection_distinct",
+    lambda spark, sf: distinct_projection(
+        _table(spark, sf, "lineitem"), ["l_returnflag", "l_linestatus"]
+    ),
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+
+# -- boolean predicates (QueryObject.scala:29-74) ---------------------------
+
+_register(
+    "predicate_eq",
+    lambda spark, sf: boolean_filter(
+        _table(spark, sf, "documents"), [("lang", "=", ["en"])]
+    ),
+    "SELECT * FROM documents WHERE lang = 'en'",
+)
+
+_register(
+    "predicate_in",
+    lambda spark, sf: boolean_filter(
+        _table(spark, sf, "customer"), [("c_mktsegment", "=", ["BUILDING", "MACHINERY"])]
+    ).select("c_custkey", "c_mktsegment"),
+    """SELECT c_custkey, c_mktsegment FROM customer
+       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""",
+)
+
+_register(
+    "predicate_not_in",
+    lambda spark, sf: boolean_filter(
+        _table(spark, sf, "documents"), [("lang", "!=", ["en", "de"])]
+    ).select("doc_id", "lang"),
+    "SELECT doc_id, lang FROM documents WHERE lang NOT IN ('en', 'de')",
+)
+
+_register(
+    "predicate_range",
+    lambda spark, sf: boolean_filter(
+        _table(spark, sf, "orders"),
+        [("o_totalprice", ">=", [1000.0]), ("o_totalprice", "<", [5000.0])],
+    ).select("o_orderkey", "o_totalprice"),
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice >= 1000.0 AND o_totalprice < 5000.0""",
+)
+
+_register(
+    "predicate_like",
+    lambda spark, sf: boolean_filter(
+        _table(spark, sf, "documents"), [("source", "like", ["src1%"])]
+    ).select("doc_id", "source"),
+    "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'",
+)
+
+_register(
+    "predicate_compound",
+    lambda spark, sf: boolean_filter(
+        _table(spark, sf, "lineitem"),
+        [
+            ("l_returnflag", "=", ["R"]),
+            ("l_quantity", ">", [25.0]),
+            ("l_discount", "<=", [0.05]),
+        ],
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+       WHERE l_returnflag = 'R' AND l_quantity > 25.0 AND l_discount <= 0.05""",
+)
+
+# -- fusions (AggregationExpression.scala) ----------------------------------
+
+def _docs_sides(spark, sf):
+    docs = _table(spark, sf, "documents")
+    left = boolean_filter(docs, [("lang", "=", ["en"])])
+    right = boolean_filter(docs, [("n_chars", ">", [300])])
+    return left, right
+
+
+_DOCS_L = "SELECT doc_id FROM documents WHERE lang = 'en'"
+_DOCS_R = "SELECT doc_id FROM documents WHERE n_chars > 300"
+
+_register(
+    "fusion_union",
+    lambda spark, sf: FU.union_fusion(*_docs_sides(spark, sf), pk="doc_id"),
+    f"""SELECT doc_id, 0.0 AS {DISTANCE_COL}
+        FROM (({_DOCS_L}) UNION ALL ({_DOCS_R}))""",
+)
+
+_register(
+    "fusion_intersect",
+    lambda spark, sf: FU.intersect_fusion(*_docs_sides(spark, sf), pk="doc_id"),
+    f"""SELECT doc_id, 0.0 AS {DISTANCE_COL}
+        FROM (({_DOCS_L}) INTERSECT ({_DOCS_R}))""",
+)
+
+_register(
+    "fusion_except",
+    lambda spark, sf: FU.except_fusion(*_docs_sides(spark, sf), pk="doc_id"),
+    f"""SELECT doc_id, 0.0 AS {DISTANCE_COL}
+        FROM (({_DOCS_L}) EXCEPT ({_DOCS_R}))""",
+)
+
+
+def _knn_pair(spark, sf, k=50):
+    df = _table(spark, sf, "embeddings")
+    left = sequential_scan(df, "embedding", QVEC, k, "manhattan", pk="vec_id").select(
+        "vec_id", DISTANCE_COL
+    )
+    right = sequential_scan(df, "embedding", QVEC2, k, "manhattan", pk="vec_id").select(
+        "vec_id", DISTANCE_COL
+    )
+    return left, right
+
+
+def _knn_cte(qs: str, k: int = 50) -> str:
+    return f"""
+      SELECT vec_id, d FROM (
+        SELECT vec_id,
+          list_reduce(list_transform(embedding, (x,i) -> abs(x::DOUBLE - ({qs})[i])), (a,b)->a+b) AS d
+        FROM embeddings ORDER BY d ASC, vec_id ASC LIMIT {k}
+      )
+    """
+
+
+_register(
+    "fusion_fuzzy_union",
+    lambda spark, sf: _round4(FU.fuzzy_union(*_knn_pair(spark, sf), pk="vec_id")),
+    f"""
+    WITH l AS ({_knn_cte(QS)}), r AS ({_knn_cte(QS2)})
+    SELECT coalesce(l.vec_id, r.vec_id) AS vec_id,
+           round(least(coalesce(l.d, 0.0), coalesce(r.d, 0.0)), 4) AS {DISTANCE_COL}
+    FROM l FULL OUTER JOIN r ON l.vec_id = r.vec_id
+    """,
+)
+
+_register(
+    "fusion_fuzzy_intersect",
+    lambda spark, sf: _round4(FU.fuzzy_intersect(*_knn_pair(spark, sf), pk="vec_id")),
+    f"""
+    WITH l AS ({_knn_cte(QS)}), r AS ({_knn_cte(QS2)})
+    SELECT coalesce(l.vec_id, r.vec_id) AS vec_id,
+           round(greatest(coalesce(l.d, 0.0), coalesce(r.d, 0.0)), 4) AS {DISTANCE_COL}
+    FROM l FULL OUTER JOIN r ON l.vec_id = r.vec_id
+    """,
+)
+
+
+def _stochastic(spark, sf):
+    emb = _table(spark, sf, "embeddings")
+    cands = [
+        boolean_filter(emb, [("label", "=", [0])]),
+        boolean_filter(emb, [("label", "=", [1])]),
+        boolean_filter(emb, [("vec_id", "<", [250])]),
+    ]
+    return _round4(FU.stochastic_fusion([c.select("vec_id") for c in cands], k=4, pk="vec_id"))
+
+
+_register(
+    "fusion_stochastic",
+    _stochastic,
+    f"""
+    SELECT vec_id, round(1.0 - count(*) / 3.0, 4) AS {DISTANCE_COL}
+    FROM (
+      (SELECT vec_id FROM embeddings WHERE label = 0)
+      UNION ALL (SELECT vec_id FROM embeddings WHERE label = 1)
+      UNION ALL (SELECT vec_id FROM embeddings WHERE vec_id < 250)
+    )
+    GROUP BY vec_id
+    ORDER BY {DISTANCE_COL} ASC, vec_id ASC LIMIT 200
+    """,
+)
+
+# -- entity preview (Entity.scala:261) --------------------------------------
+
+_register(
+    "entity_preview",
+    # deterministic preview: first k rows by PK (reference preview has no
+    # defined order; pinning to PK makes it oracle-checkable)
+    lambda spark, sf: _table(spark, sf, "nation").orderBy("n_nationkey").limit(10),
+    "SELECT * FROM nation ORDER BY n_nationkey LIMIT 10",
+)
+
+
+# ---------------------------------------------------------------------------
+# flagship (driver smoke check, sf0.001)
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined Boolean + 20-NN Manhattan scan over ``embeddings`` —
+    the reference's core query shape (QueryOp.sequential,
+    QueryOp.scala:56-69: BooleanFilterScan ∘ SequentialScan)."""
+    return _knn_spark(
+        spark, sf_dir, "manhattan", predicates=[("label", "!=", [0])]
+    )

@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": N}
+
+Query set = representative operators across the engine: sequential kNN
+(several distances), filtered/prefiltered kNN, fusions, projections, plus
+(as they land) index scans and LLM-pipeline operators.  Each query runs
+once after a shared warmup that triggers JVM/codegen init.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline subset of the full oracle suite (bench = throughput signal, not
+# the correctness gate; the driver runs the full suite separately)
+HEADLINE = [
+    "knn_seq_manhattan",
+    "knn_seq_euclidean",
+    "knn_seq_cosine",
+    "knn_seq_minkowski3",
+    "knn_boolean_combined",
+    "knn_prefilter_semijoin",
+    "projection_distinct",
+    "predicate_compound",
+    "fusion_fuzzy_union",
+    "fusion_stochastic",
+]
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from adampro_spark.session import get_spark
+    from adampro_spark import oracle_suite
+
+    spark = get_spark("adampro-bench")
+
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    names = [n for n in HEADLINE if n in oracle_suite.QUERIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in oracle_suite.QUERIES]
+
+    # warmup: run the flagship once so JVM startup/codegen is excluded
+    oracle_suite.flagship(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = oracle_suite.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
