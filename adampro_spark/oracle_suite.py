@@ -568,6 +568,41 @@ _register(
 )
 
 
+# -- VA-File index scans (exact → brute-force oracle; VAIndex.scala:37-38) --
+
+def _va_query(index_type: str, marktype: str, distance: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from adampro_spark.index.va import build_va, va_knn
+
+        df = _table(spark, sf, "embeddings")
+        idx, meta = build_va(
+            df, "embedding", pk="vec_id", index_type=index_type, marktype=marktype
+        )
+        res = va_knn(df, "embedding", idx, meta, QVEC, K, distance_name=distance)
+        return _round4(res.select("vec_id", DISTANCE_COL))
+
+    return run
+
+
+_register(
+    "knn_vaf_manhattan",
+    _va_query("vaf", "equifrequent", "manhattan"),
+    _knn_sql(_duck_distance("manhattan")),
+)
+
+_register(
+    "knn_vaf_equidistant_euclidean",
+    _va_query("vaf", "equidistant", "euclidean"),
+    _knn_sql(_duck_distance("euclidean")),
+)
+
+_register(
+    "knn_vav_euclidean",
+    _va_query("vav", "equifrequent", "euclidean"),
+    _knn_sql(_duck_distance("euclidean")),
+)
+
+
 # ---------------------------------------------------------------------------
 # flagship (driver smoke check, sf0.001)
 # ---------------------------------------------------------------------------
