@@ -1,0 +1,142 @@
+"""Shared index-build helpers: sampling, deterministic k-means, and
+reference-point distance expressions.
+
+The reference trains every index on a driver-collected sample
+(data/index/IndexGenerator.scala:47-80, min 1000 tuples :22); we do the
+same — training is small-data work, the cluster-scale work is the
+assignment pass, which stays a codegen'd expression here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MIN_TRAINING = 1_000  # IndexGenerator.scala:22
+
+
+def sample_matrix(df: DataFrame, vector_col: str, n: int, seed: int) -> np.ndarray:
+    """Training sample as an (m, dim) float32 matrix."""
+    total = df.count()
+    n = max(n, 1)
+    frac = min(1.0, (n * 1.2) / max(total, 1))
+    rows = df.select(vector_col).sample(False, frac, seed=seed).limit(n).collect()
+    if not rows:
+        rows = df.select(vector_col).limit(n).collect()
+    return np.array([r[0] for r in rows], dtype=np.float32)
+
+
+def kmeans(X: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarray:
+    """Deterministic Lloyd k-means with k-means++ init (numpy, driver-side).
+
+    Replaces the reference's per-split MLlib ``KMeans.train``
+    (pq/PQIndexGenerator.scala:80-84) — the training sample is tiny, so a
+    driver-side fit avoids 8 extra Spark jobs per build and is exactly
+    reproducible under a fixed seed.
+    """
+    X = X.astype(np.float64)
+    n = X.shape[0]
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.sum((X - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        s = d2.sum()
+        if s <= 0:
+            centers.append(X[rng.randint(n)])
+            continue
+        probs = d2 / s
+        centers.append(X[rng.choice(n, p=probs)])
+    C = np.array(centers)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                newC[j] = pts.mean(axis=0)
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def ref_dists_expr(
+    vector_col: str | Column, refs: list[list[float]], distance_name: str = "euclidean"
+) -> Column:
+    """array<double> of distances from the row vector to each reference
+    vector — ``transform`` over a nested literal, fully codegen'd.
+
+    Supports the Minkowski family + cosine (what the clustered indexes use).
+    """
+    v = (
+        F.col(vector_col).cast("array<double>")
+        if isinstance(vector_col, str)
+        else vector_col
+    )
+    refs_lit = F.lit([[float(x) for x in r] for r in refs])
+
+    def dist_to(r: Column) -> Column:
+        if distance_name == "manhattan":
+            terms = F.zip_with(v, r, lambda a, b: F.abs(a - b))
+            return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        if distance_name in ("euclidean", "squaredeuclidean"):
+            terms = F.zip_with(v, r, lambda a, b: (a - b) * (a - b))
+            s = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+            return F.sqrt(s) if distance_name == "euclidean" else s
+        if distance_name == "cosine":
+            dot = F.aggregate(
+                F.zip_with(v, r, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            )
+            nv = F.sqrt(
+                F.aggregate(
+                    F.zip_with(v, v, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            nr = F.sqrt(
+                F.aggregate(
+                    F.zip_with(r, r, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            return F.when((nv < 1e-5) | (nr < 1e-5), F.lit(0.0)).otherwise(
+                F.lit(1.0) - dot / (nv * nr)
+            )
+        raise ValueError(f"unsupported reference distance {distance_name!r}")
+
+    return F.transform(refs_lit, dist_to)
+
+
+def argmin_expr(dists: Column) -> Column:
+    """0-based index of the minimum element (deterministic: first minimum)."""
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def np_distance(q: np.ndarray, X: np.ndarray, distance_name: str) -> np.ndarray:
+    """Driver-side distances from q to each row of X (ranking leaders/refs)."""
+    q = q.astype(np.float64)
+    X = X.astype(np.float64)
+    if distance_name == "manhattan":
+        return np.abs(X - q).sum(axis=1)
+    if distance_name == "euclidean":
+        return np.sqrt(((X - q) ** 2).sum(axis=1))
+    if distance_name == "squaredeuclidean":
+        return ((X - q) ** 2).sum(axis=1)
+    if distance_name == "cosine":
+        nq = np.linalg.norm(q)
+        nx = np.linalg.norm(X, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (X @ q) / (nx * nq)
+        sim[~np.isfinite(sim)] = 1.0
+        return 1.0 - sim
+    raise ValueError(f"unsupported reference distance {distance_name!r}")

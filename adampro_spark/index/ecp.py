@@ -1,0 +1,152 @@
+"""eCP (extended cluster pruning) index.
+
+Parity targets: build ``ecp/ECPIndexGenerator.scala:27-75`` (≤200 sampled
+leaders, nearest-leader assignment, optional centroid recomputation),
+scan ``ecp/ECPIndex.scala:44-66`` (rank leaders by distance to q, take
+leaders until ≥ timesK·k candidates, filter on cell membership, leader
+distance as surrogate score).  Lossy (confidence 0.5, ECPIndex.scala:28).
+
+Spark-first: leader assignment is a ``transform``-over-literal argmin —
+no UDF, no shuffle; per-leader counts come from one ``groupBy(cell)``
+(exact map-side-combined counts instead of the reference's
+countMinSketch); the scan is a pushdown-friendly ``cell IN (...)`` filter,
+so with the index table partitioned by cell, Parquet partition pruning
+reads only the chosen leaders' files at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from adampro_spark.index._util import (
+    argmin_expr,
+    np_distance,
+    ref_dists_expr,
+    sample_matrix,
+)
+from adampro_spark.operators.scan import DISTANCE_COL
+
+FEATURE_COL = "ap_indexfeature"
+
+MAX_LEADERS = 200  # ECPIndexGenerator.scala:27
+
+
+def build_ecp(
+    df: DataFrame,
+    vector_col: str,
+    pk: str = "ap_id",
+    distance_name: str = "euclidean",
+    nleaders: int | None = None,
+    centroid_leaders: bool = False,
+    seed: int = 42,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Build: sample leaders, assign every row to its nearest leader.
+
+    ``nleaders`` defaults to min(√n, 200) (ECPIndexGenerator.scala:37).
+    ``centroid_leaders=True`` recomputes each leader as its cluster
+    centroid (:56-71) with a posexplode + groupBy (one shuffle of
+    n·dim rows — the reference's mapGroups shuffles full vectors too).
+    """
+    n = df.count()
+    nl = min(max(nleaders or int(np.sqrt(n)), 2), MAX_LEADERS)
+    leaders = sample_matrix(df, vector_col, nl, seed)[:nl]
+
+    cell = argmin_expr(ref_dists_expr(vector_col, leaders.tolist(), distance_name))
+    indexed = df.select(pk, cell.alias(FEATURE_COL))
+
+    if centroid_leaders:
+        cent = (
+            df.select(
+                cell.alias(FEATURE_COL),
+                F.posexplode(F.col(vector_col).cast("array<double>")).alias("pos", "x"),
+            )
+            .groupBy(FEATURE_COL, "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy(FEATURE_COL)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("c"))
+            .collect()
+        )
+        for r in cent:
+            leaders[r[FEATURE_COL]] = [s["m"] for s in r["c"]]
+        # re-assign to the moved leaders
+        cell = argmin_expr(ref_dists_expr(vector_col, leaders.tolist(), distance_name))
+        indexed = df.select(pk, cell.alias(FEATURE_COL))
+
+    counts = {
+        int(r[FEATURE_COL]): int(r["cnt"])
+        for r in indexed.groupBy(FEATURE_COL).agg(F.count("*").alias("cnt")).collect()
+    }
+    meta = {
+        "type": "ecp",
+        "pk": pk,
+        "distance": distance_name,
+        "leaders": leaders.tolist(),
+        "counts": [counts.get(i, 0) for i in range(len(leaders))],
+    }
+    return indexed, meta
+
+
+def scan_ecp(
+    index_df: DataFrame,
+    meta: dict[str, Any],
+    query: list[float],
+    k: int,
+    times_k: int = 5,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Rank leaders by distance to q; take leaders until the cumulative
+    count reaches timesK·k (+1 more, ECPIndex.scala:52-55); candidates =
+    rows in those cells, surrogate distance = their leader's distance.
+    """
+    pk = meta["pk"]
+    leaders = np.array(meta["leaders"], dtype=np.float64)
+    counts = np.array(meta["counts"], dtype=np.int64)
+    d = np_distance(np.array(query), leaders, meta["distance"])
+    order = np.argsort(d, kind="stable")
+
+    want = times_k * k
+    cum = 0
+    chosen: list[int] = []
+    for li in order:
+        if cum >= want:
+            break
+        chosen.append(int(li))
+        cum += int(counts[li])
+
+    df = index_df
+    if prefilter is not None:
+        df = df.join(prefilter.select(pk), on=pk, how="left_semi")
+
+    # surrogate score: distance to the row's leader (broadcast lookup array)
+    dist_lookup = F.lit([float(x) for x in d])
+    return (
+        df.filter(F.col(FEATURE_COL).isin(chosen))
+        .withColumn(DISTANCE_COL, F.element_at(dist_lookup, F.col(FEATURE_COL) + 1))
+        .select(pk, DISTANCE_COL)
+    )
+
+
+def ecp_knn(
+    df: DataFrame,
+    vector_col: str,
+    index_df: DataFrame,
+    meta: dict[str, Any],
+    query: list[float],
+    k: int,
+    distance_name: str | None = None,
+    times_k: int = 5,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate scan → exact sequential refinement (IndexScanExpression:89-98)."""
+    from adampro_spark.operators.scan import sequential_scan
+
+    dn = distance_name or meta["distance"]
+    cands = scan_ecp(index_df, meta, query, k, times_k=times_k, prefilter=prefilter)
+    return sequential_scan(
+        df, vector_col, query, k, dn, prefilter=cands, pk=meta["pk"]
+    )

@@ -1,0 +1,155 @@
+"""PQ (product quantization) index.
+
+Parity targets: build ``pq/PQIndexGenerator.scala:33-88`` (split dims into
+``nsq`` sub-vectors, per-split k-means, row → code per split), scan
+``pq/PQIndex.scala:33-64`` (broadcast per-split query→centroid distance
+table, ADC score = Σ table lookups, top timesK·k).  Lossy (confidence 0.5).
+
+Reference bug NOT copied (SURVEY §7.4): ``2 ^ nsqbits`` is Scala XOR = 10
+clusters, not 256 — we use a real ``2**nsqbits`` (capped by the training
+sample size).
+
+Spark-first: per-split code assignment and the ADC sum are codegen'd
+higher-order-function expressions over literal centroid/lookup tables —
+the reference uses two row-at-a-time UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adampro_spark.index._util import kmeans, sample_matrix
+from adampro_spark.operators.scan import DISTANCE_COL
+
+FEATURE_COL = "ap_indexfeature"
+
+
+def _split_bounds(dim: int, nsq: int) -> list[tuple[int, int]]:
+    """Sub-vector [start, len) per split — ``grouped(dim/nsq)`` like the
+    reference (PQIndexGenerator.scala:43), so a non-dividing nsq yields a
+    trailing shorter split."""
+    step = max(1, dim // nsq)
+    return [(s, min(step, dim - s)) for s in range(0, dim, step)]
+
+
+def build_pq(
+    df: DataFrame,
+    vector_col: str,
+    pk: str = "ap_id",
+    nsq: int = 8,
+    nsqbits: int = 8,
+    ntraining: int = 1000,
+    seed: int = 42,
+) -> tuple[DataFrame, dict[str, Any]]:
+    first = df.select(vector_col).first()
+    dim = len(first[0])
+    sample = sample_matrix(df, vector_col, ntraining, seed)
+
+    bounds = _split_bounds(dim, nsq)
+    nclusters = min(1 << nsqbits, max(2, sample.shape[0] // 2))
+    codebooks = [
+        kmeans(sample[:, s : s + ln], nclusters, seed=seed + i)
+        for i, (s, ln) in enumerate(bounds)
+    ]
+
+    v = F.col(vector_col).cast("array<double>")
+    codes = []
+    for (s, ln), cb in zip(bounds, codebooks):
+        sub = F.slice(v, s + 1, ln)
+        cb_lit = F.lit([[float(x) for x in c] for c in cb.tolist()])
+        d2 = F.transform(
+            cb_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
+    indexed = df.select(pk, F.array(*codes).alias(FEATURE_COL))
+
+    meta = {
+        "type": "pq",
+        "pk": pk,
+        "dim": dim,
+        "nsq": nsq,
+        "bounds": [list(b) for b in bounds],
+        "codebooks": [cb.tolist() for cb in codebooks],
+    }
+    return indexed, meta
+
+
+def _adc_expr(meta: dict[str, Any], query: list[float], p: float) -> Column:
+    """ADC score: Σ_s dist(q_sub_s, centroid[code_s]) with the per-split
+    distance INCLUDING the Minkowski root, as the reference does
+    (PQIndex.scala:40-47 applies the full distance per split and sums)."""
+    q = np.asarray(query, dtype=np.float64)
+    flat: list[float] = []
+    offsets: list[int] = []
+    off = 0
+    for (s, ln), cb in zip(meta["bounds"], meta["codebooks"]):
+        qs = q[s : s + ln]
+        cbm = np.asarray(cb, dtype=np.float64)
+        d = (np.abs(cbm - qs) ** p).sum(axis=1) ** (1.0 / p)
+        offsets.append(off)
+        flat.extend(float(x) for x in d)
+        off += len(cb)
+    flat_lit = F.lit(flat)
+    off_lit = F.lit(offsets)
+    terms = F.zip_with(
+        F.col(FEATURE_COL), off_lit, lambda c, o: F.element_at(flat_lit, o + c + 1)
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def scan_pq(
+    index_df: DataFrame,
+    meta: dict[str, Any],
+    query: list[float],
+    k: int,
+    p: float = 2.0,
+    times_k: int = 5,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """ADC candidate top-(timesK·k) by table-lookup distance
+    (PQIndex.scala:50-64) — TakeOrderedAndProject, no shuffle."""
+    pk = meta["pk"]
+    df = index_df
+    if prefilter is not None:
+        df = df.join(prefilter.select(pk), on=pk, how="left_semi")
+    scored = df.withColumn(DISTANCE_COL, _adc_expr(meta, query, p))
+    return (
+        scored.orderBy(F.col(DISTANCE_COL).asc(), F.col(pk).asc())
+        .limit(times_k * k)
+        .select(pk, DISTANCE_COL)
+    )
+
+
+_P = {"manhattan": 1.0, "euclidean": 2.0, "squaredeuclidean": 2.0}
+
+
+def pq_knn(
+    df: DataFrame,
+    vector_col: str,
+    index_df: DataFrame,
+    meta: dict[str, Any],
+    query: list[float],
+    k: int,
+    distance_name: str = "euclidean",
+    times_k: int = 5,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate scan → exact refinement.  Minkowski-only
+    (PQIndex.isQueryConform, :67-73)."""
+    from adampro_spark.operators.scan import sequential_scan
+
+    p = _P.get(distance_name)
+    if p is None:
+        raise ValueError(f"PQ index only supports Minkowski distances, got {distance_name!r}")
+    cands = scan_pq(index_df, meta, query, k, p=p, times_k=times_k, prefilter=prefilter)
+    return sequential_scan(df, vector_col, query, k, distance_name, prefilter=cands, pk=meta["pk"])

@@ -1,0 +1,135 @@
+"""VA+ index: PCA rotation, then VA-File machinery in the rotated space.
+
+Parity targets: build ``va/VAPlusIndexGenerator.scala:60-130`` (PCA fit,
+bit allocation by repeated variance halving :95-103, marks on the
+projected data), scan ``va/VAPlusIndex.scala:37-41`` (transform q through
+the PCA model, then the standard VA bound scan).  The reference registers
+VA+ as lossy (top-1 bar) because of float error through the rotation; the
+refinement step computes exact distances on the ORIGINAL vectors, so in
+practice results match brute force.
+
+Spark-first: the rotation is the same transform-over-literal matrix
+product as SH — no UDF; marks/cells/bounds reuse ``va.py`` wholesale.
+Deviation (documented): PCA is fit driver-side (numpy eigh) on the
+training sample instead of Spark ML PCA on the full data — identical
+math, no extra distributed jobs at build.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adampro_spark.index._util import sample_matrix
+from adampro_spark.index.va import (
+    FEATURE_COL,
+    _cells_expr,
+    _equifrequent_marks,
+    scan_va,
+)
+
+
+def _proj_expr(vector_col: str, eigv: np.ndarray) -> Column:
+    cols_lit = F.lit(eigv.T.tolist())
+    v = F.col(vector_col).cast("array<double>")
+    return F.transform(
+        cols_lit,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+
+
+def build_vaplus(
+    df: DataFrame,
+    vector_col: str,
+    pk: str = "ap_id",
+    total_nbits: int | None = None,
+    ntraining: int = 5000,
+    seed: int = 42,
+) -> tuple[DataFrame, dict[str, Any]]:
+    sample = sample_matrix(df, vector_col, ntraining, seed)
+    X = sample.astype(np.float64)
+    dim = X.shape[1]
+
+    cov = np.cov(X, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    eigv = v[:, ::-1]  # descending eigenvalue order, dim × dim
+
+    proj_sample = (X @ eigv).astype(np.float32)
+    variance = proj_sample.astype(np.float64).var(axis=0, ddof=1)
+
+    # bit allocation by variance halving (VAPlusIndexGenerator.scala:95-103)
+    nbits = total_nbits or dim * max(
+        5, math.ceil(5 + 0.5 * math.log2(max(dim / 10.0, 1e-9)))
+    )
+    var = variance.copy()
+    modes = np.zeros(dim, dtype=int)
+    for _ in range(int(nbits)):
+        j = int(np.argmax(var))
+        modes[j] += 1
+        var[j] /= 4.0
+    # nmarks = 2^bits clamped to [2, 32767] (:125, quirk 2<<(x-1) = 2^x)
+    nmarks = [int(min(max(2, 1 << int(b)), 32767)) for b in modes]
+
+    mins = proj_sample.min(axis=0)
+    maxs = proj_sample.max(axis=0)
+    marks = _equifrequent_marks(proj_sample, mins, maxs, nmarks)
+
+    proj_col = _proj_expr(vector_col, eigv)
+    # cells over the projected vector: reuse the VA cell expression by
+    # projecting into a temp column first
+    tmp = df.select(F.col(pk), proj_col.alias("_proj"))
+    indexed = tmp.select(pk, _cells_expr("_proj", marks).alias(FEATURE_COL))
+
+    meta = {
+        "type": "vaplus",
+        "pk": pk,
+        "dim": dim,
+        "pca": eigv.tolist(),
+        "marks": marks,
+        "bits_per_dim": [int(b) for b in modes],
+        "marktype": "equifrequent",
+    }
+    return indexed, meta
+
+
+def scan_vaplus(
+    index_df: DataFrame,
+    meta: dict[str, Any],
+    query: list[float],
+    k: int,
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Rotate q, then the standard VA bound scan (p=2; rotation preserves
+    L2, so Euclidean bounds stay valid — VAPlusIndex.scala:37-41)."""
+    eigv = np.asarray(meta["pca"], dtype=np.float64)
+    q_proj = (np.asarray(query, dtype=np.float64) @ eigv).tolist()
+    return scan_va(index_df, meta, q_proj, k, p=2.0, prefilter=prefilter)
+
+
+def vaplus_knn(
+    df: DataFrame,
+    vector_col: str,
+    index_df: DataFrame,
+    meta: dict[str, Any],
+    query: list[float],
+    k: int,
+    distance_name: str = "euclidean",
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate scan → exact refinement on ORIGINAL vectors.
+    Euclidean-family only (rotation preserves L2, not L1)."""
+    from adampro_spark.operators.scan import sequential_scan
+
+    if distance_name not in ("euclidean", "squaredeuclidean"):
+        raise ValueError("VA+ only supports euclidean distances")
+    cands = scan_vaplus(index_df, meta, query, k, prefilter=prefilter)
+    return sequential_scan(
+        df, vector_col, query, k, distance_name, prefilter=cands, pk=meta["pk"]
+    )

@@ -603,6 +603,59 @@ _register(
 )
 
 
+# -- lossy index scans (ECP/LSH/MI/PQ/SH/VA+) -------------------------------
+# All builds are seed-fixed → deterministic.  Where the refined result
+# provably equals brute force at this sf (verified by the same oracle SQL),
+# the SQL oracle is attached; otherwise the driver records a rows-only
+# check and recall is asserted in pytest (the reference's own bar for
+# lossy indexes is top-1 + recall, QueryTestSuite.scala:92-108).
+
+def _lossy_query(kind: str, distance: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        from adampro_spark import index as IX
+
+        df = _table(spark, sf, "embeddings")
+        if kind == "ecp":
+            idx, meta = IX.build_ecp(df, "embedding", pk="vec_id", distance_name=distance)
+            res = IX.ecp_knn(df, "embedding", idx, meta, QVEC, K, distance)
+        elif kind == "pq":
+            idx, meta = IX.build_pq(df, "embedding", pk="vec_id")
+            res = IX.pq_knn(df, "embedding", idx, meta, QVEC, K, distance)
+        elif kind == "mi":
+            idx, meta = IX.build_mi(df, "embedding", pk="vec_id", distance_name=distance)
+            res = IX.mi_knn(df, "embedding", idx, meta, QVEC, K, distance)
+        elif kind == "lsh":
+            idx, meta = IX.build_lsh(df, "embedding", pk="vec_id", distance_name=distance)
+            res = IX.lsh_knn(df, "embedding", idx, meta, QVEC, K, distance)
+        elif kind == "sh":
+            idx, meta = IX.build_sh(df, "embedding", pk="vec_id")
+            res = IX.sh_knn(df, "embedding", idx, meta, QVEC, K)
+        elif kind == "vaplus":
+            idx, meta = IX.build_vaplus(df, "embedding", pk="vec_id")
+            res = IX.vaplus_knn(df, "embedding", idx, meta, QVEC, K)
+        else:
+            raise ValueError(kind)
+        return _round4(res.select("vec_id", DISTANCE_COL))
+
+    return run
+
+
+_register("knn_ecp_euclidean", _lossy_query("ecp", "euclidean"), None)
+# PQ/VA+ verified to agree exactly with brute force at sf0.01 (seed-fixed,
+# deterministic), so they carry the full SQL oracle
+_register(
+    "knn_pq_euclidean", _lossy_query("pq", "euclidean"),
+    _knn_sql(_duck_distance("euclidean")),
+)
+_register("knn_mi_euclidean", _lossy_query("mi", "euclidean"), None)
+_register("knn_lsh_manhattan", _lossy_query("lsh", "manhattan"), None)
+_register("knn_sh_euclidean", _lossy_query("sh", "euclidean"), None)
+_register(
+    "knn_vaplus_euclidean", _lossy_query("vaplus", "euclidean"),
+    _knn_sql(_duck_distance("euclidean")),
+)
+
+
 # ---------------------------------------------------------------------------
 # flagship (driver smoke check, sf0.001)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,127 @@
+"""Lossy index tests — top-1 exact + recall bar, the reference's criteria
+for ECP/LSH/MI/PQ/SH/VA+ (QueryTestSuite.scala:92-108): lossy indexes must
+match the golden top-1 and recall@k is logged.  All builds use fixed
+seeds, so these are deterministic.
+"""
+
+import os
+
+import pytest
+
+from adampro_spark.index import (
+    build_ecp, ecp_knn,
+    build_lsh, lsh_knn,
+    build_mi, mi_knn,
+    build_pq, pq_knn,
+    build_sh, sh_knn,
+    build_vaplus, vaplus_knn,
+)
+from adampro_spark.operators.scan import sequential_scan
+from tests.test_golden_knn import GT, load_expected, load_fixture, load_query
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GT), reason="reference groundtruth fixture not available"
+)
+
+K = 100
+
+
+@pytest.fixture(scope="module")
+def gt_df(spark):
+    return load_fixture(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return load_expected("100nn-results.tsv")
+
+
+def _recall(got_ids, golden):
+    want = {tid for _, tid in golden}
+    return len(want & set(got_ids)) / len(want)
+
+
+def _run(knn_fn, gt_df, golden, min_recall, distance="manhattan", **kw):
+    q = load_query()
+    res = knn_fn(gt_df, "vectorfield", q, K, distance, **kw)
+    rows = res.select("tid", "ap_distance").collect()
+    got = [r["tid"] for r in rows]
+    # top-1 must match the golden top-1 (lossy bar)
+    top_dist, top_tid = golden[0]
+    assert got[0] == top_tid, f"top-1 {got[0]} != golden {top_tid}"
+    assert rows[0]["ap_distance"] == pytest.approx(top_dist, abs=1e-4)
+    r = _recall(got, golden)
+    assert r >= min_recall, f"recall {r:.2f} < {min_recall}"
+    print(f"recall@{K}: {r:.3f}")
+
+
+def test_ecp(spark, gt_df, golden):
+    idx, meta = build_ecp(gt_df, "vectorfield", pk="tid", distance_name="manhattan")
+    _run(
+        lambda df, vc, q, k, dn: ecp_knn(df, vc, idx, meta, q, k, dn),
+        gt_df, golden, min_recall=0.3,
+    )
+
+
+def test_pq(spark, gt_df, golden):
+    idx, meta = build_pq(gt_df, "vectorfield", pk="tid", nsq=5)
+    _run(
+        lambda df, vc, q, k, dn: pq_knn(df, vc, idx, meta, q, k, dn),
+        gt_df, golden, min_recall=0.5,
+    )
+
+
+def test_mi(spark, gt_df, golden):
+    idx, meta = build_mi(gt_df, "vectorfield", pk="tid", distance_name="manhattan")
+    _run(
+        lambda df, vc, q, k, dn: mi_knn(df, vc, idx, meta, q, k, dn),
+        gt_df, golden, min_recall=0.5,
+    )
+
+
+def test_lsh(spark, gt_df, golden):
+    idx, meta = build_lsh(gt_df, "vectorfield", pk="tid", distance_name="manhattan")
+    idx = idx.cache()
+    q = load_query()
+    res = lsh_knn(gt_df, "vectorfield", idx, meta, q, K, "manhattan")
+    rows = res.select("tid", "ap_distance").collect()
+    # LSH with a mean-max radius admits broad candidate sets; top-1 must hold
+    assert rows, "LSH returned no candidates"
+    top_dist, top_tid = golden[0]
+    assert rows[0]["tid"] == top_tid
+    assert rows[0]["ap_distance"] == pytest.approx(top_dist, abs=1e-4)
+
+
+def test_sh(spark, gt_df, golden_euclidean=None):
+    # SH is Euclidean-only: compare against brute-force euclidean top-k
+    q = load_query()
+    brute = sequential_scan(
+        gt_df, "vectorfield", q, K, "euclidean", pk="tid"
+    ).collect()
+    idx, meta = build_sh(gt_df, "vectorfield", pk="tid")
+    res = sh_knn(gt_df, "vectorfield", idx, meta, q, K).collect()
+    assert res[0]["tid"] == brute[0]["tid"]
+    got = {r["tid"] for r in res}
+    want = {r["tid"] for r in brute}
+    r = len(got & want) / len(want)
+    assert r >= 0.3, f"SH recall {r:.2f}"
+
+
+def test_vaplus(spark, gt_df):
+    q = load_query()
+    brute = sequential_scan(
+        gt_df, "vectorfield", q, K, "euclidean", pk="tid"
+    ).collect()
+    idx, meta = build_vaplus(gt_df, "vectorfield", pk="tid")
+    res = vaplus_knn(gt_df, "vectorfield", idx, meta, q, K).collect()
+    # VA+ refines on original vectors; with valid rotated bounds it is
+    # exact in practice — assert full agreement
+    assert [r["tid"] for r in res] == [r["tid"] for r in brute]
+
+
+def test_index_counts_match_entity(spark, gt_df):
+    """index.count == entity.count for every type (IndexTestSuite.scala:159-216)."""
+    n = gt_df.count()
+    for build in (build_ecp, build_pq, build_mi, build_lsh, build_sh, build_vaplus):
+        idx, _ = build(gt_df, "vectorfield", pk="tid")
+        assert idx.count() == n, build.__name__
