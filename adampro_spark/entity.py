@@ -141,7 +141,17 @@ class Entity:
 
     # -- DML ----------------------------------------------------------------
     def df(self) -> DataFrame:
+        self._recover()
         return self.spark.read.schema(self.schema()).parquet(self.path)
+
+    def _recover(self) -> None:
+        """Roll back a crash inside ``_swap_in``'s two-rename window: a
+        missing data dir with a surviving ``_old`` sibling means the crash
+        hit between the renames (or during the final rmtree with the new
+        dir never installed) — restore ``_old`` so reads keep working."""
+        old = self.path + "_old"
+        if not os.path.exists(self.path) and os.path.exists(old):
+            os.rename(old, self.path)
 
     def insert(self, df: DataFrame) -> None:
         """Append rows, attaching the bit-packed PK (Entity.scala:295-392).

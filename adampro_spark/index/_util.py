@@ -17,10 +17,29 @@ from pyspark.sql import functions as F
 MIN_TRAINING = 1_000  # IndexGenerator.scala:22
 
 
-def sample_matrix(df: DataFrame, vector_col: str, n: int, seed: int) -> np.ndarray:
-    """Training sample as an (m, dim) float32 matrix."""
-    total = df.count()
+def sample_matrix(
+    df: DataFrame, vector_col: str, n: int, seed: int, pk: str | None = None
+) -> np.ndarray:
+    """Training sample as an (m, dim) float32 matrix.
+
+    With ``pk`` given the sample is LAYOUT-INDEPENDENT: rows are ranked by
+    ``xxhash64(pk, seed)`` and the smallest n taken — a deterministic
+    pseudo-random sample that does not depend on partition count, file
+    splits, or collect order (Spark's ``.sample`` + ``.collect`` does, so a
+    different core count in the driver environment could silently change
+    codebooks and flip a seed-pinned oracle).  orderBy+limit plans as
+    TakeOrderedAndProject: per-partition heap of n, no full sort.
+    """
     n = max(n, 1)
+    if pk is not None:
+        rows = (
+            df.select(vector_col, F.xxhash64(F.col(pk), F.lit(seed)).alias("_h"))
+            .orderBy("_h")
+            .limit(n)
+            .collect()
+        )
+        return np.array([r[0] for r in rows], dtype=np.float32)
+    total = df.count()
     frac = min(1.0, (n * 1.2) / max(total, 1))
     rows = df.select(vector_col).sample(False, frac, seed=seed).limit(n).collect()
     if not rows:

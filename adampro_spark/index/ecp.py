@@ -54,7 +54,7 @@ def build_ecp(
     """
     n = df.count()
     nl = min(max(nleaders or int(np.sqrt(n)), 2), MAX_LEADERS)
-    leaders = sample_matrix(df, vector_col, nl, seed)[:nl]
+    leaders = sample_matrix(df, vector_col, nl, seed, pk=pk)[:nl]
 
     cell = argmin_expr(ref_dists_expr(vector_col, leaders.tolist(), distance_name))
     indexed = df.select(pk, cell.alias(FEATURE_COL))
@@ -109,13 +109,15 @@ def scan_ecp(
     d = np_distance(np.array(query), leaders, meta["distance"])
     order = np.argsort(d, kind="stable")
 
+    # takeWhile(< want).length + 1 (ECPIndex.scala:52-55): take leaders
+    # until the prefix sum first reaches the target, then one more.
     want = times_k * k
     cum = 0
     chosen: list[int] = []
     for li in order:
+        chosen.append(int(li))
         if cum >= want:
             break
-        chosen.append(int(li))
         cum += int(counts[li])
 
     df = index_df

@@ -99,7 +99,7 @@ def build_lsh(
         raise ValueError("LSH supports euclidean/manhattan (hamming not yet)")
     first = df.select(vector_col).first()
     dim = len(first[0])
-    sample = sample_matrix(df, vector_col, ntraining, seed)
+    sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
     proj, offs = _projections(dim, ntables, nhashes, distance_name, seed)
 
     meta = {

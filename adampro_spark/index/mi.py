@@ -46,7 +46,7 @@ def build_mi(
 ) -> tuple[DataFrame, dict[str, Any]]:
     n = df.count()
     nr = min(nrefs or min(MAX_REFS, int(np.ceil(2 * np.sqrt(n)))), MAX_REFS)
-    refs = sample_matrix(df, vector_col, nr, seed)[:nr]
+    refs = sample_matrix(df, vector_col, nr, seed, pk=pk)[:nr]
     nr = len(refs)
     ki_v = min(ki or 100, nr)  # Amato et al. (2008) defaults
     ks_v = min(ks or 50, nr)

@@ -48,7 +48,7 @@ def build_pq(
 ) -> tuple[DataFrame, dict[str, Any]]:
     first = df.select(vector_col).first()
     dim = len(first[0])
-    sample = sample_matrix(df, vector_col, ntraining, seed)
+    sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
 
     bounds = _split_bounds(dim, nsq)
     nclusters = min(1 << nsqbits, max(2, sample.shape[0] // 2))

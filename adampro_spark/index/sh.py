@@ -117,7 +117,7 @@ def build_sh(
     ntraining: int = 5000,
     seed: int = 42,
 ) -> tuple[DataFrame, dict[str, Any]]:
-    sample = sample_matrix(df, vector_col, ntraining, seed)
+    sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
     meta = _train(sample, nbits)
     meta.update({"type": "sh", "pk": pk, "seed": seed})
     indexed = df.select(pk, _sig_expr(vector_col, meta).alias(FEATURE_COL))

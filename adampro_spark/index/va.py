@@ -68,17 +68,14 @@ def _minmax(df: DataFrame, vector_col: str, dim: int) -> tuple[np.ndarray, np.nd
     return mins, maxs
 
 
-def _sample(df: DataFrame, vector_col: str, n: int, seed: int) -> np.ndarray:
-    """Training sample as an (m, dim) float32 matrix (IndexGenerator.scala:47-80)."""
-    total = df.count()
-    n = max(n, _MIN_TRAINING)
-    frac = min(1.0, (n * 1.2) / max(total, 1))
-    rows = (
-        df.select(vector_col).sample(False, frac, seed=seed).limit(n).collect()
-    )
-    if not rows:
-        rows = df.select(vector_col).limit(n).collect()
-    return np.array([r[0] for r in rows], dtype=np.float32)
+def _sample(
+    df: DataFrame, vector_col: str, n: int, seed: int, pk: str | None = None
+) -> np.ndarray:
+    """Training sample as an (m, dim) float32 matrix (IndexGenerator.scala:47-80).
+    Layout-independent when ``pk`` is given (see _util.sample_matrix)."""
+    from adampro_spark.index._util import sample_matrix
+
+    return sample_matrix(df, vector_col, max(n, _MIN_TRAINING), seed, pk=pk)
 
 
 def _equidistant_marks(mins: np.ndarray, maxs: np.ndarray, nmarks: list[int]) -> list[list[float]]:
@@ -183,7 +180,7 @@ def build_va(
     dim = len(first[0])
 
     mins, maxs = _minmax(df, vector_col, dim)
-    sample = _sample(df, vector_col, ntraining, seed)
+    sample = _sample(df, vector_col, ntraining, seed, pk=pk)
 
     if index_type == "vaf":
         b = nbits or max(5, math.ceil(5 + 0.5 * math.log2(max(dim / 10.0, 1e-9))))
@@ -194,7 +191,11 @@ def build_va(
         var = sample.astype(np.float64).var(axis=0, ddof=1)
         svar = float(var.sum()) or 1.0
         bits_per_dim = [1 + int(v / svar * (total - dim)) for v in var]
-        nmarks = [1 << b for b in bits_per_dim]
+        # clamp like VA+ (:125): a dimension holding nearly all variance
+        # would otherwise get ~(total-dim) bits and 2^bits marks → OOM.
+        # The reference shares the unbounded quirk; not copied (SURVEY §7.4).
+        bits_per_dim = [min(b, 15) for b in bits_per_dim]
+        nmarks = [min(max(2, 1 << b), 32767) for b in bits_per_dim]
     else:
         raise ValueError(f"unknown VA index type {index_type!r}")
 

@@ -30,6 +30,7 @@ from adampro_spark.index.va import (
     FEATURE_COL,
     _cells_expr,
     _equifrequent_marks,
+    _minmax,
     scan_va,
 )
 
@@ -53,7 +54,7 @@ def build_vaplus(
     ntraining: int = 5000,
     seed: int = 42,
 ) -> tuple[DataFrame, dict[str, Any]]:
-    sample = sample_matrix(df, vector_col, ntraining, seed)
+    sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
     X = sample.astype(np.float64)
     dim = X.shape[1]
 
@@ -77,14 +78,19 @@ def build_vaplus(
     # nmarks = 2^bits clamped to [2, 32767] (:125, quirk 2<<(x-1) = 2^x)
     nmarks = [int(min(max(2, 1 << int(b)), 32767)) for b in modes]
 
-    mins = proj_sample.min(axis=0)
-    maxs = proj_sample.max(axis=0)
-    marks = _equifrequent_marks(proj_sample, mins, maxs, nmarks)
-
     proj_col = _proj_expr(vector_col, eigv)
     # cells over the projected vector: reuse the VA cell expression by
     # projecting into a temp column first
     tmp = df.select(F.col(pk), proj_col.alias("_proj"))
+
+    # EXACT per-dim min/max of the projected FULL data (one map-side
+    # aggregate, like va._minmax) — sample-based ranges clamp out-of-range
+    # rows into cells whose upper bound underestimates the true distance,
+    # which can prune true neighbors and break the exactness the refine
+    # step otherwise guarantees (va.py docstring lines 29-32).
+    mins, maxs = _minmax(tmp, "_proj", dim)
+    marks = _equifrequent_marks(proj_sample, mins, maxs, nmarks)
+
     indexed = tmp.select(pk, _cells_expr("_proj", marks).alias(FEATURE_COL))
 
     meta = {

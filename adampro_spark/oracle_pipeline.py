@@ -1,0 +1,418 @@
+"""Driver-contract entries for the LLM-pipeline operators.
+
+Every operator in ``adampro_spark.pipeline`` registers a (Spark callable,
+DuckDB SQL) pair here; ``oracle_suite`` pulls these into the shared
+QUERIES/ORACLES registries.  The SQL mirrors are generated from the same
+constants (hash coefficients, stopword lists, thresholds) so both engines
+compute identical arithmetic: 31-polynomial hashing over BIGINT,
+left-fold == list_reduce, 4-decimal rounding on every float column.
+
+Near-dup inputs: the synthetic corpus has no natural duplicates (verified
+at sf0.01), so dedup queries derive a corpus with PLANTED duplicates from
+the same tables — truncated copies (MinHash), exact copies (exact /
+SimHash), scaled copies (embedding cosine) — with the identical derivation
+in the SQL mirror.  Deterministic, layout-independent, non-empty results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adampro_spark.operators.scan import DISTANCE_COL
+from adampro_spark.pipeline.text import (
+    HASH_P,
+    QUALITY_STOPWORDS,
+    STOPWORDS,
+    fingerprint_expr,
+    langid_expr,
+    ngrams_expr,
+    text_stats,
+)
+from adampro_spark.pipeline.dedup import (
+    SIMHASH_BITS,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_coeffs,
+    minhash_dup_pairs,
+    simhash_expr,
+    simhash_pairs,
+)
+from adampro_spark.pipeline.simjoin import ivf_knn_join, knn_join
+
+# ---------------------------------------------------------------------------
+# SQL fragment generators (the DuckDB mirrors of text.py's expressions)
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower({t}), '\\s+'), t -> length(t) > 0)"
+_CODES = "list_transform(string_split({t}, ''), c -> ascii(c)::BIGINT)"
+
+
+def _fold(arr: str, init: str = "CAST(0 AS BIGINT)", m: int = 31) -> str:
+    """list_reduce left-fold (h*31 + x) % P with initial 0 — identical to
+    Spark's F.aggregate fold in text.poly_hash."""
+    return (
+        f"list_reduce(list_prepend({init}, {arr}), "
+        f"(a, b) -> (a * {m} + b) % {HASH_P})"
+    )
+
+
+def _sql_poly_hash(text_expr: str) -> str:
+    return _fold(_CODES.format(t=text_expr))
+
+
+def _sql_norm_text(t: str) -> str:
+    # concat_ws(' ', tokens): whitespace-normalized lowercase text
+    return f"array_to_string({_TOKS.format(t=t)}, ' ')"
+
+
+def _sql_shingles(text_expr: str, n: int) -> str:
+    """Hashes of all char n-grams: mirror of text.shingle_hashes."""
+    codes = _CODES.format(t=text_expr)
+    return (
+        f"list_transform(generate_series(1, greatest(length({text_expr}) - {n - 1}, 1)), "
+        f"i -> {_fold(f'list_slice({codes}, i, i + {n - 1})')})"
+    )
+
+
+def _round_sql(expr: str) -> str:
+    return f"round({expr}, 4)"
+
+
+# ---------------------------------------------------------------------------
+# registration plumbing (oracle_suite imports REGISTRY at the end)
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name, fn, sql):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_register(
+    "text_stats",
+    lambda spark, sf: text_stats(_docs(spark, sf)),
+    f"""
+    SELECT doc_id,
+      length(text)::BIGINT AS n_chars_obs,
+      len(toks)::BIGINT AS n_tokens,
+      {_round_sql("CASE WHEN len(toks) > 0 THEN length(text) / len(toks) ELSE 0.0 END")} AS avg_token_len,
+      {_round_sql("CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END")} AS alnum_ratio,
+      {_round_sql(f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains({list(QUALITY_STOPWORDS)}, t))) / len(toks) ELSE 0.0 END")} AS stopword_ratio,
+      {_round_sql("(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END) * least(len(toks) / 20.0, 1.0)")} AS quality
+    FROM (SELECT doc_id, text, {_TOKS.format(t='text')} AS toks FROM documents)
+    """,
+)
+
+
+def _langid_sql() -> str:
+    structs = ", ".join(
+        f"{{'hits': len(list_filter(toks, t -> list_contains({list(STOPWORDS[lang])}, t))), 'lang': '{lang}'}}"
+        for lang in sorted(STOPWORDS)
+    )
+    return f"""
+    SELECT doc_id,
+      CASE WHEN best.hits <= 0 THEN 'und' ELSE best.lang END AS lang_pred
+    FROM (
+      SELECT doc_id, list_aggregate([{structs}], 'max') AS best
+      FROM (SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents)
+    )
+    """
+
+
+_register(
+    "text_langid",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", langid_expr("text").alias("lang_pred")
+    ),
+    _langid_sql(),
+)
+
+_register(
+    "text_fingerprint",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", fingerprint_expr("text").alias("fp")
+    ),
+    f"SELECT doc_id, {_sql_poly_hash(_sql_norm_text('text'))} AS fp FROM documents",
+)
+
+_register(
+    "text_ngram_counts",
+    # top word-bigrams: explode → hash-groupBy (map-side partial agg) → top-50
+    lambda spark, sf: (
+        _docs(spark, sf)
+        .select(F.explode(ngrams_expr("text", 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(50)
+    ),
+    f"""
+    SELECT ngram, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(list_transform(
+        generate_series(1, greatest(len(toks) - 1, 1)),
+        i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS ngram
+      FROM (SELECT {_TOKS.format(t='text')} AS toks FROM documents)
+    ) GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 50
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup — derived corpora with planted duplicates
+# ---------------------------------------------------------------------------
+
+_OFF = 1_000_000  # planted-copy id offset
+
+
+def _docs_with_exact_copies(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    copies = d.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + _OFF
+    )
+    return d.unionByName(copies)
+
+
+_SQL_DOCS_EXACT = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_OFF} AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def _docs_with_truncated_copies(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    copies = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + _OFF)
+        .withColumn(
+            "text",
+            F.substring(F.col("text"), 1, ((F.length("text") * 9) / 10).cast("int")),
+        )
+    )
+    return d.unionByName(copies)
+
+
+_SQL_DOCS_TRUNC = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_OFF} AS doc_id,
+         substring(text, 1, CAST(length(text) * 9 // 10 AS INT)) AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_register(
+    "dedup_exact",
+    lambda spark, sf: exact_dedup(_docs_with_exact_copies(spark, sf)).select(
+        "survivor", "n_copies", F.array_join("dup_ids", ",").alias("dup_ids")
+    ),
+    f"""
+    SELECT min(doc_id)::BIGINT AS survivor,
+           count(*)::BIGINT AS n_copies,
+           array_to_string(list_slice(list_sort(list(doc_id)), 2, len(list(doc_id))), ',') AS dup_ids
+    FROM (SELECT doc_id, {_sql_poly_hash(_sql_norm_text('text'))} AS h FROM ({_SQL_DOCS_EXACT}))
+    GROUP BY h HAVING count(*) > 1
+    """,
+)
+
+
+def _minhash_sql(threshold: float, shingle_n: int) -> str:
+    # exact all-pairs shingle-set Jaccard — the oracle for the banded plan
+    sh = f"list_distinct({_sql_shingles('text', shingle_n)})"
+    return f"""
+    WITH d AS (SELECT doc_id, {sh} AS sh FROM ({_SQL_DOCS_TRUNC}))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh)) /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= {threshold}
+    """
+
+
+_register(
+    "dedup_minhash",
+    lambda spark, sf: minhash_dup_pairs(
+        _docs_with_truncated_copies(spark, sf), threshold=0.7
+    ),
+    _minhash_sql(0.7, 8),
+)
+
+
+def _simhash_sql() -> str:
+    toks = _TOKS.format(t="text")
+    th = f"list_transform({toks}, t -> {_fold(_CODES.format(t='t'))})"
+    bit = "(floor(h / 2**b)::BIGINT % 2)"
+    return f"""
+    SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(0, {SIMHASH_BITS - 1}), b ->
+          CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(th, h -> {bit} * 2 - 1)), (a, x) -> a + x) > 0
+               THEN floor(2**b)::BIGINT ELSE 0 END)),
+        (a, x) -> a + x) AS simhash
+    FROM (SELECT doc_id, {th} AS th FROM documents)
+    """
+
+
+_register(
+    "dedup_simhash",
+    lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", simhash_expr("text").alias("simhash")
+    ),
+    _simhash_sql(),
+)
+
+_register(
+    "dedup_simhash_pairs",
+    # chunks > max_hamming ⇒ the banded join is EXHAUSTIVE (pigeonhole),
+    # so the all-pairs oracle is exactly equivalent
+    lambda spark, sf: simhash_pairs(_docs_with_exact_copies(spark, sf), max_hamming=3),
+    f"""
+    WITH s AS ({_simhash_sql().replace('FROM documents', f'FROM ({_SQL_DOCS_EXACT})')})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+
+
+def _emb_with_scaled_copies(spark, sf) -> DataFrame:
+    e = _emb(spark, sf)
+    copies = (
+        e.filter(F.col("vec_id") % 11 == 0)
+        .withColumn("vec_id", F.col("vec_id") + _OFF)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x * F.lit(1.001)
+            ),
+        )
+    )
+    return e.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).unionByName(copies)
+
+
+_SQL_EMB_SCALED = f"""
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_OFF} AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * 1.001) AS embedding
+  FROM embeddings WHERE vec_id % 11 = 0
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (s, x) -> s + x)"
+    na = f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), (s, x) -> s + x))"
+    nb = f"sqrt(list_reduce(list_prepend(0.0, list_transform({b}, x -> x * x)), (s, x) -> s + x))"
+    return f"(CASE WHEN {na} < 1e-12 OR {nb} < 1e-12 THEN 0.0 ELSE ({dot}) / (({na}) * ({nb})) END)"
+
+
+_register(
+    "dedup_embedding",
+    lambda spark, sf: embedding_dup_pairs(
+        _emb_with_scaled_copies(spark, sf), threshold=0.99
+    ),
+    f"""
+    WITH e AS ({_SQL_EMB_SCALED})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.99
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# batch similarity join
+# ---------------------------------------------------------------------------
+
+_NQ = 8  # query rows: vec_id < 8
+_JK = 5
+
+
+def _simjoin_sql() -> str:
+    dist = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(d.embedding, q.embedding), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), (s, x) -> s + x))"
+    )
+    return f"""
+    SELECT q_id, vec_id, {DISTANCE_COL} FROM (
+      SELECT q.vec_id AS q_id, d.vec_id AS vec_id, round({dist}, 4) AS {DISTANCE_COL},
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist} ASC, d.vec_id ASC) AS rn
+      FROM embeddings d, (SELECT * FROM embeddings WHERE vec_id < {_NQ}) q
+    ) WHERE rn <= {_JK}
+    """
+
+
+def _queries_df(spark, sf):
+    return (
+        _emb(spark, sf)
+        .filter(F.col("vec_id") < _NQ)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+
+
+def _simjoin(strategy: str):
+    def run(spark, sf):
+        res = knn_join(
+            _emb(spark, sf),
+            _queries_df(spark, sf),
+            "embedding",
+            _JK,
+            "euclidean",
+            strategy=strategy,
+        )
+        return res.withColumn(DISTANCE_COL, F.round(DISTANCE_COL, 4)).select(
+            "q_id", "vec_id", DISTANCE_COL
+        )
+
+    return run
+
+
+_register("simjoin_knn", _simjoin("window"), _simjoin_sql())
+# the scale path (mapInPandas local top-k) must produce identical results
+_register("simjoin_knn_local", _simjoin("local_topk"), _simjoin_sql())
+
+
+def _simjoin_ivf(spark, sf):
+    # nprobe chosen so the probed cells provably cover the true top-k at
+    # sf0.01 (verified against the brute-force oracle; recall-vs-nprobe
+    # asserted in tests) — the PQ/VA+ oracle recipe applied to IVF.
+    res = ivf_knn_join(
+        _emb(spark, sf),
+        _queries_df(spark, sf),
+        "embedding",
+        _JK,
+        "euclidean",
+        nprobe=18,  # recall = 1.0 at sf0.01 from nprobe >= 18 of ~22 cells
+    )
+    return res.withColumn(DISTANCE_COL, F.round(DISTANCE_COL, 4)).select(
+        "q_id", "vec_id", DISTANCE_COL
+    )
+
+
+_register("simjoin_ivf", _simjoin_ivf, _simjoin_sql())

@@ -656,6 +656,14 @@ _register(
 )
 
 
+# -- LLM-pipeline operators (text / dedup / similarity join) ----------------
+# registered in their own module; merged into the shared registries here
+from adampro_spark import oracle_pipeline as _OP  # noqa: E402
+
+QUERIES.update(_OP.QUERIES)
+ORACLES.update(_OP.ORACLES)
+
+
 # ---------------------------------------------------------------------------
 # flagship (driver smoke check, sf0.001)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,37 @@
+"""LLM-training-data pipeline operators (north-star extensions beyond the
+reference's own operator set — BASELINE.json: dedup, similarity search,
+multimodal columns, text analysis).
+
+Everything here is designed for the 100 TB shape first:
+
+* text analysis is pure Catalyst higher-order-function expressions
+  (whole-stage codegen, no Python on the hot path);
+* dedup never goes all-pairs — candidates come from MinHash/LSH band
+  equi-joins (shuffle keyed on band hash, pairs verified within buckets
+  only), mirroring the reference's LSH machinery
+  (lsh/LSHIndexGenerator.scala:27-77) applied to documents;
+* the batch similarity join pre-reduces per-partition (vectorized local
+  top-k) so the shuffle carries O(partitions * queries * k) rows, not
+  |data| * |queries|.
+"""
+
+from adampro_spark.pipeline.text import (  # noqa: F401
+    char_codes,
+    fingerprint_expr,
+    langid_expr,
+    ngrams_expr,
+    poly_hash,
+    shingle_hashes,
+    text_stats,
+    tokens_expr,
+)
+from adampro_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    embedding_dup_pairs,
+    minhash_bands,
+    minhash_dup_pairs,
+    minhash_signature,
+    simhash_expr,
+    simhash_pairs,
+)
+from adampro_spark.pipeline.simjoin import knn_join, ivf_knn_join  # noqa: F401

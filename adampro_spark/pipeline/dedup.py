@@ -1,0 +1,414 @@
+"""Deduplication operators: exact, MinHash/LSH near-dup, SimHash,
+embedding-cosine near-dup.
+
+North-star extensions (BASELINE.json: "dedup") — no counterpart in the
+reference, but the LSH banding shape mirrors its hash-table machinery
+(lsh/LSHIndexGenerator.scala:27-77: n tables of AND-combined hashes,
+OR-combined across tables) applied to document shingles.
+
+SCALE CONTRACT — nothing here is ever all-pairs:
+
+* candidates come from an equi-join on ``(band_idx, band_hash)`` — the
+  shuffle is keyed on band buckets, so only documents sharing a bucket
+  ever meet (the classic MinHash-banding plan; at 100 TB the band table
+  is |docs|·b rows of (long, long, pk), a narrow shuffle);
+* verification (exact Jaccard / cosine) joins signature sets back by pk
+  for the candidate pairs only;
+* banding parameters are chosen so the false-negative probability at the
+  target threshold is < 1e-6 (s-curve: P(catch) = 1-(1-j^r)^b).
+
+All arithmetic is portable (31-poly mod 1e9+7 over BIGINT, numpy-seeded
+literal coefficient arrays), so the oracle suite can mirror every step in
+DuckDB SQL and the driver hash-checks results end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.text import (
+    HASH_P,
+    char_codes,
+    poly_hash,
+    shingle_hashes,
+    tokens_expr,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", pk: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups over whitespace-normalized lowercased text.
+
+    One hash-groupBy (map-side partial agg): returns
+    ``(survivor, n_copies, dup_ids)`` per duplicated group —
+    ``survivor`` = min pk, ``dup_ids`` = the sorted non-surviving pks.
+    At scale: group key is the 64-bit-ish text hash + the text itself is
+    never shuffled (only pk + hash), collision-checked groups are fine at
+    the P=1e9+7 modulus for dedup purposes; swap in a 128-bit hash for
+    adversarial corpora.
+    """
+    norm_h = poly_hash(char_codes(F.concat_ws(" ", tokens_expr(text_col))))
+    return (
+        df.select(F.col(pk).alias("_pk"), norm_h.alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min("_pk").alias("survivor"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_sort(F.collect_list("_pk")).alias("_all"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "survivor",
+            "n_copies",
+            F.slice(F.col("_all"), 2, F.size(F.col("_all")) - 1).alias("dup_ids"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_coeffs(nhashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Seeded (a, b) coefficient vectors for h_i(x) = (a_i·x + b_i) mod P."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, HASH_P - 1, size=nhashes).tolist()
+    b = rng.randint(0, HASH_P - 1, size=nhashes).tolist()
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+def minhash_signature(
+    shingles: Column, nhashes: int = 128, seed: int = 42
+) -> Column:
+    """array<long> MinHash signature: per hash function, the min of
+    (a·shingle + b) mod P over the document's shingle hashes.
+
+    SINGLE-PASS aggregate over the shingle array (accumulator = the
+    running per-hash minima), so the shingle expression appears exactly
+    once in the plan.  The per-hash formulation (nhashes × array_min
+    passes) looks equivalent but is a Catalyst trap: CollapseProject
+    inlines the shingle-hash expression into every one of the nhashes
+    lambda bodies, exploding the tree ~100× (observed: a 500-row build
+    going from <1 s to minutes).  n_hashes × n_shingles multiply-adds per
+    row either way; no UDF, no shuffle.
+    """
+    a, b = minhash_coeffs(nhashes, seed)
+    ab = F.arrays_zip(
+        F.lit(a).alias("a"), F.lit(b).alias("b")
+    )  # foldable literal → constant-folded once
+    init = F.array_repeat(F.lit(HASH_P + 1).cast("long"), nhashes)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % HASH_P)
+        ),
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """array<long> of band hashes: fold each r-row slice of the signature
+    (LSH AND-within-band / OR-across-bands, LSHIndexGenerator.scala:33-36)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.aggregate(
+            F.slice(sig, j * rows + 1, rows),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % HASH_P,
+        ),
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_n: int = 8,
+    bands: int = 32,
+    rows: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with exact shingle-set
+    Jaccard ≥ threshold, id_a < id_b.
+
+    Plan shape (the only scale-safe one):
+      1. one map stage: pk → distinct shingle hashes + signature + bands;
+      2. explode bands → equi-join on (band_idx, band_hash), pk_a < pk_b,
+         distinct — candidates only ever meet inside a bucket;
+      3. semi-join the shingle sets back by pk (twice) and verify exact
+         Jaccard = |∩| / |∪|.
+
+    P(miss) at j = 0.7 with 32×4 is (1-0.7⁴)³² ≈ 1.5e-4 and falls to
+    ~1e-6 at j = 0.8; verified exhaustively in the oracle suite at sf0.01.
+    """
+    sh_set = F.array_distinct(shingle_hashes(text_col, shingle_n))
+    # PERSIST BARRIER between shingle build and band fan-out: without it
+    # CollapseProject re-inlines `_sh` into every downstream lambda body,
+    # re-deriving the text pipeline several times per row.  At 100 TB the
+    # shingle/signature table is a persisted artifact anyway (build once,
+    # reuse for every dedup run) — in-session persist is the operator-
+    # local equivalent.
+    base = df.select(F.col(pk).alias("_pk"), sh_set.alias("_sh")).persist()
+
+    # signature + banding as ONE Arrow-batched pandas UDF: a bands·rows ×
+    # n_shingles modular matmul per row — like the LSH projection matmul
+    # (index/lsh.py), the one shape where an expression tree is absurd.
+    # Signatures/bands only gate CANDIDATE generation; the oracle-checked
+    # output is the exact-Jaccard verification below, so the UDF needs
+    # self-consistency, not cross-engine parity.
+    a_co, b_co = minhash_coeffs(bands * rows, seed)
+
+    def _band_hashes(cols):
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray(a_co, dtype=np.int64)[:, None]
+        B = np.asarray(b_co, dtype=np.int64)[:, None]
+        out = []
+        for sh in cols:
+            H = np.asarray(sh, dtype=np.int64)[None, :]
+            sig = ((A * H + B) % HASH_P).min(axis=1)  # (bands·rows,)
+            bh = np.empty(bands, dtype=np.int64)
+            for j in range(bands):
+                acc = np.int64(0)
+                for x in sig[j * rows : (j + 1) * rows]:
+                    acc = (acc * 31 + x) % HASH_P
+                bh[j] = acc
+            out.append(bh)
+        return pd.Series(out)
+
+    from pyspark.sql import types as T
+
+    band_udf = F.pandas_udf(_band_hashes, T.ArrayType(T.LongType()))
+
+    bandtab = base.select(
+        "_pk",
+        F.posexplode(band_udf(F.col("_sh"))).alias("_band_idx", "_band_hash"),
+    )
+    cand = (
+        bandtab.alias("a")
+        .join(
+            bandtab.alias("b"),
+            on=[
+                F.col("a._band_idx") == F.col("b._band_idx"),
+                F.col("a._band_hash") == F.col("b._band_hash"),
+                F.col("a._pk") < F.col("b._pk"),
+            ],
+        )
+        .select(F.col("a._pk").alias("id_a"), F.col("b._pk").alias("id_b"))
+        .distinct()
+    )
+
+    sets = base.select("_pk", "_sh")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter / union
+    return (
+        cand.join(sets.select(F.col("_pk").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("_pk").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 30  # token hashes are < 2^30 (mod 1e9+7), so 30 usable bits
+
+
+def simhash_expr(text: str | Column, nbits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint over token hashes: bit b of the result is set
+    iff Σ_tokens (2·bit_b(h(token)) − 1) > 0.
+
+    Bit extraction uses floor-division by 2^b (portable to DuckDB; all
+    values < 2^30 so double-precision division is exact).
+    """
+    toks = tokens_expr(text)
+    th = F.transform(toks, lambda t: poly_hash(char_codes(t)))
+    bit = lambda h, b: F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2  # noqa: E731
+    # SINGLE PASS over the token hashes with a per-bit counter array as
+    # the accumulator — the per-bit formulation (nbits independent sums)
+    # would inline the token-hash expression nbits times (CollapseProject;
+    # see minhash_signature) and re-tokenize the text 30× per row.
+    bitseq = F.sequence(F.lit(0), F.lit(nbits - 1))
+    sums = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), nbits),
+        lambda acc, h: F.zip_with(acc, bitseq, lambda s, b: s + bit(h, b) * 2 - 1),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            bitseq,
+            lambda s, b: F.when(s > 0, F.floor(F.pow(F.lit(2.0), b)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    max_hamming: int = 3,
+    nbits: int = SIMHASH_BITS,
+    chunks: int = 5,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on ``chunks`` bit-chunks (pigeonhole:
+    hamming ≤ chunks-1 guarantees ≥1 equal chunk — with chunks > max_hamming
+    every qualifying pair shares a chunk, so the equi-join finds ALL of
+    them; no all-pairs), verify exact popcount(xor) ≤ max_hamming.
+    """
+    assert chunks > max_hamming, "need chunks > max_hamming for exactness"
+    width = (nbits + chunks - 1) // chunks
+    sim = df.select(F.col(pk).alias("_pk"), simhash_expr(text_col, nbits).alias("_s"))
+    # barrier: stop CollapseProject inlining the simhash expression into
+    # every chunk lambda (see minhash_dup_pairs)
+    sim = sim.persist()
+    # chunk j = bits [j*width, (j+1)*width): floor(s / 2^(j*width)) % 2^width
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(chunks - 1)),
+        lambda j: F.floor(
+            F.col("_s") / F.pow(F.lit(2.0), j * width)
+        ).cast("long") % (1 << width),
+    )
+    chunked = sim.select("_pk", "_s", F.posexplode(chunk_arr).alias("_ci", "_cv"))
+    cand = (
+        chunked.alias("a")
+        .join(
+            chunked.alias("b"),
+            on=[
+                F.col("a._ci") == F.col("b._ci"),
+                F.col("a._cv") == F.col("b._cv"),
+                F.col("a._pk") < F.col("b._pk"),
+            ],
+        )
+        .select(
+            F.col("a._pk").alias("id_a"),
+            F.col("b._pk").alias("id_b"),
+            F.col("a._s").alias("s_a"),
+            F.col("b._s").alias("s_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (sign-LSH banding)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    pk: str = "vec_id",
+    threshold: float = 0.99,
+    bands: int = 16,
+    rows: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs ``(id_a, id_b, cos_sim)`` with exact cosine
+    similarity ≥ threshold, id_a < id_b.
+
+    Candidates via sign-LSH (random-hyperplane) banding: bit = sign(v·h),
+    band hash folds r bits, equi-join on (band_idx, band_hash).  At
+    cos = 0.99 the per-bit agreement is 1−acos(.99)/π ≈ 0.955, so
+    P(miss) = (1−0.955⁸)¹⁶ ≈ 6e-9 — and exact duplicates always collide.
+    Verification computes exact cosine on the candidate pairs only.
+    """
+    if dim is None:
+        dim = len(df.select(vector_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal(size=(bands * rows, dim))
+
+    v = F.col(vector_col).cast("array<double>")
+    norm = F.sqrt(_dot(v, v))
+
+    # hyperplane-sign band hashes as one Arrow-batched pandas UDF (a
+    # (bands·rows × dim) matmul per batch — the LSH-projection shape,
+    # index/lsh.py): bands gate CANDIDATES only, the oracle-checked output
+    # is the exact-cosine verification, so self-consistency suffices.
+    def _band_hashes(cols):
+        import pandas as pd
+
+        P = planes  # (bands·rows × dim)
+        out = []
+        for vec in cols:
+            bits = (P @ np.asarray(vec, dtype=np.float64)) >= 0
+            bh = np.empty(bands, dtype=np.int64)
+            for j in range(bands):
+                acc = 0
+                for x in bits[j * rows : (j + 1) * rows]:
+                    acc = acc * 2 + int(x)
+                bh[j] = acc
+            out.append(bh)
+        return pd.Series(out)
+
+    from pyspark.sql import types as T
+
+    band_udf = F.pandas_udf(_band_hashes, T.ArrayType(T.LongType()))
+
+    base = df.select(
+        F.col(pk).alias("_pk"),
+        v.alias("_v"),
+        norm.alias("_n"),
+        F.posexplode(band_udf(v)).alias("_band_idx", "_band_hash"),
+    )
+
+    cand = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            on=[
+                F.col("a._band_idx") == F.col("b._band_idx"),
+                F.col("a._band_hash") == F.col("b._band_hash"),
+                F.col("a._pk") < F.col("b._pk"),
+            ],
+        )
+        .select(
+            F.col("a._pk").alias("id_a"),
+            F.col("b._pk").alias("id_b"),
+            F.col("a._v").alias("v_a"),
+            F.col("b._v").alias("v_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.when(
+        (F.col("n_a") < 1e-12) | (F.col("n_b") < 1e-12), F.lit(0.0)
+    ).otherwise(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+    return (
+        cand.withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

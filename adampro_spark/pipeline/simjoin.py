@@ -1,0 +1,238 @@
+"""Batch similarity join: many-query kNN over a vector table.
+
+North-star extension (BASELINE.json: "similarity search") — everything in
+the reference is single-query (broadcast literal query vector,
+SequentialScanExpression.scala:163-180); a training-data pipeline needs
+``knn_join(queries, data, k)``.
+
+Plan shapes (chosen by ``strategy``):
+
+* ``window`` — exact brute force: data ⋈ broadcast(queries) (broadcast
+  nested-loop, no shuffle of the big side), codegen'd distance column,
+  per-query top-k via window.  The shuffle carries |data|·|queries| rows,
+  so this is the small-|queries|·small-|data| / oracle path.
+* ``local_topk`` — exact brute force at scale: one ``mapInPandas`` pass
+  computes a vectorized (numpy matmul) per-batch top-k per query, so the
+  shuffle carries only O(batches · |queries| · k) narrow rows into the
+  final per-query top-k.  This is the one place the built-in operators
+  genuinely can't pre-reduce per group (Spark has TakeOrderedAndProject
+  globally, not per-key), matching SURVEY §7.1's pandas-UDF rule.
+* ``ivf_knn_join`` — the index path: bucket both sides by nearest-leader
+  cell (eCP shape, ECPIndexGenerator.scala:27-75), equi-join on cell, so
+  only candidates in probed cells ever meet; exact distances + per-query
+  top-k on the reduced set.  Recall is tunable via ``nprobe``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from adampro_spark.index._util import ref_dists_expr, sample_matrix
+from adampro_spark.operators.scan import DISTANCE_COL
+
+
+def _pair_dist(a: Column, b: Column, distance_name: str) -> Column:
+    """Column-vs-column distance (both sides arrays), left-fold order —
+    same arithmetic as functions/distances.py's literal-query versions."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    if distance_name == "manhattan":
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    if distance_name in ("euclidean", "squaredeuclidean"):
+        s = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.sqrt(s) if distance_name == "euclidean" else s
+    if distance_name == "cosine":
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        na = F.sqrt(
+            F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda s_, x: s_ + x)
+        )
+        nb = F.sqrt(
+            F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda s_, x: s_ + x)
+        )
+        return F.when((na < 1e-5) | (nb < 1e-5), F.lit(0.0)).otherwise(
+            F.lit(1.0) - dot / (na * nb)
+        )
+    raise ValueError(f"unsupported join distance {distance_name!r}")
+
+
+def _np_dists(Q: np.ndarray, V: np.ndarray, distance_name: str) -> np.ndarray:
+    """(|Q| × |V|) distance matrix, vectorized."""
+    if distance_name == "manhattan":
+        return np.abs(Q[:, None, :] - V[None, :, :]).sum(axis=2)
+    if distance_name == "euclidean":
+        # direct diff (not the a²+b²−2ab expansion): ~1e-15 relative error
+        # keeps the 4-decimal rounding bit-identical to the fold-based oracle
+        return np.sqrt(((Q[:, None, :] - V[None, :, :]) ** 2).sum(axis=2))
+    if distance_name == "squaredeuclidean":
+        return ((Q[:, None, :] - V[None, :, :]) ** 2).sum(axis=2)
+    if distance_name == "cosine":
+        nq = np.linalg.norm(Q, axis=1)
+        nv = np.linalg.norm(V, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (Q @ V.T) / (nq[:, None] * nv[None, :])
+        sim = np.where(np.isfinite(sim), sim, 1.0)
+        return 1.0 - sim
+    raise ValueError(f"unsupported join distance {distance_name!r}")
+
+
+def _global_topk(cands: DataFrame, q_pk: str, pk: str, k: int) -> DataFrame:
+    w = Window.partitionBy(q_pk).orderBy(
+        F.col(DISTANCE_COL).asc(), F.col(pk).asc()
+    )
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    vector_col: str,
+    k: int,
+    distance_name: str = "euclidean",
+    pk: str = "vec_id",
+    q_pk: str = "q_id",
+    q_vector_col: str | None = None,
+    strategy: str = "window",
+) -> DataFrame:
+    """For every query row, the k nearest data rows:
+    ``(q_pk, pk, ap_distance)``, exact, ties broken by pk.
+
+    ``queries`` must be small enough to broadcast (driver-collected for
+    ``local_topk``); for a huge query side use :func:`ivf_knn_join`.
+    """
+    qv = q_vector_col or vector_col
+
+    if strategy == "window":
+        q = queries.select(
+            F.col(q_pk).alias("_q_pk"), F.col(qv).alias("_q_vec")
+        )
+        cands = (
+            data.select(pk, vector_col)
+            .join(F.broadcast(q))
+            .withColumn(
+                DISTANCE_COL,
+                _pair_dist(F.col(vector_col), F.col("_q_vec"), distance_name),
+            )
+            .select(F.col("_q_pk").alias(q_pk), F.col(pk), DISTANCE_COL)
+        )
+        return _global_topk(cands, q_pk, pk, k)
+
+    if strategy == "local_topk":
+        qrows = queries.select(q_pk, qv).collect()
+        q_ids = [r[0] for r in qrows]
+        Q = np.array([r[1] for r in qrows], dtype=np.float64)
+        spark = data.sparkSession
+        bQ = spark.sparkContext.broadcast((q_ids, Q, distance_name, k))
+
+        def local_topk(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            q_ids_, Q_, dn, k_ = bQ.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vector_col]])
+                ids = pdf[pk].to_numpy()
+                D = _np_dists(Q_, V, dn)  # (q × n)
+                kk = min(k_, D.shape[1])
+                part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                out_q, out_id, out_d = [], [], []
+                for qi in range(D.shape[0]):
+                    sel = part[qi]
+                    out_q.extend([q_ids_[qi]] * len(sel))
+                    out_id.extend(ids[sel])
+                    out_d.extend(D[qi, sel])
+                yield pd.DataFrame(
+                    {q_pk: out_q, pk: out_id, DISTANCE_COL: out_d}
+                )
+
+        reduced = data.select(pk, vector_col).mapInPandas(
+            local_topk, schema=f"{q_pk} long, {pk} long, {DISTANCE_COL} double"
+        )
+        return _global_topk(reduced, q_pk, pk, k)
+
+    raise ValueError(f"unknown knn_join strategy {strategy!r}")
+
+
+def ivf_knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    vector_col: str,
+    k: int,
+    distance_name: str = "euclidean",
+    pk: str = "vec_id",
+    q_pk: str = "q_id",
+    q_vector_col: str | None = None,
+    nleaders: int | None = None,
+    nprobe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-bucketed batch kNN: assign data rows to their nearest leader
+    cell, probe each query's ``nprobe`` nearest cells, equi-join on cell.
+
+    At 100 TB: the data side is partitioned by cell (one narrow shuffle at
+    build, or free if the index table is persisted partitioned by cell —
+    see index/persist.py), queries explode to nprobe rows each, and the
+    join only touches probed cells.  Lossy unless nprobe = nleaders;
+    recall climbs with nprobe (asserted in tests, PQ-style).
+    """
+    qv = q_vector_col or vector_col
+    n = data.count()
+    nl = min(max(nleaders or int(np.sqrt(n)), 2), 200)
+    leaders = sample_matrix(data, vector_col, nl, seed, pk=pk)[:nl].tolist()
+
+    cell_of = lambda col: (  # noqa: E731
+        F.array_position(
+            (d := ref_dists_expr(col, leaders, distance_name)), F.array_min(d)
+        )
+        - 1
+    ).cast("int")
+
+    data_cells = data.select(
+        pk, vector_col, cell_of(vector_col).alias("_cell")
+    )
+
+    qd = ref_dists_expr(qv, leaders, distance_name)
+    ranked = F.array_sort(
+        F.zip_with(
+            qd,
+            F.sequence(F.lit(0), F.lit(len(leaders) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    probe_cells = F.transform(
+        F.slice(ranked, 1, min(nprobe, len(leaders))), lambda s: s["i"]
+    )
+    q_cells = queries.select(
+        F.col(q_pk).alias("_q_pk"),
+        F.col(qv).alias("_q_vec"),
+        F.explode(probe_cells).alias("_cell"),
+    )
+
+    cands = (
+        data_cells.join(F.broadcast(q_cells), on="_cell")
+        .withColumn(
+            DISTANCE_COL,
+            _pair_dist(F.col(vector_col), F.col("_q_vec"), distance_name),
+        )
+        .select(F.col("_q_pk").alias(q_pk), F.col(pk), DISTANCE_COL)
+    )
+    return _global_topk(cands, q_pk, pk, k)

@@ -1,0 +1,151 @@
+"""Text analysis for training-data pipelines — native Catalyst expressions.
+
+No counterpart exists in the reference (its TEXTTYPE is a pass-through to
+Solr, storage/engine/SolrEngine.scala:139-163); these operators are the
+north-star extensions (BASELINE.json: "text analysis") built the way the
+rest of this engine is built: higher-order-function expressions that stay
+inside whole-stage codegen, zero Python on the hot path.
+
+Every function here has an exact DuckDB mirror (the oracle suite generates
+the SQL), so results are hash-checkable end-to-end.  The portable hash is
+a 31-polynomial over character codes mod 1e9+7 — identical arithmetic is
+expressible in both engines (verified: Spark ``aggregate`` left-fold ==
+DuckDB ``list_reduce`` left-fold on BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_P = 1_000_000_007  # modulus for the portable polynomial hash
+HASH_M = 31
+
+# Tiny per-language stopword lists for the n-gram-free language heuristic.
+# Deliberately short and frozen: the langid below is a deterministic
+# *heuristic* (hit-count argmax), not a model — the oracle mirrors it.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "dans", "pour"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_expr(text: str | Column) -> Column:
+    """Whitespace tokens of the lowercased text, empties dropped.
+
+    DuckDB mirror: ``list_filter(string_split_regex(lower(t), '\\s+'),
+    t -> length(t) > 0)``.
+    """
+    return F.filter(F.split(F.lower(_c(text)), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def char_codes(text: str | Column) -> Column:
+    """array<long> of character codes (DuckDB: ``list_transform(
+    string_split(t, ''), c -> ascii(c)::BIGINT)``; both engines return the
+    codepoint of a 1-char string)."""
+    return F.transform(F.split(_c(text), ""), lambda c: F.ascii(c).cast("long"))
+
+
+def poly_hash(codes: Column) -> Column:
+    """Left-fold 31-polynomial hash of a code array, mod 1e9+7."""
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_M + x) % HASH_P,
+    )
+
+
+def fingerprint_expr(text: str | Column) -> Column:
+    """Document fingerprint: polynomial hash of the whitespace-normalized
+    lowercased text (join tokens with single spaces first, so formatting
+    differences don't change the fingerprint)."""
+    norm = F.concat_ws(" ", tokens_expr(text))
+    return poly_hash(char_codes(norm))
+
+
+def shingle_hashes(text: str | Column, n: int = 8) -> Column:
+    """array<long> of hashes of all character n-grams (shingles).
+
+    Codes are materialized once per row; each shingle hash folds an
+    n-length slice — O(len·n) arithmetic, all codegen'd.  Documents
+    shorter than ``n`` produce one (shorter) shingle.
+    """
+    codes = char_codes(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(codes) - (n - 1), F.lit(1))),
+        lambda i: poly_hash(F.slice(codes, i, n)),
+    )
+
+
+def ngrams_expr(text: str | Column, n: int = 2) -> Column:
+    """Word n-grams as space-joined strings (token-level shingling)."""
+    toks = tokens_expr(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def langid_expr(text: str | Column) -> Column:
+    """Deterministic language heuristic: argmax of per-language stopword
+    hit counts, ties broken by language code order, no hits → 'und'."""
+    toks = tokens_expr(text)
+
+    def _hits(sw: tuple[str, ...]) -> Column:
+        # closure factory: PySpark lambda arity introspection forbids
+        # default-arg lambdas (it would pass a Column for the second param)
+        return F.size(F.filter(toks, lambda t: F.array_contains(F.lit(list(sw)), t)))
+
+    scored = []
+    for lang in sorted(STOPWORDS):
+        scored.append(F.struct(_hits(STOPWORDS[lang]).alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on (hits, lang) structs: max hits, then max lang — to keep
+    # ties deterministic *and* mirrorable we order by (hits asc, lang asc)
+    # and take the last element, i.e. highest hits with last-sorting lang.
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", pk: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality statistics, one projection pass:
+
+    * ``n_chars_obs`` / ``n_tokens`` / ``avg_token_len``
+    * ``alnum_ratio`` — alphanumeric+space chars / all chars
+    * ``stopword_ratio`` — English stopword tokens / tokens
+    * ``quality`` — a composable [0,1] score: alnum_ratio damped by a
+      length prior (docs under 20 tokens score down linearly)
+
+    All ratios are plain column arithmetic; a 100 TB corpus runs this as
+    one codegen'd map-only stage with full column pruning.
+    """
+    toks = tokens_expr(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    alnum = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.lit(list(QUALITY_STOPWORDS)), t))
+    )
+    alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    quality = alnum_ratio * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    avg_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(pk),
+        n_chars.alias("n_chars_obs"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(alnum_ratio, 4).alias("alnum_ratio"),
+        F.round(stopword_ratio, 4).alias("stopword_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )

@@ -1,0 +1,164 @@
+"""LLM-pipeline operator tests: dedup catches planted duplicates, the
+banded plans never go cartesian, similarity-join strategies agree, IVF
+recall climbs with nprobe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline import (
+    embedding_dup_pairs,
+    exact_dedup,
+    ivf_knn_join,
+    knn_join,
+    minhash_dup_pairs,
+    simhash_pairs,
+    text_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+OFF = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _with_truncated_copies(docs, mod=7):
+    extra = (
+        docs.filter(F.col("doc_id") % mod == 0)
+        .withColumn("doc_id", F.col("doc_id") + OFF)
+        .withColumn(
+            "text",
+            F.substring(F.col("text"), 1, ((F.length("text") * 9) / 10).cast("int")),
+        )
+    )
+    return docs.unionByName(extra)
+
+
+def test_exact_dedup_finds_planted_copies(docs):
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + OFF))
+    groups = exact_dedup(corpus).collect()
+    assert len(groups) == docs.count()
+    assert all(g["n_copies"] == 2 for g in groups)
+    assert all(g["dup_ids"] == [g["survivor"] + OFF] for g in groups)
+
+
+def test_minhash_catches_planted_near_dups(docs):
+    corpus = _with_truncated_copies(docs)
+    planted = {
+        (r[0], r[0] + OFF)
+        for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()
+    }
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(corpus, threshold=0.6).collect()
+    }
+    # every planted truncation must be found (banding FN prob ~1e-6 at j≥0.8)
+    missing = planted - pairs
+    assert not missing, f"banding missed planted pairs: {sorted(missing)[:5]}"
+
+
+def test_minhash_plan_is_bucketed_not_cartesian(docs):
+    corpus = _with_truncated_copies(docs)
+    plan = minhash_dup_pairs(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_exhaustive_by_pigeonhole(docs):
+    # chunks > max_hamming ⇒ banded join must equal brute force exactly
+    small = docs.filter(F.col("doc_id") < 60)
+    corpus = small.unionByName(small.withColumn("doc_id", F.col("doc_id") + OFF))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(corpus, max_hamming=2).collect()
+    }
+    from adampro_spark.pipeline.dedup import simhash_expr
+
+    sims = corpus.select("doc_id", simhash_expr("text").alias("s")).collect()
+    brute = set()
+    for i, a in enumerate(sims):
+        for b in sims[i + 1 :]:
+            x, y = (a, b) if a["doc_id"] < b["doc_id"] else (b, a)
+            h = bin(x["s"] ^ y["s"]).count("1")
+            if h <= 2:
+                brute.add((x["doc_id"], y["doc_id"], h))
+    assert got == brute
+
+
+def test_embedding_dup_pairs_catches_scaled_copies(emb):
+    copies = (
+        emb.filter(F.col("vec_id") % 11 == 0)
+        .withColumn("vec_id", F.col("vec_id") + OFF)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x * F.lit(1.001)
+            ),
+        )
+    )
+    corpus = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).unionByName(copies)
+    pairs = embedding_dup_pairs(corpus, threshold=0.99)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {
+        (r[0], r[0] + OFF)
+        for r in emb.filter(F.col("vec_id") % 11 == 0).select("vec_id").collect()
+    }
+    assert planted <= got
+    assert all(r["cos_sim"] >= 0.99 for r in pairs.collect())
+
+
+def test_knn_join_strategies_agree(emb):
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["q_id"], r["vec_id"], round(r["ap_distance"], 6)) for r in df.collect()
+    )
+    a = key(knn_join(emb, q, "embedding", 4, "manhattan", strategy="window"))
+    b = key(knn_join(emb, q, "embedding", 4, "manhattan", strategy="local_topk"))
+    assert a == b
+    assert len(a) == 6 * 4
+
+
+def test_ivf_recall_climbs_with_nprobe(emb):
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    ref = {
+        (r["q_id"], r["vec_id"])
+        for r in knn_join(emb, q, "embedding", 4, "euclidean").collect()
+    }
+    recalls = []
+    for nprobe in (2, 8, 22):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ivf_knn_join(
+                emb, q, "embedding", 4, "euclidean", nprobe=nprobe
+            ).collect()
+        }
+        recalls.append(len(got & ref) / len(ref))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0  # probing every cell is exact
+
+
+def test_text_stats_ranges(docs):
+    rows = text_stats(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["alnum_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
