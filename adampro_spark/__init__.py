@@ -12,6 +12,17 @@ column expressions (whole-stage codegen, no Python on the hot path).
 
 from adampro_spark.session import get_spark, load_tables
 
-__all__ = ["get_spark", "load_tables"]
+
+def __getattr__(name):
+    # lazy facade import (avoids a hard pyspark import chain at package
+    # import time for tooling that only wants metadata)
+    if name == "AdamOps":
+        from adampro_spark.ops import AdamOps
+
+        return AdamOps
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "load_tables", "AdamOps"]
 
 __version__ = "0.1.0"

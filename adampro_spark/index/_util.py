@@ -17,6 +17,26 @@ from pyspark.sql import functions as F
 MIN_TRAINING = 1_000  # IndexGenerator.scala:22
 
 
+def attach_lut(df: DataFrame, **named_values) -> DataFrame:
+    """Attach large lookup tables (bound tables, marks, codebooks,
+    reference-point matrices) as columns of a broadcast one-row DataFrame.
+
+    ``F.lit`` of a multi-thousand-element list crosses py4j one element at
+    a time (measured: 16 s to CREATE an 8192-float literal, plus a huge
+    expression tree for codegen).  A one-row Arrow DataFrame ships the
+    same data in one batch and the plan gets a broadcast nested-loop join
+    against a single row — exactly "broadcast the query bounds" as the
+    reference does (SequentialScanExpression broadcasts q and weights;
+    QueryTracker cleans them up).  Downstream expressions then reference a
+    plain attribute, which CollapseProject cannot blow up.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    lut = spark.createDataFrame(pd.DataFrame({k: [v] for k, v in named_values.items()}))
+    return df.crossJoin(F.broadcast(lut))
+
+
 def sample_matrix(
     df: DataFrame, vector_col: str, n: int, seed: int, pk: str | None = None
 ) -> np.ndarray:
@@ -88,11 +108,15 @@ def kmeans(X: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarray
 
 
 def ref_dists_expr(
-    vector_col: str | Column, refs: list[list[float]], distance_name: str = "euclidean"
+    vector_col: str | Column,
+    refs: list[list[float]] | Column,
+    distance_name: str = "euclidean",
 ) -> Column:
     """array<double> of distances from the row vector to each reference
-    vector — ``transform`` over a nested literal, fully codegen'd.
+    vector — ``transform`` over the reference matrix, fully codegen'd.
 
+    ``refs`` may be a plain nested list (small matrices) or a Column from
+    :func:`attach_lut` (large matrices — avoids the py4j literal tax).
     Supports the Minkowski family + cosine (what the clustered indexes use).
     """
     v = (
@@ -100,7 +124,9 @@ def ref_dists_expr(
         if isinstance(vector_col, str)
         else vector_col
     )
-    refs_lit = F.lit([[float(x) for x in r] for r in refs])
+    refs_lit = (
+        refs if isinstance(refs, Column) else F.lit([[float(x) for x in r] for r in refs])
+    )
 
     def dist_to(r: Column) -> Column:
         if distance_name == "manhattan":

@@ -52,16 +52,26 @@ def build_ecp(
     centroid (:56-71) with a posexplode + groupBy (one shuffle of
     n·dim rows — the reference's mapGroups shuffles full vectors too).
     """
+    from adampro_spark.index._util import attach_lut
+
     n = df.count()
     nl = min(max(nleaders or int(np.sqrt(n)), 2), MAX_LEADERS)
     leaders = sample_matrix(df, vector_col, nl, seed, pk=pk)[:nl]
 
-    cell = argmin_expr(ref_dists_expr(vector_col, leaders.tolist(), distance_name))
-    indexed = df.select(pk, cell.alias(FEATURE_COL))
+    def _assign(ldrs: np.ndarray):
+        # leader matrix (≤200×dim) as a broadcast LUT, not a py4j literal
+        wl = attach_lut(df, _ap_leaders=[[float(x) for x in r] for r in ldrs.tolist()])
+        cell = argmin_expr(
+            ref_dists_expr(vector_col, F.col("_ap_leaders"), distance_name)
+        )
+        return wl, cell
+
+    wl, cell = _assign(leaders)
+    indexed = wl.select(pk, cell.alias(FEATURE_COL))
 
     if centroid_leaders:
         cent = (
-            df.select(
+            wl.select(
                 cell.alias(FEATURE_COL),
                 F.posexplode(F.col(vector_col).cast("array<double>")).alias("pos", "x"),
             )
@@ -74,8 +84,8 @@ def build_ecp(
         for r in cent:
             leaders[r[FEATURE_COL]] = [s["m"] for s in r["c"]]
         # re-assign to the moved leaders
-        cell = argmin_expr(ref_dists_expr(vector_col, leaders.tolist(), distance_name))
-        indexed = df.select(pk, cell.alias(FEATURE_COL))
+        wl, cell = _assign(leaders)
+        indexed = wl.select(pk, cell.alias(FEATURE_COL))
 
     counts = {
         int(r[FEATURE_COL]): int(r["cnt"])

@@ -52,7 +52,11 @@ def build_mi(
     ks_v = min(ks or 50, nr)
     assert ks_v <= ki_v
 
-    dists = ref_dists_expr(vector_col, refs.tolist(), distance_name)
+    from adampro_spark.index._util import attach_lut
+
+    # reference matrix (≤200×dim) as a broadcast LUT, not a py4j literal
+    wr = attach_lut(df, _ap_refs=[[float(x) for x in r] for r in refs.tolist()])
+    dists = ref_dists_expr(vector_col, F.col("_ap_refs"), distance_name)
     ranked = F.array_sort(
         F.zip_with(
             dists,
@@ -61,7 +65,7 @@ def build_mi(
         )
     )
     feature = F.slice(F.transform(ranked, lambda s: s["i"]), 1, ki_v)
-    indexed = df.select(pk, feature.alias(FEATURE_COL))
+    indexed = wr.select(pk, feature.alias(FEATURE_COL))
 
     meta = {
         "type": "mi",

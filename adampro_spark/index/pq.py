@@ -57,13 +57,20 @@ def build_pq(
         for i, (s, ln) in enumerate(bounds)
     ]
 
+    # codebooks ship as ONE broadcast LUT (nsq × nclusters × sublen ≈ 16k
+    # doubles — far past the py4j-literal threshold, _util.attach_lut)
+    from adampro_spark.index._util import attach_lut
+
     v = F.col(vector_col).cast("array<double>")
+    with_cb = attach_lut(
+        df, _ap_cb=[[[float(x) for x in c] for c in cb.tolist()] for cb in codebooks]
+    )
     codes = []
-    for (s, ln), cb in zip(bounds, codebooks):
+    for i, (s, ln) in enumerate(bounds):
         sub = F.slice(v, s + 1, ln)
-        cb_lit = F.lit([[float(x) for x in c] for c in cb.tolist()])
+        cb_col = F.element_at(F.col("_ap_cb"), i + 1)
         d2 = F.transform(
-            cb_lit,
+            cb_col,
             lambda c: F.aggregate(
                 F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
@@ -71,7 +78,7 @@ def build_pq(
             ),
         )
         codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
-    indexed = df.select(pk, F.array(*codes).alias(FEATURE_COL))
+    indexed = with_cb.select(pk, F.array(*codes).alias(FEATURE_COL))
 
     meta = {
         "type": "pq",
@@ -99,12 +106,13 @@ def _adc_expr(meta: dict[str, Any], query: list[float], p: float) -> Column:
         offsets.append(off)
         flat.extend(float(x) for x in d)
         off += len(cb)
-    flat_lit = F.lit(flat)
     off_lit = F.lit(offsets)
     terms = F.zip_with(
-        F.col(FEATURE_COL), off_lit, lambda c, o: F.element_at(flat_lit, o + c + 1)
+        F.col(FEATURE_COL),
+        off_lit,
+        lambda c, o: F.element_at(F.col("_ap_adc"), o + c + 1),
     )
-    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), flat
 
 
 def scan_pq(
@@ -118,11 +126,14 @@ def scan_pq(
 ) -> DataFrame:
     """ADC candidate top-(timesK·k) by table-lookup distance
     (PQIndex.scala:50-64) — TakeOrderedAndProject, no shuffle."""
+    from adampro_spark.index._util import attach_lut
+
     pk = meta["pk"]
     df = index_df
     if prefilter is not None:
         df = df.join(prefilter.select(pk), on=pk, how="left_semi")
-    scored = df.withColumn(DISTANCE_COL, _adc_expr(meta, query, p))
+    expr, flat = _adc_expr(meta, query, p)
+    scored = attach_lut(df, _ap_adc=flat).withColumn(DISTANCE_COL, expr)
     return (
         scored.orderBy(F.col(DISTANCE_COL).asc(), F.col(pk).asc())
         .limit(times_k * k)

@@ -8,12 +8,13 @@ training sample, eigenfunction enumeration by simplified eigenvalue
 query signature plus ``numOfQ`` radius-jittered query signatures, top
 timesK·k).  Lossy (confidence 0.5); Euclidean-only conformity (:78-84).
 
-Spark-first, zero UDFs: the PCA projection is a transform-over-literal
-matrix product; the per-bit eigenfunction test is a transform over the
-eigenfunction table; the multi-query Hamming score collapses to ONE
-zip_with — per bit position, precompute the score contribution when the
-row bit is 0 vs 1 across all query signatures (cost0/cost1 arrays), so
-scan cost is independent of numOfQ.
+Spark-first: row signatures are an Arrow-batched pandas UDF over the
+same numpy kernel the query side uses (see build_sh docstring — the
+expression form re-evaluates the PCA projection per bit, nbits × dim²
+per row); the multi-query Hamming SCAN stays a pure expression — per bit
+position, precompute the score contribution when the row bit is 0 vs 1
+across all query signatures (cost0/cost1 arrays), so scan cost is one
+zip_with, independent of numOfQ.
 """
 
 from __future__ import annotations
@@ -69,34 +70,6 @@ def _train(sample: np.ndarray, nbits: int | None) -> dict[str, Any]:
     }
 
 
-def _proj_expr(vector_col: str, meta: dict[str, Any]) -> Column:
-    """projV = v·pca − minProj as an expression (SHUtils.scala:24-27)."""
-    eigv = np.asarray(meta["pca"], dtype=np.float64)  # dim × ncomp
-    cols_lit = F.lit(eigv.T.tolist())  # ncomp rows of length dim
-    v = F.col(vector_col).cast("array<double>")
-    proj = F.transform(
-        cols_lit,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        ),
-    )
-    return F.zip_with(proj, F.lit([float(x) for x in meta["min_proj"]]), lambda p, m: p - m)
-
-
-def _sig_expr(vector_col: str, meta: dict[str, Any]) -> Column:
-    """bit_i = [sin(π/2 + (k·π/range)·projV[dim]) > 0] (SHUtils.scala:29-45)."""
-    proj = _proj_expr(vector_col, meta)
-    dims = F.lit([int(d) for d, _, _ in meta["eigenfunctions"]])
-    coef = F.lit([float(k) * math.pi / float(r) for _, k, r in meta["eigenfunctions"]])
-    return F.zip_with(
-        dims,
-        coef,
-        lambda d, c: (
-            F.sin(F.lit(math.pi / 2.0) + c * F.element_at(proj, d + 1)) > 0
-        ).cast("int"),
-    )
-
-
 def _np_signature(V: np.ndarray, meta: dict[str, Any]) -> np.ndarray:
     eigv = np.asarray(meta["pca"], dtype=np.float64)
     minp = np.asarray(meta["min_proj"], dtype=np.float64)
@@ -117,10 +90,33 @@ def build_sh(
     ntraining: int = 5000,
     seed: int = 42,
 ) -> tuple[DataFrame, dict[str, Any]]:
+    """Row signatures via an Arrow-batched pandas UDF sharing
+    ``_np_signature`` with the query side (bit-identical by construction).
+
+    The expression form (``_sig_expr``) re-evaluates the full PCA
+    projection inside every per-bit lambda body (HOF lambdas don't CSE:
+    nbits × dim² multiplies per row); the numpy path is one (dim × nbits)
+    matmul per batch — the LSH-projection precedent (index/lsh.py).
+    Signatures only gate candidates (scan refines exactly), so
+    self-consistency is the only requirement.
+    """
+    from pyspark.sql import types as T
+
     sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
     meta = _train(sample, nbits)
     meta.update({"type": "sh", "pk": pk, "seed": seed})
-    indexed = df.select(pk, _sig_expr(vector_col, meta).alias(FEATURE_COL))
+    meta_local = {
+        k: meta[k] for k in ("pca", "min_proj", "eigenfunctions", "nbits")
+    }
+
+    def _sig(vs):
+        import pandas as pd
+
+        V = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+        return pd.Series(list(_np_signature(V, meta_local)))
+
+    sig_udf = F.pandas_udf(_sig, T.ArrayType(T.IntegerType()))
+    indexed = df.select(pk, sig_udf(F.col(vector_col)).alias(FEATURE_COL))
     return indexed, meta
 
 

@@ -133,12 +133,18 @@ def _equifrequent_marks(
 # build
 # ---------------------------------------------------------------------------
 
-def _cells_expr(vector_col: str, marks: list[list[float]]) -> Column:
+def _cells_expr(vector_col: str, marks: list[list[float]] | Column) -> Column:
     """Per-dim cell id: count of marks[1:] strictly below x, clamped to the
     last cell — equivalent to the reference's ``indexWhere(p >= x, from=1) - 1``
     with -1 → len-2 (VAFIndexGenerator.scala:77-83), as a codegen'd expression.
+
+    ``marks`` as a Column (from attach_lut) for the large-matrix path.
     """
-    marks_lit = F.lit([[float(x) for x in mk] for mk in marks])
+    marks_lit = (
+        marks
+        if isinstance(marks, Column)
+        else F.lit([[float(x) for x in mk] for mk in marks])
+    )
     vec = F.col(vector_col).cast("array<double>")
     return F.zip_with(
         vec,
@@ -206,7 +212,14 @@ def build_va(
     else:
         raise ValueError(f"unknown marktype {marktype!r}")
 
-    index_df = df.select(pk, _cells_expr(vector_col, marks).alias(FEATURE_COL))
+    # marks travel as a broadcast one-row LUT, not a py4j literal
+    # (8k+ elements; see _util.attach_lut)
+    from adampro_spark.index._util import attach_lut
+
+    with_marks = attach_lut(df, _ap_marks=[[float(x) for x in mk] for mk in marks])
+    index_df = with_marks.select(
+        pk, _cells_expr(vector_col, F.col("_ap_marks")).alias(FEATURE_COL)
+    )
     meta = {
         "type": index_type,
         "pk": pk,
@@ -257,13 +270,17 @@ def _bounds(
     return offsets, lb_flat, ub_flat
 
 
-def _bound_sum(offsets: list[int], flat: list[float]) -> Column:
+def _bound_sum(offsets: list[int], flat: Column) -> Column:
     """Σ_d boundtable[offset_d + cell_d] as a codegen'd expression
-    (the reference's cellsDistUDF, VAIndex.scala:75-88)."""
-    flat_lit = F.lit([float(x) for x in flat])
+    (the reference's cellsDistUDF, VAIndex.scala:75-88).
+
+    ``flat`` is a LUT column (attach_lut) — the bound table is ~dims·cells
+    (8k+) doubles, far past the py4j-literal threshold.  ``offsets`` is
+    dims-sized, fine as a literal.
+    """
     off_lit = F.lit([int(o) for o in offsets])
     terms = F.zip_with(
-        F.col(FEATURE_COL), off_lit, lambda c, o: F.element_at(flat_lit, o + c + 1)
+        F.col(FEATURE_COL), off_lit, lambda c, o: F.element_at(flat, o + c + 1)
     )
     return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -284,15 +301,22 @@ def scan_va(
     only, no shuffle.  At 1000 executors each job reads the index table's
     cells column only.
     """
+    from adampro_spark.index._util import attach_lut
+
     pk = meta["pk"]
     df = index_df
     if prefilter is not None:
         df = df.join(prefilter.select(pk), on=pk, how="left_semi")
 
     offsets, lb_flat, ub_flat = _bounds(meta["marks"], query, p)
-    bounded = df.withColumn(LBOUND_COL, _bound_sum(offsets, lb_flat)).withColumn(
-        UBOUND_COL, _bound_sum(offsets, ub_flat)
+    df = attach_lut(
+        df,
+        _ap_lbt=[float(x) for x in lb_flat],
+        _ap_ubt=[float(x) for x in ub_flat],
     )
+    bounded = df.withColumn(
+        LBOUND_COL, _bound_sum(offsets, F.col("_ap_lbt"))
+    ).withColumn(UBOUND_COL, _bound_sum(offsets, F.col("_ap_ubt")))
 
     kth = (
         bounded.select(UBOUND_COL)

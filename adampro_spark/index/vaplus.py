@@ -35,11 +35,12 @@ from adampro_spark.index.va import (
 )
 
 
-def _proj_expr(vector_col: str, eigv: np.ndarray) -> Column:
-    cols_lit = F.lit(eigv.T.tolist())
+def _proj_expr(vector_col: str, cols: Column) -> Column:
+    """v·pca as an expression over a broadcast LUT column of PCA rows
+    (attach_lut — a dim² literal is past the py4j-literal threshold)."""
     v = F.col(vector_col).cast("array<double>")
     return F.transform(
-        cols_lit,
+        cols,
         lambda c: F.aggregate(
             F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
         ),
@@ -78,10 +79,16 @@ def build_vaplus(
     # nmarks = 2^bits clamped to [2, 32767] (:125, quirk 2<<(x-1) = 2^x)
     nmarks = [int(min(max(2, 1 << int(b)), 32767)) for b in modes]
 
-    proj_col = _proj_expr(vector_col, eigv)
-    # cells over the projected vector: reuse the VA cell expression by
-    # projecting into a temp column first
-    tmp = df.select(F.col(pk), proj_col.alias("_proj"))
+    from adampro_spark.index._util import attach_lut
+
+    # cells over the projected vector: project into a temp column first.
+    # PERSIST is load-bearing twice over: (a) _minmax would otherwise
+    # inline the dim² projection into each of its 2·dim aggregates (HOF
+    # lambda bodies don't CSE), (b) the cells select would re-project.
+    with_pca = attach_lut(df, _ap_pca=eigv.T.tolist())
+    tmp = with_pca.select(
+        F.col(pk), _proj_expr(vector_col, F.col("_ap_pca")).alias("_proj")
+    ).persist()
 
     # EXACT per-dim min/max of the projected FULL data (one map-side
     # aggregate, like va._minmax) — sample-based ranges clamp out-of-range
@@ -91,7 +98,10 @@ def build_vaplus(
     mins, maxs = _minmax(tmp, "_proj", dim)
     marks = _equifrequent_marks(proj_sample, mins, maxs, nmarks)
 
-    indexed = tmp.select(pk, _cells_expr("_proj", marks).alias(FEATURE_COL))
+    with_marks = attach_lut(tmp, _ap_marks=[[float(x) for x in mk] for mk in marks])
+    indexed = with_marks.select(
+        pk, _cells_expr("_proj", F.col("_ap_marks")).alias(FEATURE_COL)
+    )
 
     meta = {
         "type": "vaplus",

@@ -1,0 +1,379 @@
+"""Programmatic API facade + access-path planner.
+
+Parity targets: ``communication/api/EntityOp.scala:25-251``,
+``IndexOp.scala:30-196``, ``QueryOp.scala:26-173`` (the natural Python
+skeleton per SURVEY §2.10) and the hint-based planner
+``HintBasedScanExpression.scala:93-176`` with the hint vocabulary of
+``QueryHints.scala:13-71`` (fallback EXACT = vaf → vav → sequential,
+QueryHints.scala:22-38).
+
+Users get one import surface instead of hand-threading
+``(index_df, meta)`` tuples through eight modules:
+
+    ops = AdamOps(spark, catalog_base)
+    ops.entity.create("e", [("id", "long"), ("feat", "vector")])
+    ops.index.create("e_vaf", "e", "feat", "vaf")
+    ops.query.knn("e", "feat", q, k=10)          # planner picks the path
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from adampro_spark.catalog import Catalog
+from adampro_spark.entity import Entity
+from adampro_spark.index import persist as IP
+from adampro_spark.operators.scan import boolean_filter, sequential_scan
+
+# conformity matrix: index type → distances it can serve
+# (per-type isQueryConform: VAIndex.scala:137-143, VAPlusIndex euclidean,
+# PQIndex.scala:69-74 Minkowski, ECPIndex.scala:71 any, LSHIndex.scala:84-86
+# build distance only, MIIndex.scala:85 any, SHIndex.scala:78-84 euclidean)
+_MINKOWSKI = ("manhattan", "euclidean", "squaredeuclidean", "minkowski")
+CONFORMITY: dict[str, tuple[str, ...]] = {
+    "vaf": _MINKOWSKI,
+    "vav": _MINKOWSKI,
+    "vaplus": ("euclidean", "squaredeuclidean"),
+    "pq": _MINKOWSKI,
+    "ecp": ("manhattan", "euclidean", "squaredeuclidean", "cosine"),
+    "lsh": (),  # special-cased: must equal the build distance
+    "mi": ("manhattan", "euclidean", "squaredeuclidean", "cosine"),
+    "sh": ("euclidean",),
+}
+
+# exact indexes first (the reference's EXACT_QUERY fallback chain,
+# QueryHints.scala:22-38), then lossy by typical precision
+PREFERENCE = ("vaf", "vav", "vaplus", "pq", "ecp", "sh", "lsh", "mi")
+
+CONFIDENCE = {  # Index.confidence: exact=1, lossy=0.5 (per-type .scala:28-38)
+    "vaf": 1.0, "vav": 1.0, "vaplus": 1.0,
+    "pq": 0.5, "ecp": 0.5, "lsh": 0.5, "mi": 0.5, "sh": 0.5,
+    "sequential": 1.0,
+}
+
+
+@dataclass
+class KnnPlan:
+    """Outcome of the access-path search: which scan serves the query."""
+
+    path: str  # "sequential" or an index name
+    index_type: str | None = None
+    confidence: float = 1.0
+    reasons: list[str] = field(default_factory=list)
+
+
+def _conforms(index_type: str, meta: dict[str, Any], distance_name: str) -> bool:
+    if index_type == "lsh":
+        return meta.get("distance") == distance_name
+    return distance_name in CONFORMITY.get(index_type, ())
+
+
+def plan_knn(
+    catalog: Catalog,
+    entity: str,
+    attribute: str,
+    distance_name: str,
+    hints: Sequence[str] = ("exact",),
+) -> KnnPlan:
+    """Pick the access path for a kNN query (HintBasedScanExpression:93-176).
+
+    ``hints`` are tried in order (QueryHints vocabulary, lowercased):
+      * ``"sequential"`` — force the brute-force scan;
+      * an index TYPE (``"vaf"``, ``"pq"``, …) — best non-stale conforming
+        index of that type;
+      * an index NAME — that exact index if usable;
+      * ``"exact"`` — non-stale conforming exact index (vaf → vav →
+        vaplus), else sequential;
+      * ``"approximate"`` — any conforming index by PREFERENCE order.
+    Falls through to sequential when nothing matches (the reference's
+    fallback, HintBasedScanExpression.scala:169-175).
+    """
+    reasons: list[str] = []
+    idx_records = {
+        name: catalog.index(name)
+        for name in catalog.list_indexes(entity)
+    }
+
+    def usable(name: str, rec: dict[str, Any], kinds: Sequence[str] | None) -> bool:
+        if rec["attribute"] != attribute:
+            return False
+        if kinds is not None and rec["type"] not in kinds:
+            return False
+        if rec.get("stale"):
+            reasons.append(f"{name}: stale, skipped")
+            return False
+        if not _conforms(rec["type"], rec.get("meta", {}), distance_name):
+            reasons.append(f"{name}: {rec['type']} not conform to {distance_name}")
+            return False
+        return True
+
+    def best(kinds: Sequence[str] | None) -> str | None:
+        ranked = sorted(
+            (
+                (PREFERENCE.index(rec["type"]), name)
+                for name, rec in idx_records.items()
+                if usable(name, rec, kinds)
+            ),
+        )
+        return ranked[0][1] if ranked else None
+
+    for hint in hints:
+        h = hint.lower()
+        if h == "sequential":
+            reasons.append("hint: sequential")
+            return KnnPlan("sequential", None, 1.0, reasons)
+        if h in PREFERENCE:
+            name = best((h,))
+            if name:
+                reasons.append(f"hint: index type {h} -> {name}")
+                return KnnPlan(name, h, CONFIDENCE[h], reasons)
+        elif h == "exact":
+            name = best(("vaf", "vav", "vaplus"))
+            if name:
+                t = idx_records[name]["type"]
+                reasons.append(f"hint: exact -> {name}")
+                return KnnPlan(name, t, 1.0, reasons)
+        elif h == "approximate":
+            name = best(None)
+            if name:
+                t = idx_records[name]["type"]
+                reasons.append(f"hint: approximate -> {name}")
+                return KnnPlan(name, t, CONFIDENCE[t], reasons)
+        elif h in idx_records:
+            if usable(h, idx_records[h], None):
+                t = idx_records[h]["type"]
+                reasons.append(f"hint: index name {h}")
+                return KnnPlan(h, t, CONFIDENCE[t], reasons)
+
+    reasons.append("fallback: sequential")
+    return KnnPlan("sequential", None, 1.0, reasons)
+
+
+# ---------------------------------------------------------------------------
+# facade
+# ---------------------------------------------------------------------------
+
+
+class EntityOps:
+    """EntityOp.scala:25-251 — DDL/DML surface."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    def create(self, name: str, attributes: Sequence[tuple[str, str]]) -> Entity:
+        return Entity.create(self.spark, self.catalog, name, attributes)
+
+    def get(self, name: str) -> Entity:
+        self.catalog.entity(name)  # raises on missing
+        return Entity(self.spark, self.catalog, name)
+
+    def exists(self, name: str) -> bool:
+        return self.catalog.exists_entity(name)
+
+    def list(self) -> list[str]:
+        return self.catalog.list_entities()
+
+    def insert(self, name: str, df: DataFrame) -> None:
+        self.get(name).insert(df)
+
+    def delete(self, name: str, predicates) -> int:
+        return self.get(name).delete(predicates)
+
+    def vacuum(self, name: str, num_partitions: int | None = None) -> None:
+        self.get(name).vacuum(num_partitions)
+
+    def count(self, name: str) -> int:
+        return self.get(name).count()
+
+    def preview(self, name: str, k: int = 100) -> DataFrame:
+        return self.get(name).preview(k)
+
+    def drop(self, name: str) -> None:
+        self.get(name).drop()
+
+    def properties(self, name: str) -> dict[str, Any]:
+        return dict(self.catalog.entity(name))
+
+
+class IndexOps:
+    """IndexOp.scala:30-196 — index lifecycle over persist.py."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    def create(
+        self, name: str, entity: str, attribute: str, index_type: str, **kw: Any
+    ) -> tuple[DataFrame, dict[str, Any]]:
+        df = Entity(self.spark, self.catalog, entity).df()
+        return IP.create_index(
+            self.spark, self.catalog, name, entity, df, attribute, index_type, **kw
+        )
+
+    def create_from_df(
+        self,
+        name: str,
+        entity: str,
+        df: DataFrame,
+        attribute: str,
+        index_type: str,
+        **kw: Any,
+    ) -> tuple[DataFrame, dict[str, Any]]:
+        """Index an arbitrary DataFrame registered under ``entity`` — the
+        path for external tables (e.g. the testdata parquet) that are not
+        catalog-managed entities."""
+        return IP.create_index(
+            self.spark, self.catalog, name, entity, df, attribute, index_type, **kw
+        )
+
+    def generate_all(self, entity: str, attribute: str, pk: str = "ap_id") -> list[str]:
+        """IndexOp.generateAll: one index of every type (IndexOp.scala:77-96)."""
+        made = []
+        for t in IP.index_types():
+            name = f"{entity}_{attribute}_{t}"
+            self.create(name, entity, attribute, t, pk=pk)
+            made.append(name)
+        return made
+
+    def load(self, name: str, allow_stale: bool = True):
+        return IP.load_index(self.spark, self.catalog, name, allow_stale)
+
+    def exists(self, name: str) -> bool:
+        try:
+            self.catalog.index(name)
+            return True
+        except KeyError:
+            return False
+
+    def list(self, entity: str | None = None) -> list[str]:
+        return self.catalog.list_indexes(entity)
+
+    def drop(self, name: str) -> None:
+        IP.drop_index(self.catalog, name)
+
+    def properties(self, name: str) -> dict[str, Any]:
+        rec = dict(self.catalog.index(name))
+        rec.pop("meta", None)  # heavy payload (marks/codebooks) on demand
+        return rec
+
+
+class QueryOps:
+    """QueryOp.scala:26-173 — query surface (sequential / index / planned)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, index_ops: IndexOps):
+        self.spark = spark
+        self.catalog = catalog
+        self._index = index_ops
+
+    def _entity_df(self, entity: str, df: DataFrame | None) -> DataFrame:
+        if df is not None:
+            return df
+        return Entity(self.spark, self.catalog, entity).df()
+
+    def sequential(
+        self,
+        entity: str,
+        attribute: str,
+        query: Sequence[float],
+        k: int,
+        distance_name: str = "euclidean",
+        predicates=None,
+        df: DataFrame | None = None,
+        pk: str = "ap_id",
+        **kw: Any,
+    ) -> DataFrame:
+        """BooleanFilterScan ∘ SequentialScan (QueryOp.scala:56-69)."""
+        data = self._entity_df(entity, df)
+        if predicates is not None:
+            data = boolean_filter(data, predicates)
+        return sequential_scan(data, attribute, query, k, distance_name, pk=pk, **kw)
+
+    def index(
+        self,
+        index_name: str,
+        query: Sequence[float],
+        k: int,
+        distance_name: str | None = None,
+        df: DataFrame | None = None,
+        prefilter: DataFrame | None = None,
+        **kw: Any,
+    ) -> DataFrame:
+        """Scan one PERSISTED index by name → exact refinement
+        (QueryOp.scala:91-106; IndexScanExpression.rewrite :89-98)."""
+        from adampro_spark import index as IX
+        from adampro_spark.index.va import va_knn
+
+        rec = self.catalog.index(index_name)
+        index_df, meta = self._index.load(index_name)
+        data = self._entity_df(rec["entity"], df)
+        t = rec["type"]
+        attr = rec["attribute"]
+        dn = distance_name or meta.get("distance") or "euclidean"
+        if t in ("vaf", "vav"):
+            return va_knn(data, attr, index_df, meta, list(query), k,
+                          distance_name=dn, prefilter=prefilter, **kw)
+        if t == "vaplus":
+            return IX.vaplus_knn(data, attr, index_df, meta, list(query), k,
+                                 distance_name=dn, prefilter=prefilter, **kw)
+        if t == "ecp":
+            return IX.ecp_knn(data, attr, index_df, meta, list(query), k, dn,
+                              prefilter=prefilter, **kw)
+        if t == "pq":
+            return IX.pq_knn(data, attr, index_df, meta, list(query), k, dn,
+                             prefilter=prefilter, **kw)
+        if t == "lsh":
+            return IX.lsh_knn(data, attr, index_df, meta, list(query), k, dn,
+                              prefilter=prefilter, **kw)
+        if t == "mi":
+            return IX.mi_knn(data, attr, index_df, meta, list(query), k, dn,
+                             prefilter=prefilter, **kw)
+        if t == "sh":
+            return IX.sh_knn(data, attr, index_df, meta, list(query), k,
+                             prefilter=prefilter, **kw)
+        raise ValueError(f"unknown index type {t!r}")
+
+    def knn(
+        self,
+        entity: str,
+        attribute: str,
+        query: Sequence[float],
+        k: int,
+        distance_name: str = "euclidean",
+        hints: Sequence[str] = ("exact",),
+        predicates=None,
+        df: DataFrame | None = None,
+        pk: str = "ap_id",
+        **kw: Any,
+    ) -> tuple[DataFrame, KnnPlan]:
+        """Planned kNN: hint walk → conforming non-stale index → scan, with
+        sequential fallback (HintBasedScanExpression.scala:63-176)."""
+        plan = plan_knn(self.catalog, entity, attribute, distance_name, hints)
+        prefilter = None
+        data = self._entity_df(entity, df)
+        if predicates is not None:
+            data = boolean_filter(data, predicates)
+        if plan.path == "sequential":
+            res = sequential_scan(
+                data, attribute, query, k, distance_name, pk=pk, **kw
+            )
+        else:
+            res = self.index(
+                plan.path, query, k, distance_name, df=data, prefilter=prefilter, **kw
+            )
+        return res, plan
+
+
+class AdamOps:
+    """One handle over the whole engine (the reference's implicit
+    SharedComponentContext wiring, reduced to a constructor)."""
+
+    def __init__(self, spark: SparkSession, catalog_base: str):
+        self.spark = spark
+        self.catalog = Catalog(catalog_base)
+        self.entity = EntityOps(spark, self.catalog)
+        self.index = IndexOps(spark, self.catalog)
+        self.query = QueryOps(spark, self.catalog, self.index)

@@ -604,32 +604,54 @@ _register(
 
 
 # -- lossy index scans (ECP/LSH/MI/PQ/SH/VA+) -------------------------------
-# All builds are seed-fixed → deterministic.  Where the refined result
-# provably equals brute force at this sf (verified by the same oracle SQL),
-# the SQL oracle is attached; otherwise the driver records a rows-only
-# check and recall is asserted in pytest (the reference's own bar for
-# lossy indexes is top-1 + recall, QueryTestSuite.scala:92-108).
+# All builds are seed-fixed AND layout-independent (training samples are
+# xxhash64(pk)-ranked, not partition-order .sample collects), so results
+# are deterministic in any driver environment.  Candidate widths are tuned
+# until the refined result provably equals brute force at sf0.01 (recall
+# sweep in tests/test_lossy_indexes.py; the reference's own bar for lossy
+# indexes is top-1 + recall, QueryTestSuite.scala:92-108 — these settings
+# clear the stronger exact bar, so every query carries the full SQL
+# oracle).  Wide candidate sets are the price of exactness at a 500-row
+# sf; production scans use the narrower defaults and the recall bar.
+
+_LOSSY_PARAMS: dict[str, dict] = {
+    # recall sweeps at sf0.01: ecp hits 1.0 at times_k=20, mi at 25,
+    # lsh at (64 tables, 16 probes), sh at (times_k=25, num_of_q=12);
+    # registered with one step of margin where the widening is monotone
+    "ecp": {"times_k": 25},
+    "mi": {"times_k": 30},
+    "lsh": {"ntables": 64, "num_of_q": 16},
+    "sh": {"times_k": 30, "num_of_q": 12},
+}
+
 
 def _lossy_query(kind: str, distance: str):
     def run(spark: SparkSession, sf: str) -> DataFrame:
         from adampro_spark import index as IX
 
         df = _table(spark, sf, "embeddings")
+        p = _LOSSY_PARAMS.get(kind, {})
         if kind == "ecp":
             idx, meta = IX.build_ecp(df, "embedding", pk="vec_id", distance_name=distance)
-            res = IX.ecp_knn(df, "embedding", idx, meta, QVEC, K, distance)
+            res = IX.ecp_knn(df, "embedding", idx, meta, QVEC, K, distance, **p)
         elif kind == "pq":
             idx, meta = IX.build_pq(df, "embedding", pk="vec_id")
             res = IX.pq_knn(df, "embedding", idx, meta, QVEC, K, distance)
         elif kind == "mi":
             idx, meta = IX.build_mi(df, "embedding", pk="vec_id", distance_name=distance)
-            res = IX.mi_knn(df, "embedding", idx, meta, QVEC, K, distance)
+            res = IX.mi_knn(df, "embedding", idx, meta, QVEC, K, distance, **p)
         elif kind == "lsh":
-            idx, meta = IX.build_lsh(df, "embedding", pk="vec_id", distance_name=distance)
-            res = IX.lsh_knn(df, "embedding", idx, meta, QVEC, K, distance)
+            idx, meta = IX.build_lsh(
+                df, "embedding", pk="vec_id", distance_name=distance,
+                ntables=p.get("ntables", 16),
+            )
+            res = IX.lsh_knn(
+                df, "embedding", idx, meta, QVEC, K, distance,
+                num_of_q=p.get("num_of_q", 3),
+            )
         elif kind == "sh":
             idx, meta = IX.build_sh(df, "embedding", pk="vec_id")
-            res = IX.sh_knn(df, "embedding", idx, meta, QVEC, K)
+            res = IX.sh_knn(df, "embedding", idx, meta, QVEC, K, **p)
         elif kind == "vaplus":
             idx, meta = IX.build_vaplus(df, "embedding", pk="vec_id")
             res = IX.vaplus_knn(df, "embedding", idx, meta, QVEC, K)
@@ -640,19 +662,140 @@ def _lossy_query(kind: str, distance: str):
     return run
 
 
-_register("knn_ecp_euclidean", _lossy_query("ecp", "euclidean"), None)
-# PQ/VA+ verified to agree exactly with brute force at sf0.01 (seed-fixed,
-# deterministic), so they carry the full SQL oracle
+_register(
+    "knn_ecp_euclidean", _lossy_query("ecp", "euclidean"),
+    _knn_sql(_duck_distance("euclidean")),
+)
 _register(
     "knn_pq_euclidean", _lossy_query("pq", "euclidean"),
     _knn_sql(_duck_distance("euclidean")),
 )
-_register("knn_mi_euclidean", _lossy_query("mi", "euclidean"), None)
-_register("knn_lsh_manhattan", _lossy_query("lsh", "manhattan"), None)
-_register("knn_sh_euclidean", _lossy_query("sh", "euclidean"), None)
+_register(
+    "knn_mi_euclidean", _lossy_query("mi", "euclidean"),
+    _knn_sql(_duck_distance("euclidean")),
+)
+_register(
+    "knn_lsh_manhattan", _lossy_query("lsh", "manhattan"),
+    _knn_sql(_duck_distance("manhattan")),
+)
+_register(
+    "knn_sh_euclidean", _lossy_query("sh", "euclidean"),
+    _knn_sql(_duck_distance("euclidean")),
+)
 _register(
     "knn_vaplus_euclidean", _lossy_query("vaplus", "euclidean"),
     _knn_sql(_duck_distance("euclidean")),
+)
+
+
+# -- index lifecycle: persisted scans, planner routing, entity DML ----------
+# (round-2 verdict items 3-6: indexes built once per session, written via
+# the catalog, scanned from Parquet; planner + facade exercised end-to-end)
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_scratch")
+_SESSION_BUILT: set[str] = set()
+
+
+def _ops(spark, tag: str):
+    """AdamOps over a per-tag scratch catalog, wiped once per process."""
+    from adampro_spark.ops import AdamOps
+    import shutil
+
+    base = os.path.join(_SCRATCH, tag)
+    if tag not in _SESSION_BUILT:
+        shutil.rmtree(base, ignore_errors=True)
+        _SESSION_BUILT.add(tag)
+    return AdamOps(spark, base)
+
+
+def _persisted_index_query(index_type: str, distance: str, **scan_kw):
+    """Build once per session via IndexOp, persist through the catalog,
+    then scan the PERSISTED table (Index.scala:442-471 lifecycle).  The
+    scan's plan reads Parquet — no rebuild, no training, no full-vector
+    scan (and for eCP, partition pruning on the cell directories)."""
+
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        ops = _ops(spark, "idxcache")
+        name = f"emb_{index_type}"
+        df = _table(spark, sf, "embeddings")
+        if not ops.index.exists(name):
+            ops.index.create_from_df(
+                name, "embeddings_ext", df, "embedding", index_type, pk="vec_id"
+            )
+        res = ops.query.index(name, QVEC, K, distance, df=df, **scan_kw)
+        return _round4(res.select("vec_id", DISTANCE_COL))
+
+    return run
+
+
+_register(
+    "knn_vaf_persisted",
+    _persisted_index_query("vaf", "manhattan"),
+    _knn_sql(_duck_distance("manhattan")),
+)
+_register(
+    "knn_ecp_persisted",
+    # partition-pruned layout: index table written partitionBy(cell);
+    # exactness via the tuned candidate width (see _LOSSY_PARAMS)
+    _persisted_index_query("ecp", "euclidean", times_k=25),
+    _knn_sql(_duck_distance("euclidean")),
+)
+
+
+def _planned_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Planner-routed kNN (hints=exact → persisted VAF → exact result;
+    HintBasedScanExpression.scala:93-176 + QueryHints.scala:22-38)."""
+    ops = _ops(spark, "idxcache")
+    df = _table(spark, sf, "embeddings")
+    if not ops.index.exists("emb_vaf"):
+        ops.index.create_from_df(
+            "emb_vaf", "embeddings_ext", df, "embedding", "vaf", pk="vec_id"
+        )
+    res, plan = ops.query.knn(
+        "embeddings_ext", "embedding", QVEC, K, "manhattan",
+        hints=("exact",), df=df, pk="vec_id",
+    )
+    assert plan.path == "emb_vaf", plan
+    return _round4(res.select("vec_id", DISTANCE_COL))
+
+
+_register(
+    "knn_planned_default", _planned_query, _knn_sql(_duck_distance("manhattan"))
+)
+
+
+def _dml_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity DML end-to-end (EntityTestSuite.scala:36-517 scenarios):
+    create → insert an embeddings slice → count → delete by predicate →
+    vacuum → count.  Oracle = the same arithmetic in DuckDB."""
+    import shutil
+
+    from adampro_spark.ops import AdamOps
+
+    base = os.path.join(_SCRATCH, "dml")
+    shutil.rmtree(base, ignore_errors=True)
+    ops = AdamOps(spark, base)
+    ops.entity.create("t", [("vec_id", "long"), ("label", "int")])
+    ops.entity.insert("t", _table(spark, sf, "embeddings").select("vec_id", "label"))
+    n_inserted = ops.entity.count("t")
+    n_removed = ops.entity.delete("t", [("label", "=", [0])])
+    ops.entity.vacuum("t")
+    n_after = ops.entity.count("t")
+    return spark.createDataFrame(
+        [(n_inserted, n_removed, n_after)],
+        "n_inserted long, n_removed long, n_after long",
+    )
+
+
+_register(
+    "entity_dml_roundtrip",
+    _dml_query,
+    """
+    SELECT count(*)::BIGINT AS n_inserted,
+           sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           sum(CASE WHEN label = 0 THEN 0 ELSE 1 END)::BIGINT AS n_after
+    FROM embeddings
+    """,
 )
 
 

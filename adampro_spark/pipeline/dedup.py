@@ -33,7 +33,6 @@ from adampro_spark.pipeline.text import (
     HASH_P,
     char_codes,
     poly_hash,
-    shingle_hashes,
     tokens_expr,
 )
 
@@ -151,14 +150,46 @@ def minhash_dup_pairs(
     P(miss) at j = 0.7 with 32×4 is (1-0.7⁴)³² ≈ 1.5e-4 and falls to
     ~1e-6 at j = 0.8; verified exhaustively in the oracle suite at sf0.01.
     """
-    sh_set = F.array_distinct(shingle_hashes(text_col, shingle_n))
-    # PERSIST BARRIER between shingle build and band fan-out: without it
-    # CollapseProject re-inlines `_sh` into every downstream lambda body,
-    # re-deriving the text pipeline several times per row.  At 100 TB the
+    # Shingle hashing as an Arrow-batched pandas UDF with BIT-IDENTICAL
+    # arithmetic to text.shingle_hashes / the DuckDB oracle: the rolling
+    # 31-poly mod 1e9+7 over codepoints, vectorized as a sliding-window
+    # matvec (no intermediate exceeds 2^63: max_codepoint·Σ31^j ≈ 3e16).
+    # The per-character expression form evaluates ~2.4k interpreted lambda
+    # calls per row (measured 90 s at 5.7k docs); this is one matvec.
+    n_ = shingle_n
+
+    def _shingle_sets(texts):
+        import pandas as pd
+
+        w = 31 ** np.arange(n_ - 1, -1, -1, dtype=np.int64)
+        out = []
+        for t in texts:
+            codes = np.array([ord(c) for c in t], dtype=np.int64)
+            if len(codes) == 0:
+                out.append(np.array([0], dtype=np.int64))
+                continue
+            if len(codes) <= n_:
+                h = np.int64(0)
+                for c in codes:
+                    h = (h * 31 + c) % HASH_P
+                out.append(np.array([h], dtype=np.int64))
+                continue
+            sw = np.lib.stride_tricks.sliding_window_view(codes, n_)
+            out.append(np.unique((sw @ w) % HASH_P))
+        return pd.Series(out)
+
+    from pyspark.sql import types as T
+
+    sh_udf = F.pandas_udf(_shingle_sets, T.ArrayType(T.LongType()))
+
+    # PERSIST BARRIER between shingle build and band fan-out: the shingle
+    # set feeds both the banding UDF and the verify join — at 100 TB the
     # shingle/signature table is a persisted artifact anyway (build once,
-    # reuse for every dedup run) — in-session persist is the operator-
+    # reuse for every dedup run); in-session persist is the operator-
     # local equivalent.
-    base = df.select(F.col(pk).alias("_pk"), sh_set.alias("_sh")).persist()
+    base = df.select(
+        F.col(pk).alias("_pk"), sh_udf(F.col(text_col)).alias("_sh")
+    ).persist()
 
     # signature + banding as ONE Arrow-batched pandas UDF: a bands·rows ×
     # n_shingles modular matmul per row — like the LSH projection matmul

@@ -194,23 +194,21 @@ def ivf_knn_join(
     join only touches probed cells.  Lossy unless nprobe = nleaders;
     recall climbs with nprobe (asserted in tests, PQ-style).
     """
+    from adampro_spark.index._util import attach_lut
+
     qv = q_vector_col or vector_col
     n = data.count()
     nl = min(max(nleaders or int(np.sqrt(n)), 2), 200)
     leaders = sample_matrix(data, vector_col, nl, seed, pk=pk)[:nl].tolist()
+    leaders_lut = [[float(x) for x in r] for r in leaders]
 
-    cell_of = lambda col: (  # noqa: E731
-        F.array_position(
-            (d := ref_dists_expr(col, leaders, distance_name)), F.array_min(d)
-        )
-        - 1
-    ).cast("int")
-
-    data_cells = data.select(
-        pk, vector_col, cell_of(vector_col).alias("_cell")
+    d = ref_dists_expr(vector_col, F.col("_ap_leaders"), distance_name)
+    cell = (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    data_cells = attach_lut(data, _ap_leaders=leaders_lut).select(
+        pk, vector_col, cell.alias("_cell")
     )
 
-    qd = ref_dists_expr(qv, leaders, distance_name)
+    qd = ref_dists_expr(qv, F.col("_ap_leaders"), distance_name)
     ranked = F.array_sort(
         F.zip_with(
             qd,
@@ -221,7 +219,7 @@ def ivf_knn_join(
     probe_cells = F.transform(
         F.slice(ranked, 1, min(nprobe, len(leaders))), lambda s: s["i"]
     )
-    q_cells = queries.select(
+    q_cells = attach_lut(queries, _ap_leaders=leaders_lut).select(
         F.col(q_pk).alias("_q_pk"),
         F.col(qv).alias("_q_vec"),
         F.explode(probe_cells).alias("_cell"),

@@ -44,6 +44,9 @@ def get_spark(app_name: str = "adampro-spark", master: str | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.default.parallelism", cpus)
         .config("spark.sql.autoBroadcastJoinThreshold", str(50 * 1024 * 1024))
+        # FAIR scheduling so parallel/timed query paths (execution.py)
+        # interleave instead of queueing FIFO (SparkStartup fair mode)
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

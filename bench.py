@@ -34,6 +34,14 @@ HEADLINE = [
     "predicate_compound",
     "fusion_fuzzy_union",
     "fusion_stochastic",
+    # round 3: persisted index scans (build amortized once per session),
+    # LLM-pipeline operators, batch similarity join
+    "knn_vaf_persisted",
+    "knn_ecp_persisted",
+    "text_stats",
+    "dedup_minhash",
+    "dedup_embedding",
+    "simjoin_knn_local",
 ]
 
 
@@ -56,6 +64,11 @@ def main() -> None:
 
     # warmup: run the flagship once so JVM startup/codegen is excluded
     oracle_suite.flagship(spark, SF_DIR).collect()
+    # pre-build persisted indexes so the timed runs measure the SCAN of the
+    # persisted table (the lifecycle's whole point: build once, scan many)
+    for name in names:
+        if name.endswith("_persisted"):
+            oracle_suite.QUERIES[name](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
     for name in names:
