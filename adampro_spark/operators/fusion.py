@@ -93,6 +93,40 @@ def fuzzy_intersect(
     return _fuzzy(left, right, pk, F.greatest, default, join_type)
 
 
+def fused_scan(
+    build_left,
+    build_right,
+    fuse,
+    order: str = "parallel",
+    pk: str = "ap_id",
+):
+    """Evaluation-order control for two-sided fusions
+    (AggregationExpression.scala:42-54,72-114).
+
+    ``build_left`` / ``build_right``: ``callable(prefilter) -> DataFrame``
+    — scan builders accepting an optional PK-candidate DataFrame.
+
+    * ``"left_first"`` — evaluate the left side, thread its PKs into the
+      right side as a semi-join prefilter (the reference's filter-
+      DataFrame pipeline);
+    * ``"right_first"`` — symmetric;
+    * ``"parallel"`` — build both sides independently; Spark runs the
+      two branches of the fused DAG concurrently anyway (the reference
+      needs explicit Futures only because its sides execute eagerly).
+    """
+    if order == "left_first":
+        left = build_left(None)
+        right = build_right(left.select(pk))
+    elif order == "right_first":
+        right = build_right(None)
+        left = build_left(right.select(pk))
+    elif order == "parallel":
+        left, right = build_left(None), build_right(None)
+    else:
+        raise ValueError(f"unknown evaluation order {order!r}")
+    return fuse(left, right, pk=pk)
+
+
 def stochastic_fusion(
     candidates: list[DataFrame], k: int, pk: str = "ap_id"
 ) -> DataFrame:

@@ -799,6 +799,213 @@ _register(
 )
 
 
+# -- full-text scan, typed columns (sparse / WKT), multimodal, misc ---------
+
+
+def _fulltext_query(spark: SparkSession, sf: str) -> DataFrame:
+    from adampro_spark.operators.fulltext import SCORE_COL, text_search
+
+    res = text_search(
+        _table(spark, sf, "documents"), "text", ["spark", "query", "join"],
+        pk="doc_id",
+    )
+    return res.select("doc_id", SCORE_COL)
+
+
+_register(
+    "fulltext_search",
+    _fulltext_query,
+    """
+    SELECT doc_id, score AS ap_score FROM (
+      SELECT doc_id,
+        len(list_filter(
+          list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0),
+          t -> list_contains(['spark', 'query', 'join'], t)))::DOUBLE AS score
+      FROM documents
+    ) WHERE score > 0
+    """,
+)
+
+
+def _sparse_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN over SPARSEVECTORTYPE: rows sparsified (|x| > 0.1) into the
+    reference struct shape (SparseVectorWrapper.scala:24-28), distance via
+    the O(nnz) sparse kernel — no densify."""
+    from adampro_spark.functions.typed import sparse_euclidean
+
+    v = F.col("embedding").cast("array<double>")
+    idxs = F.filter(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: F.abs(F.element_at(v, i + 1)) > 0.1,
+    )
+    sv = F.struct(
+        F.transform(idxs, lambda i: i.cast("int")).alias("index"),
+        F.transform(idxs, lambda i: F.element_at(v, i + 1).cast("float")).alias("data"),
+        F.lit(DIM).cast("int").alias("length"),
+    )
+    q_idx = [i for i, x in enumerate(QVEC) if abs(x) > 0.1]
+    qsv = F.struct(
+        F.lit(q_idx).cast("array<int>").alias("index"),
+        F.lit([float(QVEC[i]) for i in q_idx]).cast("array<float>").alias("data"),
+        F.lit(DIM).cast("int").alias("length"),
+    )
+    df = _table(spark, sf, "embeddings").withColumn("_sv", sv)
+    res = (
+        df.withColumn(DISTANCE_COL, sparse_euclidean(F.col("_sv"), qsv))
+        .orderBy(F.col(DISTANCE_COL).asc(), F.col("vec_id").asc())
+        .limit(K)
+    )
+    return _round4(res.select("vec_id", DISTANCE_COL))
+
+
+_QM_SQL = (
+    "["
+    + ",".join(repr(float(x)) if abs(x) > 0.1 else "0.0" for x in QVEC)
+    + "]::DOUBLE[]"
+)
+
+_register(
+    "knn_sparse_euclidean",
+    _sparse_knn,
+    _knn_sql(
+        # same polarization identity (‖a‖²+‖q‖²−2a·q) as the sparse kernel,
+        # over the mask-equivalent dense form
+        "sqrt(greatest("
+        + _fold(
+            "list_transform(embedding, (x,i) -> CASE WHEN abs(x::DOUBLE) > 0.1 "
+            "THEN x::DOUBLE * x::DOUBLE ELSE 0.0 END)"
+        )
+        + " + "
+        + _fold(f"list_transform({_QM_SQL}, (x,i) -> x * x)")
+        + " - 2.0 * "
+        + _fold(
+            f"list_transform(embedding, (x,i) -> CASE WHEN abs(x::DOUBLE) > 0.1 "
+            f"THEN x::DOUBLE * ({_QM_SQL})[i] ELSE 0.0 END)"
+        )
+        + ", 0.0))"
+    ),
+)
+
+
+def _geo_query(spark: SparkSession, sf: str) -> DataFrame:
+    """GEOMETRYTYPE consumption: derive WKT POINTs from the first two
+    embedding dims (rounded so the string round-trip is exact), parse with
+    st_x/st_y, rank by planar distance to a query point."""
+    from adampro_spark.functions.typed import st_distance, st_point
+
+    df = _table(spark, sf, "embeddings").withColumn(
+        "geom",
+        st_point(
+            F.round(F.element_at(F.col("embedding").cast("array<double>"), 1), 4),
+            F.round(F.element_at(F.col("embedding").cast("array<double>"), 2), 4),
+        ),
+    )
+    qwkt = F.lit(f"POINT ({QVEC[0]} {QVEC[1]})")
+    res = (
+        df.withColumn(DISTANCE_COL, st_distance(F.col("geom"), qwkt))
+        .orderBy(F.col(DISTANCE_COL).asc(), F.col("vec_id").asc())
+        .limit(K)
+    )
+    return _round4(res.select("vec_id", "geom", DISTANCE_COL))
+
+
+_register(
+    "geo_point_distance",
+    _geo_query,
+    f"""
+    SELECT vec_id, geom, round(d, 4) AS {DISTANCE_COL} FROM (
+      SELECT vec_id,
+        'POINT (' || round(embedding[1]::DOUBLE, 4) || ' ' || round(embedding[2]::DOUBLE, 4) || ')' AS geom,
+        sqrt(pow(round(embedding[1]::DOUBLE, 4) - {QVEC[0]!r}, 2)
+           + pow(round(embedding[2]::DOUBLE, 4) - {QVEC[1]!r}, 2)) AS d
+      FROM embeddings
+      ORDER BY d ASC, vec_id ASC LIMIT {K}
+    ) ORDER BY d
+    """,
+)
+
+
+def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Media fingerprinting over a derived binary column (documents.text
+    utf-8 encoded — the corpus is ASCII so byte and char counts agree
+    with the SQL mirror)."""
+    from adampro_spark.pipeline.multimodal import media_fingerprint
+
+    media = _table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content")
+    )
+    return media_fingerprint(media)
+
+
+_register(
+    "multimodal_fingerprint",
+    _multimodal_fp,
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))::INT AS n_bytes,
+           substring(sha256(text), 1, 16) AS fp_hex
+    FROM documents
+    """,
+)
+
+
+def _fusion_left_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Evaluation-order pipeline (AggregationExpression.scala:42-54):
+    left side runs first, its PKs thread into the right scan as a
+    semi-join prefilter; INTERSECT semantics are order-invariant, so the
+    set-op oracle adjudicates the pipeline exactly."""
+    docs = _table(spark, sf, "documents")
+
+    def left(pre):
+        return boolean_filter(docs, [("lang", "=", ["en"])])
+
+    def right(pre):
+        out = boolean_filter(docs, [("n_chars", ">", [300])])
+        if pre is not None:
+            out = out.join(pre, on="doc_id", how="left_semi")
+        return out
+
+    return FU.fused_scan(left, right, FU.intersect_fusion, order="left_first", pk="doc_id")
+
+
+_register(
+    "fusion_left_first",
+    _fusion_left_first,
+    f"""SELECT doc_id, 0.0 AS {DISTANCE_COL}
+        FROM (({_DOCS_L}) INTERSECT ({_DOCS_R}))""",
+)
+
+
+def _random_data_query(spark: SparkSession, sf: str) -> DataFrame:
+    """RandomDataOp (RandomDataOp.scala:35-93): generate seeded rows for a
+    mixed-type schema; the oracle checks the deterministic row count and
+    non-null contract (values are engine-specific randomness)."""
+    from adampro_spark.operators.misc import random_data
+
+    df = random_data(
+        spark,
+        [("a_int", "int"), ("a_vec", "vector"), ("a_str", "string"), ("a_geo", "geometry")],
+        n=1234,
+        dim=8,
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("a_int").alias("n_int"),
+        F.count("a_vec").alias("n_vec"),
+        F.sum(F.size("a_vec")).alias("total_dim"),
+    )
+
+
+_register(
+    "random_data_counts",
+    _random_data_query,
+    """
+    SELECT 1234::BIGINT AS n, 1234::BIGINT AS n_int, 1234::BIGINT AS n_vec,
+           (1234 * 8)::BIGINT AS total_dim
+    """,
+)
+
+
 # -- LLM-pipeline operators (text / dedup / similarity join) ----------------
 # registered in their own module; merged into the shared registries here
 from adampro_spark import oracle_pipeline as _OP  # noqa: E402
