@@ -119,6 +119,16 @@ class Catalog:
             k for k, v in data["indexes"].items() if entity is None or v["entity"] == entity
         )
 
+    def update_index_fields(self, name: str, **fields: Any) -> None:
+        """Planner bookkeeping (measured scores; the reference keeps these
+        in its optimizer-options catalog table, CatalogManager.scala:48-57)."""
+        with self._lock:
+            data = self._read()
+            if name not in data["indexes"]:
+                raise KeyError(f"no index {name!r}")
+            data["indexes"][name].update(fields)
+            self._write(data)
+
     def drop_index(self, name: str) -> None:
         with self._lock:
             data = self._read()

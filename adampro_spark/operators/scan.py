@@ -55,7 +55,14 @@ def sequential_scan(
     """
     out = df
     if prefilter is not None:
-        out = out.join(prefilter.select(pk), on=pk, how="left_semi")
+        # planner rewrite (round-2 advice): a prefilter built from the
+        # SAME source collapses to inline predicates — one scan with
+        # pushdown instead of a self semi-join (doubled scan + shuffle)
+        from adampro_spark.plans.rewrite import maybe_collapse_prefilter
+
+        out, collapsed = maybe_collapse_prefilter(out, prefilter, pk)
+        if not collapsed:
+            out = out.join(prefilter.select(pk), on=pk, how="left_semi")
     dist = distance(distance_name, vector_col, query, weights=weights, p=p)
     out = out.withColumn(DISTANCE_COL, dist)
     if not keep_vector:

@@ -148,8 +148,63 @@ def plan_knn(
                 reasons.append(f"hint: index name {h}")
                 return KnnPlan(h, t, CONFIDENCE[t], reasons)
 
+        elif h == "optimized":
+            scored = sorted(
+                (
+                    (-(rec.get("score") or 0.0), name)
+                    for name, rec in idx_records.items()
+                    if usable(name, rec, None) and rec.get("score") is not None
+                ),
+            )
+            if scored:
+                name = scored[0][1]
+                t = idx_records[name]["type"]
+                reasons.append(
+                    f"hint: optimized -> {name} (score {idx_records[name]['score']:.3f})"
+                )
+                return KnnPlan(name, t, CONFIDENCE[t], reasons)
+            reasons.append("hint: optimized, but no trained scores")
+
     reasons.append("fallback: sequential")
     return KnnPlan("sequential", None, 1.0, reasons)
+
+
+def train_planner(
+    ops: "AdamOps",
+    entity: str,
+    attribute: str,
+    query,
+    k: int,
+    distance_name: str = "euclidean",
+    df=None,
+    pk: str = "ap_id",
+) -> dict[str, dict[str, float]]:
+    """Measured path scoring (the reference's ``naive`` planner heuristic,
+    NaiveHeuristics.scala:16-171 + measurement harness
+    PlannerHeuristics.scala:66-140): run every conforming path on a
+    training query, record wall time and recall against the sequential
+    ground truth, and store ``score = recall / (1 + time)`` per index in
+    the catalog (the reference sigmoid-blends time/precision/recall
+    scores; one monotone blend suffices for ranking).  ``hints=
+    ("optimized",)`` then routes by stored score.
+    """
+    import time as _time
+
+    from adampro_spark.execution import knn_paths
+
+    paths = knn_paths(ops, entity, attribute, query, k, distance_name, df=df, pk=pk)
+    seq = paths.pop("sequential")
+    truth = {r[0] for r in seq[1]().select(pk).collect()}
+    out: dict[str, dict[str, float]] = {}
+    for name, (_conf, fn) in paths.items():
+        t0 = _time.perf_counter()
+        got = {r[0] for r in fn().select(pk).collect()}
+        dt = _time.perf_counter() - t0
+        recall = len(got & truth) / max(len(truth), 1)
+        score = recall / (1.0 + dt)
+        out[name] = {"time_sec": round(dt, 4), "recall": recall, "score": score}
+        ops.catalog.update_index_fields(name, score=score, recall=recall)
+    return out
 
 
 # ---------------------------------------------------------------------------

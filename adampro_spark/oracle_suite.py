@@ -976,6 +976,26 @@ _register(
 )
 
 
+def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window event stats — the streaming module's aggregation
+    run in batch mode (the same DataFrame code serves readStream; batch
+    IS the oracle for the stream, streaming/ingest.py)."""
+    from adampro_spark.streaming.ingest import windowed_event_stats
+
+    return windowed_event_stats(_table(spark, sf, "events"), window="1 hour")
+
+
+_register(
+    "events_windowed_stats",
+    _events_windowed,
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
 def _random_data_query(spark: SparkSession, sf: str) -> DataFrame:
     """RandomDataOp (RandomDataOp.scala:35-93): generate seeded rows for a
     mixed-type schema; the oracle checks the deterministic row count and

@@ -1,0 +1,116 @@
+"""Streaming extension, entity import/export, planner training."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from adampro_spark.session import load_tables
+
+    return load_tables(spark, SF)["events"]
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # file-source streams need a DIRECTORY of files
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_windowed_stats_stream_matches_batch(spark, events, events_dir, tmp_path):
+    """The streaming run (availableNow over the parquet dir) must produce
+    exactly the batch aggregation — late-data watermarking included."""
+    from adampro_spark.streaming.ingest import stream_events, windowed_event_stats
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_stats(events).collect()
+    }
+
+    stream = stream_events(spark, events_dir)
+    assert stream.isStreaming
+    q = (
+        windowed_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    assert got == batch
+
+
+def test_stream_insert_entity(spark, events, events_dir, tmp_path):
+    from adampro_spark.ops import AdamOps
+    from adampro_spark.streaming.ingest import stream_events, stream_insert_entity
+
+    ops = AdamOps(spark, str(tmp_path / "cat"))
+    ops.entity.create(
+        "ev",
+        [("event_id", "long"), ("user_id", "long"), ("event_type", "string"),
+         ("value", "double")],
+    )
+    ent = ops.entity.get("ev")
+    stream = stream_events(spark, events_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = stream_insert_entity(stream, ent, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    assert ent.count() == events.count()
+    # PKs unique across micro-batches (bit-packed batch counter)
+    assert ent.df().select("ap_id").distinct().count() == events.count()
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_entity_export_import_roundtrip(spark, tmp_path, fmt):
+    from adampro_spark.io_ops import export_entity, import_entity
+    from adampro_spark.ops import AdamOps
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    ops = AdamOps(spark, str(tmp_path / "cat"))
+    attrs = [("vec_id", "long"), ("embedding", "vector"), ("label", "int")]
+    ops.entity.create("src", attrs)
+    ops.entity.insert("src", emb)
+    src = ops.entity.get("src")
+
+    export_entity(src, str(tmp_path / f"out_{fmt}"), fmt)
+    dst = import_entity(
+        spark, ops.catalog, f"dst_{fmt}", attrs, str(tmp_path / f"out_{fmt}"), fmt
+    )
+    a = {r["vec_id"]: (r["label"], tuple(r["embedding"])) for r in src.df().collect()}
+    b = {r["vec_id"]: (r["label"], tuple(r["embedding"])) for r in dst.df().collect()}
+    assert a == b
+
+
+def test_train_planner_scores_and_optimized_hint(spark, tmp_path):
+    from adampro_spark.ops import AdamOps, plan_knn, train_planner
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [round(0.1 * ((i * 7) % 13) - 0.5, 4) for i in range(64)]
+    ops = AdamOps(spark, str(tmp_path / "cat"))
+    ops.index.create_from_df("e_vaf", "emb", emb, "embedding", "vaf", pk="vec_id")
+    ops.index.create_from_df("e_pq", "emb", emb, "embedding", "pq", pk="vec_id")
+
+    scores = train_planner(ops, "emb", "embedding", q, 10, "euclidean", df=emb, pk="vec_id")
+    assert set(scores) == {"e_vaf", "e_pq"}
+    assert all(0.0 <= s["recall"] <= 1.0 and s["score"] > 0 for s in scores.values())
+    assert ops.catalog.index("e_vaf")["score"] is not None
+
+    plan = plan_knn(ops.catalog, "emb", "embedding", "euclidean", hints=("optimized",))
+    best = max(scores, key=lambda n: scores[n]["score"])
+    assert plan.path == best
+    assert any("score" in r for r in plan.reasons)
