@@ -158,7 +158,10 @@ class Entity:
 
         The inserted-row count is captured from the write job itself via
         ``Observation`` — no second pass over the input (a full extra job at
-        100 TB).  Missing AUTOTYPE columns are generated like the PK.
+        100 TB).  Missing AUTOTYPE columns are generated like the PK; a
+        user-SUPPLIED value in an ``auto`` column is kept as-is (generation
+        only fills absent columns — documented deviation, the reference
+        always regenerates).
         """
         from pyspark.sql import Observation
 

@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_embedding",
     "simjoin_knn_local",
+    "fulltext_search",
+    "events_windowed_stats",
 ]
 
 
