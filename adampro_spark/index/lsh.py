@@ -44,6 +44,8 @@ def _radius(sample: np.ndarray, distance_name: str, cap: int = 300) -> float:
     S = sample[:cap].astype(np.float64)
     if distance_name == "manhattan":
         d = np.abs(S[:, None, :] - S[None, :, :]).sum(axis=2)
+    elif distance_name == "hamming":
+        d = (np.abs(S[:, None, :] - S[None, :, :]) > 1e-5).sum(axis=2).astype(float)
     else:
         d = np.sqrt(((S[:, None, :] - S[None, :, :]) ** 2).sum(axis=2))
     return float(d.max(axis=1).mean())
@@ -56,6 +58,14 @@ def _projections(
     n = ntables * nhashes
     if distance_name == "manhattan":
         proj = rng.standard_cauchy(size=(dim, n))
+    elif distance_name == "hamming":
+        # bit-sampling family (HammingHashFunction: report one random
+        # coordinate per hash) — a one-hot column picks the sampled dim;
+        # rounding in _buckets discretizes it so equal-valued coordinates
+        # share buckets, mirroring hamming's |x−y|>1e-5 element test
+        proj = np.zeros((dim, n))
+        dims = rng.randint(0, dim, size=n)
+        proj[dims, np.arange(n)] = 1.0
     else:
         proj = rng.standard_normal(size=(dim, n))
     offs = rng.uniform(0.0, 1.0, size=n)  # offset/w = U(0,1) (EuclideanHashFunction:21)
@@ -95,8 +105,8 @@ def build_lsh(
     signature per row); 16×8 keeps the same OR-of-ANDs structure with far
     less build cost — override to match the reference exactly.
     """
-    if distance_name not in ("euclidean", "manhattan"):
-        raise ValueError("LSH supports euclidean/manhattan (hamming not yet)")
+    if distance_name not in ("euclidean", "manhattan", "hamming"):
+        raise ValueError("LSH supports euclidean/manhattan/hamming")
     first = df.select(vector_col).first()
     dim = len(first[0])
     sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
@@ -148,9 +158,18 @@ def scan_lsh(
     rng = np.random.RandomState(meta["seed"] + 1)
     queries = [q]
     for _ in range(num_of_q):
-        dirv = rng.standard_normal(len(q))
-        dirv /= np.linalg.norm(dirv) or 1.0
-        queries.append(q + dirv * meta["radius"])
+        if meta["distance"] == "hamming":
+            # hamming jitter: perturb ~radius random coordinates (moving
+            # ALL coordinates would change every sampled-bit bucket)
+            nflip = max(1, min(int(round(meta["radius"])), len(q)))
+            qj = q.copy()
+            flip = rng.choice(len(q), size=nflip, replace=False)
+            qj[flip] += rng.standard_normal(nflip)
+            queries.append(qj)
+        else:
+            dirv = rng.standard_normal(len(q))
+            dirv /= np.linalg.norm(dirv) or 1.0
+            queries.append(q + dirv * meta["radius"])
     B = _buckets(np.array(queries), meta)  # (nqueries × ntables)
     per_table = [[int(x) for x in set(B[:, t])] for t in range(meta["ntables"])]
 

@@ -976,6 +976,44 @@ _register(
 )
 
 
+def _cached_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Cache node (CacheExpression.scala:15-45 + CacheManager): the same
+    query id served twice must return the SAME persisted DataFrame; the
+    driver adjudicates the result like any kNN."""
+    from adampro_spark.operators.misc import ResultCache
+
+    cache = getattr(_cached_knn, "_cache", None)
+    if cache is None:
+        cache = _cached_knn._cache = ResultCache(max_entries=8)
+    fn = lambda: _knn_spark(spark, sf, "manhattan")  # noqa: E731
+    first = cache.get_or_compute(f"knn_manhattan:{sf}", fn)
+    again = cache.get_or_compute(f"knn_manhattan:{sf}", fn)
+    assert again is first, "cache must serve the memoized DataFrame"
+    return again
+
+
+_register("cached_knn_manhattan", _cached_knn, _knn_sql(_duck_distance("manhattan")))
+
+
+def _lsh_hamming_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-family LSH (bit-sampling, HammingHashFunction) — lossy
+    candidates refined by the exact hamming distance; widened like the
+    other lossy suites until exact at sf0.01."""
+    from adampro_spark import index as IX
+
+    df = _table(spark, sf, "embeddings")
+    idx, meta = IX.build_lsh(
+        df, "embedding", pk="vec_id", distance_name="hamming", ntables=64
+    )
+    res = IX.lsh_knn(df, "embedding", idx, meta, QVEC, K, "hamming", num_of_q=16)
+    return _round4(res.select("vec_id", DISTANCE_COL))
+
+
+_register(
+    "knn_lsh_hamming", _lsh_hamming_query, _knn_sql(_duck_distance("hamming"))
+)
+
+
 def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window event stats — the streaming module's aggregation
     run in batch mode (the same DataFrame code serves readStream; batch

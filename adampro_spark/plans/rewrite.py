@@ -41,15 +41,14 @@ def _conditions_over_same_leaf(df: DataFrame, prefilter: DataFrame, pk: str):
         cls = node.getClass().getSimpleName()
         if cls in _PASS_NODES:
             if cls == "Project":
-                # a computed column ALIASED to the pk would change join
-                # membership — only passthrough pks are collapsible
+                # ANY computed/renamed column bails the rewrite: an alias
+                # shadowing a real df column would let a condition above
+                # it silently re-resolve against the wrong source (and an
+                # aliased pk would change join membership).  Only pure
+                # passthrough projections are collapsible.
                 pl = node.projectList()
                 for i in range(pl.size()):
-                    ne = pl.apply(i)
-                    if (
-                        ne.getClass().getSimpleName() == "Alias"
-                        and ne.name() == pk
-                    ):
+                    if pl.apply(i).getClass().getSimpleName() == "Alias":
                         return None
             node = node.children().apply(0)
         elif cls == "Filter":
