@@ -740,6 +740,16 @@ _register(
     _persisted_index_query("ecp", "euclidean", times_k=25),
     _knn_sql(_duck_distance("euclidean")),
 )
+_register(
+    "knn_pq_persisted",
+    _persisted_index_query("pq", "euclidean"),
+    _knn_sql(_duck_distance("euclidean")),
+)
+_register(
+    "knn_sh_persisted",
+    _persisted_index_query("sh", "euclidean", times_k=30, num_of_q=12),
+    _knn_sql(_duck_distance("euclidean")),
+)
 
 
 def _planned_query(spark: SparkSession, sf: str) -> DataFrame:

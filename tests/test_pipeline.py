@@ -154,6 +154,56 @@ def test_ivf_recall_climbs_with_nprobe(emb):
     assert recalls[-1] == 1.0  # probing every cell is exact
 
 
+def test_minhash_udf_matches_native_expressions(docs):
+    """The Arrow-UDF fast path in minhash_dup_pairs must be bit-identical
+    to the native expression forms (shingle_hashes → minhash_signature →
+    minhash_bands) — the native forms are what the DuckDB oracle mirrors,
+    so this equality is the parity chain for the banded plan."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.pipeline.dedup import (
+        HASH_P,
+        minhash_bands,
+        minhash_coeffs,
+        minhash_signature,
+    )
+    from adampro_spark.pipeline.text import shingle_hashes
+
+    sample = docs.filter(F.col("doc_id") < 20)
+    native = (
+        sample.select(
+            "doc_id",
+            F.array_distinct(shingle_hashes("text", 8)).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), 16, seed=42))
+        .select("doc_id", F.sort_array("sh").alias("sh"),
+                minhash_bands(F.col("sig"), 4, 4).alias("bands"))
+        .collect()
+    )
+    nat = {r["doc_id"]: (list(r["sh"]), list(r["bands"])) for r in native}
+
+    import numpy as np
+
+    a_co, b_co = minhash_coeffs(16, 42)
+    texts = {r["doc_id"]: r["text"] for r in sample.select("doc_id", "text").collect()}
+    for doc_id, text in texts.items():
+        codes = np.array([ord(c) for c in text], dtype=np.int64)
+        w = 31 ** np.arange(7, -1, -1, dtype=np.int64)
+        sw = np.lib.stride_tricks.sliding_window_view(codes, 8)
+        sh = np.unique((sw @ w) % HASH_P)
+        A = np.asarray(a_co, dtype=np.int64)[:, None]
+        B = np.asarray(b_co, dtype=np.int64)[:, None]
+        sig = ((A * sh[None, :] + B) % HASH_P).min(axis=1)
+        bands = []
+        for j in range(4):
+            acc = np.int64(0)
+            for x in sig[j * 4 : (j + 1) * 4]:
+                acc = (acc * 31 + x) % HASH_P
+            bands.append(int(acc))
+        assert sorted(nat[doc_id][0]) == sh.tolist(), doc_id
+        assert nat[doc_id][1] == bands, doc_id
+
+
 def test_text_stats_ranges(docs):
     rows = text_stats(docs).collect()
     assert len(rows) == docs.count()
