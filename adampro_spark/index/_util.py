@@ -79,18 +79,18 @@ def kmeans(X: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarray
     n = X.shape[0]
     k = min(k, n)
     rng = np.random.RandomState(seed)
-    # k-means++ seeding
+    # k-means++ seeding — incremental running min (O(k·n·d), not the
+    # naive O(k²·n·d) recompute-all-centers-per-step)
     centers = [X[rng.randint(n)]]
+    d2 = np.sum((X - centers[0]) ** 2, axis=1)
     for _ in range(1, k):
-        d2 = np.min(
-            [np.sum((X - c) ** 2, axis=1) for c in centers], axis=0
-        )
         s = d2.sum()
         if s <= 0:
-            centers.append(X[rng.randint(n)])
-            continue
-        probs = d2 / s
-        centers.append(X[rng.choice(n, p=probs)])
+            c = X[rng.randint(n)]
+        else:
+            c = X[rng.choice(n, p=d2 / s)]
+        centers.append(c)
+        d2 = np.minimum(d2, np.sum((X - c) ** 2, axis=1))
     C = np.array(centers)
     for _ in range(iters):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)

@@ -57,28 +57,35 @@ def build_pq(
         for i, (s, ln) in enumerate(bounds)
     ]
 
-    # codebooks ship as ONE broadcast LUT (nsq × nclusters × sublen ≈ 16k
-    # doubles — far past the py4j-literal threshold, _util.attach_lut)
-    from adampro_spark.index._util import attach_lut
+    # per-split nearest-centroid assignment as ONE Arrow-batched pandas
+    # UDF: an (nclusters × sublen) distance matmul per split per batch.
+    # The expression form walks nsq × nclusters × sublen ≈ 16k interpreted
+    # lambda evals per ROW (HOFs are CodegenFallback) — ~10 s at 500 rows;
+    # the numpy argmin is first-minimum like array_position(array_min),
+    # and codes only gate candidates (the scan refines exactly).
+    from pyspark.sql import types as T
 
-    v = F.col(vector_col).cast("array<double>")
-    with_cb = attach_lut(
-        df, _ap_cb=[[[float(x) for x in c] for c in cb.tolist()] for cb in codebooks]
-    )
-    codes = []
-    for i, (s, ln) in enumerate(bounds):
-        sub = F.slice(v, s + 1, ln)
-        cb_col = F.element_at(F.col("_ap_cb"), i + 1)
-        d2 = F.transform(
-            cb_col,
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        codes.append((F.array_position(d2, F.array_min(d2)) - 1).cast("int"))
-    indexed = with_cb.select(pk, F.array(*codes).alias(FEATURE_COL))
+    cb_local = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    bounds_local = list(bounds)
+
+    def _codes(vs):
+        import pandas as pd
+
+        out = []
+        Vs = [np.asarray(x, dtype=np.float64) for x in vs]
+        if not Vs:
+            return pd.Series(out)
+        V = np.stack(Vs)
+        code_cols = []
+        for (s, ln), cb in zip(bounds_local, cb_local):
+            sub = V[:, s : s + ln]
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            code_cols.append(d2.argmin(axis=1).astype(np.int32))
+        C = np.stack(code_cols, axis=1)  # (n × nsq)
+        return pd.Series(list(C))
+
+    codes_udf = F.pandas_udf(_codes, T.ArrayType(T.IntegerType()))
+    indexed = df.select(pk, codes_udf(F.col(vector_col)).alias(FEATURE_COL))
 
     meta = {
         "type": "pq",

@@ -182,6 +182,12 @@ def _knn_spark(
     query_vec=None,
     positive_vec: bool = False,
 ) -> DataFrame:
+    """Sequential kNN routed through the QueryOp facade
+    (ops.QueryOps.sequential = BooleanFilterScan ∘ SequentialScan,
+    QueryOp.scala:56-69) — the facade IS the engine's query surface, so
+    the driver suite exercises it on every scan."""
+    from adampro_spark.ops import AdamOps
+
     df = _table(spark, sf_dir, "embeddings")
     if positive_vec:
         # derived strictly-positive vector (matches the oracle's abs(x)+0.5)
@@ -190,16 +196,17 @@ def _knn_spark(
             F.transform(F.col("embedding").cast("array<double>"),
                         lambda x: F.abs(x) + F.lit(0.5)),
         )
-    if predicates is not None:
-        df = boolean_filter(df, predicates)
     pre = None
     if prefilter_pred is not None:
         pre = boolean_filter(
             _table(spark, sf_dir, "embeddings"), prefilter_pred
         ).select("vec_id")
-    res = sequential_scan(
-        df, "embedding", query_vec if query_vec is not None else QVEC, k,
-        distance_name, weights=weights, p=p, prefilter=pre, pk="vec_id",
+    ops = AdamOps(spark, os.path.join(_SCRATCH, "qcat"))
+    res = ops.query.sequential(
+        "embeddings_ext", "embedding",
+        query_vec if query_vec is not None else QVEC, k, distance_name,
+        predicates=predicates, df=df, pk="vec_id",
+        weights=weights, p=p, prefilter=pre,
     )
     return _round4(res.select("vec_id", DISTANCE_COL))
 
