@@ -205,18 +205,15 @@ def minhash_dup_pairs(
 
         A = np.asarray(a_co, dtype=np.int64)[:, None]
         B = np.asarray(b_co, dtype=np.int64)[:, None]
-        out = []
-        for sh in cols:
+        sigs = np.empty((len(cols), bands * rows), dtype=np.int64)
+        for i, sh in enumerate(cols):
             H = np.asarray(sh, dtype=np.int64)[None, :]
-            sig = ((A * H + B) % HASH_P).min(axis=1)  # (bands·rows,)
-            bh = np.empty(bands, dtype=np.int64)
-            for j in range(bands):
-                acc = np.int64(0)
-                for x in sig[j * rows : (j + 1) * rows]:
-                    acc = (acc * 31 + x) % HASH_P
-                bh[j] = acc
-            out.append(bh)
-        return pd.Series(out)
+            sigs[i] = ((A * H + B) % HASH_P).min(axis=1)
+        S = sigs.reshape(len(cols), bands, rows)
+        acc = np.zeros((len(cols), bands), dtype=np.int64)
+        for j in range(rows):  # fold across the r signature rows only
+            acc = (acc * 31 + S[:, :, j]) % HASH_P
+        return pd.Series(list(acc))
 
     from pyspark.sql import types as T
 
@@ -392,17 +389,13 @@ def embedding_dup_pairs(
         import pandas as pd
 
         P = planes  # (bands·rows × dim)
-        out = []
-        for vec in cols:
-            bits = (P @ np.asarray(vec, dtype=np.float64)) >= 0
-            bh = np.empty(bands, dtype=np.int64)
-            for j in range(bands):
-                acc = 0
-                for x in bits[j * rows : (j + 1) * rows]:
-                    acc = acc * 2 + int(x)
-                bh[j] = acc
-            out.append(bh)
-        return pd.Series(out)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in cols])
+        if not len(V):
+            return pd.Series([])
+        bits = (V @ P.T >= 0).astype(np.int64).reshape(len(V), bands, rows)
+        weights = 1 << np.arange(rows - 1, -1, -1, dtype=np.int64)
+        bh = bits @ weights  # (n × bands)
+        return pd.Series(list(bh))
 
     from pyspark.sql import types as T
 
