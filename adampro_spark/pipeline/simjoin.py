@@ -184,31 +184,52 @@ def ivf_knn_join(
     nleaders: int | None = None,
     nprobe: int = 8,
     seed: int = 42,
+    ecp_index: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """IVF-bucketed batch kNN: assign data rows to their nearest leader
     cell, probe each query's ``nprobe`` nearest cells, equi-join on cell.
 
     At 100 TB: the data side is partitioned by cell (one narrow shuffle at
-    build, or free if the index table is persisted partitioned by cell —
-    see index/persist.py), queries explode to nprobe rows each, and the
-    join only touches probed cells.  Lossy unless nprobe = nleaders;
-    recall climbs with nprobe (asserted in tests, PQ-style).
+    build — or FREE when ``ecp_index`` passes a persisted eCP index
+    (index/persist.py ``load_index``): its (pk, cell) table joins back to
+    the data by pk and the per-query cell assignment is never recomputed),
+    queries explode to nprobe rows each, and the join only touches probed
+    cells.  Lossy unless nprobe = nleaders; recall climbs with nprobe
+    (asserted in tests, PQ-style).
     """
     from adampro_spark.index._util import attach_lut
 
     qv = q_vector_col or vector_col
-    n = data.count()
-    nl = min(max(nleaders or int(np.sqrt(n)), 2), 200)
-    leaders = sample_matrix(data, vector_col, nl, seed, pk=pk)[:nl].tolist()
+    if ecp_index is not None:
+        index_df, meta = ecp_index
+        leaders = [list(map(float, r)) for r in meta["leaders"]]
+        data_cells = data.select(pk, vector_col).join(
+            index_df.select(
+                F.col(meta.get("pk", pk)).alias(pk),
+                F.col("ap_indexfeature").alias("_cell"),
+            ),
+            on=pk,
+        )
+    else:
+        n = data.count()
+        nl = min(max(nleaders or int(np.sqrt(n)), 2), 200)
+        leaders = sample_matrix(data, vector_col, nl, seed, pk=pk)[:nl].tolist()
+        leaders_lut = [[float(x) for x in r] for r in leaders]
+
+        d = ref_dists_expr(vector_col, F.col("_ap_leaders"), distance_name)
+        cell = (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        data_cells = attach_lut(data, _ap_leaders=leaders_lut).select(
+            pk, vector_col, cell.alias("_cell")
+        )
     leaders_lut = [[float(x) for x in r] for r in leaders]
 
-    d = ref_dists_expr(vector_col, F.col("_ap_leaders"), distance_name)
-    cell = (F.array_position(d, F.array_min(d)) - 1).cast("int")
-    data_cells = attach_lut(data, _ap_leaders=leaders_lut).select(
-        pk, vector_col, cell.alias("_cell")
+    # probe with the metric the cells were ASSIGNED under (the index's
+    # build distance when reusing a persisted eCP index); exact final
+    # distances still use distance_name
+    probe_metric = (
+        ecp_index[1].get("distance", distance_name) if ecp_index else distance_name
     )
-
-    qd = ref_dists_expr(qv, F.col("_ap_leaders"), distance_name)
+    qd = ref_dists_expr(qv, F.col("_ap_leaders"), probe_metric)
     ranked = F.array_sort(
         F.zip_with(
             qd,

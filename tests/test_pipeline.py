@@ -133,6 +133,23 @@ def test_knn_join_strategies_agree(emb):
     assert len(a) == 6 * 4
 
 
+def test_ivf_reuses_persisted_ecp_index(spark, emb, tmp_path):
+    """Passing a persisted eCP index skips the per-join cell assignment
+    and must match the inline variant (same leaders, same seed)."""
+    from adampro_spark.ops import AdamOps
+
+    ops = AdamOps(spark, str(tmp_path / "cat"))
+    ops.index.create_from_df("e_ecp", "emb", emb, "embedding", "ecp", pk="vec_id")
+    loaded = ops.index.load("e_ecp")
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("q_id"), "embedding")
+    a = ivf_knn_join(emb, q, "embedding", 4, "euclidean", nprobe=50, ecp_index=loaded)
+    b = ivf_knn_join(emb, q, "embedding", 4, "euclidean", nprobe=50)
+    key = lambda df: sorted(  # noqa: E731
+        (r["q_id"], r["vec_id"], round(r["ap_distance"], 6)) for r in df.collect()
+    )
+    assert key(a) == key(b)
+
+
 def test_ivf_recall_climbs_with_nprobe(emb):
     q = emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("q_id"), "embedding"
