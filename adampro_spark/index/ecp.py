@@ -119,6 +119,19 @@ def scan_ecp(
     d = np_distance(np.array(query), leaders, meta["distance"])
     order = np.argsort(d, kind="stable")
 
+    df = index_df
+    if prefilter is not None:
+        # filter-first: the leader takeWhile must budget against the
+        # FILTERED per-cell population, else a selective predicate leaves
+        # the chosen cells with far fewer than timesK·k eligible rows
+        # (one map-side agg over the two-column index table)
+        df = df.join(prefilter.select(pk), on=pk, how="left_semi")
+        filt = {
+            r[FEATURE_COL]: r["n"]
+            for r in df.groupBy(FEATURE_COL).agg(F.count("*").alias("n")).collect()
+        }
+        counts = np.array([filt.get(i, 0) for i in range(len(leaders))], dtype=np.int64)
+
     # takeWhile(< want).length + 1 (ECPIndex.scala:52-55): take leaders
     # until the prefix sum first reaches the target, then one more.
     want = times_k * k
@@ -129,10 +142,6 @@ def scan_ecp(
         if cum >= want:
             break
         cum += int(counts[li])
-
-    df = index_df
-    if prefilter is not None:
-        df = df.join(prefilter.select(pk), on=pk, how="left_semi")
 
     # surrogate score: distance to the row's leader (broadcast lookup array)
     dist_lookup = F.lit([float(x) for x in d])

@@ -405,12 +405,26 @@ class QueryOps:
         **kw: Any,
     ) -> tuple[DataFrame, KnnPlan]:
         """Planned kNN: hint walk → conforming non-stale index → scan, with
-        sequential fallback (HintBasedScanExpression.scala:63-176)."""
+        sequential fallback (HintBasedScanExpression.scala:63-176).
+
+        Predicates thread into the index scan as a PK prefilter (the
+        reference's filter-first pipeline, HintBasedScanExpression
+        filterExpr): bounds (VA k-th ubound) and lossy candidate widths are
+        then computed over the FILTERED index rows — computing them over
+        the unfiltered index can prune true neighbors of the filtered
+        subset or return fewer-than-k rows."""
+        for bad in ("prefilter", "df"):
+            if bad in kw:
+                raise TypeError(
+                    f"knn() does not accept {bad!r}; pass predicates=/df= "
+                    "explicitly (prefiltering is derived from predicates)"
+                )
         plan = plan_knn(self.catalog, entity, attribute, distance_name, hints)
         prefilter = None
         data = self._entity_df(entity, df)
         if predicates is not None:
             data = boolean_filter(data, predicates)
+            prefilter = data.select(pk)
         if plan.path == "sequential":
             res = sequential_scan(
                 data, attribute, query, k, distance_name, pk=pk, **kw

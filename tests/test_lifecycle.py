@@ -97,6 +97,51 @@ def test_planned_query_matches_sequential(ops, emb):
     assert got == _brute_ids(emb, "manhattan")
 
 
+def test_planned_query_with_predicates_threads_prefilter(ops, emb):
+    """Predicates must reach the INDEX scan as a PK prefilter
+    (HintBasedScanExpression filter-first pipeline): VA's k-th upper bound
+    computed over the unfiltered index would prune true neighbors of the
+    filtered subset — the planned result must equal brute force over the
+    filtered rows, for both the exact (vaf) and lossy (ecp) routes."""
+    preds = [("label", "=", [2])]
+    filtered = emb.filter(F.col("label") == 2)
+    want = [
+        (x["vec_id"], round(x[DISTANCE_COL], 6))
+        for x in sequential_scan(
+            filtered, "embedding", Q, 10, "manhattan", pk="vec_id"
+        ).collect()
+    ]
+    res, plan = ops.query.knn(
+        "emb", "embedding", Q, 10, "manhattan",
+        hints=("exact",), predicates=preds, df=emb, pk="vec_id",
+    )
+    assert plan.path == "e_vaf"
+    got = [(x["vec_id"], round(x[DISTANCE_COL], 6)) for x in res.collect()]
+    assert got == want
+
+    want_e = [
+        (x["vec_id"], round(x[DISTANCE_COL], 6))
+        for x in sequential_scan(
+            filtered, "embedding", Q, 10, "euclidean", pk="vec_id"
+        ).collect()
+    ]
+    res_e, plan_e = ops.query.knn(
+        "emb", "embedding", Q, 10, "euclidean",
+        hints=("ecp",), predicates=preds, df=emb, pk="vec_id", times_k=25,
+    )
+    assert plan_e.path == "e_ecp"
+    got_e = [(x["vec_id"], round(x[DISTANCE_COL], 6)) for x in res_e.collect()]
+    assert got_e == want_e
+
+
+def test_knn_rejects_prefilter_kw(ops, emb):
+    with pytest.raises(TypeError, match="prefilter"):
+        ops.query.knn(
+            "emb", "embedding", Q, 10, "manhattan",
+            df=emb, pk="vec_id", prefilter=emb.select("vec_id"),
+        )
+
+
 def test_entity_dml_roundtrip(spark, tmp_path, emb):
     ops = AdamOps(spark, str(tmp_path / "dml"))
     ops.entity.create("t", [("vec_id", "long"), ("label", "int")])
