@@ -37,6 +37,27 @@ from adampro_spark.pipeline.text import (
 )
 
 # ---------------------------------------------------------------------------
+# parallelism guard
+# ---------------------------------------------------------------------------
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan's parallelism is below the
+    session's core count.  A small single-row-group parquet file arrives
+    as ONE task no matter how many byte-range splits the reader makes, so
+    every downstream Arrow-UDF / fold stage would run on one core.  At
+    cluster scale inputs span many row groups and this is a no-op (the
+    condition never fires); the guarded shuffle only ever moves a
+    corpus that fits in a single row group.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -56,7 +77,7 @@ def exact_dedup(
     """
     norm_h = poly_hash(char_codes(F.concat_ws(" ", tokens_expr(text_col))))
     return (
-        df.select(F.col(pk).alias("_pk"), norm_h.alias("_h"))
+        _spread(df).select(F.col(pk).alias("_pk"), norm_h.alias("_h"))
         .groupBy("_h")
         .agg(
             F.min("_pk").alias("survivor"),
@@ -70,6 +91,104 @@ def exact_dedup(
             F.slice(F.col("_all"), 2, F.size(F.col("_all")) - 1).alias("dup_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# banded candidate generation (shared by minhash / simhash / embedding LSH)
+# ---------------------------------------------------------------------------
+
+
+def banded_candidates(
+    bandtab: DataFrame,
+    keys: list[str],
+    pk_col: str = "_pk",
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Candidate pairs ``(id_a, id_b)`` (id_a < id_b) from an LSH band
+    table, with a HOT-BUCKET guard — the classic LSH skew-killer at scale:
+    one degenerate bucket (boilerplate text, empty docs, all-zero vectors)
+    of B rows would emit B² pairs into the self-join.
+
+    * buckets with ≤ ``max_bucket_size`` rows: full pair enumeration via
+      the banded equi-join (the exact path — unchanged semantics);
+    * larger buckets contribute STAR pairs (bucket-min pk ↔ each member,
+      O(B) per bucket) instead of all pairs.  Members of a degenerate
+      bucket are near-identical by construction, so the representative
+      pairs still link every member into the duplicate group (connected
+      through the rep); verification downstream stays exact per pair.
+      All-pairs output over a B-row identical group is O(B²) *output* —
+      no plan shape avoids that, so the cap is a semantic choice, not
+      just an optimization.
+
+    The bucket census is ONE map-side-combined count on the narrow band
+    table whose over-cap keys are collected to the driver (metadata-sized:
+    it is the list of degenerate buckets, like scan_va's k-th-bound
+    collect).  The common case — no hot bucket — then proceeds with the
+    plain banded self-join, zero extra shuffle rounds; when hot buckets
+    exist they are split off with a LITERAL key filter (map-side, no
+    broadcast-join round) and only the star build pays a small extra
+    aggregation.  The band table is persisted at entry: the census and
+    the join branches consume it, and without the barrier each would
+    re-run the upstream band-hash UDF (at 100 TB the band table is a
+    persisted artifact of the corpus build anyway, like the signature
+    table).
+
+    Key assumption for the literal filter: band keys are non-negative
+    longs < 2^34 (band index, 31-poly mod 1e9+7, or ≤ 2^rows bit folds),
+    so a combined single-long key is collision-free.
+    """
+    # hash-partition by the band keys BEFORE caching: the census groupBy,
+    # both sides of the self-join, and the hot/cold splits then all reuse
+    # the cached partitioning (InMemoryTableScan preserves it) — one
+    # exchange instead of three.
+    bandtab = bandtab.repartition(*keys).persist()
+    hot_rows_census = (
+        bandtab.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_size)
+        .select(*keys)
+        .collect()
+    )
+
+    def _self_join(tab: DataFrame) -> DataFrame:
+        return (
+            tab.alias("a")
+            .join(
+                tab.alias("b"),
+                on=[F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+                + [F.col(f"a.{pk_col}") < F.col(f"b.{pk_col}")],
+            )
+            .select(
+                F.col(f"a.{pk_col}").alias("id_a"), F.col(f"b.{pk_col}").alias("id_b")
+            )
+        )
+
+    if not hot_rows_census:
+        return _self_join(bandtab).distinct()
+
+    ckey = F.col(keys[0]).cast("long")
+    for k in keys[1:]:
+        ckey = ckey * F.lit(1 << 34) + F.col(k)
+
+    def _combine(row) -> int:
+        out = int(row[keys[0]])
+        for k in keys[1:]:
+            out = out * (1 << 34) + int(row[k])
+        return out
+
+    hot_lits = [_combine(r) for r in hot_rows_census]
+    tagged = bandtab.withColumn("_ck", ckey)
+    cold = tagged.filter(~F.col("_ck").isin(hot_lits)).drop("_ck")
+    hot_rows = tagged.filter(F.col("_ck").isin(hot_lits))
+    pairs = _self_join(cold)
+
+    reps = hot_rows.groupBy("_ck").agg(F.min(pk_col).alias("_rep"))
+    stars = (
+        hot_rows.join(F.broadcast(reps), "_ck")
+        .filter(F.col(pk_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(pk_col).alias("id_b"))
+    )
+    return pairs.unionByName(stars).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +255,7 @@ def minhash_dup_pairs(
     bands: int = 32,
     rows: int = 4,
     seed: int = 42,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with exact shingle-set
     Jaccard ≥ threshold, id_a < id_b.
@@ -143,98 +263,92 @@ def minhash_dup_pairs(
     Plan shape (the only scale-safe one):
       1. one map stage: pk → distinct shingle hashes + signature + bands;
       2. explode bands → equi-join on (band_idx, band_hash), pk_a < pk_b,
-         distinct — candidates only ever meet inside a bucket;
+         distinct — candidates only ever meet inside a bucket, and
+         degenerate buckets (identical boilerplate, empty docs — every
+         empty text gets the sentinel shingle set ``[0]`` and thus
+         identical bands) are capped by the hot-bucket guard
+         (``banded_candidates``: star pairs above ``max_bucket_size``);
       3. semi-join the shingle sets back by pk (twice) and verify exact
          Jaccard = |∩| / |∪|.
 
     P(miss) at j = 0.7 with 32×4 is (1-0.7⁴)³² ≈ 1.5e-4 and falls to
     ~1e-6 at j = 0.8; verified exhaustively in the oracle suite at sf0.01.
     """
-    # Shingle hashing as an Arrow-batched pandas UDF with BIT-IDENTICAL
-    # arithmetic to text.shingle_hashes / the DuckDB oracle: the rolling
-    # 31-poly mod 1e9+7 over codepoints, vectorized as a sliding-window
-    # matvec (no intermediate exceeds 2^63: max_codepoint·Σ31^j ≈ 3e16).
-    # The per-character expression form evaluates ~2.4k interpreted lambda
-    # calls per row (measured 90 s at 5.7k docs); this is one matvec.
+    # Shingling + signature + banding as ONE Arrow-batched pandas UDF pass
+    # over the text (one python worker round-trip, one persist barrier):
+    #
+    # * shingle hashing has BIT-IDENTICAL arithmetic to
+    #   text.shingle_hashes / the DuckDB oracle: the rolling 31-poly mod
+    #   1e9+7 over codepoints, vectorized as a sliding-window matvec (no
+    #   intermediate exceeds 2^63: max_codepoint·Σ31^j ≈ 3e16).  The
+    #   per-character expression form evaluates ~2.4k interpreted lambda
+    #   calls per row (measured 90 s at 5.7k docs); this is one matvec.
+    # * signature + banding is a bands·rows × n_shingles modular matmul —
+    #   like the LSH projection matmul (index/lsh.py), the one shape where
+    #   an expression tree is absurd.  Signatures/bands only gate
+    #   CANDIDATE generation; the oracle-checked output is the
+    #   exact-Jaccard verification below, so the banding needs
+    #   self-consistency, not cross-engine parity.
     n_ = shingle_n
+    a_co, b_co = minhash_coeffs(bands * rows, seed)
 
-    def _shingle_sets(texts):
+    def _shingles_and_bands(texts):
         import pandas as pd
 
         w = 31 ** np.arange(n_ - 1, -1, -1, dtype=np.int64)
-        out = []
+        A = np.asarray(a_co, dtype=np.int64)[:, None]
+        B = np.asarray(b_co, dtype=np.int64)[:, None]
+        sh_out, band_out = [], []
         for t in texts:
             codes = np.array([ord(c) for c in t], dtype=np.int64)
             if len(codes) == 0:
-                out.append(np.array([0], dtype=np.int64))
-                continue
-            if len(codes) <= n_:
+                sh = np.array([0], dtype=np.int64)
+            elif len(codes) <= n_:
                 h = np.int64(0)
                 for c in codes:
                     h = (h * 31 + c) % HASH_P
-                out.append(np.array([h], dtype=np.int64))
-                continue
-            sw = np.lib.stride_tricks.sliding_window_view(codes, n_)
-            out.append(np.unique((sw @ w) % HASH_P))
-        return pd.Series(out)
+                sh = np.array([h], dtype=np.int64)
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(codes, n_)
+                sh = np.unique((sw @ w) % HASH_P)
+            sig = ((A * sh[None, :] + B) % HASH_P).min(axis=1)
+            S = sig.reshape(bands, rows)
+            acc = np.zeros(bands, dtype=np.int64)
+            for j in range(rows):  # fold across the r signature rows only
+                acc = (acc * 31 + S[:, j]) % HASH_P
+            sh_out.append(sh)
+            band_out.append(acc)
+        return pd.DataFrame({"sh": sh_out, "bands": band_out})
 
     from pyspark.sql import types as T
 
-    sh_udf = F.pandas_udf(_shingle_sets, T.ArrayType(T.LongType()))
+    sb_udf = F.pandas_udf(
+        _shingles_and_bands,
+        T.StructType(
+            [
+                T.StructField("sh", T.ArrayType(T.LongType())),
+                T.StructField("bands", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
 
-    # PERSIST BARRIER between shingle build and band fan-out: the shingle
-    # set feeds both the banding UDF and the verify join — at 100 TB the
-    # shingle/signature table is a persisted artifact anyway (build once,
-    # reuse for every dedup run); in-session persist is the operator-
-    # local equivalent.
-    base = df.select(
-        F.col(pk).alias("_pk"), sh_udf(F.col(text_col)).alias("_sh")
-    ).persist()
-
-    # signature + banding as ONE Arrow-batched pandas UDF: a bands·rows ×
-    # n_shingles modular matmul per row — like the LSH projection matmul
-    # (index/lsh.py), the one shape where an expression tree is absurd.
-    # Signatures/bands only gate CANDIDATE generation; the oracle-checked
-    # output is the exact-Jaccard verification below, so the UDF needs
-    # self-consistency, not cross-engine parity.
-    a_co, b_co = minhash_coeffs(bands * rows, seed)
-
-    def _band_hashes(cols):
-        import numpy as np
-        import pandas as pd
-
-        A = np.asarray(a_co, dtype=np.int64)[:, None]
-        B = np.asarray(b_co, dtype=np.int64)[:, None]
-        sigs = np.empty((len(cols), bands * rows), dtype=np.int64)
-        for i, sh in enumerate(cols):
-            H = np.asarray(sh, dtype=np.int64)[None, :]
-            sigs[i] = ((A * H + B) % HASH_P).min(axis=1)
-        S = sigs.reshape(len(cols), bands, rows)
-        acc = np.zeros((len(cols), bands), dtype=np.int64)
-        for j in range(rows):  # fold across the r signature rows only
-            acc = (acc * 31 + S[:, :, j]) % HASH_P
-        return pd.Series(list(acc))
-
-    from pyspark.sql import types as T
-
-    band_udf = F.pandas_udf(_band_hashes, T.ArrayType(T.LongType()))
+    # PERSIST BARRIER after the one map pass: the shingle sets feed the
+    # verify join and the band hashes feed candidate generation — at
+    # 100 TB the shingle/signature table is a persisted artifact anyway
+    # (build once, reuse for every dedup run); in-session persist is the
+    # operator-local equivalent.
+    base = (
+        _spread(df)
+        .select(F.col(pk).alias("_pk"), sb_udf(F.col(text_col)).alias("_sb"))
+        .select("_pk", F.col("_sb.sh").alias("_sh"), F.col("_sb.bands").alias("_bands"))
+        .persist()
+    )
 
     bandtab = base.select(
-        "_pk",
-        F.posexplode(band_udf(F.col("_sh"))).alias("_band_idx", "_band_hash"),
+        "_pk", F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash")
     )
-    cand = (
-        bandtab.alias("a")
-        .join(
-            bandtab.alias("b"),
-            on=[
-                F.col("a._band_idx") == F.col("b._band_idx"),
-                F.col("a._band_hash") == F.col("b._band_hash"),
-                F.col("a._pk") < F.col("b._pk"),
-            ],
-        )
-        .select(F.col("a._pk").alias("id_a"), F.col("b._pk").alias("id_b"))
-        .distinct()
+    cand = banded_candidates(
+        bandtab, ["_band_idx", "_band_hash"], max_bucket_size=max_bucket_size
     )
 
     sets = base.select("_pk", "_sh")
@@ -297,15 +411,19 @@ def simhash_pairs(
     max_hamming: int = 3,
     nbits: int = SIMHASH_BITS,
     chunks: int = 5,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on ``chunks`` bit-chunks (pigeonhole:
     hamming ≤ chunks-1 guarantees ≥1 equal chunk — with chunks > max_hamming
     every qualifying pair shares a chunk, so the equi-join finds ALL of
     them; no all-pairs), verify exact popcount(xor) ≤ max_hamming.
+    Degenerate chunk buckets are capped by the hot-bucket guard
+    (``banded_candidates``); the fingerprints ride the candidate join as
+    pk-keyed lookups, not join payload.
     """
     assert chunks > max_hamming, "need chunks > max_hamming for exactness"
     width = (nbits + chunks - 1) // chunks
-    sim = df.select(F.col(pk).alias("_pk"), simhash_expr(text_col, nbits).alias("_s"))
+    sim = _spread(df).select(F.col(pk).alias("_pk"), simhash_expr(text_col, nbits).alias("_s"))
     # barrier: stop CollapseProject inlining the simhash expression into
     # every chunk lambda (see minhash_dup_pairs)
     sim = sim.persist()
@@ -316,28 +434,15 @@ def simhash_pairs(
             F.col("_s") / F.pow(F.lit(2.0), j * width)
         ).cast("long") % (1 << width),
     )
-    chunked = sim.select("_pk", "_s", F.posexplode(chunk_arr).alias("_ci", "_cv"))
-    cand = (
-        chunked.alias("a")
-        .join(
-            chunked.alias("b"),
-            on=[
-                F.col("a._ci") == F.col("b._ci"),
-                F.col("a._cv") == F.col("b._cv"),
-                F.col("a._pk") < F.col("b._pk"),
-            ],
-        )
-        .select(
-            F.col("a._pk").alias("id_a"),
-            F.col("b._pk").alias("id_b"),
-            F.col("a._s").alias("s_a"),
-            F.col("b._s").alias("s_b"),
-        )
-        .distinct()
+    chunked = sim.select("_pk", F.posexplode(chunk_arr).alias("_ci", "_cv"))
+    cand = banded_candidates(
+        chunked, ["_ci", "_cv"], max_bucket_size=max_bucket_size
     )
     ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
     return (
-        cand.withColumn("hamming", ham.cast("int"))
+        cand.join(sim.select(F.col("_pk").alias("id_a"), F.col("_s").alias("s_a")), "id_a")
+        .join(sim.select(F.col("_pk").alias("id_b"), F.col("_s").alias("s_b")), "id_b")
+        .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -359,20 +464,47 @@ def embedding_dup_pairs(
     vector_col: str = "embedding",
     pk: str = "vec_id",
     threshold: float = 0.99,
-    bands: int = 16,
-    rows: int = 8,
+    bands: int | None = None,
+    rows: int | None = None,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Embedding near-dup pairs ``(id_a, id_b, cos_sim)`` with exact cosine
     similarity ≥ threshold, id_a < id_b.
 
     Candidates via sign-LSH (random-hyperplane) banding: bit = sign(v·h),
-    band hash folds r bits, equi-join on (band_idx, band_hash).  At
-    cos = 0.99 the per-bit agreement is 1−acos(.99)/π ≈ 0.955, so
-    P(miss) = (1−0.955⁸)¹⁶ ≈ 6e-9 — and exact duplicates always collide.
+    band hash folds r bits, equi-join on (band_idx, band_hash).
     Verification computes exact cosine on the candidate pairs only.
+
+    ``bands``/``rows`` default to THRESHOLD-ADAPTIVE values: per-bit
+    agreement at the threshold is p = 1 − acos(t)/π; rows is chosen so a
+    true pair matches a band with ~50% probability (p^rows ≈ 0.5 — the
+    selectivity knee: more rows would need exponentially more bands,
+    fewer rows let random pairs flood the buckets, since an orthogonal
+    pair agrees per bit with prob 0.5 → random collisions/band = 2^-rows)
+    and bands so the miss probability at the threshold is < 1e-4.  At
+    t = 0.99 this yields rows=15, bands=14: candidate volume drops ~150×
+    vs a fixed 16×8 while exact duplicates still always collide.
+
+    Scale shape (mirrors ``minhash_dup_pairs``): the band table carries
+    ``(pk, band_idx, band_hash)`` ONLY — vectors never ride the ×bands
+    explode or the self-join shuffle; they join back by pk for the
+    candidate pairs.  Degenerate buckets (e.g. all-zero or boilerplate
+    embeddings hashing identically) are capped by the hot-bucket guard.
     """
+    import math
+
+    if bands is None or rows is None:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        p = min(max(p, 1e-6), 1.0 - 1e-9)
+        if rows is None:
+            rows = min(24, max(4, round(math.log(0.5) / math.log(p))))
+        if bands is None:
+            miss_per_band = 1.0 - p**rows
+            bands = min(
+                64, max(4, math.ceil(math.log(1e-4) / math.log(miss_per_band)))
+            )
     if dim is None:
         dim = len(df.select(vector_col).first()[0])
     rng = np.random.RandomState(seed)
@@ -401,38 +533,35 @@ def embedding_dup_pairs(
 
     band_udf = F.pandas_udf(_band_hashes, T.ArrayType(T.LongType()))
 
-    base = df.select(
+    spread_df = _spread(df)
+    bandtab = spread_df.select(
         F.col(pk).alias("_pk"),
-        v.alias("_v"),
-        norm.alias("_n"),
         F.posexplode(band_udf(v)).alias("_band_idx", "_band_hash"),
     )
-
-    cand = (
-        base.alias("a")
-        .join(
-            base.alias("b"),
-            on=[
-                F.col("a._band_idx") == F.col("b._band_idx"),
-                F.col("a._band_hash") == F.col("b._band_hash"),
-                F.col("a._pk") < F.col("b._pk"),
-            ],
-        )
-        .select(
-            F.col("a._pk").alias("id_a"),
-            F.col("b._pk").alias("id_b"),
-            F.col("a._v").alias("v_a"),
-            F.col("b._v").alias("v_b"),
-            F.col("a._n").alias("n_a"),
-            F.col("b._n").alias("n_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = banded_candidates(
+        bandtab, ["_band_idx", "_band_hash"], max_bucket_size=max_bucket_size
     )
+
+    # vectors join back by pk for candidate pairs only (narrow shuffle of
+    # (pk, vec) for the candidate set — never ×bands duplicated)
+    vecs = spread_df.select(F.col(pk).alias("_pk"), v.alias("_v"), norm.alias("_n"))
     cos = F.when(
         (F.col("n_a") < 1e-12) | (F.col("n_b") < 1e-12), F.lit(0.0)
     ).otherwise(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
     return (
-        cand.withColumn("cos_sim", F.round(cos, 4))
+        cand.join(
+            vecs.select(
+                F.col("_pk").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("_pk").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
+            ),
+            "id_b",
+        )
+        .withColumn("cos_sim", F.round(cos, 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

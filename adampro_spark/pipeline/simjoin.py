@@ -110,13 +110,19 @@ def knn_join(
     pk: str = "vec_id",
     q_pk: str = "q_id",
     q_vector_col: str | None = None,
-    strategy: str = "window",
+    strategy: str = "local_topk",
 ) -> DataFrame:
     """For every query row, the k nearest data rows:
     ``(q_pk, pk, ap_distance)``, exact, ties broken by pk.
 
     ``queries`` must be small enough to broadcast (driver-collected for
     ``local_topk``); for a huge query side use :func:`ivf_knn_join`.
+
+    The default is ``local_topk`` — the scale-safe exact plan (per-batch
+    pre-reduction, shuffle carries O(batches·|Q|·k) rows).  ``window`` is
+    a broadcast nested-loop whose shuffle carries |data|·|Q| rows: it only
+    makes sense for tiny inputs (oracle mirroring, plan comparisons) and
+    must be requested explicitly.
     """
     qv = q_vector_col or vector_col
 
@@ -138,8 +144,12 @@ def knn_join(
     if strategy == "local_topk":
         qrows = queries.select(q_pk, qv).collect()
         q_ids = [r[0] for r in qrows]
-        Q = np.array([r[1] for r in qrows], dtype=np.float64)
         spark = data.sparkSession
+        if not q_ids:  # empty query side: empty result, stable schema
+            return spark.createDataFrame(
+                [], schema=f"{q_pk} long, {pk} long, {DISTANCE_COL} double"
+            )
+        Q = np.array([r[1] for r in qrows], dtype=np.float64)
         bQ = spark.sparkContext.broadcast((q_ids, Q, distance_name, k))
 
         def local_topk(batches: Iterator) -> Iterator:

@@ -57,6 +57,15 @@ def get_spark(app_name: str = "adampro-spark", master: str | None = None) -> Spa
         # by default (PARQUET_TYPE_ILLEGAL); read as long and convert in
         # load_tables().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # split small single-file tables into >= one byte-range per core at
+        # the READER (no shuffle): otherwise a 15 MB parquet file arrives as
+        # ONE partition and every downstream map/UDF stage runs on one core
+        # of 32.  minPartitionNum alone is floored by openCostInBytes (4 MB
+        # default), which keeps a few-MB file whole — lower it so the
+        # min-partition floor actually bites.  At cluster scale inputs
+        # already span many >=128 MB splits, so both settings are inert.
+        .config("spark.sql.files.minPartitionNum", cpus)
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
     )
     return builder.getOrCreate()
 

@@ -73,6 +73,73 @@ def test_minhash_plan_is_bucketed_not_cartesian(docs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_hot_bucket_guard_caps_degenerate_buckets(spark):
+    """Adversarial boilerplate: N identical docs put every band in ONE
+    bucket — all-pairs there would be N²/2 candidates.  The guard must
+    (a) finish with O(N) star pairs instead, (b) keep every doc linked
+    to the group representative with exact jaccard 1.0."""
+    import time
+
+    n = 3000
+    doc = "the same boilerplate paragraph repeated in every document " * 5
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(doc).alias("text")
+    )
+    t0 = time.time()
+    pairs = minhash_dup_pairs(corpus, max_bucket_size=100).collect()
+    elapsed = time.time() - t0
+    # star shape: exactly n-1 pairs (rep=0 ↔ each other doc), not ~n²/2
+    assert len(pairs) == n - 1, len(pairs)
+    assert {p["id_a"] for p in pairs} == {0}
+    assert all(p["jaccard"] == 1.0 for p in pairs)
+    assert elapsed < 60, f"hot-bucket path took {elapsed:.1f}s"
+
+
+def test_hot_bucket_guard_exact_below_cap(docs):
+    """With the cap above every real bucket size the guard must be a
+    no-op: same pairs as the uncapped all-pairs path."""
+    corpus = _with_truncated_copies(docs)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(corpus, threshold=0.6).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(
+            corpus, threshold=0.6, max_bucket_size=10**9
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_embedding_band_join_carries_no_vectors(emb):
+    """The band self-join must shuffle only (pk, band_idx, band_hash) —
+    vectors join back by pk for candidates (never ×bands duplicated)."""
+    plan = (
+        embedding_dup_pairs(emb, threshold=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the SortMergeJoin on the band keys must not list the vector column
+    for frag in plan.split("SortMergeJoin"):
+        head = frag.splitlines()[0] if frag else ""
+        assert "embedding" not in head, head
+
+
+def test_knn_join_default_strategy_is_scale_safe(emb):
+    """Default knn_join must not plan a broadcast nested-loop cartesian
+    (the round-3 verdict's scale-killer): default = local_topk."""
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    plan = (
+        knn_join(emb, q, "embedding", 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_pairs_exhaustive_by_pigeonhole(docs):
     # chunks > max_hamming ⇒ banded join must equal brute force exactly
     small = docs.filter(F.col("doc_id") < 60)
