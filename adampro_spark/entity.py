@@ -141,8 +141,50 @@ class Entity:
 
     # -- DML ----------------------------------------------------------------
     def df(self) -> DataFrame:
+        """Entity rows.  Attributes stored sparse by :meth:`sparsify` are
+        densified transparently, so queries keep seeing the original
+        dense vector column (the reference's sparsify op likewise leaves
+        the query surface unchanged)."""
+        from adampro_spark.functions.typed import sparse_to_dense
+
         self._recover()
-        return self.spark.read.schema(self.schema()).parquet(self.path)
+        out = self.spark.read.schema(self.schema()).parquet(self.path)
+        for attr in self.catalog.entity(self.name)["attributes"]:
+            if attr.get("densify_on_read"):
+                out = out.withColumn(
+                    attr["name"],
+                    sparse_to_dense(F.col(attr["name"])).cast("array<float>"),
+                )
+        return out
+
+    def sparsify(self, attribute: str, threshold: float = 0.0) -> None:
+        """Convert a dense ``vector`` attribute to sparse struct STORAGE
+        (DataDefintion.scala sparsify op + SparseVectorWrapper.scala:24-28):
+        one full-scan rewrite into ``struct(index, data, length)`` keeping
+        |x| > threshold, atomically swapped in, catalog type updated to
+        ``sparsevector`` with a densify-on-read flag.  Zero-heavy corpora
+        shrink storage/scan bytes; reads stay dense via :meth:`df`.
+        """
+        from adampro_spark.functions.typed import dense_to_sparse
+
+        attrs = [dict(a) for a in self.catalog.entity(self.name)["attributes"]]
+        target = next((a for a in attrs if a["name"] == attribute), None)
+        if target is None:
+            raise ValueError(f"no attribute {attribute!r} on {self.name!r}")
+        if target["type"] != "vector":
+            raise ValueError(
+                f"sparsify needs a dense vector attribute; {attribute!r} is "
+                f"{target['type']!r}"
+            )
+        data = self.df().withColumn(
+            attribute, dense_to_sparse(F.col(attribute), threshold)
+        )
+        tmp = self.path + "_tmp"
+        data.write.mode("overwrite").parquet(tmp)
+        self._swap_in(tmp)
+        target["type"] = "sparsevector"
+        target["densify_on_read"] = True
+        self.catalog.update_entity(self.name, attributes=attrs)
 
     def _recover(self) -> None:
         """Roll back a crash inside ``_swap_in``'s two-rename window: a

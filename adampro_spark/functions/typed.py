@@ -19,6 +19,29 @@ from pyspark.sql import functions as F
 from adampro_spark.functions.distances import VectorLike, _as_vec
 
 
+def dense_to_sparse(vec: Column | str, threshold: float = 0.0) -> Column:
+    """Sparsify a dense array into the reference struct shape
+    ``struct(index: array<int>, data: array<float>, length: int)``
+    (SparseVectorWrapper.scala:24-28): keep positions with |x| >
+    ``threshold`` (default 0.0 → drop exact zeros only, the reference's
+    sparsify semantics).
+
+    One pass building the kept-position list, one gather — both Column
+    expressions, so the conversion runs inside the scan/write stage with
+    no shuffle.
+    """
+    v = (F.col(vec) if isinstance(vec, str) else vec).cast("array<double>")
+    idxs = F.filter(
+        F.sequence(F.lit(0), F.size(v) - 1),
+        lambda i: F.abs(F.element_at(v, i + 1)) > F.lit(float(threshold)),
+    )
+    return F.struct(
+        F.transform(idxs, lambda i: i.cast("int")).alias("index"),
+        F.transform(idxs, lambda i: F.element_at(v, i + 1).cast("float")).alias("data"),
+        F.size(v).cast("int").alias("length"),
+    )
+
+
 def sparse_to_dense(sv: Column | str, dim: Column | int | None = None) -> Column:
     """Densify a sparse struct: array<double> of ``length`` (or ``dim``)
     elements with ``data`` scattered at ``index`` positions.

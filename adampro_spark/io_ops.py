@@ -1,11 +1,24 @@
-"""Entity import/export (SURVEY §2.1 #16, ``ProtoImporterExporter.scala``).
+"""Entity import/export and alternative storage engines.
 
-The reference round-trips entities through protobuf files plus Lire/Solr
+Import/export (SURVEY §2.1 #16, ``ProtoImporterExporter.scala``): the
+reference round-trips entities through protobuf files plus Lire/Solr
 importers — deployment plumbing for its gRPC transport.  The Spark-native
 equivalents are the interchange formats Spark already speaks: Parquet
-(lossless), JSON (lossless for our types), CSV (complex columns — vector /
-sparsevector / geometry — serialized as JSON strings and restored on
-import from the catalog's attribute types).
+(lossless), JSON (lossless for our types), ORC (lossless, columnar —
+``OrcEngine.scala:25-30``), Avro (``AvroEngine.scala:26-31``; the
+spark-avro module is external to core Spark, so this path is gated on its
+presence), CSV (complex columns — vector / sparsevector / geometry —
+serialized as JSON strings and restored on import from the catalog's
+attribute types).
+
+Relational storage (SURVEY §2.1 #11, ``PostgresqlEngine.scala:23-30``):
+``export_entity_jdbc`` / ``import_entity_jdbc`` move an entity through any
+JDBC database via Spark's JDBC source — predicate pushdown, partitioned
+reads, and dialect mapping come from Spark.  Complex columns travel as
+JSON strings (the reference's Postgres engine likewise only handles
+relational fields and routes vectors to a separate engine).  Tests use
+the embedded Derby driver that ships with Spark; against Postgres, pass
+the usual ``jdbc:postgresql://`` URL + driver properties.
 """
 
 from __future__ import annotations
@@ -20,14 +33,34 @@ from adampro_spark.entity import ATTRIBUTE_TYPES, PK, Entity
 _COMPLEX = ("vector", "sparsevector")
 
 
+def _avro_writer(df: DataFrame):
+    """spark-avro is an external module (not bundled in pyspark wheels);
+    raise a clear error where it is absent instead of Spark's generic
+    'failed to find data source'."""
+    try:
+        return df.write.format("avro")
+    except Exception as e:  # pragma: no cover - depends on deployment
+        raise RuntimeError(
+            "Avro support needs the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        ) from e
+
+
 def export_entity(entity: Entity, path: str, fmt: str = "parquet") -> None:
-    """Write an entity's data to ``path`` in ``fmt`` (parquet/json/csv)."""
+    """Write an entity's data to ``path`` in ``fmt``
+    (parquet/json/orc/avro/csv)."""
     df = entity.df()
     if fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
         return
     if fmt == "json":
         df.write.mode("overwrite").json(path)
+        return
+    if fmt == "orc":
+        df.write.mode("overwrite").orc(path)
+        return
+    if fmt == "avro":
+        _avro_writer(df).mode("overwrite").save(path)
         return
     if fmt == "csv":
         attrs = entity.catalog.entity(entity.name)["attributes"]
@@ -59,6 +92,10 @@ def import_entity(
         df = spark.read.parquet(path)
     elif fmt == "json":
         df = spark.read.schema(schema).json(path)
+    elif fmt == "orc":
+        df = spark.read.orc(path)
+    elif fmt == "avro":
+        df = spark.read.format("avro").load(path)
     elif fmt == "csv":
         df = spark.read.option("header", "true").csv(path)
         for f in schema.fields:
@@ -75,6 +112,74 @@ def import_entity(
                 df = df.withColumn(f.name, col.cast(f.dataType))
     else:
         raise ValueError(f"unknown import format {fmt!r}")
+    if PK in df.columns:
+        df = df.drop(PK)
+    ent.insert(df.select(*[f.name for f in schema.fields if f.name != PK]))
+    return ent
+
+
+# ---------------------------------------------------------------------------
+# JDBC storage engine (PostgresqlEngine.scala:23-30)
+# ---------------------------------------------------------------------------
+
+
+def export_entity_jdbc(
+    entity: Entity,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write an entity's rows to a JDBC table.
+
+    Complex columns (vector / sparsevector) are serialized to JSON strings
+    — JDBC databases have no portable array type, and the reference's
+    relational engine likewise handles only scalar fields
+    (PostgresqlEngine.scala:23-30 limits itself to FieldTypes it can map).
+    The write itself is Spark's partitioned JDBC writer: each partition
+    opens its own connection, so ingest parallelism scales with the
+    upstream partitioning.
+    """
+    df = entity.df()
+    attrs = entity.catalog.entity(entity.name)["attributes"]
+    for a in attrs:
+        if a["type"] in _COMPLEX:
+            df = df.withColumn(a["name"], F.to_json(F.col(a["name"])))
+    df.write.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+def import_entity_jdbc(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    attributes,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+    **read_options,
+) -> Entity:
+    """Create ``name`` and load a JDBC table into it.
+
+    ``read_options`` pass through to Spark's JDBC reader —
+    ``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``
+    turn the read into range-parallel scans (the 100 TB ingest path);
+    without them the read is a single connection.
+    """
+    ent = Entity.create(spark, catalog, name, attributes)
+    schema = ent.schema()
+    reader = spark.read.options(**read_options) if read_options else spark.read
+    df = reader.jdbc(url, table, properties=properties or {})
+    for f in schema.fields:
+        if f.name == PK or f.name not in df.columns:
+            continue
+        a_type = next(
+            (a["type"] for a in catalog.entity(name)["attributes"] if a["name"] == f.name),
+            None,
+        )
+        if a_type in _COMPLEX:
+            df = df.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))
+        else:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     if PK in df.columns:
         df = df.drop(PK)
     ent.insert(df.select(*[f.name for f in schema.fields if f.name != PK]))

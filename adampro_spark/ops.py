@@ -241,6 +241,9 @@ class EntityOps:
     def vacuum(self, name: str, num_partitions: int | None = None) -> None:
         self.get(name).vacuum(num_partitions)
 
+    def sparsify(self, name: str, attribute: str, threshold: float = 0.0) -> None:
+        self.get(name).sparsify(attribute, threshold)
+
     def count(self, name: str) -> int:
         return self.get(name).count()
 
@@ -434,6 +437,74 @@ class QueryOps:
                 plan.path, query, k, distance_name, df=data, prefilter=prefilter, **kw
             )
         return res, plan
+
+    def batch_query(self, specs: Sequence[dict]) -> list:
+        """Run a batch of planned kNN queries concurrently and return their
+        observations IN INPUT ORDER (doBatchQuery, DataQuery.scala:253-257
+        — the reference answers a BatchedQueryMessage with one result per
+        sub-query).  Each spec is the kwargs of :meth:`knn`; execution
+        fans out through :func:`parallel_query`, so on a cluster the
+        queries interleave across executors instead of queueing FIFO.
+        """
+        from adampro_spark.execution import parallel_query
+
+        paths = {
+            f"q{i:04d}": (1.0, (lambda s=dict(spec): self.knn(**s)[0]))
+            for i, spec in enumerate(specs)
+        }
+        obs = parallel_query(self.spark, paths)
+        return sorted(obs, key=lambda o: o.path)
+
+    def scored_execution_paths(
+        self,
+        entity: str,
+        attribute: str,
+        distance_name: str = "euclidean",
+    ) -> list[dict]:
+        """Introspect every access path for (entity, attribute, distance)
+        with the planner's ranking signals (getScoredExecutionPaths,
+        DataQuery.scala:380-411 + QueryPlannerOp.scala:33-60): trained
+        score when ``train_planner`` has run, conformity confidence
+        otherwise.  Ranked best-first: measured score beats static
+        confidence, sequential is the always-usable 1.0-confidence floor.
+        No query executes — this is metadata only.
+        """
+        rows: list[dict] = []
+        for name in self.catalog.list_indexes(entity):
+            rec = self.catalog.index(name)
+            usable = (
+                rec["attribute"] == attribute
+                and not rec.get("stale")
+                and _conforms(rec["type"], rec.get("meta", {}), distance_name)
+            )
+            rows.append(
+                {
+                    "path": name,
+                    "index_type": rec["type"],
+                    "confidence": CONFIDENCE.get(rec["type"], 0.5),
+                    "score": rec.get("score"),
+                    "recall": rec.get("recall"),
+                    "usable": usable,
+                }
+            )
+        rows.append(
+            {
+                "path": "sequential",
+                "index_type": None,
+                "confidence": 1.0,
+                "score": None,
+                "recall": 1.0,
+                "usable": True,
+            }
+        )
+        rows.sort(
+            key=lambda r: (
+                not r["usable"],
+                -(r["score"] if r["score"] is not None else -1.0),
+                -r["confidence"],
+            )
+        )
+        return rows
 
 
 class AdamOps:

@@ -986,6 +986,42 @@ _register(
 )
 
 
+def _sparsified_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """sparsify entity op end-to-end (DataDefintion sparsify +
+    SparseVectorWrapper.scala:24-28): entity stored SPARSE (|x| > 0.1
+    kept), scan densifies transparently, kNN over the densified column —
+    oracle = brute force over the equivalent masked dense vectors."""
+    ops = _ops(spark, "sparsecat")
+    if not ops.entity.exists("emb_sp"):
+        ops.entity.create("emb_sp", [("vec_id", "long"), ("embedding", "vector")])
+        ops.entity.insert(
+            "emb_sp", _table(spark, sf, "embeddings").select("vec_id", "embedding")
+        )
+        ops.entity.sparsify("emb_sp", "embedding", threshold=0.1)
+        # storage really is the sparse struct now
+        stored = spark.read.parquet(ops.catalog.entity_path("emb_sp"))
+        assert dict(stored.dtypes)["embedding"].startswith("struct<"), stored.dtypes
+    res = ops.query.sequential(
+        "emb_sp", "embedding", QVEC, K, "euclidean", pk="vec_id"
+    )
+    return _round4(res.select("vec_id", DISTANCE_COL))
+
+
+_register(
+    "knn_sparsified_euclidean",
+    _sparsified_knn,
+    _knn_sql(
+        "sqrt("
+        + _fold(
+            f"list_transform(embedding, (x,i) -> "
+            f"(CASE WHEN abs(x::DOUBLE) > 0.1 THEN x::DOUBLE ELSE 0.0 END - ({QS})[i]) * "
+            f"(CASE WHEN abs(x::DOUBLE) > 0.1 THEN x::DOUBLE ELSE 0.0 END - ({QS})[i]))"
+        )
+        + ")"
+    ),
+)
+
+
 def _geo_query(spark: SparkSession, sf: str) -> DataFrame:
     """GEOMETRYTYPE consumption: derive WKT POINTs from the first two
     embedding dims (rounded so the string round-trip is exact), parse with

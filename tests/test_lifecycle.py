@@ -134,6 +134,78 @@ def test_planned_query_with_predicates_threads_prefilter(ops, emb):
     assert got_e == want_e
 
 
+def test_batch_query_returns_in_input_order(ops, emb):
+    """doBatchQuery (DataQuery.scala:253-257): one observation per
+    sub-query, input order, each equal to its individually-planned run."""
+    specs = [
+        dict(entity="emb", attribute="embedding", query=Q, k=5,
+             distance_name="manhattan", hints=("exact",), df=emb, pk="vec_id"),
+        dict(entity="emb", attribute="embedding", query=Q, k=3,
+             distance_name="euclidean", hints=("sequential",), df=emb, pk="vec_id"),
+    ]
+    obs = ops.query.batch_query(specs)
+    assert [o.path for o in obs] == ["q0000", "q0001"]
+    assert all(o.error is None for o in obs)
+    assert len(obs[0].rows) == 5
+    assert len(obs[1].rows) == 3
+    want = [r["vec_id"] for r in sequential_scan(
+        emb, "embedding", Q, 5, "manhattan", pk="vec_id").collect()]
+    assert [r["vec_id"] for r in obs[0].rows] == want
+
+
+def test_scored_execution_paths_ranking(ops, emb):
+    """getScoredExecutionPaths (DataQuery.scala:380-411): every candidate
+    path listed with planner signals; trained scores outrank static
+    confidence; metadata only (no execution)."""
+    paths = ops.query.scored_execution_paths("emb", "embedding", "manhattan")
+    names = {p["path"] for p in paths}
+    assert {"sequential", "e_vaf"} <= names
+    vaf = next(p for p in paths if p["path"] == "e_vaf")
+    assert vaf["usable"] and vaf["confidence"] == 1.0
+    # ecp does not conform to manhattan in this build -> flagged unusable
+    ecp = next(p for p in paths if p["path"] == "e_ecp")
+    usable_block = [p["usable"] for p in paths]
+    assert usable_block == sorted(usable_block, reverse=True)
+
+    from adampro_spark.ops import train_planner
+
+    train_planner(ops, "emb", "embedding", Q, 10, "euclidean", df=emb, pk="vec_id")
+    scored = ops.query.scored_execution_paths("emb", "embedding", "euclidean")
+    top = scored[0]
+    assert top["usable"] and top["score"] is not None
+
+
+def test_sparsify_entity_roundtrip(spark, tmp_path, emb):
+    """sparsify (DataDefintion sparsify + SparseVectorWrapper.scala:24-28):
+    storage becomes the sparse struct, reads densify transparently with
+    sub-threshold values zeroed, and kNN over the entity still works."""
+    ops = AdamOps(spark, str(tmp_path / "spcat"))
+    ops.entity.create("e", [("vec_id", "long"), ("embedding", "vector")])
+    ops.entity.insert("e", emb.select("vec_id", "embedding").limit(100))
+    before = {
+        r["vec_id"]: [x if abs(x) > 0.1 else 0.0 for x in r["embedding"]]
+        for r in ops.entity.get("e").df().collect()
+    }
+    ops.entity.sparsify("e", "embedding", threshold=0.1)
+
+    stored = spark.read.parquet(ops.catalog.entity_path("e"))
+    assert dict(stored.dtypes)["embedding"].startswith("struct<")
+
+    after = {
+        r["vec_id"]: list(r["embedding"])
+        for r in ops.entity.get("e").df().collect()
+    }
+    assert set(before) == set(after)
+    for k in before:
+        assert [round(x, 5) for x in before[k]] == [round(x, 5) for x in after[k]]
+
+    res = ops.query.sequential("e", "embedding", Q, 5, "euclidean", pk="vec_id")
+    assert res.count() == 5
+
+    with pytest.raises(ValueError, match="dense vector"):
+        ops.entity.sparsify("e", "vec_id")
+
+
 def test_knn_rejects_prefilter_kw(ops, emb):
     with pytest.raises(TypeError, match="prefilter"):
         ops.query.knn(
