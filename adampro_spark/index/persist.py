@@ -54,8 +54,15 @@ def _builders():
             "lsh": lambda df, col, pk, **kw: IX.build_lsh(df, col, pk=pk, **kw),
             "sh": lambda df, col, pk, **kw: IX.build_sh(df, col, pk=pk, **kw),
             "mi": lambda df, col, pk, **kw: IX.build_mi(df, col, pk=pk, **kw),
+            "fulltext": lambda df, col, pk, **kw: _build_fulltext(df, col, pk, **kw),
         }
     return _BUILDERS
+
+
+def _build_fulltext(df, col, pk, **kw):
+    from adampro_spark.operators.fulltext import build_text_index
+
+    return build_text_index(df, col, pk=pk, **kw)
 
 
 def index_types() -> list[str]:
@@ -98,6 +105,20 @@ def create_index(
     return load_index(spark, catalog, name)
 
 
+def _recover_index_dir(path: str) -> None:
+    """Roll back a crash inside a swap's two-rename window (mirrors
+    Entity._recover): a missing index dir with a surviving ``_old``
+    sibling means the crash hit between ``rename(path, old)`` and
+    ``rename(tmp, path)`` (or during the final cleanup with the new dir
+    never installed) — restore ``_old`` so the cataloged index keeps
+    loading instead of failing permanently."""
+    import os
+
+    old = path + "_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
 def load_index(
     spark: SparkSession, catalog: Catalog, name: str, allow_stale: bool = True
 ) -> tuple[DataFrame, dict[str, Any]]:
@@ -108,6 +129,7 @@ def load_index(
         if not allow_stale:
             raise RuntimeError(msg)
         warnings.warn(msg, stacklevel=2)
+    _recover_index_dir(catalog.index_path(name))
     df = spark.read.parquet(catalog.index_path(name))
     meta = dict(rec["meta"])
     if rec["type"] == "ecp":

@@ -12,15 +12,24 @@ tokens summed over query terms (a Solr-like disjunctive match; documents
 matching no term are dropped).  Deterministic ordering by (score desc,
 pk) makes results oracle-checkable.
 
-At 100 TB this is a map-only scan + TakeOrderedAndProject; a real
-deployment would persist an inverted index (the MI machinery generalizes),
-but the reference itself never exposes more than "query string → ranked
-ids", which this matches.
+Two access paths, same results:
+
+* :func:`text_search` — map-only scan + TakeOrderedAndProject (the
+  parity baseline; fine when the corpus is being scanned anyway);
+* :func:`build_text_index` + :func:`text_search_indexed` — a PERSISTED
+  inverted index ``(term, pk, tf)`` registered through the same catalog
+  lifecycle as the vector indexes (index type ``"fulltext"``).  A query
+  filters the posting table on its terms (predicate pushed to the
+  Parquet scan — only matching postings are read, the text column is
+  never touched) and sums tf per document.  This is the Solr-shaped
+  upgrade path: at 100 TB a per-query corpus scan is unacceptable, the
+  posting filter reads O(matching postings).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -28,6 +37,7 @@ from pyspark.sql import functions as F
 from adampro_spark.pipeline.text import tokens_expr
 
 SCORE_COL = "ap_score"  # AttributeNames.scala:16
+TF_COL = "ap_tf"
 
 
 def tf_score_expr(text: str | Column, terms: Sequence[str]) -> Column:
@@ -53,6 +63,55 @@ def text_search(
     """
     scored = df.withColumn(SCORE_COL, tf_score_expr(text_col, terms)).filter(
         F.col(SCORE_COL) > 0
+    )
+    ordered = scored.orderBy(F.col(SCORE_COL).desc(), F.col(pk).asc())
+    return ordered.limit(k) if k is not None else ordered
+
+
+# ---------------------------------------------------------------------------
+# inverted index (Solr-shaped path, SolrEngine.scala:139-163)
+# ---------------------------------------------------------------------------
+
+
+def build_text_index(
+    df: DataFrame, text_col: str, pk: str = "ap_id", **_: Any
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Posting table ``(ap_indexfeature=term, pk, ap_tf)``: explode the
+    lowercased whitespace tokens, count per (doc, term).  One shuffle at
+    build (the groupBy), amortized over every query; plugged into the
+    shared index lifecycle as type ``"fulltext"`` so create/persist/
+    stale-tracking come from index/persist.py.
+    """
+    from adampro_spark.index.persist import FEATURE_COL
+
+    postings = (
+        df.select(F.col(pk), F.explode(tokens_expr(text_col)).alias(FEATURE_COL))
+        .groupBy(pk, FEATURE_COL)
+        .agg(F.count(F.lit(1)).cast("double").alias(TF_COL))
+    )
+    return postings, {"pk": pk, "text_col": text_col}
+
+
+def text_search_indexed(
+    index_df: DataFrame,
+    meta: dict[str, Any],
+    terms: Sequence[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Ranked term search from the posting table — same contract and
+    results as :func:`text_search` (rows matching ≥1 term, score = Σ tf,
+    (score desc, pk asc) order) without touching the text column: the
+    ``term IN (...)`` filter is pushed into the posting scan, then one
+    pre-aggregated groupBy(pk) sums the per-term tfs.
+    """
+    from adampro_spark.index.persist import FEATURE_COL
+
+    pk = meta["pk"]
+    terms_l = [t.lower() for t in terms]
+    scored = (
+        index_df.filter(F.col(FEATURE_COL).isin(terms_l))
+        .groupBy(pk)
+        .agg(F.sum(TF_COL).alias(SCORE_COL))
     )
     ordered = scored.orderBy(F.col(SCORE_COL).desc(), F.col(pk).asc())
     return ordered.limit(k) if k is not None else ordered

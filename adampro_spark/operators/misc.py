@@ -46,23 +46,40 @@ class ResultCache:
         self.max_entries = max_entries
         self._lock = threading.Lock()
         self._entries: OrderedDict[str, DataFrame] = OrderedDict()
+        # per-key in-flight events: concurrent callers for the SAME id wait
+        # for the first computation instead of each persisting a separate
+        # DataFrame (the losers' copies would leak executor memory when the
+        # last insert wins)
+        self._inflight: dict[str, threading.Event] = {}
 
     def get_or_compute(self, query_id: str, fn: Callable[[], DataFrame]) -> DataFrame:
-        with self._lock:
-            if query_id in self._entries:
+        while True:
+            with self._lock:
+                if query_id in self._entries:
+                    self._entries.move_to_end(query_id)
+                    return self._entries[query_id]
+                ev = self._inflight.get(query_id)
+                if ev is None:
+                    ev = self._inflight[query_id] = threading.Event()
+                    break  # this caller computes
+            ev.wait()  # another caller is computing; re-check on wake
+
+        try:
+            df = fn().persist()
+            with self._lock:
+                self._entries[query_id] = df
                 self._entries.move_to_end(query_id)
-                return self._entries[query_id]
-        df = fn().persist()
-        with self._lock:
-            self._entries[query_id] = df
-            self._entries.move_to_end(query_id)
-            while len(self._entries) > self.max_entries:
-                _, old = self._entries.popitem(last=False)
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-        return df
+                while len(self._entries) > self.max_entries:
+                    _, old = self._entries.popitem(last=False)
+                    try:
+                        old.unpersist()
+                    except Exception:
+                        pass
+            return df
+        finally:
+            with self._lock:
+                self._inflight.pop(query_id, None)
+            ev.set()
 
     def invalidate(self, query_id: str | None = None) -> None:
         with self._lock:

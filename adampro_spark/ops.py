@@ -438,6 +438,29 @@ class QueryOps:
             )
         return res, plan
 
+    def fulltext(
+        self,
+        target: str,
+        terms: Sequence[str],
+        k: int | None = None,
+        df: DataFrame | None = None,
+        text_col: str = "text",
+        pk: str = "ap_id",
+    ) -> DataFrame:
+        """Full-text term search (SolrEngine.scala:139-163 passthrough):
+        ``target`` naming a persisted ``fulltext`` index routes through the
+        posting table (text column never read); an entity name falls back
+        to the scan path.  Results identical either way."""
+        from adampro_spark.operators.fulltext import text_search, text_search_indexed
+
+        if self._index.exists(target):
+            rec = self.catalog.index(target)
+            if rec["type"] == "fulltext":
+                idx, meta = self._index.load(target)
+                return text_search_indexed(idx, meta, terms, k)
+        data = self._entity_df(target, df)
+        return text_search(data, text_col, terms, k, pk=pk)
+
     def batch_query(self, specs: Sequence[dict]) -> list:
         """Run a batch of planned kNN queries concurrently and return their
         observations IN INPUT ORDER (doBatchQuery, DataQuery.scala:253-257

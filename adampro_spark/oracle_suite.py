@@ -911,6 +911,36 @@ def _fulltext_query(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("doc_id", SCORE_COL)
 
 
+_FULLTEXT_SQL = """
+    SELECT doc_id, score AS ap_score FROM (
+      SELECT doc_id,
+        len(list_filter(
+          list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0),
+          t -> list_contains(['spark', 'query', 'join'], t)))::DOUBLE AS score
+      FROM documents
+    ) WHERE score > 0
+    """
+
+
+def _fulltext_indexed_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index full-text path (operators/fulltext.py posting table
+    through the shared index lifecycle): build once per session, query via
+    the posting filter — same oracle as the scan path, proving the two
+    access paths agree."""
+    ops = _ops(spark, "ftcat")
+    if not ops.index.exists("docs_ft"):
+        ops.index.create_from_df(
+            "docs_ft", "documents_ext", _table(spark, sf, "documents"),
+            "text", "fulltext", pk="doc_id",
+        )
+    res = ops.query.fulltext("docs_ft", ["spark", "query", "join"])
+    from adampro_spark.operators.fulltext import SCORE_COL
+
+    return res.select("doc_id", SCORE_COL)
+
+
+_register("fulltext_persisted", _fulltext_indexed_query, _FULLTEXT_SQL)
+
 _register(
     "fulltext_search",
     _fulltext_query,

@@ -290,12 +290,20 @@ def minhash_dup_pairs(
     #   exact-Jaccard verification below, so the banding needs
     #   self-consistency, not cross-engine parity.
     n_ = shingle_n
+    # weights reduced mod P keep the sliding-window matvec overflow-free
+    # for ANY shingle_n: each term is < 0x110000 · (P-1) ≈ 1.1e15, so the
+    # int64 row sum is safe up to ~8000 terms (the raw 31^j weights would
+    # themselves overflow int64 at n ≥ 13); (sw @ (w mod P)) mod P equals
+    # the step-wise (h·31 + c) mod P fold exactly.
+    assert shingle_n <= 4096, "shingle_n beyond the overflow-safe matvec bound"
     a_co, b_co = minhash_coeffs(bands * rows, seed)
 
     def _shingles_and_bands(texts):
         import pandas as pd
 
-        w = 31 ** np.arange(n_ - 1, -1, -1, dtype=np.int64)
+        w = np.array(
+            [pow(31, j, HASH_P) for j in range(n_ - 1, -1, -1)], dtype=np.int64
+        )
         A = np.asarray(a_co, dtype=np.int64)[:, None]
         B = np.asarray(b_co, dtype=np.int64)[:, None]
         sh_out, band_out = [], []

@@ -88,6 +88,107 @@ def windowed_event_stats(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup of a document stream: the first
+    arrival of each normalized text survives, later copies are dropped —
+    state is Spark's own streaming dropDuplicates keyed on the 31-poly
+    text hash (no custom operator needed; the built-in keeps the seen-key
+    set in the state store).
+
+    With ``ts_col`` the stream is watermarked so the seen-key state
+    EVICTS once a key is older than ``watermark`` — the only way the
+    state stays bounded on an unbounded corpus (dup detection then only
+    spans the watermark horizon, the standard streaming-dedup contract).
+    Without it the state grows with the distinct-document count.
+    Runs identically on a batch DataFrame (dropDuplicates semantics
+    match), which is how tests adjudicate it.
+    """
+    from adampro_spark.pipeline.text import char_codes, poly_hash, tokens_expr
+
+    norm_h = poly_hash(char_codes(F.concat_ws(" ", tokens_expr(text_col))))
+    out = stream.withColumn("_ap_texthash", norm_h)
+    if ts_col is not None:
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicates(["_ap_texthash", ts_col]).drop("_ap_texthash")
+    return out.dropDuplicates(["_ap_texthash"]).drop("_ap_texthash")
+
+
+def progressive_knn_stream(
+    stream: DataFrame,
+    vector_col: str,
+    query,
+    k: int,
+    distance_name: str = "euclidean",
+    pk: str = "ap_id",
+    nbuckets: int = 32,
+) -> DataFrame:
+    """Progressive kNN over streaming inserts — the reference's
+    progressive query (``DataQuery.scala:327-360``: results improve as
+    more data is scanned) re-expressed for CONTINUOUS data: each
+    micro-batch refines a running top-k.
+
+    Custom stateful operator (``applyInPandasWithState`` — the one shape
+    Structured Streaming's built-ins can't express: per-group running
+    top-k): rows hash into ``nbuckets`` groups, each group's state is its
+    current top-k ``(pks, dists)`` arrays; a batch merges its numpy-
+    computed distances into the state and emits the bucket's refreshed
+    top-k.  The global answer is the k smallest of the ``nbuckets·k``
+    emitted rows — a trivial final aggregation for any sink.  State is
+    O(nbuckets·k), independent of stream length; buckets keep the merge
+    parallel across executors.
+    """
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from adampro_spark.index._util import np_distance
+
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    dn = distance_name
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            pks, ds = state.get
+            pks, ds = list(pks), list(ds)
+        else:
+            pks, ds = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+            )
+            batch_d = np_distance(q, V, dn)
+            pks.extend(int(x) for x in pdf[pk])
+            ds.extend(float(x) for x in batch_d)
+        order = sorted(range(len(ds)), key=lambda i: (ds[i], pks[i]))[:k]
+        pks = [pks[i] for i in order]
+        ds = [ds[i] for i in order]
+        state.update((pks, ds))
+        yield pd.DataFrame(
+            {"bucket": [int(key[0])] * len(pks), pk: pks, "ap_distance": ds}
+        )
+
+    bucketed = stream.withColumn(
+        "_ap_bucket", F.pmod(F.xxhash64(F.col(pk)), F.lit(nbuckets)).cast("int")
+    )
+    return bucketed.groupBy("_ap_bucket").applyInPandasWithState(
+        update,
+        outputStructType=f"bucket int, {pk} long, ap_distance double",
+        stateStructType="pks array<bigint>, ds array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_insert_entity(
     stream: DataFrame, entity, checkpoint_dir: str, trigger_available_now: bool = True
 ):

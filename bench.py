@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_embedding",
     "simjoin_knn_local",
     "fulltext_search",
+    "fulltext_persisted",
     "events_windowed_stats",
 ]
 

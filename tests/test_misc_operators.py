@@ -27,6 +27,35 @@ def test_text_search_ranks_by_tf(spark, docs):
     assert scores[0] == float(toks.count("spark") + toks.count("query"))
 
 
+def test_fulltext_index_matches_scan(spark, docs, tmp_path):
+    """The inverted-index path must return exactly the scan path's
+    (pk, score) ranking, with the term filter pushed into the posting
+    scan and the text column never read."""
+    from adampro_spark.operators.fulltext import SCORE_COL, text_search
+    from adampro_spark.ops import AdamOps
+
+    terms = ["spark", "query", "join"]
+    ops = AdamOps(spark, str(tmp_path / "cat"))
+    ops.index.create_from_df("ft", "d", docs, "text", "fulltext", pk="doc_id")
+
+    via_index = ops.query.fulltext("ft", terms)
+    via_scan = text_search(docs, "text", terms, pk="doc_id").select(
+        "doc_id", SCORE_COL
+    )
+    a = sorted((r["doc_id"], r[SCORE_COL]) for r in via_index.collect())
+    b = sorted((r["doc_id"], r[SCORE_COL]) for r in via_scan.collect())
+    assert a == b and a
+
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "ap_indexfeature" in plan.split("PushedFilters: [")[1].split("]")[0]
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in read
+
+    # entity-name target falls back to the scan path
+    fb = ops.query.fulltext("d", terms, df=docs, text_col="text", pk="doc_id")
+    assert fb.count() == len(a)
+
+
 def test_result_cache_lru(spark):
     from adampro_spark.operators.misc import ResultCache
 
@@ -222,3 +251,53 @@ def test_repartition_entity_and_index(spark, tmp_path):
     n_ix = ops.index.load("ix")[0].count()
     repartition_index(spark, ops.catalog, "ix", 2)
     assert ops.index.load("ix")[0].count() == n_ix
+
+
+def test_index_load_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between repartition_index's two renames leaves the index
+    dir missing with an ``_old`` sibling; load_index must restore it
+    (mirror of Entity._recover) instead of failing permanently."""
+    import os
+
+    from adampro_spark.ops import AdamOps
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ops = AdamOps(spark, str(tmp_path / "cat"))
+    ops.entity.create("t", [("vec_id", "long")])
+    ops.index.create_from_df("ix", "t", emb, "embedding", "vaf", pk="vec_id")
+    n = ops.index.load("ix")[0].count()
+
+    path = ops.catalog.index_path("ix")
+    os.rename(path, path + "_old")  # simulated crash mid-swap
+    assert ops.index.load("ix")[0].count() == n
+    assert os.path.exists(path) and not os.path.exists(path + "_old")
+
+
+def test_result_cache_concurrent_compute_once(spark):
+    """Concurrent callers for the same query id must share ONE computed
+    DataFrame (per-key in-flight gate): the old race ran fn() per caller
+    and leaked the losers' persisted copies."""
+    import threading
+    import time
+
+    from adampro_spark.operators.misc import ResultCache
+
+    cache = ResultCache(max_entries=8)
+    calls = []
+
+    def fn():
+        calls.append(1)
+        time.sleep(0.2)
+        return spark.range(5)
+
+    got = []
+    threads = [
+        threading.Thread(target=lambda: got.append(cache.get_or_compute("k", fn)))
+        for _ in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1
+    assert all(g is got[0] for g in got)

@@ -75,6 +75,95 @@ def test_stream_insert_entity(spark, events, events_dir, tmp_path):
     assert ent.df().select("ap_id").distinct().count() == events.count()
 
 
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Cross-batch exact dedup: a copy arriving in a LATER micro-batch
+    must be dropped (streaming dropDuplicates state), and the survivor
+    set must equal the batch dropDuplicates result."""
+    from adampro_spark.streaming.ingest import stream_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    half = docs.count() // 2
+    first = docs.filter(F.col("doc_id") < half)
+    # second file: the rest PLUS copies of the first half under new ids
+    second = docs.filter(F.col("doc_id") >= half).unionByName(
+        first.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    d = tmp_path / "stream"
+    d.mkdir()
+    first.coalesce(1).write.parquet(str(d / "f0"))
+    second.coalesce(1).write.parquet(str(d / "f1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        stream_dedup(stream, "text", pk="doc_id")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    ids = {r["doc_id"] for r in out}
+    assert len(out) == docs.count()  # every distinct text once
+    assert not {i for i in ids if i >= 1_000_000}  # late copies dropped
+
+
+def test_progressive_knn_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState progressive kNN: after the stream drains,
+    the k smallest rows across bucket states equal the batch sequential
+    scan exactly."""
+    from adampro_spark.operators.scan import DISTANCE_COL, sequential_scan
+    from adampro_spark.streaming.ingest import progressive_knn_stream
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    Q = [round(0.1 * ((i * 7) % 13) - 0.5, 4) for i in range(64)]
+    k = 10
+
+    d = tmp_path / "estream"
+    d.mkdir()
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(str(d / "f0"))
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(str(d / "f1"))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    res = progressive_knn_stream(
+        stream, "embedding", Q, k, "euclidean", pk="vec_id", nbuckets=8
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("prog_knn")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update-mode memory sink appends refreshed bucket states; the final
+    # state per (bucket, vec_id) is the LAST row — take min distance per
+    # vec_id (distances are stable across refreshes for the same row),
+    # then the global k smallest
+    rows = spark.sql(
+        "SELECT vec_id, min(ap_distance) AS d FROM prog_knn GROUP BY vec_id"
+    ).collect()
+    got = sorted(((r["d"], r["vec_id"]) for r in rows))[:k]
+    want = [
+        (r[DISTANCE_COL], r["vec_id"])
+        for r in sequential_scan(emb, "embedding", Q, k, "euclidean", pk="vec_id").collect()
+    ]
+    assert [(round(d, 6), v) for d, v in got] == [
+        (round(d, 6), v) for d, v in want
+    ]
+
+
 @pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc", "avro"])
 def test_entity_export_import_roundtrip(spark, tmp_path, fmt):
     from adampro_spark.io_ops import export_entity, import_entity
