@@ -50,6 +50,18 @@ def get_spark(app_name: str = "adampro-spark", master: str | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # a session that runs the whole oracle/bench suite compiles several
+        # hundred whole-stage-codegen units; the default 100-entry plan
+        # cache thrashes (every re-run regenerates + re-JITs its classes)
+        # and the default 240 MB JVM code cache can fill up, at which point
+        # HotSpot silently disables the JIT and random queries run
+        # interpreted 10-50x slower.  Both limits are per-JVM one-offs —
+        # harmless on executors, vital for long-lived driver/local sessions.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
