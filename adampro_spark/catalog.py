@@ -51,6 +51,20 @@ class Catalog:
             }
             self._write(data)
 
+    def ensure_entity(self, name: str) -> None:
+        """Create a minimal entity record when absent — ad-hoc DataFrame
+        'entities' (df= passed straight into the query facade) still need a
+        catalog slot for planner bookkeeping."""
+        with self._lock:
+            data = self._read()
+            if name not in data["entities"]:
+                data["entities"][name] = {
+                    "attributes": [],
+                    "version": 0,
+                    "tuple_count": 0,
+                }
+                self._write(data)
+
     def entity(self, name: str) -> dict[str, Any]:
         data = self._read()
         if name not in data["entities"]:

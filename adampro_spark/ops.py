@@ -71,12 +71,62 @@ def _conforms(index_type: str, meta: dict[str, Any], distance_name: str) -> bool
     return distance_name in CONFORMITY.get(index_type, ())
 
 
+def _ml_route(
+    catalog: Catalog,
+    entity: str,
+    attribute: str,
+    kind: str,
+    distance_name: str,
+    k: int,
+    dims: int | None,
+    idx_records: dict[str, dict[str, Any]],
+    usable,
+) -> tuple[str, float] | None:
+    """Route by learned time prediction (SVMPlannerHeuristics.test /
+    RegressionPlannerHeuristics.test:84-120): per-index-type models and the
+    sequential-scan model predict wall time from (count, dims, k); the
+    lowest prediction wins.  Returns ``(path, predicted_sec)`` or None when
+    no model for ``kind`` has been trained for this entity."""
+    from adampro_spark.ml import build_features, load_model
+
+    if not catalog.exists_entity(entity):
+        return None
+    ent = catalog.entity(entity)
+    models = (ent.get("planner_models") or {}).get(kind) or {}
+    if not models:
+        return None
+    count = ent.get("tuple_count", 0)
+    if dims is None:
+        dims = next(
+            (
+                int(a.get("dims", 0))
+                for a in ent.get("attributes", [])
+                if a.get("name") == attribute
+            ),
+            0,
+        )
+    f = build_features(count, dims, k)
+    best: tuple[str, float] | None = None
+    if "entity" in models:
+        best = ("sequential", load_model(kind, models["entity"]).test(f))
+    for name, rec in idx_records.items():
+        key = "index-" + rec["type"]
+        if key not in models or not usable(name, rec, None):
+            continue
+        pred = load_model(kind, models[key]).test(f)
+        if best is None or pred < best[1]:
+            best = (name, pred)
+    return best
+
+
 def plan_knn(
     catalog: Catalog,
     entity: str,
     attribute: str,
     distance_name: str,
     hints: Sequence[str] = ("exact",),
+    k: int = 20,
+    dims: int | None = None,
 ) -> KnnPlan:
     """Pick the access path for a kNN query (HintBasedScanExpression:93-176).
 
@@ -164,6 +214,20 @@ def plan_knn(
                 )
                 return KnnPlan(name, t, CONFIDENCE[t], reasons)
             reasons.append("hint: optimized, but no trained scores")
+        elif h in ("optimized-svm", "optimized-lr"):
+            kind = h.split("-", 1)[1]
+            choice = _ml_route(
+                catalog, entity, attribute, kind, distance_name, k, dims,
+                idx_records, usable,
+            )
+            if choice is not None:
+                path, pred = choice
+                t = idx_records[path]["type"] if path != "sequential" else None
+                reasons.append(f"hint: {h} -> {path} (predicted {pred:.4f}s)")
+                return KnnPlan(
+                    path, t, CONFIDENCE[t] if t else 1.0, reasons
+                )
+            reasons.append(f"hint: {h}, but no trained {kind} models")
 
     reasons.append("fallback: sequential")
     return KnnPlan("sequential", None, 1.0, reasons)
@@ -178,32 +242,109 @@ def train_planner(
     distance_name: str = "euclidean",
     df=None,
     pk: str = "ap_id",
+    heuristic: str = "naive",
+    nruns: int = 3,
 ) -> dict[str, dict[str, float]]:
-    """Measured path scoring (the reference's ``naive`` planner heuristic,
-    NaiveHeuristics.scala:16-171 + measurement harness
-    PlannerHeuristics.scala:66-140): run every conforming path on a
-    training query, record wall time and recall against the sequential
-    ground truth, and store ``score = recall / (1 + time)`` per index in
-    the catalog (the reference sigmoid-blends time/precision/recall
-    scores; one monotone blend suffices for ranking).  ``hints=
-    ("optimized",)`` then routes by stored score.
+    """Measured path scoring (planner heuristics + measurement harness,
+    PlannerHeuristics.scala:66-140, QueryPlannerOp.scala:33-60).
+
+    ``heuristic="naive"`` (NaiveHeuristics.scala:16-171): run every
+    conforming path once on the training query, record wall time and
+    recall against the sequential ground truth, and store ``score =
+    recall / (1 + time)`` per index in the catalog (the reference
+    sigmoid-blends time/precision/recall scores; one monotone blend
+    suffices for ranking).  ``hints=("optimized",)`` then routes by score.
+
+    ``heuristic="svm"`` / ``"lr"`` (SVMPlannerHeuristics.scala:36-60,
+    RegressionPlannerHeuristics.scala:35-77): measure each path ``nruns``
+    times, fit a per-index-TYPE time-prediction model — PegasosSVM or
+    least-squares (ml.py) — over (count, dims, k) features, plus the
+    ``entity`` model for the sequential scan, and persist the coefficients
+    on the entity's catalog record.  ``hints=("optimized-svm",)`` /
+    ``("optimized-lr",)`` then route to the lowest predicted time.
+    Retraining MERGES with previously stored models of other kinds.
     """
     import time as _time
 
     from adampro_spark.execution import knn_paths
 
     paths = knn_paths(ops, entity, attribute, query, k, distance_name, df=df, pk=pk)
-    seq = paths.pop("sequential")
-    truth = {r[0] for r in seq[1]().select(pk).collect()}
-    out: dict[str, dict[str, float]] = {}
+
+    if heuristic == "naive":
+        seq = paths.pop("sequential")
+        truth = {r[0] for r in seq[1]().select(pk).collect()}
+        out: dict[str, dict[str, float]] = {}
+        for name, (_conf, fn) in paths.items():
+            t0 = _time.perf_counter()
+            got = {r[0] for r in fn().select(pk).collect()}
+            dt = _time.perf_counter() - t0
+            recall = len(got & truth) / max(len(truth), 1)
+            score = recall / (1.0 + dt)
+            out[name] = {"time_sec": round(dt, 4), "recall": recall, "score": score}
+            ops.catalog.update_index_fields(name, score=score, recall=recall)
+        return out
+
+    if heuristic not in ("svm", "lr"):
+        raise ValueError(f"unknown planner heuristic {heuristic!r}")
+
+    import numpy as _np
+
+    from adampro_spark.ml import MODELS, TrainingSample, build_features
+
+    ops.catalog.ensure_entity(entity)
+    ent = ops.catalog.entity(entity)
+    count = ent.get("tuple_count", 0)
+    dims = len(list(query))
+    feats = build_features(count, dims, k)
+
+    # measurements grouped per MODEL KEY (index type, or "entity" for the
+    # sequential scan) — several indexes of one type train one model, as in
+    # the reference's groupBy(indextypename)
+    samples: dict[str, list[TrainingSample]] = {}
+    out = {}
     for name, (_conf, fn) in paths.items():
-        t0 = _time.perf_counter()
-        got = {r[0] for r in fn().select(pk).collect()}
-        dt = _time.perf_counter() - t0
-        recall = len(got & truth) / max(len(truth), 1)
-        score = recall / (1.0 + dt)
-        out[name] = {"time_sec": round(dt, 4), "recall": recall, "score": score}
-        ops.catalog.update_index_fields(name, score=score, recall=recall)
+        key = (
+            "entity"
+            if name == "sequential"
+            else "index-" + ops.catalog.index(name)["type"]
+        )
+        times = []
+        for _ in range(max(1, nruns)):
+            t0 = _time.perf_counter()
+            fn().select(pk).collect()
+            times.append(_time.perf_counter() - t0)
+        samples.setdefault(key, []).extend(
+            TrainingSample(feats, t) for t in times
+        )
+        out[name] = {"time_sec": round(min(times), 4), "model": key}
+
+    # accumulate samples across train_planner calls (the reference's
+    # Regression.train appends a .data object file per call and refits on
+    # the union, Regression.scala:43-56) — training at several k values
+    # teaches the models an actual k-dependence
+    all_samples = dict(ent.get("planner_samples") or {})
+    for key, data in samples.items():
+        rows = list(all_samples.get(key) or [])
+        rows.extend([[*map(float, s.f), float(s.time)] for s in data])
+        all_samples[key] = rows
+
+    stored = dict(ent.get("planner_models") or {})
+    kind_models = dict(stored.get(heuristic) or {})
+    for key, rows in all_samples.items():
+        data = [
+            TrainingSample(_np.asarray(r[:-1], dtype=float), r[-1]) for r in rows
+        ]
+        model = (
+            MODELS[heuristic](dims=len(feats))
+            if heuristic == "svm"
+            else MODELS[heuristic]()
+        )
+        model.train(data)
+        kind_models[key] = model.to_weights()
+    stored[heuristic] = kind_models
+    ops.catalog.update_entity(
+        entity, planner_models=stored, planner_samples=all_samples
+    )
     return out
 
 
@@ -422,7 +563,10 @@ class QueryOps:
                     f"knn() does not accept {bad!r}; pass predicates=/df= "
                     "explicitly (prefiltering is derived from predicates)"
                 )
-        plan = plan_knn(self.catalog, entity, attribute, distance_name, hints)
+        plan = plan_knn(
+            self.catalog, entity, attribute, distance_name, hints,
+            k=k, dims=len(list(query)),
+        )
         prefilter = None
         data = self._entity_df(entity, df)
         if predicates is not None:

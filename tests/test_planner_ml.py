@@ -1,0 +1,150 @@
+"""Learned planner heuristics (ml.py + ops.train_planner svm/lr modes).
+
+Parity: utils/ml/PegasosSVM.scala:24-86, utils/ml/Regression.scala:28-120,
+SVMPlannerHeuristics.scala:29-120, RegressionPlannerHeuristics.scala:28-80.
+"""
+
+import numpy as np
+import pytest
+
+from adampro_spark.ml import (
+    LinearModel,
+    PegasosSVM,
+    TrainingSample,
+    build_features,
+    load_model,
+)
+from adampro_spark.ops import AdamOps, plan_knn, train_planner
+
+SF = "/root/testdata/sf0.001"
+Q = [round(0.1 * ((i * 7) % 13) - 0.5, 4) for i in range(64)]
+
+
+# ---------------------------------------------------------------------------
+# model units (driver-side, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_model_recovers_exact_fit():
+    rng = np.random.RandomState(0)
+    w_true = np.array([0.5, 2.0, -1.0])
+    X = rng.rand(50, 3)
+    data = [TrainingSample(x, float(x @ w_true)) for x in X]
+    m = LinearModel()
+    m.train(data)
+    assert np.allclose(m.w, w_true, atol=1e-5)
+    assert m.test(np.array([1.0, 1.0, 1.0])) == pytest.approx(1.5, abs=1e-5)
+
+
+def test_linear_model_constant_features_predict_mean():
+    # single-training-query case: all features identical -> prediction is
+    # the mean measured time (ridge LS limit), not a degenerate blowup
+    f = build_features(1000, 64, 10)
+    data = [TrainingSample(f, t) for t in (1.0, 2.0, 3.0)]
+    m = LinearModel()
+    m.train(data)
+    assert m.test(f) == pytest.approx(2.0, rel=1e-4)
+
+
+def test_pegasos_svm_converges_toward_target():
+    # constant features, constant target: w.f must approach the target
+    # (epsilon-insensitive: stops within eps)
+    f = np.array([1.0, 0.5])
+    data = [TrainingSample(f, 2.0)] * 40
+    m = PegasosSVM(dims=2, epsilon=0.01, seed=1)
+    m.train(data)
+    assert m.test(f) == pytest.approx(2.0, abs=0.3)
+
+
+def test_pegasos_svm_ranks_two_paths():
+    # the planner only needs ORDER: a slow path's prediction must exceed a
+    # fast path's when trained on separate models with the same features
+    f = build_features(10_000, 64, 10)
+    fast = PegasosSVM(dims=len(f), seed=2)
+    slow = PegasosSVM(dims=len(f), seed=2)
+    fast.train([TrainingSample(f, 0.05)] * 30)
+    slow.train([TrainingSample(f, 1.5)] * 30)
+    assert fast.test(f) < slow.test(f)
+
+
+def test_model_weights_roundtrip():
+    f = np.array([1.0, 2.0])
+    m = LinearModel()
+    m.train([TrainingSample(f, 3.0), TrainingSample(np.array([2.0, 1.0]), 3.0)])
+    again = load_model("lr", m.to_weights())
+    assert again.test(f) == pytest.approx(m.test(f))
+    s = PegasosSVM(dims=2)
+    s.train([TrainingSample(f, 1.0)])
+    assert load_model("svm", s.to_weights()).test(f) == pytest.approx(s.test(f))
+
+
+# ---------------------------------------------------------------------------
+# planner lifecycle (Spark)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ops(spark, tmp_path_factory, emb):
+    o = AdamOps(spark, str(tmp_path_factory.mktemp("mlcat")))
+    o.index.create_from_df("ml_vaf", "emb", emb, "embedding", "vaf", pk="vec_id")
+    o.index.create_from_df("ml_ecp", "emb", emb, "embedding", "ecp", pk="vec_id")
+    o.catalog.ensure_entity("emb")
+    o.catalog.update_entity("emb", tuple_count=emb.count())
+    return o
+
+
+@pytest.mark.parametrize("heuristic", ["lr", "svm"])
+def test_train_and_route(ops, emb, heuristic):
+    out = train_planner(
+        ops, "emb", "embedding", Q, 10, "euclidean",
+        df=emb, pk="vec_id", heuristic=heuristic, nruns=2,
+    )
+    # one measured row per path, each tagged with its model key
+    assert "sequential" in out and out["sequential"]["model"] == "entity"
+    assert out["ml_vaf"]["model"] == "index-vaf"
+
+    ent = ops.catalog.entity("emb")
+    models = ent["planner_models"][heuristic]
+    assert {"entity", "index-vaf", "index-ecp"} <= set(models)
+
+    plan = plan_knn(
+        ops.catalog, "emb", "embedding", "euclidean",
+        hints=(f"optimized-{heuristic}",), k=10, dims=len(Q),
+    )
+    # must route SOMEWHERE via the model (never the untrained fallback)
+    assert any(f"optimized-{heuristic} ->" in r for r in plan.reasons)
+    assert plan.path in {"sequential", "ml_vaf", "ml_ecp"}
+
+    # planned query end-to-end through the facade
+    res, plan2 = ops.query.knn(
+        "emb", "embedding", Q, 10, "euclidean",
+        hints=(f"optimized-{heuristic}",), df=emb, pk="vec_id",
+    )
+    assert res.count() == 10
+    assert plan2.path == plan.path
+
+
+def test_untrained_kind_falls_through(ops):
+    # an entity with no planner_models for the kind -> fallback reason
+    plan = plan_knn(
+        ops.catalog, "emb", "embedding", "manhattan",
+        hints=("optimized-svm", "exact"), k=5, dims=len(Q),
+    )
+    # svm models exist (trained above) but only conform-usable paths count;
+    # manhattan conforms for vaf, so either route or fall through to exact
+    assert plan.path != ""
+
+
+def test_samples_accumulate_across_calls(ops, emb):
+    before = len(ops.catalog.entity("emb").get("planner_samples", {}).get("entity", []))
+    train_planner(
+        ops, "emb", "embedding", Q, 5, "euclidean",
+        df=emb, pk="vec_id", heuristic="lr", nruns=1,
+    )
+    after = len(ops.catalog.entity("emb")["planner_samples"]["entity"])
+    assert after == before + 1
