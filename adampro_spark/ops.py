@@ -397,6 +397,18 @@ class EntityOps:
     def properties(self, name: str) -> dict[str, Any]:
         return dict(self.catalog.entity(name))
 
+    def export_proto(self, name: str, path: str) -> None:
+        """Protobuf bulk export (ProtoImporterExporter.exportData)."""
+        from adampro_spark.proto_io import export_entity_proto
+
+        export_entity_proto(self.get(name), path)
+
+    def import_proto(self, path: str) -> list[Entity]:
+        """Protobuf bulk import (ProtoImporterExporter.importData)."""
+        from adampro_spark.proto_io import import_proto
+
+        return import_proto(self.spark, self.catalog, path)
+
 
 class IndexOps:
     """IndexOp.scala:30-196 — index lifecycle over persist.py."""
