@@ -308,7 +308,11 @@ def minhash_dup_pairs(
         B = np.asarray(b_co, dtype=np.int64)[:, None]
         sh_out, band_out = [], []
         for t in texts:
-            codes = np.array([ord(c) for c in t], dtype=np.int64)
+            # utf-32-le frombuffer == [ord(c) for c in t], measured ~7x
+            # faster — this per-char loop is the UDF's hottest line
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
             if len(codes) == 0:
                 sh = np.array([0], dtype=np.int64)
             elif len(codes) <= n_:
