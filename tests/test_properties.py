@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis) over the pure driver-side kernels:
+the protobuf wire codec, the dedup hash arithmetic that must stay
+bit-identical between the Arrow UDF / Catalyst-expression / DuckDB-oracle
+formulations, and the planner models.  No SparkSession — these run in
+milliseconds and explore the input space the example tests cannot.
+"""
+
+import math
+import struct
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from adampro_spark.ml import LinearModel, PegasosSVM, TrainingSample
+from adampro_spark.pipeline.dedup import minhash_coeffs
+from adampro_spark.pipeline.text import HASH_P
+from adampro_spark.proto_io import (
+    decode_create_entity,
+    decode_data_message,
+    decode_tuple,
+    encode_create_entity,
+    encode_data_message,
+    encode_tuple,
+    read_varint,
+    write_varint,
+)
+
+# ---------------------------------------------------------------------------
+# protobuf wire codec
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**64 - 1))
+def test_varint_roundtrip(v):
+    buf = bytearray()
+    write_varint(buf, v)
+    got, pos = read_varint(bytes(buf), 0)
+    assert pos == len(buf) <= 10
+    assert got == (v & (1 << 64) - 1 if v < 0 else v)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_long_data_roundtrip(v):
+    assert decode_data_message(encode_data_message(v, "long")) == v
+
+
+@given(st.floats(allow_nan=False, width=32))
+def test_float_data_roundtrip(v):
+    got = decode_data_message(encode_data_message(v, "float"))
+    assert struct.pack("<f", got) == struct.pack("<f", v)
+
+
+@given(st.floats(allow_nan=False))
+def test_double_data_roundtrip(v):
+    assert decode_data_message(encode_data_message(v, "double")) == v
+
+
+@given(st.text())
+def test_string_data_roundtrip(s):
+    assert decode_data_message(encode_data_message(s, "string")) == s
+
+
+@given(st.lists(st.floats(allow_nan=False, width=32), max_size=64))
+def test_vector_data_roundtrip(vec):
+    got = decode_data_message(encode_data_message(vec, "vector"))
+    assert struct.pack(f"<{len(vec)}f", *got) == struct.pack(f"<{len(vec)}f", *vec)
+
+
+@given(
+    st.dictionaries(
+        st.text(min_size=1, max_size=8),
+        st.one_of(st.integers(min_value=-(2**63), max_value=2**63 - 1), st.text(max_size=20)),
+        max_size=5,
+    )
+)
+def test_tuple_roundtrip(row):
+    types = {k: ("long" if isinstance(v, int) else "string") for k, v in row.items()}
+    assert decode_tuple(encode_tuple(row, types)) == row
+
+
+@given(
+    st.text(min_size=1, max_size=16),
+    st.lists(
+        st.tuples(
+            st.text(min_size=1, max_size=8),
+            st.sampled_from(["int", "long", "float", "double", "string", "vector"]),
+        ),
+        max_size=6,
+    ),
+)
+def test_create_entity_roundtrip(name, attrs):
+    msgs = [{"name": n, "type": t} for n, t in attrs]
+    got_name, got = decode_create_entity(encode_create_entity(name, msgs))
+    assert got_name == name and got == msgs
+
+
+# ---------------------------------------------------------------------------
+# dedup hash arithmetic: sliding matvec == step-wise fold
+# ---------------------------------------------------------------------------
+
+
+def _fold(codes, start, n):
+    h = 0
+    for c in codes[start : start + n]:
+        h = (h * 31 + c) % HASH_P
+    return h
+
+
+@given(st.text(min_size=9, max_size=200), st.integers(min_value=2, max_value=12))
+@settings(max_examples=50)
+def test_matvec_shingles_equal_stepwise_fold(text, n):
+    """The Arrow UDF's vectorized (sw @ w) % P must equal the per-step
+    (h*31 + c) % P fold for any codepoints and any overflow-safe n —
+    this is the bit-identity contract with text.shingle_hashes and the
+    DuckDB oracle (pipeline/dedup.py:292-298)."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(codes) <= n:
+        return
+    w = np.array([pow(31, j, HASH_P) for j in range(n - 1, -1, -1)], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(codes, n)
+    vec = (sw @ w) % HASH_P
+    ref = [_fold(codes.tolist(), i, n) for i in range(len(codes) - n + 1)]
+    assert vec.tolist() == ref
+
+
+@given(st.integers(min_value=1, max_value=256), st.integers(min_value=0, max_value=2**31))
+def test_minhash_coeffs_deterministic_and_in_range(nh, seed):
+    a1, b1 = minhash_coeffs(nh, seed)
+    a2, b2 = minhash_coeffs(nh, seed)
+    assert a1 == a2 and b1 == b2
+    assert all(1 <= x < HASH_P for x in a1)
+    assert all(0 <= x < HASH_P for x in b1)
+
+
+# ---------------------------------------------------------------------------
+# planner models
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.floats(min_value=-1, max_value=1), min_size=3, max_size=3),
+            st.floats(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_models_always_predict_finite(samples):
+    data = [TrainingSample(np.array(f), t) for f, t in samples]
+    lin = LinearModel()
+    lin.train(data)
+    svm = PegasosSVM(dims=3)
+    svm.train(data)
+    probe = np.array([0.5, 0.5, 0.5])
+    assert math.isfinite(lin.test(probe))
+    assert math.isfinite(svm.test(probe))
