@@ -639,15 +639,48 @@ class QueryOps:
         entity: str,
         attribute: str,
         distance_name: str = "euclidean",
+        k: int = 20,
+        dims: int | None = None,
     ) -> list[dict]:
         """Introspect every access path for (entity, attribute, distance)
         with the planner's ranking signals (getScoredExecutionPaths,
         DataQuery.scala:380-411 + QueryPlannerOp.scala:33-60): trained
         score when ``train_planner`` has run, conformity confidence
-        otherwise.  Ranked best-first: measured score beats static
-        confidence, sequential is the always-usable 1.0-confidence floor.
-        No query executes — this is metadata only.
+        otherwise, plus per-heuristic predicted times when svm/lr models
+        exist for this entity.  Ranked best-first: measured score beats
+        static confidence, sequential is the always-usable 1.0-confidence
+        floor.  No query executes — this is metadata only.
         """
+        from adampro_spark.ml import build_features, load_model
+
+        ent = (
+            self.catalog.entity(entity)
+            if self.catalog.exists_entity(entity)
+            else {}
+        )
+        planner_models = ent.get("planner_models") or {}
+        feats = build_features(
+            ent.get("tuple_count", 0),
+            dims
+            if dims is not None
+            else next(
+                (
+                    int(a.get("dims", 0))
+                    for a in ent.get("attributes", [])
+                    if a.get("name") == attribute
+                ),
+                0,
+            ),
+            k,
+        )
+
+        def _predicted(model_key: str) -> dict[str, float]:
+            out = {}
+            for kind, models in planner_models.items():
+                if model_key in models:
+                    out[kind] = round(load_model(kind, models[model_key]).test(feats), 4)
+            return out
+
         rows: list[dict] = []
         for name in self.catalog.list_indexes(entity):
             rec = self.catalog.index(name)
@@ -664,6 +697,7 @@ class QueryOps:
                     "score": rec.get("score"),
                     "recall": rec.get("recall"),
                     "usable": usable,
+                    "predicted_time": _predicted("index-" + rec["type"]),
                 }
             )
         rows.append(
@@ -674,6 +708,7 @@ class QueryOps:
                 "score": None,
                 "recall": 1.0,
                 "usable": True,
+                "predicted_time": _predicted("entity"),
             }
         )
         rows.sort(

@@ -140,6 +140,18 @@ def test_untrained_kind_falls_through(ops):
     assert plan.path != ""
 
 
+def test_scored_paths_surface_predictions(ops, emb):
+    # after svm+lr training (test_train_and_route ran first in this module)
+    paths = ops.query.scored_execution_paths(
+        "emb", "embedding", "euclidean", k=10, dims=len(Q)
+    )
+    seq = next(p for p in paths if p["path"] == "sequential")
+    vaf = next(p for p in paths if p["path"] == "ml_vaf")
+    assert set(seq["predicted_time"]) == {"lr", "svm"}
+    assert set(vaf["predicted_time"]) == {"lr", "svm"}
+    assert all(isinstance(v, float) for v in seq["predicted_time"].values())
+
+
 def test_samples_accumulate_across_calls(ops, emb):
     before = len(ops.catalog.entity("emb").get("planner_samples", {}).get("entity", []))
     train_planner(
