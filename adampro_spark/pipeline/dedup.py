@@ -120,72 +120,48 @@ def banded_candidates(
       no plan shape avoids that, so the cap is a semantic choice, not
       just an optimization.
 
-    The bucket census is ONE map-side-combined count on the narrow band
-    table whose over-cap keys are collected to the driver (metadata-sized:
-    it is the list of degenerate buckets, like scan_va's k-th-bound
-    collect).  The common case — no hot bucket — then proceeds with the
-    plain banded self-join, zero extra shuffle rounds; when hot buckets
-    exist they are split off with a LITERAL key filter (map-side, no
-    broadcast-join round) and only the star build pays a small extra
-    aggregation.  The band table is persisted at entry: the census and
-    the join branches consume it, and without the barrier each would
-    re-run the upstream band-hash UDF (at 100 TB the band table is a
-    persisted artifact of the corpus build anyway, like the signature
-    table).
-
-    Key assumption for the literal filter: band keys are non-negative
-    longs < 2^34 (band index, 31-poly mod 1e9+7, or ≤ 2^rows bit folds),
-    so a combined single-long key is collision-free.
+    The hot/cold split is ONE window pass over the band table: per-bucket
+    count and representative (min pk) computed with ``Window.partitionBy
+    (band keys)`` — the table is hash-partitioned by those keys anyway for
+    the self-join, so the window adds a per-partition sort, not a shuffle.
+    No driver round-trip, no literal hot-key list (an earlier version
+    collected over-cap keys to the driver — fine when degenerate buckets
+    are rare, but the window form stays correct even if a corpus has
+    MILLIONS of hot buckets).  The tagged table is persisted: the cold
+    self-join reads it twice and the star branch once, and without the
+    barrier each consumer would re-run the upstream band-hash UDF (at
+    100 TB the band table is a persisted artifact of the corpus build
+    anyway, like the signature table).
     """
-    # hash-partition by the band keys BEFORE caching: the census groupBy,
-    # both sides of the self-join, and the hot/cold splits then all reuse
-    # the cached partitioning (InMemoryTableScan preserves it) — one
-    # exchange instead of three.
-    bandtab = bandtab.repartition(*keys).persist()
-    hot_rows_census = (
-        bandtab.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter(F.col("_bn") > max_bucket_size)
-        .select(*keys)
-        .collect()
-    )
+    from pyspark.sql import Window
 
-    def _self_join(tab: DataFrame) -> DataFrame:
-        return (
-            tab.alias("a")
-            .join(
-                tab.alias("b"),
-                on=[F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
-                + [F.col(f"a.{pk_col}") < F.col(f"b.{pk_col}")],
-            )
-            .select(
-                F.col(f"a.{pk_col}").alias("id_a"), F.col(f"b.{pk_col}").alias("id_b")
-            )
+    w = Window.partitionBy(*keys)
+    tagged = (
+        bandtab.repartition(*keys)
+        .select(
+            *keys,
+            pk_col,
+            F.count(F.lit(1)).over(w).alias("_bn"),
+            F.min(pk_col).over(w).alias("_rep"),
         )
-
-    if not hot_rows_census:
-        return _self_join(bandtab).distinct()
-
-    ckey = F.col(keys[0]).cast("long")
-    for k in keys[1:]:
-        ckey = ckey * F.lit(1 << 34) + F.col(k)
-
-    def _combine(row) -> int:
-        out = int(row[keys[0]])
-        for k in keys[1:]:
-            out = out * (1 << 34) + int(row[k])
-        return out
-
-    hot_lits = [_combine(r) for r in hot_rows_census]
-    tagged = bandtab.withColumn("_ck", ckey)
-    cold = tagged.filter(~F.col("_ck").isin(hot_lits)).drop("_ck")
-    hot_rows = tagged.filter(F.col("_ck").isin(hot_lits))
-    pairs = _self_join(cold)
-
-    reps = hot_rows.groupBy("_ck").agg(F.min(pk_col).alias("_rep"))
+        .persist()
+    )
+    cold = tagged.filter(F.col("_bn") <= max_bucket_size).select(*keys, pk_col)
+    pairs = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            on=[F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+            + [F.col(f"a.{pk_col}") < F.col(f"b.{pk_col}")],
+        )
+        .select(
+            F.col(f"a.{pk_col}").alias("id_a"), F.col(f"b.{pk_col}").alias("id_b")
+        )
+    )
     stars = (
-        hot_rows.join(F.broadcast(reps), "_ck")
-        .filter(F.col(pk_col) != F.col("_rep"))
+        tagged.filter(
+            (F.col("_bn") > max_bucket_size) & (F.col(pk_col) != F.col("_rep"))
+        )
         .select(F.col("_rep").alias("id_a"), F.col(pk_col).alias("id_b"))
     )
     return pairs.unionByName(stars).distinct()
