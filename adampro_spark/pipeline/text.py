@@ -95,6 +95,20 @@ def ngrams_expr(text: str | Column, n: int = 2) -> Column:
     )
 
 
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    """Subword-style token count: a BPE-ish pre-tokenizer regex (letter
+    runs, single digits, single punctuation — the GPT-2 pre-tokenizer
+    family reduced to constructs Java regex and RE2 agree on, so the
+    DuckDB oracle mirrors it verbatim).  A cheap LLM-token budget
+    estimator that runs as one codegen'd expression."""
+    return F.size(
+        F.regexp_extract_all(_c(text), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+
+
 def langid_expr(text: str | Column) -> Column:
     """Deterministic language heuristic: argmax of per-language stopword
     hit counts, ties broken by language code order, no hits → 'und'."""
@@ -120,7 +134,7 @@ def text_stats(
 ) -> DataFrame:
     """Per-document quality statistics, one projection pass:
 
-    * ``n_chars_obs`` / ``n_tokens`` / ``avg_token_len``
+    * ``n_chars_obs`` / ``n_tokens`` / ``n_bpe_tokens`` / ``avg_token_len``
     * ``alnum_ratio`` — alphanumeric+space chars / all chars
     * ``stopword_ratio`` — English stopword tokens / tokens
     * ``quality`` — a composable [0,1] score: alnum_ratio damped by a
@@ -144,6 +158,7 @@ def text_stats(
         F.col(pk),
         n_chars.alias("n_chars_obs"),
         n_tokens.alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
         F.round(avg_tok, 4).alias("avg_token_len"),
         F.round(alnum_ratio, 4).alias("alnum_ratio"),
         F.round(stopword_ratio, 4).alias("stopword_ratio"),
