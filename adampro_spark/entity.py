@@ -147,8 +147,16 @@ class Entity:
         the query surface unchanged)."""
         from adampro_spark.functions.typed import sparse_to_dense
 
-        self._recover()
-        out = self.spark.read.schema(self.schema()).parquet(self.path)
+        rec = self.catalog.entity(self.name)
+        if rec.get("buckets") and os.path.exists(self.path + "_bucketed"):
+            out = self._bucketed_df()
+        else:
+            if rec.get("buckets"):
+                # crash inside debucketize after the data moved back but
+                # before the catalog flag cleared — finish the rollback
+                self.catalog.update_entity(self.name, buckets=None)
+            self._recover()
+            out = self.spark.read.schema(self.schema()).parquet(self.path)
         for attr in self.catalog.entity(self.name)["attributes"]:
             if attr.get("densify_on_read"):
                 out = out.withColumn(
@@ -167,6 +175,7 @@ class Entity:
         """
         from adampro_spark.functions.typed import dense_to_sparse
 
+        self.debucketize()
         attrs = [dict(a) for a in self.catalog.entity(self.name)["attributes"]]
         target = next((a for a in attrs if a["name"] == attribute), None)
         if target is None:
@@ -185,6 +194,92 @@ class Entity:
         target["type"] = "sparsevector"
         target["densify_on_read"] = True
         self.catalog.update_entity(self.name, attributes=attrs)
+
+    # -- bucketed layout ----------------------------------------------------
+    def bucketize(self, n_buckets: int) -> None:
+        """Rewrite storage as a Spark BUCKETED table (hash-bucketed and
+        sorted by ``ap_id``): joins against another table bucketed the same
+        way — an index table's candidate set, a metadata side-table, a
+        second entity — are planned WITHOUT an Exchange on either side,
+        the co-located-join layout that matters at 100 TB (the reference's
+        ``repartition`` op serves the same purpose with Spark's
+        runtime-only partitioning, RepartitionOp; bucketing persists the
+        co-location in the table metadata so every later session gets it
+        for free).
+
+        A read-optimization for loaded corpora: any mutating op
+        (insert/delete/vacuum/sparsify) first falls back to the plain
+        parquet layout via :meth:`debucketize` — mutations invalidate
+        bucket-file boundaries, exactly like the reference's repartitioned
+        entities go stale on insert.
+        """
+        tbl = self._bucket_table_name()
+        bdir = self.path + "_bucketed"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if os.path.exists(bdir):
+            import shutil
+
+            shutil.rmtree(bdir)
+        (
+            self.df()
+            .repartition(n_buckets, PK)
+            .write.bucketBy(n_buckets, PK)
+            .sortBy(PK)
+            .option("path", bdir)
+            .saveAsTable(tbl)
+        )
+        # flag flips BEFORE the plain dir is dropped: a crash between the
+        # two leaves both layouts on disk with the bucketed one
+        # authoritative (no data-loss window; df() never reads the stale
+        # plain dir while the flag is set)
+        self.catalog.update_entity(self.name, buckets=n_buckets)
+        import shutil
+
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+
+    def debucketize(self) -> None:
+        """Drop back to the plain parquet layout (bucket metadata removed,
+        data preserved)."""
+        rec = self.catalog.entity(self.name)
+        if not rec.get("buckets"):
+            return
+        import shutil
+
+        tmp = self.path + "_tmp"
+        self._bucketed_df().write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            self._swap_in(tmp)
+        else:
+            os.rename(tmp, self.path)
+        # from here df() can serve from the plain dir even if we crash:
+        # the flag-set-but-no-bucket-dir state is healed in df()
+        bdir = self.path + "_bucketed"
+        if os.path.exists(bdir):
+            shutil.rmtree(bdir)
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._bucket_table_name()}")
+        self.catalog.update_entity(self.name, buckets=None)
+
+    def _bucket_table_name(self) -> str:
+        return f"adam_bucketed_{self.name}"
+
+    def _bucketed_df(self) -> DataFrame:
+        """Read through the session catalog so the optimizer SEES the
+        bucket spec (a raw ``spark.read.parquet`` of the same files would
+        plan shuffles again).  Re-registers the external bucketed table on
+        a fresh session from the catalog record."""
+        tbl = self._bucket_table_name()
+        if not self.spark.catalog.tableExists(tbl):
+            n = self.catalog.entity(self.name)["buckets"]
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in self.schema().fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY ({PK}) SORTED BY ({PK}) INTO "
+                f"{n} BUCKETS LOCATION '{self.path}_bucketed'"
+            )
+        return self.spark.table(tbl)
 
     def _recover(self) -> None:
         """Roll back a crash inside ``_swap_in``'s two-rename window: a
@@ -207,6 +302,7 @@ class Entity:
         """
         from pyspark.sql import Observation
 
+        self.debucketize()  # mutations invalidate the bucketed layout
         ent = self.catalog.entity(self.name)
         batch = ent["version"] + 1
         cols = [f.name for f in self.schema().fields if f.name != PK]
@@ -245,6 +341,7 @@ class Entity:
         """
         from pyspark.sql import Observation
 
+        self.debucketize()
         before = self.count()
         kept = self.df().filter(~predicates_to_column(predicates))
         obs = Observation("delete_kept")
@@ -259,6 +356,7 @@ class Entity:
     def vacuum(self, num_partitions: int | None = None) -> None:
         """Compact small files (Entity.scala:397-407): one repartitioned
         write + directory swap."""
+        self.debucketize()
         n = num_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
         tmp = self.path + "_tmp"
         self.df().repartition(n, PK).write.mode("overwrite").parquet(tmp)

@@ -385,6 +385,12 @@ class EntityOps:
     def sparsify(self, name: str, attribute: str, threshold: float = 0.0) -> None:
         self.get(name).sparsify(attribute, threshold)
 
+    def bucketize(self, name: str, n_buckets: int) -> None:
+        self.get(name).bucketize(n_buckets)
+
+    def debucketize(self, name: str) -> None:
+        self.get(name).debucketize()
+
     def count(self, name: str) -> int:
         return self.get(name).count()
 
