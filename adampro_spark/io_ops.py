@@ -119,6 +119,78 @@ def import_entity(
 
 
 # ---------------------------------------------------------------------------
+# storage handler registry (StorageManager.scala:19-100 +
+# StorageHandler.scala:20-190): named engines behind one read/write
+# surface.  On Spark the "engine zoo" is the DataSource API — Cassandra,
+# HBase, Solr, Delta, Iceberg all ship Spark connectors addressed by
+# format name — so a handler here is (format, fixed options), and
+# registering a new engine is one call, no subclassing.
+# ---------------------------------------------------------------------------
+
+
+class StorageHandler:
+    """A named storage engine: Spark DataSource format + fixed options.
+
+    ``priority``/``supports`` mirror the reference's handler selection
+    metadata (StorageHandler.scala:20-27); ``read``/``write`` are the
+    whole engine contract — everything else (pushdown, partitioned
+    parallel IO, schema mapping) is the connector's job.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        fmt: str,
+        options: dict | None = None,
+        priority: int = 0,
+        supports: tuple[str, ...] = (),
+    ):
+        self.name = name
+        self.fmt = fmt
+        self.options = options or {}
+        self.priority = priority
+        self.supports = supports
+
+    def read(self, spark: SparkSession, path: str | None = None, schema=None, **opts):
+        reader = spark.read.format(self.fmt).options(**{**self.options, **opts})
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(path) if path is not None else reader.load()
+
+    def write(self, df: DataFrame, path: str | None = None, mode: str = "overwrite", **opts):
+        writer = df.write.format(self.fmt).options(**{**self.options, **opts}).mode(mode)
+        writer.save(path) if path is not None else writer.save()
+
+
+STORAGE_HANDLERS: dict[str, StorageHandler] = {}
+
+
+def register_storage_handler(handler: StorageHandler) -> None:
+    STORAGE_HANDLERS[handler.name] = handler
+
+
+def get_storage_handler(name: str) -> StorageHandler:
+    """StorageManager.get (StorageManager.scala:42-52): error on a missing
+    handler rather than silent fallback."""
+    if name not in STORAGE_HANDLERS:
+        raise KeyError(
+            f"no suitable storage handler found in registry for {name!r} "
+            f"(registered: {sorted(STORAGE_HANDLERS)})"
+        )
+    return STORAGE_HANDLERS[name]
+
+
+for _h in (
+    StorageHandler("parquet", "parquet", priority=10, supports=("*",)),
+    StorageHandler("orc", "orc", priority=5, supports=("*",)),
+    StorageHandler("json", "json", supports=("*",)),
+    StorageHandler("csv", "csv", options={"header": "true"}),
+    StorageHandler("avro", "avro"),
+):
+    register_storage_handler(_h)
+
+
+# ---------------------------------------------------------------------------
 # JDBC storage engine (PostgresqlEngine.scala:23-30)
 # ---------------------------------------------------------------------------
 

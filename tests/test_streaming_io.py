@@ -247,3 +247,33 @@ def test_train_planner_scores_and_optimized_hint(spark, tmp_path):
     best = max(scores, key=lambda n: scores[n]["score"])
     assert plan.path == best
     assert any("score" in r for r in plan.reasons)
+
+
+def test_storage_handler_registry(spark, tmp_path):
+    """StorageManager.scala:19-52: named engines behind one read/write
+    surface; missing handler errors instead of silent fallback; new
+    engines register with one call."""
+    from adampro_spark.io_ops import (
+        StorageHandler,
+        get_storage_handler,
+        register_storage_handler,
+    )
+
+    df = spark.range(20).selectExpr("id", "concat('v', id) AS v")
+    for name in ("parquet", "orc", "json"):
+        h = get_storage_handler(name)
+        p = str(tmp_path / f"sh_{name}")
+        h.write(df, p)
+        back = h.read(spark, p, schema=df.schema)
+        assert sorted(r["id"] for r in back.collect()) == list(range(20))
+
+    with pytest.raises(KeyError, match="no suitable storage handler"):
+        get_storage_handler("cassandra")
+
+    # plugging an 'engine' is one registration (how cassandra/hbase/solr
+    # connectors would attach, by Spark DataSource format name)
+    register_storage_handler(StorageHandler("myengine", "csv", options={"header": "true"}))
+    h = get_storage_handler("myengine")
+    p = str(tmp_path / "sh_custom")
+    h.write(df, p)
+    assert h.read(spark, p, schema=df.schema).count() == 20
