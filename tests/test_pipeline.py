@@ -296,3 +296,25 @@ def test_text_stats_ranges(docs):
         assert 0.0 <= r["alnum_ratio"] <= 1.0
         assert 0.0 <= r["stopword_ratio"] <= 1.0
         assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_profile_one_pass_stats(spark, tables):
+    """profile(): one agg pass, sketch-based; sanity vs exact answers on
+    the small corpus (HLL within its rsd, quantiles within GK bounds)."""
+    from adampro_spark.pipeline.profile import profile
+
+    docs = tables["documents"]
+    prof = {r["column"]: r for r in profile(docs, ["doc_id", "text", "lang"]).collect()}
+
+    n = docs.count()
+    assert prof["doc_id"]["n"] == n and prof["doc_id"]["n_null"] == 0
+    exact = docs.select("doc_id").distinct().count()
+    assert abs(prof["doc_id"]["approx_distinct"] - exact) <= max(2, 0.15 * exact)
+    assert prof["doc_id"]["min"] == 0.0 and prof["doc_id"]["max"] == float(n - 1)
+    # string column: length stats
+    max_len = docs.agg(F.max(F.length("text"))).collect()[0][0]
+    assert prof["text"]["max"] == float(max_len)
+    assert prof["text"]["q"] is not None and len(prof["text"]["q"]) == 3
+    # non-numeric/non-string columns would carry null min/max; lang is a
+    # string so it has length stats but a tiny distinct count
+    assert prof["lang"]["approx_distinct"] <= 10
