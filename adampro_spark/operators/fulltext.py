@@ -38,6 +38,7 @@ from adampro_spark.pipeline.text import tokens_expr
 
 SCORE_COL = "ap_score"  # AttributeNames.scala:16
 TF_COL = "ap_tf"
+DL_COL = "ap_doclen"
 
 
 def tf_score_expr(text: str | Column, terms: Sequence[str]) -> Column:
@@ -82,14 +83,32 @@ def build_text_index(
     shared index lifecycle as type ``"fulltext"`` so create/persist/
     stale-tracking come from index/persist.py.
     """
+    from pyspark.sql import Window
+
     from adampro_spark.index.persist import FEATURE_COL
 
     postings = (
         df.select(F.col(pk), F.explode(tokens_expr(text_col)).alias(FEATURE_COL))
         .groupBy(pk, FEATURE_COL)
         .agg(F.count(F.lit(1)).cast("double").alias(TF_COL))
+        # per-document token count, denormalized onto each posting row:
+        # BM25's length normalization then needs no doc-table join at
+        # query time (one window pass at build, +1 column of storage)
+        .withColumn(DL_COL, F.sum(TF_COL).over(Window.partitionBy(pk)))
     )
-    return postings, {"pk": pk, "text_col": text_col}
+    postings = postings.persist()
+    n_docs, avgdl = (
+        postings.select(pk, DL_COL)
+        .distinct()
+        .agg(F.count(F.lit(1)), F.avg(DL_COL))
+        .collect()[0]
+    )
+    return postings, {
+        "pk": pk,
+        "text_col": text_col,
+        "n_docs": int(n_docs or 0),
+        "avgdl": float(avgdl or 0.0),
+    }
 
 
 def text_search_indexed(
@@ -97,21 +116,51 @@ def text_search_indexed(
     meta: dict[str, Any],
     terms: Sequence[str],
     k: int | None = None,
+    scoring: str = "tf",
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> DataFrame:
-    """Ranked term search from the posting table — same contract and
-    results as :func:`text_search` (rows matching ≥1 term, score = Σ tf,
-    (score desc, pk asc) order) without touching the text column: the
-    ``term IN (...)`` filter is pushed into the posting scan, then one
-    pre-aggregated groupBy(pk) sums the per-term tfs.
+    """Ranked term search from the posting table without touching the
+    text column: the ``term IN (...)`` filter is pushed into the posting
+    scan, then one groupBy(pk) folds the per-term contributions.
+
+    ``scoring="tf"`` — score = Σ tf; same contract and results as
+    :func:`text_search` (the oracle-checked parity pair).
+
+    ``scoring="bm25"`` — Okapi BM25 (Robertson et al.; the default
+    ranking of the Solr engine the reference delegates TEXTTYPE scoring
+    to, SolrEngine.scala:139-163):
+
+        Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    ``df(t)`` needs no side table: posting rows are unique per
+    (pk, term), so a count window over the term partition of the
+    FILTERED postings is the document frequency; N and avgdl are
+    build-time scalars from the index metadata.
     """
+    from pyspark.sql import Window
+
     from adampro_spark.index.persist import FEATURE_COL
 
     pk = meta["pk"]
     terms_l = [t.lower() for t in terms]
+    hits = index_df.filter(F.col(FEATURE_COL).isin(terms_l))
+    if scoring == "tf":
+        contrib = F.col(TF_COL)
+    elif scoring == "bm25":
+        n, avgdl = meta["n_docs"], max(meta["avgdl"], 1e-9)
+        dfreq = F.count(F.lit(1)).over(Window.partitionBy(FEATURE_COL))
+        idf = F.log((F.lit(float(n)) - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        tf = F.col(TF_COL)
+        norm = tf + k1 * (1.0 - b + b * F.col(DL_COL) / F.lit(avgdl))
+        contrib = idf * tf * (k1 + 1.0) / norm
+    else:
+        raise ValueError(f"unknown scoring {scoring!r}")
     scored = (
-        index_df.filter(F.col(FEATURE_COL).isin(terms_l))
+        hits.withColumn("_c", contrib)
         .groupBy(pk)
-        .agg(F.sum(TF_COL).alias(SCORE_COL))
+        .agg(F.sum("_c").alias(SCORE_COL))
     )
     ordered = scored.orderBy(F.col(SCORE_COL).desc(), F.col(pk).asc())
     return ordered.limit(k) if k is not None else ordered

@@ -608,18 +608,20 @@ class QueryOps:
         df: DataFrame | None = None,
         text_col: str = "text",
         pk: str = "ap_id",
+        **kw: Any,
     ) -> DataFrame:
         """Full-text term search (SolrEngine.scala:139-163 passthrough):
         ``target`` naming a persisted ``fulltext`` index routes through the
-        posting table (text column never read); an entity name falls back
-        to the scan path.  Results identical either way."""
+        posting table (text column never read; ``scoring="bm25"`` + k1/b
+        pass through); an entity name falls back to the scan path.
+        Default-scoring results identical either way."""
         from adampro_spark.operators.fulltext import text_search, text_search_indexed
 
         if self._index.exists(target):
             rec = self.catalog.index(target)
             if rec["type"] == "fulltext":
                 idx, meta = self._index.load(target)
-                return text_search_indexed(idx, meta, terms, k)
+                return text_search_indexed(idx, meta, terms, k, **kw)
         data = self._entity_df(target, df)
         return text_search(data, text_col, terms, k, pk=pk)
 

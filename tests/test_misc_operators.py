@@ -301,3 +301,42 @@ def test_result_cache_concurrent_compute_once(spark):
         t.join()
     assert len(calls) == 1
     assert all(g is got[0] for g in got)
+
+
+def test_fulltext_bm25_exact_vs_reference_formula(spark, docs, tmp_path):
+    """BM25 on the posting table must equal the textbook Okapi formula
+    computed driver-side from the same tokenization — exact, not fuzzy."""
+    import math
+
+    from adampro_spark.ops import AdamOps
+
+    terms = ["spark", "query", "join"]
+    ops = AdamOps(spark, str(tmp_path / "cat25"))
+    ops.index.create_from_df("ftb", "d", docs, "text", "fulltext", pk="doc_id")
+
+    res = ops.query.fulltext("ftb", terms, scoring="bm25")
+    got = {r["doc_id"]: r["ap_score"] for r in res.collect()}
+
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].lower().split() for r in rows}
+    toks = {d: [t for t in ts if t] for d, ts in toks.items()}
+    n_docs = sum(1 for ts in toks.values() if ts)
+    avgdl = sum(len(ts) for ts in toks.values()) / max(n_docs, 1)
+    k1, b = 1.2, 0.75
+    want = {}
+    for term in terms:
+        dfreq = sum(1 for ts in toks.values() if term in ts)
+        if not dfreq:
+            continue
+        idf = math.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        for d, ts in toks.items():
+            tf = ts.count(term)
+            if tf:
+                dl = len(ts)
+                want[d] = want.get(d, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl)
+                )
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+
