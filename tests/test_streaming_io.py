@@ -277,3 +277,39 @@ def test_storage_handler_registry(spark, tmp_path):
     p = str(tmp_path / "sh_custom")
     h.write(df, p)
     assert h.read(spark, p, schema=df.schema).count() == 20
+
+
+def test_text_pipeline_runs_on_streams(spark, tmp_path):
+    """Stream/batch unification for the LLM-pipeline text expressions:
+    text_stats (+ langid) are map-only codegen'd expressions, so the SAME
+    call runs in Structured Streaming unchanged and yields exactly the
+    batch result — the shape that lets a 100 TB ingest score quality
+    incrementally instead of re-scanning the corpus."""
+    import shutil
+
+    from adampro_spark.pipeline.text import langid_expr, text_stats
+
+    src_dir = tmp_path / "docs_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src_dir / "part-000.parquet")
+
+    docs = spark.read.parquet(str(src_dir))
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["quality"])
+        for r in text_stats(docs).collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(src_dir))
+    out = text_stats(stream.withColumn("lang_guess", langid_expr("text")))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("txtstream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["quality"])
+        for r in spark.table("txtstream").collect()
+    }
+    assert got == batch and got
