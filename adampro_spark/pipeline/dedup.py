@@ -353,6 +353,97 @@ def minhash_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-group resolution (pairs -> connected components -> survivors)
+# ---------------------------------------------------------------------------
+
+
+def dup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS: connected
+    components over the pair graph, labeled by each component's min pk
+    (the survivor).  Returns ``(id, survivor)`` for every id that appears
+    in a pair; ``id == survivor`` marks the row to keep, everything else
+    drops — the action step after any of the pair generators above.
+
+    Distributed label propagation (the standard large-graph components
+    algorithm when a graph library is out of scope): every node starts
+    labeled with its own id; each round joins labels across edges both
+    ways and keeps the min; stops when no label changed.  Rounds needed =
+    graph diameter — near-dup components are dense clusters with tiny
+    diameters (a transitive chain a~b~c from banding is 2 hops), so this
+    converges in 2-4 rounds in practice; ``max_iterations`` bounds
+    adversarial chains.  Each round is two shuffles on (edge key, label);
+    labels persist per round and the loop checks convergence with a
+    metadata-sized count, never collecting the graph.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("survivor", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        # candidate labels: own label + min neighbor label
+        neighbor = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("survivor").alias("n_survivor"))
+        )
+        updated = (
+            labels.join(neighbor, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("survivor"), F.coalesce("n_survivor", "survivor")
+                ).alias("survivor"),
+                (F.coalesce("n_survivor", "survivor") < F.col("survivor")).alias(
+                    "_chg"
+                ),
+            )
+        ).persist()
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        new_labels = updated.drop("_chg").persist()
+        labels.unpersist()
+        labels = new_labels
+        updated.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def deduplicate(
+    df: DataFrame,
+    pairs: DataFrame,
+    pk: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except its group survivor (min pk):
+    ``df`` minus the non-survivor members of :func:`dup_groups` — one
+    broadcast-or-shuffle anti-join against a drop-list that is at most
+    the duplicate count, never the corpus."""
+    drops = (
+        dup_groups(pairs, id_a, id_b)
+        .filter(F.col("id") != F.col("survivor"))
+        .select(F.col("id").alias(pk))
+    )
+    return df.join(drops, pk, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

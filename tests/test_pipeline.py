@@ -318,3 +318,65 @@ def test_profile_one_pass_stats(spark, tables):
     # non-numeric/non-string columns would carry null min/max; lang is a
     # string so it has length stats but a tiny distinct count
     assert prof["lang"]["approx_distinct"] <= 10
+
+
+def test_dup_groups_matches_union_find(spark):
+    """Label-propagation components == driver-side union-find on the same
+    pairs (chains force multi-round propagation)."""
+    from adampro_spark.pipeline.dedup import dup_groups
+
+    raw = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)]
+    pairs = spark.createDataFrame(raw, ["id_a", "id_b"])
+    got = {r["id"]: r["survivor"] for r in dup_groups(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_deduplicate_keeps_survivors_only(spark, tables):
+    """End-to-end: planted exact copies -> minhash pairs -> deduplicate
+    leaves exactly one member per duplicate group."""
+    from adampro_spark.pipeline.dedup import deduplicate, minhash_dup_pairs
+
+    # exclude short/empty docs: they are mutually near-identical (the
+    # sentinel-shingle group) and would legitimately dedup against each
+    # other, which is not what this test is probing
+    docs = (
+        tables["documents"]
+        .filter(F.length("text") > 100)
+        .select("doc_id", "text")
+    )
+    copies = docs.filter(F.col("doc_id") % 9 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(copies)
+    from adampro_spark.pipeline.dedup import dup_groups
+
+    pairs = minhash_dup_pairs(corpus, threshold=0.9)
+    cleaned = deduplicate(corpus, pairs)
+    kept = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    every = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    # every planted copy drops: it pairs with its original, whose id is
+    # smaller, so a copy can never be its group's survivor
+    assert not {d for d in kept if d >= 1_000_000}
+    # kept == corpus minus exactly the non-survivor group members (the
+    # corpus also contains NATURAL near-dups at this threshold — e.g.
+    # small-vocabulary docs 8 and 12 are near-identical — which dedup
+    # correctly collapses too)
+    labels = {r["id"]: r["survivor"] for r in dup_groups(pairs).collect()}
+    want = {d for d in every if labels.get(d, d) == d}
+    assert kept == want
+    assert len(kept) < len(every)
