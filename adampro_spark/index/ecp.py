@@ -108,10 +108,20 @@ def scan_ecp(
     k: int,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
+    frac: float | None = None,
 ) -> DataFrame:
     """Rank leaders by distance to q; take leaders until the cumulative
     count reaches timesK·k (+1 more, ECPIndex.scala:52-55); candidates =
     rows in those cells, surrogate distance = their leader's distance.
+
+    ``times_k·k`` is an ABSOLUTE candidate budget (the reference's
+    semantics): as the corpus grows it becomes a shrinking fraction of n
+    and recall falls — measured in this repo: widths that are exact at
+    sf0.01 drop well below exactness at sf0.1.  ``frac`` opts into a
+    scale-proportional budget instead: take cells until the prefix sum
+    reaches ``max(times_k·k, frac·n)``, which holds the probed fraction
+    (and so the recall profile) steady across corpus sizes at
+    proportional cost — the per-cell counts in the metadata make n free.
     """
     pk = meta["pk"]
     leaders = np.array(meta["leaders"], dtype=np.float64)
@@ -135,6 +145,8 @@ def scan_ecp(
     # takeWhile(< want).length + 1 (ECPIndex.scala:52-55): take leaders
     # until the prefix sum first reaches the target, then one more.
     want = times_k * k
+    if frac is not None:
+        want = max(want, int(frac * int(counts.sum())))
     cum = 0
     chosen: list[int] = []
     for li in order:
@@ -162,12 +174,15 @@ def ecp_knn(
     distance_name: str | None = None,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
+    frac: float | None = None,
 ) -> DataFrame:
     """Candidate scan → exact sequential refinement (IndexScanExpression:89-98)."""
     from adampro_spark.operators.scan import sequential_scan
 
     dn = distance_name or meta["distance"]
-    cands = scan_ecp(index_df, meta, query, k, times_k=times_k, prefilter=prefilter)
+    cands = scan_ecp(
+        index_df, meta, query, k, times_k=times_k, prefilter=prefilter, frac=frac
+    )
     return sequential_scan(
         df, vector_col, query, k, dn, prefilter=cands, pk=meta["pk"]
     )

@@ -125,3 +125,39 @@ def test_index_counts_match_entity(spark, gt_df):
     for build in (build_ecp, build_pq, build_mi, build_lsh, build_sh, build_vaplus):
         idx, _ = build(gt_df, "vectorfield", pk="tid")
         assert idx.count() == n, build.__name__
+
+
+def test_ecp_frac_budget_scales_with_corpus(spark):
+    """frac= expresses the candidate budget as a fraction of n (from the
+    per-cell counts already in the metadata), so the probed fraction —
+    and with it the recall profile — holds steady as the corpus grows,
+    where the absolute times_k budget becomes a shrinking slice of n
+    (the measured sf0.01-exact vs sf0.1-degraded finding)."""
+    from adampro_spark import index as IX
+    from adampro_spark.operators.scan import sequential_scan
+
+    big = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in big.limit(1).collect()[0]["embedding"]]
+
+    idx, meta = IX.build_ecp(big, "embedding", pk="vec_id", distance_name="euclidean")
+    idx = idx.persist()
+    n = sum(meta["counts"])
+    truth = {
+        r["vec_id"]
+        for r in sequential_scan(big, "embedding", q, 20, "euclidean", pk="vec_id").collect()
+    }
+
+    def recall(**kw):
+        got = {
+            r["vec_id"]
+            for r in IX.ecp_knn(big, "embedding", idx, meta, q, 20, "euclidean", **kw).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_fixed = recall(times_k=5)           # 100 candidates, fixed forever
+    r_frac = recall(times_k=5, frac=0.5)  # n/2 candidates, scales with n
+    assert n == big.count()  # counts in meta cover the whole corpus
+    assert r_frac >= r_fixed
+    assert r_frac >= 0.75
+    # probing everything is exact — the budget is honest about its units
+    assert recall(times_k=5, frac=1.0) == 1.0
