@@ -26,6 +26,8 @@ from adampro_spark.pipeline.text import (  # noqa: F401
     tokens_expr,
 )
 from adampro_spark.pipeline.dedup import (  # noqa: F401
+    deduplicate,
+    dup_groups,
     exact_dedup,
     embedding_dup_pairs,
     minhash_bands,
@@ -34,4 +36,6 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
     simhash_expr,
     simhash_pairs,
 )
+from adampro_spark.pipeline.profile import profile  # noqa: F401
 from adampro_spark.pipeline.simjoin import knn_join, ivf_knn_join  # noqa: F401
+from adampro_spark.pipeline.text import bpe_token_count  # noqa: F401
