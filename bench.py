@@ -45,6 +45,9 @@ HEADLINE = [
     "fulltext_search",
     "fulltext_persisted",
     "events_windowed_stats",
+    # round 4: sketch profiling, BM25 ranking
+    "pipeline_profile",
+    "fulltext_bm25",
 ]
 
 
