@@ -434,10 +434,21 @@ def _profile_documents(spark, sf):
 
 
 def _fulltext_bm25(spark, sf):
-    from adampro_spark.operators.fulltext import build_text_index, text_search_indexed
+    # reuses the fulltext_persisted query's session-lifetime index (same
+    # _ops catalog + index name), so the timed run measures the BM25
+    # QUERY against a built posting table, like the other *_persisted
+    # bench entries
+    from adampro_spark.operators.fulltext import SCORE_COL
+    from adampro_spark.oracle_suite import _ops, _table
 
-    idx, meta = build_text_index(_docs(spark, sf), "text", pk="doc_id")
-    return text_search_indexed(idx, meta, ["spark", "query", "join"], scoring="bm25")
+    ops = _ops(spark, "ftcat")
+    if not ops.index.exists("docs_ft"):
+        ops.index.create_from_df(
+            "docs_ft", "documents_ext", _table(spark, sf, "documents"),
+            "text", "fulltext", pk="doc_id",
+        )
+    res = ops.query.fulltext("docs_ft", ["spark", "query", "join"], scoring="bm25")
+    return res.select("doc_id", SCORE_COL)
 
 
 def _docs_full(spark, sf):
@@ -447,4 +458,4 @@ def _docs_full(spark, sf):
 
 
 _BENCH_ONLY["pipeline_profile"] = _profile_documents
-_BENCH_ONLY["fulltext_bm25"] = _fulltext_bm25
+_BENCH_ONLY["fulltext_bm25_persisted"] = _fulltext_bm25

@@ -47,7 +47,7 @@ HEADLINE = [
     "events_windowed_stats",
     # round 4: sketch profiling, BM25 ranking
     "pipeline_profile",
-    "fulltext_bm25",
+    "fulltext_bm25_persisted",
 ]
 
 
