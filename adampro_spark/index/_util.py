@@ -17,6 +17,31 @@ from pyspark.sql import functions as F
 MIN_TRAINING = 1_000  # IndexGenerator.scala:22
 
 
+def candidate_budget(
+    times_k: int, k: int, frac: float | None, meta: dict, index_df: DataFrame
+) -> int:
+    """Lossy-scan candidate budget.
+
+    ``times_k·k`` is the reference's ABSOLUTE budget (e.g.
+    PQIndex.scala:50-64 top timesK·k): as the corpus grows it becomes a
+    shrinking fraction of n and recall falls — measured in this repo,
+    widths exact at sf0.01 degrade at sf0.1.  ``frac`` opts into a
+    scale-proportional budget ``max(times_k·k, ⌈frac·n⌉)`` that holds the
+    probed fraction (and so the recall profile) steady across corpus
+    sizes at proportional cost.  n comes from build metadata when present
+    (free); else one count over the narrow (pk, feature) index table.
+
+    With a prefilter, n stays the UNFILTERED corpus size: the budget then
+    covers a larger share of the eligible rows — conservative
+    (recall-safe), and avoids an extra count job per filtered query.
+    """
+    want = times_k * k
+    if frac is not None:
+        n = meta.get("n") or index_df.count()
+        want = max(want, int(np.ceil(frac * n)))
+    return want
+
+
 def attach_lut(df: DataFrame, **named_values) -> DataFrame:
     """Attach large lookup tables (bound tables, marks, codebooks,
     reference-point matrices) as columns of a broadcast one-row DataFrame.

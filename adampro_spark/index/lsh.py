@@ -152,6 +152,10 @@ def scan_lsh(
     """Bucket-membership filter: row qualifies if ANY table's bucket equals
     the bucket of ANY of the (1 + numOfQ radius-jittered) queries
     (LSHIndex.scala:44-78).  Distance column = 0 — candidates only.
+
+    No ``frac`` knob here (unlike eCP/PQ/SH/MI): bucket membership IS
+    scale-proportional — each bucket holds ~n/nbuckets rows, so the
+    candidate volume (and recall profile) grows with the corpus already.
     """
     pk = meta["pk"]
     q = np.asarray(query, dtype=np.float64)

@@ -71,6 +71,7 @@ def build_mi(
         "type": "mi",
         "pk": pk,
         "distance": distance_name,
+        "n": n,
         "refs": refs.tolist(),
         "ki": ki_v,
         "ks": ks_v,
@@ -123,16 +124,20 @@ def mi_knn(
     distance_name: str | None = None,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
+    frac: float | None = None,
 ) -> DataFrame:
     """Candidate scan (timesK·k candidates) → exact refinement.
 
     The reference's MI scan returns only k rows ordered by footrule score;
     refining those k directly can drop true neighbours, so like the other
-    lossy scans we widen the candidate set to timesK·k before refinement.
+    lossy scans we widen the candidate set to timesK·k before refinement
+    (``frac`` → scale-proportional budget, see candidate_budget).
     Conform: any distance (MIIndex.scala:85).
     """
+    from adampro_spark.index._util import candidate_budget
     from adampro_spark.operators.scan import sequential_scan
 
     dn = distance_name or meta["distance"]
-    cands = scan_mi(index_df, meta, query, times_k * k, prefilter=prefilter)
+    want = candidate_budget(times_k, k, frac, meta, index_df)
+    cands = scan_mi(index_df, meta, query, want, prefilter=prefilter)
     return sequential_scan(df, vector_col, query, k, dn, prefilter=cands, pk=meta["pk"])

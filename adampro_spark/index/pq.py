@@ -48,6 +48,7 @@ def build_pq(
 ) -> tuple[DataFrame, dict[str, Any]]:
     first = df.select(vector_col).first()
     dim = len(first[0])
+    n_rows = df.count()  # lets frac= scans size their budget without a job
     sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
 
     bounds = _split_bounds(dim, nsq)
@@ -91,6 +92,7 @@ def build_pq(
         "type": "pq",
         "pk": pk,
         "dim": dim,
+        "n": n_rows,
         "nsq": nsq,
         "bounds": [list(b) for b in bounds],
         "codebooks": [cb.tolist() for cb in codebooks],
@@ -130,12 +132,15 @@ def scan_pq(
     p: float = 2.0,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
+    frac: float | None = None,
 ) -> DataFrame:
     """ADC candidate top-(timesK·k) by table-lookup distance
-    (PQIndex.scala:50-64) — TakeOrderedAndProject, no shuffle."""
-    from adampro_spark.index._util import attach_lut
+    (PQIndex.scala:50-64) — TakeOrderedAndProject, no shuffle.
+    ``frac`` switches to the scale-proportional budget (candidate_budget)."""
+    from adampro_spark.index._util import attach_lut, candidate_budget
 
     pk = meta["pk"]
+    want = candidate_budget(times_k, k, frac, meta, index_df)
     df = index_df
     if prefilter is not None:
         df = df.join(prefilter.select(pk), on=pk, how="left_semi")
@@ -143,7 +148,7 @@ def scan_pq(
     scored = attach_lut(df, _ap_adc=flat).withColumn(DISTANCE_COL, expr)
     return (
         scored.orderBy(F.col(DISTANCE_COL).asc(), F.col(pk).asc())
-        .limit(times_k * k)
+        .limit(want)
         .select(pk, DISTANCE_COL)
     )
 
@@ -161,6 +166,7 @@ def pq_knn(
     distance_name: str = "euclidean",
     times_k: int = 5,
     prefilter: DataFrame | None = None,
+    frac: float | None = None,
 ) -> DataFrame:
     """Candidate scan → exact refinement.  Minkowski-only
     (PQIndex.isQueryConform, :67-73)."""
@@ -169,5 +175,7 @@ def pq_knn(
     p = _P.get(distance_name)
     if p is None:
         raise ValueError(f"PQ index only supports Minkowski distances, got {distance_name!r}")
-    cands = scan_pq(index_df, meta, query, k, p=p, times_k=times_k, prefilter=prefilter)
+    cands = scan_pq(
+        index_df, meta, query, k, p=p, times_k=times_k, prefilter=prefilter, frac=frac
+    )
     return sequential_scan(df, vector_col, query, k, distance_name, prefilter=cands, pk=meta["pk"])

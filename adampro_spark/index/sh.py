@@ -104,7 +104,7 @@ def build_sh(
 
     sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
     meta = _train(sample, nbits)
-    meta.update({"type": "sh", "pk": pk, "seed": seed})
+    meta.update({"type": "sh", "pk": pk, "seed": seed, "n": df.count()})
     meta_local = {
         k: meta[k] for k in ("pca", "min_proj", "eigenfunctions", "nbits")
     }
@@ -128,8 +128,13 @@ def scan_sh(
     num_of_q: int = 3,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
+    frac: float | None = None,
 ) -> DataFrame:
-    """Summed Hamming distance to 1 + numOfQ query signatures, top timesK·k."""
+    """Summed Hamming distance to 1 + numOfQ query signatures, top timesK·k
+    (``frac`` → scale-proportional budget, see candidate_budget)."""
+    from adampro_spark.index._util import candidate_budget
+
+    want = candidate_budget(times_k, k, frac, meta, index_df)
     pk = meta["pk"]
     q = np.asarray(query, dtype=np.float64)
     rng = np.random.RandomState(meta["seed"] + 1)
@@ -163,7 +168,7 @@ def scan_sh(
     return (
         df.withColumn(DISTANCE_COL, score)
         .orderBy(F.col(DISTANCE_COL).asc(), F.col(pk).asc())
-        .limit(times_k * k)
+        .limit(want)
         .select(pk, DISTANCE_COL)
     )
 
@@ -178,13 +183,15 @@ def sh_knn(
     num_of_q: int = 3,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
+    frac: float | None = None,
 ) -> DataFrame:
     """Candidate scan → exact refinement.  Euclidean-only conformity
     (SHIndex.scala:78-84)."""
     from adampro_spark.operators.scan import sequential_scan
 
     cands = scan_sh(
-        index_df, meta, query, k, num_of_q=num_of_q, times_k=times_k, prefilter=prefilter
+        index_df, meta, query, k, num_of_q=num_of_q, times_k=times_k,
+        prefilter=prefilter, frac=frac,
     )
     return sequential_scan(
         df, vector_col, query, k, "euclidean", prefilter=cands, pk=meta["pk"]

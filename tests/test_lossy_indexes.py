@@ -161,3 +161,42 @@ def test_ecp_frac_budget_scales_with_corpus(spark):
     assert r_frac >= 0.75
     # probing everything is exact — the budget is honest about its units
     assert recall(times_k=5, frac=1.0) == 1.0
+
+
+@pytest.mark.parametrize(
+    "build, knn",
+    [
+        (build_pq, lambda *a, **kv: pq_knn(*a, "euclidean", **kv)),
+        (build_sh, sh_knn),  # Euclidean-only: no distance arg
+        (build_mi, lambda *a, **kv: mi_knn(*a, "euclidean", **kv)),
+    ],
+    ids=["pq", "sh", "mi"],
+)
+def test_frac_budget_all_lossy(spark, build, knn):
+    """frac= gives every absolute-budget lossy scan (PQ/SH/MI — eCP has
+    its own cell-prefix variant, LSH/VA scale naturally) the same
+    scale-proportional semantics: frac=1.0 probes everything → exact, and
+    a meaningful frac never loses to the fixed times_k·k budget."""
+    from adampro_spark.operators.scan import sequential_scan as seq
+
+    big = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in big.limit(1).collect()[0]["embedding"]]
+
+    idx, meta = build(big, "embedding", pk="vec_id")
+    idx = idx.persist()
+    assert meta["n"] == big.count()  # budget base recorded at build time
+    truth = {
+        r["vec_id"] for r in seq(big, "embedding", q, 20, "euclidean", pk="vec_id").collect()
+    }
+
+    def recall(**kv):
+        got = {
+            r["vec_id"]
+            for r in knn(big, "embedding", idx, meta, q, 20, **kv).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert recall(times_k=5, frac=0.5) >= recall(times_k=5)
+    # probing everything is exact — the budget is honest about its units
+    assert recall(times_k=5, frac=1.0) == 1.0
+    idx.unpersist()
