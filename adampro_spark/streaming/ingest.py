@@ -34,30 +34,47 @@ EVENT_SCHEMA = T.StructType(
 
 
 def stream_events(
-    spark: SparkSession, source_dir: str, schema: T.StructType = EVENT_SCHEMA
+    spark: SparkSession, source_dir: str, schema: T.StructType | None = None
 ) -> DataFrame:
     """File-source stream over a directory of event parquet files.
 
     ``maxFilesPerTrigger=1`` keeps micro-batches bounded; the schema is
-    explicit (streams cannot infer).  The testdata's TIMESTAMP(NANOS)
-    arrives as long under ``nanosAsLong`` — restore micros like
-    session.load_tables does.
+    explicit (streams cannot infer) and DERIVED from the first file's
+    parquet footer so it always matches the batch read of the same files
+    — including the timestamp unit: TIMESTAMP(NANOS) columns arrive as
+    long under ``nanosAsLong`` and are restored to micros exactly like
+    session.load_tables; micros columns stream through untouched.
+    (Hardcoding either unit breaks when the data generator switches —
+    observed: the synthetic events table moved from nanos to micros.)
     """
+    import glob
+    import os
+
+    from adampro_spark.session import _nanos_timestamp_cols
+
+    files = sorted(
+        glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
+    ) or sorted(glob.glob(os.path.join(source_dir, "*.parquet")))
+    ns_cols: list[str] = []
+    if schema is None:
+        if files:
+            schema = spark.read.parquet(files[0]).schema
+            ns_cols = _nanos_timestamp_cols(files[0])
+        else:
+            schema = EVENT_SCHEMA
     df = (
-        spark.readStream.schema(
-            T.StructType(
-                [
-                    f
-                    if f.name != "ts"
-                    else T.StructField("ts", T.LongType())
-                    for f in schema.fields
-                ]
-            )
-        )
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # watermarks reject TIMESTAMP_NTZ event time — cast to session-tz
+    # TIMESTAMP (UTC session: same wall-clock instants as the batch read)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
 
 
 def windowed_event_stats(
@@ -127,6 +144,7 @@ def progressive_knn_stream(
     distance_name: str = "euclidean",
     pk: str = "ap_id",
     nbuckets: int = 32,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Progressive kNN over streaming inserts — the reference's
     progressive query (``DataQuery.scala:327-360``: results improve as
@@ -142,6 +160,13 @@ def progressive_knn_stream(
     emitted rows — a trivial final aggregation for any sink.  State is
     O(nbuckets·k), independent of stream length; buckets keep the merge
     parallel across executors.
+
+    ``state_ttl_ms`` bounds state LIFETIME the way ``stream_dedup``'s
+    watermark bounds its key set: a bucket that receives no rows for the
+    TTL is evicted (processing-time timeout), so idle buckets do not live
+    forever on an unbounded stream.  The merged answer then reflects the
+    TTL horizon — the standard contract for windowed progressive results.
+    Default None keeps full-history semantics for bounded replays.
     """
     import numpy as np
 
@@ -155,6 +180,9 @@ def progressive_knn_stream(
     def update(key, pdfs, state: "GroupState"):
         import pandas as pd
 
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             pks, ds = state.get
             pks, ds = list(pks), list(ds)
@@ -173,6 +201,8 @@ def progressive_knn_stream(
         pks = [pks[i] for i in order]
         ds = [ds[i] for i in order]
         state.update((pks, ds))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {"bucket": [int(key[0])] * len(pks), pk: pks, "ap_distance": ds}
         )
@@ -185,7 +215,11 @@ def progressive_knn_stream(
         outputStructType=f"bucket int, {pk} long, ap_distance double",
         stateStructType="pks array<bigint>, ds array<double>",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

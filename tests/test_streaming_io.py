@@ -164,6 +164,80 @@ def test_progressive_knn_stream_matches_batch(spark, tmp_path):
     ]
 
 
+def test_progressive_knn_stream_state_ttl_evicts_idle_buckets(spark, tmp_path):
+    """With ``state_ttl_ms``, a bucket that receives no rows for the TTL is
+    EVICTED (processing-time timeout) — state stays bounded on an unbounded
+    stream instead of keeping every bucket forever.  Feed two micro-batches
+    with DISJOINT bucket sets and a tiny TTL: the second batch must remove
+    the first batch's now-idle buckets, so the final state row count is
+    strictly below the total number of buckets ever touched."""
+    from adampro_spark.streaming.ingest import progressive_knn_stream
+
+    nbuckets = 16
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with_bucket = emb.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nbuckets)).cast("int")
+    )
+    lo = with_bucket.filter(F.col("_b") < nbuckets // 2).drop("_b")
+    hi = with_bucket.filter(F.col("_b") >= nbuckets // 2).drop("_b")
+    n_lo = lo.select(
+        F.countDistinct(F.pmod(F.xxhash64("vec_id"), F.lit(nbuckets)))
+    ).first()[0]
+    n_hi = hi.select(
+        F.countDistinct(F.pmod(F.xxhash64("vec_id"), F.lit(nbuckets)))
+    ).first()[0]
+    assert n_lo > 0 and n_hi > 0
+
+    d = tmp_path / "ttl_stream"
+    d.mkdir()
+    lo.coalesce(1).write.parquet(str(d / "f0"))
+    hi.coalesce(1).write.parquet(str(d / "f1"))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    Q = [round(0.1 * ((i * 7) % 13) - 0.5, 4) for i in range(64)]
+    res = progressive_knn_stream(
+        stream, "embedding", Q, 5, "euclidean", pk="vec_id",
+        nbuckets=nbuckets, state_ttl_ms=1,
+    )
+    # NOTE: with ProcessingTimeTimeout the stateful operator always asks
+    # for another (possibly no-data) batch to fire pending timeouts, so an
+    # availableNow query never self-terminates — poll the progress buffer
+    # for the eviction and stop the query explicitly.
+    q = (
+        res.writeStream.format("memory")
+        .queryName("prog_knn_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import time
+
+    removed = updated = 0
+    seen: set[int] = set()
+    deadline = time.time() + 90
+    try:
+        while time.time() < deadline:
+            for p in q.recentProgress:
+                if p["batchId"] in seen or not p["stateOperators"]:
+                    continue
+                seen.add(p["batchId"])
+                removed += p["stateOperators"][0]["numRowsRemoved"]
+                updated += p["stateOperators"][0]["numRowsUpdated"]
+            if removed >= n_lo + n_hi:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert updated >= n_lo + n_hi, "both micro-batches must have updated state"
+    # every bucket eventually idles past the TTL and must be evicted
+    assert removed >= n_lo + n_hi, f"evicted {removed} < {n_lo + n_hi}"
+
+
 @pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc", "avro"])
 def test_entity_export_import_roundtrip(spark, tmp_path, fmt):
     from adampro_spark.io_ops import export_entity, import_entity
