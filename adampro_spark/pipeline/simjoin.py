@@ -110,21 +110,39 @@ def knn_join(
     pk: str = "vec_id",
     q_pk: str = "q_id",
     q_vector_col: str | None = None,
-    strategy: str = "local_topk",
+    strategy: str = "auto",
+    auto_collect_cap: int = 100_000,
+    **ivf_kw,
 ) -> DataFrame:
     """For every query row, the k nearest data rows:
-    ``(q_pk, pk, ap_distance)``, exact, ties broken by pk.
+    ``(q_pk, pk, ap_distance)``, exact (lossy only on the auto ivf
+    spill-over path), ties broken by pk.
 
-    ``queries`` must be small enough to broadcast (driver-collected for
-    ``local_topk``); for a huge query side use :func:`ivf_knn_join`.
+    ``strategy="auto"`` (default) routes by query-side count so no regime
+    silently hits the wrong plan: |Q| ≤ ``auto_collect_cap`` → exact
+    ``local_topk`` (query side driver-collected + broadcast — the
+    documented cap this routing enforces); larger → :func:`ivf_knn_join`
+    with the query side kept DISTRIBUTED (cell equi-join, no broadcast, no
+    collect), forwarding ``**ivf_kw`` (nprobe, ecp_index, …).
 
-    The default is ``local_topk`` — the scale-safe exact plan (per-batch
-    pre-reduction, shuffle carries O(batches·|Q|·k) rows).  ``window`` is
-    a broadcast nested-loop whose shuffle carries |data|·|Q| rows: it only
-    makes sense for tiny inputs (oracle mirroring, plan comparisons) and
-    must be requested explicitly.
+    ``local_topk`` is the scale-safe exact plan (per-batch pre-reduction,
+    shuffle carries O(batches·|Q|·k) rows).  ``window`` is a broadcast
+    nested-loop whose shuffle carries |data|·|Q| rows: it only makes sense
+    for tiny inputs (oracle mirroring, plan comparisons) and must be
+    requested explicitly.
     """
     qv = q_vector_col or vector_col
+
+    if strategy == "auto":
+        nq = queries.count()
+        if nq <= auto_collect_cap:
+            strategy = "local_topk"
+        else:
+            return ivf_knn_join(
+                data, queries, vector_col, k, distance_name,
+                pk=pk, q_pk=q_pk, q_vector_col=q_vector_col,
+                broadcast_queries=False, **ivf_kw,
+            )
 
     if strategy == "window":
         q = queries.select(
@@ -195,6 +213,8 @@ def ivf_knn_join(
     nprobe: int = 8,
     seed: int = 42,
     ecp_index: tuple[DataFrame, dict] | None = None,
+    broadcast_queries: bool | None = None,
+    broadcast_cap_rows: int = 1_000_000,
 ) -> DataFrame:
     """IVF-bucketed batch kNN: assign data rows to their nearest leader
     cell, probe each query's ``nprobe`` nearest cells, equi-join on cell.
@@ -206,6 +226,13 @@ def ivf_knn_join(
     queries explode to nprobe rows each, and the join only touches probed
     cells.  Lossy unless nprobe = nleaders; recall climbs with nprobe
     (asserted in tests, PQ-style).
+
+    ``broadcast_queries`` — None (default) decides by size: the exploded
+    query side (|Q|·nprobe rows) is broadcast only while it stays under
+    ``broadcast_cap_rows``; beyond that it becomes a shuffle cell-join
+    (both sides hashed on ``_cell``), so a huge query side degrades to a
+    bigger shuffle instead of an executor OOM.  Explicit True/False
+    forces the choice (True mirrors the pre-round-5 behavior).
     """
     from adampro_spark.index._util import attach_lut
 
@@ -256,8 +283,15 @@ def ivf_knn_join(
         F.explode(probe_cells).alias("_cell"),
     )
 
+    if broadcast_queries is None:
+        # one count on the (usually smaller) query side decides the shape
+        broadcast_queries = (
+            queries.count() * max(nprobe, 1) <= broadcast_cap_rows
+        )
+    q_side = F.broadcast(q_cells) if broadcast_queries else q_cells
+
     cands = (
-        data_cells.join(F.broadcast(q_cells), on="_cell")
+        data_cells.join(q_side, on="_cell")
         .withColumn(
             DISTANCE_COL,
             _pair_dist(F.col(vector_col), F.col("_q_vec"), distance_name),

@@ -217,6 +217,57 @@ def test_ivf_reuses_persisted_ecp_index(spark, emb, tmp_path):
     assert key(a) == key(b)
 
 
+def test_knn_join_auto_routes_big_query_side_distributed(spark, emb):
+    """Above ``auto_collect_cap`` the auto strategy must keep the query
+    side DISTRIBUTED: the cell join plans as a shuffle join (SortMergeJoin
+    on _cell), not a forced BroadcastHashJoin — a huge |Q| then costs a
+    bigger shuffle instead of a driver collect / executor OOM."""
+    q = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        routed = knn_join(
+            emb, q, "embedding", 4, "euclidean",
+            strategy="auto", auto_collect_cap=10, nprobe=50,
+        )
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert re.search(r"SortMergeJoin.*_cell", plan), plan
+        assert not re.search(r"BroadcastHashJoin.*_cell", plan), plan
+
+        forced = ivf_knn_join(
+            emb, q, "embedding", 4, "euclidean", nprobe=50,
+            broadcast_queries=True,
+        )
+        fplan = forced._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"BroadcastHashJoin.*_cell", fplan), fplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # both shapes compute the same join (nprobe=50 probes every cell → exact)
+    key = lambda df: sorted(  # noqa: E731
+        (r["q_id"], r["vec_id"], round(r["ap_distance"], 6)) for r in df.collect()
+    )
+    assert key(routed) == key(forced)
+    assert key(routed) == key(
+        knn_join(emb, q, "embedding", 4, "euclidean", strategy="local_topk")
+    )
+
+
+def test_knn_join_auto_small_query_side_is_exact_local_topk(emb):
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["q_id"], r["vec_id"], round(r["ap_distance"], 6)) for r in df.collect()
+    )
+    assert key(knn_join(emb, q, "embedding", 3, "manhattan")) == key(
+        knn_join(emb, q, "embedding", 3, "manhattan", strategy="local_topk")
+    )
+
+
 def test_ivf_recall_climbs_with_nprobe(emb):
     q = emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("q_id"), "embedding"
