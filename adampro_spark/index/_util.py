@@ -16,25 +16,47 @@ from pyspark.sql import functions as F
 
 MIN_TRAINING = 1_000  # IndexGenerator.scala:22
 
+# Default probed fraction for ``frac="auto"``: the share of the corpus the
+# reference's absolute ``times_k·k`` budget represents at the scale where
+# these widths were VALIDATED exact (k=20, times_k≥25 against 500–2000-row
+# oracle corpora ⇒ ≳20%).  "auto" holds that validated fraction steady as
+# n grows instead of letting the absolute budget silently shrink to a
+# low-recall sliver — at large n callers should tune frac down (or use
+# ``train_planner``'s measured recall curves) rather than fall off the
+# cliff by default.  ``frac=None`` restores the reference's absolute
+# semantics.
+DEFAULT_FRAC = 0.2
+
+
+def resolve_frac(frac: float | str | None) -> float | None:
+    """Map the ``frac`` knob to a number: "auto" → DEFAULT_FRAC."""
+    if isinstance(frac, str):
+        if frac != "auto":
+            raise ValueError(f"frac must be a float, None, or 'auto', got {frac!r}")
+        return DEFAULT_FRAC
+    return frac
+
 
 def candidate_budget(
-    times_k: int, k: int, frac: float | None, meta: dict, index_df: DataFrame
+    times_k: int, k: int, frac: float | str | None, meta: dict, index_df: DataFrame
 ) -> int:
     """Lossy-scan candidate budget.
 
     ``times_k·k`` is the reference's ABSOLUTE budget (e.g.
     PQIndex.scala:50-64 top timesK·k): as the corpus grows it becomes a
     shrinking fraction of n and recall falls — measured in this repo,
-    widths exact at sf0.01 degrade at sf0.1.  ``frac`` opts into a
-    scale-proportional budget ``max(times_k·k, ⌈frac·n⌉)`` that holds the
-    probed fraction (and so the recall profile) steady across corpus
-    sizes at proportional cost.  n comes from build metadata when present
-    (free); else one count over the narrow (pk, feature) index table.
+    widths exact at sf0.01 degrade at sf0.1.  ``frac`` (a float, or the
+    default "auto" → DEFAULT_FRAC) switches to a scale-proportional
+    budget ``max(times_k·k, ⌈frac·n⌉)`` that holds the probed fraction
+    (and so the recall profile) steady across corpus sizes at
+    proportional cost.  n comes from build metadata when present (free);
+    else one count over the narrow (pk, feature) index table.
 
     With a prefilter, n stays the UNFILTERED corpus size: the budget then
     covers a larger share of the eligible rows — conservative
     (recall-safe), and avoids an extra count job per filtered query.
     """
+    frac = resolve_frac(frac)
     want = times_k * k
     if frac is not None:
         n = meta.get("n") or index_df.count()

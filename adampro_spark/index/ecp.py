@@ -108,7 +108,7 @@ def scan_ecp(
     k: int,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
-    frac: float | None = None,
+    frac: float | str | None = "auto",
 ) -> DataFrame:
     """Rank leaders by distance to q; take leaders until the cumulative
     count reaches timesK·k (+1 more, ECPIndex.scala:52-55); candidates =
@@ -117,12 +117,17 @@ def scan_ecp(
     ``times_k·k`` is an ABSOLUTE candidate budget (the reference's
     semantics): as the corpus grows it becomes a shrinking fraction of n
     and recall falls — measured in this repo: widths that are exact at
-    sf0.01 drop well below exactness at sf0.1.  ``frac`` opts into a
-    scale-proportional budget instead: take cells until the prefix sum
-    reaches ``max(times_k·k, frac·n)``, which holds the probed fraction
-    (and so the recall profile) steady across corpus sizes at
-    proportional cost — the per-cell counts in the metadata make n free.
+    sf0.01 drop well below exactness at sf0.1.  ``frac`` (float, or the
+    default "auto" → _util.DEFAULT_FRAC) switches to a scale-proportional
+    budget instead: take cells until the prefix sum reaches
+    ``max(times_k·k, frac·n)``, which holds the probed fraction (and so
+    the recall profile) steady across corpus sizes at proportional cost —
+    the per-cell counts in the metadata make n free.  ``frac=None``
+    restores the reference's absolute semantics.
     """
+    from adampro_spark.index._util import resolve_frac
+
+    frac = resolve_frac(frac)
     pk = meta["pk"]
     leaders = np.array(meta["leaders"], dtype=np.float64)
     counts = np.array(meta["counts"], dtype=np.int64)
@@ -174,7 +179,7 @@ def ecp_knn(
     distance_name: str | None = None,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
-    frac: float | None = None,
+    frac: float | str | None = "auto",
 ) -> DataFrame:
     """Candidate scan → exact sequential refinement (IndexScanExpression:89-98)."""
     from adampro_spark.operators.scan import sequential_scan

@@ -124,7 +124,7 @@ def mi_knn(
     distance_name: str | None = None,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
-    frac: float | None = None,
+    frac: float | str | None = "auto",
 ) -> DataFrame:
     """Candidate scan (timesK·k candidates) → exact refinement.
 

@@ -132,7 +132,7 @@ def scan_pq(
     p: float = 2.0,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
-    frac: float | None = None,
+    frac: float | str | None = "auto",
 ) -> DataFrame:
     """ADC candidate top-(timesK·k) by table-lookup distance
     (PQIndex.scala:50-64) — TakeOrderedAndProject, no shuffle.
@@ -166,7 +166,7 @@ def pq_knn(
     distance_name: str = "euclidean",
     times_k: int = 5,
     prefilter: DataFrame | None = None,
-    frac: float | None = None,
+    frac: float | str | None = "auto",
 ) -> DataFrame:
     """Candidate scan → exact refinement.  Minkowski-only
     (PQIndex.isQueryConform, :67-73)."""

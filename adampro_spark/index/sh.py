@@ -128,7 +128,7 @@ def scan_sh(
     num_of_q: int = 3,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
-    frac: float | None = None,
+    frac: float | str | None = "auto",
 ) -> DataFrame:
     """Summed Hamming distance to 1 + numOfQ query signatures, top timesK·k
     (``frac`` → scale-proportional budget, see candidate_budget)."""
@@ -183,7 +183,7 @@ def sh_knn(
     num_of_q: int = 3,
     times_k: int = 5,
     prefilter: DataFrame | None = None,
-    frac: float | None = None,
+    frac: float | str | None = "auto",
 ) -> DataFrame:
     """Candidate scan → exact refinement.  Euclidean-only conformity
     (SHIndex.scala:78-84)."""
