@@ -420,17 +420,114 @@ _register("simjoin_ivf", _simjoin_ivf, _simjoin_sql())
 
 
 # ---------------------------------------------------------------------------
-# bench-only entries (no driver oracle slot — the 50-query window is full;
-# these give the per-round bench a throughput signal for the round-4 ops)
+# dedup RESOLUTION (pairs → connected components → survivor anti-join) —
+# the action step a pipeline actually runs; round-5 driver row.  Oracle:
+# exact all-pairs Jaccard graph (the dedup_minhash oracle), components via
+# a recursive reachability CTE, survivors = corpus minus non-min members.
 # ---------------------------------------------------------------------------
 
-from adampro_spark.oracle_suite import BENCH_ONLY as _BENCH_ONLY  # noqa: E402
+
+def _dedup_resolution(spark, sf):
+    from adampro_spark.pipeline.dedup import deduplicate, minhash_dup_pairs
+
+    corpus = _docs_with_truncated_copies(spark, sf)
+    pairs = minhash_dup_pairs(corpus, threshold=0.7)
+    return (
+        deduplicate(corpus, pairs, pk="doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "dedup_resolution",
+    _dedup_resolution,
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT id_a, id_b FROM ({_minhash_sql(0.7, 8)})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS survivor FROM reach GROUP BY id),
+    drops AS (SELECT id FROM comp WHERE id != survivor)
+    SELECT doc_id FROM ({_SQL_DOCS_TRUNC})
+    WHERE doc_id NOT IN (SELECT id FROM drops)
+    ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# dataset profiling (one-pass sketch aggregation) — round-5 driver row.
+# The oracle covers the EXACT statistics (n, nulls, min/max/mean); the
+# sketch columns (HLL++ approx_distinct, GK quantiles) are approximation-
+# algorithm-specific and stay bench/pytest-verified (DuckDB's approx
+# sketches are different algorithms, so value equality is undefined).
+# ---------------------------------------------------------------------------
+
+
+def _docs_full(spark, sf):
+    from adampro_spark.session import load_tables
+
+    return load_tables(spark, sf)["documents"]
 
 
 def _profile_documents(spark, sf):
     from adampro_spark.pipeline.profile import profile
 
     return profile(_docs_full(spark, sf))
+
+
+def _profile_exact_stats(spark, sf):
+    res = _profile_documents(spark, sf)
+    return res.select(
+        "column", "dtype", "n", "n_null",
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+        F.round("mean", 4).alias("mean"),
+    )
+
+
+def _profile_sql() -> str:
+    # (name, simpleString dtype, profiled value expr): numeric columns
+    # profile their values, string columns their lengths (profile.py:51-56)
+    cols = [
+        ("doc_id", "bigint", "doc_id"),
+        ("text", "string", "length(text)"),
+        ("lang", "string", "length(lang)"),
+        ("source", "string", "length(source)"),
+        ("n_chars", "bigint", "n_chars"),
+    ]
+    parts = [
+        f"""
+        SELECT '{name}' AS "column", '{dt}' AS dtype,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               round(min(({v})::DOUBLE), 4) AS min,
+               round(max(({v})::DOUBLE), 4) AS max,
+               round(avg(({v})::DOUBLE), 4) AS mean
+        FROM documents
+        """
+        for name, dt, v in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+_register("pipeline_profile", _profile_exact_stats, _profile_sql())
+
+
+# ---------------------------------------------------------------------------
+# BM25 over the persisted posting table — round-5 driver row against the
+# textbook Okapi formula computed end-to-end in DuckDB (fulltext.py:130-157:
+# idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)),
+# k1=1.2, b=0.75, dl/avgdl from the corpus token counts).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "query", "join"]
 
 
 def _fulltext_bm25(spark, sf):
@@ -447,15 +544,37 @@ def _fulltext_bm25(spark, sf):
             "docs_ft", "documents_ext", _table(spark, sf, "documents"),
             "text", "fulltext", pk="doc_id",
         )
-    res = ops.query.fulltext("docs_ft", ["spark", "query", "join"], scoring="bm25")
-    return res.select("doc_id", SCORE_COL)
+    res = ops.query.fulltext("docs_ft", _BM25_TERMS, scoring="bm25")
+    return res.select("doc_id", F.round(SCORE_COL, 4).alias(SCORE_COL))
 
 
-def _docs_full(spark, sf):
-    from adampro_spark.session import load_tables
+def _bm25_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    terms_in = ", ".join(f"'{t.lower()}'" for t in terms)
+    toks = _TOKS.format(t="text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT p.doc_id, p.term, p.tf, d.dl
+      FROM postings p JOIN dl d USING (doc_id)
+      WHERE p.term IN ({terms_in})
+    ),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS dfreq FROM hits GROUP BY term)
+    SELECT h.doc_id,
+           round(sum(
+             ln((s.n - f.dfreq + 0.5) / (f.dfreq + 0.5) + 1.0)
+             * h.tf * ({k1} + 1.0)
+             / (h.tf + {k1} * (1.0 - {b} + {b} * h.dl / s.avgdl))
+           ), 4) AS ap_score
+    FROM hits h JOIN dfreq f USING (term), stats s
+    GROUP BY h.doc_id
+    """
 
-    return load_tables(spark, sf)["documents"]
 
-
-_BENCH_ONLY["pipeline_profile"] = _profile_documents
-_BENCH_ONLY["fulltext_bm25_persisted"] = _fulltext_bm25
+_register("fulltext_bm25_persisted", _fulltext_bm25, _bm25_sql(_BM25_TERMS))
