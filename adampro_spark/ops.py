@@ -119,6 +119,28 @@ def _ml_route(
     return best
 
 
+def predict_recall(samples: Sequence[Sequence[float]], n: int) -> float | None:
+    """Conservative recall prediction at corpus size ``n`` from measured
+    ``(n_measured, recall)`` samples (train_planner's naive heuristic
+    records one per run).
+
+    Model: an absolute candidate budget covers a ``1/n`` fraction of the
+    corpus, so measured recall decays ∝ ``n_measured / n`` when scaling
+    UP, and is at least the measured value when scaling down — a lower
+    bound (scans using the ``frac="auto"`` scale-proportional budget hold
+    their recall, so the prediction under-promises, never over-promises).
+    The sample with the largest measured n dominates (closest to the
+    asked scale); retraining at the current scale refreshes the bound.
+    Returns None with no samples.
+    """
+    if not samples:
+        return None
+    n_m, r_m = max(samples, key=lambda s: s[0])
+    if n <= n_m:
+        return float(r_m)
+    return float(r_m) * (float(n_m) / float(n))
+
+
 def plan_knn(
     catalog: Catalog,
     entity: str,
@@ -127,6 +149,7 @@ def plan_knn(
     hints: Sequence[str] = ("exact",),
     k: int = 20,
     dims: int | None = None,
+    min_recall: float | None = None,
 ) -> KnnPlan:
     """Pick the access path for a kNN query (HintBasedScanExpression:93-176).
 
@@ -140,12 +163,25 @@ def plan_knn(
       * ``"approximate"`` — any conforming index by PREFERENCE order.
     Falls through to sequential when nothing matches (the reference's
     fallback, HintBasedScanExpression.scala:169-175).
+
+    ``min_recall`` arms the two-scale recall guard: lossy paths whose
+    :func:`predict_recall` at the entity's CURRENT tuple_count (from the
+    per-index-type curves ``train_planner`` persists) falls below the
+    floor are skipped with a reason — growing n past what the curves
+    support flips the plan to an exact index or the sequential scan
+    instead of silently serving low-recall results.  Exact paths
+    (confidence 1.0) are never recall-gated.
     """
     reasons: list[str] = []
     idx_records = {
         name: catalog.index(name)
         for name in catalog.list_indexes(entity)
     }
+    ent_rec: dict[str, Any] = (
+        catalog.entity(entity) if catalog.exists_entity(entity) else {}
+    )
+    curves = ent_rec.get("recall_curves") or {}
+    n_now = int(ent_rec.get("tuple_count") or 0)
 
     def usable(name: str, rec: dict[str, Any], kinds: Sequence[str] | None) -> bool:
         if rec["attribute"] != attribute:
@@ -158,6 +194,18 @@ def plan_knn(
         if not _conforms(rec["type"], rec.get("meta", {}), distance_name):
             reasons.append(f"{name}: {rec['type']} not conform to {distance_name}")
             return False
+        if (
+            min_recall is not None
+            and CONFIDENCE.get(rec["type"], 0.5) < 1.0
+            and n_now > 0
+        ):
+            pred = predict_recall(curves.get(rec["type"]) or [], n_now)
+            if pred is not None and pred < min_recall:
+                reasons.append(
+                    f"{name}: predicted recall {pred:.3f} at n={n_now} "
+                    f"below floor {min_recall} (curve from train_planner)"
+                )
+                return False
         return True
 
     def best(kinds: Sequence[str] | None) -> str | None:
@@ -274,6 +322,12 @@ def train_planner(
         seq = paths.pop("sequential")
         truth = {r[0] for r in seq[1]().select(pk).collect()}
         out: dict[str, dict[str, float]] = {}
+        ops.catalog.ensure_entity(entity)
+        ent = ops.catalog.entity(entity)
+        n_now = int(ent.get("tuple_count") or 0) or (
+            df.count() if df is not None else 0
+        )
+        curves = {k_: list(v) for k_, v in (ent.get("recall_curves") or {}).items()}
         for name, (_conf, fn) in paths.items():
             t0 = _time.perf_counter()
             got = {r[0] for r in fn().select(pk).collect()}
@@ -282,6 +336,15 @@ def train_planner(
             score = recall / (1.0 + dt)
             out[name] = {"time_sec": round(dt, 4), "recall": recall, "score": score}
             ops.catalog.update_index_fields(name, score=score, recall=recall)
+            # per-index-TYPE (n, recall) curve — plan_knn's min_recall
+            # guard extrapolates these to the current corpus size
+            if n_now > 0:
+                t = ops.catalog.index(name)["type"]
+                rows = [s for s in curves.get(t, []) if int(s[0]) != n_now]
+                rows.append([n_now, recall])
+                curves[t] = rows
+        if n_now > 0:
+            ops.catalog.update_entity(entity, recall_curves=curves)
         return out
 
     if heuristic not in ("svm", "lr"):
@@ -564,6 +627,7 @@ class QueryOps:
         predicates=None,
         df: DataFrame | None = None,
         pk: str = "ap_id",
+        min_recall: float | None = None,
         **kw: Any,
     ) -> tuple[DataFrame, KnnPlan]:
         """Planned kNN: hint walk → conforming non-stale index → scan, with
@@ -583,7 +647,7 @@ class QueryOps:
                 )
         plan = plan_knn(
             self.catalog, entity, attribute, distance_name, hints,
-            k=k, dims=len(list(query)),
+            k=k, dims=len(list(query)), min_recall=min_recall,
         )
         prefilter = None
         data = self._entity_df(entity, df)

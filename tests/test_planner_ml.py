@@ -160,3 +160,66 @@ def test_samples_accumulate_across_calls(ops, emb):
     )
     after = len(ops.catalog.entity("emb")["planner_samples"]["entity"])
     assert after == before + 1
+
+
+# ---------------------------------------------------------------------------
+# recall curves + min_recall guard (round-5: two-scale recall harness)
+# ---------------------------------------------------------------------------
+
+
+def test_predict_recall_model():
+    from adampro_spark.ops import predict_recall
+
+    assert predict_recall([], 1000) is None
+    # at or below the measured scale: the measured value
+    assert predict_recall([[1000, 0.9]], 500) == pytest.approx(0.9)
+    assert predict_recall([[1000, 0.9]], 1000) == pytest.approx(0.9)
+    # scaling up: 1/n decay of the absolute-budget fraction
+    assert predict_recall([[1000, 0.9]], 10_000) == pytest.approx(0.09)
+    # the largest measured n dominates (closest to the asked scale)
+    assert predict_recall([[1000, 0.9], [100_000, 0.8]], 200_000) == pytest.approx(0.4)
+
+
+def test_naive_training_persists_recall_curves(ops, emb):
+    out = train_planner(
+        ops, "emb", "embedding", Q, 10, "euclidean",
+        df=emb, pk="vec_id", heuristic="naive",
+    )
+    assert "ml_ecp" in out and 0.0 <= out["ml_ecp"]["recall"] <= 1.0
+    curves = ops.catalog.entity("emb")["recall_curves"]
+    n = emb.count()
+    assert curves["ecp"] and curves["ecp"][-1][0] == n
+    assert curves["vaf"][-1][1] == pytest.approx(1.0)  # exact index
+
+
+def test_min_recall_guard_flips_lossy_to_exact_at_scale(ops, emb):
+    """Growing n past what the measured curves support must flip the
+    chosen path from the lossy index to an exact one (or sequential) —
+    the planner-side complement of the frac='auto' budget."""
+    # at the measured scale the lossy path is usable under the floor
+    ent_n = emb.count()
+    curves = ops.catalog.entity("emb")["recall_curves"]
+    measured = dict(curves)["ecp"][-1][1]
+    plan_small = plan_knn(
+        ops.catalog, "emb", "embedding", "euclidean",
+        hints=("ecp",), k=10, dims=len(Q), min_recall=measured * 0.9,
+    )
+    assert plan_small.path == "ml_ecp"
+
+    # simulate the corpus growing 1000x: predicted recall collapses
+    ops.catalog.update_entity("emb", tuple_count=ent_n * 1000)
+    try:
+        plan_big = plan_knn(
+            ops.catalog, "emb", "embedding", "euclidean",
+            hints=("ecp", "exact"), k=10, dims=len(Q), min_recall=measured * 0.9,
+        )
+        assert plan_big.path != "ml_ecp"
+        assert plan_big.path in ("ml_vaf", "sequential")
+        assert any("below floor" in r for r in plan_big.reasons)
+        # ungated call still routes to the lossy index (guard is opt-in)
+        assert plan_knn(
+            ops.catalog, "emb", "embedding", "euclidean",
+            hints=("ecp",), k=10, dims=len(Q),
+        ).path == "ml_ecp"
+    finally:
+        ops.catalog.update_entity("emb", tuple_count=ent_n)
