@@ -69,6 +69,10 @@ def index_types() -> list[str]:
     return sorted(_builders())
 
 
+def _bucket_table_name(name: str) -> str:
+    return f"adam_bucketed_idx_{name}"
+
+
 def create_index(
     spark: SparkSession,
     catalog: Catalog,
@@ -78,6 +82,7 @@ def create_index(
     attribute: str,
     index_type: str,
     pk: str = "ap_id",
+    buckets: int | None = None,
     **build_kwargs: Any,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Build + persist + register an index over ``df[attribute]``.
@@ -86,6 +91,16 @@ def create_index(
     Parquet, not the build projection.  eCP index tables are partitioned
     by cell (see module docstring); others are written as-is (the narrow
     (pk, feature) projection is already the minimal scan footprint).
+
+    ``buckets``: write the index table BUCKETED on pk (Spark bucketed
+    table, like Entity.bucketize).  Defaults to the owning entity's
+    bucket count when the entity is bucketized — index and entity are
+    then CO-LOCATED, so the candidate→refine semi-join plans as a
+    sort-merge join with zero shuffle Exchange on either side.  That is
+    the 100 TB shape: today the candidate set broadcast-joins only while
+    it is small; co-located buckets keep the join Exchange-free at any
+    candidate size.  eCP keeps its cell-partitioned layout instead
+    (partition pruning is its scale story).
     """
     builder = _builders().get(index_type)
     if builder is None:
@@ -94,12 +109,30 @@ def create_index(
     index_df, meta = builder(df, attribute, pk, **build_kwargs)
     path = catalog.index_path(name)
 
-    writer = index_df.write.mode("overwrite")
-    if index_type == "ecp":
-        # cell id as a partition column → Parquet partition pruning on
-        # the scan's `cell IN (...)` filter (ECPPartitioner.scala:99-103)
-        writer = writer.partitionBy(FEATURE_COL)
-    writer.parquet(path)
+    if buckets is None and catalog.exists_entity(entity):
+        buckets = catalog.entity(entity).get("buckets")
+    if buckets and index_type != "ecp":
+        import shutil
+
+        tbl = _bucket_table_name(name)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            index_df.repartition(int(buckets), pk)
+            .write.bucketBy(int(buckets), pk)
+            .sortBy(pk)
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+        meta = dict(meta)
+        meta["buckets"] = int(buckets)
+    else:
+        writer = index_df.write.mode("overwrite")
+        if index_type == "ecp":
+            # cell id as a partition column → Parquet partition pruning on
+            # the scan's `cell IN (...)` filter (ECPPartitioner.scala:99-103)
+            writer = writer.partitionBy(FEATURE_COL)
+        writer.parquet(path)
 
     catalog.register_index(name, entity, attribute, index_type, meta)
     return load_index(spark, catalog, name)
@@ -130,8 +163,28 @@ def load_index(
             raise RuntimeError(msg)
         warnings.warn(msg, stacklevel=2)
     _recover_index_dir(catalog.index_path(name))
-    df = spark.read.parquet(catalog.index_path(name))
     meta = dict(rec["meta"])
+    path = catalog.index_path(name)
+    if meta.get("buckets"):
+        # read through the session catalog so the optimizer SEES the
+        # bucket spec (a raw parquet read of the same files would plan
+        # shuffles again); re-register the external table on a fresh
+        # session from the catalog record (Entity._bucketed_df pattern)
+        tbl = _bucket_table_name(name)
+        if not spark.catalog.tableExists(tbl):
+            schema = spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            pk = meta.get("pk", "ap_id")
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY ({pk}) SORTED BY ({pk}) INTO "
+                f"{int(meta['buckets'])} BUCKETS LOCATION '{path}'"
+            )
+        df = spark.table(tbl)
+    else:
+        df = spark.read.parquet(path)
     if rec["type"] == "ecp":
         # partition column comes back as the partition-directory value;
         # restore the int type the scan kernels expect
@@ -142,5 +195,15 @@ def load_index(
 def drop_index(catalog: Catalog, name: str) -> None:
     import shutil
 
+    try:
+        rec = catalog.index(name)
+        if rec.get("meta", {}).get("buckets"):
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {_bucket_table_name(name)}")
+    except KeyError:
+        pass
     shutil.rmtree(catalog.index_path(name), ignore_errors=True)
     catalog.drop_index(name)

@@ -180,6 +180,12 @@ def repartition_index(
     from adampro_spark.index.persist import FEATURE_COL
 
     rec = catalog.index(name)
+    if rec.get("meta", {}).get("buckets"):
+        raise ValueError(
+            f"index {name!r} is a bucketed table (co-located by pk); its "
+            "layout is already fixed — rebuild with a different buckets= "
+            "instead of repartitioning"
+        )
     path = catalog.index_path(name)
     df = spark.read.parquet(path)
     tmp = path + "_tmp"

@@ -86,3 +86,79 @@ def test_debucketize_roundtrip(ent):
     rec = ent.catalog.entity(ent.name)
     assert not rec.get("buckets")
     assert sorted(r["val"] for r in ent.df().collect()) == before
+
+
+# ---------------------------------------------------------------------------
+# bucketed INDEX tables (round-5): candidate -> refine with zero shuffle
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def vec_ent(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "vcat"))
+    e = Entity.create(spark, cat, "vents", [("feat", "vector"), ("label", "int")])
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e.insert(emb.selectExpr("embedding AS feat", "label"))
+    return e
+
+
+def test_index_inherits_entity_buckets_and_join_is_exchange_free(spark, vec_ent):
+    """create_index over a bucketized entity defaults to the same bucket
+    count; the VA candidate set (a pure filter over the bucketed index
+    scan) then sort-merge-joins the bucketed entity with ZERO shuffle
+    Exchange — the refine pipeline no longer depends on the candidate set
+    being broadcastable (the 100x scale case)."""
+    from adampro_spark.index import persist as IP
+    from adampro_spark.index.va import va_knn
+
+    vec_ent.bucketize(4)
+    idx, meta = IP.create_index(
+        vec_ent.spark, vec_ent.catalog, "v_vaf", vec_ent.name,
+        vec_ent.df(), "feat", "vaf", pk=PK,
+    )
+    assert meta["buckets"] == 4
+
+    q = [0.1 * ((i * 7) % 13) - 0.5 for i in range(64)]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        res = va_knn(vec_ent.df(), "feat", idx, meta, q, 10, "manhattan")
+        plan = _executed(res)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # broadcast exchanges remain (one-row LUTs, explicitly hinted); the
+    # co-located layout must eliminate every SHUFFLE exchange
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "SortMergeJoin" in plan
+    assert res.count() == 10
+
+
+def test_bucketed_index_reloads_and_matches_unbucketed(spark, vec_ent):
+    from adampro_spark.index import persist as IP
+    from adampro_spark.index.va import va_knn
+
+    vec_ent.bucketize(4)
+    IP.create_index(
+        vec_ent.spark, vec_ent.catalog, "v_vaf2", vec_ent.name,
+        vec_ent.df(), "feat", "vaf", pk=PK,
+    )
+    # fresh-session path: drop the session table, reload from the catalog
+    spark.sql("DROP TABLE IF EXISTS adam_bucketed_idx_v_vaf2")
+    idx, meta = IP.load_index(spark, vec_ent.catalog, "v_vaf2")
+    assert spark.catalog.tableExists("adam_bucketed_idx_v_vaf2")
+
+    q = [0.1 * ((i * 3) % 11) - 0.4 for i in range(64)]
+    got = va_knn(vec_ent.df(), "feat", idx, meta, q, 10, "euclidean").collect()
+
+    # control: the same index built unbucketed gives identical results
+    plain = Entity(vec_ent.spark, vec_ent.catalog, vec_ent.name)
+    plain.debucketize()
+    idx2, meta2 = IP.create_index(
+        spark, vec_ent.catalog, "v_vaf3", "other_ent",
+        plain.df(), "feat", "vaf", pk=PK,
+    )
+    assert "buckets" not in meta2
+    want = va_knn(plain.df(), "feat", idx2, meta2, q, 10, "euclidean").collect()
+    assert [(r[PK], round(r["ap_distance"], 6)) for r in got] == [
+        (r[PK], round(r["ap_distance"], 6)) for r in want
+    ]
