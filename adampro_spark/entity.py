@@ -148,7 +148,9 @@ class Entity:
         from adampro_spark.functions.typed import sparse_to_dense
 
         rec = self.catalog.entity(self.name)
-        if rec.get("buckets") and os.path.exists(self.path + "_bucketed"):
+        if rec.get("storage"):
+            out = self._handler_df(rec["storage"])
+        elif rec.get("buckets") and os.path.exists(self.path + "_bucketed"):
             out = self._bucketed_df()
         else:
             if rec.get("buckets"):
@@ -175,6 +177,7 @@ class Entity:
         """
         from adampro_spark.functions.typed import dense_to_sparse
 
+        self._restore_default_storage()
         self.debucketize()
         attrs = [dict(a) for a in self.catalog.entity(self.name)["attributes"]]
         target = next((a for a in attrs if a["name"] == attribute), None)
@@ -213,6 +216,7 @@ class Entity:
         bucket-file boundaries, exactly like the reference's repartitioned
         entities go stale on insert.
         """
+        self._restore_default_storage()  # layouts are mutually exclusive
         tbl = self._bucket_table_name()
         bdir = self.path + "_bucketed"
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -281,6 +285,39 @@ class Entity:
             )
         return self.spark.table(tbl)
 
+    def _handler_df(self, storage: dict) -> DataFrame:
+        """Read through the registered storage handler the entity was
+        transferred to (io_ops.transfer_entity): restore the schema
+        captured at transfer time — complex columns come back from their
+        JSON encoding on flat engines, scalars are cast to declared
+        types (JDBC dialects widen/narrow)."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from adampro_spark.io_ops import get_storage_handler
+
+        h = get_storage_handler(storage["handler"])
+        schema = T.StructType.fromJson(_json.loads(storage["read_schema"]))
+        out = h.read(self.spark, **storage.get("options", {}))
+        complex_json = set(storage.get("complex_json") or [])
+        for f in schema.fields:
+            if f.name not in out.columns:
+                continue
+            if f.name in complex_json:
+                out = out.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))
+            else:
+                out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        return out.select(*[f.name for f in schema.fields])
+
+    def _restore_default_storage(self) -> None:
+        """Mutations operate on the default parquet layout: transfer back
+        first (the handler placements are read-optimized, like buckets)."""
+        if self.catalog.entity(self.name).get("storage"):
+            from adampro_spark.io_ops import transfer_entity
+
+            transfer_entity(self, "parquet")
+
     def _recover(self) -> None:
         """Roll back a crash inside ``_swap_in``'s two-rename window: a
         missing data dir with a surviving ``_old`` sibling means the crash
@@ -302,6 +339,7 @@ class Entity:
         """
         from pyspark.sql import Observation
 
+        self._restore_default_storage()
         self.debucketize()  # mutations invalidate the bucketed layout
         ent = self.catalog.entity(self.name)
         batch = ent["version"] + 1
@@ -341,6 +379,7 @@ class Entity:
         """
         from pyspark.sql import Observation
 
+        self._restore_default_storage()
         self.debucketize()
         before = self.count()
         kept = self.df().filter(~predicates_to_column(predicates))
@@ -356,6 +395,7 @@ class Entity:
     def vacuum(self, num_partitions: int | None = None) -> None:
         """Compact small files (Entity.scala:397-407): one repartitioned
         write + directory swap."""
+        self._restore_default_storage()
         self.debucketize()
         n = num_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
         tmp = self.path + "_tmp"

@@ -186,8 +186,92 @@ for _h in (
     StorageHandler("json", "json", supports=("*",)),
     StorageHandler("csv", "csv", options={"header": "true"}),
     StorageHandler("avro", "avro"),
+    # relational engine through the same registry surface
+    # (PostgresqlEngine.scala:23-30); per-call options carry
+    # url/dbtable/driver — tests drive it on embedded Derby
+    StorageHandler("jdbc", "jdbc"),
 ):
     register_storage_handler(_h)
+
+
+# ---------------------------------------------------------------------------
+# storage transfer (DataDefintion.scala transferStorageHandler op — the
+# reference moves an entity's attribute data between engines; queries keep
+# running unchanged against the new storage)
+# ---------------------------------------------------------------------------
+
+# handlers whose on-disk model has no native nested types: complex columns
+# (vector / sparsevector / any array or struct) travel as JSON strings
+_FLAT_FORMATS = ("jdbc", "csv")
+
+
+def transfer_entity(
+    entity: Entity, handler_name: str, location: str | None = None, **handler_opts
+) -> None:
+    """Move an entity's STORED rows to the named storage handler —
+    ``transferStorageHandler`` semantics: the query surface (``df()``,
+    PKs, schema) is unchanged, only where the bytes live moves.
+
+    ``handler_name="parquet"`` restores the default layout at the
+    entity's own path.  For other handlers, ``location`` is the target
+    path (file formats) and ``handler_opts`` pass through to the
+    connector (JDBC: ``url=… dbtable=… driver=…``).  PKs are PRESERVED
+    (unlike import/export, which re-keys — transfer is the same entity,
+    not a new one).  Complex columns ride as JSON on flat engines and are
+    restored on read from the schema captured at transfer time.
+
+    Crash-safe like bucketize: the catalog flag flips before the old
+    layout is removed, and mutations (insert/delete/vacuum) transparently
+    transfer back to parquet first — the handler layouts are
+    read-optimized placements, exactly like the bucketed layout.
+    """
+    import json as _json
+    import shutil
+
+    from pyspark.sql import types as T
+
+    cat = entity.catalog
+    entity.debucketize()
+    df = entity.df()
+
+    if handler_name == "parquet":
+        if not cat.entity(entity.name).get("storage"):
+            return  # already on the default layout
+        tmp = entity.path + "_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(entity.path):
+            entity._swap_in(tmp)
+        else:
+            os.rename(tmp, entity.path)
+        # external handler data (e.g. the JDBC table) is left in place —
+        # it is no longer authoritative once the flag clears
+        cat.update_entity(entity.name, storage=None)
+        return
+
+    h = get_storage_handler(handler_name)
+    complex_cols = [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, T.AtomicType)
+    ]
+    read_schema = df.schema
+    out = df
+    if h.fmt in _FLAT_FORMATS:
+        for c in complex_cols:
+            out = out.withColumn(c, F.to_json(F.col(c)))
+    read_opts = dict(handler_opts)
+    if location is not None:
+        read_opts["path"] = location
+    h.write(out, **read_opts)
+    cat.update_entity(
+        entity.name,
+        storage={
+            "handler": handler_name,
+            "options": read_opts,
+            "read_schema": _json.dumps(read_schema.jsonValue()),
+            "complex_json": complex_cols if h.fmt in _FLAT_FORMATS else [],
+        },
+    )
+    # flag is authoritative from here; the parquet dir is stale
+    shutil.rmtree(entity.path, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -466,6 +466,15 @@ class EntityOps:
     def properties(self, name: str) -> dict[str, Any]:
         return dict(self.catalog.entity(name))
 
+    def transfer(
+        self, name: str, handler: str, location: str | None = None, **opts: Any
+    ) -> None:
+        """transferStorageHandler (DataDefintion.scala transfer op): move
+        the entity's storage to a registered handler; queries unchanged."""
+        from adampro_spark.io_ops import transfer_entity
+
+        transfer_entity(self.get(name), handler, location=location, **opts)
+
     def export_proto(self, name: str, path: str) -> None:
         """Protobuf bulk export (ProtoImporterExporter.exportData)."""
         from adampro_spark.proto_io import export_entity_proto

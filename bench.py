@@ -48,6 +48,8 @@ HEADLINE = [
     # round 4: sketch profiling, BM25 ranking
     "pipeline_profile",
     "fulltext_bm25_persisted",
+    # round 5: the dedup ACTION step (pairs -> components -> anti-join)
+    "dedup_resolution",
 ]
 
 

@@ -261,3 +261,69 @@ def test_timed_query_returns_best_within_deadline(spark, ops, emb):
     assert best is not None and best.confidence == 1.0
     got = [(r["vec_id"], round(r[DISTANCE_COL], 6)) for r in best.rows]
     assert got == _brute_ids(emb, "manhattan")
+
+
+# ---------------------------------------------------------------------------
+# storage transfer through the handler registry (round-5:
+# transferStorageHandler semantics, DataDefintion.scala transfer op)
+# ---------------------------------------------------------------------------
+
+
+def test_transfer_entity_jdbc_roundtrip(spark, tmp_path):
+    """Move an entity parquet -> jdbc (embedded Derby, through the
+    registry) -> back: identical rows INCLUDING PKs and vector columns at
+    every step, and a mutation while on the external handler transparently
+    restores the default layout first."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.io_ops import transfer_entity
+    from adampro_spark.ops import AdamOps
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    ops = AdamOps(spark, str(tmp_path / "tcat"))
+    ops.entity.create("tr", [("vec_id", "long"), ("embedding", "vector"), ("label", "int")])
+    ops.entity.insert("tr", emb)
+    ent = ops.entity.get("tr")
+
+    def snapshot():
+        return sorted(
+            (r["ap_id"], r["vec_id"], tuple(round(float(x), 5) for x in r["embedding"]), r["label"])
+            for r in ent.df().collect()
+        )
+
+    before = snapshot()
+    url = f"jdbc:derby:{tmp_path}/transferdb;create=true"
+    ops.entity.transfer(
+        "tr", "jdbc", url=url, dbtable="TR_T",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    rec = ops.catalog.entity("tr")
+    assert rec["storage"]["handler"] == "jdbc"
+    import os
+
+    assert not os.path.exists(ent.path)  # parquet layout is gone
+    assert snapshot() == before  # identical through the JDBC read
+
+    # queries run unchanged against the handler-backed df
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    res = ops.query.sequential(
+        "tr", "embedding", q, 5, "euclidean", pk="vec_id"
+    )
+    assert res.count() == 5
+
+    # explicit transfer back restores the default layout, same rows
+    transfer_entity(ent, "parquet")
+    assert not ops.catalog.entity("tr").get("storage")
+    assert snapshot() == before
+
+    # transfer out again, then MUTATE: insert must fall back to parquet
+    ops.entity.transfer(
+        "tr", "jdbc", url=url, dbtable="TR_T2",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    more = emb.withColumn("vec_id", F.col("vec_id") + 10_000).limit(5)
+    ops.entity.insert("tr", more)
+    assert not ops.catalog.entity("tr").get("storage")
+    assert ent.count() == 85
+    # PKs still unique after the round-trip + insert
+    assert ent.df().select("ap_id").distinct().count() == 85
