@@ -762,6 +762,8 @@ class QueryOps:
                     out[kind] = round(load_model(kind, models[model_key]).test(feats), 4)
             return out
 
+        curves = ent.get("recall_curves") or {}
+        n_now = int(ent.get("tuple_count") or 0)
         rows: list[dict] = []
         for name in self.catalog.list_indexes(entity):
             rec = self.catalog.index(name)
@@ -779,6 +781,13 @@ class QueryOps:
                     "recall": rec.get("recall"),
                     "usable": usable,
                     "predicted_time": _predicted("index-" + rec["type"]),
+                    # conservative recall bound at the CURRENT corpus size
+                    # (plan_knn's min_recall guard uses the same model)
+                    "predicted_recall": (
+                        predict_recall(curves.get(rec["type"]) or [], n_now)
+                        if n_now > 0
+                        else None
+                    ),
                 }
             )
         rows.append(
@@ -790,6 +799,7 @@ class QueryOps:
                 "recall": 1.0,
                 "usable": True,
                 "predicted_time": _predicted("entity"),
+                "predicted_recall": 1.0,
             }
         )
         rows.sort(

@@ -327,3 +327,14 @@ def test_transfer_entity_jdbc_roundtrip(spark, tmp_path):
     assert ent.count() == 85
     # PKs still unique after the round-trip + insert
     assert ent.df().select("ap_id").distinct().count() == 85
+
+    # a FILE-format handler leg through the same registry surface (ORC
+    # keeps nested types natively - no JSON leg)
+    after_insert = snapshot()
+    ops.entity.transfer("tr", "orc", location=str(tmp_path / "tr_orc"))
+    rec = ops.catalog.entity("tr")
+    assert rec["storage"]["handler"] == "orc"
+    assert rec["storage"]["complex_json"] == []
+    assert snapshot() == after_insert
+    ops.entity.transfer("tr", "parquet")
+    assert snapshot() == after_insert

@@ -192,6 +192,15 @@ def test_naive_training_persists_recall_curves(ops, emb):
     assert curves["vaf"][-1][1] == pytest.approx(1.0)  # exact index
 
 
+def test_scored_paths_surface_predicted_recall(ops, emb):
+    # after naive training (curve persisted by the test above)
+    paths = ops.query.scored_execution_paths("emb", "embedding", "euclidean", k=10, dims=len(Q))
+    seq = next(p for p in paths if p["path"] == "sequential")
+    ecp = next(p for p in paths if p["path"] == "ml_ecp")
+    assert seq["predicted_recall"] == 1.0
+    assert 0.0 <= ecp["predicted_recall"] <= 1.0
+
+
 def test_min_recall_guard_flips_lossy_to_exact_at_scale(ops, emb):
     """Growing n past what the measured curves support must flip the
     chosen path from the lossy index to an exact one (or sequential) —
