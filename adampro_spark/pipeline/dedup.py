@@ -396,14 +396,21 @@ def dup_groups(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("survivor", F.col("id"))
-        .persist()
     )
-    # the convergence count below MATERIALIZES each round's labels into the
-    # cache BEFORE the previous round's cache is released — releasing first
-    # (the round-4 shape) left every round's lineage uncached, so round t
-    # recomputed rounds 1..t-1 from the edge table: quadratic total work
-    # (measured 11 s vs 3 s at sf0.1 for the whole resolution)
-    cached = labels
+    # Each round's plan references `labels` TWICE (the neighbor join and
+    # the own-label join), so without truncation the LOGICAL plan doubles
+    # per round — 2^rounds subtrees; a 14-round chain OOMed the driver
+    # just stringifying the plan, and an uncached lineage also recomputes
+    # prior rounds (measured: quadratic work, 11 s vs ~8 s at sf0.1).
+    # localCheckpoint(eager) per round does both jobs at once: it
+    # MATERIALIZES the round (one job, like a persist+count) and cuts the
+    # lineage to the checkpointed blocks, keeping the plan O(1) and the
+    # work O(rounds).  Old checkpoint blocks are GC'd with their DataFrame
+    # references.  (Unreliable-checkpoint caveat: executor loss recomputes
+    # nothing here — it fails the job; a cluster deployment that needs
+    # fault tolerance should swap in reliable checkpointing via
+    # spark.sparkContext.setCheckpointDir + .checkpoint().)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         # candidate labels: own label + min neighbor label
         neighbor = (
@@ -422,10 +429,8 @@ def dup_groups(
                     "_chg"
                 ),
             )
-        ).persist()
-        changed = updated.filter(F.col("_chg")).limit(1).count()  # materializes
-        cached.unpersist()
-        cached = updated
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
             break

@@ -431,3 +431,17 @@ def test_deduplicate_keeps_survivors_only(spark, tables):
     want = {d for d in every if labels.get(d, d) == d}
     assert kept == want
     assert len(kept) < len(every)
+
+
+def test_dup_groups_long_chain_converges(spark):
+    """A path graph needs diameter-many rounds — past 8 the loop truncates
+    lineage with a localCheckpoint; labels must still converge to the
+    chain's minimum for every node."""
+    from adampro_spark.pipeline.dedup import dup_groups
+
+    n = 14
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["survivor"] for r in dup_groups(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
