@@ -155,7 +155,14 @@ def scan_lsh(
 
     No ``frac`` knob here (unlike eCP/PQ/SH/MI): bucket membership IS
     scale-proportional — each bucket holds ~n/nbuckets rows, so the
-    candidate volume (and recall profile) grows with the corpus already.
+    candidate volume grows with the corpus already.  The recall PROFILE
+    still drifts slowly with n (measured ~0.5 → ~0.35 over a 4× corpus
+    at the scaled-down 16×8 defaults): more occupants per bucket raise
+    the candidate count but not the per-bucket hit precision.  The levers
+    at scale are the reference's own (more tables — it ships 64×64 — and
+    ``num_of_q`` jitter probes), both of which ADD candidate volume
+    proportionally; ``train_planner``'s recall curves + ``plan_knn``'s
+    ``min_recall`` floor provide the measured guard.
     """
     pk = meta["pk"]
     q = np.asarray(query, dtype=np.float64)

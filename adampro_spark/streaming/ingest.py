@@ -111,12 +111,22 @@ def stream_dedup(
     pk: str = "doc_id",
     ts_col: str | None = None,
     watermark: str = "1 day",
+    method: str = "exact",
 ) -> DataFrame:
-    """Cross-micro-batch EXACT dedup of a document stream: the first
-    arrival of each normalized text survives, later copies are dropped —
-    state is Spark's own streaming dropDuplicates keyed on the 31-poly
-    text hash (no custom operator needed; the built-in keeps the seen-key
-    set in the state store).
+    """Cross-micro-batch dedup of a document stream: the first arrival of
+    each fingerprint survives, later copies are dropped — state is
+    Spark's own streaming dropDuplicates keyed on the fingerprint (no
+    custom operator needed; the built-in keeps the seen-key set in the
+    state store).
+
+    ``method="exact"`` keys on the 31-poly hash of the whitespace-
+    normalized text (byte-level duplicates).  ``method="simhash"`` keys
+    on the 30-bit SimHash fingerprint instead: token-ORDER-invariant and
+    collision-prone exactly for near-identical token distributions, so
+    shuffled/lightly-reordered copies are dropped too — the streaming
+    counterpart of the batch near-dup family (a full banded MinHash
+    needs multi-stage stateful joins that Structured Streaming does not
+    allow in one query; SimHash-collision is the single-key formulation).
 
     With ``ts_col`` the stream is watermarked so the seen-key state
     EVICTS once a key is older than ``watermark`` — the only way the
@@ -126,10 +136,16 @@ def stream_dedup(
     Runs identically on a batch DataFrame (dropDuplicates semantics
     match), which is how tests adjudicate it.
     """
+    from adampro_spark.pipeline.dedup import simhash_expr
     from adampro_spark.pipeline.text import char_codes, poly_hash, tokens_expr
 
-    norm_h = poly_hash(char_codes(F.concat_ws(" ", tokens_expr(text_col))))
-    out = stream.withColumn("_ap_texthash", norm_h)
+    if method == "exact":
+        key = poly_hash(char_codes(F.concat_ws(" ", tokens_expr(text_col))))
+    elif method == "simhash":
+        key = simhash_expr(text_col)
+    else:
+        raise ValueError(f"unknown stream_dedup method {method!r}")
+    out = stream.withColumn("_ap_texthash", key)
     if ts_col is not None:
         out = out.withWatermark(ts_col, watermark)
         return out.dropDuplicates(["_ap_texthash", ts_col]).drop("_ap_texthash")

@@ -340,3 +340,19 @@ def test_fulltext_bm25_exact_vs_reference_formula(spark, docs, tmp_path):
     for d in want:
         assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
 
+
+
+def test_compound_and_empty_relation(spark):
+    """The two trivial tree nodes: compound is an identity pass-through
+    (CompoundQueryExpression carries a protobuf subtree; Catalyst's
+    composition IS the DataFrame), empty_relation yields zero rows with
+    exactly the requested schema."""
+    from adampro_spark.operators.misc import compound, empty_relation
+
+    df = spark.range(5)
+    assert compound(df) is df
+
+    er = empty_relation(spark, "a long, b string")
+    assert er.count() == 0
+    assert [f.name for f in er.schema.fields] == ["a", "b"]
+    assert er.schema.fields[0].dataType.simpleString() == "bigint"
