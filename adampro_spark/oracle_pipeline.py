@@ -578,3 +578,26 @@ def _bm25_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
 
 
 _register("fulltext_bm25_persisted", _fulltext_bm25, _bm25_sql(_BM25_TERMS))
+
+
+# ---------------------------------------------------------------------------
+# bench-only: end-to-end corpus curation (gates + dedup composition) — the
+# 50-row driver window is full; each building block already has its own
+# hash-checked driver row (text_langid / text_stats / dedup_minhash /
+# dedup_resolution), so the composition gets a throughput row + pytest
+# ---------------------------------------------------------------------------
+
+from adampro_spark.oracle_suite import BENCH_ONLY as _BENCH_ONLY  # noqa: E402
+
+
+def _curate_corpus(spark, sf):
+    from adampro_spark.pipeline.curate import curate
+
+    out, _report = curate(
+        _docs(spark, sf), langs=("en",), min_tokens=20, min_quality=0.2,
+        dedup="minhash", dedup_threshold=0.8,
+    )
+    return out.select("doc_id")
+
+
+_BENCH_ONLY["pipeline_curate"] = _curate_corpus

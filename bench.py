@@ -50,6 +50,8 @@ HEADLINE = [
     "fulltext_bm25_persisted",
     # round 5: the dedup ACTION step (pairs -> components -> anti-join)
     "dedup_resolution",
+    # round 5: end-to-end curation (gates + dedup composition)
+    "pipeline_curate",
 ]
 
 

@@ -445,3 +445,69 @@ def test_dup_groups_long_chain_converges(spark):
     )
     got = {r["id"]: r["survivor"] for r in dup_groups(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_curate_end_to_end_gates_and_dedup(spark, docs):
+    """The composition a pipeline actually runs: plant one failure of each
+    kind (short doc, junk/low-quality doc, near-dup copy) — every plant
+    must be gone from the output, the attrition report must reconcile,
+    and clean originals must survive."""
+    from adampro_spark.pipeline.curate import curate
+
+    base = docs.select("doc_id", "text")
+    plants = spark.createDataFrame(
+        [
+            (2_000_001, "tiny doc"),                       # short
+            (2_000_002, "@@@@ #### !!!! %%%% " * 40),      # zero alnum -> low quality
+        ],
+        "doc_id long, text string",
+    )
+    # near-dup copies of every 7th doc (truncated 90%) under high ids
+    copies = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + OFF)
+        .withColumn(
+            "text",
+            F.substring(F.col("text"), 1, ((F.length("text") * 9) / 10).cast("int")),
+        )
+    )
+    corpus = base.unionByName(plants).unionByName(copies)
+
+    out, report = curate(
+        corpus, langs=("en",), min_tokens=5, min_quality=0.2,
+        dedup="minhash", dedup_threshold=0.6,
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    assert 2_000_001 not in ids and 2_000_002 not in ids
+    # every planted near-dup group lost its copy (min-pk original survives)
+    assert not {i for i in ids if OFF <= i < 2_000_000}
+    assert report["n_input"] == corpus.count()
+    assert report["n_short"] >= 1 and report["n_low_quality"] >= 1
+    assert report["n_dup_dropped"] >= copies.count() * 9 // 10
+    assert report["n_output"] == len(ids)
+    assert report["n_after_gates"] - report["n_dup_dropped"] == report["n_output"]
+    # clean originals survive (docs are template-English with quality > 0.2)
+    assert len(ids) > base.count() * 0.8
+
+
+def test_curate_gates_only_matches_manual_filters(spark, docs):
+    """dedup=None: the kept set must equal the manual conjunction of the
+    same gate expressions (one-scan flags == composable filters)."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.text import langid_expr, tokens_expr
+
+    base = docs.select("doc_id", "text")
+    out, report = curate(
+        base, langs=("en", "und"), min_tokens=30, min_quality=0.0, dedup=None,
+    )
+    n_chars = F.length("text")
+    manual = base.filter(
+        langid_expr("text").isin(["en", "und"])
+        & (F.size(tokens_expr("text")) >= 30)
+    )
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in manual.collect()
+    }
+    assert report["n_output"] == manual.count()
+    assert report["n_too_long"] == 0
