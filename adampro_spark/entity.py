@@ -147,18 +147,7 @@ class Entity:
         the query surface unchanged)."""
         from adampro_spark.functions.typed import sparse_to_dense
 
-        rec = self.catalog.entity(self.name)
-        if rec.get("storage"):
-            out = self._handler_df(rec["storage"])
-        elif rec.get("buckets") and os.path.exists(self.path + "_bucketed"):
-            out = self._bucketed_df()
-        else:
-            if rec.get("buckets"):
-                # crash inside debucketize after the data moved back but
-                # before the catalog flag cleared — finish the rollback
-                self.catalog.update_entity(self.name, buckets=None)
-            self._recover()
-            out = self.spark.read.schema(self.schema()).parquet(self.path)
+        out = self._stored_df()
         for attr in self.catalog.entity(self.name)["attributes"]:
             if attr.get("densify_on_read"):
                 out = out.withColumn(
@@ -166,6 +155,24 @@ class Entity:
                     sparse_to_dense(F.col(attr["name"])).cast("array<float>"),
                 )
         return out
+
+    def _stored_df(self) -> DataFrame:
+        """Rows in their STORED representation (sparse structs stay
+        sparse).  Every op that REWRITES storage (vacuum, delete,
+        repartition, storage transfer) must read this, not :meth:`df` —
+        writing the densified view back under the sparse catalog schema
+        corrupts the table (dense arrays, struct read schema)."""
+        rec = self.catalog.entity(self.name)
+        if rec.get("storage"):
+            return self._handler_df(rec["storage"])
+        if rec.get("buckets") and os.path.exists(self.path + "_bucketed"):
+            return self._bucketed_df()
+        if rec.get("buckets"):
+            # crash inside debucketize after the data moved back but
+            # before the catalog flag cleared — finish the rollback
+            self.catalog.update_entity(self.name, buckets=None)
+        self._recover()
+        return self.spark.read.schema(self.schema()).parquet(self.path)
 
     def sparsify(self, attribute: str, threshold: float = 0.0) -> None:
         """Convert a dense ``vector`` attribute to sparse struct STORAGE
@@ -225,7 +232,7 @@ class Entity:
 
             shutil.rmtree(bdir)
         (
-            self.df()
+            self._stored_df()
             .repartition(n_buckets, PK)
             .write.bucketBy(n_buckets, PK)
             .sortBy(PK)
@@ -382,7 +389,11 @@ class Entity:
         self._restore_default_storage()
         self.debucketize()
         before = self.count()
-        kept = self.df().filter(~predicates_to_column(predicates))
+        # stored representation: rewriting the densified view under a
+        # sparse catalog schema would corrupt the table (predicates on
+        # sparsified VECTOR columns are unsupported either way — boolean
+        # predicates are metadata-column operations)
+        kept = self._stored_df().filter(~predicates_to_column(predicates))
         obs = Observation("delete_kept")
         kept = kept.observe(obs, F.count(F.lit(1)).alias("n"))
         tmp = self.path + "_tmp"
@@ -399,7 +410,7 @@ class Entity:
         self.debucketize()
         n = num_partitions or max(1, self.spark.sparkContext.defaultParallelism // 4)
         tmp = self.path + "_tmp"
-        self.df().repartition(n, PK).write.mode("overwrite").parquet(tmp)
+        self._stored_df().repartition(n, PK).write.mode("overwrite").parquet(tmp)
         self._swap_in(tmp)
 
     def count(self) -> int:

@@ -232,7 +232,9 @@ def transfer_entity(
 
     cat = entity.catalog
     entity.debucketize()
-    df = entity.df()
+    # STORED representation: transferring the densified view would break
+    # the sparse catalog schema on the way back (see Entity._stored_df)
+    df = entity._stored_df()
 
     if handler_name == "parquet":
         if not cat.entity(entity.name).get("storage"):

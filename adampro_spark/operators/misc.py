@@ -167,7 +167,11 @@ def repartition_entity(
     given attributes (hash) and swap the new layout in."""
     cols = [F.col(c) for c in (attrs or ["ap_id"])]
     tmp = entity.path + "_tmp"
-    entity.df().repartition(num_partitions, *cols).write.mode("overwrite").parquet(tmp)
+    # stored representation: rewriting the densified view under a sparse
+    # catalog schema would corrupt the table
+    entity._stored_df().repartition(num_partitions, *cols).write.mode(
+        "overwrite"
+    ).parquet(tmp)
     entity._swap_in(tmp)
 
 

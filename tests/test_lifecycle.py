@@ -338,3 +338,56 @@ def test_transfer_entity_jdbc_roundtrip(spark, tmp_path):
     assert snapshot() == after_insert
     ops.entity.transfer("tr", "parquet")
     assert snapshot() == after_insert
+
+
+def test_sparsified_entity_survives_storage_rewrites(spark, tmp_path):
+    """vacuum / delete / bucketize / transfer on a SPARSIFIED entity must
+    rewrite the STORED sparse representation, not the densified read view
+    — writing dense arrays under the sparse catalog schema corrupted the
+    table (reproduced before the _stored_df fix)."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.ops import AdamOps
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    ops = AdamOps(spark, str(tmp_path / "scat"))
+    ops.entity.create("sp", [("vec_id", "long"), ("embedding", "vector")])
+    ops.entity.insert("sp", emb.select("vec_id", "embedding"))
+    ops.entity.sparsify("sp", "embedding")
+    ent = ops.entity.get("sp")
+
+    def dense_snapshot():
+        rows = ent.df().select("vec_id", "embedding").collect()
+        return sorted(
+            (r["vec_id"], tuple(round(float(x), 5) for x in r["embedding"]))
+            for r in rows
+        )
+
+    before = dense_snapshot()
+
+    ent.vacuum(2)
+    assert dense_snapshot() == before
+
+    removed = ent.delete([("vec_id", "=", [before[0][0]])])
+    assert removed == 1
+    assert len(dense_snapshot()) == 39
+
+    ent.bucketize(2)
+    assert len(dense_snapshot()) == 39
+    ent.debucketize()
+
+    url = f"jdbc:derby:{tmp_path}/spdb;create=true"
+    ops.entity.transfer(
+        "sp", "jdbc", url=url, dbtable="SP_T",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    after_jdbc = dense_snapshot()
+    assert len(after_jdbc) == 39
+    ops.entity.transfer("sp", "parquet")
+    assert dense_snapshot() == after_jdbc
+    # storage really is sparse: the stored column is the (index, data,
+    # length) struct, the read view is the dense array
+    stored_type = dict(
+        (f.name, f.dataType.simpleString()) for f in ent._stored_df().schema.fields
+    )["embedding"]
+    assert stored_type.startswith("struct")
