@@ -704,13 +704,16 @@ _register(
 # sf; production scans use the narrower defaults and the recall bar.
 
 _LOSSY_PARAMS: dict[str, dict] = {
-    # recall sweeps at sf0.01: ecp hits 1.0 at times_k=20, mi at 25,
-    # lsh at (64 tables, 16 probes), sh at (times_k=25, num_of_q=12);
-    # registered with one step of margin where the widening is monotone
-    "ecp": {"times_k": 25},
+    # recall sweeps: ecp exact from times_k=20 at sf0.01 and 75 at sf0.1,
+    # mi at 25 (sf0.01; auto-frac carries sf0.1), lsh at (64 tables, 16
+    # probes), sh at (25, 12) sf0.01 / (100, 32) sf0.1.  Registered with
+    # margin at the LARGER scale — widening is monotone, so the widths
+    # below are exact at BOTH sf0.01 and sf0.1 (verified by sweep), not
+    # just at the driver's sf0.01 gate.
+    "ecp": {"times_k": 85},
     "mi": {"times_k": 30},
     "lsh": {"ntables": 64, "num_of_q": 16},
-    "sh": {"times_k": 30, "num_of_q": 12},
+    "sh": {"times_k": 110, "num_of_q": 32},
 }
 
 
@@ -833,7 +836,7 @@ _PERSISTED_VARIANTS: list[tuple[str, Callable[[SparkSession, str], DataFrame], s
         "ecp",
         # partition-pruned layout: index table written partitionBy(cell);
         # exactness via the tuned candidate width (see _LOSSY_PARAMS)
-        _persisted_index_query("ecp", "euclidean", times_k=25),
+        _persisted_index_query("ecp", "euclidean", **_LOSSY_PARAMS["ecp"]),
         _knn_sql(_duck_distance("euclidean")),
     ),
     (
@@ -843,7 +846,7 @@ _PERSISTED_VARIANTS: list[tuple[str, Callable[[SparkSession, str], DataFrame], s
     ),
     (
         "sh",
-        _persisted_index_query("sh", "euclidean", times_k=30, num_of_q=12),
+        _persisted_index_query("sh", "euclidean", **_LOSSY_PARAMS["sh"]),
         _knn_sql(_duck_distance("euclidean")),
     ),
 ]
