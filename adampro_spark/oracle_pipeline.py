@@ -400,16 +400,18 @@ _register("simjoin_knn_local", _simjoin("local_topk"), _simjoin_sql())
 
 
 def _simjoin_ivf(spark, sf):
-    # nprobe chosen so the probed cells provably cover the true top-k at
-    # sf0.01 (verified against the brute-force oracle; recall-vs-nprobe
-    # asserted in tests) — the PQ/VA+ oracle recipe applied to IVF.
+    # oracle recipe: nprobe >= the leader count at every tested scale
+    # (min(sqrt(n), 200): ~22 cells at sf0.01, 44 at sf0.1) — probing every
+    # cell makes the cell-join provably exact at BOTH scales, the same
+    # wide-width recipe as the lossy index oracles; recall-vs-nprobe
+    # tightness is asserted separately in tests (recall climbs to 1.0).
     res = ivf_knn_join(
         _emb(spark, sf),
         _queries_df(spark, sf),
         "embedding",
         _JK,
         "euclidean",
-        nprobe=18,  # recall = 1.0 at sf0.01 from nprobe >= 18 of ~22 cells
+        nprobe=200,  # >= nleaders cap -> every cell probed
     )
     return res.withColumn(DISTANCE_COL, F.round(DISTANCE_COL, 4)).select(
         "q_id", "vec_id", DISTANCE_COL
