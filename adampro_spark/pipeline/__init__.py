@@ -37,6 +37,7 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
     simhash_pairs,
 )
 from adampro_spark.pipeline.curate import curate  # noqa: F401
+from adampro_spark.pipeline.temporal import asof_join, range_join  # noqa: F401
 from adampro_spark.pipeline.profile import profile  # noqa: F401
 from adampro_spark.pipeline.simjoin import knn_join, ivf_knn_join  # noqa: F401
 from adampro_spark.pipeline.text import bpe_token_count  # noqa: F401
