@@ -974,19 +974,76 @@ def _fulltext_indexed_query(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("doc_id", SCORE_COL)
 
 
-_register("fulltext_persisted", _fulltext_indexed_query, _FULLTEXT_SQL)
+# Round-5 fold: the scan path and the posting-table path produce
+# IDENTICAL results by contract, so both ride one tagged-union driver row
+# (each path's full result still contributes to the value hash — a
+# divergence in either flips the row red); the freed slot goes to
+# temporal_asof below.  Individual callables stay benchable.
+BENCH_ONLY["fulltext_search"] = _fulltext_query
+BENCH_ONLY["fulltext_persisted"] = _fulltext_indexed_query
+
+
+def _fulltext_paths(spark: SparkSession, sf: str) -> DataFrame:
+    return _union_all(
+        [
+            _fulltext_query(spark, sf).select(
+                F.lit("scan").alias("path"), "doc_id", "ap_score"
+            ),
+            _fulltext_indexed_query(spark, sf).select(
+                F.lit("persisted").alias("path"), "doc_id", "ap_score"
+            ),
+        ]
+    )
+
 
 _register(
-    "fulltext_search",
-    _fulltext_query,
+    "fulltext_paths",
+    _fulltext_paths,
+    "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS path, * FROM ({_FULLTEXT_SQL})"
+        for tag in ("scan", "persisted")
+    ),
+)
+
+
+def _temporal_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join driver row (pipeline/temporal.py): every 'view' event
+    joined to the same user's most recent prior-or-simultaneous 'click';
+    oracle = DuckDB's NATIVE ASOF LEFT JOIN on the same rows — the
+    strongest kind of oracle for an operator Spark itself lacks."""
+    from adampro_spark.pipeline.temporal import asof_join
+    from adampro_spark.session import load_tables
+
+    ev = load_tables(spark, sf)["events"].select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    left = ev.filter(F.col("event_type") == "view")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    res = asof_join(left, right, time_col="ts", by="user_id",
+                    right_cols=["click_value"])
+    return res.select(
+        "event_id",
+        F.round("ts_right", 6).alias("ts_right"),
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
+_register(
+    "temporal_asof",
+    _temporal_asof,
     """
-    SELECT doc_id, score AS ap_score FROM (
-      SELECT doc_id,
-        len(list_filter(
-          list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0),
-          t -> list_contains(['spark', 'query', 'join'], t)))::DOUBLE AS score
-      FROM documents
-    ) WHERE score > 0
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value, epoch(ts) AS ts FROM events
+    )
+    SELECT l.event_id,
+           round(r.ts, 6) AS ts_right,
+           round(r.value, 4) AS click_value
+    FROM (SELECT * FROM ev WHERE event_type = 'view') l
+    ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
 )
 
