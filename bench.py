@@ -52,6 +52,8 @@ HEADLINE = [
     "dedup_resolution",
     # round 5: end-to-end curation (gates + dedup composition)
     "pipeline_curate",
+    # round 5: as-of join (window-interleave formulation, no join node)
+    "temporal_asof",
 ]
 
 
