@@ -6,17 +6,32 @@ nested-loop.  Both are re-expressed here as compositions of built-in
 operators with scale-correct shapes:
 
 * :func:`asof_join` — tag both sides, UNION, one window pass per key
-  ordered by (time, side): ``last(value, ignorenulls)`` carries the most
-  recent right-side row forward onto each left row.  ONE shuffle on the
-  key, no join node at all — the standard large-scale as-of formulation
-  (a sort-merge "join" by interleaving).  At 100 TB both sides shuffle
-  once on the by-key; skewed keys fall under AQE like any window.
+  ordered by (time, side): the most recent right-side row is carried
+  forward ATOMICALLY as a struct (``last(struct, ignorenulls)``), so a
+  matched row whose payload is NULL stays NULL and all carried columns
+  always come from the SAME right row.  ONE shuffle on the key, no join
+  node at all — the standard large-scale as-of formulation (a sort-merge
+  "join" by interleaving).  At 100 TB both sides shuffle once on the
+  by-key; skewed keys fall under AQE like any window.
+
+  The UNKEYED case cannot window-partition by a key, and a global
+  window would funnel everything through one task.  Instead: range-
+  partition the union on time, run the same carry window per range
+  partition in parallel, and stitch partitions with a boundary
+  prefix-carry — each partition's last right row, computed as a tiny
+  (#partitions)-row DataFrame, is broadcast back as the carry-in for
+  every later partition.  Two shuffles of the data, one broadcast of
+  #partitions rows; no single-partition stage touches the data.
+
 * :func:`range_join` — events equi-join interval COVER BUCKETS:
   intervals explode to the fixed-width buckets they span, events map to
   their own bucket, the join is a plain equi-join on (key, bucket) with
-  an exact bounds filter after.  Candidate volume is |intervals|·span/
-  width + |events| instead of |events|·|intervals|; no BroadcastNested-
-  LoopJoin, ever.
+  the exact bounds predicate evaluated inside the join.  An event owns
+  exactly ONE bucket, so each (event, interval) pair meets at most once
+  and ``how="left"`` is a single LEFT join with the bounds in the join
+  condition — no anti-join, no null-unsafe equality, no double read.
+  Candidate volume is |intervals|·span/width + |events| instead of
+  |events|·|intervals|; no BroadcastNestedLoopJoin, ever.
 
 Both run identically on batch DataFrames (tests adjudicate against
 DuckDB's native ASOF JOIN / range predicates on the same rows).
@@ -27,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_TS_FIELD = "_ap_ts"
+
 
 def asof_join(
     left: DataFrame,
@@ -36,6 +53,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: float | None = None,
     suffix: str = "_right",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """For every left row, the most recent right row with
     ``right.time <= left.time`` (per ``by`` key when given): left columns
@@ -46,6 +64,15 @@ def asof_join(
     ``left.time - tolerance``, the pandas ``merge_asof`` contract.
     Ties (equal times) match: the right row sorts BEFORE the left row at
     the same instant, so it is visible to it.
+
+    The matched right row is carried as ONE struct, so every returned
+    right column (and ``ts<suffix>``) comes from the same row and NULL
+    payload values in a matched row survive as NULL — the pandas
+    ``merge_asof`` / DuckDB ASOF contract.
+
+    ``num_partitions`` sizes the range partitioning of the UNKEYED path
+    (defaults to ``spark.sql.shuffle.partitions``); ignored when ``by``
+    is given.
     """
     rcols = right_cols or [
         c for c in right.columns if c not in (time_col, by)
@@ -66,36 +93,89 @@ def asof_join(
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
 
-    w = (
-        Window.partitionBy(by) if keyed else Window.partitionBy()
-    ).orderBy(F.col(time_col).asc(), F.col("_ap_side").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # The whole candidate right row as one atomic value: NULL on left
+    # rows, struct(time, payload...) on right rows.  last(ignorenulls)
+    # over this column picks the newest right ROW — payload NULLs inside
+    # a matched row are preserved, and ts/values never mix rows.
+    pack = F.when(
+        F.col("_ap_side") == 0,
+        F.struct(
+            F.col(time_col).alias(_TS_FIELD),
+            *[F.col(f"_ap_r_{c}").alias(c) for c in rcols],
+        ),
     )
-    out = unioned
-    for c in rcols:
-        out = out.withColumn(
-            f"_ap_m_{c}", F.last(F.col(f"_ap_r_{c}"), ignorenulls=True).over(w)
-        )
-    matched_ts = F.last(
-        F.when(F.col("_ap_side") == 0, F.col(time_col)), ignorenulls=True
-    ).over(w)
-    out = out.withColumn(f"ts{suffix}", matched_ts).filter(F.col("_ap_side") == 1)
+    unioned = unioned.withColumn("_ap_pack", pack)
 
+    if keyed:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(time_col).asc(), F.col("_ap_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = unioned.withColumn(
+            "_ap_m", F.last(F.col("_ap_pack"), ignorenulls=True).over(w)
+        )
+    else:
+        out = _unkeyed_carry(unioned, time_col, num_partitions)
+
+    out = out.filter(F.col("_ap_side") == 1)
+
+    m = F.col("_ap_m")
     keep: Column = F.lit(True)
     if tolerance is not None:
-        age = F.col(time_col).cast("double") - F.col(f"ts{suffix}").cast("double")
+        age = F.col(time_col).cast("double") - m[_TS_FIELD].cast("double")
         keep = age <= F.lit(float(tolerance))
-    result = out
+    proj = [F.col(c) for c in left.columns]
+    proj.append(F.when(keep, m[_TS_FIELD]).alias(f"ts{suffix}"))
     for c in rcols:
         name = f"{c}{suffix}" if c in left.columns else c
-        result = result.withColumn(
-            name, F.when(keep, F.col(f"_ap_m_{c}")).otherwise(F.lit(None))
-        )
-    result = result.withColumn(
-        f"ts{suffix}", F.when(keep, F.col(f"ts{suffix}")).otherwise(F.lit(None))
+        proj.append(F.when(keep, m[c]).alias(name))
+    return out.select(*proj)
+
+
+def _unkeyed_carry(
+    unioned: DataFrame, time_col: str, num_partitions: int | None
+) -> DataFrame:
+    """Parallel forward-carry of ``_ap_pack`` over a globally time-ordered
+    stream WITHOUT a single-partition window: range-partition on (time,
+    side), carry within each partition via an ordinary window, then add
+    the boundary carry-in (the last right row of all EARLIER partitions)
+    from a #partitions-row broadcast.  The only single-partition work is
+    the prefix scan over that tiny boundary table."""
+    spark = unioned.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    u = unioned.repartitionByRange(
+        p, F.col(time_col).asc_nulls_first(), F.col("_ap_side").asc()
+    ).withColumn("_ap_pid", F.spark_partition_id())
+
+    w_local = (
+        Window.partitionBy("_ap_pid")
+        .orderBy(F.col(time_col).asc(), F.col("_ap_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    drop = ["_ap_side"] + [f"_ap_r_{c}" for c in rcols] + [f"_ap_m_{c}" for c in rcols]
-    return result.drop(*drop)
+    local = u.withColumn(
+        "_ap_m", F.last(F.col("_ap_pack"), ignorenulls=True).over(w_local)
+    )
+
+    # One row per range partition: its newest right-side pack (NULL if
+    # the partition holds no right rows).  ReuseExchange shares the range
+    # shuffle with the main path; the window below runs on <= p rows.
+    last_per_pid = (
+        u.filter(F.col("_ap_side") == 0)
+        .groupBy("_ap_pid")
+        .agg(F.max_by("_ap_pack", F.col(time_col)).alias("_ap_last"))
+    )
+    pids = spark.range(p).select(F.col("id").cast("int").alias("_ap_pid"))
+    w_carry = Window.orderBy("_ap_pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        pids.join(last_per_pid, "_ap_pid", "left")
+        .withColumn("_ap_carry", F.last("_ap_last", ignorenulls=True).over(w_carry))
+        .select("_ap_pid", "_ap_carry")
+    )
+    return local.join(F.broadcast(carry), "_ap_pid").withColumn(
+        "_ap_m", F.coalesce(F.col("_ap_m"), F.col("_ap_carry"))
+    )
 
 
 def range_join(
@@ -112,48 +192,54 @@ def range_join(
     (``start <= time <= end``, plus the ``by`` key when given) WITHOUT a
     nested-loop: both sides map to fixed-width time buckets (intervals
     explode to every bucket they span), the join is a hash equi-join on
-    (key, bucket), and the exact bounds filter runs on candidates only.
+    (key, bucket), and the exact bounds predicate is part of the join
+    condition — so ``how="left"`` is ONE left join (unmatched events keep
+    NULL interval columns), with no anti-join and no null-sensitive
+    re-derivation of unmatched rows.
 
     ``bucket_width`` (seconds) trades candidate slack against explosion
-    factor — size it near the typical interval length.  ``how="left"``
-    keeps unmatched events with NULL interval columns.
+    factor — size it near the typical interval length.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown range_join how {how!r}")
     ev_b = events.withColumn(
         "_ap_bucket",
         F.floor(F.col(time_col).cast("double") / F.lit(float(bucket_width))).cast(
             "long"
         ),
     )
-    iv_b = intervals.withColumn(
-        "_ap_bucket",
+    # Re-alias every interval column to a disjoint name (fresh exprIds):
+    # the two sides may share lineage (intervals derived from events), and
+    # disjoint names keep the join condition unambiguous without df[...]
+    # attribute references.
+    iv_b = intervals.select(
+        *[F.col(c).alias(f"_ap_i_{c}") for c in intervals.columns]
+    ).withColumn(
+        "_ap_ibucket",
         F.explode(
             F.sequence(
                 F.floor(
-                    F.col(start_col).cast("double") / F.lit(float(bucket_width))
+                    F.col(f"_ap_i_{start_col}").cast("double")
+                    / F.lit(float(bucket_width))
                 ).cast("long"),
                 F.floor(
-                    F.col(end_col).cast("double") / F.lit(float(bucket_width))
+                    F.col(f"_ap_i_{end_col}").cast("double")
+                    / F.lit(float(bucket_width))
                 ).cast("long"),
             )
         ),
     )
-    on = ["_ap_bucket"] + ([by] if by is not None else [])
-    bounds = (F.col(time_col).cast("double") >= F.col(start_col).cast("double")) & (
-        F.col(time_col).cast("double") <= F.col(end_col).cast("double")
+    iv_payload = [c for c in intervals.columns if c != by]
+    cond = F.col("_ap_bucket") == F.col("_ap_ibucket")
+    if by is not None:
+        cond = cond & (F.col(by) == F.col(f"_ap_i_{by}"))
+    bounds = (
+        F.col(time_col).cast("double") >= F.col(f"_ap_i_{start_col}").cast("double")
+    ) & (F.col(time_col).cast("double") <= F.col(f"_ap_i_{end_col}").cast("double"))
+    joined = ev_b.join(iv_b, cond & bounds, how=how)
+    # events contribute every original column; intervals contribute the
+    # non-key payload (the by-key would be a dup, NULL-padded on "left")
+    return joined.select(
+        *[F.col(c) for c in events.columns],
+        *[F.col(f"_ap_i_{c}").alias(c) for c in iv_payload],
     )
-    if how == "inner":
-        return ev_b.join(iv_b, on=on).filter(bounds).drop("_ap_bucket")
-    if how == "left":
-        matched = ev_b.join(iv_b, on=on).filter(bounds).drop("_ap_bucket")
-        iv_payload = [c for c in intervals.columns if c != by]
-        unmatched = ev_b.drop("_ap_bucket").join(
-            matched.select(*events.columns).distinct(),
-            on=list(events.columns),
-            how="left_anti",
-        )
-        for c in iv_payload:
-            unmatched = unmatched.withColumn(
-                c, F.lit(None).cast(intervals.schema[c].dataType)
-            )
-        return matched.unionByName(unmatched.select(*matched.columns))
-    raise ValueError(f"unknown range_join how {how!r}")

@@ -115,6 +115,91 @@ def test_asof_join_plans_one_shuffle_no_join_node(spark, events):
     assert plan.count("Exchange hashpartitioning") <= 2  # union sides share the key shuffle
 
 
+def test_asof_join_null_payload_carried_atomically(spark):
+    """ADVICE r5 (high): a matched right row with a NULL payload must
+    yield NULL (not an older row's value), and every carried column must
+    come from the SAME right row — verified against the exact reported
+    repro and pandas merge_asof/DuckDB semantics."""
+    left = spark.createDataFrame([(10.0, 1)], "ts double, lid int")
+    right = spark.createDataFrame(
+        [(1.0, 100.0), (5.0, None)], "ts double, v double"
+    )
+    row = asof_join(left, right, time_col="ts", right_cols=["v"]).collect()[0]
+    assert row["ts_right"] == 5.0
+    assert row["v"] is None  # NOT 100.0 from the older row
+
+    # multi-column: both payloads must come from the matched (ts=5) row
+    right2 = spark.createDataFrame(
+        [(1.0, 100.0, "a"), (5.0, None, "b")], "ts double, v double, tag string"
+    )
+    row2 = asof_join(
+        left, right2, time_col="ts", right_cols=["v", "tag"]
+    ).collect()[0]
+    assert (row2["ts_right"], row2["v"], row2["tag"]) == (5.0, None, "b")
+
+
+def test_asof_join_unkeyed_matches_keyed_and_duckdb(spark, events):
+    """The unkeyed (global) as-of must agree with DuckDB's keyless ASOF
+    LEFT JOIN — and must NOT plan a single-partition window over the
+    data (VERDICT r5 scale edge)."""
+    left = events.filter(F.col("event_type") == "click")
+    right = events.filter(F.col("event_type") == "purchase").select(
+        "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        left, right, time_col="ts", right_cols=["purchase_value"],
+        num_partitions=8,
+    )
+    got = {
+        (r["event_id"], r["purchase_value"], r["ts_right"])
+        for r in out.collect()
+    }
+    rows = [tuple(r) for r in events.collect()]
+    con = _duck(rows, events.columns)
+    want = {
+        (eid, pv, rts)
+        for eid, pv, rts in con.execute(
+            """
+            SELECT l.event_id, r.value, r.ts
+            FROM (SELECT * FROM ev WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') r
+              ON l.ts >= r.ts
+            """
+        ).fetchall()
+    }
+    assert got == want and got
+    # parallel shape: the DATA window runs per range-partition id (hash
+    # exchange on _ap_pid), never as one global single-partition window.
+    # (AQE may still coalesce tiny sf0.001 outputs to 1 partition — plan
+    # shape, not runtime partition count, is the scale signal.)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert "hashpartitioning(_ap_pid" in plan
+
+
+def test_range_join_left_null_payload_single_row(spark):
+    """ADVICE r5 (medium): an event with a NULL payload column that DOES
+    match an interval must appear exactly once (the old anti-join on all
+    event columns re-emitted it as unmatched)."""
+    events = spark.createDataFrame(
+        [(1, 100.0, None), (2, 999.0, 5.0)],
+        "event_id int, ts double, payload double",
+    )
+    intervals = spark.createDataFrame(
+        [(7, 50.0, 150.0)], "win_id int, start double, end double"
+    )
+    out = range_join(
+        events, intervals, time_col="ts", start_col="start", end_col="end",
+        bucket_width=60.0, how="left",
+    ).collect()
+    by_event = {}
+    for r in out:
+        by_event.setdefault(r["event_id"], []).append(r)
+    assert len(by_event[1]) == 1  # matched once, NOT also "unmatched"
+    assert by_event[1][0]["win_id"] == 7
+    assert len(by_event[2]) == 1 and by_event[2][0]["win_id"] is None
+
+
 def test_range_join_matches_duckdb(spark, events):
     """Events joined to the per-user maintenance windows that contain
     them — equi-join on cover buckets + exact filter == DuckDB's range
