@@ -394,9 +394,38 @@ def _simjoin(strategy: str):
     return run
 
 
-_register("simjoin_knn", _simjoin("window"), _simjoin_sql())
-# the scale path (mapInPandas local top-k) must produce identical results
-_register("simjoin_knn_local", _simjoin("local_topk"), _simjoin_sql())
+# Round-6 fold: both exact kNN-join strategies (distributed window +
+# the scale path's mapInPandas local top-k) must produce IDENTICAL
+# results, so they ride one tagged-union driver row; individual
+# callables stay benchable.  (oracle_suite's BENCH_ONLY dict exists
+# before this module loads — the end-of-module import there runs after.)
+from adampro_spark.oracle_suite import BENCH_ONLY, _union_all  # noqa: E402
+
+BENCH_ONLY["simjoin_knn"] = _simjoin("window")
+BENCH_ONLY["simjoin_knn_local"] = _simjoin("local_topk")
+
+
+def _simjoin_fold(spark, sf):
+    return _union_all(
+        [
+            BENCH_ONLY["simjoin_knn"](spark, sf).select(
+                F.lit("window").alias("strategy"), "q_id", "vec_id", DISTANCE_COL
+            ),
+            BENCH_ONLY["simjoin_knn_local"](spark, sf).select(
+                F.lit("local_topk").alias("strategy"), "q_id", "vec_id", DISTANCE_COL
+            ),
+        ]
+    )
+
+
+_register(
+    "simjoin_knn_paths",
+    _simjoin_fold,
+    "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS strategy, * FROM ({_simjoin_sql()})"
+        for tag in ("window", "local_topk")
+    ),
+)
 
 
 def _simjoin_ivf(spark, sf):

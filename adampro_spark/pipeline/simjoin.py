@@ -35,6 +35,25 @@ from pyspark.sql import functions as F
 from adampro_spark.index._util import ref_dists_expr, sample_matrix
 from adampro_spark.operators.scan import DISTANCE_COL
 
+# The byte budget for driver-collecting / broadcasting a query side —
+# the reference's own broadcast ceiling (SparkStartup.scala:30 sets
+# spark.sql.autoBroadcastJoinThreshold to 50 MB).  Row counts alone
+# ignore dimensionality: 100k rows of 4096-dim doubles is ~3.3 GB.
+BROADCAST_BYTE_BUDGET = 50 * 1024 * 1024
+
+
+def _q_side_stats(queries: DataFrame, qv: str) -> tuple[int, int]:
+    """(row count, per-row vector payload bytes) of the query side in one
+    cheap aggregate — dim is taken as the max vector length (8 B/element
+    after the float64 upcast both collect and broadcast paths perform)."""
+    row = queries.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(qv))).alias("dim"),
+    ).first()
+    n = int(row["n"] or 0)
+    dim = int(row["dim"] or 0)
+    return n, dim * 8
+
 
 def _pair_dist(a: Column, b: Column, distance_name: str) -> Column:
     """Column-vs-column distance (both sides arrays), left-fold order —
@@ -112,18 +131,23 @@ def knn_join(
     q_vector_col: str | None = None,
     strategy: str = "auto",
     auto_collect_cap: int = 100_000,
+    auto_collect_bytes: int = BROADCAST_BYTE_BUDGET,
     **ivf_kw,
 ) -> DataFrame:
     """For every query row, the k nearest data rows:
     ``(q_pk, pk, ap_distance)``, exact (lossy only on the auto ivf
     spill-over path), ties broken by pk.
 
-    ``strategy="auto"`` (default) routes by query-side count so no regime
-    silently hits the wrong plan: |Q| ≤ ``auto_collect_cap`` → exact
-    ``local_topk`` (query side driver-collected + broadcast — the
-    documented cap this routing enforces); larger → :func:`ivf_knn_join`
-    with the query side kept DISTRIBUTED (cell equi-join, no broadcast, no
-    collect), forwarding ``**ivf_kw`` (nprobe, ecp_index, …).
+    ``strategy="auto"`` (default) routes by query-side SIZE so no regime
+    silently hits the wrong plan: |Q| ≤ ``auto_collect_cap`` rows AND
+    |Q|·dim·8 B ≤ ``auto_collect_bytes`` (the reference's 50 MB broadcast
+    ceiling, SparkStartup.scala:30) → exact ``local_topk`` (query side
+    driver-collected + broadcast — the documented caps this routing
+    enforces); larger on EITHER axis → :func:`ivf_knn_join` with the
+    query side kept DISTRIBUTED (cell equi-join, no broadcast, no
+    collect), forwarding ``**ivf_kw`` (nprobe, ecp_index, …).  The byte
+    axis matters because row counts ignore dimensionality: 100k rows of
+    4096-dim float64 is ~3.3 GB — far past any sane driver collect.
 
     ``local_topk`` is the scale-safe exact plan (per-batch pre-reduction,
     shuffle carries O(batches·|Q|·k) rows).  ``window`` is a broadcast
@@ -134,8 +158,8 @@ def knn_join(
     qv = q_vector_col or vector_col
 
     if strategy == "auto":
-        nq = queries.count()
-        if nq <= auto_collect_cap:
+        nq, row_bytes = _q_side_stats(queries, qv)
+        if nq <= auto_collect_cap and nq * row_bytes <= auto_collect_bytes:
             strategy = "local_topk"
         else:
             return ivf_knn_join(
@@ -215,6 +239,7 @@ def ivf_knn_join(
     ecp_index: tuple[DataFrame, dict] | None = None,
     broadcast_queries: bool | None = None,
     broadcast_cap_rows: int = 1_000_000,
+    broadcast_cap_bytes: int = BROADCAST_BYTE_BUDGET,
 ) -> DataFrame:
     """IVF-bucketed batch kNN: assign data rows to their nearest leader
     cell, probe each query's ``nprobe`` nearest cells, equi-join on cell.
@@ -228,9 +253,12 @@ def ivf_knn_join(
     (asserted in tests, PQ-style).
 
     ``broadcast_queries`` — None (default) decides by size: the exploded
-    query side (|Q|·nprobe rows) is broadcast only while it stays under
-    ``broadcast_cap_rows``; beyond that it becomes a shuffle cell-join
-    (both sides hashed on ``_cell``), so a huge query side degrades to a
+    query side (|Q|·nprobe rows, each carrying the full vector) is
+    broadcast only while it stays under BOTH ``broadcast_cap_rows`` and
+    ``broadcast_cap_bytes`` (|Q|·nprobe·dim·8 B against the reference's
+    50 MB ceiling, SparkStartup.scala:30 — row counts alone miss
+    high-dim blowup); beyond either it becomes a shuffle cell-join (both
+    sides hashed on ``_cell``), so a huge query side degrades to a
     bigger shuffle instead of an executor OOM.  Explicit True/False
     forces the choice (True mirrors the pre-round-5 behavior).
     """
@@ -284,9 +312,14 @@ def ivf_knn_join(
     )
 
     if broadcast_queries is None:
-        # one count on the (usually smaller) query side decides the shape
+        # one aggregate on the (usually smaller) query side decides the
+        # shape — rows AND bytes, since each exploded row carries the
+        # full vector
+        nq, row_bytes = _q_side_stats(queries, qv)
+        exploded = nq * max(nprobe, 1)
         broadcast_queries = (
-            queries.count() * max(nprobe, 1) <= broadcast_cap_rows
+            exploded <= broadcast_cap_rows
+            and exploded * row_bytes <= broadcast_cap_bytes
         )
     q_side = F.broadcast(q_cells) if broadcast_queries else q_cells
 

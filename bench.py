@@ -54,6 +54,8 @@ HEADLINE = [
     "pipeline_curate",
     # round 5: as-of join (window-interleave formulation, no join node)
     "temporal_asof",
+    # round 6: bucketed range join (left, NULL-safe single-join form)
+    "temporal_range",
 ]
 
 

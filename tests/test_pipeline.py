@@ -256,6 +256,48 @@ def test_knn_join_auto_routes_big_query_side_distributed(spark, emb):
     )
 
 
+def test_knn_join_auto_byte_budget_routes_high_dim_distributed(spark, emb):
+    """VERDICT r5 item 4: the auto caps are BYTE-aware, not just row
+    counts — a query side few in rows but huge in dimensionality must
+    route to the distributed IVF cell-join (no driver collect, no
+    broadcast), and the IVF broadcast decision obeys the same budget."""
+    import re
+
+    q = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # 40 rows (under the 100k row cap) but dim*8*40 > 1 KiB budget
+        routed = knn_join(
+            emb, q, "embedding", 4, "euclidean",
+            strategy="auto", auto_collect_bytes=1024, nprobe=50,
+        )
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan  # not the collect+broadcast path
+        assert re.search(r"SortMergeJoin.*_cell", plan), plan
+        assert not re.search(r"BroadcastHashJoin.*_cell", plan), plan
+
+        # same budget axis inside ivf_knn_join's broadcast decision
+        shuffled = ivf_knn_join(
+            emb, q, "embedding", 4, "euclidean", nprobe=50,
+            broadcast_cap_bytes=1024,
+        )
+        splan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"BroadcastHashJoin.*_cell", splan), splan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # byte-routed result identical to the exact local path (nprobe=50
+    # probes every cell)
+    key = lambda df: sorted(  # noqa: E731
+        (r["q_id"], r["vec_id"], round(r["ap_distance"], 6)) for r in df.collect()
+    )
+    assert key(routed) == key(
+        knn_join(emb, q, "embedding", 4, "euclidean", strategy="local_topk")
+    )
+
+
 def test_knn_join_auto_small_query_side_is_exact_local_topk(emb):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding"

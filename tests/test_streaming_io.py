@@ -114,6 +114,47 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     assert not {i for i in ids if i >= 1_000_000}  # late copies dropped
 
 
+def test_stream_dedup_with_ts_drops_different_ts_copies(spark, tmp_path):
+    """ADVICE r5 (low): with ``ts_col`` the dedup keys on the fingerprint
+    ALONE (dropDuplicatesWithinWatermark) — a copy arriving later with a
+    DIFFERENT timestamp is still dropped, while watermarking keeps the
+    state bounded."""
+    from adampro_spark.streaming.ingest import stream_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = docs.limit(50).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    # copies: same text, NEW ids, ts shifted +1h — under (fingerprint, ts)
+    # keying these survived; under key-only they must be dropped
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    d = tmp_path / "tsdedup"
+    d.mkdir()
+    base.coalesce(1).write.parquet(str(d / "f0"))
+    copies.coalesce(1).write.parquet(str(d / "f1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    q = (
+        stream_dedup(stream, "text", pk="doc_id", ts_col="ts", watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("tsdedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM tsdedup_out").collect()}
+    assert len(ids) == 50
+    assert not {i for i in ids if i >= 1_000_000}  # different-ts copies dropped
+
+
 def test_progressive_knn_stream_matches_batch(spark, tmp_path):
     """applyInPandasWithState progressive kNN: after the stream drains,
     the k smallest rows across bucket states equal the batch sequential
@@ -135,8 +176,11 @@ def test_progressive_knn_stream_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{d}/*/")
     )
+    # bounded replay: opt out of the (default, finite) TTL so the
+    # availableNow trigger can self-terminate with full-history state
     res = progressive_knn_stream(
-        stream, "embedding", Q, k, "euclidean", pk="vec_id", nbuckets=8
+        stream, "embedding", Q, k, "euclidean", pk="vec_id", nbuckets=8,
+        state_ttl_ms=None,
     )
     q = (
         res.writeStream.format("memory")
@@ -162,6 +206,37 @@ def test_progressive_knn_stream_matches_batch(spark, tmp_path):
     assert [(round(d, 6), v) for d, v in got] == [
         (round(d, 6), v) for d, v in want
     ]
+
+
+def test_progressive_knn_stream_default_ttl_is_finite(spark, tmp_path):
+    """VERDICT r5 item 5: the scale-safe behavior is opt-OUT — default
+    args must arm ProcessingTimeTimeout (finite 24 h TTL); only an
+    explicit ``state_ttl_ms=None`` keeps unbounded full-history state."""
+    from adampro_spark.streaming.ingest import progressive_knn_stream
+
+    d = tmp_path / "ttl_default"
+    d.mkdir()
+    spark.read.parquet(f"{SF}/embeddings.parquet").limit(4).coalesce(
+        1
+    ).write.parquet(str(d / "f0"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*/")
+    )
+    Q = [0.0] * 64
+    default_plan = (
+        progressive_knn_stream(stream, "embedding", Q, 5, pk="vec_id")
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ProcessingTimeTimeout" in default_plan
+    optout_plan = (
+        progressive_knn_stream(
+            stream, "embedding", Q, 5, pk="vec_id", state_ttl_ms=None
+        )
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ProcessingTimeTimeout" not in optout_plan
 
 
 def test_progressive_knn_stream_state_ttl_evicts_idle_buckets(spark, tmp_path):
