@@ -63,6 +63,15 @@ class KnnPlan:
     index_type: str | None = None
     confidence: float = 1.0
     reasons: list[str] = field(default_factory=list)
+    # planner-fitted candidate fraction for the lossy scan (None = the
+    # scan's own default); set when min_recall selects the cheapest
+    # measured frac meeting the floor from train_planner's frac curves
+    frac: float | None = None
+
+
+# index types whose scans take the scale-proportional ``frac`` budget
+# (index/_util.candidate_budget); LSH tunes ntables/num_of_q instead
+FRAC_TYPES = ("ecp", "mi", "pq", "sh")
 
 
 def _conforms(index_type: str, meta: dict[str, Any], distance_name: str) -> bool:
@@ -171,6 +180,16 @@ def plan_knn(
     support flips the plan to an exact index or the sequential scan
     instead of silently serving low-recall results.  Exact paths
     (confidence 1.0) are never recall-gated.
+
+    When ``train_planner(frac_sweep=…)`` has persisted per-type
+    ``frac_curves`` (measured (n, frac, recall) points), ``min_recall``
+    additionally FITS the budget: the plan carries the CHEAPEST measured
+    frac whose recall meets the floor (``KnnPlan.frac``, threaded into
+    the scan by ``query.knn``) instead of the scan's fixed default — a
+    loose floor probes less than DEFAULT_FRAC, a floor no measured frac
+    reaches escalates to an exact index or sequential.  Frac-proportional
+    budgets hold recall across n (the frac="auto" design), so the
+    largest-n measurement is the predictor.
     """
     reasons: list[str] = []
     idx_records = {
@@ -181,7 +200,23 @@ def plan_knn(
         catalog.entity(entity) if catalog.exists_entity(entity) else {}
     )
     curves = ent_rec.get("recall_curves") or {}
+    fcurves = ent_rec.get("frac_curves") or {}
     n_now = int(ent_rec.get("tuple_count") or 0)
+    chosen_frac: dict[str, float] = {}
+
+    def fit_frac(t: str) -> float | None:
+        """Cheapest measured frac for type ``t`` meeting the floor, from
+        the largest-n sweep (None when no measured frac reaches it)."""
+        samples = fcurves.get(t) or []
+        if not samples:
+            return None
+        n_best = max(int(s[0]) for s in samples)
+        ok = [
+            float(s[1])
+            for s in samples
+            if int(s[0]) == n_best and float(s[2]) >= min_recall
+        ]
+        return min(ok) if ok else None
 
     def usable(name: str, rec: dict[str, Any], kinds: Sequence[str] | None) -> bool:
         if rec["attribute"] != attribute:
@@ -199,7 +234,21 @@ def plan_knn(
             and CONFIDENCE.get(rec["type"], 0.5) < 1.0
             and n_now > 0
         ):
-            pred = predict_recall(curves.get(rec["type"]) or [], n_now)
+            t = rec["type"]
+            if fcurves.get(t):
+                f = fit_frac(t)
+                if f is None:
+                    reasons.append(
+                        f"{name}: no measured frac reaches floor {min_recall} "
+                        f"(frac curve from train_planner)"
+                    )
+                    return False
+                chosen_frac[name] = f
+                reasons.append(
+                    f"{name}: fitted frac {f} meets floor {min_recall}"
+                )
+                return True
+            pred = predict_recall(curves.get(t) or [], n_now)
             if pred is not None and pred < min_recall:
                 reasons.append(
                     f"{name}: predicted recall {pred:.3f} at n={n_now} "
@@ -227,7 +276,9 @@ def plan_knn(
             name = best((h,))
             if name:
                 reasons.append(f"hint: index type {h} -> {name}")
-                return KnnPlan(name, h, CONFIDENCE[h], reasons)
+                return KnnPlan(
+                    name, h, CONFIDENCE[h], reasons, frac=chosen_frac.get(name)
+                )
         elif h == "exact":
             name = best(("vaf", "vav", "vaplus"))
             if name:
@@ -239,12 +290,16 @@ def plan_knn(
             if name:
                 t = idx_records[name]["type"]
                 reasons.append(f"hint: approximate -> {name}")
-                return KnnPlan(name, t, CONFIDENCE[t], reasons)
+                return KnnPlan(
+                    name, t, CONFIDENCE[t], reasons, frac=chosen_frac.get(name)
+                )
         elif h in idx_records:
             if usable(h, idx_records[h], None):
                 t = idx_records[h]["type"]
                 reasons.append(f"hint: index name {h}")
-                return KnnPlan(h, t, CONFIDENCE[t], reasons)
+                return KnnPlan(
+                    h, t, CONFIDENCE[t], reasons, frac=chosen_frac.get(h)
+                )
 
         elif h == "optimized":
             scored = sorted(
@@ -260,7 +315,9 @@ def plan_knn(
                 reasons.append(
                     f"hint: optimized -> {name} (score {idx_records[name]['score']:.3f})"
                 )
-                return KnnPlan(name, t, CONFIDENCE[t], reasons)
+                return KnnPlan(
+                    name, t, CONFIDENCE[t], reasons, frac=chosen_frac.get(name)
+                )
             reasons.append("hint: optimized, but no trained scores")
         elif h in ("optimized-svm", "optimized-lr"):
             kind = h.split("-", 1)[1]
@@ -273,7 +330,8 @@ def plan_knn(
                 t = idx_records[path]["type"] if path != "sequential" else None
                 reasons.append(f"hint: {h} -> {path} (predicted {pred:.4f}s)")
                 return KnnPlan(
-                    path, t, CONFIDENCE[t] if t else 1.0, reasons
+                    path, t, CONFIDENCE[t] if t else 1.0, reasons,
+                    frac=chosen_frac.get(path),
                 )
             reasons.append(f"hint: {h}, but no trained {kind} models")
 
@@ -292,6 +350,7 @@ def train_planner(
     pk: str = "ap_id",
     heuristic: str = "naive",
     nruns: int = 3,
+    frac_sweep: Sequence[float] | None = None,
 ) -> dict[str, dict[str, float]]:
     """Measured path scoring (planner heuristics + measurement harness,
     PlannerHeuristics.scala:66-140, QueryPlannerOp.scala:33-60).
@@ -302,6 +361,13 @@ def train_planner(
     recall / (1 + time)`` per index in the catalog (the reference
     sigmoid-blends time/precision/recall scores; one monotone blend
     suffices for ranking).  ``hints=("optimized",)`` then routes by score.
+
+    ``frac_sweep`` (naive only) additionally measures each frac-aware
+    lossy index (``FRAC_TYPES``) at every given candidate fraction and
+    persists per-type ``frac_curves = {type: [[n, frac, recall], …]}`` on
+    the entity — ``plan_knn(min_recall=…)`` then routes with the CHEAPEST
+    measured frac meeting the floor instead of the fixed default
+    (index/_util.DEFAULT_FRAC).
 
     ``heuristic="svm"`` / ``"lr"`` (SVMPlannerHeuristics.scala:36-60,
     RegressionPlannerHeuristics.scala:35-77): measure each path ``nruns``
@@ -345,6 +411,31 @@ def train_planner(
                 curves[t] = rows
         if n_now > 0:
             ops.catalog.update_entity(entity, recall_curves=curves)
+        if frac_sweep and n_now > 0:
+            fcurves = {
+                k_: list(v) for k_, v in (ent.get("frac_curves") or {}).items()
+            }
+            for name in paths:
+                t = ops.catalog.index(name)["type"]
+                if t not in FRAC_TYPES:
+                    continue
+                for f in frac_sweep:
+                    f = float(f)
+                    got_f = {
+                        r[0]
+                        for r in ops.query.index(
+                            name, query, k, distance_name, df=df, frac=f
+                        ).select(pk).collect()
+                    }
+                    rec_f = len(got_f & truth) / max(len(truth), 1)
+                    rows = [
+                        s
+                        for s in fcurves.get(t, [])
+                        if not (int(s[0]) == n_now and float(s[1]) == f)
+                    ]
+                    rows.append([n_now, f, rec_f])
+                    fcurves[t] = sorted(rows)
+            ops.catalog.update_entity(entity, frac_curves=fcurves)
         return out
 
     if heuristic not in ("svm", "lr"):
@@ -668,6 +759,10 @@ class QueryOps:
                 data, attribute, query, k, distance_name, pk=pk, **kw
             )
         else:
+            if plan.frac is not None and "frac" not in kw:
+                # planner-fitted candidate budget (an explicit frac= from
+                # the caller always wins)
+                kw = {**kw, "frac": plan.frac}
             res = self.index(
                 plan.path, query, k, distance_name, df=data, prefilter=prefilter, **kw
             )

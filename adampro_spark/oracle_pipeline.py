@@ -621,12 +621,18 @@ _register("fulltext_bm25_persisted", _fulltext_bm25, _bm25_sql(_BM25_TERMS))
 from adampro_spark.oracle_suite import BENCH_ONLY as _BENCH_ONLY  # noqa: E402
 
 
+# last run's per-stage wall clock (gates / pairs / resolution) — bench.py
+# attaches this breakdown to the pipeline_curate row (VERDICT r5 item 8)
+CURATE_STAGES: dict[str, float] = {}
+
+
 def _curate_corpus(spark, sf):
     from adampro_spark.pipeline.curate import curate
 
+    CURATE_STAGES.clear()
     out, _report = curate(
         _docs(spark, sf), langs=("en",), min_tokens=20, min_quality=0.2,
-        dedup="minhash", dedup_threshold=0.8,
+        dedup="minhash", dedup_threshold=0.8, stage_timings=CURATE_STAGES,
     )
     return out.select("doc_id")
 

@@ -24,7 +24,7 @@ from adampro_spark.pipeline.dedup import (
     minhash_dup_pairs,
     simhash_pairs,
 )
-from adampro_spark.pipeline.text import QUALITY_STOPWORDS, langid_expr, tokens_expr
+from adampro_spark.pipeline.text import langid_expr, tokens_expr
 
 
 def curate(
@@ -36,7 +36,8 @@ def curate(
     min_quality: float = 0.3,
     max_chars: int | None = None,
     dedup: str | None = "minhash",
-    dedup_threshold: float = 0.8,
+    dedup_threshold: float | None = None,
+    stage_timings: dict[str, float] | None = None,
     **dedup_kw: Any,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Filter + deduplicate a document corpus; returns ``(survivors,
@@ -54,10 +55,16 @@ def curate(
       * ``min_quality`` — the text_stats quality score floor
         (alnum_ratio damped by the short-doc prior).
 
-    ``dedup`` — "minhash" (banded near-dup, ``dedup_threshold`` Jaccard),
-    "simhash" (pigeonhole Hamming pairs, ``max_hamming`` via kw), or
-    None; survivors keep each duplicate group's min-pk member
-    (:func:`deduplicate`).
+    ``dedup`` — "minhash" (banded near-dup, ``dedup_threshold`` Jaccard,
+    default 0.8), "simhash" (pigeonhole Hamming pairs, ``max_hamming``
+    via kw — passing ``dedup_threshold`` with simhash raises, it has no
+    Jaccard knob), or None; survivors keep each duplicate group's min-pk
+    member (:func:`deduplicate`).
+
+    ``stage_timings`` — pass a dict to receive wall-clock seconds per
+    stage (``gates_sec`` / ``pairs_sec`` / ``resolution_sec``); splitting
+    pairs from resolution forces the pair set through an eager
+    localCheckpoint (one extra materialization, bench/diagnostic use).
     """
     toks = tokens_expr(text_col)
     n_chars = F.length(F.col(text_col)).cast("long")
@@ -75,10 +82,13 @@ def curate(
     )
     q_ok = quality >= F.lit(float(min_quality))
 
+    import time
+
     flagged = df.withColumn("_lang_ok", lang_ok).withColumn(
         "_len_ok", len_ok
     ).withColumn("_cap_ok", cap_ok).withColumn("_q_ok", q_ok)
 
+    t0 = time.perf_counter()
     agg = flagged.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((~F.col("_lang_ok")).cast("long")).alias("lang_fail"),
@@ -91,25 +101,45 @@ def curate(
             ).cast("long")
         ).alias("kept"),
     ).collect()[0]
+    if stage_timings is not None:
+        stage_timings["gates_sec"] = round(time.perf_counter() - t0, 3)
 
     kept = flagged.filter(
         F.col("_lang_ok") & F.col("_len_ok") & F.col("_cap_ok") & F.col("_q_ok")
     ).drop("_lang_ok", "_len_ok", "_cap_ok", "_q_ok")
 
     if dedup is None:
+        if dedup_threshold is not None:
+            raise ValueError("dedup_threshold given but dedup is disabled")
         out = kept
         n_out = int(agg["kept"])
     else:
         if dedup == "minhash":
             pairs = minhash_dup_pairs(
-                kept, text_col=text_col, pk=pk, threshold=dedup_threshold, **dedup_kw
+                kept, text_col=text_col, pk=pk,
+                threshold=0.8 if dedup_threshold is None else dedup_threshold,
+                **dedup_kw,
             )
         elif dedup == "simhash":
+            if dedup_threshold is not None:
+                # r5 advice: silently ignoring the Jaccard knob here sent
+                # callers tuning a parameter with no effect
+                raise ValueError(
+                    "dedup_threshold does not apply to dedup='simhash' — "
+                    "tune max_hamming= instead"
+                )
             pairs = simhash_pairs(kept, text_col=text_col, pk=pk, **dedup_kw)
         else:
             raise ValueError(f"unknown curate dedup {dedup!r}")
+        if stage_timings is not None:
+            t1 = time.perf_counter()
+            pairs = pairs.localCheckpoint(eager=True)
+            stage_timings["pairs_sec"] = round(time.perf_counter() - t1, 3)
+        t2 = time.perf_counter()
         out = deduplicate(kept, pairs, pk=pk)
         n_out = out.count()
+        if stage_timings is not None:
+            stage_timings["resolution_sec"] = round(time.perf_counter() - t2, 3)
 
     report = {
         "n_input": int(agg["n"]),

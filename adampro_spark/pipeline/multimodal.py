@@ -1,13 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 North-star extension (BASELINE.json: "multimodal columns").  The schema,
-partitioning, UDF signatures, and batch shapes are REAL and tested; the
-actual codec calls are stubbed (this container ships no image/audio
-libraries) behind ``decoder=`` hooks — a deployment passes
-``decoder=PIL_decode`` and nothing else changes.  The default
-``deterministic_fake_decode`` derives pixel/sample statistics from the
-bytes themselves (seeded by content hash), so tests and oracles are
-stable without any codec.
+partitioning, UDF signatures, and batch shapes are REAL and tested, and
+the two codec-free container formats decode FOR REAL in pure numpy:
+uncompressed 24/32-bpp BMP (:func:`decode_bmp`) and 16-bit PCM WAV
+(:func:`decode_wav`), both with matching fixture encoders and sniffed by
+the :func:`decode_media` decoder hook.  Compressed codecs (JPEG/PNG/MP3
+— this container ships no image/audio libraries) stay behind the same
+``decoder=`` hook: a deployment passes ``decoder=PIL_decode`` and
+nothing else changes.  ``deterministic_fake_decode`` derives
+pixel/sample statistics from the bytes themselves (seeded by content
+hash), so tests and oracles are stable without any codec.
 
 Plumbing rules (the 100 TB shape):
   * media rows are processed with ``mapInPandas`` — Arrow batches of
@@ -63,11 +66,143 @@ def deterministic_fake_decode(content: bytes, width: int, height: int) -> np.nda
 
 
 def decode_unavailable(content: bytes, width: int, height: int) -> np.ndarray:
-    """The honest stub for a missing codec dependency."""
+    """The honest stub for a codec this environment cannot parse (JPEG,
+    PNG, MP3, …).  Codec-FREE formats decode for real: see
+    :func:`decode_bmp` / :func:`decode_wav` / :func:`decode_media`."""
     raise NotImplementedError(
-        "no image/audio codec in this environment — pass decoder="
-        "deterministic_fake_decode (tests) or a real PIL/ffmpeg-backed decoder"
+        "no image/audio codec library in this environment — BMP and WAV "
+        "decode natively (decode_media); for compressed formats pass "
+        "decoder=deterministic_fake_decode (tests) or a real PIL/ffmpeg-"
+        "backed decoder"
     )
+
+
+# ---------------------------------------------------------------------------
+# real, pure-numpy codecs for the two header+raw formats (round-6: one
+# honest end-to-end decode path with zero external codec libraries)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bpp uncompressed BMP writer (BITMAPINFOHEADER).  Takes
+    a (h × w) grayscale uint8 grid (each pixel written as B=G=R) — the
+    fixture generator for :func:`decode_bmp` and round-trip tests."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # BMP rows are bottom-up
+        row = np.repeat(img[y], 3).astype(np.uint8)  # B, G, R per pixel
+        body += row.tobytes() + b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    head = bytearray()
+    head += b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    head += data_off.to_bytes(4, "little")
+    head += (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+    head += w.to_bytes(4, "little") + h.to_bytes(4, "little", signed=True)
+    head += (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    head += (0).to_bytes(4, "little")  # BI_RGB, uncompressed
+    head += len(body).to_bytes(4, "little")
+    head += b"\x00" * 16  # ppm resolutions + palette counts
+    return bytes(head) + bytes(body)
+
+
+def decode_bmp(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+    """Real BMP decode (uncompressed 24/32-bpp, BITMAPINFOHEADER) in pure
+    numpy: header parse, bottom-up row order, 4-byte row padding, BGR →
+    luma grayscale (integer ITU-R 601 weights).  ``width``/``height``
+    args are ignored — the HEADER is the truth (the decoder-hook
+    signature passes the metadata column's values, which this validates
+    implicitly)."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream (missing 'BM' magic)")
+    data_off = int.from_bytes(content[10:14], "little")
+    hdr_size = int.from_bytes(content[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(content[18:22], "little")
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bpp BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    nchan = bpp // 8
+    stride = (w * nchan + 3) & ~3 if bpp == 24 else w * 4
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * nchan].reshape(h, w, nchan)
+    if not top_down:
+        px = px[::-1]
+    b, g, r = (px[..., 0].astype(np.uint32), px[..., 1].astype(np.uint32),
+               px[..., 2].astype(np.uint32))
+    # integer luma (exact, reproducible): (299R + 587G + 114B) / 1000
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Minimal mono 16-bit PCM RIFF/WAVE writer — the fixture generator
+    for :func:`decode_wav` and round-trip tests."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = (
+        (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    body = b"WAVE" + b"fmt " + fmt + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV decode (16-bit PCM, RIFF chunk walk) in pure numpy →
+    (int16 sample array [n or n × channels], sample_rate)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, nch, rate, bits, data = 12, 1, 0, 16, b""
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        clen = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        payload = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if int.from_bytes(payload[0:2], "little") != 1:
+                raise NotImplementedError("only PCM WAV supported")
+            nch = int.from_bytes(payload[2:4], "little")
+            rate = int.from_bytes(payload[4:8], "little")
+            bits = int.from_bytes(payload[14:16], "little")
+        elif cid == b"data":
+            data = payload
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if bits != 16:
+        raise NotImplementedError(f"only 16-bit PCM supported (got {bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    if nch > 1:
+        samples = samples.reshape(-1, nch)
+    return samples, rate
+
+
+def decode_media(content: bytes, width: int, height: int) -> np.ndarray:
+    """Decoder-hook entry that sniffs the container magic: BMP decodes to
+    its (h × w) grayscale grid; WAV decodes to 16-bit PCM scaled to uint8
+    and wrapped into a (1 × n) grid (so the same featurizer applies);
+    anything else is an honest :func:`decode_unavailable`."""
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        samples, _rate = decode_wav(content)
+        mono = samples if samples.ndim == 1 else samples[:, 0]
+        return ((mono.astype(np.int32) + 32768) >> 8).astype(np.uint8)[None, :]
+    return decode_unavailable(content, width, height)
 
 
 def extract_features(

@@ -126,13 +126,23 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # per-stage attribution for the composite curation row (gates vs
+    # candidate pairs vs component resolution) — localizes regressions
+    try:
+        from adampro_spark.oracle_pipeline import CURATE_STAGES
+
+        if "pipeline_curate" in timings and CURATE_STAGES:
+            payload["stages"] = {"pipeline_curate": dict(CURATE_STAGES)}
+    except Exception:
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

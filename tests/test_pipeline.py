@@ -533,6 +533,38 @@ def test_curate_end_to_end_gates_and_dedup(spark, docs):
     assert len(ids) > base.count() * 0.8
 
 
+def test_curate_simhash_rejects_jaccard_threshold(spark, docs):
+    """ADVICE r5 (low): dedup_threshold has no effect under simhash —
+    must raise instead of silently ignoring the knob."""
+    import pytest as _pytest
+
+    from adampro_spark.pipeline.curate import curate
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        curate(
+            docs.select("doc_id", "text"), dedup="simhash", dedup_threshold=0.8,
+        )
+    # the supported simhash knob works
+    out, report = curate(
+        docs.select("doc_id", "text").limit(50), langs=None, min_tokens=0,
+        min_quality=0.0, dedup="simhash", max_hamming=2,
+    )
+    assert report["n_output"] == out.count()
+
+
+def test_curate_stage_timings_recorded(spark, docs):
+    from adampro_spark.pipeline.curate import curate
+
+    stages: dict[str, float] = {}
+    _out, report = curate(
+        docs.select("doc_id", "text").limit(100), langs=None, min_tokens=0,
+        min_quality=0.0, dedup="minhash", stage_timings=stages,
+    )
+    assert set(stages) == {"gates_sec", "pairs_sec", "resolution_sec"}
+    assert all(v >= 0 for v in stages.values())
+    assert report["n_input"] == 100
+
+
 def test_curate_gates_only_matches_manual_filters(spark, docs):
     """dedup=None: the kept set must equal the manual conjunction of the
     same gate expressions (one-scan flags == composable filters)."""

@@ -201,6 +201,61 @@ def test_scored_paths_surface_predicted_recall(ops, emb):
     assert 0.0 <= ecp["predicted_recall"] <= 1.0
 
 
+def test_planner_fitted_frac_picks_cheapest_meeting_floor(ops, emb):
+    """VERDICT r5 item 6: with measured frac curves, a loose floor routes
+    the lossy index with a frac BELOW the fixed default (cheaper scan), a
+    floor no measured frac reaches escalates to VAF/sequential, and
+    query.knn threads the fitted frac into the scan."""
+    from adampro_spark.index._util import DEFAULT_FRAC
+
+    out = train_planner(
+        ops, "emb", "embedding", Q, 10, "euclidean",
+        df=emb, pk="vec_id", heuristic="naive",
+        frac_sweep=(0.02, 0.05, 0.1, DEFAULT_FRAC),
+    )
+    assert "ml_ecp" in out
+    try:
+        _fitted_frac_asserts(ops, emb, DEFAULT_FRAC)
+    finally:
+        # the scale-growth test below exercises the ABSOLUTE-curve gate,
+        # which only applies when no frac curve is stored
+        ops.catalog.update_entity("emb", frac_curves={})
+
+
+def _fitted_frac_asserts(ops, emb, DEFAULT_FRAC):
+    fcurves = ops.catalog.entity("emb")["frac_curves"]
+    ecp_pts = [(f, r) for n, f, r in fcurves["ecp"]]
+    assert len(ecp_pts) == 4
+    # recall is monotone-ish in frac; the smallest frac's recall is a
+    # usable loose floor
+    by_frac = dict(ecp_pts)
+    loose = by_frac[0.02] * 0.99
+
+    plan_loose = plan_knn(
+        ops.catalog, "emb", "embedding", "euclidean",
+        hints=("ecp",), k=10, dims=len(Q), min_recall=loose,
+    )
+    assert plan_loose.path == "ml_ecp"
+    assert plan_loose.frac is not None and plan_loose.frac < DEFAULT_FRAC
+    assert any("fitted frac" in r for r in plan_loose.reasons)
+
+    # an unreachable floor skips the lossy index entirely
+    plan_tight = plan_knn(
+        ops.catalog, "emb", "embedding", "euclidean",
+        hints=("ecp", "exact"), k=10, dims=len(Q), min_recall=1.01,
+    )
+    assert plan_tight.path in ("ml_vaf", "sequential")
+    assert any("no measured frac" in r for r in plan_tight.reasons)
+
+    # end-to-end: the fitted frac reaches the scan and returns k rows
+    res, plan = ops.query.knn(
+        "emb", "embedding", Q, 10, "euclidean", hints=("ecp",),
+        df=emb, pk="vec_id", min_recall=loose,
+    )
+    assert plan.frac == plan_loose.frac
+    assert res.count() == 10
+
+
 def test_min_recall_guard_flips_lossy_to_exact_at_scale(ops, emb):
     """Growing n past what the measured curves support must flip the
     chosen path from the lossy index to an exact one (or sequential) —
