@@ -612,10 +612,74 @@ _register("fulltext_bm25_persisted", _fulltext_bm25, _bm25_sql(_BM25_TERMS))
 
 
 # ---------------------------------------------------------------------------
-# bench-only: end-to-end corpus curation (gates + dedup composition) — the
-# 50-row driver window is full; each building block already has its own
-# hash-checked driver row (text_langid / text_stats / dedup_minhash /
-# dedup_resolution), so the composition gets a throughput row + pytest
+# end-to-end corpus curation — round-6 driver row.  The minhash-dedup
+# composition stays bench-only (its Jaccard band math is already hash-
+# checked by dedup_minhash / dedup_resolution); the DRIVER row runs the
+# same gate pass with dedup="exact", which is fully SQL-expressible, and
+# hashes BOTH the surviving doc ids AND the complete attrition report
+# (tag/val union) against a DuckDB mirror built from the already-verified
+# text_stats / text_langid / dedup_exact fragments.
+# ---------------------------------------------------------------------------
+
+
+def _curate_exact_row(spark, sf):
+    from adampro_spark.pipeline.curate import curate
+
+    out, report = curate(
+        _docs_with_exact_copies(spark, sf),
+        langs=("en",), min_tokens=20, min_quality=0.3, dedup="exact",
+    )
+    surv = out.select(
+        F.lit("doc").alias("tag"), F.col("doc_id").cast("long").alias("val")
+    )
+    rep = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(report.items())], "tag string, val long"
+    )
+    return surv.unionByName(rep)
+
+
+def _curate_exact_sql() -> str:
+    structs = ", ".join(
+        f"{{'hits': len(list_filter(toks, t -> list_contains({list(STOPWORDS[lang])}, t))), 'lang': '{lang}'}}"
+        for lang in sorted(STOPWORDS)
+    )
+    quality = (
+        "(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)"
+        " * least(len(toks) / 20.0, 1.0)"
+    )
+    return f"""
+    WITH corpus AS ({_SQL_DOCS_EXACT}),
+    t AS (SELECT doc_id, text, {_TOKS.format(t='text')} AS toks FROM corpus),
+    f AS (
+      SELECT doc_id, text, toks,
+        (CASE WHEN best.hits <= 0 THEN 'und' ELSE best.lang END) = 'en' AS lang_ok,
+        len(toks) >= 20 AS len_ok,
+        {quality} >= 0.3 AS q_ok
+      FROM (SELECT doc_id, text, toks, list_aggregate([{structs}], 'max') AS best FROM t)
+    ),
+    kept AS (SELECT doc_id, text FROM f WHERE lang_ok AND len_ok AND q_ok),
+    h AS (SELECT doc_id, {_sql_poly_hash(_sql_norm_text('text'))} AS hh FROM kept),
+    surv AS (SELECT min(doc_id) AS sid FROM h GROUP BY hh),
+    outp AS (SELECT doc_id FROM h WHERE doc_id IN (SELECT sid FROM surv))
+    SELECT 'doc' AS tag, doc_id::BIGINT AS val FROM outp
+    UNION ALL SELECT 'n_after_gates', count(*)::BIGINT FROM kept
+    UNION ALL SELECT 'n_dup_dropped',
+      ((SELECT count(*) FROM kept) - (SELECT count(*) FROM outp))::BIGINT
+    UNION ALL SELECT 'n_input', count(*)::BIGINT FROM corpus
+    UNION ALL SELECT 'n_lang_fail', (count(*) FILTER (WHERE NOT lang_ok))::BIGINT FROM f
+    UNION ALL SELECT 'n_low_quality', (count(*) FILTER (WHERE NOT q_ok))::BIGINT FROM f
+    UNION ALL SELECT 'n_output', count(*)::BIGINT FROM outp
+    UNION ALL SELECT 'n_short', (count(*) FILTER (WHERE NOT len_ok))::BIGINT FROM f
+    UNION ALL SELECT 'n_too_long', 0::BIGINT
+    """
+
+
+_register("pipeline_curate", _curate_exact_row, _curate_exact_sql())
+
+
+# ---------------------------------------------------------------------------
+# bench-only: the minhash-dedup curation composition (its own building
+# blocks are each hash-checked; the composition gets a throughput row)
 # ---------------------------------------------------------------------------
 
 from adampro_spark.oracle_suite import BENCH_ONLY as _BENCH_ONLY  # noqa: E402

@@ -1140,6 +1140,55 @@ _register(
 )
 
 
+def _temporal_asof_unkeyed(spark: SparkSession, sf: str) -> DataFrame:
+    """UNKEYED as-of join driver row — exercises the round-6 parallel
+    prefix-carry path (temporal.py `_unkeyed_carry`: range-partition on
+    time, per-partition window, broadcast boundary carry — NO single-
+    partition stage).  Oracle = DuckDB's native ASOF LEFT JOIN with no
+    equality key.  Timestamps are disambiguated with +event_id·1e-6 (pure
+    IEEE double adds, identical in both engines) so the most-recent-row
+    winner is unique and the hash deterministic."""
+    from adampro_spark.pipeline.temporal import asof_join
+    from adampro_spark.session import load_tables
+
+    ev = load_tables(spark, sf)["events"].select(
+        "event_id", "event_type", "value",
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            + F.col("event_id").cast("double") / F.lit(1e6)
+        ).alias("ts"),
+    )
+    left = ev.filter(F.col("event_type") == "view")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "ts", F.col("value").alias("click_value")
+    )
+    res = asof_join(left, right, time_col="ts", right_cols=["click_value"])
+    return res.select(
+        "event_id",
+        F.round("ts_right", 6).alias("ts_right"),
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
+_register(
+    "temporal_asof_unkeyed",
+    _temporal_asof_unkeyed,
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             epoch(ts) + event_id / 1e6 AS ts
+      FROM events
+    )
+    SELECT l.event_id,
+           round(r.ts, 6) AS ts_right,
+           round(r.value, 4) AS click_value
+    FROM (SELECT * FROM ev WHERE event_type = 'view') l
+    ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') r
+      ON l.ts >= r.ts
+    """,
+)
+
+
 def _proto_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Protobuf wire-format round-trip (proto_io.py; exportData/importData,
     ProtoImporterExporter.scala:41-49,203-224): an embeddings slice is

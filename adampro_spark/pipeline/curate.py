@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from adampro_spark.pipeline.dedup import (
     deduplicate,
+    exact_dedup,
     minhash_dup_pairs,
     simhash_pairs,
 )
@@ -58,8 +59,13 @@ def curate(
     ``dedup`` — "minhash" (banded near-dup, ``dedup_threshold`` Jaccard,
     default 0.8), "simhash" (pigeonhole Hamming pairs, ``max_hamming``
     via kw — passing ``dedup_threshold`` with simhash raises, it has no
-    Jaccard knob), or None; survivors keep each duplicate group's min-pk
-    member (:func:`deduplicate`).
+    Jaccard knob), "exact" (whitespace-normalized text-hash groups — no
+    pair generation or component resolution at all: groups are already
+    closed under exact equality, so the dropped set comes straight from
+    :func:`exact_dedup` and survivors are one anti-join on pk; the
+    dropped side is only the duplicates, so AQE broadcasts it in the
+    common low-dup-rate case), or None; survivors keep each duplicate
+    group's min-pk member (:func:`deduplicate`).
 
     ``stage_timings`` — pass a dict to receive wall-clock seconds per
     stage (``gates_sec`` / ``pairs_sec`` / ``resolution_sec``); splitting
@@ -113,6 +119,23 @@ def curate(
             raise ValueError("dedup_threshold given but dedup is disabled")
         out = kept
         n_out = int(agg["kept"])
+    elif dedup == "exact":
+        if dedup_threshold is not None:
+            raise ValueError(
+                "dedup_threshold does not apply to dedup='exact' — exact "
+                "groups have no similarity knob"
+            )
+        t1 = time.perf_counter()
+        groups = exact_dedup(kept, text_col=text_col, pk=pk)
+        dropped = groups.select(F.explode("dup_ids").alias(pk))
+        if stage_timings is not None:
+            dropped = dropped.localCheckpoint(eager=True)
+            stage_timings["pairs_sec"] = round(time.perf_counter() - t1, 3)
+        t2 = time.perf_counter()
+        out = kept.join(dropped, pk, "left_anti")
+        n_out = out.count()
+        if stage_timings is not None:
+            stage_timings["resolution_sec"] = round(time.perf_counter() - t2, 3)
     else:
         if dedup == "minhash":
             pairs = minhash_dup_pairs(

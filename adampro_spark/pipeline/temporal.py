@@ -137,17 +137,38 @@ def _unkeyed_carry(
     unioned: DataFrame, time_col: str, num_partitions: int | None
 ) -> DataFrame:
     """Parallel forward-carry of ``_ap_pack`` over a globally time-ordered
-    stream WITHOUT a single-partition window: range-partition on (time,
-    side), carry within each partition via an ordinary window, then add
-    the boundary carry-in (the last right row of all EARLIER partitions)
-    from a #partitions-row broadcast.  The only single-partition work is
-    the prefix scan over that tiny boundary table."""
+    stream WITHOUT a single-partition window: bucket rows into time ranges,
+    carry within each bucket via an ordinary window, then add the boundary
+    carry-in (the last right row of all EARLIER buckets) from a tiny
+    (#buckets)-row broadcast.  The only single-partition work is the
+    prefix scan over that boundary table.
+
+    The bucket id is a PURE FUNCTION OF THE ROW'S TIME (approxQuantile
+    boundaries baked into the plan as literals), never
+    ``spark_partition_id()``: the window subplan and the boundary-table
+    subplan each re-evaluate the source, and ``repartitionByRange``
+    re-SAMPLES its range boundaries per evaluation — ids that mean
+    different time ranges in the two subplans silently corrupt the carry
+    (a measured bug: future right rows leaked backwards).  Value-derived
+    buckets are consistent under any recomputation, at the cost of one
+    extra pass over the time column to estimate the quantiles (the same
+    pass ``repartitionByRange`` hides internally)."""
     spark = unioned.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    u = unioned.repartitionByRange(
-        p, F.col(time_col).asc_nulls_first(), F.col("_ap_side").asc()
-    ).withColumn("_ap_pid", F.spark_partition_id())
+    # p-1 interior quantile boundaries; approximate is fine (only balance,
+    # never correctness, depends on them).  Dedup: repeated boundaries
+    # (skewed/constant ts) just leave some buckets empty.
+    qs = unioned.select(F.col(time_col).cast("double").alias("_t")).stat.approxQuantile(
+        "_t", [i / p for i in range(1, p)], 0.01
+    )
+    bounds = sorted(set(qs))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    t = F.col(time_col).cast("double")
+    bucket = F.when(t.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(barr, lambda b: t >= b))
+    )
+    u = unioned.withColumn("_ap_pid", bucket)
 
     w_local = (
         Window.partitionBy("_ap_pid")
@@ -158,15 +179,14 @@ def _unkeyed_carry(
         "_ap_m", F.last(F.col("_ap_pack"), ignorenulls=True).over(w_local)
     )
 
-    # One row per range partition: its newest right-side pack (NULL if
-    # the partition holds no right rows).  ReuseExchange shares the range
-    # shuffle with the main path; the window below runs on <= p rows.
+    # One row per bucket: its newest right-side pack (absent if the bucket
+    # holds no right rows).  The prefix window below runs on <= p rows.
     last_per_pid = (
         u.filter(F.col("_ap_side") == 0)
         .groupBy("_ap_pid")
         .agg(F.max_by("_ap_pack", F.col(time_col)).alias("_ap_last"))
     )
-    pids = spark.range(p).select(F.col("id").cast("int").alias("_ap_pid"))
+    pids = spark.range(len(bounds) + 1).select(F.col("id").cast("int").alias("_ap_pid"))
     w_carry = Window.orderBy("_ap_pid").rowsBetween(Window.unboundedPreceding, -1)
     carry = (
         pids.join(last_per_pid, "_ap_pid", "left")

@@ -533,6 +533,34 @@ def test_curate_end_to_end_gates_and_dedup(spark, docs):
     assert len(ids) > base.count() * 0.8
 
 
+def test_curate_exact_mode(spark, docs):
+    """dedup='exact': planted byte-identical copies are dropped (min-pk
+    survives), near-dups are NOT (exact semantics), the Jaccard knob
+    raises, and the report reconciles."""
+    import pytest as _pytest
+
+    from adampro_spark.pipeline.curate import curate
+
+    base = docs.select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + OFF
+    )
+    corpus = base.unionByName(copies)
+
+    with _pytest.raises(ValueError, match="exact"):
+        curate(corpus, dedup="exact", dedup_threshold=0.8)
+
+    out, report = curate(
+        corpus, langs=None, min_tokens=0, min_quality=0.0, dedup="exact"
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not {i for i in ids if i >= OFF}          # every copy dropped
+    assert ids == {r["doc_id"] for r in base.collect()}  # originals intact
+    assert report["n_dup_dropped"] == copies.count()
+    assert report["n_output"] == len(ids)
+    assert report["n_after_gates"] - report["n_dup_dropped"] == report["n_output"]
+
+
 def test_curate_simhash_rejects_jaccard_threshold(spark, docs):
     """ADVICE r5 (low): dedup_threshold has no effect under simhash —
     must raise instead of silently ignoring the knob."""

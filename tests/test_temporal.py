@@ -168,13 +168,22 @@ def test_asof_join_unkeyed_matches_keyed_and_duckdb(spark, events):
         ).fetchall()
     }
     assert got == want and got
-    # parallel shape: the DATA window runs per range-partition id (hash
-    # exchange on _ap_pid), never as one global single-partition window.
+    # parallel shape: the DATA window runs per VALUE-DERIVED time bucket
+    # (hash exchange on _ap_pid, the quantile-boundary bucket expression),
+    # never as one global single-partition window — and never keyed on
+    # spark_partition_id(), whose meaning is not stable across the plan's
+    # two evaluations of the source (the round-6 carry-corruption bug).
     # (AQE may still coalesce tiny sf0.001 outputs to 1 partition — plan
     # shape, not runtime partition count, is the scale signal.)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange rangepartitioning" in plan
     assert "hashpartitioning(_ap_pid" in plan
+    assert "SPARK_PARTITION_ID" not in plan.upper()
+    # the only SinglePartition window is the <= p-row boundary prefix scan
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "_ap_pack" in ln
+    ]
+    assert data_windows and all("SinglePartition" not in ln for ln in data_windows)
 
 
 def test_range_join_left_null_payload_single_row(spark):
