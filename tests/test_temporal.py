@@ -281,3 +281,74 @@ def test_range_join_plan_is_equi_join(spark, events):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_asof_join_randomized_vs_pandas_merge_asof(spark):
+    """Seeded randomized differential test: keyed AND unkeyed as-of, with
+    and without tolerance, must match ``pandas.merge_asof``'s backward /
+    allow-exact contract on every generated frame — including NULL
+    payloads, empty sides, and left rows older than every right row."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for it in range(8):
+        n_l = int(rng.integers(0, 40))
+        n_r = int(rng.integers(0, 30))
+        # unique timestamps globally: equal-ts winners on the RIGHT are
+        # implementation-defined in both engines, so keep them unique
+        ts_pool = rng.choice(10_000, size=n_l + n_r, replace=False).astype(float)
+        keys = np.array(["a", "b", "c"])
+        ldf = pd.DataFrame({
+            "lid": np.arange(n_l, dtype=np.int64),
+            "k": rng.choice(keys, size=n_l),
+            "ts": ts_pool[:n_l],
+        })
+        rdf = pd.DataFrame({
+            "k": rng.choice(keys, size=n_r),
+            "ts": ts_pool[n_l:],
+            "v": np.where(rng.random(n_r) < 0.3, np.nan, rng.random(n_r).round(4)),
+        })
+        tol = None if it % 2 == 0 else float(rng.integers(100, 3000))
+
+        sl = spark.createDataFrame(ldf.astype(object).where(ldf.notna(), None),
+                                   "lid long, k string, ts double") if n_l else \
+            spark.createDataFrame([], "lid long, k string, ts double")
+        sr = spark.createDataFrame(rdf.astype(object).where(rdf.notna(), None),
+                                   "k string, ts double, v double") if n_r else \
+            spark.createDataFrame([], "k string, ts double, v double")
+
+        for by in (None, "k"):
+            got = {
+                (r["lid"], r["ts_right"], r["v"])
+                for r in asof_join(
+                    sl, sr.drop("k") if by is None else sr,
+                    time_col="ts", by=by, right_cols=["v"], tolerance=tol,
+                ).collect()
+            }
+            kw = {"by": "k"} if by else {}
+            want_df = pd.merge_asof(
+                ldf.sort_values("ts"), rdf.sort_values("ts"),
+                on="ts", direction="backward", allow_exact_matches=True,
+                suffixes=("", "_r"),
+                tolerance=tol, **kw,
+            ) if n_l else pd.DataFrame(columns=["lid", "v"])
+            # pandas drops the matched right ts; recover it by re-asof on ts
+            want = set()
+            for _, row in want_df.iterrows():
+                v = None if pd.isna(row.get("v", np.nan)) else round(float(row["v"]), 4)
+                # matched right ts: max right ts <= left ts (same key scope)
+                rr = rdf if by is None else rdf[rdf.k == row["k"]]
+                cand = rr[rr.ts <= row["ts"]]
+                if tol is not None:
+                    cand = cand[cand.ts >= row["ts"] - tol]
+                m_ts = float(cand.ts.max()) if len(cand) else None
+                # merge_asof marks no-match as NaN payload with no ts; align
+                if m_ts is None:
+                    want.add((int(row["lid"]), None, None))
+                else:
+                    mv = rr[rr.ts == m_ts].iloc[0]["v"]
+                    want.add((int(row["lid"]), m_ts,
+                              None if pd.isna(mv) else round(float(mv), 4)))
+            got = {(l, t, None if v is None else round(v, 4)) for l, t, v in got}
+            assert got == want, f"iter={it} by={by} tol={tol}"
