@@ -702,3 +702,60 @@ def _curate_corpus(spark, sf):
 
 
 _BENCH_ONLY["pipeline_curate"] = _curate_corpus
+
+
+# ---------------------------------------------------------------------------
+# bench-only: dataset-assembly ops (pipeline/mix.py).  The 50-row driver
+# window is full; each op's arithmetic is pytest-adjudicated instead
+# (test_mix.py: split vs an exact DuckDB mirror of the portable-hash
+# chain, decontamination vs planted verbatim n-grams, packing invariants).
+# ---------------------------------------------------------------------------
+
+
+def _decontaminate_corpus(spark, sf):
+    from adampro_spark.pipeline.mix import decontaminate
+
+    docs = _docs(spark, sf)
+    # eval set: 13-token windows lifted from every 97th doc — guarantees
+    # real contamination hits at any scale
+    ev = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.array_join(
+                F.slice(F.split(F.lower("text"), r"\s+"), 6, 13), " "
+            ).alias("text")
+        )
+    )
+    return decontaminate(docs, ev, n=13).select("doc_id")
+
+
+def _pack_corpus(spark, sf):
+    from adampro_spark.pipeline.mix import pack_sequences
+
+    docs = _docs(spark, sf).select("doc_id", "text").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    return pack_sequences(
+        docs, budget=2048, truncate_oversize=True
+    ).select("doc_id", "pack_id", "pack_pos")
+
+
+def _split_sample_corpus(spark, sf):
+    from adampro_spark.pipeline.mix import sample_sources, split_dataset
+
+    docs = _docs(spark, sf)
+    # fixture sources are src0..src19: down-sample a third of them
+    mixed = sample_sources(
+        docs,
+        {f"src{i}": 0.5 for i in range(0, 20, 3)},
+        source_col="source",
+        default_rate=1.0,
+    )
+    return split_dataset(
+        mixed, {"train": 0.98, "val": 0.01, "test": 0.01}
+    ).select("doc_id", "split")
+
+
+_BENCH_ONLY["pipeline_decontaminate"] = _decontaminate_corpus
+_BENCH_ONLY["pipeline_pack"] = _pack_corpus
+_BENCH_ONLY["pipeline_split_sample"] = _split_sample_corpus

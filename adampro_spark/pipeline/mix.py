@@ -1,0 +1,305 @@
+"""Dataset assembly for LLM training: splitting, source mixing,
+benchmark decontamination, and sequence packing.
+
+No counterpart exists in the reference (it stops at retrieval); these are
+the north-star curation extensions that sit between `curate()` and the
+trainer, built the way the rest of the engine is built — deterministic,
+hash-portable, and scale-shaped:
+
+* :func:`split_dataset` — train/val/test assignment as a PURE FUNCTION of
+  the primary key (portable polynomial hash → unit interval → cumulative
+  weight bins).  Map-only, no shuffle, no RNG state: every engine that
+  can hash reproduces the same split, rows keep their split under
+  appends, and the assignment is stable across reruns/partitionings —
+  the property per-row `rand()` does not have.
+* :func:`sample_sources` — per-source Bernoulli down-sampling with the
+  same keyed-hash coin.  Map-only; the per-source rates are a tiny plan
+  literal (typically a handful of sources), not a join.
+* :func:`decontaminate` — drop training docs sharing any word n-gram
+  with an evaluation set (the standard 13-gram eval-contamination rule).
+  Shapes as: explode both sides to n-gram hashes → LEFT SEMI join to tag
+  contaminated docs → anti-join survivors.  The eval side is tiny by
+  definition, so the semi-join broadcasts; the training text itself is
+  never shuffled (only (pk, gram_hash) pairs).
+* :func:`pack_sequences` — greedy first-fit packing of documents into
+  fixed-token-budget training sequences.  Exact bin packing is
+  inherently sequential, so the scale formulation shards by hash into
+  independent packing groups and runs the greedy loop per shard inside
+  one ``applyInPandas`` pass (deterministic doc order within a shard);
+  pack ids are (shard, local) pairs bit-packed into a long.  Waste is
+  bounded by the per-shard tail pack: shards pack independently, so at
+  most ``num_shards`` under-filled packs exist — noise at corpus scale.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.text import (
+    HASH_P,
+    char_codes,
+    poly_hash,
+    tokens_expr,
+)
+
+__all__ = [
+    "split_dataset",
+    "sample_sources",
+    "decontaminate",
+    "pack_sequences",
+]
+
+
+# universal-hash mixing constants for the split/sample coin (any fixed
+# multiplier in (1, P-1) works; these are primes)
+_MIX_A = 961_748_941
+_MIX_B = 787
+
+
+def _unit_hash(pk: str | Column, salt: str) -> Column:
+    """Deterministic hash of (salt || pk-as-string) mapped to [0, 1).
+
+    The raw 31-polynomial is nearly LINEAR in a trailing counter
+    (consecutive pks differ by 1), so it is useless as a coin on
+    sequential keys; the final universal-hash step ``(a·h + b) mod P``
+    is a bijection that turns the unit step into an ~a/P stride — the
+    mapped values of sequential keys equidistribute over [0, 1).  Unlike
+    ``F.hash``/``xxhash64`` the whole chain has an exact DuckDB mirror,
+    so split membership itself is oracle-checkable.
+    """
+    col = pk if isinstance(pk, Column) else F.col(pk)
+    key = F.concat(F.lit(salt), F.lit("|"), col.cast("string"))
+    h = poly_hash(char_codes(key))
+    mixed = (h * F.lit(_MIX_A) + F.lit(_MIX_B)) % F.lit(HASH_P)
+    return mixed / F.lit(float(HASH_P))
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    pk: str = "doc_id",
+    salt: str = "split",
+    col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with probability proportional to
+    ``weights`` (e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``),
+    as a pure function of ``hash(salt, pk)``.
+
+    Properties the trainer relies on: (a) deterministic — reruns, engine
+    versions, and repartitionings agree; (b) append-stable — new rows
+    never move old rows across splits; (c) disjoint and exhaustive.
+    Map-only: the cumulative bins are plan literals.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = _unit_hash(pk, salt)
+    # cumulative upper bounds; last bin closes at 1.0 exactly
+    names = list(weights)
+    acc = 0.0
+    expr: Column | None = None
+    for name in names[:-1]:
+        acc += float(weights[name]) / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    return df.withColumn(col, last if expr is None else expr.otherwise(last))
+
+
+def sample_sources(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    source_col: str = "source",
+    pk: str = "doc_id",
+    salt: str = "sample",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-source Bernoulli down-sampling with a keyed-hash coin: a row of
+    source ``s`` survives iff ``hash(salt, pk) < rates.get(s, default)``.
+    The standard mixing knob (down-weight a crawl, keep curated sources
+    at 1.0) as ONE map-only filter — deterministic and append-stable like
+    :func:`split_dataset`.  Rates are plan literals; no join, no RNG.
+    """
+    for s, r in rates.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not (0.0 <= float(default_rate) <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    u = _unit_hash(pk, salt)
+    rate: Column = F.lit(float(default_rate))
+    for s, r in rates.items():
+        rate = F.when(F.col(source_col) == F.lit(s), F.lit(float(r))).otherwise(
+            rate
+        )
+    return df.filter(u < rate)
+
+
+def _token_hashes(text: str | Column) -> Column:
+    """Per-token poly hashes — char-hash each token exactly once."""
+    return F.transform(tokens_expr(text), lambda t: poly_hash(char_codes(t)))
+
+
+def _grams_from_token_hashes(th: Column, n: int) -> Column:
+    """Distinct n-gram hashes from a MATERIALIZED token-hash array: every
+    n-token window folds its n hashes ((a·31 + h) mod P).
+
+    ``th`` must be a plain column reference, not the token-hash
+    expression itself: an expression argument gets inlined by Catalyst
+    into every window's lambda (CollapseProject), re-hashing the whole
+    document per window — measured 13.5 s vs 1.5 s at sf0.1.  The
+    one-level form (char-hash each joined window string) is the other
+    trap: it re-hashes every character n times (6.4 s).  Two selects —
+    materialize, then window-fold — is the fast shape; still plain
+    portable arithmetic (DuckDB: list_transform + list_reduce over
+    list_slice), no UDF."""
+    k = F.size(th)
+    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(th, i, n),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * 31 + h) % F.lit(HASH_P),
+            ),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    eval_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Remove training documents that share ANY word ``n``-gram with the
+    evaluation corpus — the standard eval-decontamination rule (n = 13
+    in the GPT-3 / PaLM data reports; documents shorter than ``n`` tokens
+    contribute their full token sequence as one gram).
+
+    Plan shape at 100 TB: train side explodes to a slim ``(pk, gram)``
+    table (the text column is never shuffled); the eval side's distinct
+    gram set is small by definition (eval suites are thousands of docs)
+    and broadcasts into a LEFT SEMI join that tags contaminated pks; one
+    anti-join keeps the survivors.  No similarity math, no all-pairs.
+    """
+    ev_col = eval_text_col or text_col
+    # two selects per side: materialize the token-hash array first so the
+    # window fold sees a column reference (see _grams_from_token_hashes)
+    ev_grams = (
+        eval_df.select(_token_hashes(ev_col).alias("_th"))
+        .select(F.explode(_grams_from_token_hashes(F.col("_th"), n)).alias("_g"))
+        .distinct()
+    )
+    tr_grams = train.select(
+        F.col(pk).alias("_pk"), _token_hashes(text_col).alias("_th")
+    ).select(
+        "_pk", F.explode(_grams_from_token_hashes(F.col("_th"), n)).alias("_g")
+    )
+    contaminated = (
+        tr_grams.join(F.broadcast(ev_grams), "_g", "left_semi")
+        .select(F.col("_pk").alias(pk))
+        .distinct()
+    )
+    return train.join(contaminated, pk, "left_anti")
+
+
+_PACK_SHARD_BITS = 20  # up to ~1M local packs per shard
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    pk: str = "doc_id",
+    num_shards: int | None = None,
+    truncate_oversize: bool = False,
+) -> DataFrame:
+    """Assign each document to a training pack such that every pack's
+    total ``token_col`` is ≤ ``budget`` (greedy first-fit in deterministic
+    pk order).  Returns ``df`` plus ``pack_id`` (long) and ``pack_pos``
+    (the document's position within its pack).
+
+    Scale shape: docs shard by ``hash(pk) % num_shards`` (default = the
+    session's shuffle parallelism) and each shard packs independently in
+    one ``applyInPandas`` pass — the greedy loop is per-shard sequential
+    (bin packing is), but shards run in parallel and pack ids are
+    ``(shard << 20) | local``.  Only (pk, n_tokens) shuffles; the caller
+    joins packs back to payloads by pk if needed.  Waste: each shard
+    leaves at most one under-filled tail pack.
+
+    Docs with ``n_tokens > budget`` raise unless ``truncate_oversize``,
+    which caps their contribution at ``budget`` (one doc alone in a pack
+    — the trainer's truncation contract).
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    spark = df.sparkSession
+    shards = int(
+        num_shards
+        or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    if shards <= 0 or shards > (1 << (63 - _PACK_SHARD_BITS)):
+        raise ValueError(f"num_shards out of range: {shards}")
+
+    slim = df.select(
+        F.col(pk).alias("_pk"),
+        F.col(token_col).cast("long").alias("_nt"),
+        (F.pmod(F.hash(F.col(pk)), F.lit(shards))).alias("_shard"),
+    )
+    oversize = slim.filter(F.col("_nt") > budget)
+    if not truncate_oversize and oversize.limit(1).count() > 0:
+        ex = oversize.limit(3).collect()
+        raise ValueError(
+            f"documents exceed the pack budget {budget}: "
+            f"{[(r['_pk'], r['_nt']) for r in ex]}; pass "
+            "truncate_oversize=True to cap them"
+        )
+
+    b = int(budget)
+
+    def _pack(key, pdf):
+        shard = int(key[0])
+        pdf = pdf.sort_values("_pk").reset_index(drop=True)
+        sizes = pdf["_nt"].clip(upper=b).to_numpy()
+        pack_ids = []
+        positions = []
+        local = 0
+        used = 0
+        pos = 0
+        for s in sizes:
+            if used + s > b and used > 0:
+                local += 1
+                if local >= (1 << _PACK_SHARD_BITS):
+                    raise ValueError(
+                        "pack_sequences: over 2^20 packs in one shard — "
+                        "raise num_shards"
+                    )
+                used = 0
+                pos = 0
+            used += int(s)
+            pack_ids.append((shard << _PACK_SHARD_BITS) | local)
+            positions.append(pos)
+            pos += 1
+        out = pdf[["_pk"]].copy()
+        out["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        out["pack_pos"] = pd.Series(positions, dtype="int32")
+        return out
+
+    assigned = slim.groupBy("_shard").applyInPandas(
+        _pack, schema=f"_pk {df.schema[pk].dataType.simpleString()}, pack_id long, pack_pos int"
+    )
+    return df.join(
+        assigned.withColumnRenamed("_pk", pk), pk, "inner"
+    )

@@ -56,7 +56,18 @@ HEADLINE = [
     "temporal_asof",
     # round 6: bucketed range join (left, NULL-safe single-join form)
     "temporal_range",
+    # round 6: unkeyed as-of (quantile-bucketed parallel prefix-carry)
+    "temporal_asof_unkeyed",
+    # round 6: dataset assembly — eval decontamination (13-gram semi-join)
+    # and sequence packing (sharded greedy first-fit)
+    "pipeline_decontaminate",
+    "pipeline_pack",
 ]
+
+# NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the
+# registry merge below) is the minhash-dedup composition — comparable
+# with rounds 4-5; the DRIVER correctness row of the same name is the
+# SQL-expressible dedup="exact" variant (oracle_pipeline._curate_exact_row).
 
 
 def main() -> None:

@@ -1,0 +1,196 @@
+"""Dataset-assembly operators (pipeline/mix.py): deterministic splits,
+source mixing, eval decontamination, sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.mix import (
+    decontaminate,
+    pack_sequences,
+    sample_sources,
+    split_dataset,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_split_dataset_disjoint_exhaustive_stable(spark, docs):
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = split_dataset(docs, w).cache()
+    n = docs.count()
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, one split per row
+    assert counts.get("train", 0) > 0.8 * n  # roughly proportional
+    assert 0 < counts.get("val", 0) + counts.get("test", 0) < 0.2 * n
+
+    # deterministic: a second run (different partitioning) agrees per row
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(docs.repartition(7), w).collect()
+    }
+    for r in out.collect():
+        assert again[r["doc_id"]] == r["split"]
+
+    # append-stability: splitting a SUBSET never moves a row's assignment
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(docs.filter(F.col("doc_id") % 3 == 0), w).collect()
+    }
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+    # salt changes the assignment (different experiment, different split)
+    other = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(docs, w, salt="v2").collect()
+    }
+    assert any(other[k] != full[k] for k in full)
+
+
+def test_split_dataset_validates_weights(spark, docs):
+    with pytest.raises(ValueError):
+        split_dataset(docs, {})
+    with pytest.raises(ValueError):
+        split_dataset(docs, {"a": 0.0, "b": 0.0})
+
+
+def test_sample_sources_rates_and_determinism(spark, docs):
+    # fixture sources are src0..src19, 25 docs each at sf0.001
+    rates = {"src1": 0.2, "src2": 1.0}
+    out = sample_sources(docs, rates, default_rate=0.5).cache()
+    per_src = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    base = {
+        r["source"]: r["cnt"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert "src1" in base and "src2" in base  # the fixture really has them
+    assert per_src.get("src2", 0) == base["src2"]  # rate 1.0 keeps all
+    assert per_src.get("src1", 0) < base["src1"] * 0.6  # ~0.2 with noise
+    # default rate applies to the other ~18 sources: ~0.5 of ~450
+    rest_kept = sum(v for s, v in per_src.items() if s not in rates)
+    rest_base = sum(v for s, v in base.items() if s not in rates)
+    assert 0.3 * rest_base < rest_kept < 0.7 * rest_base
+    # deterministic: same survivors on rerun under another partitioning
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in sample_sources(docs.repartition(5), rates, default_rate=0.5)
+        .select("doc_id").collect()
+    }
+    assert ids1 == ids2
+    with pytest.raises(ValueError):
+        sample_sources(docs, {"src1": 1.5})
+
+
+def test_decontaminate_drops_exact_ngram_overlap(spark, docs):
+    # eval set = verbatim 13-token windows lifted from two training docs
+    picked = docs.orderBy("doc_id").limit(2).collect()
+    evals = []
+    for r in picked:
+        toks = r["text"].lower().split()
+        if len(toks) >= 13:
+            evals.append((" ".join(toks[5:18]),))
+    assert evals, "fixture docs long enough"
+    eval_df = spark.createDataFrame(evals, "text string")
+    out = decontaminate(docs, eval_df, n=13)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    for r in picked:
+        if len(r["text"].split()) >= 13:
+            assert r["doc_id"] not in ids  # contaminated docs dropped
+    # docs sharing no 13-gram survive
+    assert len(ids) >= docs.count() - len(picked) - 2
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark, docs):
+    eval_df = docs.limit(1).select("text")
+    plan = (
+        decontaminate(docs, eval_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_budget_and_determinism(spark, docs):
+    base = docs.select("doc_id", "text").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    out = pack_sequences(base, budget=512, num_shards=8).cache()
+    assert out.count() == base.count()  # every doc assigned exactly once
+    sums = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("m")
+    )
+    # budget respected except single-doc oversize packs (none here: raise)
+    assert sums.filter(F.col("tot") > 512).count() == 0
+    # packs are actually filled (greedy, not one doc per pack)
+    assert sums.filter(F.col("m") > 1).count() > 0
+    # positions are dense within packs
+    bad_pos = (
+        out.groupBy("pack_id")
+        .agg(F.max("pack_pos").alias("mx"), F.count("*").alias("m"))
+        .filter(F.col("mx") != F.col("m") - 1)
+    )
+    assert bad_pos.count() == 0
+    # deterministic under repartitioning
+    a = {(r["doc_id"], r["pack_id"], r["pack_pos"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["pack_id"], r["pack_pos"])
+        for r in pack_sequences(base.repartition(11), budget=512, num_shards=8)
+        .collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_oversize_contract(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 999), (3, 20)], "doc_id long, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="exceed the pack budget"):
+        pack_sequences(df, budget=100)
+    out = pack_sequences(df, budget=100, truncate_oversize=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # the oversize doc sits alone in its pack
+    others = [r for r in rows.values() if rows[2]["pack_id"] == r["pack_id"]]
+    assert [r["doc_id"] for r in others] == [2]
+
+
+def test_split_dataset_matches_duckdb_mirror(spark, docs):
+    """The split coin is portable arithmetic: DuckDB computes the same
+    poly-hash + universal-mix chain and must assign every row to the
+    same split."""
+    import duckdb
+
+    from adampro_spark.pipeline.mix import _MIX_A, _MIX_B
+    from adampro_spark.oracle_pipeline import _sql_poly_hash
+    from adampro_spark.pipeline.text import HASH_P
+
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    got = {r["doc_id"]: r["split"] for r in split_dataset(docs, w).collect()}
+
+    rows = [(r["doc_id"],) for r in docs.select("doc_id").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?)", rows)
+    h = _sql_poly_hash("concat('split', '|', doc_id::VARCHAR)")
+    sql = f"""
+    SELECT doc_id,
+      CASE WHEN u < 0.9 THEN 'train'
+           WHEN u < 0.95 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+            ((({h}) * {_MIX_A} + {_MIX_B}) % {HASH_P}) / {HASH_P}.0 AS u
+          FROM d)
+    """
+    want = {int(i): s for i, s in con.execute(sql).fetchall()}
+    assert got == want
