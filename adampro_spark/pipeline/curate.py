@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from adampro_spark.pipeline.dedup import (
@@ -26,6 +26,42 @@ from adampro_spark.pipeline.dedup import (
     simhash_pairs,
 )
 from adampro_spark.pipeline.text import langid_expr, tokens_expr
+
+
+def gate_flags(
+    text_col: str = "text",
+    langs: Sequence[str] | None = ("en",),
+    min_tokens: int = 20,
+    min_quality: float = 0.3,
+    max_chars: int | None = None,
+) -> dict[str, Column]:
+    """The curation gates as PURE COLUMN EXPRESSIONS — one dict of
+    boolean flags (``_lang_ok/_len_ok/_cap_ok/_q_ok``) computed in a
+    single map-only pass.  Because they are stateless expressions they
+    apply unchanged to a STREAMING DataFrame (`readStream → withColumns →
+    filter` — the gate pass of a live ingest pipeline); :func:`curate`
+    composes them with dedup + the attrition report for batch corpora.
+    """
+    toks = tokens_expr(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    alnum = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))
+    alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
+    quality = alnum_ratio * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    return {
+        "_lang_ok": (
+            langid_expr(text_col).isin(list(langs))
+            if langs is not None
+            else F.lit(True)
+        ),
+        "_len_ok": n_tokens >= F.lit(int(min_tokens)),
+        "_cap_ok": (
+            n_chars <= F.lit(int(max_chars))
+            if max_chars is not None
+            else F.lit(True)
+        ),
+        "_q_ok": quality >= F.lit(float(min_quality)),
+    }
 
 
 def curate(
@@ -72,27 +108,15 @@ def curate(
     pairs from resolution forces the pair set through an eager
     localCheckpoint (one extra materialization, bench/diagnostic use).
     """
-    toks = tokens_expr(text_col)
-    n_chars = F.length(F.col(text_col)).cast("long")
-    n_tokens = F.size(toks).cast("long")
-    alnum = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))
-    alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
-    quality = alnum_ratio * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
-
-    lang_ok = (
-        langid_expr(text_col).isin(list(langs)) if langs is not None else F.lit(True)
-    )
-    len_ok = n_tokens >= F.lit(int(min_tokens))
-    cap_ok = (
-        n_chars <= F.lit(int(max_chars)) if max_chars is not None else F.lit(True)
-    )
-    q_ok = quality >= F.lit(float(min_quality))
-
     import time
 
-    flagged = df.withColumn("_lang_ok", lang_ok).withColumn(
-        "_len_ok", len_ok
-    ).withColumn("_cap_ok", cap_ok).withColumn("_q_ok", q_ok)
+    flags = gate_flags(
+        text_col, langs=langs, min_tokens=min_tokens,
+        min_quality=min_quality, max_chars=max_chars,
+    )
+    flagged = df
+    for name, expr in flags.items():
+        flagged = flagged.withColumn(name, expr)
 
     t0 = time.perf_counter()
     agg = flagged.agg(

@@ -523,3 +523,42 @@ def test_stream_dedup_simhash_drops_reordered_copies(spark, tmp_path):
 
     # exact mode is ORDER-SENSITIVE: the same corpus keeps both versions
     assert stream_dedup(batch, "text", pk="doc_id", method="exact").count() == 200
+
+
+def test_stream_curate_gates_match_batch(spark, tmp_path):
+    """The curation gates are stateless column expressions, so the SAME
+    gate_flags() dict must drive a streaming ingest filter and produce
+    exactly the batch curate(dedup=None) survivor set."""
+    from adampro_spark.pipeline.curate import curate, gate_flags
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "curate_src")
+    docs.repartition(3).write.parquet(src)
+
+    kw = dict(langs=("en",), min_tokens=10, min_quality=0.2)
+    batch_out, _ = curate(docs, dedup=None, **kw)
+    want = {r["doc_id"] for r in batch_out.select("doc_id").collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    flags = gate_flags("text", **kw)
+    gated = stream
+    for name, expr in flags.items():
+        gated = gated.withColumn(name, expr)
+    import functools
+    import operator
+
+    gated = gated.filter(
+        functools.reduce(operator.and_, [F.col(n) for n in flags])
+    ).select("doc_id")
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_curate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM curated_stream").collect()}
+    assert got == want and got
