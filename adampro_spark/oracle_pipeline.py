@@ -287,8 +287,17 @@ _register(
 _register(
     "dedup_simhash_pairs",
     # chunks > max_hamming ⇒ the banded join is EXHAUSTIVE (pigeonhole),
-    # so the all-pairs oracle is exactly equivalent
-    lambda spark, sf: simhash_pairs(_docs_with_exact_copies(spark, sf), max_hamming=3),
+    # so the all-pairs oracle is exactly equivalent — PROVIDED the
+    # hot-bucket guard never fires: the ORACLE row disables the cap so
+    # the exhaustive contract holds at ANY sf (found at sf0.1, where the
+    # template corpus packs >1024 near-identical fingerprints into one
+    # chunk bucket and the default cap switches to star pairs).  The
+    # production default keeps the cap; its semantics are pytest-covered
+    # (test_pipeline.test_hot_bucket_guard_*).
+    lambda spark, sf: simhash_pairs(
+        _docs_with_exact_copies(spark, sf), max_hamming=3,
+        max_bucket_size=10**9,
+    ),
     f"""
     WITH s AS ({_simhash_sql().replace('FROM documents', f'FROM ({_SQL_DOCS_EXACT})')})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,

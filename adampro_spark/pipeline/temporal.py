@@ -54,30 +54,46 @@ def asof_join(
     tolerance: float | None = None,
     suffix: str = "_right",
     num_partitions: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, the most recent right row with
-    ``right.time <= left.time`` (per ``by`` key when given): left columns
-    plus each requested right column as ``<col><suffix>`` and the matched
-    right time as ``ts<suffix>`` — NULLs when no right row qualifies.
+    """For every left row, the matching right row per ``direction`` (per
+    ``by`` key when given): left columns plus each requested right column
+    as ``<col><suffix>`` and the matched right time as ``ts<suffix>`` —
+    NULLs when no right row qualifies.
 
-    ``tolerance`` (seconds) voids matches older than
-    ``left.time - tolerance``, the pandas ``merge_asof`` contract.
-    Ties (equal times) match: the right row sorts BEFORE the left row at
-    the same instant, so it is visible to it.
+    ``direction`` follows the pandas ``merge_asof`` surface:
+      * ``"backward"`` (default) — most recent right with
+        ``right.time <= left.time``;
+      * ``"forward"`` — earliest right with ``right.time >= left.time``;
+      * ``"nearest"`` — whichever of the two is closer in time
+        (tie → the backward match, the pandas choice).
+    Equal times always match (``allow_exact_matches=True`` semantics).
+
+    ``tolerance`` (seconds) voids matches farther than ``tolerance`` from
+    the left time, applied per direction (both sides for ``nearest``),
+    the pandas ``merge_asof`` contract.
 
     The matched right row is carried as ONE struct, so every returned
     right column (and ``ts<suffix>``) comes from the same row and NULL
     payload values in a matched row survive as NULL — the pandas
     ``merge_asof`` / DuckDB ASOF contract.
 
+    Both directions come out of the SAME single window pass (backward =
+    running ``last`` of the packed right row, forward = ``first`` over
+    the following frame, with the equal-time right row recovered from the
+    backward carry), so ``nearest`` costs no extra shuffle.
+
     ``num_partitions`` sizes the range partitioning of the UNKEYED path
     (defaults to ``spark.sql.shuffle.partitions``); ignored when ``by``
     is given.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     rcols = right_cols or [
         c for c in right.columns if c not in (time_col, by)
     ]
     keyed = by is not None
+    want_fwd = direction in ("forward", "nearest")
 
     lhs = left.withColumn("_ap_side", F.lit(1))
     for c in rcols:
@@ -107,34 +123,75 @@ def asof_join(
     unioned = unioned.withColumn("_ap_pack", pack)
 
     if keyed:
-        w = (
+        order = [F.col(time_col).asc(), F.col("_ap_side").asc()]
+        w_back = (
             Window.partitionBy(by)
-            .orderBy(F.col(time_col).asc(), F.col("_ap_side").asc())
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         out = unioned.withColumn(
-            "_ap_m", F.last(F.col("_ap_pack"), ignorenulls=True).over(w)
+            "_ap_m", F.last(F.col("_ap_pack"), ignorenulls=True).over(w_back)
         )
+        if want_fwd:
+            # strictly-later rights; the equal-time right (which sorts
+            # BEFORE the left row) is recovered below from the backward
+            # carry — same shuffle, same sort, one more window function
+            w_fwd = (
+                Window.partitionBy(by)
+                .orderBy(*order)
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            out = out.withColumn(
+                "_ap_mf", F.first(F.col("_ap_pack"), ignorenulls=True).over(w_fwd)
+            )
     else:
-        out = _unkeyed_carry(unioned, time_col, num_partitions)
+        out = _unkeyed_carry(unioned, time_col, num_partitions, want_fwd)
 
     out = out.filter(F.col("_ap_side") == 1)
 
-    m = F.col("_ap_m")
-    keep: Column = F.lit(True)
-    if tolerance is not None:
-        age = F.col(time_col).cast("double") - m[_TS_FIELD].cast("double")
-        keep = age <= F.lit(float(tolerance))
+    t = F.col(time_col).cast("double")
+    mb = F.col("_ap_m")
+    if want_fwd:
+        # forward candidate incl. the equal-time right: the backward carry
+        # holds it iff its time equals the left time
+        mf = F.when(mb[_TS_FIELD].cast("double") == t, mb).otherwise(
+            F.col("_ap_mf")
+        )
+    tol = None if tolerance is None else F.lit(float(tolerance))
+    valid_b = mb.isNotNull() if tol is None else (
+        mb.isNotNull() & ((t - mb[_TS_FIELD].cast("double")) <= tol)
+    )
+    if want_fwd:
+        valid_f = mf.isNotNull() if tol is None else (
+            mf.isNotNull() & ((mf[_TS_FIELD].cast("double") - t) <= tol)
+        )
+
+    if direction == "backward":
+        m = F.when(valid_b, mb)
+    elif direction == "forward":
+        m = F.when(valid_f, mf)
+    else:  # nearest: closer side wins, tie -> backward (pandas)
+        db = t - mb[_TS_FIELD].cast("double")
+        df_ = mf[_TS_FIELD].cast("double") - t
+        m = (
+            F.when(valid_b & valid_f, F.when(df_ < db, mf).otherwise(mb))
+            .when(valid_b, mb)
+            .when(valid_f, mf)
+        )
+
     proj = [F.col(c) for c in left.columns]
-    proj.append(F.when(keep, m[_TS_FIELD]).alias(f"ts{suffix}"))
+    proj.append(m[_TS_FIELD].alias(f"ts{suffix}"))
     for c in rcols:
         name = f"{c}{suffix}" if c in left.columns else c
-        proj.append(F.when(keep, m[c]).alias(name))
+        proj.append(m[c].alias(name))
     return out.select(*proj)
 
 
 def _unkeyed_carry(
-    unioned: DataFrame, time_col: str, num_partitions: int | None
+    unioned: DataFrame,
+    time_col: str,
+    num_partitions: int | None,
+    want_fwd: bool = False,
 ) -> DataFrame:
     """Parallel forward-carry of ``_ap_pack`` over a globally time-ordered
     stream WITHOUT a single-partition window: bucket rows into time ranges,
@@ -170,32 +227,54 @@ def _unkeyed_carry(
     )
     u = unioned.withColumn("_ap_pid", bucket)
 
+    order = [F.col(time_col).asc(), F.col("_ap_side").asc()]
     w_local = (
         Window.partitionBy("_ap_pid")
-        .orderBy(F.col(time_col).asc(), F.col("_ap_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = u.withColumn(
         "_ap_m", F.last(F.col("_ap_pack"), ignorenulls=True).over(w_local)
     )
+    if want_fwd:
+        w_local_f = (
+            Window.partitionBy("_ap_pid")
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        local = local.withColumn(
+            "_ap_mf", F.first(F.col("_ap_pack"), ignorenulls=True).over(w_local_f)
+        )
 
-    # One row per bucket: its newest right-side pack (absent if the bucket
-    # holds no right rows).  The prefix window below runs on <= p rows.
-    last_per_pid = (
-        u.filter(F.col("_ap_side") == 0)
-        .groupBy("_ap_pid")
-        .agg(F.max_by("_ap_pack", F.col(time_col)).alias("_ap_last"))
-    )
+    # One row per bucket: its newest (and, for forward, earliest)
+    # right-side pack (absent if the bucket holds no right rows).  The
+    # prefix/suffix windows below run on <= p rows.
+    rights = u.filter(F.col("_ap_side") == 0).groupBy("_ap_pid")
+    aggs = [F.max_by("_ap_pack", F.col(time_col)).alias("_ap_last")]
+    if want_fwd:
+        aggs.append(F.min_by("_ap_pack", F.col(time_col)).alias("_ap_first"))
+    per_pid = rights.agg(*aggs)
     pids = spark.range(len(bounds) + 1).select(F.col("id").cast("int").alias("_ap_pid"))
     w_carry = Window.orderBy("_ap_pid").rowsBetween(Window.unboundedPreceding, -1)
     carry = (
-        pids.join(last_per_pid, "_ap_pid", "left")
+        pids.join(per_pid, "_ap_pid", "left")
         .withColumn("_ap_carry", F.last("_ap_last", ignorenulls=True).over(w_carry))
-        .select("_ap_pid", "_ap_carry")
     )
-    return local.join(F.broadcast(carry), "_ap_pid").withColumn(
+    keep_cols = ["_ap_pid", "_ap_carry"]
+    if want_fwd:
+        w_carry_f = Window.orderBy("_ap_pid").rowsBetween(1, Window.unboundedFollowing)
+        carry = carry.withColumn(
+            "_ap_carry_f", F.first("_ap_first", ignorenulls=True).over(w_carry_f)
+        )
+        keep_cols.append("_ap_carry_f")
+    out = local.join(F.broadcast(carry.select(*keep_cols)), "_ap_pid").withColumn(
         "_ap_m", F.coalesce(F.col("_ap_m"), F.col("_ap_carry"))
     )
+    if want_fwd:
+        out = out.withColumn(
+            "_ap_mf", F.coalesce(F.col("_ap_mf"), F.col("_ap_carry_f"))
+        )
+    return out
 
 
 def range_join(

@@ -284,10 +284,12 @@ def test_range_join_plan_is_equi_join(spark, events):
 
 
 def test_asof_join_randomized_vs_pandas_merge_asof(spark):
-    """Seeded randomized differential test: keyed AND unkeyed as-of, with
-    and without tolerance, must match ``pandas.merge_asof``'s backward /
-    allow-exact contract on every generated frame — including NULL
-    payloads, empty sides, and left rows older than every right row."""
+    """Seeded randomized differential test: keyed AND unkeyed as-of, all
+    three directions (backward/forward/nearest), with and without
+    tolerance, must match ``pandas.merge_asof`` on every generated frame
+    — including NULL payloads, empty sides, and no-match rows.  The
+    matched right time rides along as a payload column (``ts_r``), so
+    pandas itself adjudicates WHICH right row matched."""
     import numpy as np
     import pandas as pd
 
@@ -309,46 +311,41 @@ def test_asof_join_randomized_vs_pandas_merge_asof(spark):
             "ts": ts_pool[n_l:],
             "v": np.where(rng.random(n_r) < 0.3, np.nan, rng.random(n_r).round(4)),
         })
+        rdf["ts_r"] = rdf["ts"]  # matched-right-ts as a carried payload
         tol = None if it % 2 == 0 else float(rng.integers(100, 3000))
+        direction = ("backward", "forward", "nearest")[it % 3]
 
         sl = spark.createDataFrame(ldf.astype(object).where(ldf.notna(), None),
                                    "lid long, k string, ts double") if n_l else \
             spark.createDataFrame([], "lid long, k string, ts double")
         sr = spark.createDataFrame(rdf.astype(object).where(rdf.notna(), None),
-                                   "k string, ts double, v double") if n_r else \
-            spark.createDataFrame([], "k string, ts double, v double")
+                                   "k string, ts double, v double, ts_r double") \
+            if n_r else \
+            spark.createDataFrame([], "k string, ts double, v double, ts_r double")
 
         for by in (None, "k"):
+            res = asof_join(
+                sl, sr.drop("k") if by is None else sr,
+                time_col="ts", by=by, right_cols=["v", "ts_r"],
+                tolerance=tol, direction=direction,
+            ).collect()
             got = {
-                (r["lid"], r["ts_right"], r["v"])
-                for r in asof_join(
-                    sl, sr.drop("k") if by is None else sr,
-                    time_col="ts", by=by, right_cols=["v"], tolerance=tol,
-                ).collect()
+                (r["lid"], r["ts_r"],
+                 None if r["v"] is None else round(r["v"], 4))
+                for r in res
             }
+            # carried columns must agree with the struct's own matched ts
+            assert all(r["ts_right"] == r["ts_r"] for r in res)
             kw = {"by": "k"} if by else {}
             want_df = pd.merge_asof(
                 ldf.sort_values("ts"), rdf.sort_values("ts"),
-                on="ts", direction="backward", allow_exact_matches=True,
-                suffixes=("", "_r"),
-                tolerance=tol, **kw,
-            ) if n_l else pd.DataFrame(columns=["lid", "v"])
-            # pandas drops the matched right ts; recover it by re-asof on ts
-            want = set()
-            for _, row in want_df.iterrows():
-                v = None if pd.isna(row.get("v", np.nan)) else round(float(row["v"]), 4)
-                # matched right ts: max right ts <= left ts (same key scope)
-                rr = rdf if by is None else rdf[rdf.k == row["k"]]
-                cand = rr[rr.ts <= row["ts"]]
-                if tol is not None:
-                    cand = cand[cand.ts >= row["ts"] - tol]
-                m_ts = float(cand.ts.max()) if len(cand) else None
-                # merge_asof marks no-match as NaN payload with no ts; align
-                if m_ts is None:
-                    want.add((int(row["lid"]), None, None))
-                else:
-                    mv = rr[rr.ts == m_ts].iloc[0]["v"]
-                    want.add((int(row["lid"]), m_ts,
-                              None if pd.isna(mv) else round(float(mv), 4)))
-            got = {(l, t, None if v is None else round(v, 4)) for l, t, v in got}
-            assert got == want, f"iter={it} by={by} tol={tol}"
+                on="ts", direction=direction, allow_exact_matches=True,
+                suffixes=("", "_rr"), tolerance=tol, **kw,
+            ) if n_l else pd.DataFrame(columns=["lid", "v", "ts_r"])
+            want = {
+                (int(row["lid"]),
+                 None if pd.isna(row["ts_r"]) else float(row["ts_r"]),
+                 None if pd.isna(row["v"]) else round(float(row["v"]), 4))
+                for _, row in want_df.iterrows()
+            }
+            assert got == want, f"iter={it} by={by} tol={tol} dir={direction}"
