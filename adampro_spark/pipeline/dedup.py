@@ -362,6 +362,7 @@ def dup_groups(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    reliable: bool = False,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS: connected
     components over the pair graph, labeled by each component's min pk
@@ -379,6 +380,11 @@ def dup_groups(
     adversarial chains.  Each round is two shuffles on (edge key, label);
     labels persist per round and the loop checks convergence with a
     metadata-sized count, never collecting the graph.
+
+    ``reliable=True`` swaps the per-round ``localCheckpoint`` for a
+    reliable ``checkpoint`` (requires ``setCheckpointDir``): rounds
+    survive executor loss — the right setting for long-running cluster
+    jobs; the local default avoids the distributed-store round-trip.
     """
     # the symmetric union reads `pairs` twice in one job — fine: the
     # banded pair generators keep their own persist barriers, so the
@@ -408,9 +414,20 @@ def dup_groups(
     # work O(rounds).  Old checkpoint blocks are GC'd with their DataFrame
     # references.  (Unreliable-checkpoint caveat: executor loss recomputes
     # nothing here — it fails the job; a cluster deployment that needs
-    # fault tolerance should swap in reliable checkpointing via
-    # spark.sparkContext.setCheckpointDir + .checkpoint().)
-    labels = labels.localCheckpoint(eager=True)
+    # fault tolerance passes ``reliable=True`` after
+    # ``spark.sparkContext.setCheckpointDir(...)`` — each round then
+    # writes to the reliable store instead of executor block managers.)
+    if reliable:
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "dup_groups(reliable=True) needs "
+                "spark.sparkContext.setCheckpointDir(...) first"
+            )
+        ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    labels = ckpt(labels)
     for _ in range(max_iterations):
         # candidate labels: own label + min neighbor label
         neighbor = (
@@ -429,7 +446,8 @@ def dup_groups(
                     "_chg"
                 ),
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = ckpt(updated)
         changed = updated.filter(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:

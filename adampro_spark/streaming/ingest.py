@@ -161,6 +161,50 @@ def stream_dedup(
     return out.dropDuplicates(["_ap_texthash"]).drop("_ap_texthash")
 
 
+def stream_curate(
+    stream: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "1 day",
+    dedup: str | None = "exact",
+    langs=("en",),
+    min_tokens: int = 20,
+    min_quality: float = 0.3,
+    max_chars: int | None = None,
+) -> DataFrame:
+    """The streaming counterpart of batch :func:`~adampro_spark.pipeline.
+    curate.curate`: the SAME gate expressions (``gate_flags`` — stateless,
+    map-only, identical semantics by construction) filter each micro-batch,
+    then :func:`stream_dedup` drops cross-batch duplicate survivors
+    (``dedup`` = "exact" / "simhash" / None; state bounded by ``watermark``
+    when ``ts_col`` is given).  Gates run BEFORE dedup, so junk never
+    enters the dedup state store.  Runs identically on a batch DataFrame.
+
+    No attrition report: a streaming query cannot collect counts
+    mid-plan — observe the gate pass with ``df.observe`` or compare sink
+    counts instead.
+    """
+    from adampro_spark.pipeline.curate import gate_flags
+
+    flags = gate_flags(
+        text_col, langs=langs, min_tokens=min_tokens,
+        min_quality=min_quality, max_chars=max_chars,
+    )
+    cond = None
+    out = stream
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+        cond = F.col(name) if cond is None else (cond & F.col(name))
+    out = out.filter(cond).drop(*flags.keys())
+    if dedup is None:
+        return out
+    return stream_dedup(
+        out, text_col=text_col, pk=pk, ts_col=ts_col,
+        watermark=watermark, method=dedup,
+    )
+
+
 def progressive_knn_stream(
     stream: DataFrame,
     vector_col: str,

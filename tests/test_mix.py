@@ -18,7 +18,13 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    # unpersist on teardown: a cached scan of this parquet stays in the
+    # session CacheManager and would serve OTHER modules' reads from an
+    # InMemoryRelation — hiding the PushedFilters the plan-quality tests
+    # assert on
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_split_dataset_disjoint_exhaustive_stable(spark, docs):

@@ -613,3 +613,22 @@ def test_curate_gates_only_matches_manual_filters(spark, docs):
     }
     assert report["n_output"] == manual.count()
     assert report["n_too_long"] == 0
+
+
+def test_dup_groups_reliable_checkpoint(spark, tmp_path):
+    """reliable=True: rounds checkpoint to the reliable store (survives
+    executor loss on a cluster); same labels as the local default."""
+    import pytest as _pytest
+
+    from adampro_spark.pipeline.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with _pytest.raises(ValueError, match="setCheckpointDir"):
+            dup_groups(pairs, reliable=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {r["id"]: r["survivor"] for r in dup_groups(pairs, reliable=True).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

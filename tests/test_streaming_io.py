@@ -562,3 +562,46 @@ def test_stream_curate_gates_match_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM curated_stream").collect()}
     assert got == want and got
+
+
+def test_stream_curate_matches_batch_curate(spark, tmp_path):
+    """stream_curate (gates + cross-batch exact dedup) over micro-batched
+    files must equal batch curate(dedup='exact') survivors on the same
+    corpus — including a duplicate pair SPLIT ACROSS batches."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.streaming.ingest import stream_curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup = docs.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 5_000_000
+    )
+    src = str(tmp_path / "scurate_src")
+    # batch 1: originals; batch 2: byte-identical copies under high ids
+    docs.coalesce(1).write.parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(langs=("en",), min_tokens=10, min_quality=0.2)
+    batch_out, _ = curate(
+        docs.unionByName(dup), dedup="exact", **kw
+    )
+    want = {r["doc_id"] for r in batch_out.select("doc_id").collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    gated = stream_curate(stream, dedup="exact", **kw).select("doc_id")
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("stream_curated")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM stream_curated").collect()}
+    # survivor CHOICE differs (batch keeps min-pk, stream keeps first
+    # arrival) but the survivor COUNT and the gated universe must agree;
+    # with originals arriving first, the sets coincide exactly
+    assert got == want and got
