@@ -15,6 +15,9 @@ hash-portable, and scale-shaped:
 * :func:`sample_sources` — per-source Bernoulli down-sampling with the
   same keyed-hash coin.  Map-only; the per-source rates are a tiny plan
   literal (typically a handful of sources), not a join.
+* :func:`mix_sources` — the up-sampling generalization: weight 3.0
+  repeats a source three times (multi-epoch mixing), fractional parts
+  by the same deterministic coin; one map-only explode.
 * :func:`decontaminate` — drop training docs sharing any word n-gram
   with an evaluation set (the standard 13-gram eval-contamination rule).
   Shapes as: explode both sides to n-gram hashes → LEFT SEMI join to tag
@@ -48,6 +51,7 @@ from adampro_spark.pipeline.text import (
 __all__ = [
     "split_dataset",
     "sample_sources",
+    "mix_sources",
     "decontaminate",
     "pack_sequences",
 ]
@@ -139,6 +143,48 @@ def sample_sources(
             rate
         )
     return df.filter(u < rate)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    source_col: str = "source",
+    pk: str = "doc_id",
+    salt: str = "mix",
+    default_weight: float = 1.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Source re-weighting with UP-sampling: a row of source ``s`` with
+    weight ``w`` appears ``floor(w)`` times plus one more with
+    probability ``frac(w)`` (the standard multi-epoch mixing rule —
+    ``{"wiki": 3.0, "crawl": 0.5}`` repeats wiki 3× and halves the
+    crawl).  Copies are distinguished by ``copy_col`` (0..n-1), since
+    the pk alone no longer identifies a row; run dedup BEFORE mixing.
+
+    Same deterministic keyed-hash coin as :func:`sample_sources`
+    (append-stable, rerun-stable); one map-only ``explode`` of a
+    per-row ``sequence``, weights are plan literals — no join, no RNG,
+    no shuffle.
+    """
+    for s, w in weights.items():
+        if float(w) < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    if float(default_weight) < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+    u = _unit_hash(pk, salt)
+    w_expr: Column = F.lit(float(default_weight))
+    for s, w in weights.items():
+        w_expr = F.when(
+            F.col(source_col) == F.lit(s), F.lit(float(w))
+        ).otherwise(w_expr)
+    base = F.floor(w_expr).cast("int")
+    n = base + (u < (w_expr - base)).cast("int")
+    # sequence(0, -1) would step BACKWARDS ([0, -1]); empty-array guard
+    # instead, and explode drops the row entirely when n == 0
+    copies = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))
 
 
 def _token_hashes(text: str | Column) -> Column:

@@ -200,3 +200,42 @@ def test_split_dataset_matches_duckdb_mirror(spark, docs):
     """
     want = {int(i): s for i, s in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_mix_sources_upsampling(spark, docs):
+    """mix_sources: integer weights repeat exactly, fractional weights
+    split by the deterministic coin, weight 0 drops, copies carry dense
+    copy_idx, and reruns agree."""
+    from adampro_spark.pipeline.mix import mix_sources
+
+    w = {"src1": 3.0, "src2": 0.0, "src3": 2.5}
+    out = mix_sources(docs, w, default_weight=1.0).cache()
+    base = {
+        r["source"]: r["cnt"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    per = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per["src1"] == 3 * base["src1"]          # exact 3 epochs
+    assert "src2" not in per                        # weight 0 drops all
+    lo, hi = 2 * base["src3"], 3 * base["src3"]
+    assert lo <= per["src3"] <= hi                  # 2.5 -> between 2x and 3x
+    assert per["src3"] != lo and per["src3"] != hi  # coin actually splits
+    # untouched sources: exactly once, copy_idx 0
+    assert per["src4"] == base["src4"]
+    idx = out.filter(F.col("source") == "src1").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy_idx")).alias("ix")
+    )
+    assert all(r["ix"] == [0, 1, 2] for r in idx.collect())
+    # deterministic under repartitioning
+    a = {(r["doc_id"], r["copy_idx"]) for r in out.select("doc_id", "copy_idx").collect()}
+    b = {
+        (r["doc_id"], r["copy_idx"])
+        for r in mix_sources(docs.repartition(9), w).select("doc_id", "copy_idx").collect()
+    }
+    assert a == b
+    out.unpersist()
+    with pytest.raises(ValueError):
+        mix_sources(docs, {"src1": -1.0})
