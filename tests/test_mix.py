@@ -239,3 +239,49 @@ def test_mix_sources_upsampling(spark, docs):
     out.unpersist()
     with pytest.raises(ValueError):
         mix_sources(docs, {"src1": -1.0})
+
+
+def test_decontaminate_gram_hashes_match_duckdb_mirror(spark, docs):
+    """The two-level gram hash (token char-hash, then window fold) is
+    portable arithmetic: DuckDB computes the identical chain, so the
+    surviving doc set must match exactly."""
+    import duckdb
+
+    from adampro_spark.oracle_pipeline import _TOKS, _fold, _sql_poly_hash
+    from adampro_spark.pipeline.mix import decontaminate
+
+    n = 5  # small n so short eval snippets still produce grams
+    ev_rows = [
+        (" ".join(r["text"].lower().split()[4:4 + n]),)
+        for r in docs.orderBy("doc_id").limit(3).collect()
+    ]
+    eval_df = spark.createDataFrame(ev_rows, "text string")
+    got = {
+        r["doc_id"]
+        for r in decontaminate(docs, eval_df, n=n).select("doc_id").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO d VALUES (?, ?)",
+        [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()],
+    )
+    con.execute("CREATE TABLE e (text VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?)", ev_rows)
+    th = f"list_transform({_TOKS.format(t='text')}, t -> {_sql_poly_hash('t')})"
+    grams = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(th) - {n - 1}, 1)), "
+        f"i -> {_fold(f'list_slice(th, i, i + {n - 1})')}))"
+    )
+    sql = f"""
+    WITH dt AS (SELECT doc_id, {th} AS th FROM d),
+    dg AS (SELECT doc_id, unnest({grams}) AS g FROM dt),
+    et AS (SELECT {th} AS th FROM e),
+    eg AS (SELECT DISTINCT unnest({grams}) AS g FROM et),
+    bad AS (SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM eg))
+    SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """
+    want = {r[0] for r in con.execute(sql).fetchall()}
+    assert got == want and len(got) < docs.count()
