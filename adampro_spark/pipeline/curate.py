@@ -14,7 +14,7 @@ map-side-combined aggregate, and dedup only ever sees the survivors.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -75,6 +75,7 @@ def curate(
     dedup: str | None = "minhash",
     dedup_threshold: float | None = None,
     stage_timings: dict[str, float] | None = None,
+    extra_gates: Mapping[str, Column] | None = None,
     **dedup_kw: Any,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Filter + deduplicate a document corpus; returns ``(survivors,
@@ -103,6 +104,13 @@ def curate(
     common low-dup-rate case), or None; survivors keep each duplicate
     group's min-pk member (:func:`deduplicate`).
 
+    ``extra_gates`` — extra boolean flag expressions merged into the
+    SAME one-scan gate pass (name → Column; name must start with ``_``
+    by convention, e.g. ``{"_ml_ok": quality_score_expr(w) < 0.5}`` to
+    plug in the learned classifier): the kept set requires them, and the
+    report gains a ``n_fail<name>`` attrition count per gate — all at
+    zero additional scans.
+
     ``stage_timings`` — pass a dict to receive wall-clock seconds per
     stage (``gates_sec`` / ``pairs_sec`` / ``resolution_sec``); splitting
     pairs from resolution forces the pair set through an eager
@@ -110,33 +118,44 @@ def curate(
     """
     import time
 
-    flags = gate_flags(
-        text_col, langs=langs, min_tokens=min_tokens,
-        min_quality=min_quality, max_chars=max_chars,
+    flags = dict(
+        gate_flags(
+            text_col, langs=langs, min_tokens=min_tokens,
+            min_quality=min_quality, max_chars=max_chars,
+        )
     )
+    extras = dict(extra_gates or {})
+    clash = set(extras) & set(flags)
+    if clash:
+        raise ValueError(f"extra_gates clash with built-in gates: {sorted(clash)}")
+    flags.update(extras)
     flagged = df
     for name, expr in flags.items():
         flagged = flagged.withColumn(name, expr)
 
+    all_ok = None
+    for name in flags:
+        all_ok = F.col(name) if all_ok is None else (all_ok & F.col(name))
+
     t0 = time.perf_counter()
-    agg = flagged.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum((~F.col("_lang_ok")).cast("long")).alias("lang_fail"),
         F.sum((~F.col("_len_ok")).cast("long")).alias("short"),
         F.sum((~F.col("_cap_ok")).cast("long")).alias("too_long"),
         F.sum((~F.col("_q_ok")).cast("long")).alias("low_q"),
-        F.sum(
-            (
-                F.col("_lang_ok") & F.col("_len_ok") & F.col("_cap_ok") & F.col("_q_ok")
-            ).cast("long")
-        ).alias("kept"),
-    ).collect()[0]
+        F.sum(all_ok.cast("long")).alias("kept"),
+    ] + [
+        # extra gates ride the SAME one-pass aggregate — adding a gate
+        # (e.g. a learned quality score) costs zero extra scans
+        F.sum((~F.col(name)).cast("long")).alias(f"x_{name}")
+        for name in extras
+    ]
+    agg = flagged.agg(*aggs).collect()[0]
     if stage_timings is not None:
         stage_timings["gates_sec"] = round(time.perf_counter() - t0, 3)
 
-    kept = flagged.filter(
-        F.col("_lang_ok") & F.col("_len_ok") & F.col("_cap_ok") & F.col("_q_ok")
-    ).drop("_lang_ok", "_len_ok", "_cap_ok", "_q_ok")
+    kept = flagged.filter(all_ok).drop(*flags.keys())
 
     if dedup is None:
         if dedup_threshold is not None:
@@ -198,4 +217,6 @@ def curate(
         "n_dup_dropped": int(agg["kept"]) - n_out,
         "n_output": n_out,
     }
+    for name in extras:
+        report[f"n_fail{name}"] = int(agg[f"x_{name}"])
     return out, report

@@ -78,3 +78,26 @@ def test_weight_validation(spark, labeled):
         quality_score_expr([1.0, 2.0])
     with pytest.raises(ValueError, match="model"):
         train_quality_model(labeled, "y", model="forest")
+
+
+def test_learned_gate_plugs_into_curate(spark, labeled):
+    """The classifier composes with curate() via extra_gates: junk fails
+    the learned gate inside the SAME one-scan pass, the report carries
+    its attrition, and clashing names raise."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.quality import quality_score_expr, train_quality_model
+
+    w = train_quality_model(labeled, "y")
+    corpus = labeled.select("doc_id", "text")
+    out, report = curate(
+        corpus, langs=None, min_tokens=0, min_quality=0.0, dedup=None,
+        extra_gates={"_ml_ok": quality_score_expr(w) < 0.5},
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    junk_ids = {r["doc_id"] for r in labeled.filter(F.col("y") == 1.0).collect()}
+    assert not (ids & junk_ids)            # every junk doc gated out
+    assert report["n_fail_ml_ok"] == len(junk_ids)
+    assert report["n_output"] == report["n_input"] - len(junk_ids)
+
+    with pytest.raises(ValueError, match="clash"):
+        curate(corpus, dedup=None, extra_gates={"_q_ok": F.lit(True)})
