@@ -50,6 +50,7 @@ def _builders():
             "vav": lambda df, col, pk, **kw: build_va(df, col, pk=pk, index_type="vav", **kw),
             "vaplus": lambda df, col, pk, **kw: IX.build_vaplus(df, col, pk=pk, **kw),
             "ecp": lambda df, col, pk, **kw: IX.build_ecp(df, col, pk=pk, **kw),
+            "ivfpq": lambda df, col, pk, **kw: IX.build_ivfpq(df, col, pk=pk, **kw),
             "pq": lambda df, col, pk, **kw: IX.build_pq(df, col, pk=pk, **kw),
             "lsh": lambda df, col, pk, **kw: IX.build_lsh(df, col, pk=pk, **kw),
             "sh": lambda df, col, pk, **kw: IX.build_sh(df, col, pk=pk, **kw),
@@ -132,6 +133,9 @@ def create_index(
             # cell id as a partition column → Parquet partition pruning on
             # the scan's `cell IN (...)` filter (ECPPartitioner.scala:99-103)
             writer = writer.partitionBy(FEATURE_COL)
+        elif index_type == "ivfpq":
+            from adampro_spark.index.ivfpq import CELL_COL
+            writer = writer.partitionBy(CELL_COL)
         writer.parquet(path)
 
     catalog.register_index(name, entity, attribute, index_type, meta)
@@ -189,6 +193,10 @@ def load_index(
         # partition column comes back as the partition-directory value;
         # restore the int type the scan kernels expect
         df = df.withColumn(FEATURE_COL, F.col(FEATURE_COL).cast("int"))
+    elif rec["type"] == "ivfpq":
+        from adampro_spark.index.ivfpq import CELL_COL
+
+        df = df.withColumn(CELL_COL, F.col(CELL_COL).cast("int"))
     return df, meta
 
 

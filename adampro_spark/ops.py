@@ -39,6 +39,7 @@ CONFORMITY: dict[str, tuple[str, ...]] = {
     "vaplus": ("euclidean", "squaredeuclidean"),
     "pq": _MINKOWSKI,
     "ecp": ("manhattan", "euclidean", "squaredeuclidean", "cosine"),
+    "ivfpq": ("euclidean", "squaredeuclidean"),
     "lsh": (),  # special-cased: must equal the build distance
     "mi": ("manhattan", "euclidean", "squaredeuclidean", "cosine"),
     "sh": ("euclidean",),
@@ -46,11 +47,11 @@ CONFORMITY: dict[str, tuple[str, ...]] = {
 
 # exact indexes first (the reference's EXACT_QUERY fallback chain,
 # QueryHints.scala:22-38), then lossy by typical precision
-PREFERENCE = ("vaf", "vav", "vaplus", "pq", "ecp", "sh", "lsh", "mi")
+PREFERENCE = ("vaf", "vav", "vaplus", "ivfpq", "pq", "ecp", "sh", "lsh", "mi")
 
 CONFIDENCE = {  # Index.confidence: exact=1, lossy=0.5 (per-type .scala:28-38)
     "vaf": 1.0, "vav": 1.0, "vaplus": 1.0,
-    "pq": 0.5, "ecp": 0.5, "lsh": 0.5, "mi": 0.5, "sh": 0.5,
+    "pq": 0.5, "ecp": 0.5, "lsh": 0.5, "mi": 0.5, "sh": 0.5, "ivfpq": 0.5,
     "sequential": 1.0,
 }
 
@@ -71,7 +72,7 @@ class KnnPlan:
 
 # index types whose scans take the scale-proportional ``frac`` budget
 # (index/_util.candidate_budget); LSH tunes ntables/num_of_q instead
-FRAC_TYPES = ("ecp", "mi", "pq", "sh")
+FRAC_TYPES = ("ecp", "mi", "pq", "sh", "ivfpq")
 
 
 def _conforms(index_type: str, meta: dict[str, Any], distance_name: str) -> bool:
@@ -702,6 +703,9 @@ class QueryOps:
         if t == "ecp":
             return IX.ecp_knn(data, attr, index_df, meta, list(query), k, dn,
                               prefilter=prefilter, **kw)
+        if t == "ivfpq":
+            return IX.ivfpq_knn(data, attr, index_df, meta, list(query), k, dn,
+                                prefilter=prefilter, **kw)
         if t == "pq":
             return IX.pq_knn(data, attr, index_df, meta, list(query), k, dn,
                              prefilter=prefilter, **kw)

@@ -889,6 +889,12 @@ _PERSISTED_VARIANTS: list[tuple[str, Callable[[SparkSession, str], DataFrame], s
 for _tag, _fn, _ in _PERSISTED_VARIANTS:
     BENCH_ONLY[f"knn_{_tag}_persisted"] = _fn
 
+# round 6: the IVF-PQ composite (coarse cells + residual PQ + per-cell
+# ADC — index/ivfpq.py) rides the same persisted lifecycle; bench row
+# only (the persisted driver row's hash stays untouched), recall and
+# partition pruning are pytest-adjudicated in tests/test_ivfpq.py
+BENCH_ONLY["knn_ivfpq_persisted"] = _persisted_index_query("ivfpq", "euclidean")
+
 
 def _persisted_fold(spark: SparkSession, sf: str) -> DataFrame:
     return _union_all(

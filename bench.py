@@ -62,6 +62,8 @@ HEADLINE = [
     # and sequence packing (sharded greedy first-fit)
     "pipeline_decontaminate",
     "pipeline_pack",
+    # round 6: IVF-PQ composite index (coarse cells + residual-PQ ADC)
+    "knn_ivfpq_persisted",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the
