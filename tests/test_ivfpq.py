@@ -14,11 +14,15 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return (
+    # unpersist on teardown: cached scans outlive the module in the
+    # session CacheManager and can mask other modules' pushdown asserts
+    df = (
         spark.read.parquet(f"{SF}/embeddings.parquet")
         .select("vec_id", "embedding")
         .cache()
     )
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
@@ -122,3 +126,15 @@ def test_ivfpq_rejects_non_euclidean(emb, query, built):
     idx, meta = built
     with pytest.raises(ValueError, match="euclidean"):
         ivfpq_knn(emb, "embedding", idx, meta, query, 5, distance_name="cosine")
+
+
+def test_ivfpq_k_exceeds_corpus(spark, emb, query, built):
+    """k > n with every cell probed returns the whole corpus exactly
+    once, distances exact-sorted."""
+    idx, meta = built
+    n = emb.count()
+    res = ivfpq_knn(emb, "embedding", idx, meta, query, n + 50, frac=1.0)
+    rows = res.collect()
+    assert len(rows) == n
+    ds = [r[DISTANCE_COL] for r in rows]
+    assert ds == sorted(ds)

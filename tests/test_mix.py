@@ -285,3 +285,29 @@ def test_decontaminate_gram_hashes_match_duckdb_mirror(spark, docs):
     """
     want = {r[0] for r in con.execute(sql).fetchall()}
     assert got == want and len(got) < docs.count()
+
+
+def test_assembly_edge_cases(spark, docs):
+    """Empty inputs and degenerate parameters must behave, not crash:
+    empty corpus through split/sample/pack, empty eval set through
+    decontaminate (drops nothing), single-weight split."""
+    from adampro_spark.pipeline.mix import mix_sources
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert split_dataset(empty, {"train": 1.0}).count() == 0
+    assert sample_sources(empty, {"a": 0.5}).count() == 0
+    assert mix_sources(empty, {"a": 2.0}).count() == 0
+    assert (
+        pack_sequences(
+            empty.withColumn("n_tokens", F.lit(1)), budget=10
+        ).count()
+        == 0
+    )
+
+    # empty eval set: nothing is contaminated
+    no_eval = spark.createDataFrame([], "text string")
+    assert decontaminate(docs, no_eval).count() == docs.count()
+
+    # single split name: everything lands in it
+    one = split_dataset(docs, {"all": 1.0})
+    assert one.filter(F.col("split") != "all").count() == 0
