@@ -287,3 +287,38 @@ def test_min_recall_guard_flips_lossy_to_exact_at_scale(ops, emb):
         ).path == "ml_ecp"
     finally:
         ops.catalog.update_entity("emb", tuple_count=ent_n)
+
+
+def test_ivfpq_joins_planner_frac_fitting(spark, tmp_path_factory, emb):
+    """The IVF-PQ composite is a first-class FRAC_TYPES citizen: the
+    naive frac_sweep measures its (n, frac, recall) curve, a loose
+    min_recall floor routes through it with a fitted frac below the
+    default, and an unreachable floor escalates off it."""
+    from adampro_spark.index._util import DEFAULT_FRAC
+
+    o = AdamOps(spark, str(tmp_path_factory.mktemp("ivcat")))
+    o.index.create_from_df("pl_ivfpq", "emb2", emb, "embedding", "ivfpq", pk="vec_id")
+    o.index.create_from_df("pl_vaf", "emb2", emb, "embedding", "vaf", pk="vec_id")
+    o.catalog.ensure_entity("emb2")
+    o.catalog.update_entity("emb2", tuple_count=emb.count())
+
+    train_planner(
+        o, "emb2", "embedding", Q, 10, "euclidean", df=emb, pk="vec_id",
+        frac_sweep=(0.05, 0.2, 0.5),
+    )
+    fcurves = o.catalog.entity("emb2")["frac_curves"]
+    assert "ivfpq" in fcurves and len(fcurves["ivfpq"]) == 3
+
+    by_frac = {float(f): float(r) for _n, f, r in fcurves["ivfpq"]}
+    loose = by_frac[0.05] * 0.99
+    plan = plan_knn(
+        o.catalog, "emb2", "embedding", "euclidean",
+        hints=("ivfpq",), k=10, dims=len(Q), min_recall=loose,
+    )
+    assert plan.path == "pl_ivfpq" and plan.frac == 0.05
+
+    tight = plan_knn(
+        o.catalog, "emb2", "embedding", "euclidean",
+        hints=("ivfpq", "exact"), k=10, dims=len(Q), min_recall=1.01,
+    )
+    assert tight.path in ("pl_vaf", "sequential")
