@@ -40,6 +40,11 @@ def profile(
 
     ``rsd`` is the HLL++ relative standard deviation (Spark default 5%);
     lower costs more sketch memory, never another pass.
+
+    Vector columns (``array`` of numerics — embeddings) profile their
+    L2 NORM through the same ``min/max/mean/q`` slots: the scalar that
+    actually diagnoses an embedding table (zero vectors → min 0,
+    un-normalized rows → wide norm range), still inside the one pass.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns or [n for n in fields]
@@ -52,6 +57,14 @@ def profile(
             v = F.col(c).cast("double")
         elif isinstance(dt, T.StringType):
             v = F.length(F.col(c)).cast("double")
+        elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, _NUMERIC):
+            v = F.sqrt(
+                F.aggregate(
+                    F.col(c).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+            )
         else:
             v = None
         if v is not None:

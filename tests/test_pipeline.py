@@ -632,3 +632,23 @@ def test_dup_groups_reliable_checkpoint(spark, tmp_path):
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     got = {r["id"]: r["survivor"] for r in dup_groups(pairs, reliable=True).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_profile_vector_columns_report_norm_stats(spark, emb):
+    """Embedding columns profile their L2 norm through the standard
+    min/max/mean/q slots — still one aggregation pass."""
+    import numpy as np
+
+    from adampro_spark.pipeline.profile import profile
+
+    res = {r["column"]: r for r in profile(emb).collect()}
+    v = res["embedding"]
+    assert v["n"] == emb.count() and v["n_null"] == 0
+    assert 0 <= v["min"] <= v["mean"] <= v["max"]
+    # cross-check the mean norm against numpy on the same rows
+    norms = [
+        float(np.linalg.norm(np.asarray(r["embedding"], dtype=float)))
+        for r in emb.select("embedding").collect()
+    ]
+    assert abs(v["mean"] - float(np.mean(norms))) < 1e-6
+    assert v["q"] is not None and len(v["q"]) == 3
