@@ -144,10 +144,15 @@ def scan_ivfpq(
     candidate top-(budget).
 
     Cells: ``nprobe`` fixes the probe count; otherwise cells accumulate
-    until the scale-proportional budget ``max(times_k·k, frac·n)`` is
-    reached (the eCP takeWhile rule — recall holds across corpus sizes).
+    until the scale-proportional budget (``candidate_budget`` — the same
+    ``max(times_k·k, ceil(frac·n))`` rule as every frac-aware scan, so
+    recall holds across corpus sizes).  With a ``prefilter`` the
+    per-cell counts are recomputed on the FILTERED index table before
+    the takeWhile (the eCP rule, ecp.py:139-148): budgeting against the
+    unfiltered populations would leave the chosen cells with far fewer
+    eligible rows than the budget under a selective predicate.
     """
-    from adampro_spark.index._util import attach_lut, resolve_frac
+    from adampro_spark.index._util import attach_lut, candidate_budget
 
     pk = meta["pk"]
     q = np.asarray(query, dtype=np.float64)
@@ -155,14 +160,24 @@ def scan_ivfpq(
     counts = np.asarray(meta["counts"], dtype=np.int64)
     order = np.argsort(((leaders - q) ** 2).sum(axis=1), kind="stable")
 
+    df = index_df
+    if prefilter is not None:
+        df = df.join(prefilter.select(pk), on=pk, how="left_semi")
+        filt = {
+            r[CELL_COL]: r["n"]
+            for r in df.groupBy(CELL_COL).agg(F.count("*").alias("n")).collect()
+        }
+        counts = np.asarray(
+            [filt.get(i, 0) for i in range(len(leaders))], dtype=np.int64
+        )
+
     budget = max(times_k * k, k)
     if nprobe is not None:
         chosen = [int(c) for c in order[: max(1, nprobe)]]
     else:
-        fr = resolve_frac(frac)
-        want = budget
-        if fr is not None:
-            want = max(want, int(fr * int(counts.sum())))
+        want = candidate_budget(
+            times_k, k, frac, {**meta, "n": int(counts.sum())}, df
+        )
         cum = 0
         chosen = []
         for c in order:
@@ -186,9 +201,7 @@ def scan_ivfpq(
             flat.extend(float(x) for x in d2)
     split_offsets = [i * ncl for i in range(nsq)]
 
-    df = index_df.filter(F.col(CELL_COL).isin(chosen))
-    if prefilter is not None:
-        df = df.join(prefilter.select(pk), on=pk, how="left_semi")
+    df = df.filter(F.col(CELL_COL).isin(chosen))
     slot = F.array_position(
         F.lit([int(c) for c in chosen]), F.col(CELL_COL)
     )  # 1-based; rows are filtered to chosen, so never 0

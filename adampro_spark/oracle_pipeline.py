@@ -85,6 +85,20 @@ def _round_sql(expr: str) -> str:
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+# bench-only callables; oracle_suite merges this into its BENCH_ONLY at
+# the END of its own module body (importing oracle_suite from HERE is an
+# import-order trap: a consumer importing oracle_pipeline first would
+# trigger oracle_suite's end-of-module merge against this module's
+# PARTIALLY-initialized registries, silently dropping every row
+# registered below the import site — found by review, verified 44 vs 50)
+BENCH_ONLY: dict = {}
+
+
+def _union_all(parts):
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
 
 
 def _register(name, fn, sql):
@@ -406,10 +420,7 @@ def _simjoin(strategy: str):
 # Round-6 fold: both exact kNN-join strategies (distributed window +
 # the scale path's mapInPandas local top-k) must produce IDENTICAL
 # results, so they ride one tagged-union driver row; individual
-# callables stay benchable.  (oracle_suite's BENCH_ONLY dict exists
-# before this module loads — the end-of-module import there runs after.)
-from adampro_spark.oracle_suite import BENCH_ONLY, _union_all  # noqa: E402
-
+# callables stay benchable.
 BENCH_ONLY["simjoin_knn"] = _simjoin("window")
 BENCH_ONLY["simjoin_knn_local"] = _simjoin("local_topk")
 
@@ -691,9 +702,6 @@ _register("pipeline_curate", _curate_exact_row, _curate_exact_sql())
 # blocks are each hash-checked; the composition gets a throughput row)
 # ---------------------------------------------------------------------------
 
-from adampro_spark.oracle_suite import BENCH_ONLY as _BENCH_ONLY  # noqa: E402
-
-
 # last run's per-stage wall clock (gates / pairs / resolution) — bench.py
 # attaches this breakdown to the pipeline_curate row (VERDICT r5 item 8)
 CURATE_STAGES: dict[str, float] = {}
@@ -710,7 +718,7 @@ def _curate_corpus(spark, sf):
     return out.select("doc_id")
 
 
-_BENCH_ONLY["pipeline_curate"] = _curate_corpus
+BENCH_ONLY["pipeline_curate"] = _curate_corpus
 
 
 # ---------------------------------------------------------------------------
@@ -765,6 +773,6 @@ def _split_sample_corpus(spark, sf):
     ).select("doc_id", "split")
 
 
-_BENCH_ONLY["pipeline_decontaminate"] = _decontaminate_corpus
-_BENCH_ONLY["pipeline_pack"] = _pack_corpus
-_BENCH_ONLY["pipeline_split_sample"] = _split_sample_corpus
+BENCH_ONLY["pipeline_decontaminate"] = _decontaminate_corpus
+BENCH_ONLY["pipeline_pack"] = _pack_corpus
+BENCH_ONLY["pipeline_split_sample"] = _split_sample_corpus

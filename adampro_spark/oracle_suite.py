@@ -1680,6 +1680,7 @@ from adampro_spark import oracle_pipeline as _OP  # noqa: E402
 
 QUERIES.update(_OP.QUERIES)
 ORACLES.update(_OP.ORACLES)
+BENCH_ONLY.update(_OP.BENCH_ONLY)
 
 
 # ---------------------------------------------------------------------------

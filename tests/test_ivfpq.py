@@ -138,3 +138,28 @@ def test_ivfpq_k_exceeds_corpus(spark, emb, query, built):
     assert len(rows) == n
     ds = [r[DISTANCE_COL] for r in rows]
     assert ds == sorted(ds)
+
+
+def test_ivfpq_prefilter_budgets_against_filtered_counts(spark, emb, query, built):
+    """Round-6 review finding: with a selective prefilter the takeWhile
+    must budget against the FILTERED per-cell populations (the eCP
+    rule) — else the probe stops after a cell or two and recall
+    collapses.  A 10%-selective prefilter must still return k exact-
+    refined rows from the eligible set with decent overlap."""
+    idx, meta = built
+    k = 10
+    eligible = emb.filter(F.col("vec_id") % 10 == 0)
+    pre = eligible.select("vec_id")
+    exact = {
+        r["vec_id"]
+        for r in sequential_scan(
+            eligible, "embedding", query, k, "euclidean", pk="vec_id"
+        ).collect()
+    }
+    got_rows = ivfpq_knn(
+        emb, "embedding", idx, meta, query, k, prefilter=pre, frac=0.5
+    ).collect()
+    got = {r["vec_id"] for r in got_rows}
+    assert len(got_rows) == k
+    assert got <= {r["vec_id"] for r in pre.collect()}  # only eligible rows
+    assert len(got & exact) >= k // 2
