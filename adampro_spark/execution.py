@@ -52,21 +52,41 @@ def _run_path(
     fn: Callable[[], DataFrame],
     group: str,
     pool: str,
+    cancelled: "threading.Event | None" = None,
 ) -> Observation:
     sc = spark.sparkContext
     t0 = time.perf_counter()
     try:
+        # deadline already passed before this path got a thread — don't
+        # even start (cancelJobGroup cannot cancel a job that has not
+        # been submitted yet, review r6)
+        if cancelled is not None and cancelled.is_set():
+            return Observation(
+                name, confidence, 0.0, error=TimeoutError("deadline before start")
+            )
         # job group + FAIR pool are thread-local in Spark — set in the
         # worker thread that triggers the job (the reference does the same
         # per scan expression)
         sc.setLocalProperty("spark.scheduler.pool", pool)
         sc.setJobGroup(group, f"parallel path {name}", interruptOnCancel=True)
-        df = fn()
+        df = fn()  # driver-side planning (no job yet)
+        if cancelled is not None and cancelled.is_set():
+            return Observation(
+                name, confidence, time.perf_counter() - t0,
+                error=TimeoutError("deadline before job launch"),
+            )
         rows = df.collect()
         return Observation(name, confidence, time.perf_counter() - t0, rows, df.schema)
     except Exception as e:  # surfaced to the caller per-path
         return Observation(name, confidence, time.perf_counter() - t0, error=e)
     finally:
+        if cancelled is not None and cancelled.is_set():
+            # close the submit-vs-cancel race: a job launched between the
+            # sweep's cancelJobGroup and collect() re-cancels itself here
+            try:
+                sc.cancelJobGroup(group)
+            except Exception:
+                pass
         try:
             sc.setLocalProperty("spark.scheduler.pool", None)
         except Exception:
@@ -92,13 +112,21 @@ def parallel_query(
     done_obs: list[Observation] = []
     futures: dict[Future, str] = {}
     groups: dict[str, str] = {}
+    cancelled = threading.Event()
 
-    with ThreadPoolExecutor(max_workers=max(len(paths), 1)) as ex:
+    # NOT a context manager: `with` exits through shutdown(wait=True),
+    # which blocks past the deadline until every straggler path finishes
+    # (review r6 — timed_knn(timeout_sec=1) used to return only when the
+    # slowest path did).  shutdown(wait=False) below returns at the
+    # deadline; cancelled paths wind down in the background.
+    ex = ThreadPoolExecutor(max_workers=max(len(paths), 1))
+    try:
         for i, (name, (conf, fn)) in enumerate(paths.items()):
             group = f"{group_base}-{name}"
             groups[name] = group
             fut = ex.submit(
-                _run_path, spark, name, conf, fn, group, pool=f"pool{i % 4}"
+                _run_path, spark, name, conf, fn, group,
+                pool=f"pool{i % 4}", cancelled=cancelled,
             )
             futures[fut] = name
 
@@ -115,13 +143,18 @@ def parallel_query(
                 break
 
         # cancel whatever is still running (stopQuery semantics,
-        # DataQuery.scala:413-425)
+        # DataQuery.scala:413-425): flag first so not-yet-started paths
+        # skip launching, then cancel the in-flight job groups
+        if pending:
+            cancelled.set()
         for fut, name in futures.items():
             if not fut.done():
                 try:
                     spark.sparkContext.cancelJobGroup(groups[name])
                 except Exception:
                     pass
+    finally:
+        ex.shutdown(wait=False)
 
     return done_obs
 

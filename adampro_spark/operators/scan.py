@@ -113,6 +113,10 @@ def predicate(attribute: str, op: str | None, values: Sequence) -> Column:
         return ~col.isin(list(values))
     if op == "in":
         return col.isin(list(values))
+    if op == "not in":
+        # single-value NOT IN is valid (review r6: used to fall through to
+        # the scalar-op table and raise)
+        return ~col.isin(list(values))
     if op == "like":
         return col.like(values[0])
     fn = _OPS.get(op)

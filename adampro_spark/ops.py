@@ -74,6 +74,26 @@ class KnnPlan:
 # (index/_util.candidate_budget); LSH tunes ntables/num_of_q instead
 FRAC_TYPES = ("ecp", "mi", "pq", "sh", "ivfpq")
 
+# budget-only knobs that may legitimately be present while the planner
+# falls back to a path that does not take them (review r6: a valid
+# frac= + a plan that degrades to sequential/VA must not TypeError)
+_BUDGET_KWARGS = ("frac", "times_k", "nprobe", "num_of_q")
+
+
+def _supported_scan_kwargs(fn, kw: dict) -> dict:
+    """Drop BUDGET kwargs the scan callable does not accept; every other
+    unknown key passes through so a genuine typo still raises."""
+    import inspect
+
+    params = inspect.signature(fn).parameters
+    if any(p.kind == p.VAR_KEYWORD for p in params.values()):
+        return kw
+    return {
+        k_: v
+        for k_, v in kw.items()
+        if k_ in params or k_ not in _BUDGET_KWARGS
+    }
+
 
 def _conforms(index_type: str, meta: dict[str, Any], distance_name: str) -> bool:
     if index_type == "lsh":
@@ -294,12 +314,15 @@ def plan_knn(
                 return KnnPlan(
                     name, t, CONFIDENCE[t], reasons, frac=chosen_frac.get(name)
                 )
-        elif h in idx_records:
-            if usable(h, idx_records[h], None):
-                t = idx_records[h]["type"]
-                reasons.append(f"hint: index name {h}")
+        elif h in idx_records or hint in idx_records:
+            # index NAMES are catalog-verbatim (possibly mixed-case) —
+            # match the raw hint too, not just its lowercased form
+            nm = hint if hint in idx_records else h
+            if usable(nm, idx_records[nm], None):
+                t = idx_records[nm]["type"]
+                reasons.append(f"hint: index name {nm}")
                 return KnnPlan(
-                    h, t, CONFIDENCE[t], reasons, frac=chosen_frac.get(h)
+                    nm, t, CONFIDENCE[t], reasons, frac=chosen_frac.get(nm)
                 )
 
         elif h == "optimized":
@@ -448,7 +471,12 @@ def train_planner(
 
     ops.catalog.ensure_entity(entity)
     ent = ops.catalog.entity(entity)
-    count = ent.get("tuple_count", 0)
+    # same ad-hoc-df fallback as the naive branch: an external-table
+    # entity has tuple_count 0 in the catalog, and size-0 features make
+    # the time model blind to corpus scale (review r6)
+    count = int(ent.get("tuple_count") or 0) or (
+        df.count() if df is not None else 0
+    )
     dims = len(list(query))
     feats = build_features(count, dims, k)
 
@@ -684,7 +712,14 @@ class QueryOps:
         **kw: Any,
     ) -> DataFrame:
         """Scan one PERSISTED index by name → exact refinement
-        (QueryOp.scala:91-106; IndexScanExpression.rewrite :89-98)."""
+        (QueryOp.scala:91-106; IndexScanExpression.rewrite :89-98).
+
+        Budget-only kwargs a scan kind does not take (``frac`` on the
+        exact VA family, ``nprobe`` outside ivfpq, …) are DROPPED rather
+        than crashing — a planner fallback must not turn a valid lossy
+        knob into a TypeError (review r6); any other unknown kwarg still
+        raises through the callee's signature.
+        """
         from adampro_spark import index as IX
         from adampro_spark.index.va import va_knn
 
@@ -694,28 +729,45 @@ class QueryOps:
         t = rec["type"]
         attr = rec["attribute"]
         dn = distance_name or meta.get("distance") or "euclidean"
+        if t == "sh" and dn not in ("euclidean",):
+            # SH conformity is Euclidean-only (SHIndex.scala:78-84); the
+            # by-name path used to silently return euclidean distances
+            raise ValueError(
+                f"index {index_name!r} (sh) only supports euclidean, "
+                f"got {dn!r}"
+            )
         if t in ("vaf", "vav"):
+            # exact VA paths forward **kw into sequential_scan, which has
+            # no budget knobs — strip them outright
+            kw = {k_: v for k_, v in kw.items() if k_ not in _BUDGET_KWARGS}
             return va_knn(data, attr, index_df, meta, list(query), k,
                           distance_name=dn, prefilter=prefilter, **kw)
         if t == "vaplus":
+            kw = {k_: v for k_, v in kw.items() if k_ not in _BUDGET_KWARGS}
             return IX.vaplus_knn(data, attr, index_df, meta, list(query), k,
                                  distance_name=dn, prefilter=prefilter, **kw)
         if t == "ecp":
+            kw = _supported_scan_kwargs(IX.ecp_knn, kw)
             return IX.ecp_knn(data, attr, index_df, meta, list(query), k, dn,
                               prefilter=prefilter, **kw)
         if t == "ivfpq":
+            kw = _supported_scan_kwargs(IX.ivfpq_knn, kw)
             return IX.ivfpq_knn(data, attr, index_df, meta, list(query), k, dn,
                                 prefilter=prefilter, **kw)
         if t == "pq":
+            kw = _supported_scan_kwargs(IX.pq_knn, kw)
             return IX.pq_knn(data, attr, index_df, meta, list(query), k, dn,
                              prefilter=prefilter, **kw)
         if t == "lsh":
+            kw = _supported_scan_kwargs(IX.lsh_knn, kw)
             return IX.lsh_knn(data, attr, index_df, meta, list(query), k, dn,
                               prefilter=prefilter, **kw)
         if t == "mi":
+            kw = _supported_scan_kwargs(IX.mi_knn, kw)
             return IX.mi_knn(data, attr, index_df, meta, list(query), k, dn,
                              prefilter=prefilter, **kw)
         if t == "sh":
+            kw = _supported_scan_kwargs(IX.sh_knn, kw)
             return IX.sh_knn(data, attr, index_df, meta, list(query), k,
                              prefilter=prefilter, **kw)
         raise ValueError(f"unknown index type {t!r}")
@@ -743,12 +795,11 @@ class QueryOps:
         then computed over the FILTERED index rows — computing them over
         the unfiltered index can prune true neighbors of the filtered
         subset or return fewer-than-k rows."""
-        for bad in ("prefilter", "df"):
-            if bad in kw:
-                raise TypeError(
-                    f"knn() does not accept {bad!r}; pass predicates=/df= "
-                    "explicitly (prefiltering is derived from predicates)"
-                )
+        if "prefilter" in kw:
+            raise TypeError(
+                "knn() does not accept 'prefilter'; pass predicates= "
+                "(prefiltering is derived from predicates)"
+            )
         plan = plan_knn(
             self.catalog, entity, attribute, distance_name, hints,
             k=k, dims=len(list(query)), min_recall=min_recall,
@@ -760,7 +811,8 @@ class QueryOps:
             prefilter = data.select(pk)
         if plan.path == "sequential":
             res = sequential_scan(
-                data, attribute, query, k, distance_name, pk=pk, **kw
+                data, attribute, query, k, distance_name, pk=pk,
+                **_supported_scan_kwargs(sequential_scan, kw),
             )
         else:
             if plan.frac is not None and "frac" not in kw:
@@ -794,6 +846,13 @@ class QueryOps:
             if rec["type"] == "fulltext":
                 idx, meta = self._index.load(target)
                 return text_search_indexed(idx, meta, terms, k, **kw)
+        if kw:
+            # the scan path has no posting table: BM25 needs the index
+            # (silently returning tf-ranked rows misled callers, review r6)
+            raise ValueError(
+                f"fulltext options {sorted(kw)} need a persisted fulltext "
+                f"index; {target!r} resolves to the scan path"
+            )
         data = self._entity_df(target, df)
         return text_search(data, text_col, terms, k, pk=pk)
 
@@ -808,11 +867,12 @@ class QueryOps:
         from adampro_spark.execution import parallel_query
 
         paths = {
-            f"q{i:04d}": (1.0, (lambda s=dict(spec): self.knn(**s)[0]))
+            f"q{i}": (1.0, (lambda s=dict(spec): self.knn(**s)[0]))
             for i, spec in enumerate(specs)
         }
         obs = parallel_query(self.spark, paths)
-        return sorted(obs, key=lambda o: o.path)
+        # numeric sort: lexicographic q-keys break input order at 10k+
+        return sorted(obs, key=lambda o: int(o.path[1:]))
 
     def scored_execution_paths(
         self,

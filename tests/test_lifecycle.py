@@ -144,7 +144,7 @@ def test_batch_query_returns_in_input_order(ops, emb):
              distance_name="euclidean", hints=("sequential",), df=emb, pk="vec_id"),
     ]
     obs = ops.query.batch_query(specs)
-    assert [o.path for o in obs] == ["q0000", "q0001"]
+    assert [o.path for o in obs] == ["q0", "q1"]
     assert all(o.error is None for o in obs)
     assert len(obs[0].rows) == 5
     assert len(obs[1].rows) == 3
@@ -391,3 +391,71 @@ def test_sparsified_entity_survives_storage_rewrites(spark, tmp_path):
         (f.name, f.dataType.simpleString()) for f in ent._stored_df().schema.fields
     )["embedding"]
     assert stored_type.startswith("struct")
+
+
+def test_knn_budget_kwargs_survive_planner_fallback(ops, emb):
+    """Review r6: a valid frac= must not TypeError when the plan lands on
+    a path that has no frac knob (exact VA / sequential)."""
+    res, plan = ops.query.knn(
+        "emb", "embedding", Q, 10, "manhattan", hints=("exact",),
+        df=emb, pk="vec_id", frac=0.1,
+    )
+    assert plan.path == "e_vaf" and res.count() == 10
+    res2, plan2 = ops.query.knn(
+        "emb", "embedding", Q, 10, "cosine", hints=("exact",),
+        df=emb, pk="vec_id", frac=0.1,
+    )
+    assert plan2.path == "sequential" and res2.count() == 10
+
+
+def test_index_by_name_rejects_nonconforming_sh_distance(ops, emb, tmp_path):
+    """Review r6: the by-name path used to silently return euclidean
+    distances for any requested distance on an SH index."""
+    import pytest as _pytest
+
+    ops.index.create_from_df("e_sh_g", "emb", emb, "embedding", "sh", pk="vec_id")
+    with _pytest.raises(ValueError, match="euclidean"):
+        ops.query.index("e_sh_g", Q, 10, "manhattan", df=emb)
+
+
+def test_fulltext_scan_path_rejects_silently_dropped_options(spark, tmp_path):
+    """Review r6: scoring='bm25' on the scan path returned tf ranking
+    with no error; it must raise instead."""
+    import pytest as _pytest
+
+    from adampro_spark.ops import AdamOps
+
+    o = AdamOps(spark, str(tmp_path / "ftcat"))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "ap_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="persisted fulltext"):
+        o.query.fulltext("ftdocs", ["beta"], df=docs, scoring="bm25")
+    # default scoring still works on the scan path
+    assert o.query.fulltext("ftdocs", ["beta"], df=docs).count() == 2
+
+
+def test_timed_knn_returns_at_deadline_with_slow_driver_path(spark, emb):
+    """Review r6: the executor context exit blocked until every straggler
+    finished, and a path stuck in DRIVER-side work (no Spark job yet)
+    could not be cancelled.  timed_knn must return near the deadline with
+    whatever finished; the slow path winds down in the background."""
+    import time as _time
+
+    from adampro_spark.execution import timed_knn
+
+    def fast():
+        return sequential_scan(emb, "embedding", Q, 5, "manhattan", pk="vec_id")
+
+    def slow():
+        _time.sleep(8)  # driver-side stall before any job launches
+        return sequential_scan(emb, "embedding", Q, 5, "euclidean", pk="vec_id")
+
+    t0 = _time.monotonic()
+    best, obs = timed_knn(
+        spark, {"fast": (1.0, fast), "slow": (0.5, slow)}, timeout_sec=3.0
+    )
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 7.0, elapsed  # returned at ~deadline, not after slow
+    assert best is not None and best.path == "fast"
+    assert len(best.rows) == 5

@@ -455,3 +455,15 @@ def test_compound_and_empty_relation(spark):
     assert er.count() == 0
     assert [f.name for f in er.schema.fields] == ["a", "b"]
     assert er.schema.fields[0].dataType.simpleString() == "bigint"
+
+
+def test_predicate_not_in_single_value(spark):
+    """Review r6: ('c','not in',[x]) with ONE value used to raise; it is
+    a valid predicate and must negate membership."""
+    from adampro_spark.operators.scan import boolean_filter
+
+    df = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "red")], "id int, color string"
+    )
+    got = {r["id"] for r in boolean_filter(df, [("color", "not in", ["red"])]).collect()}
+    assert got == {2}
