@@ -333,7 +333,12 @@ def plan_knn(
                     if usable(name, rec, None) and rec.get("score") is not None
                 ),
             )
-            if scored:
+            # the sequential scan is a scored path too (trained onto the
+            # entity record): it wins when every index scores worse
+            seq_score = ent_rec.get("seq_score")
+            if scored and (
+                seq_score is None or -scored[0][0] >= float(seq_score)
+            ):
                 name = scored[0][1]
                 t = idx_records[name]["type"]
                 reasons.append(
@@ -342,6 +347,11 @@ def plan_knn(
                 return KnnPlan(
                     name, t, CONFIDENCE[t], reasons, frac=chosen_frac.get(name)
                 )
+            if seq_score is not None:
+                reasons.append(
+                    f"hint: optimized -> sequential (score {float(seq_score):.3f})"
+                )
+                return KnnPlan("sequential", None, 1.0, reasons)
             reasons.append("hint: optimized, but no trained scores")
         elif h in ("optimized-svm", "optimized-lr"):
             kind = h.split("-", 1)[1]
@@ -409,8 +419,12 @@ def train_planner(
     paths = knn_paths(ops, entity, attribute, query, k, distance_name, df=df, pk=pk)
 
     if heuristic == "naive":
+        import time as _t2
+
         seq = paths.pop("sequential")
+        t0s = _t2.perf_counter()
         truth = {r[0] for r in seq[1]().select(pk).collect()}
+        seq_dt = _t2.perf_counter() - t0s
         out: dict[str, dict[str, float]] = {}
         ops.catalog.ensure_entity(entity)
         ent = ops.catalog.entity(entity)
@@ -433,6 +447,15 @@ def train_planner(
                 rows = [s for s in curves.get(t, []) if int(s[0]) != n_now]
                 rows.append([n_now, recall])
                 curves[t] = rows
+        # the sequential scan is a scored path too (the reference's
+        # adaptScanMethods covers entity scans): recall 1.0 by definition,
+        # the score persists on the ENTITY record so the "optimized" hint
+        # can route to it when every index scores worse (review r6)
+        seq_score = 1.0 / (1.0 + seq_dt)
+        out["sequential"] = {
+            "time_sec": round(seq_dt, 4), "recall": 1.0, "score": seq_score,
+        }
+        ops.catalog.update_entity(entity, seq_score=seq_score)
         if n_now > 0:
             ops.catalog.update_entity(entity, recall_curves=curves)
         if frac_sweep and n_now > 0:

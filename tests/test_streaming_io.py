@@ -388,14 +388,24 @@ def test_train_planner_scores_and_optimized_hint(spark, tmp_path):
     ops.index.create_from_df("e_pq", "emb", emb, "embedding", "pq", pk="vec_id")
 
     scores = train_planner(ops, "emb", "embedding", q, 10, "euclidean", df=emb, pk="vec_id")
-    assert set(scores) == {"e_vaf", "e_pq"}
+    assert set(scores) == {"e_vaf", "e_pq", "sequential"}
     assert all(0.0 <= s["recall"] <= 1.0 and s["score"] > 0 for s in scores.values())
     assert ops.catalog.index("e_vaf")["score"] is not None
+    assert ops.catalog.entity("emb").get("seq_score") is not None
 
     plan = plan_knn(ops.catalog, "emb", "embedding", "euclidean", hints=("optimized",))
     best = max(scores, key=lambda n: scores[n]["score"])
     assert plan.path == best
     assert any("score" in r for r in plan.reasons)
+
+    # review r6: sequential is a first-class scored path — when every
+    # index scores worse, "optimized" must route to it
+    for n in ("e_vaf", "e_pq"):
+        ops.catalog.update_index_fields(n, score=0.01)
+    ops.catalog.update_entity("emb", seq_score=0.9)
+    plan2 = plan_knn(ops.catalog, "emb", "embedding", "euclidean", hints=("optimized",))
+    assert plan2.path == "sequential"
+    assert any("sequential (score" in r for r in plan2.reasons)
 
 
 def test_storage_handler_registry(spark, tmp_path):
