@@ -92,14 +92,31 @@ class Catalog:
             data["entities"][name].update(fields)
             self._write(data)
 
-    def bump_version(self, name: str, added_tuples: int = 0) -> None:
-        """Insert bookkeeping: version++ marks cached data and indexes stale
-        (Entity.scala:481-486); tuple_count is the reference's 'approximate
-        count' insert counter (Entity.scala:241-252)."""
+    def allocate_version(self, name: str) -> int:
+        """ATOMICALLY claim the next insert batch number (review r6: two
+        concurrent inserts reading version outside the lock packed
+        colliding TIDs).  The version persists immediately, so a failed
+        write burns a batch number — a harmless gap, never a collision."""
         with self._lock:
             data = self._read()
             ent = data["entities"][name]
             ent["version"] += 1
+            self._write(data)
+            return int(ent["version"])
+
+    def bump_version(
+        self, name: str, added_tuples: int = 0, bump: bool = True
+    ) -> None:
+        """Insert bookkeeping: version++ marks cached data and indexes stale
+        (Entity.scala:481-486); tuple_count is the reference's 'approximate
+        count' insert counter (Entity.scala:241-252).  ``bump=False``
+        records tuples/staleness for a batch number already claimed via
+        :meth:`allocate_version`."""
+        with self._lock:
+            data = self._read()
+            ent = data["entities"][name]
+            if bump:
+                ent["version"] += 1
             ent["tuple_count"] = ent.get("tuple_count", 0) + added_tuples
             for idx in data["indexes"].values():
                 if idx["entity"] == name:

@@ -26,7 +26,17 @@ from pyspark.sql import types as T
 
 import os
 
+import threading
+
 from adampro_spark.catalog import Catalog
+
+_INSERT_LOCKS: dict[str, threading.Lock] = {}
+_INSERT_LOCKS_GUARD = threading.Lock()
+
+
+def _insert_lock(path: str) -> threading.Lock:
+    with _INSERT_LOCKS_GUARD:
+        return _INSERT_LOCKS.setdefault(path, threading.Lock())
 from adampro_spark.operators.scan import predicates_to_column
 
 PK = "ap_id"
@@ -195,7 +205,11 @@ class Entity:
                 f"sparsify needs a dense vector attribute; {attribute!r} is "
                 f"{target['type']!r}"
             )
-        data = self.df().withColumn(
+        # read the STORED representation (the target attr is dense in
+        # storage by the type check above): df() would densify OTHER
+        # previously-sparsified attributes and writing that view back
+        # corrupts them against their sparse catalog schema (review r6)
+        data = self._stored_df().withColumn(
             attribute, dense_to_sparse(F.col(attribute), threshold)
         )
         tmp = self.path + "_tmp"
@@ -224,6 +238,11 @@ class Entity:
         entities go stale on insert.
         """
         self._restore_default_storage()  # layouts are mutually exclusive
+        # re-bucketizing an already-bucketed entity must move the data
+        # back to the plain layout FIRST — the old code dropped the
+        # bucketed table/dir before reading it (review r6: the second
+        # bucketize() call destroyed the only copy of the data)
+        self.debucketize()
         tbl = self._bucket_table_name()
         bdir = self.path + "_bucketed"
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -283,7 +302,8 @@ class Entity:
         if not self.spark.catalog.tableExists(tbl):
             n = self.catalog.entity(self.name)["buckets"]
             cols = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in self.schema().fields
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in self.schema().fields
             )
             self.spark.sql(
                 f"CREATE TABLE {tbl} ({cols}) USING parquet "
@@ -348,17 +368,26 @@ class Entity:
 
         self._restore_default_storage()
         self.debucketize()  # mutations invalidate the bucketed layout
-        ent = self.catalog.entity(self.name)
-        batch = ent["version"] + 1
-        cols = [f.name for f in self.schema().fields if f.name != PK]
-        out = df.withColumn(PK, pack_tid(batch))
-        for auto_col in self._auto_attributes():
-            if auto_col not in df.columns:
-                out = out.withColumn(auto_col, F.col(PK))
-        obs = Observation("insert_count")
-        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
-        out.select(PK, *cols).write.mode("append").parquet(self.path)
-        self.catalog.bump_version(self.name, added_tuples=int(obs.get["n"]))
+        # concurrent inserts need BOTH an atomic batch-number claim (else
+        # two writers pack colliding TIDs) AND a serialized append: two
+        # simultaneous parquet appends share one Hadoop _temporary
+        # committer dir and whichever job commits first deletes the
+        # other's staging files (review r6).  The lock is per-entity and
+        # process-local — the same scope as this catalog's RLock; cross-
+        # process writers need a real table format (Delta/Iceberg).
+        with _insert_lock(self.path):
+            batch = self.catalog.allocate_version(self.name)
+            cols = [f.name for f in self.schema().fields if f.name != PK]
+            out = df.withColumn(PK, pack_tid(batch))
+            for auto_col in self._auto_attributes():
+                if auto_col not in df.columns:
+                    out = out.withColumn(auto_col, F.col(PK))
+            obs = Observation("insert_count")
+            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+            out.select(PK, *cols).write.mode("append").parquet(self.path)
+            self.catalog.bump_version(
+                self.name, added_tuples=int(obs.get["n"]), bump=False
+            )
 
     def _swap_in(self, tmp_path: str) -> None:
         """Atomically replace the entity directory with ``tmp_path``.

@@ -33,12 +33,16 @@ from adampro_spark.entity import ATTRIBUTE_TYPES, PK, Entity
 _COMPLEX = ("vector", "sparsevector")
 
 
-def _avro_writer(df: DataFrame):
+def _avro_check(spark: SparkSession) -> None:
     """spark-avro is an external module (not bundled in pyspark wheels);
     raise a clear error where it is absent instead of Spark's generic
-    'failed to find data source'."""
+    'failed to find data source'.  The check must probe the CLASS —
+    ``df.write.format("avro")`` never raises (it only records the format
+    string; review r6: the old try/except around it was dead code)."""
     try:
-        return df.write.format("avro")
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        )
     except Exception as e:  # pragma: no cover - depends on deployment
         raise RuntimeError(
             "Avro support needs the spark-avro package "
@@ -60,7 +64,8 @@ def export_entity(entity: Entity, path: str, fmt: str = "parquet") -> None:
         df.write.mode("overwrite").orc(path)
         return
     if fmt == "avro":
-        _avro_writer(df).mode("overwrite").save(path)
+        _avro_check(df.sparkSession)
+        df.write.format("avro").mode("overwrite").save(path)
         return
     if fmt == "csv":
         attrs = entity.catalog.entity(entity.name)["attributes"]

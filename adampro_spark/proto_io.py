@@ -134,12 +134,30 @@ def write_delimited(fh: BinaryIO, body: bytes) -> None:
 
 
 def iter_delimited(fh: BinaryIO) -> Iterator[bytes]:
-    data = fh.read()
-    pos = 0
-    while pos < len(data):
-        n, pos = read_varint(data, pos)
-        yield data[pos : pos + n]
-        pos += n
+    """One frame at a time — the varint header is read byte-by-byte and
+    then exactly the frame body; the whole file is never slurped, so the
+    driver's memory stays one frame regardless of export size (review
+    r6: fh.read() defeated the batched-import design)."""
+    while True:
+        shift = 0
+        n = 0
+        first = fh.read(1)
+        if not first:
+            return
+        b = first[0]
+        while True:
+            n |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+            nxt = fh.read(1)
+            if not nxt:
+                raise ValueError("truncated varint header")
+            b = nxt[0]
+        body = fh.read(n)
+        if len(body) != n:
+            raise ValueError("truncated frame body")
+        yield body
 
 
 # --------------------------------------------------------------------------
@@ -161,6 +179,9 @@ ATTR_ENUM = {
     "vector": 9,
     "sparsevector": 10,
     "geometry": 11,
+    # beyond the reference enum (its mapping stops at geometry): the
+    # round-trip must not collapse a valid attribute type to "unknown"
+    "geography": 12,
 }
 _ENUM_ATTR = {v: k for k, v in ATTR_ENUM.items()}
 
@@ -206,9 +227,17 @@ def _enc_dense(vec) -> bytes:
 
 def _enc_sparse(sv) -> bytes:
     inner = bytearray()
-    idx = list(sv["index"]) if not isinstance(sv, tuple) else list(sv[0])
-    dat = list(sv["data"]) if not isinstance(sv, tuple) else list(sv[1])
-    length = int(sv["length"]) if not isinstance(sv, tuple) else int(sv[2])
+    if isinstance(sv, list):
+        # a DENSIFIED view of a sparsified attribute (entity.df() returns
+        # dense arrays) — re-sparsify on the wire (review r6: indexing a
+        # list with 'index' crashed the export)
+        idx = [i for i, x in enumerate(sv) if float(x) != 0.0]
+        dat = [float(sv[i]) for i in idx]
+        length = len(sv)
+    elif isinstance(sv, tuple):
+        idx, dat, length = list(sv[0]), list(sv[1]), int(sv[2])
+    else:
+        idx, dat, length = list(sv["index"]), list(sv["data"]), int(sv["length"])
     ib = bytearray()
     for i in idx:
         write_varint(ib, int(i))
@@ -225,8 +254,10 @@ def encode_data_message(value: Any, attr_type: str) -> bytes:
     ProtoImporterExporter.scala:231-246)."""
     out = bytearray()
     if value is None:
-        # reference writes stringData("") for unencodable values
-        _emit_len(out, _TAGS["data.string"], b"")
+        # DELIBERATE deviation from the reference (which writes
+        # stringData("") and so loses NULLs): an EMPTY DataMessage decodes
+        # back to None, keeping nulls of every type round-trip-exact
+        pass
     elif attr_type == "boolean":
         _emit_varint_field(out, _TAGS["data.boolean"], 1 if value else 0)
     elif attr_type == "int":
@@ -323,6 +354,14 @@ def encode_create_entity(name: str, attributes: list[dict[str, str]]) -> bytes:
         ab = bytearray()
         _emit_len(ab, _TAGS["attr.name"], a["name"].encode("utf-8"))
         _emit_varint_field(ab, _TAGS["attr.type"], ATTR_ENUM.get(a["type"], 0))
+        # attribute params (map<string,string>): carries densify_on_read
+        # so a SPARSIFIED entity round-trips its dense read view (review
+        # r6 — the flag was lost and imports served raw sparse structs)
+        if a.get("densify_on_read"):
+            kv = bytearray()
+            _emit_len(kv, 1, b"densify_on_read")
+            _emit_len(kv, 2, b"true")
+            _emit_len(ab, _TAGS["attr.params"], bytes(kv))
         _emit_len(out, _TAGS["create.attributes"], bytes(ab))
     return bytes(out)
 
@@ -339,6 +378,15 @@ def decode_create_entity(buf: bytes) -> tuple[str, list[dict[str, str]]]:
                     a["name"] = r2.decode("utf-8")
                 elif t2 == _TAGS["attr.type"]:
                     a["type"] = _ENUM_ATTR.get(r2, "string")
+                elif t2 == _TAGS["attr.params"]:
+                    key = val = b""
+                    for t3, _w3, r3 in iter_fields(r2):
+                        if t3 == 1:
+                            key = r3
+                        elif t3 == 2:
+                            val = r3
+                    if key == b"densify_on_read" and val == b"true":
+                        a["densify_on_read"] = True
             attrs.append(a)
     return name, attrs
 
@@ -396,6 +444,17 @@ def import_proto(spark: SparkSession, catalog, path: str) -> list[Entity]:
             for body in iter_delimited(fh):
                 name, attrs = decode_create_entity(body)
                 ent = Entity.create(spark, catalog, name, [(a["name"], a["type"]) for a in attrs])
+                # restore per-attribute read semantics carried in params
+                if any(a.get("densify_on_read") for a in attrs):
+                    rec_attrs = [
+                        dict(a2) for a2 in catalog.entity(name)["attributes"]
+                    ]
+                    for a in attrs:
+                        if a.get("densify_on_read"):
+                            for a2 in rec_attrs:
+                                if a2["name"] == a["name"]:
+                                    a2["densify_on_read"] = True
+                    catalog.update_entity(name, attributes=rec_attrs)
                 entities.append(ent)
                 bin_path = cpath[: -len(".catalog")] + ".bin"
                 if os.path.exists(bin_path):

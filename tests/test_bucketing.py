@@ -162,3 +162,23 @@ def test_bucketed_index_reloads_and_matches_unbucketed(spark, vec_ent):
     assert [(r[PK], round(r["ap_distance"], 6)) for r in got] == [
         (r[PK], round(r["ap_distance"], 6)) for r in want
     ]
+
+
+def test_rebucketize_preserves_data(spark, tmp_path):
+    """Review r6: bucketize() on an already-bucketized entity dropped the
+    bucketed table/dir BEFORE reading it — the second call destroyed the
+    only copy of the data.  Re-bucketizing must move data back first."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.ops import AdamOps
+
+    o = AdamOps(spark, str(tmp_path / "cat"))
+    o.entity.create("rb", [("val", "int")])
+    o.entity.insert(
+        "rb", spark.createDataFrame([(i,) for i in range(100)], "val int")
+    )
+    o.entity.bucketize("rb", 4)
+    o.entity.bucketize("rb", 8)  # used to destroy the data
+    df = o.entity.get("rb").df()
+    assert df.count() == 100
+    assert df.agg(F.sum("val")).collect()[0][0] == sum(range(100))

@@ -459,3 +459,47 @@ def test_timed_knn_returns_at_deadline_with_slow_driver_path(spark, emb):
     assert elapsed < 7.0, elapsed  # returned at ~deadline, not after slow
     assert best is not None and best.path == "fast"
     assert len(best.rows) == 5
+
+
+def test_concurrent_inserts_get_unique_pks(spark, tmp_path):
+    """Review r6: two concurrent inserts used to read the same catalog
+    version and pack colliding TIDs.  Batch numbers are now claimed
+    atomically, so all PKs stay unique."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from adampro_spark.ops import AdamOps
+
+    o = AdamOps(spark, str(tmp_path / "cat"))
+    o.entity.create("cc", [("val", "int")])
+    batches = [
+        spark.createDataFrame([(i * 100 + j,) for j in range(50)], "val int")
+        for i in range(4)
+    ]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda b: o.entity.insert("cc", b), batches))
+    df = o.entity.get("cc").df()
+    assert df.count() == 200
+    assert df.select("ap_id").distinct().count() == 200
+
+
+def test_sparsify_second_attribute_preserves_first(spark, tmp_path):
+    """Review r6: sparsify() read the DENSIFIED df() view and wrote it
+    back, corrupting any previously sparsified attribute against its
+    sparse catalog schema.  Sequential sparsify of two attrs must leave
+    both readable and dense-on-read."""
+    from adampro_spark.ops import AdamOps
+
+    o = AdamOps(spark, str(tmp_path / "cat"))
+    o.entity.create("sp2", [("a", "vector"), ("b", "vector")])
+    o.entity.insert(
+        "sp2",
+        spark.createDataFrame(
+            [([1.0, 0.0, 2.0], [0.0, 5.0, 0.0])],
+            "a array<float>, b array<float>",
+        ),
+    )
+    o.entity.sparsify("sp2", "a")
+    o.entity.sparsify("sp2", "b")  # used to corrupt a's storage
+    row = o.entity.get("sp2").df().collect()[0]
+    assert list(row["a"]) == [1.0, 0.0, 2.0]
+    assert list(row["b"]) == [0.0, 5.0, 0.0]

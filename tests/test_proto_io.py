@@ -62,7 +62,9 @@ def test_data_message_roundtrip(value, atype):
     elif atype == "vector":
         assert got == pytest.approx(value)
     elif value is None:
-        assert got == ""  # reference writes stringData("") for nulls
+        # deviation from the reference (documented in proto_io): an empty
+        # DataMessage keeps NULLs round-trip-exact instead of "" 
+        assert got is None
     else:
         assert got == value
 
@@ -146,3 +148,34 @@ def test_import_proto_missing_path_raises(spark, tmp_path):
     cat = Catalog(str(tmp_path / "cat_c"))
     with pytest.raises(FileNotFoundError):
         import_proto(spark, cat, str(tmp_path / "nothing"))
+
+
+def test_null_and_sparsified_roundtrip(spark, tmp_path):
+    """Review r6: NULLs in non-string columns crashed the import, and a
+    SPARSIFIED entity's densified export view crashed _enc_sparse.  Both
+    must round-trip exactly through the wire format."""
+    from adampro_spark.ops import AdamOps
+
+    o = AdamOps(spark, str(tmp_path / "cat"))
+    o.entity.create(
+        "pn", [("rid", "long"), ("v", "vector"), ("x", "int"), ("s", "string")]
+    )
+    rows = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 2.0, 0.0], 7, "a"),
+            (2, [0.0, 3.0, 0.0, 0.0], None, None),
+        ],
+        "rid long, v array<float>, x int, s string",
+    )
+    o.entity.insert("pn", rows)
+    o.entity.sparsify("pn", "v")
+
+    wire = str(tmp_path / "wire")
+    o.entity.export_proto("pn", wire)
+
+    o2 = AdamOps(spark, str(tmp_path / "cat2"))
+    (ent,) = o2.entity.import_proto(wire)
+    got = {r["rid"]: r for r in ent.df().orderBy("rid").collect()}
+    assert got[2]["x"] is None and got[2]["s"] is None  # nulls survive
+    assert list(got[1]["v"]) == [1.0, 0.0, 2.0, 0.0]    # sparse re-densifies
+    assert list(got[2]["v"]) == [0.0, 3.0, 0.0, 0.0]
