@@ -131,7 +131,7 @@ _register(
       length(text)::BIGINT AS n_chars_obs,
       len(toks)::BIGINT AS n_tokens,
       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
-      {_round_sql("CASE WHEN len(toks) > 0 THEN length(text) / len(toks) ELSE 0.0 END")} AS avg_token_len,
+      {_round_sql("CASE WHEN len(toks) > 0 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b) / len(toks) ELSE 0.0 END")} AS avg_token_len,
       {_round_sql("CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END")} AS alnum_ratio,
       {_round_sql(f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains({list(QUALITY_STOPWORDS)}, t))) / len(toks) ELSE 0.0 END")} AS stopword_ratio,
       {_round_sql("(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END) * least(len(toks) / 20.0, 1.0)")} AS quality

@@ -284,6 +284,12 @@ def minhash_dup_pairs(
         B = np.asarray(b_co, dtype=np.int64)[:, None]
         sh_out, band_out = [], []
         for t in texts:
+            # NULL text gets the same [0] sentinel shingle set as empty
+            # text — the expression-based family (exact/simhash) already
+            # maps NULL that way via concat_ws (review r6: None.encode
+            # crashed the whole job)
+            if t is None:
+                t = ""
             # utf-32-le frombuffer == [ord(c) for c in t], measured ~7x
             # faster — this per-char loop is the UDF's hottest line
             codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
@@ -617,7 +623,21 @@ def embedding_dup_pairs(
                 64, max(4, math.ceil(math.log(1e-4) / math.log(miss_per_band)))
             )
     if dim is None:
-        dim = len(df.select(vector_col).first()[0])
+        first = df.select(vector_col).filter(
+            F.col(vector_col).isNotNull()
+        ).first()
+        if first is None:
+            # empty corpus (or all-NULL vectors): no pairs by definition
+            # — return an empty result instead of a TypeError (review r6)
+            spark = df.sparkSession
+            pk_t = df.schema[pk].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"id_a {pk_t}, id_b {pk_t}, cos_sim double"
+            )
+        dim = len(first[0])
+    # NULL vectors cannot collide with anything — drop them before the
+    # banding UDF (np.asarray(None) crashed the worker)
+    df = df.filter(F.col(vector_col).isNotNull())
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal(size=(bands * rows, dim))
 

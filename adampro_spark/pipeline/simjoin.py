@@ -104,8 +104,12 @@ def _np_dists(Q: np.ndarray, V: np.ndarray, distance_name: str) -> np.ndarray:
         nv = np.linalg.norm(V, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
             sim = (Q @ V.T) / (nq[:, None] * nv[None, :])
+        # SAME zero-norm contract as _pair_dist's expression form (1e-5
+        # epsilon, distance 0) — review r6: the kernels disagreed for
+        # norms in (0, 1e-5), so the two "exact" strategies diverged
         sim = np.where(np.isfinite(sim), sim, 1.0)
-        return 1.0 - sim
+        zero = (nq[:, None] < 1e-5) | (nv[None, :] < 1e-5)
+        return np.where(zero, 0.0, 1.0 - sim)
     raise ValueError(f"unsupported join distance {distance_name!r}")
 
 
@@ -205,7 +209,13 @@ def knn_join(
                 ids = pdf[pk].to_numpy()
                 D = _np_dists(Q_, V, dn)  # (q × n)
                 kk = min(k_, D.shape[1])
-                part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                # (distance, pk) lexsort, not bare argpartition — the
+                # batch-local cut must keep the SAME tied row the window
+                # strategy keeps (min pk), or the two exact strategies
+                # return different top-k on ties (review r6, reproduced)
+                ids_b = np.broadcast_to(ids, D.shape)
+                order = np.lexsort((ids_b, D), axis=-1)  # distance primary
+                part = order[:, :kk]
                 out_q, out_id, out_d = [], [], []
                 for qi in range(D.shape[0]):
                     sel = part[qi]
@@ -216,8 +226,11 @@ def knn_join(
                     {q_pk: out_q, pk: out_id, DISTANCE_COL: out_d}
                 )
 
+        pk_t = data.schema[pk].dataType.simpleString()
+        qpk_t = queries.schema[q_pk].dataType.simpleString()
         reduced = data.select(pk, vector_col).mapInPandas(
-            local_topk, schema=f"{q_pk} long, {pk} long, {DISTANCE_COL} double"
+            local_topk,
+            schema=f"{q_pk} {qpk_t}, {pk} {pk_t}, {DISTANCE_COL} double",
         )
         return _global_topk(reduced, q_pk, pk, k)
 

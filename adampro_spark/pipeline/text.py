@@ -153,7 +153,15 @@ def text_stats(
     alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
     stopword_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
     quality = alnum_ratio * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
-    avg_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    # mean length of the TOKENS themselves, not raw chars / tokens (the
+    # raw numerator counts separators and padding — review r6: 'ab cd'
+    # scored 2.5 instead of 2.0)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    avg_tok = F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(F.lit(0.0))
     return df.select(
         F.col(pk),
         n_chars.alias("n_chars_obs"),

@@ -34,7 +34,10 @@ EVENT_SCHEMA = T.StructType(
 
 
 def stream_events(
-    spark: SparkSession, source_dir: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType | None = None,
+    nanos_cols: list[str] | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of event parquet files.
 
@@ -52,15 +55,24 @@ def stream_events(
 
     from adampro_spark.session import _nanos_timestamp_cols
 
+    # "**" with recursive=True already matches top-level files — no
+    # second flat glob needed (review r6: the `or` fallback was dead)
     files = sorted(
         glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
-    ) or sorted(glob.glob(os.path.join(source_dir, "*.parquet")))
-    ns_cols: list[str] = []
+    )
+    ns_cols: list[str] = list(nanos_cols or [])
     if schema is None:
         if files:
             schema = spark.read.parquet(files[0]).schema
-            ns_cols = _nanos_timestamp_cols(files[0])
+            if nanos_cols is None:
+                ns_cols = _nanos_timestamp_cols(files[0])
         else:
+            # EMPTY-DIR START: nothing to derive from — the default
+            # schema assumes micros timestamps, so a producer writing
+            # TIMESTAMP(NANOS) files later WILL mis-read.  Pass schema=
+            # and nanos_cols= explicitly for an empty-source start
+            # (review r6: the derive-from-footer contract only holds when
+            # at least one file exists before the stream starts).
             schema = EVENT_SCHEMA
     df = (
         spark.readStream.schema(schema)
@@ -108,7 +120,6 @@ def windowed_event_stats(
 def stream_dedup(
     stream: DataFrame,
     text_col: str = "text",
-    pk: str = "doc_id",
     ts_col: str | None = None,
     watermark: str = "1 day",
     method: str = "exact",
@@ -164,7 +175,6 @@ def stream_dedup(
 def stream_curate(
     stream: DataFrame,
     text_col: str = "text",
-    pk: str = "doc_id",
     ts_col: str | None = None,
     watermark: str = "1 day",
     dedup: str | None = "exact",
@@ -200,7 +210,7 @@ def stream_curate(
     if dedup is None:
         return out
     return stream_dedup(
-        out, text_col=text_col, pk=pk, ts_col=ts_col,
+        out, text_col=text_col, ts_col=ts_col,
         watermark=watermark, method=dedup,
     )
 

@@ -652,3 +652,64 @@ def test_profile_vector_columns_report_norm_stats(spark, emb):
     ]
     assert abs(v["mean"] - float(np.mean(norms))) < 1e-6
     assert v["q"] is not None and len(v["q"]) == 3
+
+
+def test_minhash_null_text_and_empty_embeddings(spark, docs, emb):
+    """Review r6: NULL text crashed the minhash UDF worker; empty /
+    all-NULL vector tables crashed embedding_dup_pairs dim inference.
+    Both must degrade gracefully like the rest of the dedup family."""
+    from adampro_spark.pipeline.dedup import embedding_dup_pairs
+
+    with_null = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(9_999_999, None)], "doc_id long, text string")
+    )
+    pairs = minhash_dup_pairs(with_null.limit(60), threshold=0.7)
+    pairs.collect()  # must not raise
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_dup_pairs(empty).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = embedding_dup_pairs(nulls, threshold=0.9).collect()
+    assert got == []  # the NULL vector pairs with nothing
+
+
+def test_knn_join_strategies_agree_on_ties_and_string_pks(spark):
+    """Review r6 (reproduced): local_topk's batch argpartition dropped
+    distance-tied rows without the (distance, pk) tie-break, and its
+    hardcoded 'long' schema broke string pks."""
+    data = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (3, [0.0, 1.0]), (1, [0.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    ).repartition(3)
+    q = spark.createDataFrame([(0, [0.0, 0.0])], "q_id long, embedding array<double>")
+    key = lambda df: sorted(  # noqa: E731
+        (r["q_id"], r["vec_id"]) for r in df.collect()
+    )
+    a = key(knn_join(data, q, "embedding", 1, "euclidean", strategy="window"))
+    b = key(knn_join(data, q, "embedding", 1, "euclidean", strategy="local_topk"))
+    assert a == b == [(0, 1)]  # all tied at distance 1.0 -> min pk wins
+
+    sdata = spark.createDataFrame(
+        [("b", [1.0]), ("a", [1.0])], "vec_id string, embedding array<double>"
+    )
+    sq = spark.createDataFrame([("q1", [0.0])], "q_id string, embedding array<double>")
+    res = knn_join(sdata, sq, "embedding", 1, "euclidean", strategy="local_topk")
+    assert [(r["q_id"], r["vec_id"]) for r in res.collect()] == [("q1", "a")]
+
+
+def test_knn_join_cosine_zero_norm_parity(spark):
+    """Review r6 (reproduced): the numpy kernel only guarded exactly-zero
+    norms while the expression kernel used a 1e-5 epsilon — the two
+    'exact' strategies disagreed for norms in (0, 1e-5)."""
+    data = spark.createDataFrame(
+        [(5, [-1e-6, 0.0]), (6, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, embedding array<double>")
+    key = lambda df: sorted(  # noqa: E731
+        (r["q_id"], r["vec_id"], round(r["ap_distance"], 6)) for r in df.collect()
+    )
+    a = key(knn_join(data, q, "embedding", 1, "cosine", strategy="window"))
+    b = key(knn_join(data, q, "embedding", 1, "cosine", strategy="local_topk"))
+    assert a == b

@@ -99,7 +99,7 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
         .parquet(f"{d}/*/")
     )
     q = (
-        stream_dedup(stream, "text", pk="doc_id")
+        stream_dedup(stream, "text")
         .writeStream.format("memory")
         .queryName("dedup_out")
         .outputMode("append")
@@ -141,7 +141,7 @@ def test_stream_dedup_with_ts_drops_different_ts_copies(spark, tmp_path):
         .parquet(f"{d}/*/")
     )
     q = (
-        stream_dedup(stream, "text", pk="doc_id", ts_col="ts", watermark="1 day")
+        stream_dedup(stream, "text", ts_col="ts", watermark="1 day")
         .writeStream.format("memory")
         .queryName("tsdedup_out")
         .outputMode("append")
@@ -508,7 +508,7 @@ def test_stream_dedup_simhash_drops_reordered_copies(spark, tmp_path):
         .parquet(f"{d}/*/")
     )
     q = (
-        stream_dedup(stream, "text", pk="doc_id", method="simhash")
+        stream_dedup(stream, "text", method="simhash")
         .writeStream.format("memory")
         .queryName("sh_dedup_out")
         .outputMode("append")
@@ -527,12 +527,12 @@ def test_stream_dedup_simhash_drops_reordered_copies(spark, tmp_path):
     # synthetic docs share token distributions) — assert stream == batch
     # semantics rather than a fixed count
     batch = spark.read.parquet(f"{d}/*/")
-    batch_simhash = stream_dedup(batch, "text", pk="doc_id", method="simhash").count()
+    batch_simhash = stream_dedup(batch, "text", method="simhash").count()
     assert len(ids) == batch_simhash
     assert len(ids) <= 100
 
     # exact mode is ORDER-SENSITIVE: the same corpus keeps both versions
-    assert stream_dedup(batch, "text", pk="doc_id", method="exact").count() == 200
+    assert stream_dedup(batch, "text", method="exact").count() == 200
 
 
 def test_stream_curate_gates_match_batch(spark, tmp_path):
