@@ -171,7 +171,13 @@ def jaccard(vec: VectorLike, query: VectorLike, weights: VectorLike | None = Non
     v, q = _as_vec(vec), _as_vec(query)
     smin = _sum(F.zip_with(v, q, lambda a, b: F.least(a, b)))
     smax = _sum(F.zip_with(v, q, lambda a, b: F.greatest(a, b)))
-    return _null_guard(v, F.lit(1.0) - smin / smax)
+    # sum(max) == 0 guard: Spark 4's default ANSI mode turns the division
+    # into DIVIDE_BY_ZERO and aborts the scan (review r6, reproduced);
+    # define the distance as 0 there (identical all-zero overlap), the
+    # oracle mirror carries the same guard
+    return _null_guard(
+        v, F.when(smax == 0.0, F.lit(0.0)).otherwise(F.lit(1.0) - smin / smax)
+    )
 
 
 def kullbackleibler(
@@ -205,7 +211,12 @@ def modulo(vec: VectorLike, query: VectorLike, weights: VectorLike | None = None
     """sum w*(x mod q_elem) with query element as divisor base (ModuloDistance.scala:
     element(v1_q, v2, w) = w * (v2 % v1_q) where v1_q is the query element)."""
     v, q = _as_vec(vec), _as_vec(query)
-    terms = F.zip_with(v, q, lambda a, b: a % b)
+    # zero-divisor guard: ANSI mode aborts with REMAINDER_BY_ZERO on any
+    # zero query element (review r6, reproduced; the reference's Java
+    # double % 0 NaNs instead) — a zero divisor contributes 0
+    terms = F.zip_with(
+        v, q, lambda a, b: F.when(b == 0.0, F.lit(0.0)).otherwise(a % b)
+    )
     return _null_guard(v, _sum(_weighted(terms, weights)))
 
 

@@ -73,15 +73,30 @@ def _projections(
 
 
 def _buckets(V: np.ndarray, meta: dict[str, Any]) -> np.ndarray:
-    """(rows × ntables) bucket ids: h = round(v·proj + offset) % m per hash,
-    then per-table Arrays.hashCode-style combine % m (Hasher.scala:33-37)."""
+    """(rows × ntables) bucket ids: h = floor(v·proj/w + offset) % m per
+    hash — the p-stable scheme floor((a·v + b)/w) with the BUILD RADIUS
+    as the bucket width w (EuclideanHashFunction.scala:21), then a
+    per-table Arrays.hashCode-style combine % m (Hasher.scala:33-37).
+
+    The /w normalization is what makes bucketing SCALE-FREE (review r6:
+    without it, granularity was a fixed 1.0 of the raw projection — a
+    corpus scaled by 0.01 collapsed every row into one bucket, scaled by
+    1000 it shattered true neighbors apart).  Hamming keeps w = 1 — its
+    bit-sampling hash buckets on the (discretized) coordinate VALUE and
+    must not rescale."""
     proj = np.asarray(meta["proj"], dtype=np.float64)
     offs = np.asarray(meta["offsets"], dtype=np.float64)
     m = meta["nbuckets"]
     nt, nh = meta["ntables"], meta["nhashes"]
-    H = (np.rint(V.astype(np.float64) @ proj + offs).astype(np.int64) % m).astype(
-        np.int32
-    )
+    w = float(meta.get("width") or 1.0)
+    if meta.get("distance") == "hamming" or w <= 0.0:
+        H = (np.rint(V.astype(np.float64) @ proj + offs).astype(np.int64) % m).astype(
+            np.int32
+        )
+    else:
+        H = (
+            np.floor(V.astype(np.float64) @ proj / w + offs).astype(np.int64) % m
+        ).astype(np.int32)
     H = H.reshape(len(V), nt, nh)
     hc = np.full((len(V), nt), 1, dtype=np.int32)
     with np.errstate(over="ignore"):
@@ -107,7 +122,10 @@ def build_lsh(
     """
     if distance_name not in ("euclidean", "manhattan", "hamming"):
         raise ValueError("LSH supports euclidean/manhattan/hamming")
+    df = df.filter(F.col(vector_col).isNotNull())  # NULL vectors: no bucket
     first = df.select(vector_col).first()
+    if first is None:
+        raise ValueError("cannot build an LSH index over an empty table")
     dim = len(first[0])
     sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
     proj, offs = _projections(dim, ntables, nhashes, distance_name, seed)
@@ -121,6 +139,12 @@ def build_lsh(
         "nhashes": nhashes,
         "nbuckets": nbuckets,
         "radius": _radius(sample, distance_name),
+        # p-stable bucket width = the build radius (hamming: value-keyed)
+        "width": (
+            1.0
+            if distance_name == "hamming"
+            else max(_radius(sample, distance_name), 1e-9)
+        ),
         "proj": proj.tolist(),
         "offsets": offs.tolist(),
         "seed": seed,

@@ -50,7 +50,9 @@ def build_mi(
     nr = len(refs)
     ki_v = min(ki or 100, nr)  # Amato et al. (2008) defaults
     ks_v = min(ks or 50, nr)
-    assert ks_v <= ki_v
+    # clamp instead of a bare assert (stripped under -O; review r6):
+    # scanning more refs than each row stored just scores them as missing
+    ks_v = min(ks_v, ki_v)
 
     from adampro_spark.index._util import attach_lut
 

@@ -102,6 +102,7 @@ def build_sh(
     """
     from pyspark.sql import types as T
 
+    df = df.filter(F.col(vector_col).isNotNull())  # NULL vectors: no signature
     sample = sample_matrix(df, vector_col, ntraining, seed, pk=pk)
     meta = _train(sample, nbits)
     meta.update({"type": "sh", "pk": pk, "seed": seed, "n": df.count()})

@@ -50,7 +50,7 @@ LBOUND_COL = "ap_lbound"
 UBOUND_COL = "ap_ubound"
 
 _SAMPLING_FREQUENCY = 10_000  # histogram buckets (EquifrequentMarksGenerator.scala:25)
-_MIN_TRAINING = 1_000  # IndexGenerator.scala:22
+from adampro_spark.index._util import MIN_TRAINING as _MIN_TRAINING  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -63,8 +63,12 @@ def _minmax(df: DataFrame, vector_col: str, dim: int) -> tuple[np.ndarray, np.nd
     aggs = [F.min(v.getItem(i)).alias(f"mn{i}") for i in range(dim)]
     aggs += [F.max(v.getItem(i)).alias(f"mx{i}") for i in range(dim)]
     row = df.agg(*aggs).collect()[0]
-    mins = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float32)
-    maxs = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float32)
+    # float64: a float32 downcast can round the true min UP (max DOWN),
+    # leaving data points outside [marks[0], marks[-1]] and breaking the
+    # exactness guarantee via an overestimated clamped lower bound
+    # (review r6)
+    mins = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+    maxs = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
     return mins, maxs
 
 
@@ -318,8 +322,14 @@ def scan_va(
         LBOUND_COL, _bound_sum(offsets, F.col("_ap_lbt"))
     ).withColumn(UBOUND_COL, _bound_sum(offsets, F.col("_ap_ubt")))
 
+    # NULL-feature rows (NULL source vectors) sort FIRST ascending and
+    # would consume limit(k) slots while max() ignores them — shrinking
+    # the threshold below the true k-th upper bound and pruning real
+    # neighbors (review r6).  They cannot be candidates anyway (their
+    # distance is MaxValue in refinement).
     kth = (
-        bounded.select(UBOUND_COL)
+        bounded.filter(F.col(UBOUND_COL).isNotNull())
+        .select(UBOUND_COL)
         .orderBy(F.col(UBOUND_COL).asc())
         .limit(k)
         .agg(F.max(UBOUND_COL).alias("t"))
@@ -356,18 +366,25 @@ def va_knn(
 
     if p is None:
         p = _P_BY_DISTANCE.get(distance_name)
+    elif distance_name != "minkowski" and p != _P_BY_DISTANCE.get(distance_name):
+        # pruning with one p and refining with another silently loses
+        # true neighbors (review r6) — an explicit p only makes sense
+        # with distance_name="minkowski"
+        raise ValueError(
+            f"p={p} conflicts with distance {distance_name!r}; use "
+            "distance_name='minkowski' for a custom p"
+        )
     if p is None:
         raise ValueError(
             f"VA index only supports Minkowski distances, got {distance_name!r}"
         )
     cands = scan_va(index_df, meta, query, k, p=p, prefilter=prefilter)
-    dn = distance_name if distance_name != "minkowski" else "minkowski"
     return sequential_scan(
         df,
         vector_col,
         query,
         k,
-        dn,
+        distance_name,
         p=p if distance_name == "minkowski" else None,
         prefilter=cands,
         pk=meta["pk"],

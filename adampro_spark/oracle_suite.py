@@ -133,7 +133,7 @@ def _duck_distance(name: str) -> str:
     if name == "jaccard":
         smin = _fold(f"list_transform(embedding, (x,i) -> least({x}, ({QS})[i]))")
         smax = _fold(f"list_transform(embedding, (x,i) -> greatest({x}, ({QS})[i]))")
-        return f"(1.0 - ({smin}) / ({smax}))"
+        return f"(CASE WHEN ({smax}) = 0.0 THEN 0.0 ELSE 1.0 - ({smin}) / ({smax}) END)"
     if name == "kullbackleibler":
         # reference direction: q * ln(q / x), zero-guarded.  Computed over a
         # strictly-positive derived vector (abs(x)+0.5) and positive query so
@@ -150,7 +150,10 @@ def _duck_distance(name: str) -> str:
     if name == "modulo":
         # strictly-positive divisor query vector (ANSI Spark errors on x % 0);
         # DuckDB mod() is truncated like Spark/Java %, fmod() is floored
-        return _fold(f"list_transform(embedding, (x,i) -> mod({x}, ({QSP})[i]))")
+        return _fold(
+            f"list_transform(embedding, (x,i) -> CASE WHEN ({QSP})[i] = 0.0 "
+            f"THEN 0.0 ELSE mod({x}, ({QSP})[i]) END)"
+        )
     if name == "minkowski3":
         return (
             "pow("

@@ -267,3 +267,41 @@ def test_frac_budget_all_lossy(spark, build, knn):
     # probing everything is exact — the budget is honest about its units
     assert recall(times_k=5, frac=1.0) == 1.0
     idx.unpersist()
+
+
+def test_lsh_bucketing_is_scale_free(spark):
+    """Review r6: without the p-stable /w normalization, bucket
+    granularity was fixed at 1.0 of the raw projection — a corpus scaled
+    by 0.01 collapsed into one bucket (no pruning) and by 100 shattered
+    true neighbors apart (recall ~0).  With the build-radius width,
+    recall must be identical at every scale."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.index.lsh import build_lsh, lsh_knn
+    from adampro_spark.operators.scan import sequential_scan as seq
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    recalls = {}
+    for scale in (1.0, 0.01, 100.0):
+        df = emb.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x * F.lit(scale),
+            ),
+        )
+        q = [float(x) for x in df.orderBy("vec_id").first()["embedding"]]
+        idx, meta = build_lsh(df, "embedding", pk="vec_id", distance_name="euclidean")
+        got = {
+            r["vec_id"]
+            for r in lsh_knn(df, "embedding", idx, meta, q, 10, "euclidean").collect()
+        }
+        truth = {
+            r["vec_id"]
+            for r in seq(df, "embedding", q, 10, "euclidean", pk="vec_id").collect()
+        }
+        recalls[scale] = len(got & truth) / 10
+    assert recalls[0.01] == recalls[1.0] == recalls[100.0]
+    assert recalls[1.0] >= 0.4
