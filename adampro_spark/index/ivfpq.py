@@ -56,6 +56,7 @@ def build_ivfpq(
     emit ``(pk, cell, codes)``.  ``nleaders`` defaults to √n like eCP."""
     from pyspark.sql import types as T
 
+    df = df.filter(F.col(vector_col).isNotNull())  # NULL vectors: no cell/codes
     n = df.count()
     nl = min(max(nleaders or int(np.sqrt(n)), 2), MAX_LEADERS)
     leaders = sample_matrix(df, vector_col, nl, seed, pk=pk)[:nl]
@@ -181,10 +182,10 @@ def scan_ivfpq(
         cum = 0
         chosen = []
         for c in order:
+            cum += int(counts[c])
             chosen.append(int(c))
             if cum >= want:
                 break
-            cum += int(counts[c])
         # the ADC top-R must not clip the scale-proportional coverage the
         # probe just paid for — quantization error reorders near the cut
         budget = want

@@ -88,8 +88,14 @@ def _buckets(V: np.ndarray, meta: dict[str, Any]) -> np.ndarray:
     offs = np.asarray(meta["offsets"], dtype=np.float64)
     m = meta["nbuckets"]
     nt, nh = meta["ntables"], meta["nhashes"]
+    # Legacy compat (ADVICE r6): indexes persisted BEFORE the scale-free
+    # /w change have no "width" in meta — their rows were bucketed with
+    # the old rint(v·proj + offs) formula, so queries against them must
+    # hash the same way or recall silently collapses.  Only metas that
+    # carry an explicit width take the floor/w p-stable path.
+    legacy = "width" not in meta
     w = float(meta.get("width") or 1.0)
-    if meta.get("distance") == "hamming" or w <= 0.0:
+    if meta.get("distance") == "hamming" or legacy or w <= 0.0:
         H = (np.rint(V.astype(np.float64) @ proj + offs).astype(np.int64) % m).astype(
             np.int32
         )

@@ -255,14 +255,30 @@ def _unkeyed_carry(
         aggs.append(F.min_by("_ap_pack", F.col(time_col)).alias("_ap_first"))
     per_pid = rights.agg(*aggs)
     pids = spark.range(len(bounds) + 1).select(F.col("id").cast("int").alias("_ap_pid"))
-    w_carry = Window.orderBy("_ap_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # The prefix/suffix windows below deliberately span ALL rows of this
+    # <= p-row table — partitionBy a constant (and coalesce to 1) to make
+    # the single-partition intent explicit instead of triggering Spark's
+    # "No Partition Defined for Window" warning on every query (verdict
+    # r6 #8: the warning is scary in logs but the table is tiny by
+    # construction — one row per time bucket).
+    one = F.lit(0)
+    w_carry = (
+        Window.partitionBy(one)
+        .orderBy("_ap_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     carry = (
         pids.join(per_pid, "_ap_pid", "left")
+        .coalesce(1)
         .withColumn("_ap_carry", F.last("_ap_last", ignorenulls=True).over(w_carry))
     )
     keep_cols = ["_ap_pid", "_ap_carry"]
     if want_fwd:
-        w_carry_f = Window.orderBy("_ap_pid").rowsBetween(1, Window.unboundedFollowing)
+        w_carry_f = (
+            Window.partitionBy(one)
+            .orderBy("_ap_pid")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
         carry = carry.withColumn(
             "_ap_carry_f", F.first("_ap_first", ignorenulls=True).over(w_carry_f)
         )

@@ -279,7 +279,12 @@ def encode_data_message(value: Any, attr_type: str) -> bytes:
     return bytes(out)
 
 
-def decode_data_message(buf: bytes) -> Any:
+def decode_data_message(buf: bytes, legacy_empty_string_null: bool = False) -> Any:
+    """``legacy_empty_string_null`` (opt-in, ADVICE r6): the reference
+    writes NULLs as ``stringData("")`` (ProtoImporterExporter.scala:231-246),
+    whereas this engine emits an EMPTY DataMessage to keep NULLs typed and
+    round-trip-exact.  Set the flag when importing reference-produced .bin
+    streams so their empty strings decode back to None."""
     for tag, wire, raw in iter_fields(buf):
         if tag == _TAGS["data.boolean"]:
             return bool(raw)
@@ -292,7 +297,10 @@ def decode_data_message(buf: bytes) -> Any:
         if tag == _TAGS["data.double"]:
             return struct.unpack("<d", raw)[0]
         if tag == _TAGS["data.string"]:
-            return raw.decode("utf-8")
+            s = raw.decode("utf-8")
+            if legacy_empty_string_null and s == "":
+                return None
+            return s
         if tag == _TAGS["data.feature"]:
             return _decode_feature(raw)
     return None
@@ -332,7 +340,7 @@ def encode_tuple(row: dict[str, Any], types: dict[str, str]) -> bytes:
     return bytes(out)
 
 
-def decode_tuple(buf: bytes) -> dict[str, Any]:
+def decode_tuple(buf: bytes, legacy_empty_string_null: bool = False) -> dict[str, Any]:
     row: dict[str, Any] = {}
     for tag, _w, raw in iter_fields(buf):
         if tag != _TAGS["tuple.data"]:
@@ -342,7 +350,7 @@ def decode_tuple(buf: bytes) -> dict[str, Any]:
             if t2 == 1:
                 key = r2.decode("utf-8")
             elif t2 == 2:
-                val = decode_data_message(r2)
+                val = decode_data_message(r2, legacy_empty_string_null)
         row[key] = val
     return row
 
@@ -424,12 +432,18 @@ def _delimited_bytes(body: bytes) -> bytes:
     return bytes(head) + body
 
 
-def import_proto(spark: SparkSession, catalog, path: str) -> list[Entity]:
+def import_proto(
+    spark: SparkSession, catalog, path: str, legacy_empty_string_null: bool = False
+) -> list[Entity]:
     """``importData`` (ProtoImporterExporter.scala:41-49): every
     ``*.catalog`` under ``path`` creates its entity, then every matching
     ``*.bin`` streams tuples back in ``BATCH_SIZE`` batches through the
     normal insert path (fresh PKs, staleness bookkeeping — the reference
-    re-inserts through InsertMessage ops too)."""
+    re-inserts through InsertMessage ops too).
+
+    ``legacy_empty_string_null``: opt-in compat for reference-produced
+    streams, which encode NULL as ``stringData("")`` — see
+    :func:`decode_data_message`."""
     entities: list[Entity] = []
     catalogs = sorted(
         os.path.join(dp, f)
@@ -458,11 +472,16 @@ def import_proto(spark: SparkSession, catalog, path: str) -> list[Entity]:
                 entities.append(ent)
                 bin_path = cpath[: -len(".catalog")] + ".bin"
                 if os.path.exists(bin_path):
-                    _import_bin(spark, ent, bin_path)
+                    _import_bin(spark, ent, bin_path, legacy_empty_string_null)
     return entities
 
 
-def _import_bin(spark: SparkSession, ent: Entity, bin_path: str) -> None:
+def _import_bin(
+    spark: SparkSession,
+    ent: Entity,
+    bin_path: str,
+    legacy_empty_string_null: bool = False,
+) -> None:
     schema = ent.schema()
     fields = [f for f in schema.fields if f.name != PK]
     batch: list[dict[str, Any]] = []
@@ -479,7 +498,7 @@ def _import_bin(spark: SparkSession, ent: Entity, bin_path: str) -> None:
 
     with open(bin_path, "rb") as fh:
         for body in iter_delimited(fh):
-            batch.append(decode_tuple(body))
+            batch.append(decode_tuple(body, legacy_empty_string_null))
             if len(batch) >= BATCH_SIZE:
                 flush()
     flush()

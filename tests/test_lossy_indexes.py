@@ -305,3 +305,60 @@ def test_lsh_bucketing_is_scale_free(spark):
         recalls[scale] = len(got & truth) / 10
     assert recalls[0.01] == recalls[1.0] == recalls[100.0]
     assert recalls[1.0] >= 0.4
+
+
+def test_lsh_legacy_meta_without_width_uses_rint_path():
+    """ADVICE r6: an index persisted BEFORE the p-stable /w change has no
+    'width' in meta — its rows were bucketed with rint(v·proj + offs), so
+    query-time hashing must take the same legacy path (not floor with
+    w=1.0, which disagrees with rint and collapses recall silently)."""
+    import numpy as np
+
+    from adampro_spark.index.lsh import _buckets
+
+    rng = np.random.RandomState(0)
+    V = rng.standard_normal((32, 8))
+    base = {
+        "proj": rng.standard_normal((8, 12)).tolist(),
+        "offsets": rng.uniform(0, 1, 12).tolist(),
+        "nbuckets": 64,
+        "ntables": 3,
+        "nhashes": 4,
+        "distance": "euclidean",
+    }
+    legacy = _buckets(V, base)  # no "width" key → legacy rint
+    # reproduce the legacy formula independently
+    proj = np.asarray(base["proj"])
+    offs = np.asarray(base["offsets"])
+    H = (np.rint(V @ proj + offs).astype(np.int64) % 64).astype(np.int32)
+    H = H.reshape(len(V), 3, 4)
+    hc = np.full((len(V), 3), 1, dtype=np.int32)
+    with np.errstate(over="ignore"):
+        for j in range(4):
+            hc = hc * np.int32(31) + H[:, :, j]
+    expect = (hc.astype(np.int64) % 64).astype(np.int32)
+    assert (legacy == expect).all()
+    # and a meta WITH width takes the floor path (differs in general)
+    modern = _buckets(V, {**base, "width": 2.5})
+    assert not (modern == legacy).all()
+
+
+def test_ivfpq_build_ignores_null_vectors(spark):
+    """ADVICE r6: a NULL vector made np.stack crash the whole build."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.index.ivfpq import build_ivfpq
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    dim = len(emb.first()["embedding"])
+    nulls = spark.range(5).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.lit(None).cast(f"array<float>").alias("embedding"),
+    )
+    idx, meta = build_ivfpq(emb.unionByName(nulls), "embedding", pk="vec_id")
+    assert idx.count() == 200  # NULL rows dropped, not crashed
+    assert meta["n"] == 200

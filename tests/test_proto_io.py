@@ -179,3 +179,23 @@ def test_null_and_sparsified_roundtrip(spark, tmp_path):
     assert got[2]["x"] is None and got[2]["s"] is None  # nulls survive
     assert list(got[1]["v"]) == [1.0, 0.0, 2.0, 0.0]    # sparse re-densifies
     assert list(got[2]["v"]) == [0.0, 3.0, 0.0, 0.0]
+
+
+def test_legacy_empty_string_null_compat_flag():
+    """ADVICE r6: the reference writes NULL as stringData("") — behind the
+    opt-in flag an empty string decodes to None; without it (default) the
+    engine's lossless semantics hold (empty string stays a string)."""
+    buf = encode_data_message("", "string")
+    assert decode_data_message(buf) == ""
+    assert decode_data_message(buf, legacy_empty_string_null=True) is None
+    # non-empty strings unaffected by the flag
+    buf2 = encode_data_message("x", "string")
+    assert decode_data_message(buf2, legacy_empty_string_null=True) == "x"
+    # the engine's own NULL encoding still round-trips either way
+    bufn = encode_data_message(None, "string")
+    assert decode_data_message(bufn) is None
+    assert decode_data_message(bufn, legacy_empty_string_null=True) is None
+    # and the flag threads through tuple decode
+    tup = encode_tuple({"a": "", "b": "y"}, {"a": "string", "b": "string"})
+    assert decode_tuple(tup) == {"a": "", "b": "y"}
+    assert decode_tuple(tup, legacy_empty_string_null=True) == {"a": None, "b": "y"}
