@@ -546,15 +546,29 @@ _DOCS_R = "SELECT doc_id FROM documents WHERE n_chars > 300"
 
 
 def _fusion_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Also adjudicates the two trivial nodes (verdict r6 #2, zero slot
+    cost): every set-op side routes through ``compound()``
+    (CompoundQueryExpression.scala:15-34 — pass-through, so the hash is
+    unchanged iff the wrapper is semantically invisible) and an
+    ``empty_relation`` with the row schema rides the union
+    (AggregationExpression.scala:397-412 — schema-compatible, contributes
+    exactly 0 rows, so row-count AND hash prove emptiness)."""
+    from adampro_spark.operators.misc import compound, empty_relation
+
     parts = []
     for tag, fn in [
         ("union", FU.union_fusion),
         ("intersect", FU.intersect_fusion),
         ("except", FU.except_fusion),
     ]:
-        res = fn(*_docs_sides(spark, sf), pk="doc_id")
+        res = compound(fn(*_docs_sides(spark, sf), pk="doc_id"))
         parts.append(res.select(F.lit(tag).alias("setop"), "doc_id", DISTANCE_COL))
-    return _union_all(parts)
+    parts.append(
+        empty_relation(
+            spark, f"setop string, doc_id long, {DISTANCE_COL} double"
+        )
+    )
+    return compound(_union_all(parts))
 
 
 _register(
@@ -945,7 +959,12 @@ _register(
 def _dml_query(spark: SparkSession, sf: str) -> DataFrame:
     """Entity DML end-to-end (EntityTestSuite.scala:36-517 scenarios):
     create → insert an embeddings slice → count → delete by predicate →
-    vacuum → count.  Oracle = the same arithmetic in DuckDB."""
+    vacuum → count — then the storage-handler roundtrip (verdict r6 #2,
+    ``DataDefintion.scala`` transferStorageHandler): transfer the entity
+    to the embedded-Derby JDBC handler, re-count THROUGH the handler
+    (``n_jdbc``), transfer back to parquet and re-count (``n_back``).
+    Oracle = the same arithmetic in DuckDB; n_jdbc/n_back must equal
+    n_after, so a lossy transfer breaks the hash."""
     import shutil
 
     from adampro_spark.ops import AdamOps
@@ -959,9 +978,24 @@ def _dml_query(spark: SparkSession, sf: str) -> DataFrame:
     n_removed = ops.entity.delete("t", [("label", "=", [0])])
     ops.entity.vacuum("t")
     n_after = ops.entity.count("t")
+    # Derby db lives OUTSIDE the rmtree'd base: the embedded engine keeps
+    # a booted database keyed by path for the JVM's lifetime — deleting
+    # the directory under it corrupts re-runs in the same session.  The
+    # overwrite-mode table write makes re-runs self-cleaning instead.
+    derby = os.path.join(_SCRATCH, "dml_derby")
+    ops.entity.transfer(
+        "t", "jdbc",
+        url=f"jdbc:derby:{derby};create=true", dbtable="DML_T",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    assert ops.catalog.entity("t")["storage"]["handler"] == "jdbc"
+    n_jdbc = ops.entity.count("t")
+    ops.entity.transfer("t", "parquet")
+    assert not ops.catalog.entity("t").get("storage")
+    n_back = ops.entity.count("t")
     return spark.createDataFrame(
-        [(n_inserted, n_removed, n_after)],
-        "n_inserted long, n_removed long, n_after long",
+        [(n_inserted, n_removed, n_after, n_jdbc, n_back)],
+        "n_inserted long, n_removed long, n_after long, n_jdbc long, n_back long",
     )
 
 
@@ -971,7 +1005,9 @@ _register(
     """
     SELECT count(*)::BIGINT AS n_inserted,
            sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
-           sum(CASE WHEN label = 0 THEN 0 ELSE 1 END)::BIGINT AS n_after
+           sum(CASE WHEN label = 0 THEN 0 ELSE 1 END)::BIGINT AS n_after,
+           sum(CASE WHEN label = 0 THEN 0 ELSE 1 END)::BIGINT AS n_jdbc,
+           sum(CASE WHEN label = 0 THEN 0 ELSE 1 END)::BIGINT AS n_back
     FROM embeddings
     """,
 )

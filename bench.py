@@ -62,6 +62,8 @@ HEADLINE = [
     # and sequence packing (sharded greedy first-fit)
     "pipeline_decontaminate",
     "pipeline_pack",
+    # round 7: source re-weighting + hash-stable train/val/test split
+    "pipeline_split_sample",
     # round 6: IVF-PQ composite index (coarse cells + residual-PQ ADC)
     "knn_ivfpq_persisted",
 ]
