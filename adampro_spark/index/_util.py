@@ -16,23 +16,29 @@ from pyspark.sql import functions as F
 
 MIN_TRAINING = 1_000  # IndexGenerator.scala:22
 
-# Default probed fraction for ``frac="auto"``: the share of the corpus the
-# reference's absolute ``times_k·k`` budget represents at the scale where
-# these widths were VALIDATED exact (k=20, times_k≥25 against 500–2000-row
-# oracle corpora ⇒ ≳20%).  "auto" holds that validated fraction steady as
-# n grows instead of letting the absolute budget silently shrink to a
-# low-recall sliver — at large n callers should tune frac down (or use
-# ``train_planner``'s measured recall curves) rather than fall off the
-# cliff by default.  ``frac=None`` restores the reference's absolute
-# semantics.
+# Fallback probed fraction for ``frac="auto"`` when the index carries no
+# build-time fit: the share of the corpus the reference's absolute
+# ``times_k·k`` budget represents at the scale where these widths were
+# VALIDATED exact (k=20, times_k≥25 against 500–2000-row oracle corpora ⇒
+# ≳20%).  "auto" holds that validated fraction steady as n grows instead
+# of letting the absolute budget silently shrink to a low-recall sliver.
+# Since round 7 every lossy build AUTO-FITS a cheaper fraction on its
+# training sample (index/autofit.py) and persists it as
+# ``meta["fitted_frac"]`` — this constant only applies to metas built
+# before the fit existed, to sub-MIN_FIT_SAMPLE corpora, and as the cap
+# the fit may never exceed.  ``frac=None`` restores the reference's
+# absolute semantics.
 DEFAULT_FRAC = 0.2
 
 
-def resolve_frac(frac: float | str | None) -> float | None:
-    """Map the ``frac`` knob to a number: "auto" → DEFAULT_FRAC."""
+def resolve_frac(frac: float | str | None, meta: dict | None = None) -> float | None:
+    """Map the ``frac`` knob to a number: "auto" → the index's build-time
+    fitted fraction (autofit.py) when present, else DEFAULT_FRAC."""
     if isinstance(frac, str):
         if frac != "auto":
             raise ValueError(f"frac must be a float, None, or 'auto', got {frac!r}")
+        if meta and meta.get("fitted_frac"):
+            return float(meta["fitted_frac"])
         return DEFAULT_FRAC
     return frac
 
@@ -56,7 +62,7 @@ def candidate_budget(
     covers a larger share of the eligible rows — conservative
     (recall-safe), and avoids an extra count job per filtered query.
     """
-    frac = resolve_frac(frac)
+    frac = resolve_frac(frac, meta)
     want = times_k * k
     if frac is not None:
         n = meta.get("n") or index_df.count()

@@ -44,6 +44,7 @@ def build_ecp(
     nleaders: int | None = None,
     centroid_leaders: bool = False,
     seed: int = 42,
+    autofit: bool = True,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Build: sample leaders, assign every row to its nearest leader.
 
@@ -98,6 +99,14 @@ def build_ecp(
         "leaders": leaders.tolist(),
         "counts": [counts.get(i, 0) for i in range(len(leaders))],
     }
+    if autofit:
+        # the leaders are too few to measure recall on — draw a dedicated
+        # fit sample (one driver-sized TakeOrdered collect, like every
+        # other build's training sample)
+        from adampro_spark.index.autofit import autofit_meta
+
+        fit_sample = sample_matrix(df, vector_col, 1000, seed + 7, pk=pk)
+        autofit_meta("ecp", meta, fit_sample, distance_name=distance_name, n_corpus=n)
     return indexed, meta
 
 
@@ -127,7 +136,7 @@ def scan_ecp(
     """
     from adampro_spark.index._util import resolve_frac
 
-    frac = resolve_frac(frac)
+    frac = resolve_frac(frac, meta)
     pk = meta["pk"]
     leaders = np.array(meta["leaders"], dtype=np.float64)
     counts = np.array(meta["counts"], dtype=np.int64)

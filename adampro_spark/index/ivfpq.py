@@ -51,6 +51,7 @@ def build_ivfpq(
     nsqbits: int = 8,
     ntraining: int = 1000,
     seed: int = 42,
+    autofit: bool = True,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Sample ≤200 leaders, k-means the RESIDUALS per sub-vector split,
     emit ``(pk, cell, codes)``.  ``nleaders`` defaults to √n like eCP."""
@@ -127,6 +128,10 @@ def build_ivfpq(
         "counts": [counts.get(i, 0) for i in range(nl)],
         "codebooks": [cb.tolist() for cb in codebooks],
     }
+    if autofit:
+        from adampro_spark.index.autofit import autofit_meta
+
+        autofit_meta("ivfpq", meta, train)
     return indexed, meta
 
 

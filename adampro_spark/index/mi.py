@@ -43,6 +43,7 @@ def build_mi(
     ki: int | None = None,
     ks: int | None = None,
     seed: int = 42,
+    autofit: bool = True,
 ) -> tuple[DataFrame, dict[str, Any]]:
     n = df.count()
     nr = min(nrefs or min(MAX_REFS, int(np.ceil(2 * np.sqrt(n)))), MAX_REFS)
@@ -78,6 +79,12 @@ def build_mi(
         "ki": ki_v,
         "ks": ks_v,
     }
+    if autofit:
+        # refs are too few to measure recall on — dedicated fit sample
+        from adampro_spark.index.autofit import autofit_meta
+
+        fit_sample = sample_matrix(df, vector_col, 1000, seed + 7, pk=pk)
+        autofit_meta("mi", meta, fit_sample, distance_name=distance_name)
     return indexed, meta
 
 

@@ -45,6 +45,7 @@ def build_pq(
     nsqbits: int = 8,
     ntraining: int = 1000,
     seed: int = 42,
+    autofit: bool = True,
 ) -> tuple[DataFrame, dict[str, Any]]:
     first = df.select(vector_col).first()
     dim = len(first[0])
@@ -97,6 +98,10 @@ def build_pq(
         "bounds": [list(b) for b in bounds],
         "codebooks": [cb.tolist() for cb in codebooks],
     }
+    if autofit:
+        from adampro_spark.index.autofit import autofit_meta
+
+        autofit_meta("pq", meta, sample)
     return indexed, meta
 
 

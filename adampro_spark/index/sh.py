@@ -89,6 +89,7 @@ def build_sh(
     nbits: int | None = None,
     ntraining: int = 5000,
     seed: int = 42,
+    autofit: bool = True,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Row signatures via an Arrow-batched pandas UDF sharing
     ``_np_signature`` with the query side (bit-identical by construction).
@@ -118,6 +119,10 @@ def build_sh(
 
     sig_udf = F.pandas_udf(_sig, T.ArrayType(T.IntegerType()))
     indexed = df.select(pk, sig_udf(F.col(vector_col)).alias(FEATURE_COL))
+    if autofit:
+        from adampro_spark.index.autofit import autofit_meta
+
+        autofit_meta("sh", meta, sample)
     return indexed, meta
 
 

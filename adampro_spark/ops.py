@@ -269,6 +269,25 @@ def plan_knn(
                     f"{name}: fitted frac {f} meets floor {min_recall}"
                 )
                 return True
+            build_curve = rec.get("meta", {}).get("frac_curve")
+            if build_curve:
+                # no train_planner sweep, but the index carries its
+                # build-time sample-measured curve (index/autofit.py) —
+                # frac budgets are scale-proportional, so the curve is
+                # usable at any n without extrapolation
+                ok = [float(f) for f, r in build_curve if float(r) >= min_recall]
+                if not ok:
+                    reasons.append(
+                        f"{name}: no build-time frac reaches floor {min_recall} "
+                        f"(frac_curve from autofit)"
+                    )
+                    return False
+                chosen_frac[name] = min(ok)
+                reasons.append(
+                    f"{name}: build-time fitted frac {min(ok)} meets floor "
+                    f"{min_recall}"
+                )
+                return True
             pred = predict_recall(curves.get(t) or [], n_now)
             if pred is not None and pred < min_recall:
                 reasons.append(

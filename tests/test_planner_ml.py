@@ -257,9 +257,13 @@ def _fitted_frac_asserts(ops, emb, DEFAULT_FRAC):
 
 
 def test_min_recall_guard_flips_lossy_to_exact_at_scale(ops, emb):
-    """Growing n past what the measured curves support must flip the
-    chosen path from the lossy index to an exact one (or sequential) —
-    the planner-side complement of the frac='auto' budget."""
+    """For an index WITHOUT a build-time frac fit (legacy/autofit=False
+    metas), growing n past what the measured (n, recall) curves support
+    must flip the chosen path from the lossy index to an exact one (or
+    sequential) — the planner-side complement of the frac='auto' budget.
+    An index that DOES carry its scale-free frac_curve survives the
+    growth: frac budgets probe frac·n at any n, so the n-decay
+    prediction does not apply (round 7)."""
     # at the measured scale the lossy path is usable under the floor
     ent_n = emb.count()
     curves = ops.catalog.entity("emb")["recall_curves"]
@@ -270,9 +274,28 @@ def test_min_recall_guard_flips_lossy_to_exact_at_scale(ops, emb):
     )
     assert plan_small.path == "ml_ecp"
 
-    # simulate the corpus growing 1000x: predicted recall collapses
+    # simulate the corpus growing 1000x
+    rec = ops.catalog.index("ml_ecp")
+    fitted_meta = dict(rec["meta"])
     ops.catalog.update_entity("emb", tuple_count=ent_n * 1000)
     try:
+        # with the build-time frac_curve present the plan SURVIVES scale
+        # growth (the curve is frac-proportional, not n-anchored) as long
+        # as some measured frac reaches the floor
+        curve_ok = [f for f, r in fitted_meta.get("frac_curve", [])
+                    if r >= measured * 0.9]
+        if curve_ok:
+            plan_fitted = plan_knn(
+                ops.catalog, "emb", "embedding", "euclidean",
+                hints=("ecp", "exact"), k=10, dims=len(Q),
+                min_recall=measured * 0.9,
+            )
+            assert plan_fitted.path == "ml_ecp", plan_fitted.reasons
+
+        # strip the fit → legacy meta → the n-decay prediction applies
+        legacy = {k: v for k, v in fitted_meta.items()
+                  if k not in ("frac_curve", "fitted_frac")}
+        ops.catalog.update_index_fields("ml_ecp", meta=legacy)
         plan_big = plan_knn(
             ops.catalog, "emb", "embedding", "euclidean",
             hints=("ecp", "exact"), k=10, dims=len(Q), min_recall=measured * 0.9,
@@ -286,6 +309,7 @@ def test_min_recall_guard_flips_lossy_to_exact_at_scale(ops, emb):
             hints=("ecp",), k=10, dims=len(Q),
         ).path == "ml_ecp"
     finally:
+        ops.catalog.update_index_fields("ml_ecp", meta=fitted_meta)
         ops.catalog.update_entity("emb", tuple_count=ent_n)
 
 
