@@ -55,6 +55,7 @@ def asof_join(
     suffix: str = "_right",
     num_partitions: int | None = None,
     direction: str = "backward",
+    skew_threshold: int | None = None,
 ) -> DataFrame:
     """For every left row, the matching right row per ``direction`` (per
     ``by`` key when given): left columns plus each requested right column
@@ -84,8 +85,19 @@ def asof_join(
     backward carry), so ``nearest`` costs no extra shuffle.
 
     ``num_partitions`` sizes the range partitioning of the UNKEYED path
-    (defaults to ``spark.sql.shuffle.partitions``); ignored when ``by``
-    is given.
+    (defaults to ``spark.sql.shuffle.partitions``); with ``by`` it sizes
+    the per-hot-key time bucketing of the skew path instead.
+
+    ``skew_threshold`` (keyed only, round 7): keys holding more rows than
+    the threshold are routed through the parallel time-bucketed carry
+    (window partitions become ``(key, time-bucket)``) instead of one
+    window partition per key — a window partition is NOT splittable by
+    AQE skew handling, so a key holding half the corpus would otherwise
+    serialize into a single task.  Costs one map-side-combined count over
+    the union when set; only the detected-heavy NON-NULL keys re-route
+    (a NULL hot key stays on the plain window — filter NULL keys
+    upstream if that is your skew).  ``None`` (default) keeps the single
+    window pass.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
@@ -123,13 +135,28 @@ def asof_join(
     unioned = unioned.withColumn("_ap_pack", pack)
 
     if keyed:
+        hot_vals: list = []
+        if skew_threshold is not None:
+            hot_vals = [
+                r[0]
+                for r in unioned.groupBy(by)
+                .count()
+                .filter(F.col("count") > int(skew_threshold))
+                .select(by)
+                .collect()
+                if r[0] is not None
+            ]
+        plain = unioned
+        if hot_vals:
+            is_hot = F.coalesce(F.col(by).isin(hot_vals), F.lit(False))
+            plain = unioned.filter(~is_hot)
         order = [F.col(time_col).asc(), F.col("_ap_side").asc()]
         w_back = (
             Window.partitionBy(by)
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = unioned.withColumn(
+        out = plain.withColumn(
             "_ap_m", F.last(F.col("_ap_pack"), ignorenulls=True).over(w_back)
         )
         if want_fwd:
@@ -144,6 +171,15 @@ def asof_join(
             out = out.withColumn(
                 "_ap_mf", F.first(F.col("_ap_pack"), ignorenulls=True).over(w_fwd)
             )
+        if hot_vals:
+            # heavy keys: same semantics via the per-key time-bucketed
+            # parallel carry — (key, bucket) window partitions, per-key
+            # boundary carry (see _unkeyed_carry's `by` mode)
+            hot = _unkeyed_carry(
+                unioned.filter(is_hot), time_col, num_partitions, want_fwd, by=by
+            )
+            need = [*unioned.columns, "_ap_m"] + (["_ap_mf"] if want_fwd else [])
+            out = out.select(*need).unionByName(hot.select(*need))
     else:
         out = _unkeyed_carry(unioned, time_col, num_partitions, want_fwd)
 
@@ -192,13 +228,23 @@ def _unkeyed_carry(
     time_col: str,
     num_partitions: int | None,
     want_fwd: bool = False,
+    by: str | None = None,
 ) -> DataFrame:
-    """Parallel forward-carry of ``_ap_pack`` over a globally time-ordered
-    stream WITHOUT a single-partition window: bucket rows into time ranges,
-    carry within each bucket via an ordinary window, then add the boundary
-    carry-in (the last right row of all EARLIER buckets) from a tiny
-    (#buckets)-row broadcast.  The only single-partition work is the
+    """Parallel forward-carry of ``_ap_pack`` over a time-ordered stream
+    WITHOUT a single-partition window: bucket rows into time ranges,
+    carry within each bucket via an ordinary window, then add the
+    boundary carry-in (the last right row of all EARLIER buckets) from a
+    tiny (#buckets)-row broadcast.  The only single-partition work is the
     prefix scan over that boundary table.
+
+    ``by`` (round 7, the as-of SKEW path): the same construction per hot
+    key — window partitions become ``(by, time-bucket)`` so one key
+    holding half the corpus no longer lands in one task (a window
+    partition is NOT splittable by AQE skew handling, unlike a join), and
+    the boundary carry runs per key over a ``#hot_keys × #buckets``-row
+    table.  Callers route only detected-heavy keys here (asof_join
+    ``skew_threshold``); time-bucket boundaries are the GLOBAL quantiles
+    of the routed rows — balance, never correctness, depends on them.
 
     The bucket id is a PURE FUNCTION OF THE ROW'S TIME (approxQuantile
     boundaries baked into the plan as literals), never
@@ -226,10 +272,11 @@ def _unkeyed_carry(
         F.size(F.filter(barr, lambda b: t >= b))
     )
     u = unioned.withColumn("_ap_pid", bucket)
+    part_keys = ([by] if by else []) + ["_ap_pid"]
 
     order = [F.col(time_col).asc(), F.col("_ap_side").asc()]
     w_local = (
-        Window.partitionBy("_ap_pid")
+        Window.partitionBy(*part_keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -238,7 +285,7 @@ def _unkeyed_carry(
     )
     if want_fwd:
         w_local_f = (
-            Window.partitionBy("_ap_pid")
+            Window.partitionBy(*part_keys)
             .orderBy(*order)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
@@ -246,36 +293,44 @@ def _unkeyed_carry(
             "_ap_mf", F.first(F.col("_ap_pack"), ignorenulls=True).over(w_local_f)
         )
 
-    # One row per bucket: its newest (and, for forward, earliest)
+    # One row per (key ×) bucket: its newest (and, for forward, earliest)
     # right-side pack (absent if the bucket holds no right rows).  The
-    # prefix/suffix windows below run on <= p rows.
-    rights = u.filter(F.col("_ap_side") == 0).groupBy("_ap_pid")
+    # prefix/suffix windows below run on ≤ (#hot_keys ×) p rows.
+    rights = u.filter(F.col("_ap_side") == 0).groupBy(*part_keys)
     aggs = [F.max_by("_ap_pack", F.col(time_col)).alias("_ap_last")]
     if want_fwd:
         aggs.append(F.min_by("_ap_pack", F.col(time_col)).alias("_ap_first"))
     per_pid = rights.agg(*aggs)
-    pids = spark.range(len(bounds) + 1).select(F.col("id").cast("int").alias("_ap_pid"))
-    # The prefix/suffix windows below deliberately span ALL rows of this
-    # <= p-row table — partitionBy a constant (and coalesce to 1) to make
-    # the single-partition intent explicit instead of triggering Spark's
-    # "No Partition Defined for Window" warning on every query (verdict
-    # r6 #8: the warning is scary in logs but the table is tiny by
+    pid_frame = spark.range(len(bounds) + 1).select(
+        F.col("id").cast("int").alias("_ap_pid")
+    )
+    if by:
+        # every (key, bucket) row must exist so the carry crosses empty
+        # buckets; hot keys are few by definition, so this stays tiny
+        pid_frame = u.select(by).distinct().crossJoin(pid_frame)
+    # The prefix/suffix windows below deliberately span ALL buckets of a
+    # key — keyed: partitioned by the key; unkeyed: partitionBy a
+    # constant on the coalesced ≤ p-row table, making the single-
+    # partition intent explicit instead of triggering Spark's "No
+    # Partition Defined for Window" warning on every query (verdict r6
+    # #8: the warning is scary in logs but the table is tiny by
     # construction — one row per time bucket).
-    one = F.lit(0)
+    carry_part = [F.col(by)] if by else [F.lit(0)]
     w_carry = (
-        Window.partitionBy(one)
+        Window.partitionBy(*carry_part)
         .orderBy("_ap_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = (
-        pids.join(per_pid, "_ap_pid", "left")
-        .coalesce(1)
-        .withColumn("_ap_carry", F.last("_ap_last", ignorenulls=True).over(w_carry))
+    carry = pid_frame.join(per_pid, part_keys, "left")
+    if not by:
+        carry = carry.coalesce(1)
+    carry = carry.withColumn(
+        "_ap_carry", F.last("_ap_last", ignorenulls=True).over(w_carry)
     )
-    keep_cols = ["_ap_pid", "_ap_carry"]
+    keep_cols = part_keys + ["_ap_carry"]
     if want_fwd:
         w_carry_f = (
-            Window.partitionBy(one)
+            Window.partitionBy(*carry_part)
             .orderBy("_ap_pid")
             .rowsBetween(1, Window.unboundedFollowing)
         )
@@ -283,7 +338,7 @@ def _unkeyed_carry(
             "_ap_carry_f", F.first("_ap_first", ignorenulls=True).over(w_carry_f)
         )
         keep_cols.append("_ap_carry_f")
-    out = local.join(F.broadcast(carry.select(*keep_cols)), "_ap_pid").withColumn(
+    out = local.join(F.broadcast(carry.select(*keep_cols)), part_keys).withColumn(
         "_ap_m", F.coalesce(F.col("_ap_m"), F.col("_ap_carry"))
     )
     if want_fwd:

@@ -1,0 +1,137 @@
+"""Adversarial-skew tests for the shuffle-keyed paths (round-7 verdict
+#4): one as-of ``by`` key / one minhash band bucket holding ~50% of the
+corpus must neither serialize into a single window task nor explode into
+all-pairs output.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.dedup import deduplicate, minhash_dup_pairs
+from adampro_spark.pipeline.temporal import asof_join
+
+
+@pytest.fixture(scope="module")
+def skewed_events(spark):
+    """60% of rows on one key, the rest spread over 50 keys."""
+    rng = np.random.RandomState(3)
+    n_hot, n_cold = 3000, 2000
+    rows = [("HOT", float(t), int(v))
+            for t, v in zip(np.sort(rng.uniform(0, 1e6, n_hot)),
+                            rng.randint(0, 1000, n_hot))]
+    rows += [(f"k{rng.randint(50)}", float(rng.uniform(0, 1e6)),
+              int(rng.randint(0, 1000))) for _ in range(n_cold)]
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(rows)],
+        "lid long, k string, ts double",
+    )
+    # rights: every 5th row becomes a right-side event with a payload
+    right = spark.createDataFrame(
+        [(k, t + 0.25, v) for (k, t, v) in rows[::5]],
+        "k string, ts double, payload long",
+    )
+    return left.cache(), right.cache()
+
+
+def _collect(df, keys=("lid",)):
+    return sorted(
+        (tuple(r[k] for k in keys), r["ts_right"], r["payload"])
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_skew_path_matches_plain(spark, skewed_events, direction):
+    """The hot-key parallel-carry path must produce EXACTLY the plain
+    window path's answer — same matches, same payloads, same NULLs —
+    under a 60%-hot-key corpus, with and without tolerance."""
+    left, right = skewed_events
+    for tol in (None, 1000.0):
+        plain = asof_join(left, right, time_col="ts", by="k",
+                          right_cols=["payload"], direction=direction,
+                          tolerance=tol)
+        skewed = asof_join(left, right, time_col="ts", by="k",
+                           right_cols=["payload"], direction=direction,
+                           tolerance=tol, skew_threshold=500)
+        assert _collect(plain) == _collect(skewed), (direction, tol)
+
+
+def test_asof_skew_path_matches_pandas(spark, skewed_events):
+    """And the skew path agrees with the pandas merge_asof oracle."""
+    left, right = skewed_events
+    got = asof_join(left, right, time_col="ts", by="k",
+                    right_cols=["payload"], skew_threshold=500)
+    lp = left.toPandas().sort_values("ts", kind="stable")
+    rp = right.toPandas().sort_values("ts", kind="stable")
+    want = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                         suffixes=("", "_right"))
+    got_map = {r["lid"]: r["payload"] for r in got.collect()}
+    for _, row in want.iterrows():
+        w = None if pd.isna(row["payload"]) else int(row["payload"])
+        assert got_map[row["lid"]] == w, row["lid"]
+
+
+def test_asof_skew_plan_buckets_the_hot_key(spark, skewed_events):
+    """Plan-shape: with skew_threshold the hot key's window partitions by
+    (key, time-bucket) — the `_ap_pid` bucket column must appear in the
+    physical plan's window spec; without it there is no bucket column."""
+    left, right = skewed_events
+    plain = asof_join(left, right, time_col="ts", by="k", right_cols=["payload"])
+    skewed = asof_join(left, right, time_col="ts", by="k",
+                       right_cols=["payload"], skew_threshold=500)
+    assert "_ap_pid" not in plain._jdf.queryExecution().executedPlan().toString()
+    assert "_ap_pid" in skewed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_skew_bucket_sizes_bounded(spark, skewed_events):
+    """No window partition of the skew path holds more than ~10% of the
+    rows: mirror the implementation's bucketing (global time quantiles at
+    p = shuffle partitions) and measure the largest (key, bucket) group
+    of the hot key."""
+    left, right = skewed_events
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    union = left.select("k", "ts").unionByName(right.select("k", "ts"))
+    total = union.count()
+    qs = sorted(set(union.stat.approxQuantile("ts", [i / p for i in range(1, p)], 0.01)))
+    barr = F.array(*[F.lit(float(b)) for b in qs])
+    bucket = F.size(F.filter(barr, lambda b: F.col("ts") >= b))
+    biggest = (
+        union.filter(F.col("k") == "HOT")
+        .groupBy(bucket.alias("b"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert biggest <= total * 0.10, (biggest, total)
+
+
+def test_minhash_hot_bucket_emits_linear_pairs(spark):
+    """A degenerate bucket holding 50% of the corpus (identical text)
+    must contribute O(B) star pairs, not O(B²): total pair count stays
+    linear in the corpus, and dedup still collapses every copy."""
+    n_dup, n_uniq = 400, 400
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(800)]
+    rows = [(i, "the same boilerplate text repeated everywhere in the corpus")
+            for i in range(n_dup)]
+    rows += [
+        (n_dup + j, " ".join(rng.choice(vocab, size=30)))
+        for j in range(n_uniq)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_dup_pairs(
+        corpus, threshold=0.9, max_bucket_size=64
+    ).persist()
+    n_pairs = pairs.count()
+    # all-pairs over the hot group alone would be 400·399/2 = 79 800;
+    # the star guard caps the group at B-1 = 399 pairs (+ any natural
+    # near-dups among the random docs, which are few)
+    assert n_pairs <= 2 * (n_dup + n_uniq), n_pairs
+    cleaned = deduplicate(corpus, pairs, pk="doc_id")
+    kept = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    # exactly one survivor (the min id) for the planted duplicate group
+    assert kept & set(range(n_dup)) == {0}
+    pairs.unpersist()
