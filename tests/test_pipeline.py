@@ -4,6 +4,8 @@ recall climbs with nprobe."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -781,3 +783,96 @@ def test_knn_join_cosine_zero_norm_parity(spark):
     a = key(knn_join(data, q, "embedding", 1, "cosine", strategy="window"))
     b = key(knn_join(data, q, "embedding", 1, "cosine", strategy="local_topk"))
     assert a == b
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    [
+        "/root/testdata/sf0.01",
+        pytest.param(
+            "/root/testdata/sf0.1",
+            marks=pytest.mark.skipif(
+                os.environ.get("SPARK_GRAFT_SLOW") != "1",
+                reason="quadratic brute force at sf0.1; set SPARK_GRAFT_SLOW=1",
+            ),
+        ),
+    ],
+    ids=["sf0.01", "sf0.1"],
+)
+def test_curate_minhash_composition_vs_brute_force(spark, sf_dir):
+    """VERDICT r6 #7: the bench-only curate(dedup='minhash') composition,
+    verified against an INDEPENDENT pipeline: gates recomputed from the
+    driver-verified text_stats/langid expressions, candidate pairs by
+    brute-force all-pairs shingle-set Jaccard (no banding anywhere), and
+    components by a driver-side union-find — survivors must match
+    exactly.  Runs at sf0.01 always; the sf0.1 variant (the scale the
+    round-6 quadratic-oracle pattern targets) is env-gated and its result
+    recorded in COVERAGE.md."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.text import langid_expr, shingle_hashes, text_stats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    got, report = curate(
+        docs, langs=("en",), min_tokens=20, min_quality=0.2,
+        dedup="minhash", dedup_threshold=0.8,
+    )
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+
+    # independent gate pass: text_stats columns + langid
+    stats = text_stats(docs).join(
+        docs.select("doc_id", langid_expr("text").alias("_lang")), "doc_id"
+    )
+    gate_ids = {
+        r["doc_id"]
+        for r in stats.filter(
+            (F.col("_lang") == "en")
+            & (F.col("n_tokens") >= 20)
+            & (F.col("quality") >= 0.2)
+        ).collect()
+    }
+    assert report["n_after_gates"] == len(gate_ids)
+
+    # brute-force all-pairs exact Jaccard over the gate survivors
+    sh = (
+        docs.join(
+            spark.createDataFrame([(i,) for i in gate_ids], "doc_id long"),
+            "doc_id", "left_semi",
+        )
+        .select("doc_id", F.array_distinct(shingle_hashes("text", 8)).alias("sh"))
+        .persist()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (inter / union).alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    )
+    sh.unpersist()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drops = {x for x in parent if find(x) != x}
+    want_ids = gate_ids - drops
+    assert got_ids == want_ids
+    assert report["n_dup_dropped"] == len(drops)
+    assert report["n_output"] == len(want_ids)
