@@ -220,21 +220,28 @@ def argmin_expr(dists: Column) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def np_distance(q: np.ndarray, X: np.ndarray, distance_name: str) -> np.ndarray:
-    """Driver-side distances from q to each row of X (ranking leaders/refs)."""
-    q = q.astype(np.float64)
-    X = X.astype(np.float64)
+def np_pairwise(S: np.ndarray, R: np.ndarray, distance_name: str) -> np.ndarray:
+    """(len(S) × len(R)) driver-side distance matrix — the single numpy
+    kernel behind both leader/ref ranking (:func:`np_distance`) and the
+    autofit scan simulation (index/autofit.py), so the two can never
+    drift apart on metric conventions (e.g. the zero-norm cosine case)."""
+    S = np.asarray(S, dtype=np.float64)
+    R = np.asarray(R, dtype=np.float64)
     if distance_name == "manhattan":
-        return np.abs(X - q).sum(axis=1)
-    if distance_name == "euclidean":
-        return np.sqrt(((X - q) ** 2).sum(axis=1))
-    if distance_name == "squaredeuclidean":
-        return ((X - q) ** 2).sum(axis=1)
+        return np.abs(S[:, None, :] - R[None, :, :]).sum(axis=2)
+    if distance_name in ("euclidean", "squaredeuclidean"):
+        d2 = ((S[:, None, :] - R[None, :, :]) ** 2).sum(axis=2)
+        return np.sqrt(d2) if distance_name == "euclidean" else d2
     if distance_name == "cosine":
-        nq = np.linalg.norm(q)
-        nx = np.linalg.norm(X, axis=1)
+        ns = np.linalg.norm(S, axis=1)
+        nr = np.linalg.norm(R, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
-            sim = (X @ q) / (nx * nq)
+            sim = (S @ R.T) / (ns[:, None] * nr[None, :])
         sim[~np.isfinite(sim)] = 1.0
         return 1.0 - sim
     raise ValueError(f"unsupported reference distance {distance_name!r}")
+
+
+def np_distance(q: np.ndarray, X: np.ndarray, distance_name: str) -> np.ndarray:
+    """Driver-side distances from q to each row of X (ranking leaders/refs)."""
+    return np_pairwise(X, np.asarray(q, dtype=np.float64)[None, :], distance_name)[:, 0]

@@ -56,7 +56,7 @@ from typing import Any
 
 import numpy as np
 
-from adampro_spark.index._util import DEFAULT_FRAC, np_distance
+from adampro_spark.index._util import DEFAULT_FRAC, np_distance, np_pairwise as _pairwise
 
 # Swept fractions, cheapest first.  DEFAULT_FRAC is always included so
 # the fit can only IMPROVE on the old fixed default, never regress it.
@@ -66,26 +66,6 @@ KNEE_EPS = 0.02     # "as good as the plateau" tolerance
 FIT_K = 20
 MIN_FIT_SAMPLE = 300  # below this, recall estimates are too noisy to trust
 TARGET_POSITIVES = 96  # queries scale so nqueries·k_eff stays near this
-
-
-def _pairwise(S: np.ndarray, R: np.ndarray, distance_name: str) -> np.ndarray:
-    """(len(S) × len(R)) distance matrix for the metrics the clustered
-    indexes support (mirrors _util.ref_dists_expr / np_distance)."""
-    S = S.astype(np.float64)
-    R = R.astype(np.float64)
-    if distance_name == "manhattan":
-        return np.abs(S[:, None, :] - R[None, :, :]).sum(axis=2)
-    if distance_name in ("euclidean", "squaredeuclidean"):
-        d2 = ((S[:, None, :] - R[None, :, :]) ** 2).sum(axis=2)
-        return np.sqrt(d2) if distance_name == "euclidean" else d2
-    if distance_name == "cosine":
-        ns = np.linalg.norm(S, axis=1)
-        nr = np.linalg.norm(R, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sim = (S @ R.T) / (ns[:, None] * nr[None, :])
-        sim[~np.isfinite(sim)] = 1.0
-        return 1.0 - sim
-    raise ValueError(f"unsupported distance {distance_name!r}")
 
 
 def _rank_rows(scores: np.ndarray) -> np.ndarray:
@@ -276,7 +256,12 @@ def autofit_meta(
     per_frac: dict[float, list[float]] = {f: [] for f in budgets}
     for qi in qidx:
         q = S[qi]
-        truth = set(_rank_rows(np_distance(q, S, distance_name))[:k_eff].tolist())
+        # ground truth EXCLUDES the query row itself: every scan trivially
+        # admits its own row (own cell / ADC rank 0), so including it
+        # floors measured recall at ~1/k_eff exactly when k_eff is small
+        # (large n/m) and fits cheaper fracs than the corpus justifies
+        ranked = _rank_rows(np_distance(q, S, distance_name))
+        truth = set(ranked[ranked != qi][:k_eff].tolist())
         qstate = sim.query_state(q)
         for f, b in budgets.items():
             cands = set(sim.admit(qstate, b).tolist())
@@ -286,14 +271,12 @@ def autofit_meta(
 
     curve = [[f, round(float(np.mean(rs)), 4)] for f, rs in sorted(per_frac.items())]
     plateau = curve[-1][1]
-    fitted = None
-    for f, r in curve:
-        if r >= target or r >= plateau - KNEE_EPS:
-            fitted = f
-            break
+    # the knee clause always fires by the last swept frac (r >= plateau),
+    # so `fitted` is always one of the MEASURED points — never a value
+    # outside the sweep (an earlier draft clamped to DEFAULT_FRAC, which
+    # persisted an unmeasured budget when the caller swept only larger
+    # fractions)
+    fitted = next(f for f, r in curve if r >= target or r >= plateau - KNEE_EPS)
     meta["frac_curve"] = curve
-    # never fit ABOVE the old fixed default — the fit exists to probe less
-    meta["fitted_frac"] = min(
-        fitted if fitted is not None else DEFAULT_FRAC, DEFAULT_FRAC
-    )
+    meta["fitted_frac"] = fitted
     return meta

@@ -55,6 +55,7 @@ def build_ecp(
     """
     from adampro_spark.index._util import attach_lut
 
+    df = df.filter(F.col(vector_col).isNotNull())  # NULL vectors: no cell
     n = df.count()
     nl = min(max(nleaders or int(np.sqrt(n)), 2), MAX_LEADERS)
     leaders = sample_matrix(df, vector_col, nl, seed, pk=pk)[:nl]

@@ -129,9 +129,13 @@ def build_ivfpq(
         "codebooks": [cb.tolist() for cb in codebooks],
     }
     if autofit:
+        # fit on an INDEPENDENT sample (seed+7): the residual codebooks
+        # were trained on `train`, so measuring recall there biases
+        # optimistic
         from adampro_spark.index.autofit import autofit_meta
 
-        autofit_meta("ivfpq", meta, train)
+        fit_sample = sample_matrix(df, vector_col, 1000, seed + 7, pk=pk)
+        autofit_meta("ivfpq", meta, fit_sample)
     return indexed, meta
 
 

@@ -45,6 +45,7 @@ def build_mi(
     seed: int = 42,
     autofit: bool = True,
 ) -> tuple[DataFrame, dict[str, Any]]:
+    df = df.filter(F.col(vector_col).isNotNull())  # NULL vectors: no feature
     n = df.count()
     nr = min(nrefs or min(MAX_REFS, int(np.ceil(2 * np.sqrt(n)))), MAX_REFS)
     refs = sample_matrix(df, vector_col, nr, seed, pk=pk)[:nr]

@@ -47,6 +47,7 @@ def build_pq(
     seed: int = 42,
     autofit: bool = True,
 ) -> tuple[DataFrame, dict[str, Any]]:
+    df = df.filter(F.col(vector_col).isNotNull())  # NULL vectors: no codes
     first = df.select(vector_col).first()
     dim = len(first[0])
     n_rows = df.count()  # lets frac= scans size their budget without a job
@@ -99,9 +100,13 @@ def build_pq(
         "codebooks": [cb.tolist() for cb in codebooks],
     }
     if autofit:
+        # fit on an INDEPENDENT sample (seed+7): the k-means codebooks
+        # minimize quantization error on the training rows, so measuring
+        # recall on those same rows would bias the curve optimistic
         from adampro_spark.index.autofit import autofit_meta
 
-        autofit_meta("pq", meta, sample)
+        fit_sample = sample_matrix(df, vector_col, 1000, seed + 7, pk=pk)
+        autofit_meta("pq", meta, fit_sample)
     return indexed, meta
 
 
@@ -145,7 +150,14 @@ def scan_pq(
     from adampro_spark.index._util import attach_lut, candidate_budget
 
     pk = meta["pk"]
-    want = candidate_budget(times_k, k, frac, meta, index_df)
+    # the build-time fitted fraction was measured under p=2 ADC ranking
+    # (autofit.py); a different Minkowski power reorders candidates, so
+    # its budget falls back to the conservative default rather than
+    # trusting a curve that was never measured for it
+    budget_meta = (
+        meta if p == 2.0 else {k_: v for k_, v in meta.items() if k_ != "fitted_frac"}
+    )
+    want = candidate_budget(times_k, k, frac, budget_meta, index_df)
     df = index_df
     if prefilter is not None:
         df = df.join(prefilter.select(pk), on=pk, how="left_semi")

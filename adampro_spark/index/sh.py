@@ -120,9 +120,12 @@ def build_sh(
     sig_udf = F.pandas_udf(_sig, T.ArrayType(T.IntegerType()))
     indexed = df.select(pk, sig_udf(F.col(vector_col)).alias(FEATURE_COL))
     if autofit:
+        # fit on an INDEPENDENT sample (seed+7): the eigenfunctions were
+        # trained on `sample`, so measuring recall there biases optimistic
         from adampro_spark.index.autofit import autofit_meta
 
-        autofit_meta("sh", meta, sample)
+        fit_sample = sample_matrix(df, vector_col, 1000, seed + 7, pk=pk)
+        autofit_meta("sh", meta, fit_sample)
     return indexed, meta
 
 

@@ -988,10 +988,14 @@ def _dml_query(spark: SparkSession, sf: str) -> DataFrame:
         url=f"jdbc:derby:{derby};create=true", dbtable="DML_T",
         driver="org.apache.derby.jdbc.EmbeddedDriver",
     )
-    assert ops.catalog.entity("t")["storage"]["handler"] == "jdbc"
+    # explicit raises, not asserts (stripped under -O): these are the only
+    # guard that n_jdbc was really counted THROUGH the JDBC handler
+    if ops.catalog.entity("t").get("storage", {}).get("handler") != "jdbc":
+        raise RuntimeError("transfer to jdbc did not flip the storage flag")
     n_jdbc = ops.entity.count("t")
     ops.entity.transfer("t", "parquet")
-    assert not ops.catalog.entity("t").get("storage")
+    if ops.catalog.entity("t").get("storage"):
+        raise RuntimeError("transfer back to parquet left the storage flag set")
     n_back = ops.entity.count("t")
     return spark.createDataFrame(
         [(n_inserted, n_removed, n_after, n_jdbc, n_back)],

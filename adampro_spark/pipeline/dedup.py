@@ -390,9 +390,9 @@ def dup_groups(
         Rounds = graph diameter; CHEAPEST per round, the right tool for
         the dense low-diameter clusters near-dup banding produces (2-4
         rounds in practice) — but on an adversarial high-diameter chain
-        it needs diameter rounds and, worse, used to hit
-        ``max_iterations`` and return silently WRONG labels (measured: a
-        64-chain at the old default cap).
+        it needs diameter rounds; it used to hit ``max_iterations`` and
+        return silently WRONG labels (measured: a 64-chain at the old
+        default cap) and now RAISES at the cap instead.
       * ``"star"`` — large-star/small-star alternation (Kiveris et al.,
         "Connected Components in MapReduce and Beyond", SoCC 2014): each
         round REWIRES edges toward the component minimum instead of
@@ -463,7 +463,7 @@ def dup_groups(
         edges.unpersist()
         return out
 
-    budget = ESCAPE_ROUNDS if algorithm == "auto" else max_iterations
+    budget = min(ESCAPE_ROUNDS, max_iterations) if algorithm == "auto" else max_iterations
     converged = False
     labels = ckpt(labels)
     rounds = 0
@@ -503,6 +503,16 @@ def dup_groups(
             _stats["algorithm"] = "auto->star"
         edges.unpersist()
         return out
+    if not converged:
+        # explicit propagate hit the cap: labels are WRONG for any
+        # component wider than the round budget — refuse loudly (the old
+        # behavior returned them silently; review r7)
+        edges.unpersist()
+        raise RuntimeError(
+            f"dup_groups(algorithm='propagate') did not converge in "
+            f"{max_iterations} rounds — the graph's diameter exceeds the "
+            f"budget; use algorithm='auto'/'star' or raise max_iterations"
+        )
     if _stats is not None:
         _stats.update({"rounds": rounds, "algorithm": "propagate"})
     edges.unpersist()
@@ -536,7 +546,10 @@ def _star_components(
     )
     n_prev = e.count()
     rounds = 0
+    converged = n_prev == 0
     for _ in range(max_iterations):
+        if converged:
+            break
         rounds += 1
         # large-star over the symmetric view
         s = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -561,8 +574,14 @@ def _star_components(
         n_new = e2.count()
         if n_new == n_prev and e2.exceptAll(e).limit(1).count() == 0:
             e = e2
+            converged = True
             break
         e, n_prev = e2, n_new
+    if not converged:
+        raise RuntimeError(
+            f"star components did not converge in {max_iterations} rounds "
+            f"(O(log²) expected — this indicates a bug or an absurd cap)"
+        )
     if _stats is not None:
         _stats.update({"rounds": rounds, "algorithm": "star"})
     # stars: every non-root node carries exactly one (node, root) edge;

@@ -325,6 +325,11 @@ def decode_png(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
     recon = np.zeros((h, stride), dtype=np.int32)
     for y in range(h):
         ft = int(ftypes[y])
+        if ft > 4:
+            # reject loudly — silently treating an invalid byte as Paeth
+            # would hand garbage pixels to extract_features as a "valid"
+            # decode
+            raise ValueError(f"invalid PNG filter type {ft} on row {y}")
         cur = rows[y, 1:].astype(np.int32)
         up = recon[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
         if ft == 0:

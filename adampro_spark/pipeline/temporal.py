@@ -101,6 +101,12 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
+    # A right row with NULL time can never satisfy the as-of inequality
+    # (DuckDB ASOF / pandas merge_asof semantics) — drop it up front so
+    # every path (plain window, unkeyed carry, hot-key skew carry) agrees;
+    # the carry aggregations (max_by/min_by on time) would otherwise
+    # treat it differently from the window's last(ignorenulls).
+    right = right.filter(F.col(time_col).isNotNull())
     rcols = right_cols or [
         c for c in right.columns if c not in (time_col, by)
     ]

@@ -362,3 +362,28 @@ def test_ivfpq_build_ignores_null_vectors(spark):
     idx, meta = build_ivfpq(emb.unionByName(nulls), "embedding", pk="vec_id")
     assert idx.count() == 200  # NULL rows dropped, not crashed
     assert meta["n"] == 200
+
+
+def test_all_lossy_builds_ignore_null_vectors(spark):
+    """Review r7: the NULL-vector guard must cover EVERY lossy build, not
+    just ivfpq/lsh/sh — a NULL row crashed pq (np.stack), ecp (NULL cell
+    in the counts dict), and mi."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.index import (
+        build_ecp, build_ivfpq, build_lsh, build_mi, build_pq, build_sh,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    nulls = spark.range(5).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    corpus = emb.unionByName(nulls)
+    for build in (build_ecp, build_pq, build_mi, build_lsh, build_sh, build_ivfpq):
+        idx, _meta = build(corpus, "embedding", pk="vec_id")
+        assert idx.count() == 200, build.__name__

@@ -299,7 +299,12 @@ def test_extract_features_real_wav_end_to_end(spark):
 def test_decode_media_unknown_magic_raises():
     from adampro_spark.pipeline.multimodal import decode_media
 
+    # JPEG has no stdlib codec — still an honest NotImplementedError
     with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0truncated-jpeg", 2, 2)
+    # PNG magic now routes to the real decoder, which must reject a
+    # malformed body loudly rather than return garbage
+    with pytest.raises(Exception):
         decode_media(b"\x89PNG\r\n\x1a\nxxxx", 2, 2)
 
 
@@ -546,3 +551,25 @@ def test_extract_features_real_png_end_to_end(spark):
         bands = np.array_split(img.astype(np.float64).ravel(), 4)
         want = [np.float32(b.mean() / 255.0) for b in bands]
         assert got[i] == pytest.approx(want), i
+
+
+def test_png_invalid_filter_byte_raises():
+    """Review r7: an invalid per-row filter byte (5-255) must raise, not
+    silently decode as Paeth garbage."""
+    import zlib
+
+    import numpy as np
+
+    from adampro_spark.pipeline.multimodal import decode_png, encode_png
+
+    blob = bytearray(encode_png(np.zeros((2, 3), dtype=np.uint8)))
+    # rebuild the IDAT with a corrupt filter byte on row 0
+    raw = bytearray(b"\x05" + b"\x00" * 3 + b"\x00" + b"\x00" * 3)
+    comp = zlib.compress(bytes(raw))
+    # splice: keep signature+IHDR (8 + 25 bytes), rewrite IDAT+IEND
+    from adampro_spark.pipeline.multimodal import _png_chunk
+
+    head = bytes(blob[: 8 + 25])
+    bad = head + _png_chunk(b"IDAT", comp) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="filter type 5"):
+        decode_png(bad)

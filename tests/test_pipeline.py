@@ -876,3 +876,16 @@ def test_curate_minhash_composition_vs_brute_force(spark, sf_dir):
     assert got_ids == want_ids
     assert report["n_dup_dropped"] == len(drops)
     assert report["n_output"] == len(want_ids)
+
+
+def test_dup_groups_propagate_raises_at_cap_instead_of_mislabeling(spark):
+    """Review r7: explicit propagation that exhausts max_iterations used
+    to return silently wrong labels for the far end of a chain — it must
+    refuse loudly now."""
+    from adampro_spark.pipeline.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_groups(pairs, algorithm="propagate").collect()

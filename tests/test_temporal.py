@@ -349,3 +349,29 @@ def test_asof_join_randomized_vs_pandas_merge_asof(spark):
                 for _, row in want_df.iterrows()
             }
             assert got == want, f"iter={it} by={by} tol={tol} dir={direction}"
+
+
+def test_asof_null_time_rights_never_match(spark):
+    """DuckDB ASOF / pandas semantics: a right row with NULL time cannot
+    satisfy the inequality — all paths (plain keyed, skew carry, unkeyed)
+    must agree it matches nothing (review r7: the carry aggregations
+    treated NULL-time rights differently from the plain window)."""
+    from adampro_spark.pipeline.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(i, "K", float(i)) for i in range(10)], "lid long, k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("K", None, 111), ("K", 4.5, 222)], "k string, ts double, payload long"
+    )
+    for kw in ({}, {"skew_threshold": 1}):
+        got = {r["lid"]: r["payload"]
+               for r in asof_join(left, right, time_col="ts", by="k",
+                                  right_cols=["payload"], **kw).collect()}
+        want = {i: (222 if i >= 5 else None) for i in range(10)}
+        assert got == want, kw
+    # unkeyed path agrees
+    got_u = {r["lid"]: r["payload"]
+             for r in asof_join(left.drop("k"), right.drop("k"),
+                                time_col="ts", right_cols=["payload"]).collect()}
+    assert got_u == {i: (222 if i >= 5 else None) for i in range(10)}
