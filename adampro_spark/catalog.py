@@ -33,10 +33,23 @@ class Catalog:
             return json.load(f)
 
     def _write(self, data: dict[str, Any]) -> None:
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(data, f, indent=1, default=_jsonify)
-        os.replace(tmp, self.path)
+        # unique tmp per writer: a FIXED tmp name let two PROCESSES (the
+        # in-process lock can't see them) interleave writes into the same
+        # file and then atomically rename torn JSON over the catalog
+        # (observed: bench + plan_audit sharing a scratch catalog)
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.base, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(data, f, indent=1, default=_jsonify)
+            os.replace(tmp, self.path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     # -- entities ----------------------------------------------------------
     def create_entity(self, name: str, attributes: list[dict[str, str]]) -> None:

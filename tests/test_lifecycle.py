@@ -503,3 +503,40 @@ def test_sparsify_second_attribute_preserves_first(spark, tmp_path):
     row = o.entity.get("sp2").df().collect()[0]
     assert list(row["a"]) == [1.0, 0.0, 2.0]
     assert list(row["b"]) == [0.0, 5.0, 0.0]
+
+
+def test_catalog_concurrent_process_writes_never_tear(tmp_path):
+    """Review r7: the fixed '.tmp' scratch name let two PROCESSES (the
+    in-process lock cannot serialize them) interleave writes into the
+    same temp file and rename torn JSON over the catalog.  Updates may
+    race (last-write-wins is accepted for scratch catalogs), but the
+    file must ALWAYS remain parseable."""
+    import json
+    import multiprocessing as mp
+
+    from adampro_spark.catalog import Catalog
+
+    base = str(tmp_path / "ccat")
+    cat = Catalog(base)
+    cat.create_entity("e", [{"name": "x", "type": "long"}])
+
+    def hammer(seed: int) -> None:
+        import random
+
+        from adampro_spark.catalog import Catalog as C
+
+        c = C(base)
+        rng = random.Random(seed)
+        for i in range(60):
+            # large-ish payload so writes take long enough to overlap
+            c.update_entity("e", blob=[rng.random() for _ in range(2000)], v=i)
+
+    procs = [mp.Process(target=hammer, args=(s,)) for s in range(4)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    assert all(p.exitcode == 0 for p in procs)
+    with open(cat.path) as f:
+        data = json.load(f)  # must never be torn
+    assert "e" in data["entities"]
