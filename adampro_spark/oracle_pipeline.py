@@ -125,17 +125,44 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
 
 _register(
     "text_stats",
-    lambda spark, sf: text_stats(_docs(spark, sf)),
+    # repetition=True: the four Gopher-style repetition signals ride the
+    # same one-pass projection (round 7) — mirrored below with DuckDB
+    # list lambdas + a per-doc top-bigram window
+    lambda spark, sf: text_stats(_docs(spark, sf), repetition=True),
     f"""
-    SELECT doc_id,
-      length(text)::BIGINT AS n_chars_obs,
-      len(toks)::BIGINT AS n_tokens,
-      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
-      {_round_sql("CASE WHEN len(toks) > 0 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b) / len(toks) ELSE 0.0 END")} AS avg_token_len,
-      {_round_sql("CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END")} AS alnum_ratio,
-      {_round_sql(f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains({list(QUALITY_STOPWORDS)}, t))) / len(toks) ELSE 0.0 END")} AS stopword_ratio,
-      {_round_sql("(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END) * least(len(toks) / 20.0, 1.0)")} AS quality
-    FROM (SELECT doc_id, text, {_TOKS.format(t='text')} AS toks FROM documents)
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS.format(t='text')} AS toks,
+             list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls,
+             list_transform(
+               generate_series(1, greatest(len({_TOKS.format(t='text')}) - 1, 1)),
+               i -> array_to_string(list_slice({_TOKS.format(t='text')}, i, i + 1), ' ')) AS g2,
+             list_transform(
+               generate_series(1, greatest(len({_TOKS.format(t='text')}) - 4, 1)),
+               i -> array_to_string(list_slice({_TOKS.format(t='text')}, i, i + 4), ' ')) AS g5
+      FROM documents
+    ),
+    top2 AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT doc_id, gram, count(*) AS cnt,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM base)
+        GROUP BY doc_id, gram
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id,
+      length(b.text)::BIGINT AS n_chars_obs,
+      len(b.toks)::BIGINT AS n_tokens,
+      len(regexp_extract_all(b.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+      {_round_sql("CASE WHEN len(b.toks) > 0 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(b.toks, t -> length(t)::BIGINT)), (a, b2) -> a + b2) / len(b.toks) ELSE 0.0 END")} AS avg_token_len,
+      {_round_sql("CASE WHEN length(b.text) > 0 THEN length(regexp_replace(b.text, '[^a-zA-Z0-9 ]', '', 'g')) / length(b.text) ELSE 0.0 END")} AS alnum_ratio,
+      {_round_sql(f"CASE WHEN len(b.toks) > 0 THEN len(list_filter(b.toks, t -> list_contains({list(QUALITY_STOPWORDS)}, t))) / len(b.toks) ELSE 0.0 END")} AS stopword_ratio,
+      {_round_sql("(CASE WHEN length(b.text) > 0 THEN length(regexp_replace(b.text, '[^a-zA-Z0-9 ]', '', 'g')) / length(b.text) ELSE 0.0 END) * least(len(b.toks) / 20.0, 1.0)")} AS quality,
+      {_round_sql("CASE WHEN len(b.ls) > 0 THEN 1.0 - len(list_distinct(b.ls)) / len(b.ls) ELSE 0.0 END")} AS dup_line_frac,
+      {_round_sql("CASE WHEN coalesce(list_sum(list_transform(b.ls, x -> length(x))), 0) > 0 THEN coalesce(list_sum(list_transform(b.ls, ln -> CASE WHEN len(list_filter(b.ls, x -> x = ln)) > 1 THEN length(ln) ELSE 0 END)), 0) / list_sum(list_transform(b.ls, x -> length(x))) ELSE 0.0 END")} AS dup_line_char_frac,
+      {_round_sql("CASE WHEN length(b.text) > 0 THEN least(t2.cnt * length(t2.gram) / length(b.text), 1.0) ELSE 0.0 END")} AS top_2gram_char_frac,
+      {_round_sql("CASE WHEN len(b.g5) > 0 THEN 1.0 - len(list_distinct(b.g5)) / len(b.g5) ELSE 0.0 END")} AS dup_5gram_frac
+    FROM base b JOIN top2 t2 USING (doc_id)
     """,
 )
 
@@ -776,3 +803,26 @@ def _split_sample_corpus(spark, sf):
 BENCH_ONLY["pipeline_decontaminate"] = _decontaminate_corpus
 BENCH_ONLY["pipeline_pack"] = _pack_corpus
 BENCH_ONLY["pipeline_split_sample"] = _split_sample_corpus
+
+
+def _scrub_corpus(spark, sf):
+    """PII scrub + repetition stats over the corpus in one map-only pass
+    (round 7): redact every category, then aggregate the detection count
+    and the post-redaction byte volume — the throughput shape of a
+    production scrubbing stage."""
+    from adampro_spark.pipeline.scrub import redact_pii
+    from adampro_spark.pipeline.text import repetition_exprs
+
+    red = redact_pii(_docs(spark, sf).select("doc_id", "text"))
+    rep = repetition_exprs("text")
+    return red.select(
+        "pii_redacted", F.length("text").alias("n"),
+        *[c.alias(nm) for nm, c in rep.items()],
+    ).agg(
+        F.sum("pii_redacted").alias("pii_total"),
+        F.sum("n").alias("bytes_out"),
+        F.sum(list(rep)[0]).alias("rep_mass"),
+    )
+
+
+BENCH_ONLY["pipeline_scrub"] = _scrub_corpus

@@ -41,3 +41,13 @@ from adampro_spark.pipeline.temporal import asof_join, range_join  # noqa: F401
 from adampro_spark.pipeline.profile import profile  # noqa: F401
 from adampro_spark.pipeline.simjoin import knn_join, ivf_knn_join  # noqa: F401
 from adampro_spark.pipeline.text import bpe_token_count  # noqa: F401
+from adampro_spark.pipeline.text import (  # noqa: F401
+    repetition_exprs,
+    repetition_stats,
+)
+from adampro_spark.pipeline.scrub import (  # noqa: F401
+    PII_PATTERNS,
+    pii_stats,
+    redact_expr,
+    redact_pii,
+)

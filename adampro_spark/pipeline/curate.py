@@ -72,6 +72,9 @@ def curate(
     min_tokens: int = 20,
     min_quality: float = 0.3,
     max_chars: int | None = None,
+    max_dup_line_frac: float | None = None,
+    max_top_2gram_char_frac: float | None = None,
+    redact: Sequence[str] | bool | None = None,
     dedup: str | None = "minhash",
     dedup_threshold: float | None = None,
     stage_timings: dict[str, float] | None = None,
@@ -104,6 +107,19 @@ def curate(
     common low-dup-rate case), or None; survivors keep each duplicate
     group's min-pk member (:func:`deduplicate`).
 
+    ``max_dup_line_frac`` / ``max_top_2gram_char_frac`` (round 7) —
+    Gopher-style repetition ceilings (text.repetition_exprs): documents
+    whose duplicate-line fraction or top-bigram character coverage
+    exceeds the ceiling fail a ``_rep_ok`` gate computed in the SAME
+    one-scan pass; the report gains ``n_repetitive``.  ``None`` (default)
+    disables each.
+
+    ``redact`` (round 7) — PII scrubbing BEFORE the gates: ``True`` for
+    every category in scrub.PII_PATTERNS or a sequence of category
+    names; the surviving corpus carries the redacted text and the report
+    gains ``n_pii_docs`` (documents with ≥1 detected match).  Rides the
+    same projection — zero extra scans.
+
     ``extra_gates`` — extra boolean flag expressions merged into the
     SAME one-scan gate pass (name → Column; name must start with ``_``
     by convention, e.g. ``{"_ml_ok": quality_score_expr(w) < 0.5}`` to
@@ -118,12 +134,46 @@ def curate(
     """
     import time
 
+    pii_docs_col = None
+    if redact:
+        from adampro_spark.pipeline.scrub import (
+            PII_PATTERNS, pii_count_expr, redact_expr,
+        )
+
+        cats = list(PII_PATTERNS) if redact is True else list(redact)
+        total = None
+        for c in cats:
+            n = pii_count_expr(text_col, c)
+            total = n if total is None else total + n
+        # count on the ORIGINAL text, rewrite in the same projection
+        df = df.withColumn("_ap_pii_n", total).withColumn(
+            text_col, redact_expr(text_col, cats)
+        )
+        pii_docs_col = F.sum((F.col("_ap_pii_n") > 0).cast("long")).alias(
+            "pii_docs"
+        )
+
     flags = dict(
         gate_flags(
             text_col, langs=langs, min_tokens=min_tokens,
             min_quality=min_quality, max_chars=max_chars,
         )
     )
+    if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
+        from adampro_spark.pipeline.text import repetition_exprs
+
+        rep = repetition_exprs(text_col)
+        rep_ok = F.lit(True)
+        if max_dup_line_frac is not None:
+            rep_ok = rep_ok & (
+                rep["dup_line_frac"] <= F.lit(float(max_dup_line_frac))
+            )
+        if max_top_2gram_char_frac is not None:
+            rep_ok = rep_ok & (
+                rep["top_2gram_char_frac"]
+                <= F.lit(float(max_top_2gram_char_frac))
+            )
+        flags["_rep_ok"] = rep_ok
     extras = dict(extra_gates or {})
     clash = set(extras) & set(flags)
     if clash:
@@ -145,7 +195,11 @@ def curate(
         F.sum((~F.col("_cap_ok")).cast("long")).alias("too_long"),
         F.sum((~F.col("_q_ok")).cast("long")).alias("low_q"),
         F.sum(all_ok.cast("long")).alias("kept"),
-    ] + [
+    ] + (
+        [F.sum((~F.col("_rep_ok")).cast("long")).alias("rep_fail")]
+        if "_rep_ok" in flags
+        else []
+    ) + ([pii_docs_col] if pii_docs_col is not None else []) + [
         # extra gates ride the SAME one-pass aggregate — adding a gate
         # (e.g. a learned quality score) costs zero extra scans
         F.sum((~F.col(name)).cast("long")).alias(f"x_{name}")
@@ -156,6 +210,8 @@ def curate(
         stage_timings["gates_sec"] = round(time.perf_counter() - t0, 3)
 
     kept = flagged.filter(all_ok).drop(*flags.keys())
+    if pii_docs_col is not None:
+        kept = kept.drop("_ap_pii_n")
 
     if dedup is None:
         if dedup_threshold is not None:
@@ -217,6 +273,10 @@ def curate(
         "n_dup_dropped": int(agg["kept"]) - n_out,
         "n_output": n_out,
     }
+    if "_rep_ok" in flags:
+        report["n_repetitive"] = int(agg["rep_fail"])
+    if pii_docs_col is not None:
+        report["n_pii_docs"] = int(agg["pii_docs"])
     for name in extras:
         report[f"n_fail{name}"] = int(agg[f"x_{name}"])
     return out, report

@@ -1,0 +1,128 @@
+"""PII detection and redaction — the scrubbing stage every public
+LLM-corpus pipeline runs before training (C4/RefinedWeb/Dolma all ship a
+regex-PII pass; the reference engine predates the use case).
+
+Spark-first shape: detection is ``regexp_count`` per category and
+redaction is a chained ``regexp_replace`` — both plain codegen column
+expressions, so a 100 TB corpus scrubs in ONE map-only projection with
+full column pruning and zero Python.  Patterns deliberately avoid
+lookaround and other Java-regex-only constructs so the same pattern
+strings run verbatim under RE2-family engines (DuckDB mirrors them in
+tests) — portability over cleverness, exactly like
+``text.BPE_TOKEN_PATTERN``.
+
+Precision note: regex PII detection is a RECALL tool (catch the obvious
+formats cheaply at scale), not a guarantee — the category list is
+conservative (emails, IPv4, US-style phone/SSN, 16-digit card shapes)
+to keep false positives low on prose.  A deployment layering an ML
+detector plugs into the same column surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# category -> (pattern, replacement token).  Order matters for redaction:
+# more specific patterns run first (an SSN would otherwise be half-eaten
+# by the phone pattern).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    ),
+    "ssn": (
+        r"\b\d{3}-\d{2}-\d{4}\b",
+        "[SSN]",
+    ),
+    "credit_card": (
+        r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+        "[CARD]",
+    ),
+    "phone": (
+        r"\b\+?1?[-. ]?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+        "[PHONE]",
+    ),
+    "ipv4": (
+        r"\b(\d{1,3}\.){3}\d{1,3}\b",
+        "[IP]",
+    ),
+}
+
+
+def _cats(categories: Sequence[str] | None) -> list[str]:
+    cats = list(categories) if categories is not None else list(PII_PATTERNS)
+    unknown = [c for c in cats if c not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(
+            f"unknown PII categories {unknown} (known: {sorted(PII_PATTERNS)})"
+        )
+    return cats
+
+
+def pii_count_expr(text: str | Column, category: str) -> Column:
+    """Match count for one category — a single ``regexp_count``."""
+    pattern, _ = PII_PATTERNS[category]
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(pattern)).cast("long")
+
+
+def pii_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    categories: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-document PII match counts: ``(pk, pii_<category>…, pii_total)``
+    in one map-only projection — feed ``pii_total > 0`` to a curation
+    gate, or aggregate for a corpus audit."""
+    cats = _cats(categories)
+    counts = [
+        pii_count_expr(text_col, c).alias(f"pii_{c}") for c in cats
+    ]
+    out = df.select(F.col(pk), *counts)
+    total = None
+    for c in cats:
+        col = F.col(f"pii_{c}")
+        total = col if total is None else total + col
+    return out.withColumn("pii_total", total)
+
+
+def redact_expr(
+    text: str | Column, categories: Sequence[str] | None = None
+) -> Column:
+    """The redacted text as ONE chained regexp_replace expression —
+    composable into any projection (curate's one-scan gate pass uses it
+    via ``redact=``)."""
+    col = F.col(text) if isinstance(text, str) else text
+    for c in _cats(categories):
+        pattern, token = PII_PATTERNS[c]
+        col = F.regexp_replace(col, pattern, token)
+    return col
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    categories: Sequence[str] | None = None,
+    keep_counts: bool = True,
+) -> DataFrame:
+    """Replace PII matches with their category tokens, in place: the
+    output keeps every input column with ``text_col`` rewritten, plus
+    (``keep_counts``) a ``pii_redacted`` count of replacements — all in
+    the same single projection."""
+    cats = _cats(categories)
+    out = df
+    if keep_counts:
+        # count on the ORIGINAL text (counting replacement tokens in the
+        # output would miscount documents that already contain the
+        # literal token strings)
+        total = None
+        for c in cats:
+            n = pii_count_expr(text_col, c)
+            total = n if total is None else total + n
+        out = out.withColumn("pii_redacted", total)
+    return out.withColumn(text_col, redact_expr(text_col, cats))

@@ -130,7 +130,8 @@ def langid_expr(text: str | Column) -> Column:
 
 
 def text_stats(
-    df: DataFrame, text_col: str = "text", pk: str = "doc_id"
+    df: DataFrame, text_col: str = "text", pk: str = "doc_id",
+    repetition: bool = False,
 ) -> DataFrame:
     """Per-document quality statistics, one projection pass:
 
@@ -142,6 +143,10 @@ def text_stats(
 
     All ratios are plain column arithmetic; a 100 TB corpus runs this as
     one codegen'd map-only stage with full column pruning.
+
+    ``repetition=True`` appends the four Gopher-style repetition signals
+    (:func:`repetition_exprs`) to the SAME single projection — no extra
+    pass, no join.
     """
     toks = tokens_expr(text_col)
     n_chars = F.length(F.col(text_col)).cast("long")
@@ -162,7 +167,7 @@ def text_stats(
         lambda a, x: a + x,
     )
     avg_tok = F.when(n_tokens > 0, tok_chars / n_tokens).otherwise(F.lit(0.0))
-    return df.select(
+    cols = [
         F.col(pk),
         n_chars.alias("n_chars_obs"),
         n_tokens.alias("n_tokens"),
@@ -171,4 +176,101 @@ def text_stats(
         F.round(alnum_ratio, 4).alias("alnum_ratio"),
         F.round(stopword_ratio, 4).alias("stopword_ratio"),
         F.round(quality, 4).alias("quality"),
+    ]
+    if repetition:
+        cols += [c.alias(n) for n, c in repetition_exprs(text_col).items()]
+    return df.select(*cols)
+
+
+def repetition_exprs(text_col: str = "text") -> dict[str, "Column"]:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training Gopher",
+    table A1 quality rules) as PURE COLUMN EXPRESSIONS — composable into
+    any projection (text_stats ``repetition=True`` rides them in its one
+    map-only pass; curate gates use them via ``extra_gates``):
+
+    * ``dup_line_frac`` — fraction of non-empty lines that are repeats
+      of another line (1 − distinct/total);
+    * ``dup_line_char_frac`` — characters inside lines that occur more
+      than once / characters inside all non-empty lines;
+    * ``top_2gram_char_frac`` — characters covered by the most frequent
+      word bigram (count × gram length / doc length, clamped to 1.0;
+      ties break to the lexicographically smallest gram);
+    * ``dup_5gram_frac`` — fraction of word 5-gram occurrences that are
+      repeats (1 − distinct/total; a simplification of Gopher's
+      char-coverage variant, documented deviation).
+
+    The top-bigram is a sort + run-length fold over the gram array
+    (O(G log G) per row, no shuffle) — NOT a per-gram recount (O(G²)
+    interpreted lambda evals).  All four land in [0, 1]; junk pages
+    (boilerplate, templating, keyword stuffing) score high, prose low.
+    """
+    t = _c(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda ln: F.length(ln) > 0)
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln)
     )
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda a, ln: a
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == ln)) > 1,
+            F.length(ln).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    dup_line_char_frac = F.when(
+        line_chars > 0, dup_chars / line_chars
+    ).otherwise(F.lit(0.0))
+
+    g2 = F.array_sort(ngrams_expr(text_col, 2))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("bc"),
+        F.lit("").alias("bg"),
+    )
+
+    def _step(s, g):
+        new_run = F.when(g == s["prev"], s["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = new_run > s["bc"]
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(s["bc"]).alias("bc"),
+            F.when(better, g).otherwise(s["bg"]).alias("bg"),
+        )
+
+    st = F.aggregate(g2, init, _step)
+    n_chars = F.length(t)
+    top2 = F.when(
+        n_chars > 0,
+        F.least(st["bc"] * F.length(st["bg"]) / n_chars, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+
+    g5 = ngrams_expr(text_col, 5)
+    dup5 = F.when(
+        F.size(g5) > 0, 1.0 - F.size(F.array_distinct(g5)) / F.size(g5)
+    ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_line_frac": F.round(dup_line_frac, 4),
+        "dup_line_char_frac": F.round(dup_line_char_frac, 4),
+        "top_2gram_char_frac": F.round(top2, 4),
+        "dup_5gram_frac": F.round(dup5, 4),
+    }
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", pk: str = "doc_id"
+) -> DataFrame:
+    """Standalone (pk, repetition signals) projection — see
+    :func:`repetition_exprs`."""
+    exprs = repetition_exprs(text_col)
+    return df.select(F.col(pk), *[c.alias(n) for n, c in exprs.items()])

@@ -64,6 +64,8 @@ HEADLINE = [
     "pipeline_pack",
     # round 7: source re-weighting + hash-stable train/val/test split
     "pipeline_split_sample",
+    # round 7: PII redaction + repetition signals, one map-only pass
+    "pipeline_scrub",
     # round 6: IVF-PQ composite index (coarse cells + residual-PQ ADC)
     "knn_ivfpq_persisted",
 ]

@@ -1,0 +1,166 @@
+"""PII scrubbing (pipeline/scrub.py) and Gopher-style repetition signals
+(text.repetition_exprs) — round-7 curation-stage additions.
+
+Patterns are deliberately RE2-compatible; the DuckDB parity test holds
+the portability claim (same pattern strings, same match counts on the
+same corpus).
+"""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.scrub import (
+    PII_PATTERNS,
+    pii_stats,
+    redact_expr,
+    redact_pii,
+)
+from adampro_spark.pipeline.text import repetition_stats
+
+PLANTED = [
+    (1, "contact john.doe+x@example-mail.co.uk or a@b.io today"),
+    (2, "ssn 123-45-6789 and card 4111 1111 1111 1111 here"),
+    (3, "call (415) 555-1234 or 415-555-9876 from 10.0.0.255"),
+    (4, "no pii at all, just an @ sign and 1234 numbers"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    return spark.createDataFrame(PLANTED, "doc_id long, text string").cache()
+
+
+def test_pii_stats_exact_counts(planted):
+    got = {r["doc_id"]: r.asDict() for r in pii_stats(planted).collect()}
+    assert got[1]["pii_email"] == 2 and got[1]["pii_total"] == 2
+    assert got[2]["pii_ssn"] == 1 and got[2]["pii_credit_card"] == 1
+    assert got[3]["pii_phone"] == 2 and got[3]["pii_ipv4"] == 1
+    assert got[4]["pii_total"] == 0 and got[5]["pii_total"] == 0
+
+
+def test_redact_replaces_and_counts(planted):
+    got = {r["doc_id"]: r for r in redact_pii(planted).collect()}
+    assert "[EMAIL]" in got[1]["text"] and "@" not in got[1]["text"]
+    assert got[1]["pii_redacted"] == 2
+    assert "[SSN]" in got[2]["text"] and "[CARD]" in got[2]["text"]
+    assert "123-45-6789" not in got[2]["text"]
+    assert "[PHONE]" in got[3]["text"] and "[IP]" in got[3]["text"]
+    # clean docs untouched
+    assert got[4]["text"] == PLANTED[3][1] and got[4]["pii_redacted"] == 0
+
+
+def test_redact_category_subset(planted):
+    got = {
+        r["doc_id"]: r["text"]
+        for r in redact_pii(planted, categories=["email"]).collect()
+    }
+    assert "[EMAIL]" in got[1]
+    assert "123-45-6789" in got[2]  # ssn untouched with email-only scrub
+
+
+def test_unknown_category_raises(planted):
+    with pytest.raises(ValueError, match="unknown PII categories"):
+        pii_stats(planted, categories=["email", "passport"])
+
+
+def test_patterns_portable_to_duckdb(spark, planted):
+    """Every pattern string must count identically under DuckDB's RE2 —
+    the portability contract that keeps engine-external audits honest."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.select("doc_id", "text").unionByName(
+        planted.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    con = duckdb.connect()
+    rows = corpus.collect()
+    for name, (pat, _tok) in PII_PATTERNS.items():
+        spark_counts = {
+            r["doc_id"]: r["c"]
+            for r in corpus.select(
+                "doc_id", F.regexp_count("text", F.lit(pat)).alias("c")
+            ).collect()
+        }
+        for r in rows:
+            duck = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [r["text"], pat]
+            ).fetchone()[0]
+            assert duck == spark_counts[r["doc_id"]], (name, r["doc_id"])
+
+
+def test_repetition_stats_hand_computed(spark):
+    rows = [
+        (1, "dup line\ndup line\nunique one\n\ndup line"),
+        (2, "the cat the cat the cat sat"),
+        (3, "plain ordinary text without repeats here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    # 4 non-empty lines, 2 distinct -> 0.5; 24 of 34 chars in dup lines
+    assert got[1]["dup_line_frac"] == pytest.approx(0.5)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(24 / 34, abs=1e-4)
+    # "the cat" x3, 7 chars, text len 27
+    assert got[2]["top_2gram_char_frac"] == pytest.approx(21 / 27, abs=1e-4)
+    assert got[2]["dup_5gram_frac"] == 0.0  # all three 5-grams distinct
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[4] == {
+        "doc_id": 4, "dup_line_frac": 0.0, "dup_line_char_frac": 0.0,
+        "top_2gram_char_frac": 0.0, "dup_5gram_frac": 0.0,
+    }
+
+
+def test_repetition_discriminates_boilerplate(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    junk = spark.createDataFrame(
+        [(9_000_000 + i, "buy now best price deal " * 40) for i in range(5)],
+        "doc_id long, text string",
+    )
+    stats = repetition_stats(docs.select("doc_id", "text").unionByName(junk))
+    j = stats.filter(F.col("doc_id") >= 9_000_000).agg(
+        F.min("dup_5gram_frac")
+    ).collect()[0][0]
+    p = stats.filter(
+        (F.col("doc_id") < 9_000_000) & (F.col("dup_5gram_frac").isNotNull())
+    ).agg(F.expr("percentile(dup_5gram_frac, 0.9)")).collect()[0][0]
+    assert j > 0.9  # pure boilerplate: almost every 5-gram repeats
+    assert j > p  # and clears the natural corpus's 90th percentile
+
+
+def test_curate_repetition_gate_and_redaction(spark):
+    from adampro_spark.pipeline.curate import curate
+
+    base_text = (
+        "this is a perfectly ordinary document with enough distinct tokens "
+        "to pass every gate including length and it keeps going onwards"
+    )
+    rows = [
+        (1, base_text),
+        (2, base_text.replace("ordinary", "different")),
+        # repetitive plant: one phrase over and over
+        (3, "buy now best price deal " * 30),
+        # pii plant that otherwise passes the gates
+        (4, base_text + " contact me at leak@example.com please"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, report = curate(
+        df, langs=None, min_tokens=5, min_quality=0.0,
+        max_dup_line_frac=0.5, max_top_2gram_char_frac=0.2,
+        redact=True, dedup=None,
+    )
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 3 not in kept  # repetition gate dropped the boilerplate
+    assert set(kept) == {1, 2, 4}
+    assert "[EMAIL]" in kept[4] and "leak@example.com" not in kept[4]
+    assert report["n_repetitive"] == 1
+    assert report["n_pii_docs"] == 1
+    assert report["n_output"] == 3
+
+
+def test_redact_expr_composes(spark):
+    df = spark.createDataFrame([(1, "a@b.co x")], "doc_id long, text string")
+    r = df.select(
+        F.length(redact_expr("text", ["email"])).alias("n")
+    ).collect()[0]["n"]
+    assert r == len("[EMAIL] x")
