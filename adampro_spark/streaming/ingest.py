@@ -182,6 +182,9 @@ def stream_curate(
     min_tokens: int = 20,
     min_quality: float = 0.3,
     max_chars: int | None = None,
+    max_dup_line_frac: float | None = None,
+    max_top_2gram_char_frac: float | None = None,
+    redact=None,
 ) -> DataFrame:
     """The streaming counterpart of batch :func:`~adampro_spark.pipeline.
     curate.curate`: the SAME gate expressions (``gate_flags`` — stateless,
@@ -191,18 +194,45 @@ def stream_curate(
     when ``ts_col`` is given).  Gates run BEFORE dedup, so junk never
     enters the dedup state store.  Runs identically on a batch DataFrame.
 
+    ``redact`` and the repetition ceilings (round 7) mirror the batch
+    surface: PII redaction and the Gopher-style repetition gates are
+    stateless column expressions too, so they stream unchanged —
+    redaction rewrites ``text_col`` BEFORE the gates and the dedup state,
+    exactly like batch curate.
+
     No attrition report: a streaming query cannot collect counts
     mid-plan — observe the gate pass with ``df.observe`` or compare sink
     counts instead.
     """
     from adampro_spark.pipeline.curate import gate_flags
 
-    flags = gate_flags(
+    out = stream
+    if redact:
+        from adampro_spark.pipeline.scrub import PII_PATTERNS, redact_expr
+
+        cats = list(PII_PATTERNS) if redact is True else list(redact)
+        out = out.withColumn(text_col, redact_expr(text_col, cats))
+
+    flags = dict(gate_flags(
         text_col, langs=langs, min_tokens=min_tokens,
         min_quality=min_quality, max_chars=max_chars,
-    )
+    ))
+    if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
+        from adampro_spark.pipeline.text import repetition_exprs
+
+        rep = repetition_exprs(text_col)
+        rep_ok = F.lit(True)
+        if max_dup_line_frac is not None:
+            rep_ok = rep_ok & (
+                rep["dup_line_frac"] <= F.lit(float(max_dup_line_frac))
+            )
+        if max_top_2gram_char_frac is not None:
+            rep_ok = rep_ok & (
+                rep["top_2gram_char_frac"]
+                <= F.lit(float(max_top_2gram_char_frac))
+            )
+        flags["_rep_ok"] = rep_ok
     cond = None
-    out = stream
     for name, expr in flags.items():
         out = out.withColumn(name, expr)
         cond = F.col(name) if cond is None else (cond & F.col(name))

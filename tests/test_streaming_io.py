@@ -615,3 +615,49 @@ def test_stream_curate_matches_batch_curate(spark, tmp_path):
     # arrival) but the survivor COUNT and the gated universe must agree;
     # with originals arriving first, the sets coincide exactly
     assert got == want and got
+
+
+def test_stream_curate_redact_and_repetition_match_batch(spark, tmp_path):
+    """Round 7: redaction + repetition gates are stateless expressions,
+    so stream_curate with them must produce EXACTLY batch curate's
+    survivors and redacted texts."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.streaming.ingest import stream_curate
+
+    base = (
+        "this is a perfectly ordinary document with enough distinct tokens "
+        "to pass every gate including length and it keeps going onwards"
+    )
+    rows = [
+        (1, base),
+        (2, base + " write to leak@example.com or call (415) 555-1234"),
+        (3, "buy now best price deal " * 30),
+        (4, base.replace("ordinary", "different")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "scrub_src")
+    df.repartition(2).write.parquet(src)
+
+    kw = dict(
+        langs=None, min_tokens=5, min_quality=0.0,
+        max_top_2gram_char_frac=0.2, redact=True,
+    )
+    batch_out, report = curate(df, dedup=None, **kw)
+    want = {r["doc_id"]: r["text"] for r in batch_out.collect()}
+    assert 3 not in want and "[EMAIL]" in want[2] and "[PHONE]" in want[2]
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = stream_curate(stream, dedup=None, **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scrubbed_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scrub"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql("SELECT doc_id, text FROM scrubbed_stream").collect()
+    }
+    assert got == want
