@@ -811,11 +811,11 @@ def _scrub_corpus(spark, sf):
     and the post-redaction byte volume — the throughput shape of a
     production scrubbing stage."""
     from adampro_spark.pipeline.scrub import redact_pii
-    from adampro_spark.pipeline.text import repetition_exprs
+    from adampro_spark.pipeline.text import with_repetition
 
     red = redact_pii(_docs(spark, sf).select("doc_id", "text"))
-    rep = repetition_exprs("text")
-    return red.select(
+    staged, rep, _internals = with_repetition(red, "text")
+    return staged.select(
         "pii_redacted", F.length("text").alias("n"),
         *[c.alias(nm) for nm, c in rep.items()],
     ).agg(

@@ -42,8 +42,8 @@ from adampro_spark.pipeline.profile import profile  # noqa: F401
 from adampro_spark.pipeline.simjoin import knn_join, ivf_knn_join  # noqa: F401
 from adampro_spark.pipeline.text import bpe_token_count  # noqa: F401
 from adampro_spark.pipeline.text import (  # noqa: F401
-    repetition_exprs,
     repetition_stats,
+    with_repetition,
 )
 from adampro_spark.pipeline.scrub import (  # noqa: F401
     PII_PATTERNS,

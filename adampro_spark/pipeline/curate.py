@@ -108,7 +108,7 @@ def curate(
     group's min-pk member (:func:`deduplicate`).
 
     ``max_dup_line_frac`` / ``max_top_2gram_char_frac`` (round 7) —
-    Gopher-style repetition ceilings (text.repetition_exprs): documents
+    Gopher-style repetition ceilings (text.with_repetition): documents
     whose duplicate-line fraction or top-bigram character coverage
     exceeds the ceiling fail a ``_rep_ok`` gate computed in the SAME
     one-scan pass; the report gains ``n_repetitive``.  ``None`` (default)
@@ -159,10 +159,11 @@ def curate(
             min_quality=min_quality, max_chars=max_chars,
         )
     )
+    rep_internals: list[str] = []
     if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
-        from adampro_spark.pipeline.text import repetition_exprs
+        from adampro_spark.pipeline.text import with_repetition
 
-        rep = repetition_exprs(text_col)
+        df, rep, rep_internals = with_repetition(df, text_col)
         rep_ok = F.lit(True)
         if max_dup_line_frac is not None:
             rep_ok = rep_ok & (
@@ -209,7 +210,7 @@ def curate(
     if stage_timings is not None:
         stage_timings["gates_sec"] = round(time.perf_counter() - t0, 3)
 
-    kept = flagged.filter(all_ok).drop(*flags.keys())
+    kept = flagged.filter(all_ok).drop(*flags.keys(), *rep_internals)
     if pii_docs_col is not None:
         kept = kept.drop("_ap_pii_n")
 

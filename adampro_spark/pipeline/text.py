@@ -87,7 +87,14 @@ def shingle_hashes(text: str | Column, n: int = 8) -> Column:
 
 
 def ngrams_expr(text: str | Column, n: int = 2) -> Column:
-    """Word n-grams as space-joined strings (token-level shingling)."""
+    """Word n-grams as space-joined strings (token-level shingling).
+
+    Single-consumer convenience form: the tokenization is part of this
+    expression, so REFERENCING the result more than once (or per-element
+    inside another lambda) re-tokenizes the document each time — for
+    multi-consumer shapes materialize the token array first and window
+    over the attribute (see with_repetition._grams / mix.py
+    _grams_from_token_hashes; measured 3.3 s vs 0.2 s per column)."""
     toks = tokens_expr(text)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -145,8 +152,8 @@ def text_stats(
     one codegen'd map-only stage with full column pruning.
 
     ``repetition=True`` appends the four Gopher-style repetition signals
-    (:func:`repetition_exprs`) to the SAME single projection — no extra
-    pass, no join.
+    (:func:`with_repetition` — staged materialization, still map-only,
+    no join) to the output.
     """
     toks = tokens_expr(text_col)
     n_chars = F.length(F.col(text_col)).cast("long")
@@ -178,16 +185,17 @@ def text_stats(
         F.round(quality, 4).alias("quality"),
     ]
     if repetition:
-        cols += [c.alias(n) for n, c in repetition_exprs(text_col).items()]
+        df, finals, _internals = with_repetition(df, text_col)
+        cols += [c.alias(n) for n, c in finals.items()]
     return df.select(*cols)
 
 
-def repetition_exprs(text_col: str = "text") -> dict[str, "Column"]:
+def with_repetition(
+    df: DataFrame, text_col: str = "text", keep_internals: bool = False
+) -> tuple[DataFrame, dict[str, Column], list[str]]:
     """Gopher-style repetition signals (Rae et al. 2021, "Scaling
     Language Models: Methods, Analysis & Insights from Training Gopher",
-    table A1 quality rules) as PURE COLUMN EXPRESSIONS — composable into
-    any projection (text_stats ``repetition=True`` rides them in its one
-    map-only pass; curate gates use them via ``extra_gates``):
+    table A1 quality rules):
 
     * ``dup_line_frac`` — fraction of non-empty lines that are repeats
       of another line (1 − distinct/total);
@@ -195,82 +203,122 @@ def repetition_exprs(text_col: str = "text") -> dict[str, "Column"]:
       than once / characters inside all non-empty lines;
     * ``top_2gram_char_frac`` — characters covered by the most frequent
       word bigram (count × gram length / doc length, clamped to 1.0;
-      ties break to the lexicographically smallest gram);
+      ties break to the lexicographically smallest gram — a sort +
+      run-length fold, O(G log G) per row, never an O(G²) recount);
     * ``dup_5gram_frac`` — fraction of word 5-gram occurrences that are
       repeats (1 − distinct/total; a simplification of Gopher's
       char-coverage variant, documented deviation).
 
-    The top-bigram is a sort + run-length fold over the gram array
-    (O(G log G) per row, no shuffle) — NOT a per-gram recount (O(G²)
-    interpreted lambda evals).  All four land in [0, 1]; junk pages
-    (boilerplate, templating, keyword stuffing) score high, prose low.
+    Returns ``(staged_df, final_columns, internal_column_names)``: the
+    heavy intermediates (line array, sorted bigrams, the run-length fold
+    struct, …) are MATERIALIZED as real columns in two staged
+    projections, and the returned final columns are CHEAP expressions
+    over those attributes.  This staging is load-bearing, not cosmetic:
+    a single-projection formulation inlines the HOF trees into every
+    consumer (Catalyst duplicates non-CSE'd CodegenFallback lambdas —
+    the _grams_from_token_hashes trap, mix.py) and measured 20.9 s for
+    the text_stats bench row at sf0.1 vs ~1 s staged.  CollapseProject
+    keeps the stages apart because each materialized producer is
+    referenced more than once downstream.  Callers select/compose the
+    final columns, then drop ``internal_column_names``.
     """
     t = _c(text_col)
+    zero = F.lit(0).cast("long")
     lines = F.filter(F.split(t, "\n"), lambda ln: F.length(ln) > 0)
-    n_lines = F.size(lines)
-    dup_line_frac = F.when(
-        n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines
-    ).otherwise(F.lit(0.0))
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln)
-    )
-    dup_chars = F.aggregate(
-        lines,
-        F.lit(0).cast("long"),
-        lambda a, ln: a
-        + F.when(
-            F.size(F.filter(lines, lambda x: x == ln)) > 1,
-            F.length(ln).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    dup_line_char_frac = F.when(
-        line_chars > 0, dup_chars / line_chars
-    ).otherwise(F.lit(0.0))
 
-    g2 = F.array_sort(ngrams_expr(text_col, 2))
+    def _grams(toks: Column, n: int) -> Column:
+        # n-grams from a MATERIALIZED token array attribute; passing the
+        # tokens EXPRESSION here (ngrams_expr's convenience form) inlines
+        # the whole tokenization into every window's lambda — measured
+        # 3.3 s per column at sf0.1 vs ~0.2 s from the attribute (the
+        # _grams_from_token_hashes trap, mix.py)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    toks_col = F.col("_rep_toks")
+    staged = (
+        df.withColumn("_rep_toks", tokens_expr(text_col))
+        .withColumn("_rep_ls", lines)
+        .withColumn("_rep_g2s", F.array_sort(_grams(toks_col, 2)))
+        .withColumn("_rep_g5", _grams(toks_col, 5))
+    )
+    ls = F.col("_rep_ls")
+    g5 = F.col("_rep_g5")
     init = F.struct(
         F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("bc"),
+        zero.alias("run"),
+        zero.alias("bc"),
         F.lit("").alias("bg"),
     )
 
-    def _step(s, g):
-        new_run = F.when(g == s["prev"], s["run"] + 1).otherwise(
+    def _step(st, g):
+        new_run = F.when(g == st["prev"], st["run"] + 1).otherwise(
             F.lit(1).cast("long")
         )
-        better = new_run > s["bc"]
+        better = new_run > st["bc"]
         return F.struct(
             g.alias("prev"),
             new_run.alias("run"),
-            F.when(better, new_run).otherwise(s["bc"]).alias("bc"),
-            F.when(better, g).otherwise(s["bg"]).alias("bg"),
+            F.when(better, new_run).otherwise(st["bc"]).alias("bc"),
+            F.when(better, g).otherwise(st["bg"]).alias("bg"),
         )
 
-    st = F.aggregate(g2, init, _step)
+    staged = (
+        staged.withColumn("_rep_nl", F.size(ls))
+        .withColumn("_rep_nd", F.size(F.array_distinct(ls)))
+        .withColumn(
+            "_rep_lc", F.aggregate(ls, zero, lambda a, ln: a + F.length(ln))
+        )
+        .withColumn(
+            "_rep_dc",
+            F.aggregate(
+                ls,
+                zero,
+                lambda a, ln: a
+                + F.when(
+                    F.size(F.filter(ls, lambda x: x == ln)) > 1,
+                    F.length(ln).cast("long"),
+                ).otherwise(zero),
+            ),
+        )
+        .withColumn("_rep_st", F.aggregate(F.col("_rep_g2s"), init, _step))
+        .withColumn("_rep_n5", F.size(g5))
+        .withColumn("_rep_n5d", F.size(F.array_distinct(g5)))
+    )
+    nl, nd = F.col("_rep_nl"), F.col("_rep_nd")
+    lc, dc = F.col("_rep_lc"), F.col("_rep_dc")
+    st = F.col("_rep_st")
+    n5, n5d = F.col("_rep_n5"), F.col("_rep_n5d")
     n_chars = F.length(t)
-    top2 = F.when(
-        n_chars > 0,
-        F.least(st["bc"] * F.length(st["bg"]) / n_chars, F.lit(1.0)),
-    ).otherwise(F.lit(0.0))
-
-    g5 = ngrams_expr(text_col, 5)
-    dup5 = F.when(
-        F.size(g5) > 0, 1.0 - F.size(F.array_distinct(g5)) / F.size(g5)
-    ).otherwise(F.lit(0.0))
-
-    return {
-        "dup_line_frac": F.round(dup_line_frac, 4),
-        "dup_line_char_frac": F.round(dup_line_char_frac, 4),
-        "top_2gram_char_frac": F.round(top2, 4),
-        "dup_5gram_frac": F.round(dup5, 4),
+    finals = {
+        "dup_line_frac": F.round(
+            F.when(nl > 0, 1.0 - nd / nl).otherwise(F.lit(0.0)), 4
+        ),
+        "dup_line_char_frac": F.round(
+            F.when(lc > 0, dc / lc).otherwise(F.lit(0.0)), 4
+        ),
+        "top_2gram_char_frac": F.round(
+            F.when(
+                n_chars > 0,
+                F.least(st["bc"] * F.length(st["bg"]) / n_chars, F.lit(1.0)),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ),
+        "dup_5gram_frac": F.round(
+            F.when(n5 > 0, 1.0 - n5d / n5).otherwise(F.lit(0.0)), 4
+        ),
     }
+    internals = [
+        "_rep_toks", "_rep_ls", "_rep_g2s", "_rep_g5", "_rep_nl", "_rep_nd",
+        "_rep_lc", "_rep_dc", "_rep_st", "_rep_n5", "_rep_n5d",
+    ]
+    return staged, finals, internals
 
 
 def repetition_stats(
     df: DataFrame, text_col: str = "text", pk: str = "doc_id"
 ) -> DataFrame:
     """Standalone (pk, repetition signals) projection — see
-    :func:`repetition_exprs`."""
-    exprs = repetition_exprs(text_col)
-    return df.select(F.col(pk), *[c.alias(n) for n, c in exprs.items()])
+    :func:`with_repetition`."""
+    staged, finals, _internals = with_repetition(df, text_col)
+    return staged.select(F.col(pk), *[c.alias(n) for n, c in finals.items()])

@@ -217,10 +217,11 @@ def stream_curate(
         text_col, langs=langs, min_tokens=min_tokens,
         min_quality=min_quality, max_chars=max_chars,
     ))
+    rep_internals: list[str] = []
     if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
-        from adampro_spark.pipeline.text import repetition_exprs
+        from adampro_spark.pipeline.text import with_repetition
 
-        rep = repetition_exprs(text_col)
+        out, rep, rep_internals = with_repetition(out, text_col)
         rep_ok = F.lit(True)
         if max_dup_line_frac is not None:
             rep_ok = rep_ok & (
@@ -236,7 +237,7 @@ def stream_curate(
     for name, expr in flags.items():
         out = out.withColumn(name, expr)
         cond = F.col(name) if cond is None else (cond & F.col(name))
-    out = out.filter(cond).drop(*flags.keys())
+    out = out.filter(cond).drop(*flags.keys(), *rep_internals)
     if dedup is None:
         return out
     return stream_dedup(

@@ -1,5 +1,5 @@
 """PII scrubbing (pipeline/scrub.py) and Gopher-style repetition signals
-(text.repetition_exprs) — round-7 curation-stage additions.
+(text.with_repetition) — round-7 curation-stage additions.
 
 Patterns are deliberately RE2-compatible; the DuckDB parity test holds
 the portability claim (same pattern strings, same match counts on the
