@@ -116,10 +116,17 @@ def bpe_token_count(text: str | Column) -> Column:
     ).cast("long")
 
 
-def langid_expr(text: str | Column) -> Column:
+def langid_expr(text: str | Column, toks: Column | None = None) -> Column:
     """Deterministic language heuristic: argmax of per-language stopword
-    hit counts, ties broken by language code order, no hits → 'und'."""
-    toks = tokens_expr(text)
+    hit counts, ties broken by language code order, no hits → 'und'.
+
+    ``toks``: a MATERIALIZED token-array column to score instead of
+    tokenizing ``text`` inline — without it the tokenization is embedded
+    in every per-language filter (5×/row; measured 1.5 s vs ~0.5 s at
+    sf0.1).  Callers that already stage tokens (text_stats, curate's
+    gate pass) pass their column through.
+    """
+    toks = tokens_expr(text) if toks is None else toks
 
     def _hits(sw: tuple[str, ...]) -> Column:
         # closure factory: PySpark lambda arity introspection forbids
@@ -155,7 +162,10 @@ def text_stats(
     (:func:`with_repetition` — staged materialization, still map-only,
     no join) to the output.
     """
-    toks = tokens_expr(text_col)
+    # stage the token array once: six consumers below would otherwise
+    # each re-tokenize the document (no CSE for CodegenFallback lambdas)
+    df = df.withColumn("_ts_toks", tokens_expr(text_col))
+    toks = F.col("_ts_toks")
     n_chars = F.length(F.col(text_col)).cast("long")
     n_tokens = F.size(toks).cast("long")
     alnum = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))

@@ -213,9 +213,13 @@ def stream_curate(
         cats = list(PII_PATTERNS) if redact is True else list(redact)
         out = out.withColumn(text_col, redact_expr(text_col, cats))
 
+    from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
+
+    out = out.withColumn("_ap_gtoks", _tokens_expr(text_col))
     flags = dict(gate_flags(
         text_col, langs=langs, min_tokens=min_tokens,
         min_quality=min_quality, max_chars=max_chars,
+        toks=F.col("_ap_gtoks"),
     ))
     rep_internals: list[str] = []
     if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
@@ -237,7 +241,7 @@ def stream_curate(
     for name, expr in flags.items():
         out = out.withColumn(name, expr)
         cond = F.col(name) if cond is None else (cond & F.col(name))
-    out = out.filter(cond).drop(*flags.keys(), *rep_internals)
+    out = out.filter(cond).drop("_ap_gtoks", *flags.keys(), *rep_internals)
     if dedup is None:
         return out
     return stream_dedup(
