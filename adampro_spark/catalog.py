@@ -41,6 +41,12 @@ class Catalog:
 
         fd, tmp = tempfile.mkstemp(dir=self.base, suffix=".tmp")
         try:
+            # mkstemp creates 0600; keep the catalog's umask-default mode
+            # so other-uid readers (audit tooling on shared storage) are
+            # not locked out after the first write
+            umask = os.umask(0)
+            os.umask(umask)
+            os.fchmod(fd, 0o666 & ~umask)
             with os.fdopen(fd, "w") as f:
                 json.dump(data, f, indent=1, default=_jsonify)
             os.replace(tmp, self.path)

@@ -134,10 +134,10 @@ _register(
       SELECT doc_id, text, {_TOKS.format(t='text')} AS toks,
              list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls,
              list_transform(
-               generate_series(1, greatest(len({_TOKS.format(t='text')}) - 1, 1)),
+               generate_series(1, len({_TOKS.format(t='text')}) - 1),
                i -> array_to_string(list_slice({_TOKS.format(t='text')}, i, i + 1), ' ')) AS g2,
              list_transform(
-               generate_series(1, greatest(len({_TOKS.format(t='text')}) - 4, 1)),
+               generate_series(1, len({_TOKS.format(t='text')}) - 4),
                i -> array_to_string(list_slice({_TOKS.format(t='text')}, i, i + 4), ' ')) AS g5
       FROM documents
     ),
@@ -160,9 +160,9 @@ _register(
       {_round_sql("(CASE WHEN length(b.text) > 0 THEN length(regexp_replace(b.text, '[^a-zA-Z0-9 ]', '', 'g')) / length(b.text) ELSE 0.0 END) * least(len(b.toks) / 20.0, 1.0)")} AS quality,
       {_round_sql("CASE WHEN len(b.ls) > 0 THEN 1.0 - len(list_distinct(b.ls)) / len(b.ls) ELSE 0.0 END")} AS dup_line_frac,
       {_round_sql("CASE WHEN coalesce(list_sum(list_transform(b.ls, x -> length(x))), 0) > 0 THEN coalesce(list_sum(list_transform(b.ls, ln -> CASE WHEN len(list_filter(b.ls, x -> x = ln)) > 1 THEN length(ln) ELSE 0 END)), 0) / list_sum(list_transform(b.ls, x -> length(x))) ELSE 0.0 END")} AS dup_line_char_frac,
-      {_round_sql("CASE WHEN length(b.text) > 0 THEN least(t2.cnt * length(t2.gram) / length(b.text), 1.0) ELSE 0.0 END")} AS top_2gram_char_frac,
+      {_round_sql("CASE WHEN length(b.text) > 0 AND t2.cnt IS NOT NULL THEN least(t2.cnt * length(t2.gram) / length(b.text), 1.0) ELSE 0.0 END")} AS top_2gram_char_frac,
       {_round_sql("CASE WHEN len(b.g5) > 0 THEN 1.0 - len(list_distinct(b.g5)) / len(b.g5) ELSE 0.0 END")} AS dup_5gram_frac
-    FROM base b JOIN top2 t2 USING (doc_id)
+    FROM base b LEFT JOIN top2 t2 USING (doc_id)
     """,
 )
 

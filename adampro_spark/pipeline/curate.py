@@ -144,33 +144,37 @@ def curate(
     pii_docs_col = None
     if redact:
         from adampro_spark.pipeline.scrub import (
-            PII_PATTERNS, pii_count_expr, redact_expr,
+            _cats, pii_total_expr, redact_expr,
         )
 
-        cats = list(PII_PATTERNS) if redact is True else list(redact)
-        total = None
-        for c in cats:
-            n = pii_count_expr(text_col, c)
-            total = n if total is None else total + n
+        cats = _cats(None if redact is True else list(redact))
         # count on the ORIGINAL text, rewrite in the same projection
-        df = df.withColumn("_ap_pii_n", total).withColumn(
+        df = df.withColumn("_ap_pii_n", pii_total_expr(text_col, cats)).withColumn(
             text_col, redact_expr(text_col, cats)
         )
         pii_docs_col = F.sum((F.col("_ap_pii_n") > 0).cast("long")).alias(
             "pii_docs"
         )
 
+    # stage the token array once: langid's five per-language filters plus
+    # the length/quality flags would otherwise each re-tokenize the text
+    from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
+
+    df = df.withColumn("_ap_gtoks", _tokens_expr(text_col))
     flags = dict(
         gate_flags(
             text_col, langs=langs, min_tokens=min_tokens,
             min_quality=min_quality, max_chars=max_chars,
+            toks=F.col("_ap_gtoks"),
         )
     )
     rep_internals: list[str] = []
     if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
         from adampro_spark.pipeline.text import with_repetition
 
-        df, rep, rep_internals = with_repetition(df, text_col)
+        df, rep, rep_internals = with_repetition(
+            df, text_col, toks=F.col("_ap_gtoks")
+        )
         rep_ok = F.lit(True)
         if max_dup_line_frac is not None:
             rep_ok = rep_ok & (

@@ -42,7 +42,10 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         "[CARD]",
     ),
     "phone": (
-        r"\b\+?1?[-. ]?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+        # \+? sits BEFORE the word boundary: '\b\+?' can never consume a
+        # '+' after whitespace (space/'+' are both non-word, so \b fails
+        # there) and '+1-415-555-1234' would redact to '+[PHONE]'
+        r"\+?\b1?[-. ]?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
         "[PHONE]",
     ),
     "ipv4": (
@@ -67,6 +70,21 @@ def pii_count_expr(text: str | Column, category: str) -> Column:
     pattern, _ = PII_PATTERNS[category]
     col = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(col, F.lit(pattern)).cast("long")
+
+
+def pii_total_expr(
+    text: str | Column, categories: Sequence[str] | None = None
+) -> Column:
+    """Sum of per-category DETECTION counts on the given text.  Counts
+    are independent per category, so text where one category's match
+    contains another's (an IPv4 inside an email's domain) counts both —
+    detection semantics, not replacement semantics (redaction replaces
+    the outer match once)."""
+    total = None
+    for c in _cats(categories):
+        n = pii_count_expr(text, c)
+        total = n if total is None else total + n
+    return total
 
 
 def pii_stats(
@@ -112,17 +130,15 @@ def redact_pii(
 ) -> DataFrame:
     """Replace PII matches with their category tokens, in place: the
     output keeps every input column with ``text_col`` rewritten, plus
-    (``keep_counts``) a ``pii_redacted`` count of replacements — all in
-    the same single projection."""
+    (``keep_counts``) a ``pii_redacted`` DETECTION count (independent
+    per-category matches on the original text; overlapping categories
+    each count — see :func:`pii_total_expr`) — all in the same single
+    projection."""
     cats = _cats(categories)
     out = df
     if keep_counts:
         # count on the ORIGINAL text (counting replacement tokens in the
         # output would miscount documents that already contain the
         # literal token strings)
-        total = None
-        for c in cats:
-            n = pii_count_expr(text_col, c)
-            total = n if total is None else total + n
-        out = out.withColumn("pii_redacted", total)
+        out = out.withColumn("pii_redacted", pii_total_expr(text_col, cats))
     return out.withColumn(text_col, redact_expr(text_col, cats))

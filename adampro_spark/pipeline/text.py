@@ -195,13 +195,13 @@ def text_stats(
         F.round(quality, 4).alias("quality"),
     ]
     if repetition:
-        df, finals, _internals = with_repetition(df, text_col)
+        df, finals, _internals = with_repetition(df, text_col, toks=toks)
         cols += [c.alias(n) for n, c in finals.items()]
     return df.select(*cols)
 
 
 def with_repetition(
-    df: DataFrame, text_col: str = "text", keep_internals: bool = False
+    df: DataFrame, text_col: str = "text", toks: Column | None = None
 ) -> tuple[DataFrame, dict[str, Column], list[str]]:
     """Gopher-style repetition signals (Rae et al. 2021, "Scaling
     Language Models: Methods, Analysis & Insights from Training Gopher",
@@ -210,47 +210,72 @@ def with_repetition(
     * ``dup_line_frac`` — fraction of non-empty lines that are repeats
       of another line (1 − distinct/total);
     * ``dup_line_char_frac`` — characters inside lines that occur more
-      than once / characters inside all non-empty lines;
+      than once / characters inside all non-empty lines (neighbor test
+      on the SORTED line array — O(L), not an O(L²) per-line recount);
     * ``top_2gram_char_frac`` — characters covered by the most frequent
       word bigram (count × gram length / doc length, clamped to 1.0;
       ties break to the lexicographically smallest gram — a sort +
-      run-length fold, O(G log G) per row, never an O(G²) recount);
+      run-length fold, O(G log G) per row);
     * ``dup_5gram_frac`` — fraction of word 5-gram occurrences that are
       repeats (1 − distinct/total; a simplification of Gopher's
       char-coverage variant, documented deviation).
 
+    Documents with fewer tokens than n produce NO n-grams (not a phantom
+    shorter gram): a one-word document scores 0.0, never "maximally
+    repetitive".
+
     Returns ``(staged_df, final_columns, internal_column_names)``: the
-    heavy intermediates (line array, sorted bigrams, the run-length fold
-    struct, …) are MATERIALIZED as real columns in two staged
-    projections, and the returned final columns are CHEAP expressions
-    over those attributes.  This staging is load-bearing, not cosmetic:
-    a single-projection formulation inlines the HOF trees into every
-    consumer (Catalyst duplicates non-CSE'd CodegenFallback lambdas —
-    the _grams_from_token_hashes trap, mix.py) and measured 20.9 s for
-    the text_stats bench row at sf0.1 vs ~1 s staged.  CollapseProject
-    keeps the stages apart because each materialized producer is
-    referenced more than once downstream.  Callers select/compose the
-    final columns, then drop ``internal_column_names``.
+    heavy intermediates (sorted line array, sorted bigrams, the
+    run-length fold struct, …) are MATERIALIZED as real columns in
+    staged projections, and the returned final columns are CHEAP
+    expressions over those attributes.  This staging is load-bearing,
+    not cosmetic: a single-projection formulation inlines the HOF trees
+    into every consumer (Catalyst duplicates non-CSE'd CodegenFallback
+    lambdas — the _grams_from_token_hashes trap, mix.py) and measured
+    20.9 s for the text_stats bench row at sf0.1 vs ~1 s staged.
+    CollapseProject keeps the stages apart because each materialized
+    producer is referenced more than once downstream.  Callers
+    select/compose the final columns, then drop
+    ``internal_column_names``.
+
+    ``toks``: a token-array column the caller already materialized
+    (text_stats' ``_ts_toks``, curate's ``_ap_gtoks``) — passing it
+    skips a second tokenization of every document.
     """
     t = _c(text_col)
     zero = F.lit(0).cast("long")
-    lines = F.filter(F.split(t, "\n"), lambda ln: F.length(ln) > 0)
+    # SORTED non-empty lines: every line metric (count, distinct count,
+    # char mass, duplicated-char mass) reads off the one sorted array
+    lines = F.array_sort(
+        F.filter(F.split(t, "\n"), lambda ln: F.length(ln) > 0)
+    )
 
-    def _grams(toks: Column, n: int) -> Column:
+    def _grams(tk: Column, n: int) -> Column:
         # n-grams from a MATERIALIZED token array attribute; passing the
         # tokens EXPRESSION here (ngrams_expr's convenience form) inlines
         # the whole tokenization into every window's lambda — measured
         # 3.3 s per column at sf0.1 vs ~0.2 s from the attribute (the
-        # _grams_from_token_hashes trap, mix.py)
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        # _grams_from_token_hashes trap, mix.py).  Fewer than n tokens →
+        # EMPTY gram list (F.sequence(1, 0) would count DOWN).
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
-    toks_col = F.col("_rep_toks")
+    staged = df
+    if toks is None:
+        staged = staged.withColumn("_rep_toks", tokens_expr(text_col))
+        toks = F.col("_rep_toks")
+        toks_internal = ["_rep_toks"]
+    else:
+        toks_internal = []
     staged = (
-        df.withColumn("_rep_toks", tokens_expr(text_col))
-        .withColumn("_rep_ls", lines)
-        .withColumn("_rep_g2s", F.array_sort(_grams(toks_col, 2)))
-        .withColumn("_rep_g5", _grams(toks_col, 5))
+        staged.withColumn("_rep_ls", lines)
+        .withColumn("_rep_g2s", F.array_sort(_grams(toks, 2)))
+        .withColumn("_rep_g5", _grams(toks, 5))
     )
     ls = F.col("_rep_ls")
     g5 = F.col("_rep_g5")
@@ -273,24 +298,35 @@ def with_repetition(
             F.when(better, g).otherwise(st["bg"]).alias("bg"),
         )
 
+    nl_expr = F.size(ls)
+    # a line's occurrences are adjacent in the sorted array, so "occurs
+    # more than once" is one neighbor comparison per position — O(L)
+    dup_chars = F.when(
+        nl_expr > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), nl_expr),
+            zero,
+            lambda a, i: a
+            + F.when(
+                (
+                    (i > 1)
+                    & (F.element_at(ls, i) == F.element_at(ls, i - 1))
+                )
+                | (
+                    (i < F.size(ls))
+                    & (F.element_at(ls, i) == F.element_at(ls, i + 1))
+                ),
+                F.length(F.element_at(ls, i)).cast("long"),
+            ).otherwise(zero),
+        ),
+    ).otherwise(zero)
     staged = (
-        staged.withColumn("_rep_nl", F.size(ls))
+        staged.withColumn("_rep_nl", nl_expr)
         .withColumn("_rep_nd", F.size(F.array_distinct(ls)))
         .withColumn(
             "_rep_lc", F.aggregate(ls, zero, lambda a, ln: a + F.length(ln))
         )
-        .withColumn(
-            "_rep_dc",
-            F.aggregate(
-                ls,
-                zero,
-                lambda a, ln: a
-                + F.when(
-                    F.size(F.filter(ls, lambda x: x == ln)) > 1,
-                    F.length(ln).cast("long"),
-                ).otherwise(zero),
-            ),
-        )
+        .withColumn("_rep_dc", dup_chars)
         .withColumn("_rep_st", F.aggregate(F.col("_rep_g2s"), init, _step))
         .withColumn("_rep_n5", F.size(g5))
         .withColumn("_rep_n5d", F.size(F.array_distinct(g5)))
@@ -309,7 +345,7 @@ def with_repetition(
         ),
         "top_2gram_char_frac": F.round(
             F.when(
-                n_chars > 0,
+                (n_chars > 0) & (st["bc"] > 0),
                 F.least(st["bc"] * F.length(st["bg"]) / n_chars, F.lit(1.0)),
             ).otherwise(F.lit(0.0)),
             4,
@@ -318,8 +354,8 @@ def with_repetition(
             F.when(n5 > 0, 1.0 - n5d / n5).otherwise(F.lit(0.0)), 4
         ),
     }
-    internals = [
-        "_rep_toks", "_rep_ls", "_rep_g2s", "_rep_g5", "_rep_nl", "_rep_nd",
+    internals = toks_internal + [
+        "_rep_ls", "_rep_g2s", "_rep_g5", "_rep_nl", "_rep_nd",
         "_rep_lc", "_rep_dc", "_rep_st", "_rep_n5", "_rep_n5d",
     ]
     return staged, finals, internals

@@ -208,9 +208,9 @@ def stream_curate(
 
     out = stream
     if redact:
-        from adampro_spark.pipeline.scrub import PII_PATTERNS, redact_expr
+        from adampro_spark.pipeline.scrub import _cats, redact_expr
 
-        cats = list(PII_PATTERNS) if redact is True else list(redact)
+        cats = _cats(None if redact is True else list(redact))
         out = out.withColumn(text_col, redact_expr(text_col, cats))
 
     from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
@@ -225,7 +225,9 @@ def stream_curate(
     if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
         from adampro_spark.pipeline.text import with_repetition
 
-        out, rep, rep_internals = with_repetition(out, text_col)
+        out, rep, rep_internals = with_repetition(
+            out, text_col, toks=F.col("_ap_gtoks")
+        )
         rep_ok = F.lit(True)
         if max_dup_line_frac is not None:
             rep_ok = rep_ok & (

@@ -95,6 +95,8 @@ def test_repetition_stats_hand_computed(spark):
         (2, "the cat the cat the cat sat"),
         (3, "plain ordinary text without repeats here"),
         (4, ""),
+        (5, "hello"),
+        (6, "one two three four"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
@@ -109,6 +111,13 @@ def test_repetition_stats_hand_computed(spark):
         "doc_id": 4, "dup_line_frac": 0.0, "dup_line_char_frac": 0.0,
         "top_2gram_char_frac": 0.0, "dup_5gram_frac": 0.0,
     }
+    # review r7 second pass: a one-word doc has NO bigram — it must not
+    # score as "maximally repetitive" via a phantom shorter gram
+    assert got[5]["top_2gram_char_frac"] == 0.0
+    assert got[5]["dup_5gram_frac"] == 0.0
+    # 4 tokens: bigrams exist (all distinct), but no 5-gram
+    assert 0.0 < got[6]["top_2gram_char_frac"] < 0.5
+    assert got[6]["dup_5gram_frac"] == 0.0
 
 
 def test_repetition_discriminates_boilerplate(spark):
@@ -126,6 +135,56 @@ def test_repetition_discriminates_boilerplate(spark):
     ).agg(F.expr("percentile(dup_5gram_frac, 0.9)")).collect()[0][0]
     assert j > 0.9  # pure boilerplate: almost every 5-gram repeats
     assert j > p  # and clears the natural corpus's 90th percentile
+
+
+def test_repetition_dup_line_chars_linear_formulation(spark):
+    """Review r7 second pass: dup_line_char_frac must come from the
+    sorted-neighbor O(L) form, exact on a many-line fixture (the old
+    per-line rescan was O(L²))."""
+    import numpy as np
+
+    from adampro_spark.pipeline.text import repetition_stats
+
+    rng = np.random.RandomState(2)
+    lines = [f"line number {rng.randint(0, 400)}" for _ in range(1200)]
+    text = "\n".join(lines)
+    got = repetition_stats(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()[0]
+    from collections import Counter
+
+    cnt = Counter(lines)
+    dup_chars = sum(len(l) for l in lines if cnt[l] > 1)
+    tot_chars = sum(len(l) for l in lines)
+    assert got["dup_line_char_frac"] == pytest.approx(
+        dup_chars / tot_chars, abs=1e-4
+    )
+    assert got["dup_line_frac"] == pytest.approx(
+        1 - len(cnt) / len(lines), abs=1e-4
+    )
+
+
+def test_phone_pattern_handles_plus_prefix(spark):
+    r"""Review r7 second pass: '\b\+?' could never consume '+' after a
+    space — '+1-415-555-1234' left a stray '+' behind."""
+    from adampro_spark.pipeline.scrub import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "call +1-415-555-1234 now"), (2, "call +1 (415) 555-1234 ok")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in redact_pii(df, categories=["phone"]).collect()}
+    assert got[1] == "call [PHONE] now"
+    assert got[2] == "call [PHONE] ok"
+
+
+def test_curate_redact_unknown_category_raises(spark):
+    from adampro_spark.pipeline.curate import curate
+
+    df = spark.createDataFrame([(1, "x " * 30)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown PII categories"):
+        curate(df, langs=None, min_quality=0.0, redact=["emial"], dedup=None)
 
 
 def test_curate_repetition_gate_and_redaction(spark):
