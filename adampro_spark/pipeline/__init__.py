@@ -51,3 +51,7 @@ from adampro_spark.pipeline.scrub import (  # noqa: F401
     redact_expr,
     redact_pii,
 )
+from adampro_spark.pipeline.curate import (  # noqa: F401
+    gate_flags,
+    gopher_gate_flags,
+)

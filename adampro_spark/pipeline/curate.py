@@ -71,6 +71,94 @@ def gate_flags(
     }
 
 
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gate_flags(
+    text_col: str = "text",
+    toks: Column | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> dict[str, Column]:
+    """The MassiveText/Gopher quality-filtering rule set (Rae et al.
+    2021, appendix A1.1 — the public heuristics behind most modern
+    web-corpus pipelines) as PURE COLUMN EXPRESSIONS, directly pluggable
+    into :func:`curate` via ``extra_gates`` (one combined scan, per-rule
+    attrition counts for free):
+
+    * ``_g_words``      — word count within [min_words, max_words];
+    * ``_g_word_len``   — mean word length within [3, 10];
+    * ``_g_symbols``    — '#' + '…'/'...' symbol-to-word ratio ≤ 0.1;
+    * ``_g_bullets``    — ≤90% of lines start with a bullet AND ≤30%
+                          end with an ellipsis;
+    * ``_g_alpha``      — ≥80% of words contain an alphabetic character;
+    * ``_g_required``   — ≥2 distinct words from the 8-word required set
+                          (the "contains common English words" rule).
+
+    ``toks``: a materialized token array (see gate_flags) — strongly
+    recommended inside curate, which stages one anyway.  The two line
+    metrics split the text once each (single-consumer expressions).
+
+    Usage::
+
+        curate(df, extra_gates=gopher_gate_flags(toks=F.col("_ap_gtoks")))
+    """
+    tk = tokens_expr(text_col) if toks is None else toks
+    n_words = F.size(tk)
+    tok_chars = F.aggregate(
+        F.transform(tk, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_len = F.when(n_words > 0, tok_chars / n_words).otherwise(F.lit(0.0))
+    symbols = F.regexp_count(F.col(text_col), F.lit("#")) + F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.|…")
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.length(ln) > 0
+    )
+    bullet_frac = F.when(
+        F.size(lines) > 0,
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣▪]"))
+        ) / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        F.size(lines) > 0,
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+        / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(tk, lambda x: x.rlike("[a-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    required = F.size(
+        F.array_intersect(
+            F.array_distinct(tk), F.lit(list(GOPHER_REQUIRED_WORDS))
+        )
+    )
+    return {
+        "_g_words": (n_words >= F.lit(int(min_words)))
+        & (n_words <= F.lit(int(max_words))),
+        "_g_word_len": (mean_len >= F.lit(float(min_mean_word_len)))
+        & (mean_len <= F.lit(float(max_mean_word_len))),
+        "_g_symbols": F.when(n_words > 0, symbols / n_words).otherwise(
+            F.lit(0.0)
+        ) <= F.lit(float(max_symbol_ratio)),
+        "_g_bullets": (bullet_frac <= F.lit(float(max_bullet_line_frac)))
+        & (ellipsis_frac <= F.lit(float(max_ellipsis_line_frac))),
+        "_g_alpha": alpha_frac >= F.lit(float(min_alpha_word_frac)),
+        "_g_required": required >= F.lit(int(min_required_words)),
+    }
+
+
 def curate(
     df: DataFrame,
     text_col: str = "text",

@@ -223,3 +223,50 @@ def test_redact_expr_composes(spark):
         F.length(redact_expr("text", ["email"])).alias("n")
     ).collect()[0]["n"]
     assert r == len("[EMAIL] x")
+
+
+def test_gopher_gates_per_rule(spark):
+    """Each MassiveText/Gopher rule fires on its planted violation and
+    passes clean prose — and the preset plugs into curate's extra_gates
+    with per-rule attrition counts."""
+    from adampro_spark.pipeline.curate import curate, gopher_gate_flags
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and runs off to have "
+        "a think about what life with so many words might be like today "
+    ) * 3
+    rows = [
+        (1, prose),                                      # clean
+        (2, "short doc"),                                # _g_words (too few)
+        (3, "a " * 120),                                 # _g_word_len (mean 1)
+        (4, prose + " " + "#tag " * 40),                 # _g_symbols
+        (5, "\n".join(["- bullet item of the list"] * 20)),  # _g_bullets
+        (6, ("123 456 789 000 " * 20) + "the of and to be that have with"),  # _g_alpha
+        (7, "lorem ipsum dolor sit amet " * 12),         # _g_required
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = gopher_gate_flags()
+    flagged = df
+    for n_, e in flags.items():
+        flagged = flagged.withColumn(n_, e)
+    got = {r["doc_id"]: r.asDict() for r in flagged.collect()}
+    assert all(got[1][n_] for n_ in flags), {
+        n_: got[1][n_] for n_ in flags if not got[1][n_]
+    }
+    assert not got[2]["_g_words"]
+    assert not got[3]["_g_word_len"]
+    assert not got[4]["_g_symbols"]
+    assert not got[5]["_g_bullets"]
+    assert not got[6]["_g_alpha"]
+    assert not got[7]["_g_required"]
+
+    out, report = curate(
+        df, langs=None, min_tokens=1, min_quality=0.0, dedup=None,
+        extra_gates=gopher_gate_flags(),
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1}
+    # per-rule attrition counts ride the same one-scan aggregate
+    assert report["n_fail_g_words"] >= 1
+    assert report["n_fail_g_required"] >= 1
+    assert report["n_output"] == 1
