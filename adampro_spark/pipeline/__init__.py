@@ -55,3 +55,4 @@ from adampro_spark.pipeline.curate import (  # noqa: F401
     gate_flags,
     gopher_gate_flags,
 )
+from adampro_spark.pipeline.text import compression_ratio_stats  # noqa: F401

@@ -368,3 +368,46 @@ def repetition_stats(
     :func:`with_repetition`."""
     staged, finals, _internals = with_repetition(df, text_col)
     return staged.select(F.col(pk), *[c.alias(n) for n, c in finals.items()])
+
+
+def compression_ratio_stats(
+    df: DataFrame, text_col: str = "text", pk: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Per-document DEFLATE compression ratio — the classic
+    machine-generated/boilerplate detector (highly repetitive text
+    compresses far below prose; used alongside the Gopher rules in
+    public corpus pipelines): ``(pk, n_bytes, n_compressed,
+    compression_ratio)`` with ratio = compressed/raw in (0, ~1.1].
+
+    The ONE Arrow-batched pandas UDF in this module: DEFLATE is not
+    expressible as Catalyst expressions, and stdlib zlib over an Arrow
+    batch is the sanctioned slow path (SURVEY §4.1) — still map-only,
+    still column-pruned, ~µs per document.  Empty documents report
+    ratio 0.0 (nothing to compress, not "incompressible").
+    """
+    import pandas as pd
+
+    lvl = int(level)
+
+    def _comp_fn(texts):
+        import zlib
+
+        raw, comp = [], []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, lvl)) if b else 0)
+        return pd.DataFrame({"n_bytes": raw, "n_compressed": comp})
+
+    _comp = F.pandas_udf(_comp_fn, "struct<n_bytes:long,n_compressed:long>")
+    out = df.select(F.col(pk), _comp(F.col(text_col)).alias("_c"))
+    nb = F.col("_c.n_bytes")
+    nc = F.col("_c.n_compressed")
+    return out.select(
+        F.col(pk),
+        nb.alias("n_bytes"),
+        nc.alias("n_compressed"),
+        F.round(
+            F.when(nb > 0, nc.cast("double") / nb).otherwise(F.lit(0.0)), 4
+        ).alias("compression_ratio"),
+    )

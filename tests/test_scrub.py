@@ -270,3 +270,57 @@ def test_gopher_gates_per_rule(spark):
     assert report["n_fail_g_words"] >= 1
     assert report["n_fail_g_required"] >= 1
     assert report["n_output"] == 1
+
+
+def test_compression_ratio_detects_boilerplate(spark):
+    """DEFLATE ratio separates repetitive junk from prose, and the Spark
+    answer equals driver-side zlib exactly."""
+    import zlib
+
+    from adampro_spark.pipeline.text import compression_ratio_stats
+
+    rows = [
+        (1, "buy now best price deal " * 200),
+        (2, "The committee convened at noon to review seventeen distinct "
+            "proposals concerning watershed management, each drafted by a "
+            "different regional authority with its own terminology."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in compression_ratio_stats(df).collect()}
+    for i, t in rows:
+        b = t.encode()
+        assert got[i]["n_bytes"] == len(b)
+        assert got[i]["n_compressed"] == (len(zlib.compress(b, 6)) if b else 0)
+    assert got[1]["compression_ratio"] < 0.05   # junk compresses away
+    assert got[2]["compression_ratio"] > 0.5    # prose does not
+    assert got[3]["compression_ratio"] == 0.0
+
+
+def test_redaction_is_idempotent(spark):
+    """redact(redact(x)) == redact(x): replacement tokens must never
+    re-match any category pattern (hypothesis-style randomized plants)."""
+    import random
+
+    from adampro_spark.pipeline.scrub import redact_pii
+
+    rng = random.Random(9)
+    plants = [
+        "a@b.io", "123-45-6789", "4111 1111 1111 1111",
+        "+1-415-555-1234", "10.0.0.255",
+    ]
+    words = ["alpha", "bravo", "x1", "-", "#", "...", "[EMAIL]", "@"]
+    rows = []
+    for i in range(40):
+        toks = [rng.choice(words) for _ in range(rng.randint(0, 12))]
+        for _ in range(rng.randint(0, 3)):
+            toks.insert(rng.randint(0, len(toks)) if toks else 0,
+                        rng.choice(plants))
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = redact_pii(df, keep_counts=False)
+    twice = redact_pii(once, keep_counts=False)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
