@@ -239,6 +239,12 @@ def np_pairwise(S: np.ndarray, R: np.ndarray, distance_name: str) -> np.ndarray:
             sim = (S @ R.T) / (ns[:, None] * nr[None, :])
         sim[~np.isfinite(sim)] = 1.0
         return 1.0 - sim
+    if distance_name == "hamming":
+        # element tolerance mirrors the LSH family's |x−y| > 1e-5 test
+        # (lsh._radius / HammingHashFunction)
+        return (
+            (np.abs(S[:, None, :] - R[None, :, :]) > 1e-5).sum(axis=2).astype(np.float64)
+        )
     raise ValueError(f"unsupported reference distance {distance_name!r}")
 
 

@@ -280,3 +280,102 @@ def autofit_meta(
     meta["frac_curve"] = curve
     meta["fitted_frac"] = fitted
     return meta
+
+
+# ---------------------------------------------------------------------------
+# LSH: no frac knob (bucket membership is scale-proportional by itself) —
+# its scan-time lever is the number of radius-jittered probe queries
+# (``num_of_q``), which the same sample simulation can fit
+# ---------------------------------------------------------------------------
+
+MAX_NOQ = 8
+
+
+def _lsh_query_buckets(meta: dict[str, Any], q: np.ndarray, noq: int) -> np.ndarray:
+    """Bucket matrix for q plus its first ``noq`` jitters — EXACTLY the
+    scan's construction (scan_lsh draws jitters from RandomState(seed+1)
+    sequentially, so smaller noq values are prefixes of the same
+    stream)."""
+    from adampro_spark.index.lsh import _buckets
+
+    rng = np.random.RandomState(meta["seed"] + 1)
+    queries = [q]
+    for _ in range(noq):
+        if meta.get("distance") == "hamming":
+            nflip = max(1, min(int(round(meta["radius"])), len(q)))
+            qj = q.copy()
+            flip = rng.choice(len(q), size=nflip, replace=False)
+            qj[flip] += rng.standard_normal(nflip)
+            queries.append(qj)
+        else:
+            dirv = rng.standard_normal(len(q))
+            dirv /= np.linalg.norm(dirv) or 1.0
+            queries.append(q + dirv * meta["radius"])
+    return _buckets(np.array(queries), meta)  # ((1+noq) × ntables)
+
+
+def simulate_lsh_candidates(
+    meta: dict[str, Any], S: np.ndarray, q: np.ndarray, num_of_q: int
+) -> np.ndarray:
+    """Sample-row indices scan_lsh admits: rows whose bucket in ANY table
+    equals ANY probe query's bucket for that table."""
+    from adampro_spark.index.lsh import _buckets
+
+    B = _buckets(np.asarray(S, dtype=np.float64), meta)  # (m × ntables)
+    QB = _lsh_query_buckets(meta, np.asarray(q, dtype=np.float64), num_of_q)
+    hit = np.zeros(len(S), dtype=bool)
+    for t in range(meta["ntables"]):
+        hit |= np.isin(B[:, t], QB[:, t])
+    return np.nonzero(hit)[0]
+
+
+def autofit_lsh_meta(
+    meta: dict[str, Any],
+    sample: np.ndarray,
+    distance_name: str,
+    k: int = FIT_K,
+    target: float = FIT_TARGET,
+    n_corpus: int | None = None,
+) -> dict[str, Any]:
+    """Measure recall AND candidate volume per probe count on the build
+    sample, persist ``meta["noq_curve"] = [[noq, recall, cand_frac], …]``
+    and ``meta["fitted_num_of_q"]`` — the smallest probe count meeting
+    the knee-or-target criterion (extra probes past the knee only add
+    candidate volume).  Same sparsity-corrected ground truth as
+    :func:`autofit_meta`."""
+    m = len(sample)
+    if m < MIN_FIT_SAMPLE:
+        return meta
+    S = np.asarray(sample, dtype=np.float64)
+    n = int(n_corpus or m)
+    k_eff = k if n <= m else max(2, int(round(k * m / n)))
+    nq = int(np.clip(int(np.ceil(TARGET_POSITIVES / k_eff)), 8, 48))
+    qidx = np.linspace(0, m - 1, num=min(nq, m), dtype=int)
+
+    from adampro_spark.index.lsh import _buckets
+
+    B = _buckets(S, meta)
+    per_noq: dict[int, list[float]] = {j: [] for j in range(MAX_NOQ + 1)}
+    vol: dict[int, list[float]] = {j: [] for j in range(MAX_NOQ + 1)}
+    for qi in qidx:
+        q = S[qi]
+        ranked = _rank_rows(np_distance(q, S, distance_name))
+        truth = set(ranked[ranked != qi][:k_eff].tolist())
+        QB = _lsh_query_buckets(meta, q, MAX_NOQ)
+        hit = np.zeros(m, dtype=bool)
+        for j in range(MAX_NOQ + 1):
+            # probe j is cumulative: add query row j's buckets
+            for t in range(meta["ntables"]):
+                hit |= B[:, t] == QB[j, t]
+            cands = set(np.nonzero(hit)[0].tolist())
+            per_noq[j].append(len(cands & truth) / max(len(truth), 1))
+            vol[j].append(len(cands) / m)
+    curve = [
+        [j, round(float(np.mean(per_noq[j])), 4), round(float(np.mean(vol[j])), 4)]
+        for j in range(MAX_NOQ + 1)
+    ]
+    plateau = curve[-1][1]
+    fitted = next(j for j, r, _v in curve if r >= target or r >= plateau - KNEE_EPS)
+    meta["noq_curve"] = curve
+    meta["fitted_num_of_q"] = int(fitted)
+    return meta

@@ -121,6 +121,7 @@ def build_lsh(
     nbuckets: int = 256,
     ntraining: int = 500,
     seed: int = 42,
+    autofit: bool = True,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Defaults scaled down from the reference's 64×64 (a 4096-projection
     signature per row); 16×8 keeps the same OR-of-ANDs structure with far
@@ -168,6 +169,15 @@ def build_lsh(
     sig_udf = F.pandas_udf(_sig, T.ArrayType(T.IntegerType()))
 
     indexed = df.select(pk, sig_udf(F.col(vector_col)).alias(FEATURE_COL))
+    if autofit:
+        # fit the probe count on an independent sample (seed+7): LSH has
+        # no frac knob — bucket volume is scale-proportional already —
+        # so its measured scan-time lever is the number of jitter probes
+        from adampro_spark.index.autofit import autofit_lsh_meta
+
+        meta["n"] = df.count()  # sparsity-corrects the fit's ground truth
+        fit_sample = sample_matrix(df, vector_col, 1000, seed + 7, pk=pk)
+        autofit_lsh_meta(meta, fit_sample, distance_name, n_corpus=meta["n"])
     return indexed, meta
 
 
@@ -176,7 +186,7 @@ def scan_lsh(
     meta: dict[str, Any],
     query: list[float],
     k: int,
-    num_of_q: int = 3,
+    num_of_q: int | None = None,
     prefilter: DataFrame | None = None,
 ) -> DataFrame:
     """Bucket-membership filter: row qualifies if ANY table's bucket equals
@@ -195,6 +205,10 @@ def scan_lsh(
     ``min_recall`` floor provide the measured guard.
     """
     pk = meta["pk"]
+    if num_of_q is None:
+        # build-time fitted probe count (autofit_lsh_meta); 3 = the
+        # pre-fit default for legacy metas
+        num_of_q = int(meta.get("fitted_num_of_q", 3))
     q = np.asarray(query, dtype=np.float64)
     rng = np.random.RandomState(meta["seed"] + 1)
     queries = [q]
@@ -234,7 +248,7 @@ def lsh_knn(
     query: list[float],
     k: int,
     distance_name: str | None = None,
-    num_of_q: int = 3,
+    num_of_q: int | None = None,
     prefilter: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate scan → exact refinement.  Conform: build distance only

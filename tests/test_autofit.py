@@ -189,3 +189,52 @@ def test_plan_knn_uses_build_time_curve(spark, clustered, tmp_path):
     plan2 = plan_knn(ops.catalog, "e", "embedding", "euclidean",
                      hints=("approximate",), min_recall=1.01)
     assert plan2.path == "sequential", plan2.reasons
+
+
+def test_lsh_noq_fit_parity_and_behavior(spark, corpus, clustered):
+    """LSH probe-count fit: the simulation admits EXACTLY scan_lsh's
+    candidate set at every probe count; the fitted default is recall-
+    equivalent to the max swept probes on clustered data; and the scan's
+    default uses the fitted value."""
+    from adampro_spark.index.autofit import (
+        MAX_NOQ,
+        autofit_lsh_meta,
+        simulate_lsh_candidates,
+    )
+    from adampro_spark.index.lsh import scan_lsh
+
+    df, S = corpus
+    q = S[7]
+    idx, meta = IX.build_lsh(
+        df, "embedding", pk="rid", distance_name="euclidean", autofit=False
+    )
+    for noq in (0, 3, MAX_NOQ):
+        real = {
+            r["rid"] for r in scan_lsh(idx, meta, list(q), k=1, num_of_q=noq).collect()
+        }
+        sim = set(simulate_lsh_candidates(meta, S, q, noq).tolist())
+        assert sim == real, noq
+
+    # the curve is persisted and the fitted probe count is measured
+    autofit_lsh_meta(meta, S, "euclidean")
+    assert meta["fitted_num_of_q"] in range(MAX_NOQ + 1)
+    curve = meta["noq_curve"]
+    assert len(curve) == MAX_NOQ + 1
+    # recall weakly increases with probes; candidate volume too
+    recalls = [r for _j, r, _v in curve]
+    vols = [v for _j, _r, v in curve]
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+    assert all(b >= a - 1e-9 for a, b in zip(vols, vols[1:]))
+    # the fitted count reaches the knee: within eps of the max-probe recall
+    from adampro_spark.index.autofit import KNEE_EPS
+
+    fitted_recall = recalls[meta["fitted_num_of_q"]]
+    assert fitted_recall >= min(0.95, recalls[-1] - KNEE_EPS)
+
+    # scan default (num_of_q=None) consumes the fitted value: candidate
+    # count equals an explicit scan at the fitted probe count
+    real_default = scan_lsh(idx, meta, list(q), k=1).count()
+    real_fitted = scan_lsh(
+        idx, meta, list(q), k=1, num_of_q=meta["fitted_num_of_q"]
+    ).count()
+    assert real_default == real_fitted
