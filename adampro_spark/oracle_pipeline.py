@@ -826,3 +826,192 @@ def _scrub_corpus(spark, sf):
 
 
 BENCH_ONLY["pipeline_scrub"] = _scrub_corpus
+
+
+# ---------------------------------------------------------------------------
+# round-7 continuation driver rows: unigram LM scoring end-to-end (fit +
+# score), PII redaction on a planted corpus, and the Gopher gate preset —
+# each hash-checked against a full DuckDB mirror
+# ---------------------------------------------------------------------------
+
+_LM_V = 64  # smaller than the corpus vocabulary so the OOV path is live
+
+
+def _lm_score_row(spark, sf):
+    """Fit the unigram LM on the documents corpus and score every
+    document — BOTH stages run inside the checked query, so the oracle
+    adjudicates vocabulary selection, tie-breaks, smoothing and OOV
+    mass, not just the final projection."""
+    from adampro_spark.pipeline.lm import fit_unigram_lm, lm_score
+
+    docs = _docs(spark, sf)
+    vocab, meta = fit_unigram_lm(docs, vocab_size=_LM_V)
+    out = lm_score(docs, vocab, meta)
+    return out.select(
+        "doc_id",
+        F.round("lm_logprob", 4).alias("lm_logprob"),
+        "lm_tokens",
+    )
+
+
+def _lm_sql(v: int = _LM_V) -> str:
+    toks = _TOKS.format(t="text")
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM ex GROUP BY tok),
+    tot AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n, count(*)::BIGINT AS d
+            FROM counts),
+    vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {v}),
+    m AS (SELECT n, least(d, {v}) AS v FROM tot),
+    agg AS (
+      SELECT e.doc_id,
+             round(avg(log10((coalesce(vb.cnt, 0) + 1) / (m.n + m.v + 1))), 4)
+               AS lm_logprob,
+             count(*)::BIGINT AS lm_tokens
+      FROM ex e LEFT JOIN vocab vb USING (tok), m
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id, a.lm_logprob,
+           coalesce(a.lm_tokens, 0)::BIGINT AS lm_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+_register("text_lm_score", _lm_score_row, _lm_sql())
+
+
+def _plant_pii_expr() -> F.Column:
+    """Deterministic PII plants derived from doc_id — the oracle builds
+    the identical corpus in SQL, so detection counts AND the redacted
+    text are hash-comparable (the synthetic corpus itself contains no
+    PII-shaped strings)."""
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com from 10.1.2.3"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" ssn 123-45-6789 tel (415) 555-1234"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(" card 4111 1111 1111 1111 or +1-415-555-9876"),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _scrub_row(spark, sf):
+    """pii_stats + redact_pii over the planted corpus: per-category
+    detection counts, the total, and the REDACTED TEXT itself all ride
+    the hash check (scrub.py:90,124)."""
+    from adampro_spark.pipeline.scrub import pii_stats, redact_pii
+
+    planted = _docs(spark, sf).select("doc_id", _plant_pii_expr().alias("text"))
+    red = redact_pii(planted)
+    stats = pii_stats(planted)
+    return red.join(stats, on="doc_id").select(
+        "doc_id", "text", "pii_redacted",
+        "pii_email", "pii_ssn", "pii_credit_card", "pii_phone", "pii_ipv4",
+    )
+
+
+def _scrub_sql() -> str:
+    from adampro_spark.pipeline.scrub import PII_PATTERNS
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    red = "text"
+    for pat, tok in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{q(pat)}', '{tok}', 'g')"
+    counts = {
+        c: f"len(regexp_extract_all(text, '{q(pat)}'))::BIGINT"
+        for c, (pat, _tok) in PII_PATTERNS.items()
+    }
+    total = " + ".join(counts.values())
+    count_cols = ",\n      ".join(
+        f"{expr} AS pii_{c}" for c, expr in counts.items()
+    )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+        text ||
+        CASE WHEN doc_id % 5 = 0
+             THEN ' reach user' || doc_id::VARCHAR || '@mail.example.com from 10.1.2.3'
+             ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' ssn 123-45-6789 tel (415) 555-1234' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+             THEN ' card 4111 1111 1111 1111 or +1-415-555-9876' ELSE '' END
+          AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      {red} AS text,
+      ({total}) AS pii_redacted,
+      {count_cols}
+    FROM planted
+    """
+
+
+_register("scrub_redaction", _scrub_row, _scrub_sql())
+
+
+def _gopher_row(spark, sf):
+    """The MassiveText A1.1 rule preset as a checked per-document flag
+    table (curate.py:77 gopher_gate_flags) — the same expressions curate
+    consumes via extra_gates, adjudicated rule by rule."""
+    from adampro_spark.pipeline.curate import gopher_gate_flags
+
+    flags = gopher_gate_flags()
+    return _docs(spark, sf).select(
+        "doc_id", *[col.alias(name) for name, col in flags.items()]
+    )
+
+
+def _gopher_sql() -> str:
+    from adampro_spark.pipeline.curate import GOPHER_REQUIRED_WORDS
+
+    toks = _TOKS.format(t="text")
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {toks} AS toks,
+             list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n,
+        coalesce(list_sum(list_transform(toks, t -> length(t)::BIGINT)), 0) AS chars,
+        len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS symbols,
+        len(ls) AS nl,
+        len(list_filter(ls, ln -> regexp_matches(trim(ln), '^[-*•‣▪]'))) AS bullets,
+        len(list_filter(ls, ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$'))) AS ellipses,
+        len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        len(list_filter(list_distinct(toks), t -> list_contains([{req}], t))) AS req
+      FROM base
+    )
+    SELECT doc_id,
+      (n >= 50 AND n <= 100000) AS _g_words,
+      ((CASE WHEN n > 0 THEN chars / n ELSE 0.0 END) >= 3.0
+        AND (CASE WHEN n > 0 THEN chars / n ELSE 0.0 END) <= 10.0) AS _g_word_len,
+      ((CASE WHEN n > 0 THEN symbols / n ELSE 0.0 END) <= 0.1) AS _g_symbols,
+      ((CASE WHEN nl > 0 THEN bullets / nl ELSE 0.0 END) <= 0.9
+        AND (CASE WHEN nl > 0 THEN ellipses / nl ELSE 0.0 END) <= 0.3) AS _g_bullets,
+      ((CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) >= 0.8) AS _g_alpha,
+      (req >= 2) AS _g_required
+    FROM m
+    """
+
+
+_register("gopher_gates", _gopher_row, _gopher_sql())

@@ -56,3 +56,9 @@ from adampro_spark.pipeline.curate import (  # noqa: F401
     gopher_gate_flags,
 )
 from adampro_spark.pipeline.text import compression_ratio_stats  # noqa: F401
+from adampro_spark.pipeline.lm import (  # noqa: F401
+    fit_unigram_lm,
+    lm_filter,
+    lm_perplexity_col,
+    lm_score,
+)

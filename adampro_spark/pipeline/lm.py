@@ -1,0 +1,160 @@
+"""Unigram language-model quality scoring — the CCNet-style "perplexity
+filter" stage of LLM-corpus pipelines (Wenzek et al. 2020 score every
+web document against a KenLM model and keep the head of the
+distribution; the reference engine predates the use case).
+
+A full KenLM is out of scope for a dependency-free engine, but the
+useful 80% — "does this document look like the reference corpus, token
+for token?" — is an add-one-smoothed unigram model, and that fits
+Spark's execution model exactly:
+
+* **fit** = one ``explode → groupBy(token) → top-V`` pass over the
+  reference corpus (or a sample of it).  The vocabulary is a SMALL
+  DataFrame (≤ ``vocab_size`` rows) — at 100 TB the counts shuffle is
+  map-side combined and the top-V is a ``TakeOrdered``, never a sort of
+  the full token table.
+* **score** = ``explode → broadcast-join(vocab) → groupBy(pk)`` — the
+  vocabulary broadcasts (50k rows ≪ the 10 MB threshold), the per-doc
+  aggregate is map-side combined down to one row per document before
+  the only shuffle, and the document TEXT never moves: only the slim
+  ``(pk, token)`` pairs are in flight.
+
+Scores are mean log10 probability per token (higher = more like the
+reference corpus); ``lm_perplexity`` = ``10^(-score)`` for readers who
+think in perplexities.  Both engines of the test oracle (Spark and
+DuckDB) compute the same fit from the same corpus, so the whole
+pipeline — vocabulary selection, smoothing, OOV mass, scoring — is
+hash-checked end to end, not just the final projection.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.text import tokens_expr
+
+DEFAULT_VOCAB = 50_000
+
+
+def fit_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Fit an add-one-smoothed unigram LM on the corpus.
+
+    Returns ``(vocab, meta)``: ``vocab`` is a DataFrame
+    ``(tok, cnt, logp)`` of the ``vocab_size`` most frequent whitespace
+    tokens (ties broken by token ASC so the fit is deterministic), and
+    ``meta`` carries ``n_tokens`` (total corpus tokens, in AND out of
+    vocabulary), ``vocab_size_eff`` (min(vocab_size, distinct tokens))
+    and ``oov_logp`` — every out-of-vocabulary token scores as a
+    count-0 vocabulary entry: ``log10(1 / (n_tokens + V + 1))``.
+
+    ``sample_fraction``: fit on a Bernoulli row sample instead of the
+    full corpus — at 100 TB a 0.1% sample fixes the same vocabulary
+    head; the smoothing denominator scales with whatever was counted.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    counts = (
+        src.select(F.explode(tokens_expr(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts = counts.persist()
+    try:
+        tot = counts.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
+            F.count(F.lit(1)).alias("d"),
+        ).collect()[0]  # 1 row — the model-fit boundary, like ml.py
+        n, d = int(tot["n"]), int(tot["d"])
+        v_eff = min(vocab_size, d)
+        denom = float(n + v_eff + 1)
+        vocab = (
+            counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            .limit(vocab_size)
+            .withColumn("logp", F.log10((F.col("cnt") + 1) / F.lit(denom)))
+        )
+        # materialize before unpersisting the parent plan
+        vocab = vocab.localCheckpoint(eager=True)
+    finally:
+        counts.unpersist()
+    meta = {
+        "n_tokens": n,
+        "vocab_size_eff": v_eff,
+        "oov_logp": math.log10(1.0 / denom),
+        "base": 10,
+        "smoothing": "add_one",
+    }
+    return vocab, meta
+
+
+def lm_score(
+    df: DataFrame,
+    vocab: DataFrame,
+    meta: dict[str, Any],
+    text_col: str = "text",
+    pk: str = "doc_id",
+    score_col: str = "lm_logprob",
+) -> DataFrame:
+    """Per-document mean log10 token probability: ``(pk, score_col,
+    lm_tokens)`` — one row per input document.  Empty documents (no
+    whitespace tokens) score NULL with ``lm_tokens = 0``; a gate
+    comparing ``score >= threshold`` therefore drops them, the
+    conservative default.
+
+    Plan shape: explode to slim ``(pk, tok)`` pairs, broadcast-join the
+    vocabulary, aggregate per document with map-side combine.  The text
+    column itself is pruned out before the explode — nothing document-
+    sized ever shuffles.
+    """
+    exploded = df.select(
+        F.col(pk), F.explode_outer(tokens_expr(text_col)).alias("tok")
+    )
+    joined = exploded.join(
+        F.broadcast(vocab.select("tok", "logp")), on="tok", how="left"
+    )
+    lp = F.when(
+        F.col("tok").isNotNull(),
+        F.coalesce(F.col("logp"), F.lit(float(meta["oov_logp"]))),
+    )
+    return joined.groupBy(pk).agg(
+        F.avg(lp).alias(score_col),
+        F.count(F.col("tok")).alias("lm_tokens"),
+    )
+
+
+def lm_perplexity_col(score_col: str = "lm_logprob") -> Column:
+    """``10^(-mean log10 prob)`` — the conventional perplexity view of
+    an :func:`lm_score` column."""
+    return F.pow(F.lit(10.0), -F.col(score_col))
+
+
+def lm_filter(
+    df: DataFrame,
+    vocab: DataFrame,
+    meta: dict[str, Any],
+    min_logprob: float,
+    text_col: str = "text",
+    pk: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose mean token log-probability clears the floor
+    — the composition a curation pipeline runs BEFORE :func:`~adampro_
+    spark.pipeline.curate.curate`'s one-scan gates (LM scoring needs a
+    join, so it cannot ride curate's single-projection gate pass; the
+    semi-join here moves only primary keys).
+    """
+    keep = (
+        lm_score(df, vocab, meta, text_col=text_col, pk=pk)
+        .filter(F.col("lm_logprob") >= float(min_logprob))
+        .select(pk)
+    )
+    return df.join(keep, on=pk, how="left_semi")

@@ -68,6 +68,8 @@ HEADLINE = [
     "pipeline_scrub",
     # round 6: IVF-PQ composite index (coarse cells + residual-PQ ADC)
     "knn_ivfpq_persisted",
+    # round 7: unigram-LM fit + score (CCNet-style perplexity filter)
+    "text_lm_score",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the

@@ -1,0 +1,18 @@
+"""Driver-contract invariants: every queries() entry carries a full SQL
+oracle (zero rows-only rows), and the registries agree with the entry
+module — guards the import-order trap documented in oracle_pipeline.py
+and catches a new row landing without its oracle."""
+
+import __spark_entry__ as E
+
+
+def test_every_query_has_an_oracle():
+    qs = E.queries()
+    os_ = E.oracle_sql()
+    assert set(qs) == set(os_), (
+        sorted(set(qs) - set(os_)),
+        sorted(set(os_) - set(qs)),
+    )
+    assert len(qs) >= 53
+    for name, sql in os_.items():
+        assert isinstance(sql, str) and sql.strip(), name

@@ -1,0 +1,119 @@
+"""Unigram LM quality scoring (pipeline/lm.py): fit/score parity vs a
+pure-Python reference, OOV and empty-document semantics, deterministic
+vocabulary tie-breaks, and the broadcast plan shape."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.lm import (
+    fit_unigram_lm,
+    lm_filter,
+    lm_perplexity_col,
+    lm_score,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog ate the bone"),
+    (3, "quantum flux capacitor overdrive"),  # mostly OOV at small V
+    (4, ""),  # empty: no tokens
+    (5, "THE The the"),  # case-folding: all one token
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def py_fit(texts, vocab_size):
+    from collections import Counter
+
+    toks = []
+    for t in texts:
+        toks += [w for w in re.split(r"\s+", t.lower()) if w]
+    c = Counter(toks)
+    n = sum(c.values())
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    v_eff = min(vocab_size, len(c))
+    denom = n + v_eff + 1
+    logp = {t: math.log10((k + 1) / denom) for t, k in ordered}
+    return logp, math.log10(1 / denom), n, v_eff
+
+
+def test_fit_matches_python_reference(spark, docs):
+    vocab, meta = fit_unigram_lm(docs, vocab_size=4)
+    logp, oov, n, v_eff = py_fit([t for _i, t in DOCS], 4)
+    got = {r["tok"]: r["logp"] for r in vocab.collect()}
+    assert set(got) == set(logp)
+    for t in logp:
+        assert got[t] == pytest.approx(logp[t], abs=1e-12)
+    assert meta["n_tokens"] == n
+    assert meta["vocab_size_eff"] == v_eff
+    assert meta["oov_logp"] == pytest.approx(oov, abs=1e-12)
+
+
+def test_vocab_tiebreak_deterministic(spark):
+    # four tokens all with count 1 → vocab of 2 must be the
+    # lexicographically first two
+    df = spark.createDataFrame([(1, "delta alpha charlie bravo")], ["doc_id", "text"])
+    vocab, _meta = fit_unigram_lm(df, vocab_size=2)
+    assert sorted(r["tok"] for r in vocab.collect()) == ["alpha", "bravo"]
+
+
+def test_score_semantics(spark, docs):
+    vocab, meta = fit_unigram_lm(docs, vocab_size=4)
+    logp, oov, _n, _v = py_fit([t for _i, t in DOCS], 4)
+    scored = {r["doc_id"]: r for r in lm_score(docs, vocab, meta).collect()}
+    assert set(scored) == {1, 2, 3, 4, 5}
+    for doc_id, text in DOCS:
+        toks = [w for w in re.split(r"\s+", text.lower()) if w]
+        row = scored[doc_id]
+        assert row["lm_tokens"] == len(toks)
+        if not toks:
+            assert row["lm_logprob"] is None
+        else:
+            want = sum(logp.get(t, oov) for t in toks) / len(toks)
+            assert row["lm_logprob"] == pytest.approx(want, rel=1e-12)
+    # the all-OOV doc scores strictly worse than the in-vocab doc
+    assert scored[3]["lm_logprob"] < scored[1]["lm_logprob"]
+
+
+def test_perplexity_and_filter(spark, docs):
+    vocab, meta = fit_unigram_lm(docs, vocab_size=4)
+    scored = lm_score(docs, vocab, meta).withColumn(
+        "ppl", lm_perplexity_col()
+    )
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    for i in (1, 2, 3, 5):
+        assert rows[i]["ppl"] == pytest.approx(
+            10 ** (-rows[i]["lm_logprob"]), rel=1e-12
+        )
+    # threshold between the natural docs and the OOV doc keeps 1,2,5
+    # and drops 3 (worse score) AND 4 (NULL — empty docs never pass)
+    thr = rows[3]["lm_logprob"] + 1e-9
+    kept = {r["doc_id"] for r in lm_filter(docs, vocab, meta, thr).collect()}
+    assert 3 not in kept and 4 not in kept
+    assert kept == {i for i in (1, 2, 5) if rows[i]["lm_logprob"] >= thr}
+
+
+def test_sample_fraction_smoke(spark, tables):
+    docs = tables["documents"]
+    vocab, meta = fit_unigram_lm(docs, vocab_size=32, sample_fraction=0.5)
+    assert vocab.count() <= 32
+    assert meta["n_tokens"] > 0
+    out = lm_score(docs, vocab, meta)
+    assert out.count() == docs.count()
+
+
+def test_plan_broadcasts_vocab_and_prunes_text(spark, tables):
+    docs = tables["documents"]
+    vocab, meta = fit_unigram_lm(docs, vocab_size=64)
+    plan = lm_score(docs, vocab, meta)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only exchange in the plan is the per-doc aggregate (plus the
+    # broadcast), never a sort-merge join of exploded tokens
+    assert "SortMergeJoin" not in plan
