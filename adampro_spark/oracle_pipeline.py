@@ -1015,3 +1015,80 @@ def _gopher_sql() -> str:
 
 
 _register("gopher_gates", _gopher_row, _gopher_sql())
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic near-dup — FIXED seeded centroids
+# (base-corpus rows at vec_id % 40 = 0) make the k-means assignment itself
+# SQL-expressible, so the oracle adjudicates clustering + within-cluster
+# pairs end to end (dedup.py semantic_dup_pairs)
+# ---------------------------------------------------------------------------
+
+_SEM_T = 0.95
+
+
+def _semantic_row(spark, sf):
+    from adampro_spark.pipeline.dedup import semantic_dup_pairs
+
+    corpus = _emb_with_scaled_copies(spark, sf)
+    cents = corpus.filter(
+        (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < _OFF)
+    ).orderBy("vec_id")
+    return semantic_dup_pairs(corpus, threshold=_SEM_T, centroids=cents)
+
+
+def _semantic_sql() -> str:
+    nrm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)),"
+        " (s, x) -> s + x))"
+    )
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+        " p -> p[1] * p[2])), (s, x) -> s + x)"
+    )
+    return f"""
+    WITH e AS ({_SQL_EMB_SCALED}),
+    n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x / ({nrm.format(v='embedding')}))
+               AS nv
+      FROM e WHERE {nrm.format(v='embedding')} > 1e-12
+    ),
+    cent AS (
+      SELECT vec_id AS cid, nv AS cv FROM n
+      WHERE vec_id % 40 = 0 AND vec_id < {_OFF}
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {dot.format(a='n.nv', b='cent.cv')} DESC, cent.cid ASC
+               ) AS rn
+        FROM n CROSS JOIN cent
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({dot.format(a='na.nv', b='nb.nv')}, 4) AS cos_sim
+    FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN n na ON na.vec_id = a.vec_id
+    JOIN n nb ON nb.vec_id = b.vec_id
+    WHERE round({dot.format(a='na.nv', b='nb.nv')}, 4) >= {_SEM_T}
+    """
+
+
+_register("dedup_semantic", _semantic_row, _semantic_sql())
+
+
+def _semantic_bench(spark, sf):
+    """Bench variant: the real fitted path (sampled k-means centroids,
+    default k = ceil(sqrt n)) — the driver row of the same name pins
+    correctness with fixed centroids; this measures fit + assign +
+    block-pair throughput."""
+    from adampro_spark.pipeline.dedup import semantic_dup_pairs
+
+    corpus = _emb_with_scaled_copies(spark, sf)
+    return semantic_dup_pairs(corpus, threshold=_SEM_T)
+
+
+BENCH_ONLY["dedup_semantic"] = _semantic_bench

@@ -56,6 +56,10 @@ from adampro_spark.pipeline.curate import (  # noqa: F401
     gopher_gate_flags,
 )
 from adampro_spark.pipeline.text import compression_ratio_stats  # noqa: F401
+from adampro_spark.pipeline.dedup import (  # noqa: F401
+    semantic_dedup,
+    semantic_dup_pairs,
+)
 from adampro_spark.pipeline.lm import (  # noqa: F401
     fit_unigram_lm,
     lm_filter,

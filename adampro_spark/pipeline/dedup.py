@@ -827,3 +827,210 @@ def embedding_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-bucketed SEMANTIC near-dup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    pk: str = "vec_id",
+    threshold: float = 0.9,
+    n_clusters: int | None = None,
+    centroids: "DataFrame | np.ndarray | None" = None,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    max_cluster_rows: int = 50_000,
+) -> DataFrame:
+    """Within-cluster cosine pairs ``(id_a, id_b, cos_sim)`` with
+    round(cos, 4) ≥ threshold — the SemDeDup recipe: k-means the
+    (L2-normalized) embeddings, then compare ONLY within each cluster.
+
+    Sign-LSH banding (:func:`embedding_dup_pairs`) is the right tool at
+    near-exact thresholds (≥ ~0.97), where a handful of hyperplane bits
+    separates duplicates from noise; at SEMANTIC thresholds (0.7–0.95)
+    the band agreement probability collapses and banded candidates
+    approach all-pairs.  Cluster bucketing is the published scale path
+    there: candidates are bounded by cluster populations, not by a
+    threshold-dependent collision rate.  The price is the published
+    semantics too — pairs SPLIT by the clustering are not reported
+    (SemDeDup accepts this; callers needing exactness at high
+    thresholds should use :func:`embedding_dup_pairs`).
+
+    Scale shape:
+
+    * **fit** — centroids from a driver-sized :func:`~adampro_spark.
+      index._util.sample_matrix` + numpy k-means (the IVF build path,
+      index/ivfpq.py), or caller-provided ``centroids`` (a small
+      DataFrame of vectors, collected in the caller's row order, or an
+      ndarray).  Default k = ⌈√n⌉ clamped to [2, 4096] — ~√n rows per
+      cluster, so total pair work is ~n^1.5, not n².
+    * **assign** — one Arrow-batched pandas UDF: normalized batch ×
+      broadcast centroid matrix, argmax cosine (ties → lowest centroid
+      index).  Map-only; the text-sized columns are pruned.
+    * **pairs** — every cluster is hash-split into
+      ⌈cluster/max_cluster_rows⌉ chunks and each chunk-block pair
+      (bi ≤ bj) becomes one cogrouped ``applyInPandas`` task computing a
+      (≤cap × ≤cap) matmul — bounded memory and no straggler even if
+      one cluster holds half the corpus.  Cluster counts (≤ k rows)
+      are the only driver collect.
+
+    Zero-norm vectors cannot be L2-normalized and never pair (guard
+    mirrors embedding_dup_pairs's near-zero-norm cos=0 convention).
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    from adampro_spark.index._util import kmeans, sample_matrix
+
+    v = F.col(vector_col).cast("array<double>")
+    norm = F.sqrt(_dot(v, v))
+    base = (
+        df.filter(F.col(vector_col).isNotNull())
+        .select(F.col(pk).alias("_pk"), v.alias("_v"), norm.alias("_n"))
+        .filter(F.col("_n") > 1e-12)
+    )
+
+    # --- centroid matrix (driver-sized by contract: ≤ k rows) ---
+    if centroids is None:
+        n_total = base.count()
+        if n_total == 0:
+            spark = df.sparkSession
+            pk_t = df.schema[pk].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"id_a {pk_t}, id_b {pk_t}, cos_sim double"
+            )
+        k = n_clusters or int(np.clip(round(math.sqrt(n_total)), 2, 4096))
+        S = sample_matrix(
+            base.select(F.col("_v").alias(vector_col), F.col("_pk").alias("pk")),
+            vector_col, sample_size, seed, pk="pk",
+        ).astype(np.float64)
+        S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+        C = kmeans(S, k, seed=seed)
+    elif isinstance(centroids, DataFrame):
+        C = np.array(
+            [r[0] for r in centroids.select(vector_col).collect()],
+            dtype=np.float64,
+        )
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    # --- assignment: argmax cosine against the broadcast centroids ---
+    def _assign(cols):
+        import pandas as pd
+
+        if not len(cols):
+            return pd.Series([], dtype="int32")
+        V = np.array([np.asarray(x, dtype=np.float64) for x in cols])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series((V @ Cn.T).argmax(axis=1).astype(np.int32))
+
+    assign_udf = F.pandas_udf(_assign, T.IntegerType())
+    nv = F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+    rows = base.select(
+        F.col("_pk"), nv.alias("_nv"), assign_udf(F.col("_v")).alias("_c")
+    )
+    rows = _spread(rows).persist()
+    try:
+        # --- chunk plan from cluster counts (≤ k rows on the driver) ---
+        sizes = {
+            r["_c"]: r["cnt"]
+            for r in rows.groupBy("_c").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        spark = df.sparkSession
+        m_of = {c: max(1, math.ceil(cnt / max_cluster_rows)) for c, cnt in sizes.items()}
+        blocks = [
+            (c, bi, bj)
+            for c, m in m_of.items()
+            for bi in range(m)
+            for bj in range(bi, m)
+        ]
+        blocks_df = spark.createDataFrame(blocks, "_c int, _bi int, _bj int")
+        m_df = spark.createDataFrame(list(m_of.items()), "_c int, _m int")
+        chunked = rows.join(F.broadcast(m_df), "_c").withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64(F.col("_pk"), F.lit(seed + 13)), F.col("_m")).cast("int"),
+        )
+        def _side(chunk_block_col: str) -> DataFrame:
+            # re-alias every column so the two cogroup sides carry
+            # DISTINCT attribute ids (they share chunked/blocks_df
+            # lineage, which otherwise trips the ambiguous-self-join
+            # analyzer check)
+            return (
+                chunked.join(
+                    F.broadcast(blocks_df),
+                    on=[
+                        chunked["_c"] == blocks_df["_c"],
+                        chunked["_chunk"] == blocks_df[chunk_block_col],
+                    ],
+                )
+                .select(
+                    chunked["_pk"].alias("_pk"),
+                    chunked["_nv"].alias("_nv"),
+                    blocks_df["_c"].alias("_c"),
+                    blocks_df["_bi"].alias("_bi"),
+                    blocks_df["_bj"].alias("_bj"),
+                )
+            )
+
+        left = _side("_bi")
+        right = _side("_bj")
+
+        thr = float(threshold)
+
+        def _block_pairs(key, lpdf, rpdf):
+            import pandas as pd
+
+            cols = {"id_a": [], "id_b": [], "cos_sim": []}
+            if len(lpdf) and len(rpdf):
+                A = np.stack([np.asarray(x) for x in lpdf["_nv"]])
+                B = np.stack([np.asarray(x) for x in rpdf["_nv"]])
+                Sm = np.round(A @ B.T, 4)
+                ia, jb = np.nonzero(Sm >= thr)
+                ids_a = lpdf["_pk"].values[ia]
+                ids_b = rpdf["_pk"].values[jb]
+                sims = Sm[ia, jb]
+                if key[1] == key[2]:  # same chunk: upper triangle only
+                    keep = ids_a < ids_b
+                    ids_a, ids_b, sims = ids_a[keep], ids_b[keep], sims[keep]
+                else:  # cross chunk: orient each (unique) pair
+                    lo = np.where(ids_a < ids_b, ids_a, ids_b)
+                    hi = np.where(ids_a < ids_b, ids_b, ids_a)
+                    ids_a, ids_b = lo, hi
+                cols = {"id_a": ids_a, "id_b": ids_b, "cos_sim": sims}
+            return pd.DataFrame(cols)
+
+        pk_t = df.schema[pk].dataType.simpleString()
+        out = (
+            left.groupBy("_c", "_bi", "_bj")
+            .cogroup(right.groupBy("_c", "_bi", "_bj"))
+            .applyInPandas(
+                _block_pairs, f"id_a {pk_t}, id_b {pk_t}, cos_sim double"
+            )
+        )
+        # materialize while the assignment table is still cached
+        out = out.localCheckpoint(eager=True)
+    finally:
+        rows.unpersist()
+    return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    pk: str = "vec_id",
+    threshold: float = 0.9,
+    **kw,
+) -> DataFrame:
+    """SemDeDup survivors: :func:`semantic_dup_pairs` →
+    :func:`deduplicate` (connected components over the pair graph, min-pk
+    survivor per group, one anti-join)."""
+    pairs = semantic_dup_pairs(
+        df, vector_col=vector_col, pk=pk, threshold=threshold, **kw
+    )
+    return deduplicate(df, pairs, pk=pk)

@@ -70,6 +70,8 @@ HEADLINE = [
     "knn_ivfpq_persisted",
     # round 7: unigram-LM fit + score (CCNet-style perplexity filter)
     "text_lm_score",
+    # round 7: SemDeDup cluster-bucketed semantic near-dup (fitted k-means)
+    "dedup_semantic",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the

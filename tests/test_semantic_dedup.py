@@ -1,0 +1,118 @@
+"""SemDeDup (dedup.semantic_dup_pairs / semantic_dedup): exact parity
+with a pure-numpy within-cluster brute force, chunked-path equivalence,
+guard behavior, and survivor semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.dedup import semantic_dedup, semantic_dup_pairs
+
+
+def _corpus(spark, seed=7, n=120, dim=8):
+    """Three well-separated direction groups + planted near-copies."""
+    rng = np.random.RandomState(seed)
+    anchors = np.eye(dim)[:3] * 10.0
+    rows = []
+    for i in range(n):
+        a = anchors[i % 3]
+        rows.append((i, (a + rng.standard_normal(dim)).tolist()))
+    # planted near-copies of rows 0..9 (tiny noise, cosine ≈ 1)
+    by_id = dict(rows)
+    for i in range(10):
+        v = np.asarray(by_id[i]) * 1.01 + rng.standard_normal(dim) * 1e-3
+        rows.append((1000 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, dict(rows)
+
+
+def _brute_pairs(vecs, centroids, threshold):
+    ids = sorted(vecs)
+    V = np.array([vecs[i] for i in ids], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    assign = (V @ C.T).argmax(axis=1)
+    out = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if assign[x] != assign[y]:
+                continue
+            s = round(float(V[x] @ V[y]), 4)
+            if s >= threshold:
+                a, b = sorted((ids[x], ids[y]))
+                out.add((a, b, s))
+    return out
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    return _corpus(spark)
+
+
+def test_pairs_match_brute_force_fixed_centroids(spark, planted):
+    df, vecs = planted
+    cent_df = df.filter(F.col("vec_id") % 17 == 0).orderBy("vec_id")
+    cents = [vecs[r["vec_id"]] for r in cent_df.select("vec_id").collect()]
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in semantic_dup_pairs(df, threshold=0.95, centroids=cent_df).collect()
+    }
+    want = _brute_pairs(vecs, cents, 0.95)
+    assert got == want and len(want) >= 10  # every planted copy found
+
+
+def test_chunked_path_equals_direct(spark, planted):
+    df, _vecs = planted
+    cent_df = df.filter(F.col("vec_id") % 17 == 0).orderBy("vec_id")
+    direct = {
+        tuple(r) for r in semantic_dup_pairs(
+            df, threshold=0.95, centroids=cent_df
+        ).collect()
+    }
+    # cap of 16 rows forces multi-chunk block pairs on ~43-row clusters
+    chunked = {
+        tuple(r) for r in semantic_dup_pairs(
+            df, threshold=0.95, centroids=cent_df, max_cluster_rows=16
+        ).collect()
+    }
+    assert chunked == direct
+
+
+def test_fitted_centroids_find_planted_copies(spark, planted):
+    df, _vecs = planted
+    pairs = semantic_dup_pairs(df, threshold=0.99, n_clusters=6, sample_size=200)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the ten planted copies are near-identical to their sources; k-means
+    # on 3 separated direction groups cannot split a copy from its source
+    assert {(i, 1000 + i) for i in range(10)} <= found
+
+
+def test_null_and_zero_vectors_never_pair(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 1e-8, 0.0]),
+        (3, None),
+        (4, [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semantic_dup_pairs(df, threshold=0.9, n_clusters=2).collect()
+    ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    assert 3 not in ids and 4 not in ids
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+def test_empty_corpus(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dup_pairs(df).count() == 0
+
+
+def test_semantic_dedup_survivors(spark, planted):
+    df, _vecs = planted
+    cent_df = df.filter(F.col("vec_id") % 17 == 0).orderBy("vec_id")
+    out = semantic_dedup(df, threshold=0.99, centroids=cent_df)
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    # min-pk survivor: sources (0..9) stay, planted copies (1000..1009) go
+    assert {i for i in range(10)} <= kept
+    assert kept.isdisjoint({1000 + i for i in range(10)})
+    assert out.columns == df.columns
