@@ -1092,3 +1092,78 @@ def _semantic_bench(spark, sf):
 
 
 BENCH_ONLY["dedup_semantic"] = _semantic_bench
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly: split + decontaminate promoted from pytest mirrors to
+# driver rows (the gram-hash chain and the split coin are portable
+# arithmetic — mix.py _unit_hash / _grams_from_token_hashes)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # small n so the derived eval snippets always produce grams
+
+
+def _split_row(spark, sf):
+    from adampro_spark.pipeline.mix import split_dataset
+
+    return split_dataset(
+        _docs(spark, sf).select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+def _split_sql() -> str:
+    from adampro_spark.pipeline.mix import _MIX_A, _MIX_B
+    from adampro_spark.pipeline.text import HASH_P
+
+    h = _sql_poly_hash("concat('split', '|', doc_id::VARCHAR)")
+    return f"""
+    SELECT doc_id,
+      CASE WHEN u < 0.8 THEN 'train'
+           -- 0.8 + 0.1 accumulated in IEEE doubles, exactly as
+           -- split_dataset builds its cumulative bin bounds
+           WHEN u < 0.9000000000000001 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+            ((({h}) * {_MIX_A} + {_MIX_B}) % {HASH_P}) / {HASH_P}.0 AS u
+          FROM documents)
+    """
+
+
+_register("pipeline_split", _split_row, _split_sql())
+
+
+def _decontaminate_row(spark, sf):
+    """Survivors after removing docs sharing any word 5-gram with a
+    DERIVED eval set (tokens 5..9 of every 25th document) — both engines
+    build the same snippets, so the gram explode, the broadcast semi-
+    join and the anti-join are all adjudicated (mix.py:222)."""
+    from adampro_spark.pipeline.mix import decontaminate
+    from adampro_spark.pipeline.text import tokens_expr
+
+    docs = _docs(spark, sf)
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(tokens_expr("text"), 5, _DECON_N)).alias("text")
+    )
+    return decontaminate(docs, eval_df, n=_DECON_N).select("doc_id")
+
+
+def _decontaminate_sql(n: int = _DECON_N) -> str:
+    th = f"list_transform({_TOKS.format(t='text')}, t -> {_sql_poly_hash('t')})"
+    grams = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(th) - {n - 1}, 1)), "
+        f"i -> {_fold(f'list_slice(th, i, i + {n - 1})')}))"
+    )
+    return f"""
+    WITH dt AS (SELECT doc_id, {th} AS th FROM documents),
+    et AS (SELECT list_slice(th, 5, {5 + n - 1}) AS th FROM dt
+           WHERE doc_id % 25 = 0),
+    dg AS (SELECT doc_id, unnest({grams}) AS g FROM dt),
+    eg AS (SELECT DISTINCT unnest({grams}) AS g FROM et),
+    bad AS (SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM eg))
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """
+
+
+_register("pipeline_decontaminate", _decontaminate_row, _decontaminate_sql())
