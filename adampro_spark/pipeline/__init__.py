@@ -65,4 +65,5 @@ from adampro_spark.pipeline.lm import (  # noqa: F401
     lm_filter,
     lm_perplexity_col,
     lm_score,
+    lm_score_col,
 )

@@ -170,6 +170,7 @@ def curate(
     max_dup_line_frac: float | None = None,
     max_top_2gram_char_frac: float | None = None,
     redact: Sequence[str] | bool | None = None,
+    lm: "tuple[Any, Mapping[str, Any], float] | None" = None,
     dedup: str | None = "minhash",
     dedup_threshold: float | None = None,
     stage_timings: dict[str, float] | None = None,
@@ -214,6 +215,13 @@ def curate(
     names; the surviving corpus carries the redacted text and the report
     gains ``n_pii_docs`` (documents with ≥1 detected match).  Rides the
     same projection — zero extra scans.
+
+    ``lm`` — a ``(vocab, meta, min_logprob)`` triple from
+    :func:`~adampro_spark.pipeline.lm.fit_unigram_lm`: gate survivors
+    whose mean token log-probability falls below the floor are dropped
+    BEFORE dedup (the CCNet perplexity-filter composition); the report
+    gains ``n_lm_fail``.  Runs as one broadcast-join + semi-join stage —
+    the only curate stage that cannot ride the one-scan gate pass.
 
     ``extra_gates`` — extra boolean flag expressions merged into the
     SAME one-scan gate pass (name → Column; name must start with ``_``
@@ -315,11 +323,36 @@ def curate(
     if pii_docs_col is not None:
         kept = kept.drop("_ap_pii_n")
 
+    n_lm_fail = None
+    if lm is not None:
+        # LM scoring needs a join (broadcast vocab + per-doc aggregate),
+        # so it cannot ride the one-scan gate pass; it runs on the GATE
+        # SURVIVORS only — the CCNet composition order, and the cheap one
+        # (scores are never computed for docs the gates already dropped).
+        from adampro_spark.pipeline.lm import lm_score
+
+        lm_vocab, lm_meta, lm_floor = lm
+        t_lm = time.perf_counter()
+        keep_ids = (
+            lm_score(kept, lm_vocab, lm_meta, text_col=text_col, pk=pk)
+            .filter(F.col("lm_logprob") >= float(lm_floor))
+            .select(pk)
+            # pk-only table; eager so the count and the semi-join below
+            # don't score the corpus twice
+            .localCheckpoint(eager=True)
+        )
+        n_lm_fail = int(agg["kept"]) - keep_ids.count()
+        kept = kept.join(keep_ids, pk, "left_semi")
+        if stage_timings is not None:
+            stage_timings["lm_sec"] = round(time.perf_counter() - t_lm, 3)
+
+    n_pre_dedup = int(agg["kept"]) - (n_lm_fail or 0)
+
     if dedup is None:
         if dedup_threshold is not None:
             raise ValueError("dedup_threshold given but dedup is disabled")
         out = kept
-        n_out = int(agg["kept"])
+        n_out = n_pre_dedup
     elif dedup == "exact":
         if dedup_threshold is not None:
             raise ValueError(
@@ -372,9 +405,11 @@ def curate(
         "n_too_long": int(agg["too_long"]),
         "n_low_quality": int(agg["low_q"]),
         "n_after_gates": int(agg["kept"]),
-        "n_dup_dropped": int(agg["kept"]) - n_out,
+        "n_dup_dropped": n_pre_dedup - n_out,
         "n_output": n_out,
     }
+    if n_lm_fail is not None:
+        report["n_lm_fail"] = n_lm_fail
     if "_rep_ok" in flags:
         report["n_repetitive"] = int(agg["rep_fail"])
     if pii_docs_col is not None:

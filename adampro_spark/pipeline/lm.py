@@ -158,3 +158,56 @@ def lm_filter(
         .select(pk)
     )
     return df.join(keep, on=pk, how="left_semi")
+
+
+def lm_score_col(
+    vocab: "DataFrame | dict[str, float]",
+    meta: dict[str, Any],
+    text_col: str = "text",
+) -> Column:
+    """Map-only scoring: the same mean log10 token probability as
+    :func:`lm_score`, as ONE Arrow-batched pandas-UDF column — no
+    explode, no join, no aggregate.  This is the stream-safe form
+    (:func:`~adampro_spark.streaming.ingest.stream_curate` uses it — a
+    streaming explode→groupBy would turn scoring into a stateful
+    aggregate), and the batch escape hatch when a caller wants scores
+    inside an existing one-scan projection.
+
+    The vocabulary rides the UDF closure (broadcast by Spark's task
+    serializer, ≤ ``vocab_size`` entries).  Tokenization mirrors
+    ``tokens_expr`` exactly: lowercase, split on ``\\s+``, empties
+    dropped.  Empty documents score NULL, as in :func:`lm_score`.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(vocab, DataFrame):
+        table = {r["tok"]: float(r["logp"]) for r in vocab.collect()}
+    else:
+        table = {str(k): float(v) for k, v in vocab.items()}
+    oov = float(meta["oov_logp"])
+    # ASCII mode: Python's unicode-aware \s would split on NBSP etc.
+    # where the JVM/RE2 \s in tokens_expr does not — parity first
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    # no type hints: under `from __future__ import annotations` they are
+    # strings and pandas_udf's hint inference rejects them
+    def _score(texts):
+        out = []
+        get = table.get
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [w for w in ws.split(t.lower()) if w]
+            if not toks:
+                out.append(None)
+                continue
+            out.append(sum(get(w, oov) for w in toks) / len(toks))
+        return pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(_score, T.DoubleType())(
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )

@@ -185,6 +185,7 @@ def stream_curate(
     max_dup_line_frac: float | None = None,
     max_top_2gram_char_frac: float | None = None,
     redact=None,
+    lm=None,
 ) -> DataFrame:
     """The streaming counterpart of batch :func:`~adampro_spark.pipeline.
     curate.curate`: the SAME gate expressions (``gate_flags`` — stateless,
@@ -199,6 +200,13 @@ def stream_curate(
     stateless column expressions too, so they stream unchanged —
     redaction rewrites ``text_col`` BEFORE the gates and the dedup state,
     exactly like batch curate.
+
+    ``lm`` — the batch ``(vocab, meta, min_logprob)`` triple, scored
+    here via the MAP-ONLY :func:`~adampro_spark.pipeline.lm.lm_score_col`
+    pandas UDF instead of batch curate's explode→broadcast-join→groupBy
+    (a streaming groupBy would be a stateful aggregate); same scores,
+    same floor semantics (NULL-scoring empty docs drop), rides the same
+    stateless gate pass.
 
     No attrition report: a streaming query cannot collect counts
     mid-plan — observe the gate pass with ``df.observe`` or compare sink
@@ -239,6 +247,13 @@ def stream_curate(
                 <= F.lit(float(max_top_2gram_char_frac))
             )
         flags["_rep_ok"] = rep_ok
+    if lm is not None:
+        from adampro_spark.pipeline.lm import lm_score_col
+
+        lm_vocab, lm_meta, lm_floor = lm
+        flags["_lm_ok"] = (
+            lm_score_col(lm_vocab, lm_meta, text_col) >= F.lit(float(lm_floor))
+        )
     cond = None
     for name, expr in flags.items():
         out = out.withColumn(name, expr)

@@ -117,3 +117,111 @@ def test_plan_broadcasts_vocab_and_prunes_text(spark, tables):
     # the only exchange in the plan is the per-doc aggregate (plus the
     # broadcast), never a sort-merge join of exploded tokens
     assert "SortMergeJoin" not in plan
+
+
+def test_curate_lm_stage(spark, tables):
+    """curate(lm=(vocab, meta, floor)): LM filtering applies after the
+    gates and before dedup; the report's n_lm_fail accounts exactly and
+    attrition telescopes."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.lm import fit_unigram_lm, lm_score
+
+    docs = tables["documents"]
+    vocab, meta = fit_unigram_lm(docs, vocab_size=32)
+
+    # floor at the median score of GATE SURVIVORS so the stage really
+    # drops a nontrivial subset
+    base_out, base_rep = curate(docs, dedup=None)
+    med = lm_score(base_out, vocab, meta).approxQuantile(
+        "lm_logprob", [0.5], 0.0
+    )[0]
+
+    out, rep = curate(docs, lm=(vocab, meta, med), dedup=None)
+    assert rep["n_after_gates"] == base_rep["n_after_gates"]
+    assert rep["n_lm_fail"] > 0
+    assert rep["n_output"] == rep["n_after_gates"] - rep["n_lm_fail"]
+    assert out.count() == rep["n_output"]
+    # survivors are exactly the gate survivors clearing the floor
+    want = {
+        r["doc_id"]
+        for r in lm_score(base_out, vocab, meta)
+        .filter(F.col("lm_logprob") >= med)
+        .collect()
+    }
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == want
+
+    # with dedup on, n_dup_dropped counts from the post-LM set
+    timings = {}
+    out2, rep2 = curate(
+        docs, lm=(vocab, meta, med), dedup="exact", stage_timings=timings
+    )
+    assert rep2["n_output"] == out2.count()
+    assert (
+        rep2["n_after_gates"] - rep2["n_lm_fail"] - rep2["n_dup_dropped"]
+        == rep2["n_output"]
+    )
+    assert "lm_sec" in timings
+
+
+def test_lm_score_col_matches_join_path(spark, tables):
+    """The map-only pandas-UDF scorer must reproduce the explode +
+    broadcast-join + groupBy scores exactly (same tokenization, same
+    OOV mass, NULL on empty docs)."""
+    from adampro_spark.pipeline.lm import lm_score_col
+
+    docs = tables["documents"].select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(9_000_001, ""), (9_000_002, None), (9_000_003, "zzz unseen qqq")],
+            "doc_id long, text string",
+        )
+    )
+    vocab, meta = fit_unigram_lm(docs, vocab_size=32)
+    join_scores = {
+        r["doc_id"]: r["lm_logprob"] for r in lm_score(docs, vocab, meta).collect()
+    }
+    udf_scores = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", lm_score_col(vocab, meta).alias("s")
+        ).collect()
+    }
+    assert set(join_scores) == set(udf_scores)
+    for k, v in join_scores.items():
+        if v is None:
+            assert udf_scores[k] is None, k
+        else:
+            assert udf_scores[k] == pytest.approx(v, rel=1e-12), k
+
+
+def test_stream_curate_lm_matches_batch(spark, tables, tmp_path):
+    """stream_curate(lm=...) over micro-batched files equals batch
+    curate(lm=...) survivors — the UDF scorer and the join scorer agree
+    through the full gate composition."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.streaming.ingest import stream_curate
+
+    docs = tables["documents"].select("doc_id", "text")
+    vocab, meta = fit_unigram_lm(docs, vocab_size=32)
+    med = lm_score(docs, vocab, meta).approxQuantile("lm_logprob", [0.5], 0.0)[0]
+
+    kw = dict(langs=("en",), min_tokens=10, min_quality=0.2)
+    batch_out, batch_rep = curate(docs, lm=(vocab, meta, med), dedup=None, **kw)
+    want = {r["doc_id"] for r in batch_out.select("doc_id").collect()}
+    assert batch_rep["n_lm_fail"] > 0
+
+    src = str(tmp_path / "lm_src")
+    docs.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gated = stream_curate(
+        stream, lm=(vocab, meta, med), dedup=None, **kw
+    ).select("doc_id")
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("lm_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM lm_stream").collect()}
+    assert got == want and got
