@@ -1167,3 +1167,71 @@ def _decontaminate_sql(n: int = _DECON_N) -> str:
 
 
 _register("pipeline_decontaminate", _decontaminate_row, _decontaminate_sql())
+
+
+# ---------------------------------------------------------------------------
+# chunking + tf-idf keywords (text.py chunk_documents / tfidf_keywords)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_O = 32, 8
+
+
+def _chunks_row(spark, sf):
+    from adampro_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf), max_tokens=_CHUNK_W, overlap=_CHUNK_O
+    )
+
+
+def _chunks_sql(w: int = _CHUNK_W, o: int = _CHUNK_O) -> str:
+    stride = w - o
+    toks = _TOKS.format(t="text")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    s AS (
+      SELECT doc_id, tk,
+             unnest(CASE WHEN len(tk) > 0
+                         THEN generate_series(1, len(tk), {stride})
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM t
+    )
+    SELECT doc_id,
+           ((i - 1) // {stride})::BIGINT AS chunk_id,
+           array_to_string(list_slice(tk, i, i + {w - 1}), ' ') AS text,
+           len(list_slice(tk, i, i + {w - 1}))::BIGINT AS n_tokens
+    FROM s
+    """
+
+
+_register("text_chunks", _chunks_row, _chunks_sql())
+
+
+def _tfidf_row(spark, sf):
+    from adampro_spark.pipeline.text import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf), top_k=5)
+
+
+def _tfidf_sql(k: int = 5) -> str:
+    toks = _TOKS.format(t="text")
+    return f"""
+    WITH p AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM p GROUP BY doc_id, term),
+    dft AS (SELECT term, count(*)::BIGINT AS df_t
+            FROM (SELECT DISTINCT doc_id, term FROM p) GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    sc AS (SELECT tf.doc_id, tf.term,
+                  tf.tf * ln(nn.n / dft.df_t) AS s
+           FROM tf JOIN dft USING (term), nn),
+    r AS (SELECT doc_id, term, s,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rank
+          FROM sc)
+    SELECT doc_id, term, round(s, 4) AS tfidf, rank::BIGINT AS rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+_register("text_tfidf", _tfidf_row, _tfidf_sql())

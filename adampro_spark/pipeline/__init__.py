@@ -56,6 +56,17 @@ from adampro_spark.pipeline.curate import (  # noqa: F401
     gopher_gate_flags,
 )
 from adampro_spark.pipeline.text import compression_ratio_stats  # noqa: F401
+from adampro_spark.pipeline.text import (  # noqa: F401
+    chunk_documents,
+    tfidf_keywords,
+)
+from adampro_spark.pipeline.mix import (  # noqa: F401
+    decontaminate,
+    mix_sources,
+    pack_sequences,
+    sample_sources,
+    split_dataset,
+)
 from adampro_spark.pipeline.dedup import (  # noqa: F401
     semantic_dedup,
     semantic_dup_pairs,

@@ -411,3 +411,106 @@ def compression_ratio_stats(
             F.when(nb > 0, nc.cast("double") / nb).otherwise(F.lit(0.0)), 4
         ).alias("compression_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into token windows of ``max_tokens`` with
+    ``overlap`` tokens shared between consecutive chunks — the
+    context-window chunking step a training pipeline runs BEFORE
+    :func:`~adampro_spark.pipeline.mix.pack_sequences` (chunk to the
+    model's window, then pack the chunks).
+
+    One map-only pass: tokenize once, explode the window starts, slice.
+    Output one row per chunk: ``(pk, chunk_id, text, n_tokens)`` where
+    ``chunk_id`` numbers chunks 0.. within each document, the chunk text
+    is the whitespace-normalized token window (single spaces — exactly
+    :func:`fingerprint_expr`'s normalization), and documents with zero
+    tokens produce ZERO chunks.  The final window may be shorter than
+    ``max_tokens``; a window is started at every ``max_tokens − overlap``
+    stride while any token remains, so every token appears in ≥ 1 chunk
+    and consecutive chunks share exactly ``overlap`` tokens (except a
+    shorter tail).
+
+    Deterministic arithmetic end to end (``chunk_id = (start−1) /
+    stride``), so the whole explode is oracle-checkable in SQL.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens_expr(text_col)
+    staged = df.select(F.col(pk), toks.alias("_tk"))
+    n = F.size(F.col("_tk"))
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = staged.select(
+        F.col(pk), F.col("_tk"), F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_tk"), F.col("_start"), max_tokens)
+    return exploded.select(
+        F.col(pk),
+        ((F.col("_start") - 1) / stride).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias(text_col),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-``top_k`` tf·idf terms per document: ``(pk, term, tfidf,
+    rank)`` with ``idf = ln(N / df_t)`` (N = total documents, df_t =
+    documents containing the term) and ties broken by term ASC — fully
+    deterministic, so the whole computation (term counts, document
+    frequencies, ranking) is oracle-checkable.
+
+    Plan shape: one explode to slim ``(pk, term)`` pairs feeds BOTH
+    aggregates (per-doc tf with map-side combine, and document
+    frequency over the distinct pairs); the join back is on ``term``
+    (vocabulary-sized — a plain shuffle join, deliberately NOT broadcast:
+    at corpus scale the vocabulary outgrows any broadcast ceiling); the
+    final per-document top-k is a bounded window.  Document text never
+    shuffles.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # one count job — the same model-fit boundary
+    # as fit_unigram_lm's totals row
+    pairs = df.select(
+        F.col(pk), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    tf = pairs.groupBy(pk, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df_t is the tf table's per-term row count: a window count over term
+    # computes it WITHOUT a join or a second tf evaluation (a separate
+    # dft aggregate needs a different partitioning, so exchange reuse
+    # cannot serve it and the scan+explode+agg subtree runs twice —
+    # measured 4 source scans vs 1 with the window form)
+    scored = tf.withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn(
+        "_s", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))
+    )
+    w = Window.partitionBy(pk).orderBy(F.col("_s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col(pk),
+            "term",
+            F.round("_s", 4).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
