@@ -897,18 +897,21 @@ def semantic_dup_pairs(
 
     # --- centroid matrix (driver-sized by contract: ≤ k rows) ---
     if centroids is None:
-        n_total = base.count()
-        if n_total == 0:
+        S = sample_matrix(
+            base.select(F.col("_v").alias(vector_col), F.col("_pk").alias("pk")),
+            vector_col, sample_size, seed, pk="pk",
+        ).astype(np.float64)
+        if len(S) == 0:
             spark = df.sparkSession
             pk_t = df.schema[pk].dataType.simpleString()
             return spark.createDataFrame(
                 [], f"id_a {pk_t}, id_b {pk_t}, cos_sim double"
             )
+        # a sample smaller than its budget IS the whole corpus (the
+        # layout-independent sampler takes min(n, budget)) — the extra
+        # count job only runs when the corpus outgrows the sample
+        n_total = len(S) if len(S) < sample_size else base.count()
         k = n_clusters or int(np.clip(round(math.sqrt(n_total)), 2, 4096))
-        S = sample_matrix(
-            base.select(F.col("_v").alias(vector_col), F.col("_pk").alias("pk")),
-            vector_col, sample_size, seed, pk="pk",
-        ).astype(np.float64)
         S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
         C = kmeans(S, k, seed=seed)
     elif isinstance(centroids, DataFrame):
