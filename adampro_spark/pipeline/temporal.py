@@ -314,37 +314,69 @@ def _unkeyed_carry(
         # every (key, bucket) row must exist so the carry crosses empty
         # buckets; hot keys are few by definition, so this stays tiny
         pid_frame = u.select(by).distinct().crossJoin(pid_frame)
-    # The prefix/suffix windows below deliberately span ALL buckets of a
-    # key — keyed: partitioned by the key; unkeyed: partitionBy a
-    # constant on the coalesced ≤ p-row table, making the single-
-    # partition intent explicit instead of triggering Spark's "No
-    # Partition Defined for Window" warning on every query (verdict r6
-    # #8: the warning is scary in logs but the table is tiny by
-    # construction — one row per time bucket).
-    carry_part = [F.col(by)] if by else [F.lit(0)]
-    w_carry = (
-        Window.partitionBy(*carry_part)
-        .orderBy("_ap_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = pid_frame.join(per_pid, part_keys, "left")
-    if not by:
-        carry = carry.coalesce(1)
-    carry = carry.withColumn(
-        "_ap_carry", F.last("_ap_last", ignorenulls=True).over(w_carry)
-    )
-    keep_cols = part_keys + ["_ap_carry"]
-    if want_fwd:
-        w_carry_f = (
-            Window.partitionBy(*carry_part)
+    # The prefix/suffix carries below deliberately span ALL buckets of a
+    # key.  Keyed: window partitioned by the key.  Unkeyed: the per-
+    # bucket table is ≤ p rows by construction and the broadcast join
+    # below collects it to the driver ANYWAY, so the carries are
+    # computed driver-side — a constant partitionBy(lit) does NOT
+    # silence Spark's "No Partition Defined for Window" warning (the
+    # optimizer constant-folds the literal away and WindowExec still
+    # sees an empty partition spec; observed 8 warnings per query).
+    if by:
+        w_carry = (
+            Window.partitionBy(F.col(by))
             .orderBy("_ap_pid")
-            .rowsBetween(1, Window.unboundedFollowing)
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        carry = carry.withColumn(
-            "_ap_carry_f", F.first("_ap_first", ignorenulls=True).over(w_carry_f)
+        carry = pid_frame.join(per_pid, part_keys, "left").withColumn(
+            "_ap_carry", F.last("_ap_last", ignorenulls=True).over(w_carry)
         )
-        keep_cols.append("_ap_carry_f")
-    out = local.join(F.broadcast(carry.select(*keep_cols)), part_keys).withColumn(
+        keep_cols = part_keys + ["_ap_carry"]
+        if want_fwd:
+            w_carry_f = (
+                Window.partitionBy(F.col(by))
+                .orderBy("_ap_pid")
+                .rowsBetween(1, Window.unboundedFollowing)
+            )
+            carry = carry.withColumn(
+                "_ap_carry_f",
+                F.first("_ap_first", ignorenulls=True).over(w_carry_f),
+            )
+            keep_cols.append("_ap_carry_f")
+        carry = carry.select(*keep_cols)
+    else:
+        from pyspark.sql import types as T
+
+        pp = {r["_ap_pid"]: r for r in per_pid.collect()}  # ≤ p+1 rows
+        n_pids = len(bounds) + 1
+        prefix: list = [None] * n_pids
+        prev = None
+        for pid in range(n_pids):
+            prefix[pid] = prev  # STRICTLY-before semantics (…, -1)
+            r = pp.get(pid)
+            if r is not None and r["_ap_last"] is not None:
+                prev = r["_ap_last"]
+        fields = [
+            T.StructField("_ap_pid", T.IntegerType()),
+            T.StructField("_ap_carry", per_pid.schema["_ap_last"].dataType),
+        ]
+        if want_fwd:
+            suffix: list = [None] * n_pids
+            nxt = None
+            for pid in range(n_pids - 1, -1, -1):
+                suffix[pid] = nxt  # STRICTLY-after semantics (1, …)
+                r = pp.get(pid)
+                if r is not None and r["_ap_first"] is not None:
+                    nxt = r["_ap_first"]
+            fields.append(
+                T.StructField("_ap_carry_f", per_pid.schema["_ap_first"].dataType)
+            )
+        rows = [
+            (pid, prefix[pid]) + ((suffix[pid],) if want_fwd else ())
+            for pid in range(n_pids)
+        ]
+        carry = spark.createDataFrame(rows, T.StructType(fields))
+    out = local.join(F.broadcast(carry), part_keys).withColumn(
         "_ap_m", F.coalesce(F.col("_ap_m"), F.col("_ap_carry"))
     )
     if want_fwd:
