@@ -1235,3 +1235,75 @@ def _tfidf_sql(k: int = 5) -> str:
 
 
 _register("text_tfidf", _tfidf_row, _tfidf_sql())
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (dedup.line_dedup) — planted boilerplate line
+# on every 4th document; both engines derive the same corpus, the oracle
+# adjudicates hotness counting, position collection and the text rebuild
+# ---------------------------------------------------------------------------
+
+_BOILER = "follow us on social media"
+
+
+def _line_dedup_row(spark, sf):
+    from adampro_spark.pipeline.dedup import line_dedup
+
+    planted = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _BOILER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return line_dedup(planted, min_docs=3)
+
+
+def _line_dedup_sql(min_docs: int = 3) -> str:
+    h = _sql_poly_hash("ln")
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || chr(10) || '{_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM planted),
+    ex AS (
+      SELECT doc_id, unnest(ls) AS ln,
+             unnest(generate_series(1, len(ls))) AS pos
+      FROM ls
+    ),
+    hot AS (
+      SELECT h FROM (
+        SELECT DISTINCT doc_id, {h} AS h FROM ex WHERE length(trim(ln)) > 0
+      ) GROUP BY h HAVING count(*) >= {min_docs}
+    ),
+    drops AS (
+      SELECT doc_id, list(pos) AS drops FROM ex
+      WHERE length(trim(ln)) > 0 AND {h} IN (SELECT h FROM hot)
+      GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+      CASE WHEN l.text IS NULL THEN NULL
+           ELSE array_to_string(
+             list_transform(
+               list_filter(
+                 list_zip(l.ls, generate_series(1, len(l.ls))),
+                 z -> NOT list_contains(coalesce(d.drops, CAST([] AS BIGINT[])), z[2])),
+               z -> z[1]),
+             chr(10)) END AS text,
+      coalesce(len(d.drops), 0)::BIGINT AS n_lines_removed
+    FROM ls l LEFT JOIN drops d USING (doc_id)
+    """
+
+
+def _line_dedup_full_row(spark, sf):
+    # keep only the adjudicated columns (lang/source/n_chars unchanged)
+    return _line_dedup_row(spark, sf).select(
+        "doc_id", "text", "n_lines_removed"
+    )
+
+
+_register("dedup_lines", _line_dedup_full_row, _line_dedup_sql())

@@ -1037,3 +1037,76 @@ def semantic_dedup(
         df, vector_col=vector_col, pk=pk, threshold=threshold, **kw
     )
     return deduplicate(df, pairs, pk=pk)
+
+
+# ---------------------------------------------------------------------------
+# cross-document LINE dedup (C4 / RefinedWeb boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove BOILERPLATE LINES — lines occurring in ≥ ``min_docs``
+    distinct documents (C4 removed any line repeated ≥ 3×; RefinedWeb
+    and CCNet run the same pass) — and rebuild each document's text.
+
+    Output = the input columns with ``text_col`` rebuilt (surviving
+    lines re-joined with ``\\n``) plus ``n_lines_removed``.  Lines that
+    are empty after trimming never count as boilerplate and are always
+    kept (removing them would silently reflow paragraphs).
+
+    Plan shape at 100 TB: the hotness pass explodes to slim ``(pk,
+    line_hash)`` pairs — line TEXT never shuffles — and aggregates
+    distinct-doc counts with map-side combine; the hot-hash table (tiny
+    by definition: boilerplate is the repeated minority) broadcasts
+    back, each document collects just the POSITIONS of its hot lines
+    (usually none), and the rebuild is a map-only index-aware
+    ``filter`` over the original line array.  Hash collisions: the
+    31-poly/1e9+7 hash is the repo-standard portable hash; a collision
+    could only remove an innocent line that hash-equals a boilerplate
+    line (~n_hot/1e9 per distinct line).
+    """
+    from adampro_spark.pipeline.text import char_codes, poly_hash
+
+    lines = F.split(F.col(text_col), "\n")
+    candidate = lambda ln: F.length(F.trim(ln)) > 0  # noqa: E731
+    lh = df.select(
+        F.col(pk).alias("_pk"),
+        F.posexplode(
+            F.transform(lines, lambda ln: poly_hash(char_codes(ln)))
+        ).alias("_pos", "_lh"),
+        lines.alias("_ls"),
+    ).withColumn("_keepable", candidate(F.col("_ls")[F.col("_pos")]))
+    # hotness over distinct (doc, hash) of non-empty lines only
+    hot = (
+        lh.filter(F.col("_keepable"))
+        .select("_pk", "_lh")
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("_lh")
+    )
+    drops = (
+        lh.join(F.broadcast(hot), "_lh", "left_semi")
+        .filter(F.col("_keepable"))
+        .groupBy("_pk")
+        .agg(F.collect_set("_pos").alias("_drops"))
+    )
+    joined = df.join(
+        drops.select(F.col("_pk").alias(pk), "_drops"), pk, "left"
+    )
+    dr = F.coalesce(F.col("_drops"), F.array().cast("array<int>"))
+    kept = F.filter(lines, lambda ln, i: ~F.array_contains(dr, i))
+    rebuilt = F.when(
+        F.col(text_col).isNotNull(), F.concat_ws("\n", kept)
+    )  # NULL text stays NULL (concat_ws would coerce it to "")
+    return (
+        joined.withColumn("n_lines_removed", F.size(dr).cast("long"))
+        .withColumn(text_col, rebuilt)
+        .drop("_drops")
+    )

@@ -72,6 +72,11 @@ HEADLINE = [
     "text_lm_score",
     # round 7: SemDeDup cluster-bucketed semantic near-dup (fitted k-means)
     "dedup_semantic",
+    # round 7: context-window chunking and per-doc tf-idf keyword top-k
+    "text_chunks",
+    "text_tfidf",
+    # round 7: C4-style cross-document boilerplate line removal
+    "dedup_lines",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the

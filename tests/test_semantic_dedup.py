@@ -116,3 +116,58 @@ def test_semantic_dedup_survivors(spark, planted):
     assert {i for i in range(10)} <= kept
     assert kept.isdisjoint({1000 + i for i in range(10)})
     assert out.columns == df.columns
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_hand_computed(spark):
+    from adampro_spark.pipeline.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n{boiler}\nbeta two"),
+        (2, f"{boiler}\ngamma three"),
+        (3, f"delta four\n{boiler}"),
+        (4, "no boilerplate here\njust text"),
+        (5, f"{boiler}\n{boiler}\nkeep me"),  # twice in ONE doc
+        (6, ""),
+        (7, None),
+        (8, "solo line\n\nafter blank"),  # empty line preserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=3).collect()}
+
+    assert out[1]["text"] == "alpha one\nbeta two"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[2]["text"] == "gamma three"
+    assert out[3]["text"] == "delta four"
+    assert out[4]["text"] == rows[3][1] and out[4]["n_lines_removed"] == 0
+    # both occurrences in doc 5 removed; hotness counted DISTINCT docs
+    # (4 docs contain it, but doc 5 only counts once)
+    assert out[5]["text"] == "keep me" and out[5]["n_lines_removed"] == 2
+    assert out[6]["text"] == "" and out[6]["n_lines_removed"] == 0
+    assert out[7]["text"] is None
+    assert out[8]["text"] == rows[7][1]  # blank line survives
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_line_dedup_threshold_and_empty_lines(spark):
+    from adampro_spark.pipeline.dedup import line_dedup
+
+    rows = [
+        (1, "shared pair\na"),
+        (2, "shared pair\nb"),
+        (3, "\n\nc"),  # empty lines everywhere: never boilerplate
+        (4, "\n\nd"),
+        (5, "\n\ne"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_docs=3: the 2-doc line survives; empty lines always survive
+    out = {r["doc_id"]: r["text"] for r in line_dedup(df, min_docs=3).collect()}
+    assert out == dict((i, t) for i, t in rows)
+    # min_docs=2: the pair line goes
+    out2 = {r["doc_id"]: r["text"] for r in line_dedup(df, min_docs=2).collect()}
+    assert out2[1] == "a" and out2[2] == "b" and out2[3] == rows[2][1]
