@@ -171,6 +171,7 @@ def curate(
     max_top_2gram_char_frac: float | None = None,
     redact: Sequence[str] | bool | None = None,
     lm: "tuple[Any, Mapping[str, Any], float] | None" = None,
+    line_dedup_min_docs: int | None = None,
     dedup: str | None = "minhash",
     dedup_threshold: float | None = None,
     stage_timings: dict[str, float] | None = None,
@@ -216,6 +217,13 @@ def curate(
     gains ``n_pii_docs`` (documents with ≥1 detected match).  Rides the
     same projection — zero extra scans.
 
+    ``line_dedup_min_docs`` — when set, cross-document boilerplate LINE
+    removal (:func:`~adampro_spark.pipeline.dedup.line_dedup`) runs
+    FIRST, before redaction and the gates — the C4 ordering, so token
+    floors and quality scores judge the text that would actually train;
+    the report gains ``n_boiler_lines`` (total lines removed).  A
+    join-bearing stage like ``lm``, so it cannot ride the one-scan pass.
+
     ``lm`` — a ``(vocab, meta, min_logprob)`` triple from
     :func:`~adampro_spark.pipeline.lm.fit_unigram_lm`: gate survivors
     whose mean token log-probability falls below the floor are dropped
@@ -236,6 +244,23 @@ def curate(
     localCheckpoint (one extra materialization, bench/diagnostic use).
     """
     import time
+
+    n_boiler_lines = None
+    if line_dedup_min_docs is not None:
+        from adampro_spark.pipeline.dedup import line_dedup
+
+        t_ld = time.perf_counter()
+        df = line_dedup(
+            df, text_col=text_col, pk=pk, min_docs=int(line_dedup_min_docs)
+        )
+        # one slim aggregate for the report; the rebuilt corpus flows on
+        # lazily into the gate projection
+        n_boiler_lines = int(
+            df.agg(F.coalesce(F.sum("n_lines_removed"), F.lit(0))).collect()[0][0]
+        )
+        df = df.drop("n_lines_removed")
+        if stage_timings is not None:
+            stage_timings["line_dedup_sec"] = round(time.perf_counter() - t_ld, 3)
 
     pii_docs_col = None
     if redact:
@@ -410,6 +435,8 @@ def curate(
     }
     if n_lm_fail is not None:
         report["n_lm_fail"] = n_lm_fail
+    if n_boiler_lines is not None:
+        report["n_boiler_lines"] = n_boiler_lines
     if "_rep_ok" in flags:
         report["n_repetitive"] = int(agg["rep_fail"])
     if pii_docs_col is not None:

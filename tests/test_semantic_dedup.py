@@ -171,3 +171,36 @@ def test_line_dedup_threshold_and_empty_lines(spark):
     # min_docs=2: the pair line goes
     out2 = {r["doc_id"]: r["text"] for r in line_dedup(df, min_docs=2).collect()}
     assert out2[1] == "a" and out2[2] == "b" and out2[3] == rows[2][1]
+
+
+def test_curate_line_dedup_stage(spark):
+    """curate(line_dedup_min_docs=...): boilerplate lines are stripped
+    BEFORE the gates (token floors judge the cleaned text) and the
+    report counts removed lines."""
+    from adampro_spark.pipeline.curate import curate
+
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    boiler = "subscribe now for more content like this"
+    rows = [(i, f"{body} number {i}\n{boiler}") for i in range(6)]
+    # doc 6 is ONLY boilerplate + a couple words: once the line is
+    # stripped it falls below the token floor
+    rows.append((6, f"{boiler}\ntiny tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    timings = {}
+    out, rep = curate(
+        df, langs=None, min_tokens=8, min_quality=0.0,
+        line_dedup_min_docs=3, dedup=None, stage_timings=timings,
+    )
+    assert rep["n_boiler_lines"] == 7
+    assert "line_dedup_sec" in timings
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(kept) == set(range(6))  # doc 6 gated out post-strip
+    assert all(boiler not in t for t in kept.values())
+
+    # without the stage, doc 6 passes the floor (boilerplate counts)
+    out2, rep2 = curate(
+        df, langs=None, min_tokens=8, min_quality=0.0, dedup=None
+    )
+    assert "n_boiler_lines" not in rep2
+    assert {r["doc_id"] for r in out2.collect()} == set(range(7))
