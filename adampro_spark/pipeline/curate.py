@@ -221,8 +221,9 @@ def curate(
     removal (:func:`~adampro_spark.pipeline.dedup.line_dedup`) runs
     FIRST, before redaction and the gates — the C4 ordering, so token
     floors and quality scores judge the text that would actually train;
-    the report gains ``n_boiler_lines`` (total lines removed).  A
-    join-bearing stage like ``lm``, so it cannot ride the one-scan pass.
+    the report gains ``n_boiler_lines`` (total lines removed), counted
+    by the SAME one-scan gate aggregate (the hotness join itself is the
+    stage's only extra cost; its timing lands in ``gates_sec``).
 
     ``lm`` — a ``(vocab, meta, min_logprob)`` triple from
     :func:`~adampro_spark.pipeline.lm.fit_unigram_lm`: gate survivors
@@ -245,22 +246,19 @@ def curate(
     """
     import time
 
-    n_boiler_lines = None
+    boiler_col = None
     if line_dedup_min_docs is not None:
         from adampro_spark.pipeline.dedup import line_dedup
 
-        t_ld = time.perf_counter()
         df = line_dedup(
             df, text_col=text_col, pk=pk, min_docs=int(line_dedup_min_docs)
+        ).withColumnRenamed("n_lines_removed", "_ap_boiler_n")
+        # the report count rides the one-scan gate aggregate below — a
+        # separate agg here would evaluate the whole line-dedup plan
+        # (hotness shuffle + rebuild) a second time
+        boiler_col = F.coalesce(F.sum("_ap_boiler_n"), F.lit(0)).alias(
+            "boiler_lines"
         )
-        # one slim aggregate for the report; the rebuilt corpus flows on
-        # lazily into the gate projection
-        n_boiler_lines = int(
-            df.agg(F.coalesce(F.sum("n_lines_removed"), F.lit(0))).collect()[0][0]
-        )
-        df = df.drop("n_lines_removed")
-        if stage_timings is not None:
-            stage_timings["line_dedup_sec"] = round(time.perf_counter() - t_ld, 3)
 
     pii_docs_col = None
     if redact:
@@ -332,7 +330,9 @@ def curate(
         [F.sum((~F.col("_rep_ok")).cast("long")).alias("rep_fail")]
         if "_rep_ok" in flags
         else []
-    ) + ([pii_docs_col] if pii_docs_col is not None else []) + [
+    ) + ([pii_docs_col] if pii_docs_col is not None else []) + (
+        [boiler_col] if boiler_col is not None else []
+    ) + [
         # extra gates ride the SAME one-pass aggregate — adding a gate
         # (e.g. a learned quality score) costs zero extra scans
         F.sum((~F.col(name)).cast("long")).alias(f"x_{name}")
@@ -347,6 +347,8 @@ def curate(
     )
     if pii_docs_col is not None:
         kept = kept.drop("_ap_pii_n")
+    if boiler_col is not None:
+        kept = kept.drop("_ap_boiler_n")
 
     n_lm_fail = None
     if lm is not None:
@@ -435,8 +437,8 @@ def curate(
     }
     if n_lm_fail is not None:
         report["n_lm_fail"] = n_lm_fail
-    if n_boiler_lines is not None:
-        report["n_boiler_lines"] = n_boiler_lines
+    if boiler_col is not None:
+        report["n_boiler_lines"] = int(agg["boiler_lines"])
     if "_rep_ok" in flags:
         report["n_repetitive"] = int(agg["rep_fail"])
     if pii_docs_col is not None:
