@@ -1307,3 +1307,66 @@ def _line_dedup_full_row(spark, sf):
 
 
 _register("dedup_lines", _line_dedup_full_row, _line_dedup_sql())
+
+
+# ---------------------------------------------------------------------------
+# cluster assignment (pipeline/cluster.py) — fixed seeded centroids make
+# the argmax-cosine assignment SQL-expressible; output maps the positional
+# cluster index back to its centroid's vec_id so labels are engine-neutral
+# ---------------------------------------------------------------------------
+
+
+def _cluster_row(spark, sf):
+    from adampro_spark.pipeline.cluster import cluster_embeddings
+
+    emb = _emb(spark, sf)
+    cents = emb.filter(F.col("vec_id") % 40 == 0).orderBy("vec_id")
+    ids = [int(r["vec_id"]) for r in cents.select("vec_id").collect()]
+    out, _cn = cluster_embeddings(emb, centroids=cents)
+    mapping = F.array(*[F.lit(i) for i in ids])
+    return out.select(
+        "vec_id",
+        F.element_at(mapping, F.col("cluster") + 1).alias("centroid_id"),
+    )
+
+
+def _cluster_sql() -> str:
+    nrm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)),"
+        " (s, x) -> s + x))"
+    )
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+        " p -> p[1] * p[2])), (s, x) -> s + x)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             CASE WHEN {nrm.format(v='v')} > 1e-12
+                  THEN list_transform(v, x -> x / ({nrm.format(v='v')}))
+                  ELSE NULL END AS nv
+      FROM e
+    ),
+    cent AS (
+      SELECT vec_id AS cid, nv AS cv FROM n WHERE vec_id % 40 = 0
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {dot.format(a='n.nv', b='cent.cv')} DESC, cent.cid ASC
+               ) AS rn
+        FROM n CROSS JOIN cent WHERE n.nv IS NOT NULL
+      ) WHERE rn = 1
+    )
+    SELECT e.vec_id, a.cid AS centroid_id
+    FROM e LEFT JOIN asg a USING (vec_id)
+    """
+
+
+_register("cluster_assign", _cluster_row, _cluster_sql())

@@ -60,6 +60,11 @@ from adampro_spark.pipeline.text import (  # noqa: F401
     chunk_documents,
     tfidf_keywords,
 )
+from adampro_spark.pipeline.cluster import (  # noqa: F401
+    cluster_embeddings,
+    cluster_shares,
+    fit_centroids,
+)
 from adampro_spark.pipeline.mix import (  # noqa: F401
     decontaminate,
     mix_sources,

@@ -885,8 +885,6 @@ def semantic_dup_pairs(
 
     from pyspark.sql import types as T
 
-    from adampro_spark.index._util import kmeans, sample_matrix
-
     v = F.col(vector_col).cast("array<double>")
     norm = F.sqrt(_dot(v, v))
     base = (
@@ -897,31 +895,28 @@ def semantic_dup_pairs(
 
     # --- centroid matrix (driver-sized by contract: ≤ k rows) ---
     if centroids is None:
-        S = sample_matrix(
-            base.select(F.col("_v").alias(vector_col), F.col("_pk").alias("pk")),
-            vector_col, sample_size, seed, pk="pk",
-        ).astype(np.float64)
-        if len(S) == 0:
+        from adampro_spark.pipeline.cluster import fit_centroids
+
+        try:
+            Cn = fit_centroids(
+                df, vector_col=vector_col, pk=pk, n_clusters=n_clusters,
+                sample_size=sample_size, seed=seed,
+            )
+        except ValueError:  # empty / all-NULL / all-zero corpus
             spark = df.sparkSession
             pk_t = df.schema[pk].dataType.simpleString()
             return spark.createDataFrame(
                 [], f"id_a {pk_t}, id_b {pk_t}, cos_sim double"
             )
-        # a sample smaller than its budget IS the whole corpus (the
-        # layout-independent sampler takes min(n, budget)) — the extra
-        # count job only runs when the corpus outgrows the sample
-        n_total = len(S) if len(S) < sample_size else base.count()
-        k = n_clusters or int(np.clip(round(math.sqrt(n_total)), 2, 4096))
-        S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
-        C = kmeans(S, k, seed=seed)
-    elif isinstance(centroids, DataFrame):
-        C = np.array(
-            [r[0] for r in centroids.select(vector_col).collect()],
-            dtype=np.float64,
-        )
     else:
-        C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        if isinstance(centroids, DataFrame):
+            C = np.array(
+                [r[0] for r in centroids.select(vector_col).collect()],
+                dtype=np.float64,
+            )
+        else:
+            C = np.asarray(centroids, dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     # --- assignment: argmax cosine against the broadcast centroids ---
     def _assign(cols):
