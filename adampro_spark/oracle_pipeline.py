@@ -1370,3 +1370,71 @@ def _cluster_sql() -> str:
 
 
 _register("cluster_assign", _cluster_row, _cluster_sql())
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM (lm.fit_bigram_lm / bigram_lm_score) — the full
+# two-table fit AND interpolated scoring mirrored in SQL
+# ---------------------------------------------------------------------------
+
+_BLM_V, _BLM_B, _BLM_LAM = 64, 256, 0.6
+
+
+def _lm_bigram_row(spark, sf):
+    from adampro_spark.pipeline.lm import bigram_lm_score, fit_bigram_lm
+
+    docs = _docs(spark, sf)
+    vocab, bigrams, meta = fit_bigram_lm(
+        docs, vocab_size=_BLM_V, bigram_size=_BLM_B, lam=_BLM_LAM
+    )
+    out = bigram_lm_score(docs, vocab, bigrams, meta)
+    return out.select(
+        "doc_id",
+        F.round("lm_logprob", 4).alias("lm_logprob"),
+        "lm_tokens",
+    )
+
+
+def _lm_bigram_sql(v: int = _BLM_V, b: int = _BLM_B, lam: float = _BLM_LAM) -> str:
+    toks = _TOKS.format(t="text")
+    p_uni = "(coalesce(cv.cnt, 0) + 1) / (m.n + m.v + 1)"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    ex AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+    counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM ex GROUP BY tok),
+    tot AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n, count(*)::BIGINT AS d
+            FROM counts),
+    vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {v}),
+    m AS (SELECT n, least(d, {v}) AS v FROM tot),
+    pairs AS (
+      SELECT prev, cur, count(*)::BIGINT AS cnt FROM (
+        SELECT tk[i - 1] AS prev, tk[i] AS cur
+        FROM (SELECT tk, unnest(generate_series(2, len(tk))) AS i FROM t)
+      ) GROUP BY prev, cur
+    ),
+    bigs AS (SELECT prev, cur, cnt FROM pairs
+             ORDER BY cnt DESC, prev ASC, cur ASC LIMIT {b}),
+    pos AS (
+      SELECT doc_id, CASE WHEN i > 1 THEN tk[i - 1] END AS prev, tk[i] AS cur
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t)
+    ),
+    sc AS (
+      SELECT p.doc_id,
+        log10(CASE WHEN p.prev IS NULL THEN {p_uni}
+              ELSE {lam} * coalesce(bg.cnt / pv.cnt, 0)
+                   + {1.0 - lam} * ({p_uni}) END) AS lp
+      FROM pos p
+      LEFT JOIN vocab cv ON cv.tok = p.cur
+      LEFT JOIN vocab pv ON pv.tok = p.prev
+      LEFT JOIN bigs bg ON bg.prev = p.prev AND bg.cur = p.cur, m
+    ),
+    agg AS (SELECT doc_id, round(avg(lp), 4) AS lm_logprob,
+                   count(*)::BIGINT AS lm_tokens
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, a.lm_logprob,
+           coalesce(a.lm_tokens, 0)::BIGINT AS lm_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+_register("text_lm_bigram", _lm_bigram_row, _lm_bigram_sql())

@@ -78,6 +78,8 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
     semantic_dup_pairs,
 )
 from adampro_spark.pipeline.lm import (  # noqa: F401
+    bigram_lm_score,
+    fit_bigram_lm,
     fit_unigram_lm,
     lm_filter,
     lm_perplexity_col,

@@ -211,3 +211,131 @@ def lm_score_col(
     return F.pandas_udf(_score, T.DoubleType())(
         F.col(text_col) if isinstance(text_col, str) else text_col
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM — one modeling step past the unigram filter
+# ---------------------------------------------------------------------------
+
+DEFAULT_BIGRAMS = 100_000
+
+
+def fit_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB,
+    bigram_size: int = DEFAULT_BIGRAMS,
+    lam: float = 0.7,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, dict[str, Any]]:
+    """Fit an INTERPOLATED bigram model on top of the unigram fit:
+
+    ``P(cur | prev) = λ · c(prev,cur)/c(prev) + (1−λ) · P_uni(cur)``
+
+    where the bigram term applies only when ``prev`` is in the unigram
+    vocabulary AND ``(prev, cur)`` is in the top-``bigram_size`` bigram
+    table (ties broken by (prev, cur) ASC — deterministic); a document's
+    FIRST token scores unigram-only.  The unigram leg keeps add-one
+    smoothing, so interpolated probabilities are always positive.
+
+    Returns ``(vocab, bigrams, meta)``: the unigram vocabulary table,
+    the ``(prev, cur, cnt)`` bigram table, and meta (the unigram fields
+    plus ``lam``, ``denom``, ``bigram_size_eff``).  Fit cost: ONE extra
+    explode → groupBy → TakeOrdered pass over consecutive token pairs —
+    the same map-side-combined shape as the unigram counts.
+    """
+    if not 0.0 <= lam < 1.0:
+        raise ValueError("lam must be in [0, 1) — the unigram leg keeps "
+                         "probabilities positive only with weight > 0")
+    vocab, meta = fit_unigram_lm(
+        df, text_col=text_col, vocab_size=vocab_size,
+        sample_fraction=sample_fraction, seed=seed,
+    )
+    src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    tk = tokens_expr(text_col)
+    staged = src.select(tk.alias("_tk"))
+    n = F.size(F.col("_tk"))
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.struct(
+                F.element_at(F.col("_tk"), i - 1).alias("prev"),
+                F.element_at(F.col("_tk"), i).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bigrams = (
+        staged.select(F.explode(pair_arr).alias("_p"))
+        .select("_p.prev", "_p.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("prev").asc(), F.col("cur").asc())
+        .limit(bigram_size)
+        .localCheckpoint(eager=True)
+    )
+    meta = dict(meta)
+    meta["lam"] = float(lam)
+    meta["denom"] = float(meta["n_tokens"] + meta["vocab_size_eff"] + 1)
+    meta["bigram_size_eff"] = bigrams.count()
+    return vocab, bigrams, meta
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    meta: dict[str, Any],
+    text_col: str = "text",
+    pk: str = "doc_id",
+    score_col: str = "lm_logprob",
+) -> DataFrame:
+    """Per-document mean log10 interpolated token probability:
+    ``(pk, score_col, lm_tokens)``; empty documents score NULL.
+
+    Plan shape: ONE explode to slim ``(pk, prev, cur)`` triples (prev
+    NULL on each document's first token), then broadcast joins against
+    the vocabulary (twice — as cur and as prev context) and the bigram
+    table, then the per-doc aggregate with map-side combine.  Text
+    never shuffles; both model tables broadcast.
+    """
+    lam = float(meta["lam"])
+    denom = float(meta["denom"])
+    tk = tokens_expr(text_col)
+    staged = df.select(F.col(pk), tk.alias("_tk"))
+    n = F.size(F.col("_tk"))
+    pos_arr = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.when(i > 1, F.element_at(F.col("_tk"), i - 1)).alias("prev"),
+                F.element_at(F.col("_tk"), i).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    exploded = staged.select(
+        F.col(pk), F.explode_outer(pos_arr).alias("_p")
+    ).select(F.col(pk), F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
+    cur_v = vocab.select(
+        F.col("tok").alias("cur"), F.col("cnt").alias("_c_cur")
+    )
+    prev_v = vocab.select(
+        F.col("tok").alias("prev"), F.col("cnt").alias("_c_prev")
+    )
+    big = bigrams.select("prev", "cur", F.col("cnt").alias("_c_pc"))
+    joined = (
+        exploded.join(F.broadcast(cur_v), "cur", "left")
+        .join(F.broadcast(prev_v), "prev", "left")
+        .join(F.broadcast(big), ["prev", "cur"], "left")
+    )
+    p_uni = (F.coalesce(F.col("_c_cur"), F.lit(0)) + 1) / F.lit(denom)
+    p_bi = F.coalesce(F.col("_c_pc") / F.col("_c_prev"), F.lit(0.0))
+    p = F.when(F.col("cur").isNotNull(), F.when(
+        F.col("prev").isNull(), p_uni
+    ).otherwise(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni))
+    return joined.groupBy(pk).agg(
+        F.avg(F.log10(p)).alias(score_col),
+        F.count(F.col("cur")).alias("lm_tokens"),
+    )

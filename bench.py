@@ -77,6 +77,8 @@ HEADLINE = [
     "text_tfidf",
     # round 7: C4-style cross-document boilerplate line removal
     "dedup_lines",
+    # round 7: interpolated bigram LM (two-table fit + scoring)
+    "text_lm_bigram",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the

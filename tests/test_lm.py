@@ -225,3 +225,116 @@ def test_stream_curate_lm_matches_batch(spark, tables, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM lm_stream").collect()}
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM
+# ---------------------------------------------------------------------------
+
+
+def py_bigram_fit(texts, vocab_size, bigram_size):
+    from collections import Counter
+
+    logp, oov, n, v_eff = py_fit(texts, vocab_size)
+    uni_cnt = Counter()
+    bi_cnt = Counter()
+    for t in texts:
+        toks = [w for w in re.split(r"\s+", t.lower()) if w]
+        uni_cnt.update(toks)
+        bi_cnt.update(zip(toks, toks[1:]))
+    vocab_cnt = dict(
+        sorted(uni_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    )
+    bigs = dict(
+        sorted(bi_cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[
+            :bigram_size
+        ]
+    )
+    denom = n + v_eff + 1
+    return vocab_cnt, bigs, denom
+
+
+def py_bigram_score(text, vocab_cnt, bigs, denom, lam):
+    toks = [w for w in re.split(r"\s+", text.lower()) if w]
+    if not toks:
+        return None, 0
+    lps = []
+    for i, cur in enumerate(toks):
+        p_uni = (vocab_cnt.get(cur, 0) + 1) / denom
+        if i == 0:
+            p = p_uni
+        else:
+            prev = toks[i - 1]
+            p_bi = (
+                bigs[(prev, cur)] / vocab_cnt[prev]
+                if (prev, cur) in bigs and prev in vocab_cnt
+                else 0.0
+            )
+            p = lam * p_bi + (1 - lam) * p_uni
+        lps.append(math.log10(p))
+    return sum(lps) / len(lps), len(toks)
+
+
+def test_bigram_fit_and_score_match_python(spark, docs):
+    from adampro_spark.pipeline.lm import bigram_lm_score, fit_bigram_lm
+
+    vocab, bigrams, meta = fit_bigram_lm(
+        docs, vocab_size=4, bigram_size=6, lam=0.6
+    )
+    texts = [t for _i, t in DOCS]
+    vocab_cnt, bigs, denom = py_bigram_fit(texts, 4, 6)
+    got_bigs = {
+        (r["prev"], r["cur"]): r["cnt"] for r in bigrams.collect()
+    }
+    assert got_bigs == bigs
+    assert meta["denom"] == denom and meta["bigram_size_eff"] == len(bigs)
+
+    scored = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(docs, vocab, bigrams, meta).collect()
+    }
+    for doc_id, text in DOCS:
+        want, n = py_bigram_score(text, vocab_cnt, bigs, denom, 0.6)
+        assert scored[doc_id]["lm_tokens"] == n
+        if want is None:
+            assert scored[doc_id]["lm_logprob"] is None
+        else:
+            assert scored[doc_id]["lm_logprob"] == pytest.approx(
+                want, rel=1e-12
+            ), doc_id
+
+
+def test_bigram_beats_unigram_on_ordered_text(spark):
+    """A corpus with strong sequential structure: the bigram model must
+    separate in-order text from shuffled text where unigram CANNOT."""
+    from adampro_spark.pipeline.lm import bigram_lm_score, fit_bigram_lm
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)],
+        "doc_id long, text string",
+    )
+    vocab, bigrams, meta = fit_bigram_lm(train, vocab_size=10, bigram_size=20)
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    s = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in bigram_lm_score(probe, vocab, bigrams, meta).collect()
+    }
+    assert s[1] > s[2]  # word order matters now
+
+    from adampro_spark.pipeline.lm import lm_score
+
+    u = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in lm_score(probe, vocab, meta).collect()
+    }
+    assert u[1] == pytest.approx(u[2], rel=1e-12)  # unigram is order-blind
+
+
+def test_bigram_lam_validation(spark, docs):
+    from adampro_spark.pipeline.lm import fit_bigram_lm
+
+    with pytest.raises(ValueError):
+        fit_bigram_lm(docs, lam=1.0)
