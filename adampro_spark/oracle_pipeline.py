@@ -1287,13 +1287,15 @@ def _line_dedup_sql(min_docs: int = 3) -> str:
     )
     SELECT l.doc_id,
       CASE WHEN l.text IS NULL THEN NULL
-           ELSE array_to_string(
+           -- coalesce: DuckDB array_to_string([]) is NULL where Spark's
+           -- concat_ws yields '' (every-line-removed documents)
+           ELSE coalesce(array_to_string(
              list_transform(
                list_filter(
                  list_zip(l.ls, generate_series(1, len(l.ls))),
                  z -> NOT list_contains(coalesce(d.drops, CAST([] AS BIGINT[])), z[2])),
                z -> z[1]),
-             chr(10)) END AS text,
+             chr(10)), '') END AS text,
       coalesce(len(d.drops), 0)::BIGINT AS n_lines_removed
     FROM ls l LEFT JOIN drops d USING (doc_id)
     """
@@ -1438,3 +1440,81 @@ def _lm_bigram_sql(v: int = _BLM_V, b: int = _BLM_B, lam: float = _BLM_LAM) -> s
 
 
 _register("text_lm_bigram", _lm_bigram_row, _lm_bigram_sql())
+
+
+# ---------------------------------------------------------------------------
+# exact substring (span) dedup (dedup.span_dedup) — planted shared span on
+# every 6th document; the oracle adjudicates positioned gram hashing,
+# hotness, coverage arithmetic and the token-level rebuild
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5
+_SPAN = "shared boilerplate sentence repeated across documents verbatim"
+
+
+def _span_dedup_row(spark, sf):
+    from adampro_spark.pipeline.dedup import span_dedup
+
+    planted = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return span_dedup(planted, n=_SPAN_N, min_docs=2)
+
+
+def _span_dedup_sql(n: int = _SPAN_N, min_docs: int = 2) -> str:
+    toks = _TOKS.format(t="text")
+    th = f"list_transform({toks}, t -> {_sql_poly_hash('t')})"
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 THEN text || ' {_SPAN}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, text, {toks} AS toks, {th} AS th FROM planted),
+    pg AS (
+      SELECT doc_id,
+        unnest(CASE WHEN len(th) >= {n}
+          THEN list_transform(generate_series(1, len(th) - {n - 1}),
+                 i -> {_fold(f'list_slice(th, i, i + {n - 1})')})
+          ELSE CAST([] AS BIGINT[]) END) AS g,
+        unnest(CASE WHEN len(th) >= {n}
+          THEN generate_series(1, len(th) - {n - 1})
+          ELSE CAST([] AS BIGINT[]) END) AS s
+      FROM t
+    ),
+    hot AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM pg)
+      GROUP BY g HAVING count(*) >= {min_docs}
+    ),
+    starts AS (
+      SELECT doc_id, list(s) AS ss FROM pg
+      WHERE g IN (SELECT g FROM hot) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+      CASE WHEN st.ss IS NULL THEN t.text
+           -- coalesce: DuckDB array_to_string([]) is NULL where Spark's
+           -- concat_ws yields '' (fully-cut documents)
+           ELSE coalesce(array_to_string(
+             list_transform(
+               list_filter(
+                 list_zip(t.toks, generate_series(1, len(t.toks))),
+                 z -> len(list_filter(st.ss,
+                        s2 -> s2 <= z[2] AND z[2] <= s2 + {n - 1})) = 0),
+               z -> z[1]),
+             ' '), '') END AS text,
+      coalesce(
+        len(list_filter(
+          list_zip(t.toks, generate_series(1, len(t.toks))),
+          z -> len(list_filter(coalesce(st.ss, CAST([] AS BIGINT[])),
+                 s2 -> s2 <= z[2] AND z[2] <= s2 + {n - 1})) > 0)),
+        0)::BIGINT AS n_tokens_removed
+    FROM t LEFT JOIN starts st USING (doc_id)
+    """
+
+
+_register("dedup_spans", _span_dedup_row, _span_dedup_sql())

@@ -76,6 +76,7 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
     line_dedup,
     semantic_dedup,
     semantic_dup_pairs,
+    span_dedup,
 )
 from adampro_spark.pipeline.lm import (  # noqa: F401
     bigram_lm_score,

@@ -1105,3 +1105,94 @@ def line_dedup(
         .withColumn(text_col, rebuilt)
         .drop("_drops")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact SUBSTRING (span) dedup — Lee et al. 2022 / RefinedWeb: cut token
+# spans covered by word n-grams shared across documents
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    n: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove every token covered by a word ``n``-gram occurring in
+    ≥ ``min_docs`` distinct documents — the exact-substring dedup pass
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", 50-token threshold) re-expressed over hashes
+    instead of a suffix array: a span is duplicated across documents
+    iff each of its n-token windows is, so shared-window coverage cuts
+    exactly the maximal shared spans (plus the (n−1)-token shoulders of
+    partial windows — the standard practical relaxation; a suffix
+    array's exact boundaries don't fit a shuffle-based engine, full
+    coverage of every ≥ n-token duplicate is guaranteed).
+
+    Documents with nothing to cut keep their text BYTE-IDENTICAL; cut
+    documents are rebuilt from surviving tokens (whitespace-normalized,
+    the :func:`~adampro_spark.pipeline.text.chunk_documents`
+    convention).  Output adds ``n_tokens_removed``.  Docs shorter than
+    ``n`` tokens have no windows and are never cut.
+
+    Plan shape (the line_dedup recipe one level down): positioned gram
+    hashes explode to slim ``(pk, start, gram)`` rows — text never
+    shuffles; hot grams (distinct-doc count ≥ min_docs) broadcast back;
+    per-doc hot START positions collect into one small array; the cut
+    is a map-only index-aware filter with an ``exists`` over that
+    array.
+    """
+    from adampro_spark.pipeline.mix import _token_hashes
+
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    slim = df.select(F.col(pk).alias("_pk"), _token_hashes(text_col).alias("_th"))
+    k = F.size(F.col("_th"))
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("_th"), i, n),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * 31 + h) % F.lit(HASH_P),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pos_grams = slim.select(
+        "_pk", F.posexplode(grams).alias("_s", "_g")
+    )  # _s: 0-based window start
+    hot = (
+        pos_grams.select("_pk", "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .select("_g")
+    )
+    starts = (
+        pos_grams.join(F.broadcast(hot), "_g", "left_semi")
+        .groupBy("_pk")
+        .agg(F.collect_set("_s").alias("_starts"))
+    )
+    joined = df.join(
+        starts.select(F.col("_pk").alias(pk), "_starts"), pk, "left"
+    )
+    toks = tokens_expr(text_col)
+    st = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda _t, i: ~F.exists(st, lambda s: (s <= i) & (i <= s + (n - 1))),
+    )
+    rebuilt = F.when(F.size(st) == 0, F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    return (
+        joined.withColumn(
+            "n_tokens_removed", (F.size(toks) - F.size(kept)).cast("long")
+        )
+        .withColumn(text_col, rebuilt)
+        .drop("_starts")
+    )

@@ -79,6 +79,8 @@ HEADLINE = [
     "dedup_lines",
     # round 7: interpolated bigram LM (two-table fit + scoring)
     "text_lm_bigram",
+    # round 7: exact-substring (span) dedup, Lee-et-al-style
+    "dedup_spans",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the

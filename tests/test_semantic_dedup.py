@@ -204,3 +204,60 @@ def test_curate_line_dedup_stage(spark):
     )
     assert "n_boiler_lines" not in rep2
     assert {r["doc_id"] for r in out2.collect()} == set(range(7))
+
+
+# ---------------------------------------------------------------------------
+# exact substring (span) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_hand_computed(spark):
+    from adampro_spark.pipeline.dedup import span_dedup
+
+    span = "one two three four five six"  # 6 shared tokens
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"start {span} end"),
+        (3, "totally unrelated text with nothing shared at all"),
+        (4, "short doc"),  # < n tokens: never cut
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, n=5, min_docs=2).collect()}
+
+    # 6-token span, n=5 → window starts cover exactly the span tokens
+    assert out[1]["text"] == "alpha beta gamma delta"
+    assert out[1]["n_tokens_removed"] == 6
+    assert out[2]["text"] == "start end"
+    assert out[2]["n_tokens_removed"] == 6
+    # untouched docs keep text BYTE-identical (no normalization)
+    assert out[3]["text"] == rows[2][1] and out[3]["n_tokens_removed"] == 0
+    assert out[4]["text"] == "short doc" and out[4]["n_tokens_removed"] == 0
+    assert out[5]["text"] == "" and out[5]["n_tokens_removed"] == 0
+
+
+def test_span_dedup_whole_doc_duplicate(spark):
+    from adampro_spark.pipeline.dedup import span_dedup
+
+    body = " ".join(f"tok{i}" for i in range(12))
+    rows = [(1, body), (2, body), (3, "something else entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, n=5, min_docs=2).collect()}
+    # byte-identical docs: every window shared → everything cut
+    assert out[1]["text"] == "" and out[1]["n_tokens_removed"] == 12
+    assert out[2]["text"] == "" and out[2]["n_tokens_removed"] == 12
+    assert out[3]["text"] == rows[2][1]
+
+
+def test_span_dedup_min_docs_and_validation(spark):
+    from adampro_spark.pipeline.dedup import span_dedup
+
+    span = "a b c d e"
+    rows = [(1, f"x {span}"), (2, f"y {span}"), (3, f"z {span}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_docs=4 > occurrences: nothing cut
+    out = {r["doc_id"]: r["n_tokens_removed"]
+           for r in span_dedup(df, n=5, min_docs=4).collect()}
+    assert out == {1: 0, 2: 0, 3: 0}
+    with pytest.raises(ValueError):
+        span_dedup(df, n=1)
