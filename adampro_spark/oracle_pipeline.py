@@ -1518,3 +1518,67 @@ def _span_dedup_sql(n: int = _SPAN_N, min_docs: int = 2) -> str:
 
 
 _register("dedup_spans", _span_dedup_row, _span_dedup_sql())
+
+
+# ---------------------------------------------------------------------------
+# asymmetric dedup vs a reference corpus (dedup.dedup_against) — NEW batch =
+# the truncated copies, REF = the base documents; survivors are new docs
+# whose exact shingle Jaccard vs EVERY ref doc stays under threshold
+# ---------------------------------------------------------------------------
+
+
+def _against_new(spark, sf) -> DataFrame:
+    d = _docs(spark, sf)
+    return (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + _OFF)
+        .withColumn(
+            "text",
+            F.substring(F.col("text"), 1, ((F.length("text") * 9) / 10).cast("int")),
+        )
+        .unionByName(
+            # shifted-id clean rows: reuse corpus text under NEW ids paired
+            # against a DIFFERENT ref doc population slice; most are still
+            # near their own source, so the oracle decides row by row
+            d.filter(F.col("doc_id") % 11 == 3)
+            .withColumn("doc_id", F.col("doc_id") + 2 * _OFF)
+        )
+        .select("doc_id", "text")
+    )
+
+
+def _dedup_against_row(spark, sf):
+    from adampro_spark.pipeline.dedup import dedup_against
+
+    new = _against_new(spark, sf)
+    ref = _docs(spark, sf).select("doc_id", "text")
+    return dedup_against(
+        new, ref, method="minhash", threshold=0.7, return_matches=True
+    )
+
+
+def _dedup_against_sql(threshold: float = 0.7, shingle_n: int = 8) -> str:
+    sh = f"list_distinct({_sql_shingles('text', shingle_n)})"
+    jac = (
+        "len(list_intersect(n.sh, r.sh)) / "
+        "(len(n.sh) + len(r.sh) - len(list_intersect(n.sh, r.sh)))"
+    )
+    return f"""
+    WITH newb AS (
+      SELECT doc_id + {_OFF} AS doc_id,
+             substring(text, 1, CAST(length(text) * 9 // 10 AS INT)) AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + {2 * _OFF} AS doc_id, text
+      FROM documents WHERE doc_id % 11 = 3
+    ),
+    n AS (SELECT doc_id, {sh} AS sh FROM newb),
+    r AS (SELECT doc_id, {sh} AS sh FROM documents)
+    SELECT n.doc_id AS new_pk, r.doc_id AS ref_pk,
+           round({jac}, 4) AS jaccard
+    FROM n CROSS JOIN r
+    WHERE round({jac}, 4) >= {threshold}
+    """
+
+
+_register("dedup_against", _dedup_against_row, _dedup_against_sql())

@@ -73,6 +73,7 @@ from adampro_spark.pipeline.mix import (  # noqa: F401
     split_dataset,
 )
 from adampro_spark.pipeline.dedup import (  # noqa: F401
+    dedup_against,
     line_dedup,
     semantic_dedup,
     semantic_dup_pairs,

@@ -250,6 +250,40 @@ def minhash_dup_pairs(
     P(miss) at j = 0.7 with 32×4 is (1-0.7⁴)³² ≈ 1.5e-4 and falls to
     ~1e-6 at j = 0.8; verified exhaustively in the oracle suite at sf0.01.
     """
+    base = _minhash_base(df, text_col, pk, shingle_n, bands, rows, seed)
+
+    bandtab = base.select(
+        "_pk", F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash")
+    )
+    cand = banded_candidates(
+        bandtab, ["_band_idx", "_band_hash"], max_bucket_size=max_bucket_size
+    )
+
+    sets = base.select("_pk", "_sh")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter / union
+    return (
+        cand.join(sets.select(F.col("_pk").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("_pk").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_base(
+    df: DataFrame,
+    text_col: str,
+    pk: str,
+    shingle_n: int,
+    bands: int,
+    rows: int,
+    seed: int,
+) -> DataFrame:
+    """The persisted ``(_pk, _sh, _bands)`` shingle/signature table behind
+    every MinHash consumer (self-join pairs, asymmetric dedup_against).
+    """
     # Shingling + signature + banding as ONE Arrow-batched pandas UDF pass
     # over the text (one python worker round-trip, one persist barrier):
     #
@@ -331,30 +365,11 @@ def minhash_dup_pairs(
     # 100 TB the shingle/signature table is a persisted artifact anyway
     # (build once, reuse for every dedup run); in-session persist is the
     # operator-local equivalent.
-    base = (
+    return (
         _spread(df)
         .select(F.col(pk).alias("_pk"), sb_udf(F.col(text_col)).alias("_sb"))
         .select("_pk", F.col("_sb.sh").alias("_sh"), F.col("_sb.bands").alias("_bands"))
         .persist()
-    )
-
-    bandtab = base.select(
-        "_pk", F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash")
-    )
-    cand = banded_candidates(
-        bandtab, ["_band_idx", "_band_hash"], max_bucket_size=max_bucket_size
-    )
-
-    sets = base.select("_pk", "_sh")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    jac = inter / union
-    return (
-        cand.join(sets.select(F.col("_pk").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("_pk").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -1196,3 +1211,106 @@ def span_dedup(
         .withColumn(text_col, rebuilt)
         .drop("_starts")
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric dedup — new batch vs an existing reference corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_against(
+    new: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    method: str = "minhash",
+    threshold: float = 0.7,
+    shingle_n: int = 8,
+    bands: int = 32,
+    rows: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 1024,
+    return_matches: bool = False,
+) -> DataFrame:
+    """Drop NEW documents duplicating the REFERENCE corpus — the
+    continuous-ingestion pattern (each incremental crawl dedups against
+    everything already accepted; :func:`minhash_dup_pairs` answers the
+    symmetric within-corpus question, this answers the asymmetric one
+    without ever self-joining the reference).
+
+    ``method``: ``"exact"`` (whitespace-normalized text hash anti-join —
+    one broadcast-or-shuffle join, nothing else) or ``"minhash"``
+    (exact shingle-Jaccard ≥ ``threshold`` against ANY reference doc,
+    banded candidates exactly like the symmetric path — both corpora
+    run the one-pass signature UDF, candidates come from a new-band ×
+    ref-band equi-join).  Reference band buckets larger than
+    ``max_bucket_size`` are capped to their ``max_bucket_size`` lowest
+    pks (the hot-bucket argument: an oversized bucket is near-identical
+    boilerplate, so any new doc matching the bucket matches its
+    retained members).
+
+    Returns the surviving new rows; with ``return_matches`` instead
+    returns ``(new_pk, ref_pk, jaccard)`` match pairs (``jaccard`` is
+    1.0 for exact matches).  Reruns are stable: survivors ∪ dropped =
+    new, and dedup_against(survivors, ref) drops nothing.
+    """
+    if method == "exact":
+        h = poly_hash(char_codes(F.concat_ws(" ", tokens_expr(text_col))))
+        ref_h = ref.select(h.alias("_h")).distinct()
+        tagged = new.withColumn("_h", h)
+        if return_matches:
+            ref_tab = ref.select(F.col(pk).alias("ref_pk"), h.alias("_h"))
+            return (
+                tagged.select(F.col(pk).alias("new_pk"), "_h")
+                .join(ref_tab, "_h")
+                .select("new_pk", "ref_pk", F.lit(1.0).alias("jaccard"))
+            )
+        return tagged.join(ref_h, "_h", "left_anti").drop("_h")
+    if method != "minhash":
+        raise ValueError(f"unknown dedup_against method {method!r}")
+
+    from pyspark.sql import Window
+
+    nb = _minhash_base(new, text_col, pk, shingle_n, bands, rows, seed)
+    rb = _minhash_base(ref, text_col, pk, shingle_n, bands, rows, seed)
+    new_bands = nb.select(
+        F.col("_pk").alias("_npk"),
+        F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash"),
+    )
+    w = Window.partitionBy("_band_idx", "_band_hash").orderBy("_rpk")
+    ref_bands = (
+        rb.select(
+            F.col("_pk").alias("_rpk"),
+            F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_bucket_size))
+        .drop("_rn")
+    )
+    cand = (
+        new_bands.join(ref_bands, ["_band_idx", "_band_hash"])
+        .select("_npk", "_rpk")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_r")))
+    union = F.size(F.col("sh_n")) + F.size(F.col("sh_r")) - inter
+    matches = (
+        cand.join(
+            nb.select(F.col("_pk").alias("_npk"), F.col("_sh").alias("sh_n")),
+            "_npk",
+        )
+        .join(
+            rb.select(F.col("_pk").alias("_rpk"), F.col("_sh").alias("sh_r")),
+            "_rpk",
+        )
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if return_matches:
+        return matches.select(
+            F.col("_npk").alias("new_pk"),
+            F.col("_rpk").alias("ref_pk"),
+            "jaccard",
+        )
+    dropped = matches.select(F.col("_npk").alias(pk)).distinct()
+    return new.join(dropped, pk, "left_anti")

@@ -261,3 +261,75 @@ def test_span_dedup_min_docs_and_validation(spark):
     assert out == {1: 0, 2: 0, 3: 0}
     with pytest.raises(ValueError):
         span_dedup(df, n=1)
+
+
+# ---------------------------------------------------------------------------
+# asymmetric dedup against a reference corpus
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_and_new(spark):
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            (3, "sphinx of black quartz judge my vow immediately please"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact copy of ref 1 (different whitespace/case)
+            (101, "The  quick Brown fox jumps over the lazy dog every day"),
+            # truncated near-copy of ref 2
+            (102, "pack my box with five dozen liquor jugs right"),
+            # genuinely new
+            (103, "completely novel content about distributed query engines"),
+            # duplicate WITHIN new only: must survive (asymmetric!)
+            (104, "completely novel content about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    return ref, new
+
+
+def test_dedup_against_exact(spark, ref_and_new):
+    from adampro_spark.pipeline.dedup import dedup_against
+
+    ref, new = ref_and_new
+    out = dedup_against(new, ref, method="exact")
+    kept = {r["doc_id"] for r in out.collect()}
+    # only the normalized-exact copy drops; near-copy + within-new dups stay
+    assert kept == {102, 103, 104}
+    assert out.columns == new.columns
+    m = dedup_against(new, ref, method="exact", return_matches=True).collect()
+    assert {(r["new_pk"], r["ref_pk"]) for r in m} == {(101, 1)}
+
+
+def test_dedup_against_minhash(spark, ref_and_new):
+    from adampro_spark.pipeline.dedup import dedup_against
+
+    ref, new = ref_and_new
+    out = dedup_against(new, ref, method="minhash", threshold=0.5)
+    kept = {r["doc_id"] for r in out.collect()}
+    # exact copy AND truncated near-copy drop; within-new dup survives
+    assert kept == {103, 104}
+    m = dedup_against(
+        new, ref, method="minhash", threshold=0.5, return_matches=True
+    ).collect()
+    got = {(r["new_pk"], r["ref_pk"]) for r in m}
+    assert {(101, 1), (102, 2)} <= got
+    assert all(npk in (101, 102) for npk, _ in got)
+
+    # rerun stability: survivors against the same ref drop nothing
+    again = dedup_against(out, ref, method="minhash", threshold=0.5)
+    assert again.count() == out.count()
+
+
+def test_dedup_against_unknown_method(spark, ref_and_new):
+    from adampro_spark.pipeline.dedup import dedup_against
+
+    ref, new = ref_and_new
+    with pytest.raises(ValueError, match="unknown dedup_against method"):
+        dedup_against(new, ref, method="fuzzy")
