@@ -135,3 +135,57 @@ def test_minhash_hot_bucket_emits_linear_pairs(spark):
     # exactly one survivor (the min id) for the planted duplicate group
     assert kept & set(range(n_dup)) == {0}
     pairs.unpersist()
+
+
+def test_semantic_dedup_hot_cluster_chunks(spark):
+    """Adversarial skew: one centroid direction owns ~70% of the corpus.
+    The chunk-block plan must (a) split the hot cluster into bounded
+    blocks — no task sees more than max_cluster_rows rows per side —
+    and (b) produce EXACTLY the direct path's pairs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from adampro_spark.pipeline.dedup import semantic_dup_pairs
+
+    rng = np.random.RandomState(3)
+    dim = 8
+    hot = np.eye(dim)[0] * 10.0
+    cold = np.eye(dim)[1] * 10.0
+    rows = []
+    for i in range(700):  # hot direction: 70% of 1000
+        rows.append((i, (hot + rng.standard_normal(dim) * 0.2).tolist()))
+    for i in range(700, 1000):
+        rows.append((i, (cold + rng.standard_normal(dim) * 0.2).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter(F.col("vec_id").isin(0, 700)).orderBy("vec_id")
+
+    cap = 100  # hot cluster -> 7 chunks -> 28 block tasks of <= 100x100
+    direct = {
+        tuple(r)
+        for r in semantic_dup_pairs(df, threshold=0.995, centroids=cents).collect()
+    }
+    chunked = {
+        tuple(r)
+        for r in semantic_dup_pairs(
+            df, threshold=0.995, centroids=cents, max_cluster_rows=cap
+        ).collect()
+    }
+    assert chunked == direct
+    # block-pair bound: with m = ceil(700/100) = 7 chunks, each chunk
+    # holds ~100 +- hash jitter rows; assert the hash split is balanced
+    # enough that no chunk exceeds 2x the cap (the per-task work bound)
+    from adampro_spark.pipeline.cluster import cluster_embeddings
+
+    assigned, _ = cluster_embeddings(df, centroids=cents)
+    hot_rows = assigned.filter(F.col("cluster") == 0)
+    m = 7
+    chunks = (
+        hot_rows.withColumn(
+            "_chunk", F.pmod(F.xxhash64(F.col("vec_id"), F.lit(42 + 13)), F.lit(m))
+        )
+        .groupBy("_chunk")
+        .count()
+        .collect()
+    )
+    assert len(chunks) == m
+    assert max(r["count"] for r in chunks) <= 2 * cap
