@@ -1582,3 +1582,55 @@ def _dedup_against_sql(threshold: float = 0.7, shingle_n: int = 8) -> str:
 
 
 _register("dedup_against", _dedup_against_row, _dedup_against_sql())
+
+
+# ---------------------------------------------------------------------------
+# per-source gate attrition (curate.curate_report_by) — the per-crawl
+# report a production pipeline tracks; grouped mirror of the gate SQL
+# ---------------------------------------------------------------------------
+
+
+def _report_by_row(spark, sf):
+    from adampro_spark.pipeline.curate import curate_report_by
+
+    return curate_report_by(
+        _docs(spark, sf), by="source",
+        langs=("en",), min_tokens=20, min_quality=0.3,
+    )
+
+
+def _report_by_sql() -> str:
+    structs = ", ".join(
+        f"{{'hits': len(list_filter(toks, t -> list_contains({list(STOPWORDS[lang])}, t))), 'lang': '{lang}'}}"
+        for lang in sorted(STOPWORDS)
+    )
+    quality = (
+        "(CASE WHEN length(text) > 0 THEN length(regexp_replace(text,"
+        " '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)"
+        " * least(len(toks) / 20.0, 1.0)"
+    )
+    return f"""
+    WITH t AS (SELECT source, text, {_TOKS.format(t='text')} AS toks
+               FROM documents),
+    f AS (
+      SELECT source,
+        (CASE WHEN best.hits <= 0 THEN 'und' ELSE best.lang END) = 'en'
+          AS lang_ok,
+        len(toks) >= 20 AS len_ok,
+        TRUE AS cap_ok,
+        {quality} >= 0.3 AS q_ok
+      FROM (SELECT source, text, toks,
+              list_aggregate([{structs}], 'max') AS best FROM t)
+    )
+    SELECT source,
+      count(*)::BIGINT AS n,
+      (count(*) FILTER (WHERE NOT lang_ok))::BIGINT AS n_lang_fail,
+      (count(*) FILTER (WHERE NOT len_ok))::BIGINT AS n_short,
+      0::BIGINT AS n_too_long,
+      (count(*) FILTER (WHERE NOT q_ok))::BIGINT AS n_low_quality,
+      (count(*) FILTER (WHERE lang_ok AND len_ok AND q_ok))::BIGINT AS n_pass
+    FROM f GROUP BY source
+    """
+
+
+_register("curate_report_by_source", _report_by_row, _report_by_sql())

@@ -36,7 +36,7 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
     simhash_expr,
     simhash_pairs,
 )
-from adampro_spark.pipeline.curate import curate  # noqa: F401
+from adampro_spark.pipeline.curate import curate, curate_report_by  # noqa: F401
 from adampro_spark.pipeline.temporal import asof_join, range_join  # noqa: F401
 from adampro_spark.pipeline.profile import profile  # noqa: F401
 from adampro_spark.pipeline.simjoin import knn_join, ivf_knn_join  # noqa: F401

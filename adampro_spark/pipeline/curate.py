@@ -446,3 +446,58 @@ def curate(
     for name in extras:
         report[f"n_fail{name}"] = int(agg[f"x_{name}"])
     return out, report
+
+
+def curate_report_by(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    langs: Sequence[str] | None = ("en",),
+    min_tokens: int = 20,
+    min_quality: float = 0.3,
+    max_chars: int | None = None,
+    extra_gates: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Per-GROUP gate attrition — the report a production pipeline
+    tracks per crawl/source/domain to see WHERE the corpus is losing
+    documents: ``(by, n, n_lang_fail, n_short, n_too_long,
+    n_low_quality, n_fail<extra>…, n_pass)``, one row per group.
+
+    Same gate expressions as :func:`curate` (one staged tokenization,
+    one map-only flag projection), aggregated by the group column with
+    map-side combine — the only shuffle carries ≤ |groups| × counters.
+    A doc failing several gates counts in each (independent
+    diagnostics, like curate's global report).
+    """
+    from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
+
+    staged = df.withColumn("_ap_gtoks", _tokens_expr(text_col))
+    flags = dict(
+        gate_flags(
+            text_col, langs=langs, min_tokens=min_tokens,
+            min_quality=min_quality, max_chars=max_chars,
+            toks=F.col("_ap_gtoks"),
+        )
+    )
+    extras = dict(extra_gates or {})
+    clash = set(extras) & set(flags)
+    if clash:
+        raise ValueError(f"extra_gates clash with built-in gates: {sorted(clash)}")
+    flags.update(extras)
+    flagged = staged
+    for name, expr in flags.items():
+        flagged = flagged.withColumn(name, expr)
+    all_ok = None
+    for name in flags:
+        all_ok = F.col(name) if all_ok is None else (all_ok & F.col(name))
+    fail_names = {
+        "_lang_ok": "n_lang_fail",
+        "_len_ok": "n_short",
+        "_cap_ok": "n_too_long",
+        "_q_ok": "n_low_quality",
+    }
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum((~F.col(flag)).cast("long")).alias(fail_names.get(flag, f"n_fail{flag}"))
+        for flag in flags
+    ] + [F.sum(all_ok.cast("long")).alias("n_pass")]
+    return flagged.groupBy(by).agg(*aggs)

@@ -324,3 +324,37 @@ def test_redaction_is_idempotent(spark):
     a = {r["doc_id"]: r["text"] for r in once.collect()}
     b = {r["doc_id"]: r["text"] for r in twice.collect()}
     assert a == b
+
+
+def test_curate_report_by_matches_global(spark):
+    """Per-group attrition sums to curate's global report on the same
+    gate parameters; extra gates ride along with per-rule counts."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.pipeline.curate import curate, curate_report_by
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    kw = dict(langs=("en",), min_tokens=15, min_quality=0.25)
+    rep = curate_report_by(docs, by="source", **kw)
+    rows = rep.collect()
+    assert len(rows) >= 2 and rep.columns == [
+        "source", "n", "n_lang_fail", "n_short", "n_too_long",
+        "n_low_quality", "n_pass",
+    ]
+    _out, g = curate(docs, dedup=None, **kw)
+    assert sum(r["n"] for r in rows) == g["n_input"]
+    assert sum(r["n_lang_fail"] for r in rows) == g["n_lang_fail"]
+    assert sum(r["n_short"] for r in rows) == g["n_short"]
+    assert sum(r["n_low_quality"] for r in rows) == g["n_low_quality"]
+    assert sum(r["n_pass"] for r in rows) == g["n_after_gates"]
+
+    # extra gate: per-rule fail column appears and is counted per group
+    rep2 = curate_report_by(
+        docs, by="source", extra_gates={"_g_even": F.col("doc_id") % 2 == 0}, **kw
+    )
+    assert "n_fail_g_even" in rep2.columns
+    tot_odd = sum(r["n_fail_g_even"] for r in rep2.collect())
+    assert tot_odd == docs.filter(F.col("doc_id") % 2 == 1).count()
