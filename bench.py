@@ -81,6 +81,8 @@ HEADLINE = [
     "text_lm_bigram",
     # round 7: exact-substring (span) dedup, Lee-et-al-style
     "dedup_spans",
+    # round 7: asymmetric new-vs-reference dedup (banded, no ref self-join)
+    "dedup_against",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the
