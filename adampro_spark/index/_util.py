@@ -91,9 +91,17 @@ def attach_lut(df: DataFrame, **named_values) -> DataFrame:
 
 
 def sample_matrix(
-    df: DataFrame, vector_col: str, n: int, seed: int, pk: str | None = None
+    df: DataFrame,
+    vector_col: str,
+    n: int,
+    seed: int,
+    pk: str | None = None,
+    dtype=np.float32,
 ) -> np.ndarray:
-    """Training sample as an (m, dim) float32 matrix.
+    """Training sample as an (m, dim) matrix (float32 by default — the
+    codebook-training precision; pass float64 when the consumer
+    simulates a scan whose arithmetic runs on full-precision vectors,
+    e.g. the LSH probe-count autofit).
 
     With ``pk`` given the sample is LAYOUT-INDEPENDENT: rows are ranked by
     ``xxhash64(pk, seed)`` and the smallest n taken — a deterministic
@@ -111,13 +119,13 @@ def sample_matrix(
             .limit(n)
             .collect()
         )
-        return np.array([r[0] for r in rows], dtype=np.float32)
+        return np.array([r[0] for r in rows], dtype=dtype)
     total = df.count()
     frac = min(1.0, (n * 1.2) / max(total, 1))
     rows = df.select(vector_col).sample(False, frac, seed=seed).limit(n).collect()
     if not rows:
         rows = df.select(vector_col).limit(n).collect()
-    return np.array([r[0] for r in rows], dtype=np.float32)
+    return np.array([r[0] for r in rows], dtype=dtype)
 
 
 def kmeans(X: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarray:

@@ -176,7 +176,12 @@ def build_lsh(
         from adampro_spark.index.autofit import autofit_lsh_meta
 
         meta["n"] = df.count()  # sparsity-corrects the fit's ground truth
-        fit_sample = sample_matrix(df, vector_col, 1000, seed + 7, pk=pk)
+        # float64: the fit simulates scan_lsh's bucket arithmetic, which
+        # runs on full-precision vectors — a float32-rounded sample
+        # buckets boundary rows differently than the built index would
+        fit_sample = sample_matrix(
+            df, vector_col, 1000, seed + 7, pk=pk, dtype=np.float64
+        )
         autofit_lsh_meta(meta, fit_sample, distance_name, n_corpus=meta["n"])
     return indexed, meta
 

@@ -1120,9 +1120,10 @@ def _split_sql() -> str:
     return f"""
     SELECT doc_id,
       CASE WHEN u < 0.8 THEN 'train'
-           -- 0.8 + 0.1 accumulated in IEEE doubles, exactly as
-           -- split_dataset builds its cumulative bin bounds
-           WHEN u < 0.9000000000000001 THEN 'val'
+           -- split_dataset's accumulated double(0.8) + double(0.1)
+           -- rounds to EXACTLY 0.9 (verified; it is 0.1 + 0.2 that
+           -- does not round to 0.3) — mirror the same bound literal
+           WHEN u < 0.9 THEN 'val'
            ELSE 'test' END AS split
     FROM (SELECT doc_id,
             ((({h}) * {_MIX_A} + {_MIX_B}) % {HASH_P}) / {HASH_P}.0 AS u
@@ -1192,7 +1193,7 @@ def _chunks_sql(w: int = _CHUNK_W, o: int = _CHUNK_O) -> str:
     s AS (
       SELECT doc_id, tk,
              unnest(CASE WHEN len(tk) > 0
-                         THEN generate_series(1, len(tk), {stride})
+                         THEN generate_series(1, greatest(len(tk) - {o}, 1), {stride})
                          ELSE CAST([] AS BIGINT[]) END) AS i
       FROM t
     )
@@ -1475,7 +1476,12 @@ def _span_dedup_sql(n: int = _SPAN_N, min_docs: int = 2) -> str:
                   ELSE text END AS text
       FROM documents
     ),
-    t AS (SELECT doc_id, text, {toks} AS toks, {th} AS th FROM planted),
+    -- toks: CASE-PRESERVING split for the rebuild (hashes below use the
+    -- lowercased tokens; positions align 1:1)
+    t AS (SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             t2 -> length(t2) > 0) AS toks,
+                 {th} AS th FROM planted),
     pg AS (
       SELECT doc_id,
         unnest(CASE WHEN len(th) >= {n}

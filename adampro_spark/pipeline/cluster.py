@@ -93,6 +93,25 @@ def assign_clusters_udf(Cn: np.ndarray):
     return F.pandas_udf(_assign, T.IntegerType())
 
 
+def resolve_centroids(
+    centroids: "DataFrame | np.ndarray",
+    vector_col: str = "embedding",
+) -> np.ndarray:
+    """Caller-provided centroids (a small DataFrame of vectors collected
+    in row order, or an ndarray) → the NORMALIZED matrix every assigner
+    consumes.  The one shared implementation behind cluster_embeddings
+    and semantic_dup_pairs — a tie-break or guard change here reaches
+    both."""
+    if isinstance(centroids, DataFrame):
+        C = np.array(
+            [r[0] for r in centroids.select(vector_col).collect()],
+            dtype=np.float64,
+        )
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
 def cluster_embeddings(
     df: DataFrame,
     vector_col: str = "embedding",
@@ -113,15 +132,8 @@ def cluster_embeddings(
     downstream calls (stream scoring, share profiling, re-assignment of
     a second corpus against the SAME clustering).
     """
-    if isinstance(centroids, DataFrame):
-        C = np.array(
-            [r[0] for r in centroids.select(vector_col).collect()],
-            dtype=np.float64,
-        )
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    elif centroids is not None:
-        C = np.asarray(centroids, dtype=np.float64)
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    if centroids is not None:
+        Cn = resolve_centroids(centroids, vector_col)
     else:
         Cn = fit_centroids(
             df, vector_col=vector_col, pk=pk, n_clusters=n_clusters,

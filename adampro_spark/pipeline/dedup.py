@@ -898,8 +898,6 @@ def semantic_dup_pairs(
     """
     import math
 
-    from pyspark.sql import types as T
-
     v = F.col(vector_col).cast("array<double>")
     norm = F.sqrt(_dot(v, v))
     base = (
@@ -909,9 +907,13 @@ def semantic_dup_pairs(
     )
 
     # --- centroid matrix (driver-sized by contract: ≤ k rows) ---
-    if centroids is None:
-        from adampro_spark.pipeline.cluster import fit_centroids
+    from adampro_spark.pipeline.cluster import (
+        assign_clusters_udf,
+        fit_centroids,
+        resolve_centroids,
+    )
 
+    if centroids is None:
         try:
             Cn = fit_centroids(
                 df, vector_col=vector_col, pk=pk, n_clusters=n_clusters,
@@ -924,26 +926,10 @@ def semantic_dup_pairs(
                 [], f"id_a {pk_t}, id_b {pk_t}, cos_sim double"
             )
     else:
-        if isinstance(centroids, DataFrame):
-            C = np.array(
-                [r[0] for r in centroids.select(vector_col).collect()],
-                dtype=np.float64,
-            )
-        else:
-            C = np.asarray(centroids, dtype=np.float64)
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        Cn = resolve_centroids(centroids, vector_col)
 
-    # --- assignment: argmax cosine against the broadcast centroids ---
-    def _assign(cols):
-        import pandas as pd
-
-        if not len(cols):
-            return pd.Series([], dtype="int32")
-        V = np.array([np.asarray(x, dtype=np.float64) for x in cols])
-        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        return pd.Series((V @ Cn.T).argmax(axis=1).astype(np.int32))
-
-    assign_udf = F.pandas_udf(_assign, T.IntegerType())
+    # --- assignment: the SHARED argmax-cosine UDF (cluster.py) ---
+    assign_udf = assign_clusters_udf(Cn)
     nv = F.transform(F.col("_v"), lambda x: x / F.col("_n"))
     rows = base.select(
         F.col("_pk"), nv.alias("_nv"), assign_udf(F.col("_v")).alias("_c")
@@ -1147,10 +1133,11 @@ def span_dedup(
     coverage of every ≥ n-token duplicate is guaranteed).
 
     Documents with nothing to cut keep their text BYTE-IDENTICAL; cut
-    documents are rebuilt from surviving tokens (whitespace-normalized,
-    the :func:`~adampro_spark.pipeline.text.chunk_documents`
-    convention).  Output adds ``n_tokens_removed``.  Docs shorter than
-    ``n`` tokens have no windows and are never cut.
+    documents are rebuilt from the surviving CASE-PRESERVED whitespace
+    tokens re-joined with single spaces (matching is case-insensitive —
+    the dedup normalization — but the cut never rewrites what survives
+    beyond whitespace).  Output adds ``n_tokens_removed``.  Docs shorter
+    than ``n`` tokens have no windows and are never cut.
 
     Plan shape (the line_dedup recipe one level down): positioned gram
     hashes explode to slim ``(pk, start, gram)`` rows — text never
@@ -1195,7 +1182,14 @@ def span_dedup(
     joined = df.join(
         starts.select(F.col("_pk").alias(pk), "_starts"), pk, "left"
     )
-    toks = tokens_expr(text_col)
+    # rebuild from CASE-PRESERVING whitespace tokens: matching hashes
+    # are computed on the lowercased tokens (dedup normalization), but
+    # positions align 1:1 with the raw split, so the cut must not
+    # lowercase the surviving text (review finding: an earlier form
+    # rebuilt via tokens_expr and case-folded every cut document)
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
     st = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
     kept = F.filter(
         toks,
@@ -1273,39 +1267,48 @@ def dedup_against(
 
     nb = _minhash_base(new, text_col, pk, shingle_n, bands, rows, seed)
     rb = _minhash_base(ref, text_col, pk, shingle_n, bands, rows, seed)
-    new_bands = nb.select(
-        F.col("_pk").alias("_npk"),
-        F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash"),
-    )
-    w = Window.partitionBy("_band_idx", "_band_hash").orderBy("_rpk")
-    ref_bands = (
-        rb.select(
-            F.col("_pk").alias("_rpk"),
+    try:
+        new_bands = nb.select(
+            F.col("_pk").alias("_npk"),
             F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash"),
         )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= int(max_bucket_size))
-        .drop("_rn")
-    )
-    cand = (
-        new_bands.join(ref_bands, ["_band_idx", "_band_hash"])
-        .select("_npk", "_rpk")
-        .distinct()
-    )
-    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_r")))
-    union = F.size(F.col("sh_n")) + F.size(F.col("sh_r")) - inter
-    matches = (
-        cand.join(
-            nb.select(F.col("_pk").alias("_npk"), F.col("_sh").alias("sh_n")),
-            "_npk",
+        w = Window.partitionBy("_band_idx", "_band_hash").orderBy("_rpk")
+        ref_bands = (
+            rb.select(
+                F.col("_pk").alias("_rpk"),
+                F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_bucket_size))
+            .drop("_rn")
         )
-        .join(
-            rb.select(F.col("_pk").alias("_rpk"), F.col("_sh").alias("sh_r")),
-            "_rpk",
+        cand = (
+            new_bands.join(ref_bands, ["_band_idx", "_band_hash"])
+            .select("_npk", "_rpk")
+            .distinct()
         )
-        .withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= threshold)
-    )
+        inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_r")))
+        union = F.size(F.col("sh_n")) + F.size(F.col("sh_r")) - inter
+        matches = (
+            cand.join(
+                nb.select(F.col("_pk").alias("_npk"), F.col("_sh").alias("sh_n")),
+                "_npk",
+            )
+            .join(
+                rb.select(F.col("_pk").alias("_rpk"), F.col("_sh").alias("sh_r")),
+                "_rpk",
+            )
+            .withColumn("jaccard", F.round(inter / union, 4))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # materialize the (small) match set, then RELEASE both signature
+        # caches — review finding: repeated incremental-ingestion calls
+        # otherwise accumulate a cached copy of the whole accepted corpus
+        # per call until eviction pressure degrades the session
+        matches = matches.localCheckpoint(eager=True)
+    finally:
+        nb.unpersist()
+        rb.unpersist()
     if return_matches:
         return matches.select(
             F.col("_npk").alias("new_pk"),

@@ -307,13 +307,16 @@ def _unkeyed_carry(
     if want_fwd:
         aggs.append(F.min_by("_ap_pack", F.col(time_col)).alias("_ap_first"))
     per_pid = rights.agg(*aggs)
-    pid_frame = spark.range(len(bounds) + 1).select(
-        F.col("id").cast("int").alias("_ap_pid")
-    )
     if by:
         # every (key, bucket) row must exist so the carry crosses empty
         # buckets; hot keys are few by definition, so this stays tiny
-        pid_frame = u.select(by).distinct().crossJoin(pid_frame)
+        # (the unkeyed path enumerates pids in the driver loop below and
+        # needs no frame)
+        pid_frame = u.select(by).distinct().crossJoin(
+            spark.range(len(bounds) + 1).select(
+                F.col("id").cast("int").alias("_ap_pid")
+            )
+        )
     # The prefix/suffix carries below deliberately span ALL buckets of a
     # key.  Keyed: window partitioned by the key.  Unkeyed: the per-
     # bucket table is ≤ p rows by construction and the broadcast join

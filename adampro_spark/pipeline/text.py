@@ -433,9 +433,10 @@ def chunk_documents(
     :func:`fingerprint_expr`'s normalization), and documents with zero
     tokens produce ZERO chunks.  The final window may be shorter than
     ``max_tokens``; a window is started at every ``max_tokens − overlap``
-    stride while any token remains, so every token appears in ≥ 1 chunk
-    and consecutive chunks share exactly ``overlap`` tokens (except a
-    shorter tail).
+    stride while its start is ≤ ``n_tokens − overlap``, so every token
+    appears in ≥ 1 chunk, consecutive chunks share exactly ``overlap``
+    tokens (except a shorter tail), and no chunk consists purely of
+    tokens the previous chunk already carried.
 
     Deterministic arithmetic end to end (``chunk_id = (start−1) /
     stride``), so the whole explode is oracle-checkable in SQL.
@@ -448,9 +449,15 @@ def chunk_documents(
     toks = tokens_expr(text_col)
     staged = df.select(F.col(pk), toks.alias("_tk"))
     n = F.size(F.col("_tk"))
-    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # windows start while start <= n - overlap (not <= n): a start past
+    # n - overlap would yield a tail chunk composed ENTIRELY of tokens
+    # already covered by the previous window (pure duplicate content —
+    # review finding); the last admitted start still covers through the
+    # final token (next_start > n - overlap ⇒ prev start + max_tokens > n)
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
     exploded = staged.select(
         F.col(pk), F.col("_tk"), F.explode(starts).alias("_start")
     )

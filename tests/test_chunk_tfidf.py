@@ -26,15 +26,16 @@ def test_chunk_hand_computed(spark, docs):
         (r["doc_id"], r["chunk_id"]): (r["text"], r["n_tokens"])
         for r in out.collect()
     }
-    # doc 1: stride 3 → starts 1,4,7,10
+    # doc 1: stride 3, starts while start <= n - overlap = 9 → 1,4,7
+    # (a start at 10 would yield the pure-duplicate tail chunk "j")
     assert got[(1, 0)] == ("a b c d", 4)
     assert got[(1, 1)] == ("d e f g", 4)
     assert got[(1, 2)] == ("g h i j", 4)
-    assert got[(1, 3)] == ("j", 1)  # tail window
+    assert (1, 3) not in got  # no zero-new-token tail window
     assert got[(2, 0)] == ("x y z", 3)
     assert (3, 0) not in got  # empty doc: zero chunks
     assert got[(4, 0)] == ("multi space tabs", 3)
-    assert len(got) == 6
+    assert len(got) == 5
 
 
 def test_chunk_invariants(spark, tables):
@@ -58,6 +59,8 @@ def test_chunk_invariants(spark, tables):
             c = chunks[i]
             start = i * 12  # stride = 16 - 4
             assert c == toks[start:start + 16]
+            # every chunk carries at least one token the previous did not
+            assert start <= len(toks) - 4 or i == 0
             rebuilt = rebuilt[:start] + c
         assert rebuilt == toks  # full coverage, correct overlap
 

@@ -333,3 +333,23 @@ def test_dedup_against_unknown_method(spark, ref_and_new):
     ref, new = ref_and_new
     with pytest.raises(ValueError, match="unknown dedup_against method"):
         dedup_against(new, ref, method="fuzzy")
+
+
+def test_span_dedup_preserves_case_of_survivors(spark):
+    """The cut rebuilds from CASE-PRESERVED tokens: matching is
+    case-insensitive, but surviving text must not be case-folded
+    (review finding: an earlier form lowercased every cut document)."""
+    from adampro_spark.pipeline.dedup import span_dedup
+
+    span = "one two three four five six"
+    rows = [
+        (1, f"Alpha BETA {span.upper()} Gamma Delta"),
+        (2, f"Start {span} End"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, n=5, min_docs=2).collect()}
+    # uppercase span in doc 1 still matches (hashes are lowercased)...
+    assert out[1]["n_tokens_removed"] == 6
+    # ...and the survivors keep their original capitalization
+    assert out[1]["text"] == "Alpha BETA Gamma Delta"
+    assert out[2]["text"] == "Start End"
