@@ -1640,3 +1640,143 @@ def _report_by_sql() -> str:
 
 
 _register("curate_report_by_source", _report_by_row, _report_by_sql())
+
+
+# ---------------------------------------------------------------------------
+# FULL curation composition: line-dedup → gates → LM floor → exact dedup,
+# survivors AND the entire attrition report hash-checked in ONE row — the
+# end-to-end adjudication of curate's round-7 stage surface
+# ---------------------------------------------------------------------------
+
+_CF_FLOOR = -1.55  # fixed LM floor between the corpus score modes
+
+
+def _curate_full_row(spark, sf):
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.lm import fit_unigram_lm
+
+    planted = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _BOILER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    vocab, meta = fit_unigram_lm(planted, vocab_size=_LM_V)
+    out, report = curate(
+        planted,
+        langs=("en",), min_tokens=20, min_quality=0.3,
+        lm=(vocab, meta, _CF_FLOOR),
+        line_dedup_min_docs=3,
+        dedup="exact",
+    )
+    surv = out.select(
+        F.lit("doc").alias("tag"), F.col("doc_id").cast("long").alias("val")
+    )
+    rep = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(report.items())], "tag string, val long"
+    )
+    return surv.unionByName(rep)
+
+
+def _curate_full_sql(v: int = _LM_V, floor: float = _CF_FLOOR) -> str:
+    structs = ", ".join(
+        f"{{'hits': len(list_filter(toks, t -> list_contains({list(STOPWORDS[lang])}, t))), 'lang': '{lang}'}}"
+        for lang in sorted(STOPWORDS)
+    )
+    quality = (
+        "(CASE WHEN length(text) > 0 THEN length(regexp_replace(text,"
+        " '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)"
+        " * least(len(toks) / 20.0, 1.0)"
+    )
+    lh = _sql_poly_hash("ln")
+    toks_of = _TOKS
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || chr(10) || '{_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    -- stage 1: cross-document line dedup (min_docs = 3)
+    ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM planted),
+    lex AS (
+      SELECT doc_id, unnest(ls) AS ln,
+             unnest(generate_series(1, len(ls))) AS pos
+      FROM ls
+    ),
+    hotl AS (
+      SELECT h FROM (
+        SELECT DISTINCT doc_id, {lh} AS h FROM lex WHERE length(trim(ln)) > 0
+      ) GROUP BY h HAVING count(*) >= 3
+    ),
+    ldrops AS (
+      SELECT doc_id, list(pos) AS drops FROM lex
+      WHERE length(trim(ln)) > 0 AND {lh} IN (SELECT h FROM hotl)
+      GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT l.doc_id,
+        CASE WHEN l.text IS NULL THEN NULL
+             ELSE coalesce(array_to_string(
+               list_transform(
+                 list_filter(
+                   list_zip(l.ls, generate_series(1, len(l.ls))),
+                   z -> NOT list_contains(coalesce(d.drops, CAST([] AS BIGINT[])), z[2])),
+                 z -> z[1]),
+               chr(10)), '') END AS text,
+        coalesce(len(d.drops), 0)::BIGINT AS nrem
+      FROM ls l LEFT JOIN ldrops d USING (doc_id)
+    ),
+    -- stage 2: gates on the CLEANED text
+    t AS (SELECT doc_id, text, {toks_of.format(t='text')} AS toks FROM cleaned),
+    f AS (
+      SELECT doc_id, text, toks,
+        (CASE WHEN best.hits <= 0 THEN 'und' ELSE best.lang END) = 'en' AS lang_ok,
+        len(toks) >= 20 AS len_ok,
+        {quality} >= 0.3 AS q_ok
+      FROM (SELECT doc_id, text, toks,
+              list_aggregate([{structs}], 'max') AS best FROM t)
+    ),
+    kept AS (SELECT doc_id, text, toks FROM f WHERE lang_ok AND len_ok AND q_ok),
+    -- stage 3: unigram-LM floor (vocab fit on the PLANTED corpus, the
+    -- caller-side fit; scores computed on the cleaned gate survivors)
+    vex AS (SELECT doc_id, unnest({toks_of.format(t='text')}) AS tok FROM planted),
+    vcounts AS (SELECT tok, count(*)::BIGINT AS cnt FROM vex GROUP BY tok),
+    vtot AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n, count(*)::BIGINT AS d
+             FROM vcounts),
+    vocab AS (SELECT tok, cnt FROM vcounts ORDER BY cnt DESC, tok ASC LIMIT {v}),
+    m AS (SELECT n, least(d, {v}) AS v FROM vtot),
+    kex AS (SELECT doc_id, unnest(toks) AS tok FROM kept),
+    scored AS (
+      SELECT e.doc_id,
+             avg(log10((coalesce(vb.cnt, 0) + 1) / (m.n + m.v + 1))) AS lp
+      FROM kex e LEFT JOIN vocab vb USING (tok), m
+      GROUP BY e.doc_id
+    ),
+    lm_kept AS (
+      SELECT k.doc_id, k.text FROM kept k JOIN scored s USING (doc_id)
+      WHERE s.lp >= {floor}
+    ),
+    -- stage 4: exact dedup on the LM survivors
+    h AS (SELECT doc_id, {_sql_poly_hash(_sql_norm_text('text'))} AS hh FROM lm_kept),
+    survg AS (SELECT min(doc_id) AS sid FROM h GROUP BY hh),
+    outp AS (SELECT doc_id FROM h WHERE doc_id IN (SELECT sid FROM survg))
+    SELECT 'doc' AS tag, doc_id::BIGINT AS val FROM outp
+    UNION ALL SELECT 'n_after_gates', count(*)::BIGINT FROM kept
+    UNION ALL SELECT 'n_boiler_lines', coalesce(sum(nrem), 0)::BIGINT FROM cleaned
+    UNION ALL SELECT 'n_dup_dropped',
+      ((SELECT count(*) FROM lm_kept) - (SELECT count(*) FROM outp))::BIGINT
+    UNION ALL SELECT 'n_input', count(*)::BIGINT FROM planted
+    UNION ALL SELECT 'n_lang_fail', (count(*) FILTER (WHERE NOT lang_ok))::BIGINT FROM f
+    UNION ALL SELECT 'n_lm_fail',
+      ((SELECT count(*) FROM kept) - (SELECT count(*) FROM lm_kept))::BIGINT
+    UNION ALL SELECT 'n_low_quality', (count(*) FILTER (WHERE NOT q_ok))::BIGINT FROM f
+    UNION ALL SELECT 'n_output', count(*)::BIGINT FROM outp
+    UNION ALL SELECT 'n_short', (count(*) FILTER (WHERE NOT len_ok))::BIGINT FROM f
+    UNION ALL SELECT 'n_too_long', 0::BIGINT
+    """
+
+
+_register("pipeline_curate_full", _curate_full_row, _curate_full_sql())
