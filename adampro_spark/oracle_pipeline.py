@@ -1780,3 +1780,86 @@ def _curate_full_sql(v: int = _LM_V, floor: float = _CF_FLOOR) -> str:
 
 
 _register("pipeline_curate_full", _curate_full_row, _curate_full_sql())
+
+
+# ---------------------------------------------------------------------------
+# asymmetric SEMANTIC dedup (dedup.semantic_dedup_against): NEW = scaled
+# copies, REF = base embeddings, fixed ref-derived centroids — DuckDB
+# mirrors both assignments and the cross-corpus within-cluster pairs
+# ---------------------------------------------------------------------------
+
+
+def _sem_against_row(spark, sf):
+    from adampro_spark.pipeline.dedup import semantic_dedup_against
+
+    ref = _emb(spark, sf).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).select("vec_id", "embedding")
+    new = (
+        ref.filter(F.col("vec_id") % 11 == 0)
+        .withColumn("vec_id", F.col("vec_id") + _OFF)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)),
+        )
+    )
+    cents = ref.filter(F.col("vec_id") % 40 == 0).orderBy("vec_id")
+    return semantic_dedup_against(
+        new, ref, threshold=_SEM_T, centroids=cents, return_matches=True
+    )
+
+
+def _sem_against_sql() -> str:
+    nrm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)),"
+        " (s, x) -> s + x))"
+    )
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+        " p -> p[1] * p[2])), (s, x) -> s + x)"
+    )
+    return f"""
+    WITH ref AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    newb AS (
+      SELECT vec_id + {_OFF} AS vec_id,
+             list_transform(embedding, x -> x::DOUBLE * 1.001) AS v
+      FROM embeddings WHERE vec_id % 11 = 0
+    ),
+    rn AS (SELECT vec_id, list_transform(v, x -> x / ({nrm.format(v='v')})) AS nv
+           FROM ref WHERE {nrm.format(v='v')} > 1e-12),
+    nn AS (SELECT vec_id, list_transform(v, x -> x / ({nrm.format(v='v')})) AS nv
+           FROM newb WHERE {nrm.format(v='v')} > 1e-12),
+    cent AS (SELECT vec_id AS cid, nv AS cv FROM rn WHERE vec_id % 40 = 0),
+    ra AS (
+      SELECT vec_id, cid FROM (
+        SELECT rn.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY rn.vec_id
+                 ORDER BY {dot.format(a='rn.nv', b='cent.cv')} DESC, cent.cid ASC
+               ) AS rk
+        FROM rn CROSS JOIN cent
+      ) WHERE rk = 1
+    ),
+    na AS (
+      SELECT vec_id, cid FROM (
+        SELECT nn.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY nn.vec_id
+                 ORDER BY {dot.format(a='nn.nv', b='cent.cv')} DESC, cent.cid ASC
+               ) AS rk
+        FROM nn CROSS JOIN cent
+      ) WHERE rk = 1
+    )
+    SELECT n.vec_id AS new_pk, r.vec_id AS ref_pk,
+           round({dot.format(a='x.nv', b='y.nv')}, 4) AS cos_sim
+    FROM na n JOIN ra r ON n.cid = r.cid
+    JOIN nn x ON x.vec_id = n.vec_id
+    JOIN rn y ON y.vec_id = r.vec_id
+    WHERE round({dot.format(a='x.nv', b='y.nv')}, 4) >= {_SEM_T}
+    """
+
+
+_register("dedup_semantic_against", _sem_against_row, _sem_against_sql())

@@ -76,6 +76,7 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
     dedup_against,
     line_dedup,
     semantic_dedup,
+    semantic_dedup_against,
     semantic_dup_pairs,
     span_dedup,
 )

@@ -1317,3 +1317,159 @@ def dedup_against(
         )
     dropped = matches.select(F.col("_npk").alias(pk)).distinct()
     return new.join(dropped, pk, "left_anti")
+
+
+def semantic_dedup_against(
+    new: DataFrame,
+    ref: DataFrame,
+    vector_col: str = "embedding",
+    pk: str = "vec_id",
+    threshold: float = 0.9,
+    n_clusters: int | None = None,
+    centroids: "DataFrame | np.ndarray | None" = None,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    max_cluster_rows: int = 50_000,
+    return_matches: bool = False,
+) -> DataFrame:
+    """The embedding-space counterpart of :func:`dedup_against`: drop NEW
+    rows whose cosine similarity to ANY reference row (within the same
+    cluster) reaches ``threshold``.  Centroids fit on the REFERENCE
+    corpus (or caller-provided), both sides assign through the shared
+    argmax-cosine UDF, and candidates are cross-corpus only — the
+    reference is never self-joined.  Cluster populations are hash-split
+    into ≤ ``max_cluster_rows`` chunks per side and every (new-chunk ×
+    ref-chunk) block is one bounded cogrouped matmul task.
+
+    Returns surviving new rows, or ``(new_pk, ref_pk, cos_sim)`` match
+    pairs with ``return_matches``.  SemDeDup's clustering caveat
+    applies: a near-duplicate split across clusters is not reported.
+    """
+    import math
+
+    from adampro_spark.pipeline.cluster import (
+        assign_clusters_udf,
+        fit_centroids,
+        resolve_centroids,
+    )
+
+    if centroids is None:
+        try:
+            Cn = fit_centroids(
+                ref, vector_col=vector_col, pk=pk, n_clusters=n_clusters,
+                sample_size=sample_size, seed=seed,
+            )
+        except ValueError:  # unusable reference: nothing can match
+            if return_matches:
+                pk_t = new.schema[pk].dataType.simpleString()
+                return new.sparkSession.createDataFrame(
+                    [], f"new_pk {pk_t}, ref_pk {pk_t}, cos_sim double"
+                )
+            return new
+    else:
+        Cn = resolve_centroids(centroids, vector_col)
+    assign_udf = assign_clusters_udf(Cn)
+
+    def _prep(df: DataFrame) -> DataFrame:
+        v = F.col(vector_col).cast("array<double>")
+        norm = F.sqrt(_dot(v, v))
+        base = (
+            df.filter(F.col(vector_col).isNotNull())
+            .select(F.col(pk).alias("_pk"), v.alias("_v"), norm.alias("_n"))
+            .filter(F.col("_n") > 1e-12)
+        )
+        nv = F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+        return _spread(
+            base.select(
+                F.col("_pk"), nv.alias("_nv"), assign_udf(F.col("_v")).alias("_c")
+            )
+        ).persist()
+
+    nrows = _prep(new)
+    rrows = _prep(ref)
+    try:
+        spark = new.sparkSession
+        n_sizes = {
+            r["_c"]: r["cnt"]
+            for r in nrows.groupBy("_c").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        r_sizes = {
+            r["_c"]: r["cnt"]
+            for r in rrows.groupBy("_c").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        blocks = []
+        m_new, m_ref = {}, {}
+        for c in set(n_sizes) & set(r_sizes):  # only co-populated clusters pair
+            mn = max(1, math.ceil(n_sizes[c] / max_cluster_rows))
+            mr = max(1, math.ceil(r_sizes[c] / max_cluster_rows))
+            m_new[c], m_ref[c] = mn, mr
+            blocks += [(c, bi, bj) for bi in range(mn) for bj in range(mr)]
+        if not blocks:
+            matches = spark.createDataFrame(
+                [], "new_pk " + new.schema[pk].dataType.simpleString()
+                + ", ref_pk " + new.schema[pk].dataType.simpleString()
+                + ", cos_sim double"
+            )
+        else:
+            blocks_df = spark.createDataFrame(blocks, "_c int, _bi int, _bj int")
+            mn_df = spark.createDataFrame(list(m_new.items()), "_c int, _m int")
+            mr_df = spark.createDataFrame(list(m_ref.items()), "_c int, _m int")
+
+            def _side(rows_df, m_df, block_col):
+                chunked = rows_df.join(F.broadcast(m_df), "_c").withColumn(
+                    "_chunk",
+                    F.pmod(
+                        F.xxhash64(F.col("_pk"), F.lit(seed + 13)), F.col("_m")
+                    ).cast("int"),
+                )
+                return chunked.join(
+                    F.broadcast(blocks_df),
+                    on=[
+                        chunked["_c"] == blocks_df["_c"],
+                        chunked["_chunk"] == blocks_df[block_col],
+                    ],
+                ).select(
+                    chunked["_pk"].alias("_pk"),
+                    chunked["_nv"].alias("_nv"),
+                    blocks_df["_c"].alias("_c"),
+                    blocks_df["_bi"].alias("_bi"),
+                    blocks_df["_bj"].alias("_bj"),
+                )
+
+            left = _side(nrows, mn_df, "_bi")
+            right = _side(rrows, mr_df, "_bj")
+            thr = float(threshold)
+
+            def _cross_pairs(_key, lpdf, rpdf):
+                import pandas as pd
+
+                cols = {"new_pk": [], "ref_pk": [], "cos_sim": []}
+                if len(lpdf) and len(rpdf):
+                    A = np.stack([np.asarray(x) for x in lpdf["_nv"]])
+                    B = np.stack([np.asarray(x) for x in rpdf["_nv"]])
+                    Sm = np.round(A @ B.T, 4)
+                    ia, jb = np.nonzero(Sm >= thr)
+                    cols = {
+                        "new_pk": lpdf["_pk"].values[ia],
+                        "ref_pk": rpdf["_pk"].values[jb],
+                        "cos_sim": Sm[ia, jb],
+                    }
+                return pd.DataFrame(cols)
+
+            pk_t = new.schema[pk].dataType.simpleString()
+            matches = (
+                left.groupBy("_c", "_bi", "_bj")
+                .cogroup(right.groupBy("_c", "_bi", "_bj"))
+                .applyInPandas(
+                    _cross_pairs,
+                    f"new_pk {pk_t}, ref_pk {pk_t}, cos_sim double",
+                )
+            )
+        matches = matches.localCheckpoint(eager=True)
+    finally:
+        nrows.unpersist()
+        rrows.unpersist()
+    if return_matches:
+        return matches
+    dropped = matches.select(F.col("new_pk").alias(pk)).distinct()
+    return new.join(dropped, pk, "left_anti")

@@ -353,3 +353,77 @@ def test_span_dedup_preserves_case_of_survivors(spark):
     # ...and the survivors keep their original capitalization
     assert out[1]["text"] == "Alpha BETA Gamma Delta"
     assert out[2]["text"] == "Start End"
+
+
+# ---------------------------------------------------------------------------
+# asymmetric SEMANTIC dedup against a reference corpus
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_against_matches_brute_force(spark, planted):
+    from adampro_spark.pipeline.dedup import semantic_dedup_against
+
+    df, vecs = planted
+    ref = df.filter(F.col("vec_id") < 1000)   # originals
+    new = df.filter(F.col("vec_id") >= 1000)  # planted near-copies
+    cent_df = ref.filter(F.col("vec_id") % 17 == 0).orderBy("vec_id")
+    cents = [vecs[r["vec_id"]] for r in cent_df.select("vec_id").collect()]
+
+    got = {
+        (r["new_pk"], r["ref_pk"], r["cos_sim"])
+        for r in semantic_dedup_against(
+            new, ref, threshold=0.99, centroids=cent_df, return_matches=True
+        ).collect()
+    }
+    # brute force: assign both sides, cross pairs within cluster
+    C = np.asarray(cents)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign(v):
+        v = np.asarray(v)
+        return int(np.argmax(C @ (v / np.linalg.norm(v))))
+
+    want = set()
+    for nid in range(1000, 1010):
+        for rid in range(120):
+            if assign(vecs[nid]) != assign(vecs[rid]):
+                continue
+            a = np.asarray(vecs[nid]); a = a / np.linalg.norm(a)
+            b = np.asarray(vecs[rid]); b = b / np.linalg.norm(b)
+            s = round(float(a @ b), 4)
+            if s >= 0.99:
+                want.add((nid, rid, s))
+    assert got == want and len(want) >= 10
+
+    # survivors: every near-copy drops, nothing else was in new
+    surv = semantic_dedup_against(new, ref, threshold=0.99, centroids=cent_df)
+    assert surv.count() == 0
+
+    # within-new duplicates survive (asymmetric semantics)
+    doubled = new.unionByName(new.withColumn("vec_id", F.col("vec_id") + 5000))
+    clean_ref = ref.filter(F.col("vec_id") >= 60)  # drop the copied sources
+    out = semantic_dedup_against(
+        doubled, clean_ref, threshold=0.999999, centroids=cent_df
+    )
+    assert out.count() == doubled.count()
+
+
+def test_semantic_against_chunked_equals_direct(spark, planted):
+    from adampro_spark.pipeline.dedup import semantic_dedup_against
+
+    df, _ = planted
+    ref = df.filter(F.col("vec_id") < 1000)
+    new = df.filter(F.col("vec_id") >= 1000)
+    cent_df = ref.filter(F.col("vec_id") % 17 == 0).orderBy("vec_id")
+    a = {
+        tuple(r) for r in semantic_dedup_against(
+            new, ref, threshold=0.95, centroids=cent_df, return_matches=True
+        ).collect()
+    }
+    b = {
+        tuple(r) for r in semantic_dedup_against(
+            new, ref, threshold=0.95, centroids=cent_df,
+            return_matches=True, max_cluster_rows=7,
+        ).collect()
+    }
+    assert a == b and a
