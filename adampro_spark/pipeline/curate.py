@@ -226,11 +226,14 @@ def curate(
     stage's only extra cost; its timing lands in ``gates_sec``).
 
     ``lm`` — a ``(vocab, meta, min_logprob)`` triple from
-    :func:`~adampro_spark.pipeline.lm.fit_unigram_lm`: gate survivors
-    whose mean token log-probability falls below the floor are dropped
-    BEFORE dedup (the CCNet perplexity-filter composition); the report
-    gains ``n_lm_fail``.  Runs as one broadcast-join + semi-join stage —
-    the only curate stage that cannot ride the one-scan gate pass.
+    :func:`~adampro_spark.pipeline.lm.fit_unigram_lm`, or a
+    ``(vocab, bigrams, meta, min_logprob)`` 4-tuple from
+    :func:`~adampro_spark.pipeline.lm.fit_bigram_lm` for the
+    interpolated bigram scorer: gate survivors whose mean token
+    log-probability falls below the floor are dropped BEFORE dedup (the
+    CCNet perplexity-filter composition); the report gains
+    ``n_lm_fail``.  Runs as one broadcast-join + semi-join stage — a
+    join-bearing stage that cannot ride the one-scan gate pass.
 
     ``extra_gates`` — extra boolean flag expressions merged into the
     SAME one-scan gate pass (name → Column; name must start with ``_``
@@ -356,13 +359,19 @@ def curate(
         # so it cannot ride the one-scan gate pass; it runs on the GATE
         # SURVIVORS only — the CCNet composition order, and the cheap one
         # (scores are never computed for docs the gates already dropped).
-        from adampro_spark.pipeline.lm import lm_score
+        from adampro_spark.pipeline.lm import bigram_lm_score, lm_score
 
-        lm_vocab, lm_meta, lm_floor = lm
+        if len(lm) == 4:  # (vocab, bigrams, meta, floor): interpolated bigram
+            lm_vocab, lm_bigrams, lm_meta, lm_floor = lm
+            scores = bigram_lm_score(
+                kept, lm_vocab, lm_bigrams, lm_meta, text_col=text_col, pk=pk
+            )
+        else:
+            lm_vocab, lm_meta, lm_floor = lm
+            scores = lm_score(kept, lm_vocab, lm_meta, text_col=text_col, pk=pk)
         t_lm = time.perf_counter()
         keep_ids = (
-            lm_score(kept, lm_vocab, lm_meta, text_col=text_col, pk=pk)
-            .filter(F.col("lm_logprob") >= float(lm_floor))
+            scores.filter(F.col("lm_logprob") >= float(lm_floor))
             .select(pk)
             # pk-only table; eager so the count and the semi-join below
             # don't score the corpus twice

@@ -338,3 +338,26 @@ def test_bigram_lam_validation(spark, docs):
 
     with pytest.raises(ValueError):
         fit_bigram_lm(docs, lam=1.0)
+
+
+def test_curate_accepts_bigram_model(spark, tables):
+    """curate(lm=(vocab, bigrams, meta, floor)) routes through the
+    interpolated bigram scorer; survivors equal the manual composition."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.lm import bigram_lm_score, fit_bigram_lm
+
+    docs = tables["documents"]
+    vocab, bigrams, meta = fit_bigram_lm(docs, vocab_size=32, bigram_size=128)
+    base_out, _ = curate(docs, dedup=None)
+    med = bigram_lm_score(base_out, vocab, bigrams, meta).approxQuantile(
+        "lm_logprob", [0.5], 0.0
+    )[0]
+    out, rep = curate(docs, lm=(vocab, bigrams, meta, med), dedup=None)
+    assert rep["n_lm_fail"] > 0
+    want = {
+        r["doc_id"]
+        for r in bigram_lm_score(base_out, vocab, bigrams, meta)
+        .filter(F.col("lm_logprob") >= med)
+        .collect()
+    }
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == want
