@@ -100,16 +100,29 @@ def resolve_centroids(
     """Caller-provided centroids (a small DataFrame of vectors collected
     in row order, or an ndarray) → the NORMALIZED matrix every assigner
     consumes.  The one shared implementation behind cluster_embeddings
-    and semantic_dup_pairs — a tie-break or guard change here reaches
-    both."""
+    and the semantic dedup family — a tie-break or guard change here
+    reaches all of them.
+
+    Degenerate centroids (NULL rows, zero-norm vectors) are DROPPED —
+    they have no direction, the oracle mirrors exclude them the same
+    way, and a NULL row would otherwise crash the collect.  Positional
+    cluster indices therefore refer to the RETAINED rows.
+    """
     if isinstance(centroids, DataFrame):
-        C = np.array(
-            [r[0] for r in centroids.select(vector_col).collect()],
-            dtype=np.float64,
-        )
+        rows = [
+            r[0] for r in centroids.select(vector_col).collect()
+            if r[0] is not None
+        ]
+        if not rows:
+            raise ValueError("no usable centroid rows")
+        C = np.array(rows, dtype=np.float64)
     else:
         C = np.asarray(centroids, dtype=np.float64)
-    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    norms = np.linalg.norm(C, axis=1)
+    C = C[norms > 1e-12]
+    if len(C) == 0:
+        raise ValueError("no usable centroid rows")
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
 def cluster_embeddings(

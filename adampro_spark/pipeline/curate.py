@@ -170,7 +170,8 @@ def curate(
     max_dup_line_frac: float | None = None,
     max_top_2gram_char_frac: float | None = None,
     redact: Sequence[str] | bool | None = None,
-    lm: "tuple[Any, Mapping[str, Any], float] | None" = None,
+    lm: "tuple[Any, ...] | None" = None,  # (vocab, meta, floor) or
+    # (vocab, bigrams, meta, floor) — see the docstring
     line_dedup_min_docs: int | None = None,
     dedup: str | None = "minhash",
     dedup_threshold: float | None = None,

@@ -896,8 +896,6 @@ def semantic_dup_pairs(
     Zero-norm vectors cannot be L2-normalized and never pair (guard
     mirrors embedding_dup_pairs's near-zero-norm cos=0 convention).
     """
-    import math
-
     v = F.col(vector_col).cast("array<double>")
     norm = F.sqrt(_dot(v, v))
     base = (
@@ -936,87 +934,143 @@ def semantic_dup_pairs(
     )
     rows = _spread(rows).persist()
     try:
-        # --- chunk plan from cluster counts (≤ k rows on the driver) ---
-        sizes = {
-            r["_c"]: r["cnt"]
-            for r in rows.groupBy("_c").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
-        spark = df.sparkSession
-        m_of = {c: max(1, math.ceil(cnt / max_cluster_rows)) for c, cnt in sizes.items()}
-        blocks = [
-            (c, bi, bj)
-            for c, m in m_of.items()
-            for bi in range(m)
-            for bj in range(bi, m)
-        ]
-        blocks_df = spark.createDataFrame(blocks, "_c int, _bi int, _bj int")
-        m_df = spark.createDataFrame(list(m_of.items()), "_c int, _m int")
-        chunked = rows.join(F.broadcast(m_df), "_c").withColumn(
-            "_chunk",
-            F.pmod(F.xxhash64(F.col("_pk"), F.lit(seed + 13)), F.col("_m")).cast("int"),
-        )
-        def _side(chunk_block_col: str) -> DataFrame:
-            # re-alias every column so the two cogroup sides carry
-            # DISTINCT attribute ids (they share chunked/blocks_df
-            # lineage, which otherwise trips the ambiguous-self-join
-            # analyzer check)
-            return (
-                chunked.join(
-                    F.broadcast(blocks_df),
-                    on=[
-                        chunked["_c"] == blocks_df["_c"],
-                        chunked["_chunk"] == blocks_df[chunk_block_col],
-                    ],
-                )
-                .select(
-                    chunked["_pk"].alias("_pk"),
-                    chunked["_nv"].alias("_nv"),
-                    blocks_df["_c"].alias("_c"),
-                    blocks_df["_bi"].alias("_bi"),
-                    blocks_df["_bj"].alias("_bj"),
-                )
-            )
-
-        left = _side("_bi")
-        right = _side("_bj")
-
-        thr = float(threshold)
-
-        def _block_pairs(key, lpdf, rpdf):
-            import pandas as pd
-
-            cols = {"id_a": [], "id_b": [], "cos_sim": []}
-            if len(lpdf) and len(rpdf):
-                A = np.stack([np.asarray(x) for x in lpdf["_nv"]])
-                B = np.stack([np.asarray(x) for x in rpdf["_nv"]])
-                Sm = np.round(A @ B.T, 4)
-                ia, jb = np.nonzero(Sm >= thr)
-                ids_a = lpdf["_pk"].values[ia]
-                ids_b = rpdf["_pk"].values[jb]
-                sims = Sm[ia, jb]
-                if key[1] == key[2]:  # same chunk: upper triangle only
-                    keep = ids_a < ids_b
-                    ids_a, ids_b, sims = ids_a[keep], ids_b[keep], sims[keep]
-                else:  # cross chunk: orient each (unique) pair
-                    lo = np.where(ids_a < ids_b, ids_a, ids_b)
-                    hi = np.where(ids_a < ids_b, ids_b, ids_a)
-                    ids_a, ids_b = lo, hi
-                cols = {"id_a": ids_a, "id_b": ids_b, "cos_sim": sims}
-            return pd.DataFrame(cols)
-
         pk_t = df.schema[pk].dataType.simpleString()
-        out = (
-            left.groupBy("_c", "_bi", "_bj")
-            .cogroup(right.groupBy("_c", "_bi", "_bj"))
-            .applyInPandas(
-                _block_pairs, f"id_a {pk_t}, id_b {pk_t}, cos_sim double"
-            )
+        out = _chunked_block_matches(
+            rows, rows, threshold, max_cluster_rows, seed,
+            out_a="id_a", out_b="id_b", a_type=pk_t, b_type=pk_t,
+            symmetric=True,
         )
-        # materialize while the assignment table is still cached
-        out = out.localCheckpoint(eager=True)
     finally:
         rows.unpersist()
     return out
+
+
+def _chunked_block_matches(
+    left_rows: DataFrame,
+    right_rows: DataFrame,
+    threshold: float,
+    max_cluster_rows: int,
+    seed: int,
+    out_a: str,
+    out_b: str,
+    a_type: str,
+    b_type: str,
+    symmetric: bool,
+) -> DataFrame:
+    """The chunk-block pair engine shared by :func:`semantic_dup_pairs`
+    (symmetric: left IS right, each unordered pair reported once with
+    ``out_a < out_b``) and :func:`semantic_dedup_against` (asymmetric:
+    every left×right pair within a co-populated cluster).
+
+    Inputs are ``(_pk, _nv, _c)`` tables the CALLER persists; clusters
+    are hash-split into ≤ ``max_cluster_rows`` chunks per side and every
+    admitted (chunk, chunk) block runs as one bounded cogrouped matmul.
+    Returns the eagerly-checkpointed ``(out_a, out_b, cos_sim)`` matches
+    (``round(cos, 4) ≥ threshold``) — materialized while the caller's
+    caches are still live, so the caller can unpersist immediately.
+    """
+    import math
+
+    spark = left_rows.sparkSession
+
+    def _sizes(rows_df):
+        return {
+            r["_c"]: r["cnt"]
+            for r in rows_df.groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    l_sizes = _sizes(left_rows)
+    m_left = {
+        c: max(1, math.ceil(n / max_cluster_rows)) for c, n in l_sizes.items()
+    }
+    if symmetric:
+        m_right = m_left
+        blocks = [
+            (c, bi, bj)
+            for c, m in m_left.items()
+            for bi in range(m)
+            for bj in range(bi, m)
+        ]
+    else:
+        r_sizes = _sizes(right_rows)
+        m_right = {
+            c: max(1, math.ceil(n / max_cluster_rows))
+            for c, n in r_sizes.items()
+        }
+        blocks = [
+            (c, bi, bj)
+            for c in set(m_left) & set(m_right)  # co-populated clusters only
+            for bi in range(m_left[c])
+            for bj in range(m_right[c])
+        ]
+    schema = f"{out_a} {a_type}, {out_b} {b_type}, cos_sim double"
+    if not blocks:
+        return spark.createDataFrame([], schema)
+
+    blocks_df = spark.createDataFrame(blocks, "_c int, _bi int, _bj int")
+
+    def _side(rows_df, m_of, block_col):
+        m_df = spark.createDataFrame(list(m_of.items()), "_c int, _m int")
+        chunked = rows_df.join(F.broadcast(m_df), "_c").withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64(F.col("_pk"), F.lit(seed + 13)), F.col("_m")).cast(
+                "int"
+            ),
+        )
+        # re-alias every column so the two cogroup sides carry DISTINCT
+        # attribute ids (in the symmetric case they share chunked/
+        # blocks_df lineage, which otherwise trips the ambiguous-self-
+        # join analyzer check)
+        return chunked.join(
+            F.broadcast(blocks_df),
+            on=[
+                chunked["_c"] == blocks_df["_c"],
+                chunked["_chunk"] == blocks_df[block_col],
+            ],
+        ).select(
+            chunked["_pk"].alias("_pk"),
+            chunked["_nv"].alias("_nv"),
+            blocks_df["_c"].alias("_c"),
+            blocks_df["_bi"].alias("_bi"),
+            blocks_df["_bj"].alias("_bj"),
+        )
+
+    left = _side(left_rows, m_left, "_bi")
+    right = _side(right_rows, m_right, "_bj")
+    thr = float(threshold)
+    sym = bool(symmetric)
+
+    def _block_pairs(key, lpdf, rpdf):
+        import pandas as pd
+
+        cols = {out_a: [], out_b: [], "cos_sim": []}
+        if len(lpdf) and len(rpdf):
+            A = np.stack([np.asarray(x) for x in lpdf["_nv"]])
+            B = np.stack([np.asarray(x) for x in rpdf["_nv"]])
+            Sm = np.round(A @ B.T, 4)
+            ia, jb = np.nonzero(Sm >= thr)
+            ids_a = lpdf["_pk"].values[ia]
+            ids_b = rpdf["_pk"].values[jb]
+            sims = Sm[ia, jb]
+            if sym and key[1] == key[2]:  # same chunk: upper triangle only
+                keep = ids_a < ids_b
+                ids_a, ids_b, sims = ids_a[keep], ids_b[keep], sims[keep]
+            elif sym:  # cross chunk: orient each (unique) pair
+                lo = np.where(ids_a < ids_b, ids_a, ids_b)
+                hi = np.where(ids_a < ids_b, ids_b, ids_a)
+                ids_a, ids_b = lo, hi
+            cols = {out_a: ids_a, out_b: ids_b, "cos_sim": sims}
+        return pd.DataFrame(cols)
+
+    out = (
+        left.groupBy("_c", "_bi", "_bj")
+        .cogroup(right.groupBy("_c", "_bi", "_bj"))
+        .applyInPandas(_block_pairs, schema)
+    )
+    # materialize while the caller's assignment tables are still cached
+    return out.localCheckpoint(eager=True)
 
 
 def semantic_dedup(
@@ -1345,8 +1399,6 @@ def semantic_dedup_against(
     pairs with ``return_matches``.  SemDeDup's clustering caveat
     applies: a near-duplicate split across clusters is not reported.
     """
-    import math
-
     from adampro_spark.pipeline.cluster import (
         assign_clusters_udf,
         fit_centroids,
@@ -1361,9 +1413,10 @@ def semantic_dedup_against(
             )
         except ValueError:  # unusable reference: nothing can match
             if return_matches:
-                pk_t = new.schema[pk].dataType.simpleString()
+                n_t = new.schema[pk].dataType.simpleString()
+                r_t = ref.schema[pk].dataType.simpleString()
                 return new.sparkSession.createDataFrame(
-                    [], f"new_pk {pk_t}, ref_pk {pk_t}, cos_sim double"
+                    [], f"new_pk {n_t}, ref_pk {r_t}, cos_sim double"
                 )
             return new
     else:
@@ -1388,84 +1441,15 @@ def semantic_dedup_against(
     nrows = _prep(new)
     rrows = _prep(ref)
     try:
-        spark = new.sparkSession
-        n_sizes = {
-            r["_c"]: r["cnt"]
-            for r in nrows.groupBy("_c").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
-        r_sizes = {
-            r["_c"]: r["cnt"]
-            for r in rrows.groupBy("_c").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
-        blocks = []
-        m_new, m_ref = {}, {}
-        for c in set(n_sizes) & set(r_sizes):  # only co-populated clusters pair
-            mn = max(1, math.ceil(n_sizes[c] / max_cluster_rows))
-            mr = max(1, math.ceil(r_sizes[c] / max_cluster_rows))
-            m_new[c], m_ref[c] = mn, mr
-            blocks += [(c, bi, bj) for bi in range(mn) for bj in range(mr)]
-        if not blocks:
-            matches = spark.createDataFrame(
-                [], "new_pk " + new.schema[pk].dataType.simpleString()
-                + ", ref_pk " + new.schema[pk].dataType.simpleString()
-                + ", cos_sim double"
-            )
-        else:
-            blocks_df = spark.createDataFrame(blocks, "_c int, _bi int, _bj int")
-            mn_df = spark.createDataFrame(list(m_new.items()), "_c int, _m int")
-            mr_df = spark.createDataFrame(list(m_ref.items()), "_c int, _m int")
-
-            def _side(rows_df, m_df, block_col):
-                chunked = rows_df.join(F.broadcast(m_df), "_c").withColumn(
-                    "_chunk",
-                    F.pmod(
-                        F.xxhash64(F.col("_pk"), F.lit(seed + 13)), F.col("_m")
-                    ).cast("int"),
-                )
-                return chunked.join(
-                    F.broadcast(blocks_df),
-                    on=[
-                        chunked["_c"] == blocks_df["_c"],
-                        chunked["_chunk"] == blocks_df[block_col],
-                    ],
-                ).select(
-                    chunked["_pk"].alias("_pk"),
-                    chunked["_nv"].alias("_nv"),
-                    blocks_df["_c"].alias("_c"),
-                    blocks_df["_bi"].alias("_bi"),
-                    blocks_df["_bj"].alias("_bj"),
-                )
-
-            left = _side(nrows, mn_df, "_bi")
-            right = _side(rrows, mr_df, "_bj")
-            thr = float(threshold)
-
-            def _cross_pairs(_key, lpdf, rpdf):
-                import pandas as pd
-
-                cols = {"new_pk": [], "ref_pk": [], "cos_sim": []}
-                if len(lpdf) and len(rpdf):
-                    A = np.stack([np.asarray(x) for x in lpdf["_nv"]])
-                    B = np.stack([np.asarray(x) for x in rpdf["_nv"]])
-                    Sm = np.round(A @ B.T, 4)
-                    ia, jb = np.nonzero(Sm >= thr)
-                    cols = {
-                        "new_pk": lpdf["_pk"].values[ia],
-                        "ref_pk": rpdf["_pk"].values[jb],
-                        "cos_sim": Sm[ia, jb],
-                    }
-                return pd.DataFrame(cols)
-
-            pk_t = new.schema[pk].dataType.simpleString()
-            matches = (
-                left.groupBy("_c", "_bi", "_bj")
-                .cogroup(right.groupBy("_c", "_bi", "_bj"))
-                .applyInPandas(
-                    _cross_pairs,
-                    f"new_pk {pk_t}, ref_pk {pk_t}, cos_sim double",
-                )
-            )
-        matches = matches.localCheckpoint(eager=True)
+        # each side keeps ITS OWN pk type (review finding: typing ref_pk
+        # with new's pk type silently coerced large reference keys)
+        matches = _chunked_block_matches(
+            nrows, rrows, threshold, max_cluster_rows, seed,
+            out_a="new_pk", out_b="ref_pk",
+            a_type=new.schema[pk].dataType.simpleString(),
+            b_type=ref.schema[pk].dataType.simpleString(),
+            symmetric=False,
+        )
     finally:
         nrows.unpersist()
         rrows.unpersist()
