@@ -182,40 +182,87 @@ def _langid_sql() -> str:
     """
 
 
-_register(
-    "text_langid",
-    lambda spark, sf: _docs(spark, sf).select(
+# Round-8 window re-fold (round-7 verdict #1): language-ID, document
+# fingerprinting and corpus n-gram counting merge into ONE tagged-union
+# driver row over a shared (part, k, v) schema — langid contributes
+# every (doc_id|lang_pred), fingerprint every (doc_id, fp), ngrams the
+# full top-50 (bigram, count) list; a defect in any of the three flips
+# the fold red.  Individual callables stay in BENCH_ONLY.
+
+
+def _langid_row(spark, sf):
+    return _docs(spark, sf).select(
         "doc_id", langid_expr("text").alias("lang_pred")
-    ),
-    _langid_sql(),
-)
+    )
 
-_register(
-    "text_fingerprint",
-    lambda spark, sf: _docs(spark, sf).select(
+
+def _fingerprint_row(spark, sf):
+    return _docs(spark, sf).select(
         "doc_id", fingerprint_expr("text").alias("fp")
-    ),
-    f"SELECT doc_id, {_sql_poly_hash(_sql_norm_text('text'))} AS fp FROM documents",
-)
+    )
 
-_register(
-    "text_ngram_counts",
+
+def _ngram_counts_row(spark, sf):
     # top word-bigrams: explode → hash-groupBy (map-side partial agg) → top-50
-    lambda spark, sf: (
+    return (
         _docs(spark, sf)
         .select(F.explode(ngrams_expr("text", 2)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
         .limit(50)
-    ),
-    f"""
+    )
+
+
+BENCH_ONLY["text_langid"] = _langid_row
+BENCH_ONLY["text_fingerprint"] = _fingerprint_row
+BENCH_ONLY["text_ngram_counts"] = _ngram_counts_row
+
+_FP_SQL = (
+    f"SELECT doc_id, {_sql_poly_hash(_sql_norm_text('text'))} AS fp FROM documents"
+)
+_NGRAM_SQL = f"""
     SELECT ngram, count(*)::BIGINT AS cnt FROM (
       SELECT unnest(list_transform(
         generate_series(1, greatest(len(toks) - 1, 1)),
         i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS ngram
       FROM (SELECT {_TOKS.format(t='text')} AS toks FROM documents)
     ) GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 50
+    """
+
+
+def _text_suite(spark, sf):
+    lang = _langid_row(spark, sf).select(
+        F.lit("langid").alias("part"),
+        F.concat_ws(
+            "|", F.col("doc_id").cast("string"), F.col("lang_pred")
+        ).alias("k"),
+        F.lit(None).cast("long").alias("v"),
+    )
+    fp = _fingerprint_row(spark, sf).select(
+        F.lit("fingerprint").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("fp").cast("long").alias("v"),
+    )
+    ng = _ngram_counts_row(spark, sf).select(
+        F.lit("ngrams").alias("part"),
+        F.col("ngram").alias("k"),
+        F.col("cnt").cast("long").alias("v"),
+    )
+    return _union_all([lang, fp, ng])
+
+
+_register(
+    "text_suite",
+    _text_suite,
+    f"""
+    SELECT 'langid' AS part, doc_id::VARCHAR || '|' || lang_pred AS k,
+           NULL::BIGINT AS v
+    FROM ({_langid_sql()})
+    UNION ALL
+    SELECT 'fingerprint', doc_id::VARCHAR, fp::BIGINT FROM ({_FP_SQL})
+    UNION ALL
+    SELECT 'ngrams', ngram, cnt::BIGINT FROM ({_NGRAM_SQL})
     """,
 )
 
@@ -317,16 +364,20 @@ def _simhash_sql() -> str:
     """
 
 
-_register(
-    "dedup_simhash",
-    lambda spark, sf: _docs(spark, sf).select(
-        "doc_id", simhash_expr("text").alias("simhash")
-    ),
-    _simhash_sql(),
-)
+# Round-8 window re-fold (round-7 verdict #1): the per-doc SimHash
+# fingerprints and the pigeonhole Hamming-pair join merge into ONE
+# tagged-union driver row over a shared (part, x, y, h) schema —
+# hashes contribute every (doc_id, simhash), pairs every
+# (id_a, id_b, hamming); either side flips the fold red.
 
-_register(
-    "dedup_simhash_pairs",
+
+def _simhash_row(spark, sf):
+    return _docs(spark, sf).select(
+        "doc_id", simhash_expr("text").alias("simhash")
+    )
+
+
+def _simhash_pairs_row(spark, sf):
     # chunks > max_hamming ⇒ the banded join is EXHAUSTIVE (pigeonhole),
     # so the all-pairs oracle is exactly equivalent — PROVIDED the
     # hot-bucket guard never fires: the ORACLE row disables the cap so
@@ -335,16 +386,50 @@ _register(
     # chunk bucket and the default cap switches to star pairs).  The
     # production default keeps the cap; its semantics are pytest-covered
     # (test_pipeline.test_hot_bucket_guard_*).
-    lambda spark, sf: simhash_pairs(
+    return simhash_pairs(
         _docs_with_exact_copies(spark, sf), max_hamming=3,
         max_bucket_size=10**9,
-    ),
-    f"""
+    )
+
+
+BENCH_ONLY["dedup_simhash"] = _simhash_row
+BENCH_ONLY["dedup_simhash_pairs"] = _simhash_pairs_row
+
+_SIMHASH_PAIRS_SQL = f"""
     WITH s AS ({_simhash_sql().replace('FROM documents', f'FROM ({_SQL_DOCS_EXACT})')})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash))::INT AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+def _simhash_suite(spark, sf):
+    hashes = _simhash_row(spark, sf).select(
+        F.lit("hashes").alias("part"),
+        F.col("doc_id").cast("long").alias("x"),
+        F.col("simhash").cast("long").alias("y"),
+        F.lit(None).cast("long").alias("h"),
+    )
+    pairs = _simhash_pairs_row(spark, sf).select(
+        F.lit("pairs").alias("part"),
+        F.col("id_a").cast("long").alias("x"),
+        F.col("id_b").cast("long").alias("y"),
+        F.col("hamming").cast("long").alias("h"),
+    )
+    return _union_all([hashes, pairs])
+
+
+_register(
+    "dedup_simhash_suite",
+    _simhash_suite,
+    f"""
+    SELECT 'hashes' AS part, doc_id::BIGINT AS x, simhash::BIGINT AS y,
+           NULL::BIGINT AS h
+    FROM ({_simhash_sql()})
+    UNION ALL
+    SELECT 'pairs', id_a::BIGINT, id_b::BIGINT, hamming::BIGINT
+    FROM ({_SIMHASH_PAIRS_SQL})
     """,
 )
 
@@ -452,6 +537,13 @@ BENCH_ONLY["simjoin_knn"] = _simjoin("window")
 BENCH_ONLY["simjoin_knn_local"] = _simjoin("local_topk")
 
 
+# Round-8 window re-fold (round-7 verdict #1): the IVF cell-probed
+# kNN join (exact at this nprobe — see _simjoin_ivf) joins the two
+# exact strategies in the SAME tagged-union driver row, freeing the
+# separate simjoin_ivf slot.  All three strategies must produce
+# IDENTICAL per-query top-k; each rides the value hash.
+
+
 def _simjoin_fold(spark, sf):
     return _union_all(
         [
@@ -461,16 +553,19 @@ def _simjoin_fold(spark, sf):
             BENCH_ONLY["simjoin_knn_local"](spark, sf).select(
                 F.lit("local_topk").alias("strategy"), "q_id", "vec_id", DISTANCE_COL
             ),
+            _simjoin_ivf(spark, sf).select(
+                F.lit("ivf").alias("strategy"), "q_id", "vec_id", DISTANCE_COL
+            ),
         ]
     )
 
 
 _register(
-    "simjoin_knn_paths",
+    "simjoin_suite",
     _simjoin_fold,
     "\nUNION ALL\n".join(
         f"SELECT '{tag}' AS strategy, * FROM ({_simjoin_sql()})"
-        for tag in ("window", "local_topk")
+        for tag in ("window", "local_topk", "ivf")
     ),
 )
 
@@ -494,7 +589,8 @@ def _simjoin_ivf(spark, sf):
     )
 
 
-_register("simjoin_ivf", _simjoin_ivf, _simjoin_sql())
+# rides the simjoin_suite fold above; benchable standalone
+BENCH_ONLY["simjoin_ivf"] = _simjoin_ivf
 
 
 # ---------------------------------------------------------------------------
@@ -879,7 +975,9 @@ def _lm_sql(v: int = _LM_V) -> str:
     """
 
 
-_register("text_lm_score", _lm_score_row, _lm_sql())
+# registered below as part of the round-8 text_lm_suite fold (the
+# bigram row is defined much further down; the fold lives after it)
+BENCH_ONLY["text_lm_score"] = _lm_score_row
 
 
 def _plant_pii_expr() -> F.Column:
@@ -1131,7 +1229,8 @@ def _split_sql() -> str:
     """
 
 
-_register("pipeline_split", _split_row, _split_sql())
+# registered below as part of the round-8 pipeline_assembly fold
+BENCH_ONLY["pipeline_split"] = _split_row
 
 
 def _decontaminate_row(spark, sf):
@@ -1167,7 +1266,38 @@ def _decontaminate_sql(n: int = _DECON_N) -> str:
     """
 
 
-_register("pipeline_decontaminate", _decontaminate_row, _decontaminate_sql())
+# Round-8 window re-fold (round-7 verdict #1): hash-stable splitting and
+# eval-set decontamination merge into ONE tagged-union driver row over a
+# shared (stage, doc_id, label) schema — split contributes every
+# (doc_id, split) assignment, decontaminate its full survivor set.
+BENCH_ONLY["pipeline_decontaminate_row"] = _decontaminate_row
+
+
+def _assembly_suite(spark, sf):
+    sp = _split_row(spark, sf).select(
+        F.lit("split").alias("stage"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("split").alias("label"),
+    )
+    de = _decontaminate_row(spark, sf).select(
+        F.lit("decontaminate").alias("stage"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    return _union_all([sp, de])
+
+
+_register(
+    "pipeline_assembly",
+    _assembly_suite,
+    f"""
+    SELECT 'split' AS stage, doc_id::BIGINT AS doc_id, split AS label
+    FROM ({_split_sql()})
+    UNION ALL
+    SELECT 'decontaminate', doc_id::BIGINT, NULL::VARCHAR
+    FROM ({_decontaminate_sql()})
+    """,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1440,7 +1570,32 @@ def _lm_bigram_sql(v: int = _BLM_V, b: int = _BLM_B, lam: float = _BLM_LAM) -> s
     """
 
 
-_register("text_lm_bigram", _lm_bigram_row, _lm_bigram_sql())
+# Round-8 window re-fold (round-7 verdict #1): unigram and interpolated
+# bigram LM scoring merge into ONE tagged-union driver row — BOTH fits
+# (vocab/bigram selection, tie-breaks, smoothing, OOV mass) and both
+# scoring passes still ride the value hash per document.
+BENCH_ONLY["text_lm_bigram"] = _lm_bigram_row
+
+
+def _lm_suite(spark, sf):
+    uni = _lm_score_row(spark, sf).select(
+        F.lit("unigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens"
+    )
+    bi = _lm_bigram_row(spark, sf).select(
+        F.lit("bigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens"
+    )
+    return _union_all([uni, bi])
+
+
+_register(
+    "text_lm_suite",
+    _lm_suite,
+    f"""
+    SELECT 'unigram' AS model, * FROM ({_lm_sql()})
+    UNION ALL
+    SELECT 'bigram', * FROM ({_lm_bigram_sql()})
+    """,
+)
 
 
 # ---------------------------------------------------------------------------

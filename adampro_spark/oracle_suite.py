@@ -417,36 +417,95 @@ _register(
 )
 
 # -- projections (ProjectionExpression.scala:17-115) ------------------------
+# Round-8 window re-fold (round-7 verdict #1): the four projection kinds
+# merge into ONE tagged-union driver row over a shared (part, k, v)
+# schema — each kind still contributes its full result to the value
+# hash (fields: every (custkey|name, acctbal); count/exists: the scalar;
+# distinct: every distinct key pair), so a defect in any projection
+# operator flips the fold red.  Individual callables stay in BENCH_ONLY.
 
-_register(
-    "projection_fields",
-    lambda spark, sf: project(
+
+def _proj_fields(spark, sf):
+    return project(
         _table(spark, sf, "customer"), ["c_custkey", "c_name", "c_acctbal"]
-    ),
-    "SELECT c_custkey, c_name, c_acctbal FROM customer",
-)
+    )
 
-_register(
-    "projection_count",
-    lambda spark, sf: count_projection(_table(spark, sf, "lineitem")),
-    'SELECT count(*)::BIGINT AS "count" FROM lineitem',
-)
 
-_register(
-    "projection_exists",
-    lambda spark, sf: exists_projection(
+def _proj_count(spark, sf):
+    return count_projection(_table(spark, sf, "lineitem"))
+
+
+def _proj_exists(spark, sf):
+    return exists_projection(
         boolean_filter(_table(spark, sf, "orders"), [("o_orderstatus", "=", ["F"])])
-    ),
-    """SELECT count(*) > 0 AS "exists" FROM (
-         SELECT 1 FROM orders WHERE o_orderstatus = 'F' LIMIT 1)""",
-)
+    )
+
+
+def _proj_distinct(spark, sf):
+    return distinct_projection(
+        _table(spark, sf, "lineitem"), ["l_returnflag", "l_linestatus"]
+    )
+
+
+BENCH_ONLY["projection_fields"] = _proj_fields
+BENCH_ONLY["projection_count"] = _proj_count
+BENCH_ONLY["projection_exists"] = _proj_exists
+BENCH_ONLY["projection_distinct"] = _proj_distinct
+
+
+def _projection_suite(spark: SparkSession, sf: str) -> DataFrame:
+    parts = [
+        (
+            "fields",
+            _proj_fields(spark, sf).select(
+                F.concat_ws(
+                    "|", F.col("c_custkey").cast("string"), F.col("c_name")
+                ).alias("k"),
+                F.col("c_acctbal").cast("double").alias("v"),
+            ),
+        ),
+        (
+            "count",
+            _proj_count(spark, sf).select(
+                F.lit("lineitem").alias("k"),
+                F.col("count").cast("double").alias("v"),
+            ),
+        ),
+        (
+            "exists",
+            _proj_exists(spark, sf).select(
+                F.lit("orders_F").alias("k"),
+                F.col("exists").cast("int").cast("double").alias("v"),
+            ),
+        ),
+        (
+            "distinct",
+            _proj_distinct(spark, sf).select(
+                F.concat_ws("|", "l_returnflag", "l_linestatus").alias("k"),
+                F.lit(1.0).alias("v"),
+            ),
+        ),
+    ]
+    return _union_all(
+        [df.select(F.lit(tag).alias("part"), "k", "v") for tag, df in parts]
+    )
+
 
 _register(
-    "projection_distinct",
-    lambda spark, sf: distinct_projection(
-        _table(spark, sf, "lineitem"), ["l_returnflag", "l_linestatus"]
-    ),
-    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "projection_suite",
+    _projection_suite,
+    """
+    SELECT 'fields' AS part, c_custkey::VARCHAR || '|' || c_name AS k,
+           c_acctbal::DOUBLE AS v FROM customer
+    UNION ALL
+    SELECT 'count', 'lineitem', count(*)::DOUBLE FROM lineitem
+    UNION ALL
+    SELECT 'exists', 'orders_F', (count(*) > 0)::INT::DOUBLE FROM (
+      SELECT 1 FROM orders WHERE o_orderstatus = 'F' LIMIT 1)
+    UNION ALL
+    SELECT 'distinct', l_returnflag || '|' || l_linestatus, 1.0::DOUBLE
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+    """,
 )
 
 # -- boolean predicates (QueryObject.scala:29-74) ---------------------------
@@ -618,10 +677,8 @@ def _fusion_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     return _union_all(parts)
 
 
-_register(
-    "fusion_fuzzy",
-    _fusion_fuzzy,
-    f"""
+# registered below as part of the round-8 fusion_rank_suite fold
+_FUSION_FUZZY_SQL = f"""
     WITH l AS ({_knn_cte(QS)}), r AS ({_knn_cte(QS2)})
     SELECT 'union' AS fuzzop, coalesce(l.vec_id, r.vec_id) AS vec_id,
            round(least(coalesce(l.d, 0.0), coalesce(r.d, 0.0)), 4) AS {DISTANCE_COL}
@@ -630,8 +687,7 @@ _register(
     SELECT 'intersect', coalesce(l.vec_id, r.vec_id),
            round(greatest(coalesce(l.d, 0.0), coalesce(r.d, 0.0)), 4)
     FROM l FULL OUTER JOIN r ON l.vec_id = r.vec_id
-    """,
-)
+    """
 
 BENCH_ONLY["fusion_fuzzy_union"] = lambda spark, sf: _round4(
     FU.fuzzy_union(*_knn_pair(spark, sf), pk="vec_id")
@@ -648,10 +704,9 @@ def _stochastic(spark, sf):
     return _round4(FU.stochastic_fusion([c.select("vec_id") for c in cands], k=4, pk="vec_id"))
 
 
-_register(
-    "fusion_stochastic",
-    _stochastic,
-    f"""
+# registered below as part of the round-8 fusion_rank_suite fold
+BENCH_ONLY["fusion_stochastic"] = _stochastic
+_FUSION_STOCH_SQL = f"""
     SELECT vec_id, round(1.0 - count(*) / 3.0, 4) AS {DISTANCE_COL}
     FROM (
       (SELECT vec_id FROM embeddings WHERE label = 0)
@@ -660,8 +715,7 @@ _register(
     )
     GROUP BY vec_id
     ORDER BY {DISTANCE_COL} ASC, vec_id ASC LIMIT 200
-    """,
-)
+    """
 
 # -- entity preview (Entity.scala:261) --------------------------------------
 
@@ -780,24 +834,42 @@ def _lossy_query(kind: str, distance: str):
     return run
 
 
-_register(
-    "knn_ecp_euclidean", _lossy_query("ecp", "euclidean"),
-    _knn_sql(_duck_distance("euclidean")),
-)
-_register(
-    "knn_pq_euclidean", _lossy_query("pq", "euclidean"),
-    _knn_sql(_duck_distance("euclidean")),
-)
-_register(
-    "knn_mi_euclidean", _lossy_query("mi", "euclidean"),
-    _knn_sql(_duck_distance("euclidean")),
-)
+# Round-8 window re-fold (round-7 verdict #1): the four per-type lossy
+# scans (eCP/PQ/MI/SH, all → exact vs the brute-force oracle) merge into
+# ONE tagged-union driver row — the knn_persisted_suite trick; each
+# index type still contributes its full rows+schema+hash.  Individual
+# callables stay in BENCH_ONLY for bench continuity.
+_LOSSY_VARIANTS: list[tuple[str, Callable[[SparkSession, str], DataFrame], str]] = [
+    ("ecp", _lossy_query("ecp", "euclidean"), _knn_sql(_duck_distance("euclidean"))),
+    ("pq", _lossy_query("pq", "euclidean"), _knn_sql(_duck_distance("euclidean"))),
+    ("mi", _lossy_query("mi", "euclidean"), _knn_sql(_duck_distance("euclidean"))),
+    ("sh", _lossy_query("sh", "euclidean"), _knn_sql(_duck_distance("euclidean"))),
+]
+for _tag, _fn, _ in _LOSSY_VARIANTS:
+    BENCH_ONLY[f"knn_{_tag}_euclidean"] = _fn
 # LSH folds with its hamming sibling below (knn_lsh_suite); here only
 # the bench callable.
 BENCH_ONLY["knn_lsh_manhattan"] = _lossy_query("lsh", "manhattan")
+
+
+def _lossy_fold(spark: SparkSession, sf: str) -> DataFrame:
+    return _union_all(
+        [
+            fn(spark, sf).select(
+                F.lit(tag).alias("index_type"), "vec_id", DISTANCE_COL
+            )
+            for tag, fn, _ in _LOSSY_VARIANTS
+        ]
+    )
+
+
 _register(
-    "knn_sh_euclidean", _lossy_query("sh", "euclidean"),
-    _knn_sql(_duck_distance("euclidean")),
+    "knn_lossy_suite",
+    _lossy_fold,
+    "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS index_type, * FROM ({sql})"
+        for tag, _, sql in _LOSSY_VARIANTS
+    ),
 )
 
 # VA+ completes the VA family fold (see _VA_VARIANTS above).
@@ -1115,10 +1187,9 @@ def _temporal_asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_register(
-    "temporal_asof",
-    _temporal_asof,
-    """
+# registered below as part of the round-8 temporal_suite fold
+BENCH_ONLY["temporal_asof"] = _temporal_asof
+_TEMPORAL_ASOF_SQL = """
     WITH ev AS (
       SELECT event_id, user_id, event_type, value, epoch(ts) AS ts FROM events
     )
@@ -1128,8 +1199,7 @@ _register(
     FROM (SELECT * FROM ev WHERE event_type = 'view') l
     ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') r
       ON l.user_id = r.user_id AND l.ts >= r.ts
-    """,
-)
+    """
 
 
 def _temporal_range(spark: SparkSession, sf: str) -> DataFrame:
@@ -1167,10 +1237,8 @@ def _temporal_range(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_register(
-    "temporal_range",
-    _temporal_range,
-    """
+BENCH_ONLY["temporal_range"] = _temporal_range
+_TEMPORAL_RANGE_SQL = """
     WITH ev AS (
       SELECT event_id, user_id,
              CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
@@ -1185,8 +1253,7 @@ _register(
            round(i.w_start, 6) AS w_start
     FROM ev e LEFT JOIN iv i
       ON e.user_id = i.user_id AND e.ts >= i.w_start AND e.ts <= i.w_end
-    """,
-)
+    """
 
 
 def _temporal_asof_unkeyed(spark: SparkSession, sf: str) -> DataFrame:
@@ -1219,10 +1286,8 @@ def _temporal_asof_unkeyed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_register(
-    "temporal_asof_unkeyed",
-    _temporal_asof_unkeyed,
-    """
+BENCH_ONLY["temporal_asof_unkeyed"] = _temporal_asof_unkeyed
+_TEMPORAL_UNKEYED_SQL = """
     WITH ev AS (
       SELECT event_id, event_type, value,
              epoch(ts) + event_id / 1e6 AS ts
@@ -1234,6 +1299,55 @@ _register(
     FROM (SELECT * FROM ev WHERE event_type = 'view') l
     ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') r
       ON l.ts >= r.ts
+    """
+
+
+# Round-8 window re-fold (round-7 verdict #1): the three temporal-join
+# rows (keyed as-of, bucketed range, unkeyed as-of) merge into ONE
+# tagged-union driver row over a shared (mode, event_id, k, a, b)
+# schema — asof/unkeyed carry (ts_right, click_value), range carries
+# (win_id, w_start, value); every column of every variant still rides
+# the value hash.  Individual callables stay in BENCH_ONLY.
+
+
+def _temporal_suite(spark: SparkSession, sf: str) -> DataFrame:
+    a = _temporal_asof(spark, sf).select(
+        F.lit("asof").alias("mode"),
+        "event_id",
+        F.lit(None).cast("long").alias("k"),
+        F.col("ts_right").alias("a"),
+        F.col("click_value").alias("b"),
+    )
+    r = _temporal_range(spark, sf).select(
+        F.lit("range").alias("mode"),
+        "event_id",
+        F.col("win_id").cast("long").alias("k"),
+        F.col("w_start").alias("a"),
+        F.col("value").alias("b"),
+    )
+    u = _temporal_asof_unkeyed(spark, sf).select(
+        F.lit("unkeyed").alias("mode"),
+        "event_id",
+        F.lit(None).cast("long").alias("k"),
+        F.col("ts_right").alias("a"),
+        F.col("click_value").alias("b"),
+    )
+    return _union_all([a, r, u])
+
+
+_register(
+    "temporal_suite",
+    _temporal_suite,
+    f"""
+    SELECT 'asof' AS mode, event_id, NULL::BIGINT AS k,
+           ts_right AS a, click_value AS b
+    FROM ({_TEMPORAL_ASOF_SQL})
+    UNION ALL
+    SELECT 'range', event_id, win_id::BIGINT, w_start, value
+    FROM ({_TEMPORAL_RANGE_SQL})
+    UNION ALL
+    SELECT 'unkeyed', event_id, NULL::BIGINT, ts_right, click_value
+    FROM ({_TEMPORAL_UNKEYED_SQL})
     """,
 )
 
@@ -1591,11 +1705,53 @@ def _fusion_left_first(spark: SparkSession, sf: str) -> DataFrame:
     return FU.fused_scan(left, right, FU.intersect_fusion, order="left_first", pk="doc_id")
 
 
+BENCH_ONLY["fusion_left_first"] = _fusion_left_first
+_FUSION_LEFT_SQL = f"""SELECT doc_id, 0.0 AS {DISTANCE_COL}
+        FROM (({_DOCS_L}) INTERSECT ({_DOCS_R}))"""
+
+
+# Round-8 window re-fold (round-7 verdict #1): the three score-combining
+# fusion rows (fuzzy union/intersect, stochastic multi-candidate,
+# left-first evaluation-order pipeline) merge into ONE tagged-union
+# driver row over a shared (fusop, pk, distance) schema — each fusion
+# operator's full result still rides the value hash.  fusion_set_ops
+# stays its own row (it additionally adjudicates compound() and the
+# typed empty relation).
+
+
+def _fusion_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
+    fuzzy = _fusion_fuzzy(spark, sf).select(
+        F.concat(F.lit("fuzzy_"), F.col("fuzzop")).alias("fusop"),
+        F.col("vec_id").cast("long").alias("pk"),
+        F.col(DISTANCE_COL).cast("double").alias(DISTANCE_COL),
+    )
+    sto = _stochastic(spark, sf).select(
+        F.lit("stochastic").alias("fusop"),
+        F.col("vec_id").cast("long").alias("pk"),
+        F.col(DISTANCE_COL).cast("double").alias(DISTANCE_COL),
+    )
+    lf = _fusion_left_first(spark, sf).select(
+        F.lit("left_first").alias("fusop"),
+        F.col("doc_id").cast("long").alias("pk"),
+        F.col(DISTANCE_COL).cast("double").alias(DISTANCE_COL),
+    )
+    return _union_all([fuzzy, sto, lf])
+
+
 _register(
-    "fusion_left_first",
-    _fusion_left_first,
-    f"""SELECT doc_id, 0.0 AS {DISTANCE_COL}
-        FROM (({_DOCS_L}) INTERSECT ({_DOCS_R}))""",
+    "fusion_rank_suite",
+    _fusion_rank_suite,
+    f"""
+    SELECT 'fuzzy_' || fuzzop AS fusop, vec_id::BIGINT AS pk,
+           {DISTANCE_COL}::DOUBLE AS {DISTANCE_COL}
+    FROM ({_FUSION_FUZZY_SQL})
+    UNION ALL
+    SELECT 'stochastic', vec_id::BIGINT, {DISTANCE_COL}::DOUBLE
+    FROM ({_FUSION_STOCH_SQL})
+    UNION ALL
+    SELECT 'left_first', doc_id::BIGINT, {DISTANCE_COL}::DOUBLE
+    FROM ({_FUSION_LEFT_SQL})
+    """,
 )
 
 
