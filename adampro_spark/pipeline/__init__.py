@@ -55,7 +55,11 @@ from adampro_spark.pipeline.curate import (  # noqa: F401
     gate_flags,
     gopher_gate_flags,
 )
-from adampro_spark.pipeline.text import compression_ratio_stats  # noqa: F401
+from adampro_spark.pipeline.text import (  # noqa: F401
+    compression_gate_flags,
+    compression_ratio_col,
+    compression_ratio_stats,
+)
 from adampro_spark.pipeline.text import (  # noqa: F401
     chunk_documents,
     tfidf_keywords,

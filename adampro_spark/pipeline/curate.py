@@ -71,6 +71,27 @@ def gate_flags(
     }
 
 
+# Internal staging columns curate/stream_curate inject and later drop.
+# An input column with one of these names (or prefixes) would be silently
+# clobbered and REMOVED from the output (ADVICE r7) — refuse instead.
+_RESERVED_GATE_FLAGS = ("_lang_ok", "_len_ok", "_cap_ok", "_q_ok", "_rep_ok")
+_RESERVED_PREFIXES = ("_ap_", "_rep_")
+
+
+def _check_reserved_columns(df: DataFrame) -> None:
+    clashes = [
+        c
+        for c in df.columns
+        if c.startswith(_RESERVED_PREFIXES) or c in _RESERVED_GATE_FLAGS
+    ]
+    if clashes:
+        raise ValueError(
+            f"input columns {clashes} collide with curate's reserved "
+            f"internal names (prefixes {_RESERVED_PREFIXES}, gate flags "
+            f"{_RESERVED_GATE_FLAGS}); rename them before curating"
+        )
+
+
 GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
@@ -250,6 +271,8 @@ def curate(
     """
     import time
 
+    _check_reserved_columns(df)
+
     boiler_col = None
     if line_dedup_min_docs is not None:
         from adampro_spark.pipeline.dedup import line_dedup
@@ -367,9 +390,14 @@ def curate(
             scores = bigram_lm_score(
                 kept, lm_vocab, lm_bigrams, lm_meta, text_col=text_col, pk=pk
             )
-        else:
+        elif len(lm) == 3:
             lm_vocab, lm_meta, lm_floor = lm
             scores = lm_score(kept, lm_vocab, lm_meta, text_col=text_col, pk=pk)
+        else:
+            raise ValueError(
+                "lm must be (vocab, meta, min_logprob) or "
+                f"(vocab, bigrams, meta, min_logprob) — got a {len(lm)}-tuple"
+            )
         t_lm = time.perf_counter()
         keep_ids = (
             scores.filter(F.col("lm_logprob") >= float(lm_floor))
@@ -408,10 +436,16 @@ def curate(
         if stage_timings is not None:
             stage_timings["resolution_sec"] = round(time.perf_counter() - t2, 3)
     else:
+        t1 = time.perf_counter()
         if dedup == "minhash":
+            # materialize=True: the pair set checkpoints eagerly and the
+            # shingle/signature cache is RELEASED before resolution —
+            # repeated curate() calls in one session no longer accumulate
+            # a persisted copy of the corpus per call (ADVICE r7)
             pairs = minhash_dup_pairs(
                 kept, text_col=text_col, pk=pk,
                 threshold=0.8 if dedup_threshold is None else dedup_threshold,
+                materialize=True,
                 **dedup_kw,
             )
         elif dedup == "simhash":
@@ -423,11 +457,10 @@ def curate(
                     "tune max_hamming= instead"
                 )
             pairs = simhash_pairs(kept, text_col=text_col, pk=pk, **dedup_kw)
+            pairs = pairs.localCheckpoint(eager=True)
         else:
             raise ValueError(f"unknown curate dedup {dedup!r}")
         if stage_timings is not None:
-            t1 = time.perf_counter()
-            pairs = pairs.localCheckpoint(eager=True)
             stage_timings["pairs_sec"] = round(time.perf_counter() - t1, 3)
         t2 = time.perf_counter()
         out = deduplicate(kept, pairs, pk=pk)

@@ -339,3 +339,73 @@ def bigram_lm_score(
         F.avg(F.log10(p)).alias(score_col),
         F.count(F.col("cur")).alias("lm_tokens"),
     )
+
+
+def bigram_lm_score_col(
+    vocab: "DataFrame | dict[str, int]",
+    bigrams: "DataFrame | dict[tuple[str, str], int]",
+    meta: dict[str, Any],
+    text_col: str = "text",
+) -> Column:
+    """Map-only bigram scoring: the same mean log10 INTERPOLATED token
+    probability as :func:`bigram_lm_score`, as ONE Arrow-batched
+    pandas-UDF column — the stream-safe form (verdict r7 #6:
+    ``stream_curate(lm=(vocab, bigrams, meta, floor))`` scores bigrams
+    through this instead of raising), and the batch escape hatch for
+    an existing one-scan projection.
+
+    Both model tables ride the UDF closure (≤ vocab_size + bigram_size
+    entries, the same driver-sized bound as the batch broadcasts).
+    Arithmetic mirrors :func:`bigram_lm_score` term by term: first
+    token scores unigram-only; a bigram whose context is outside the
+    vocabulary contributes p_bi = 0 exactly like the batch join's
+    NULL-division coalesce.  Empty documents score NULL.
+    """
+    import math
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(vocab, DataFrame):
+        vt = {r["tok"]: int(r["cnt"]) for r in vocab.collect()}
+    else:
+        vt = {str(k): int(v) for k, v in vocab.items()}
+    if isinstance(bigrams, DataFrame):
+        bt = {(r["prev"], r["cur"]): int(r["cnt"]) for r in bigrams.collect()}
+    else:
+        bt = {tuple(k): int(v) for k, v in bigrams.items()}
+    lam = float(meta["lam"])
+    denom = float(meta["denom"])
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def _score(texts):
+        out = []
+        vget, bget = vt.get, bt.get
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [w for w in ws.split(t.lower()) if w]
+            if not toks:
+                out.append(None)
+                continue
+            s = 0.0
+            prev = None
+            for i, w in enumerate(toks):
+                p_uni = (vget(w, 0) + 1) / denom
+                if i == 0:
+                    p = p_uni
+                else:
+                    cp = vget(prev)
+                    pc = bget((prev, w))
+                    p_bi = (pc / cp) if (pc is not None and cp) else 0.0
+                    p = lam * p_bi + (1.0 - lam) * p_uni
+                s += math.log10(p)
+                prev = w
+            out.append(s / len(toks))
+        return pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(_score, T.DoubleType())(
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )

@@ -413,6 +413,58 @@ def compression_ratio_stats(
     )
 
 
+def compression_ratio_col(
+    text_col: str | Column = "text", level: int = 6
+) -> Column:
+    """The per-document DEFLATE compression ratio of
+    :func:`compression_ratio_stats` as ONE pandas-UDF double column —
+    stateless, so it rides curate/stream_curate's one-scan gate pass
+    (see :func:`compression_gate_flags`).  Empty/NULL text → 0.0."""
+    import pandas as pd
+
+    lvl = int(level)
+
+    def _ratio_fn(texts):
+        import zlib
+
+        out = []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            out.append(len(zlib.compress(b, lvl)) / len(b) if b else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(_ratio_fn, "double")(
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )
+
+
+def compression_gate_flags(
+    text_col: str = "text",
+    min_ratio: float = 0.25,
+    max_ratio: float | None = None,
+    level: int = 6,
+) -> "dict[str, Column]":
+    """Preset for ``curate(extra_gates=...)`` (verdict r7 #8): the
+    DEFLATE compression-ratio gate as a single ``_comp_ok`` flag —
+    machine-generated/boilerplate text compresses far below prose
+    (ratio < ``min_ratio`` fails); ``max_ratio`` optionally also drops
+    incompressible noise (ratio above it).  The flag is a stateless
+    pandas-UDF expression, so it merges into the SAME one-scan gate
+    pass as the built-in gates and streams unchanged; the curate report
+    gains ``n_fail_comp_ok`` attrition at zero extra scans.
+
+    DEFLATE is not expressible in ANSI SQL, so this gate has no DuckDB
+    oracle row — its semantics are pytest-pinned
+    (tests/test_scrub.py::test_compression_gate_*), documented in
+    COVERAGE.md.
+    """
+    r = compression_ratio_col(text_col, level=level)
+    ok = r >= F.lit(float(min_ratio))
+    if max_ratio is not None:
+        ok = ok & (r <= F.lit(float(max_ratio)))
+    return {"_comp_ok": ok}
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -499,15 +551,25 @@ def tfidf_keywords(
     pairs = df.select(
         F.col(pk), F.explode(tokens_expr(text_col)).alias("term")
     )
-    tf = pairs.groupBy(pk, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df_t is the tf table's per-term row count: a window count over term
-    # computes it WITHOUT a join or a second tf evaluation (a separate
-    # dft aggregate needs a different partitioning, so exchange reuse
-    # cannot serve it and the scan+explode+agg subtree runs twice —
-    # measured 4 source scans vs 1 with the window form)
-    scored = tf.withColumn(
-        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    ).withColumn(
+    # df_t needs the tf table under a SECOND partitioning (by term).  A
+    # window count over term computes it join-free, but a window
+    # partition is not AQE-splittable — at corpus scale a stopword's
+    # partition ("the": O(n_docs) tf rows) serializes through ONE task
+    # (verdict r7 #3, the same argument as temporal.py's skew routing).
+    # Instead: checkpoint the slim (pk, term, tf) table once — the
+    # operator is already eager via the n_docs count, and the barrier
+    # stops the scan+explode+agg subtree from evaluating twice — then
+    # aggregate df_t with map-side combine and join it back on term.
+    # The join is deliberately NOT broadcast (the vocabulary outgrows
+    # any broadcast ceiling at corpus scale); its skewed partitions are
+    # exactly what AQE's skew-join splitting handles.
+    tf = (
+        pairs.groupBy(pk, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = tf.join(dft, "term").withColumn(
         "_s", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))
     )
     w = Window.partitionBy(pk).orderBy(F.col("_s").desc(), F.col("term").asc())

@@ -186,6 +186,7 @@ def stream_curate(
     max_top_2gram_char_frac: float | None = None,
     redact=None,
     lm=None,
+    extra_gates=None,
 ) -> DataFrame:
     """The streaming counterpart of batch :func:`~adampro_spark.pipeline.
     curate.curate`: the SAME gate expressions (``gate_flags`` — stateless,
@@ -212,8 +213,9 @@ def stream_curate(
     mid-plan — observe the gate pass with ``df.observe`` or compare sink
     counts instead.
     """
-    from adampro_spark.pipeline.curate import gate_flags
+    from adampro_spark.pipeline.curate import _check_reserved_columns, gate_flags
 
+    _check_reserved_columns(stream)
     out = stream
     if redact:
         from adampro_spark.pipeline.scrub import _cats, redact_expr
@@ -248,12 +250,31 @@ def stream_curate(
             )
         flags["_rep_ok"] = rep_ok
     if lm is not None:
-        from adampro_spark.pipeline.lm import lm_score_col
+        from adampro_spark.pipeline.lm import bigram_lm_score_col, lm_score_col
 
-        lm_vocab, lm_meta, lm_floor = lm
-        flags["_lm_ok"] = (
-            lm_score_col(lm_vocab, lm_meta, text_col) >= F.lit(float(lm_floor))
-        )
+        # accept BOTH batch-curate forms (ADVICE r7: the 4-tuple used to
+        # die in a bare unpack error): (vocab, meta, floor) scores the
+        # unigram model, (vocab, bigrams, meta, floor) the interpolated
+        # bigram model — both via map-only pandas UDFs (a streaming
+        # explode→groupBy would be a stateful aggregate)
+        if len(lm) == 4:
+            lm_vocab, lm_bigrams, lm_meta, lm_floor = lm
+            score = bigram_lm_score_col(lm_vocab, lm_bigrams, lm_meta, text_col)
+        elif len(lm) == 3:
+            lm_vocab, lm_meta, lm_floor = lm
+            score = lm_score_col(lm_vocab, lm_meta, text_col)
+        else:
+            raise ValueError(
+                "lm must be (vocab, meta, min_logprob) for the unigram "
+                "model or (vocab, bigrams, meta, min_logprob) for the "
+                f"bigram model — got a {len(lm)}-tuple"
+            )
+        flags["_lm_ok"] = score >= F.lit(float(lm_floor))
+    if extra_gates:
+        # same contract as batch curate: stateless boolean flag columns
+        # merged into the one-scan gate pass (e.g. the compression-ratio
+        # preset, text.compression_gate_flags)
+        flags.update(extra_gates)
     cond = None
     for name, expr in flags.items():
         out = out.withColumn(name, expr)

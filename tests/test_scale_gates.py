@@ -1,0 +1,261 @@
+"""Round-8 scale-safety gates (verdict r7 #2-#4 + ADVICE):
+
+* span_dedup / line_dedup size-gate their hot-set broadcast — past the
+  gate the semi-join routes through a plain shuffle (no forced driver
+  collect of a set that is billions of rows at crawl scale) with
+  IDENTICAL output;
+* tfidf_keywords computes df_t via aggregate+join (AQE-splittable)
+  instead of a term-partitioned window (a stopword's window partition
+  serializes through one task at corpus scale);
+* dedup_against hash-thins OVERSIZED reference band buckets before the
+  row_number cap (bounded task input) and keys its exact anti-join on a
+  composite (h1, h2, token-count) so a single ~2^30 hash collision can
+  no longer silently drop a unique new document;
+* curate/stream_curate refuse input columns that collide with their
+  reserved internal names instead of silently clobbering them.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.dedup import (
+    dedup_against,
+    line_dedup,
+    minhash_dup_pairs,
+    span_dedup,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rows(df, cols=("doc_id", "text")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def boiler_corpus(spark):
+    """40 docs sharing a boilerplate line + 5-gram, 60 unique docs."""
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(500)]
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=12)) + "\n" + shared)
+        for i in range(40)
+    ]
+    rows += [
+        (100 + j, " ".join(rng.choice(vocab, size=18)))
+        for j in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.mark.parametrize("op", [span_dedup, line_dedup])
+def test_hot_set_gate_routes_to_shuffle_with_identical_output(
+    spark, boiler_corpus, op
+):
+    """max_broadcast_rows=0 (adversarial: every hot set 'too big') must
+    remove the forced BroadcastExchange from the semi-join and still
+    produce byte-identical output."""
+    kw = {"n": 5, "min_docs": 2} if op is span_dedup else {"min_docs": 2}
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable AUTO broadcasts so the only BroadcastExchange left can
+        # come from a forced F.broadcast — makes the plan assert exact
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bc = op(boiler_corpus, **kw)
+        sh = op(boiler_corpus, max_broadcast_rows=0, **kw)
+        assert "BroadcastExchange" in _plan(bc)
+        assert "BroadcastExchange" not in _plan(sh)
+        assert _rows(bc) == _rows(sh)
+        # the pass actually did something on this corpus
+        cut_col = (
+            "n_tokens_removed" if op is span_dedup else "n_lines_removed"
+        )
+        assert sh.agg(F.sum(cut_col)).collect()[0][0] > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_tfidf_df_t_is_not_a_term_window(spark, boiler_corpus):
+    """df_t must come from an aggregate + join (AQE-splittable), not a
+    window partitioned by term: the only window left in the plan is the
+    per-document top-k."""
+    from adampro_spark.pipeline.text import tfidf_keywords
+
+    out = tfidf_keywords(boiler_corpus, top_k=3)
+    plan = _plan(out)
+    assert "windowspecdefinition(term" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+
+
+def test_tfidf_hot_term_matches_bruteforce(spark):
+    """A 50%-hot term (planted stopword) still scores exactly: compare
+    against a python brute-force tf-idf on a small corpus."""
+    import math
+    from collections import Counter
+
+    from adampro_spark.pipeline.text import tfidf_keywords
+
+    rng = np.random.RandomState(7)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = {}
+    for i in range(30):
+        toks = list(rng.choice(vocab, size=10))
+        if i % 2 == 0:
+            toks += ["the"] * 5  # the hot term, in half the docs
+        texts[i] = toks
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in tfidf_keywords(df, top_k=2).collect()
+    }
+    n = len(texts)
+    dft = Counter()
+    for toks in texts.values():
+        dft.update(set(toks))
+    for i, toks in texts.items():
+        tf = Counter(toks)
+        scored = sorted(
+            ((t, c * math.log(n / dft[t])) for t, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        for rank, (term, s) in enumerate(scored[:2], start=1):
+            gt, gs = got[(i, rank)]
+            assert gt == term and gs == pytest.approx(round(s, 4), abs=1e-4)
+
+
+def test_dedup_against_hot_ref_bucket_is_thinned_but_caught(spark):
+    """600 identical reference docs land in ONE band bucket; with
+    max_bucket_size=64 every new boilerplate doc must still match (the
+    retained members are its duplicates) with at most ~cap matches, and
+    unique new docs must survive."""
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(400)]
+    boiler = "the same boilerplate text repeated everywhere in the corpus"
+    ref = spark.createDataFrame(
+        [(i, boiler) for i in range(600)]
+        + [(1000 + j, " ".join(rng.choice(vocab, size=25))) for j in range(50)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(5000 + i, boiler) for i in range(5)]
+        + [(6000 + j, " ".join(rng.choice(vocab, size=25))) for j in range(5)],
+        "doc_id long, text string",
+    )
+    m = dedup_against(
+        new, ref, threshold=0.9, max_bucket_size=64, return_matches=True
+    )
+    per_new = {
+        r["new_pk"]: r["cnt"]
+        for r in m.groupBy("new_pk").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for i in range(5):
+        assert 1 <= per_new[5000 + i] <= 64, per_new
+    surv = dedup_against(new, ref, threshold=0.9, max_bucket_size=64)
+    kept = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert set(range(5000, 5005)).isdisjoint(kept)
+    assert {6000 + j for j in range(5)} <= kept
+
+
+def test_dedup_against_small_buckets_untouched_by_precap(spark, tables):
+    """Where no bucket exceeds the cap the two-stage thinning must be a
+    no-op: match pairs with a huge cap equal match pairs with the
+    default cap on a normal corpus."""
+    docs = tables["documents"].select("doc_id", "text").limit(120)
+    new = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    a = dedup_against(new, docs, threshold=0.7, return_matches=True)
+    b = dedup_against(
+        new, docs, threshold=0.7, max_bucket_size=10**9, return_matches=True
+    )
+    key = lambda r: (r["new_pk"], r["ref_pk"], r["jaccard"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def _poly31(s: str, m: int = 1_000_000_007, b: int = 31) -> int:
+    h = 0
+    for c in s:
+        h = (h * b + ord(c)) % m
+    return h
+
+
+def test_dedup_against_exact_survives_h1_collision(spark):
+    """Craft two DIFFERENT texts with the SAME 31-poly/1e9+7 hash
+    (birthday search) — the single-hash key of ADVICE r7 silently
+    dropped the unique doc; the composite key must keep it, while a
+    true duplicate still drops."""
+    rng = np.random.RandomState(17)
+    seen: dict[int, str] = {}
+    pair = None
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    while pair is None:
+        s = "".join(rng.choice(alphabet, size=8))
+        h = _poly31(s)
+        if h in seen and seen[h] != s:
+            pair = (seen[h], s)
+        seen[h] = s
+    a, b = pair
+    assert a != b and _poly31(a) == _poly31(b)
+    ref = spark.createDataFrame([(1, a), (2, "unrelated text")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, b), (11, a), (12, "fresh document")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_against(new, ref, method="exact").select("doc_id").collect()
+    }
+    assert kept == {10, 12}  # collision text SURVIVES, true dup drops
+    m = dedup_against(new, ref, method="exact", return_matches=True).collect()
+    assert {(r["new_pk"], r["ref_pk"]) for r in m} == {(11, 1)}
+
+
+def test_minhash_materialize_releases_signature_cache(spark, tables):
+    """materialize=True must leave NO persisted plan behind (the
+    dedup_against recipe): the pair set is checkpointed, the
+    shingle/signature cache unpersisted."""
+    spark.catalog.clearCache()
+    docs = tables["documents"].select("doc_id", "text").limit(80)
+    pairs = minhash_dup_pairs(docs, threshold=0.8, materialize=True)
+    assert pairs.count() >= 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_curate_rejects_reserved_columns(spark, tables):
+    from adampro_spark.pipeline.curate import curate
+
+    docs = tables["documents"].select(
+        "doc_id", "text", F.lit(1).alias("_ap_gtoks")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        curate(docs, dedup=None)
+
+
+def test_stream_curate_rejects_reserved_columns(spark, tables):
+    from adampro_spark.streaming.ingest import stream_curate
+
+    docs = tables["documents"].select(
+        "doc_id", "text", F.lit(True).alias("_rep_ok")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        stream_curate(docs, dedup=None)
+
+
+def test_lm_tuple_arity_validated(spark, tables):
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.streaming.ingest import stream_curate
+
+    docs = tables["documents"].select("doc_id", "text")
+    with pytest.raises(ValueError, match="lm must be"):
+        curate(docs, lm=({}, {}), dedup=None)
+    with pytest.raises(ValueError, match="lm must be"):
+        stream_curate(docs, lm=({}, {}, {}, {}, 0.0), dedup=None)

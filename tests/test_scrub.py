@@ -358,3 +358,67 @@ def test_curate_report_by_matches_global(spark):
     assert "n_fail_g_even" in rep2.columns
     tot_odd = sum(r["n_fail_g_even"] for r in rep2.collect())
     assert tot_odd == docs.filter(F.col("doc_id") % 2 == 1).count()
+
+
+def test_compression_gate_in_curate(spark):
+    """curate(extra_gates=compression_gate_flags(...)) drops the
+    machine-junk documents (ratio below the floor) in the same one-scan
+    gate pass and reports the attrition (verdict r7 #8)."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.text import compression_gate_flags
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "magpies argue about breakfast near the old stone bridge today"
+    )
+    junk = "spam " * 60
+    rows = [(i, prose + f" variant {i}") for i in range(10)]
+    rows += [(100 + j, junk) for j in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, rep = curate(
+        df, langs=None, min_tokens=5, min_quality=0.0, dedup=None,
+        extra_gates=compression_gate_flags(min_ratio=0.25),
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == set(range(10))
+    assert rep["n_fail_comp_ok"] == 5
+
+
+def test_compression_gate_streams(spark, tmp_path):
+    """The same gate flag is stateless, so stream_curate(extra_gates=...)
+    filters micro-batches identically to batch curate."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.text import compression_gate_flags
+    from adampro_spark.streaming.ingest import stream_curate
+
+    prose = (
+        "a genuinely varied sentence with many different words that "
+        "resist deflate compression better than repeated filler does"
+    )
+    rows = [(i, prose + f" tail {i}") for i in range(8)]
+    rows += [(100 + j, "junk " * 50) for j in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(langs=None, min_tokens=5, min_quality=0.0, dedup=None)
+    batch_out, _ = curate(
+        df, extra_gates=compression_gate_flags(min_ratio=0.25), **kw
+    )
+    want = {r["doc_id"] for r in batch_out.select("doc_id").collect()}
+
+    src = str(tmp_path / "comp_src")
+    df.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gated = stream_curate(
+        stream, extra_gates=compression_gate_flags(min_ratio=0.25), **kw
+    ).select("doc_id")
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("comp_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_comp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM comp_stream").collect()
+    }
+    assert got == want and got == set(range(8))
