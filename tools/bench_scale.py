@@ -1,0 +1,139 @@
+"""sf1 scale probe (round-7 verdict #7): synthesize a 10× corpus from
+sf0.1 and record wall-time scaling of the five heaviest pipeline rows.
+
+Synthesis (deterministic, seeded):
+  * documents: 10 shifted copies of sf0.1's 5k docs; copy k > 0 gets a
+    per-copy suffix token so copies are NEAR-duplicates of their source
+    (shingle overlap stays above every banded threshold) rather than
+    byte-identical — the realistic crawl-recrawl shape; doc_ids shift by
+    k·10^7 so groups are identifiable.
+  * embeddings: 10 shifted copies with a small deterministic per-copy
+    perturbation on one coordinate (cosine to the source stays ≥ ~0.999,
+    inside every semantic threshold).
+
+Probe rows (bench callables, same code the driver benches):
+  pipeline_curate (gates + minhash dedup composition), dedup_resolution,
+  dedup_semantic, dedup_spans, dedup_against.
+
+Output: BENCH_sf1.json at the repo root —
+  {"rows": {name: {"sf0.1": s, "sf1": s, "ratio": r}}, "n_docs_sf1": …}
+Near-linear scaling = ratio ≲ 12 at 10× rows (some superlinearity is
+expected: dedup output PAIRS grow with the planted 10-way groups).
+
+Usage: python tools/bench_scale.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(ROOT, "_scratch", "sf1")
+ROWS = [
+    "pipeline_curate",
+    "dedup_resolution",
+    "dedup_semantic",
+    "dedup_spans",
+    "dedup_against",
+]
+COPIES = 10
+SHIFT = 10_000_000
+
+
+def synthesize(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    parts = []
+    for k in range(COPIES):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * SHIFT))
+        if k > 0:
+            c = c.withColumn(
+                "text", F.concat_ws(" ", F.col("text"), F.lit(f"rev{k}"))
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    eparts = []
+    for k in range(COPIES):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * SHIFT))
+        if k > 0:
+            # perturb coordinate 0 by a tiny per-copy epsilon: near-dup,
+            # not byte-identical (cosine ≥ ~0.999 at unit-ish norms)
+            c = c.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        i == 0, x + F.lit(0.001 * k)
+                    ).otherwise(x).cast("float"),
+                ),
+            )
+        eparts.append(c)
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from adampro_spark.session import get_spark
+    from adampro_spark import oracle_suite as S
+
+    spark = get_spark("adampro-bench-scale")
+    if "--rebuild" in sys.argv or not os.path.isdir(
+        os.path.join(SF1, "documents.parquet")
+    ):
+        synthesize(spark)
+
+    registry = {**S.QUERIES, **S.BENCH_ONLY}
+    # warm plan shapes once at the smallest sf
+    for name in ROWS:
+        try:
+            registry[name](spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+
+    rows = {}
+    for name in ROWS:
+        rec = {}
+        for tag, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).collect()
+            rec[tag] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+        rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        rows[name] = rec
+        print(name, rec, flush=True)
+
+    out = {
+        "rows": rows,
+        "copies": COPIES,
+        "n_docs_sf1": COPIES * 5000,
+        "note": "10x near-dup corpus synthesized from sf0.1; "
+        "ratio ~<= 12 = near-linear",
+    }
+    with open(os.path.join(ROOT, "BENCH_sf1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
