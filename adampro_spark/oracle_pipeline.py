@@ -123,32 +123,118 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
 # text analysis
 # ---------------------------------------------------------------------------
 
+# grams of n tokens joined by ' ' (empty when the doc is shorter than n)
+def _sql_word_grams(toks: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def _sql_topgram_cte(name: str, src: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT doc_id, gram, count(*) AS cnt,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+        FROM (SELECT doc_id, unnest({src}) AS gram FROM base)
+        GROUP BY doc_id, gram
+      ) WHERE rn = 1
+    )"""
+
+
+def _sql_dup_char_frac(arr: str) -> str:
+    # char mass of entries occurring >1x / total char mass of the list
+    return (
+        f"CASE WHEN coalesce(list_sum(list_transform({arr}, x -> length(x))), 0) > 0 "
+        f"THEN coalesce(list_sum(list_transform({arr}, ln -> "
+        f"CASE WHEN len(list_filter({arr}, x -> x = ln)) > 1 THEN length(ln) ELSE 0 END)), 0) "
+        f"/ list_sum(list_transform({arr}, x -> length(x))) ELSE 0.0 END"
+    )
+
+
+def _sql_topgram_frac(alias: str) -> str:
+    return (
+        f"CASE WHEN length(b.text) > 0 AND {alias}.cnt IS NOT NULL "
+        f"THEN least({alias}.cnt * length({alias}.gram) / length(b.text), 1.0) "
+        f"ELSE 0.0 END"
+    )
+
+
+_REP_NS = (5, 6, 7, 8, 9, 10)
+
 _register(
     "text_stats",
-    # repetition=True: the four Gopher-style repetition signals ride the
-    # same one-pass projection (round 7) — mirrored below with DuckDB
-    # list lambdas + a per-doc top-bigram window
-    lambda spark, sf: text_stats(_docs(spark, sf), repetition=True),
+    # repetition="full": the COMPLETE 13-signal Gopher A1.1 repetition
+    # table rides the same one-pass projection (round 8) — line AND
+    # paragraph dup metrics + top-2/3/4-gram coverage via per-doc
+    # windows, and the six dup-ngram CHAR-coverage signals mirrored
+    # relationally (positioned grams → per-doc duplicated starts →
+    # DISTINCT covered positions → token-length sum), exactly the
+    # interval-union the Spark fold computes
+    lambda spark, sf: text_stats(_docs(spark, sf), repetition="full"),
     f"""
     WITH base AS (
       SELECT doc_id, text, {_TOKS.format(t='text')} AS toks,
              list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls,
+             list_filter(string_split(text, chr(10) || chr(10)), p -> length(p) > 0) AS ps,
              list_transform(
                generate_series(1, len({_TOKS.format(t='text')}) - 1),
                i -> array_to_string(list_slice({_TOKS.format(t='text')}, i, i + 1), ' ')) AS g2,
+             {_sql_word_grams(_TOKS.format(t='text'), 3)} AS g3,
+             {_sql_word_grams(_TOKS.format(t='text'), 4)} AS g4,
              list_transform(
                generate_series(1, len({_TOKS.format(t='text')}) - 4),
                i -> array_to_string(list_slice({_TOKS.format(t='text')}, i, i + 4), ' ')) AS g5
       FROM documents
     ),
-    top2 AS (
-      SELECT doc_id, gram, cnt FROM (
-        SELECT doc_id, gram, count(*) AS cnt,
-               row_number() OVER (
-                 PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
-        FROM (SELECT doc_id, unnest(g2) AS gram FROM base)
-        GROUP BY doc_id, gram
-      ) WHERE rn = 1
+    {_sql_topgram_cte('top2', 'g2')},
+    {_sql_topgram_cte('top3', 'g3')},
+    {_sql_topgram_cte('top4', 'g4')},
+    tl AS (
+      SELECT doc_id, list_transform(toks, t2 -> length(t2)::BIGINT) AS tl,
+             coalesce(list_sum(list_transform(toks, t2 -> length(t2)::BIGINT)), 0) AS tc,
+             list_transform(toks, t2 -> {_sql_poly_hash('t2')}) AS th
+      FROM base
+    ),
+    ns AS (SELECT unnest([{', '.join(str(n) for n in _REP_NS)}]) AS n),
+    pgall AS (
+      -- grams matched by the SAME 31-poly fold over token hashes the
+      -- Spark side uses (span_dedup recipe) — parity incl. collisions
+      SELECT doc_id, n, unnest(gn) AS g, unnest(generate_series(1, len(gn))) AS s
+      FROM (
+        SELECT t.doc_id, ns.n,
+          CASE WHEN len(t.th) >= ns.n
+            THEN list_transform(generate_series(1, len(t.th) - ns.n + 1),
+                   i -> {_fold('list_slice(t.th, i, i + ns.n - 1)')})
+            ELSE CAST([] AS BIGINT[]) END AS gn
+        FROM tl t CROSS JOIN ns
+      )
+    ),
+    dsall AS (
+      SELECT doc_id, n, s FROM (
+        SELECT doc_id, n, s, count(*) OVER (PARTITION BY doc_id, n, g) AS c
+        FROM pgall
+      ) WHERE c >= 2
+    ),
+    covp AS (
+      SELECT DISTINCT d.doc_id, d.n, d.s + kk.k AS p
+      FROM dsall d
+      CROSS JOIN (SELECT unnest(generate_series(0, {max(_REP_NS) - 1})) AS k) kk
+      WHERE kk.k < d.n
+    ),
+    coval AS (
+      SELECT c.doc_id, c.n, sum(t.tl[c.p]) AS cov
+      FROM covp c JOIN tl t USING (doc_id)
+      GROUP BY c.doc_id, c.n
+    ),
+    covpiv AS (
+      SELECT doc_id,
+        {', '.join(f'max(CASE WHEN n = {n} THEN cov END) AS c{n}' for n in _REP_NS)}
+      FROM coval GROUP BY doc_id
     )
     SELECT b.doc_id,
       length(b.text)::BIGINT AS n_chars_obs,
@@ -159,11 +245,31 @@ _register(
       {_round_sql(f"CASE WHEN len(b.toks) > 0 THEN len(list_filter(b.toks, t -> list_contains({list(QUALITY_STOPWORDS)}, t))) / len(b.toks) ELSE 0.0 END")} AS stopword_ratio,
       {_round_sql("(CASE WHEN length(b.text) > 0 THEN length(regexp_replace(b.text, '[^a-zA-Z0-9 ]', '', 'g')) / length(b.text) ELSE 0.0 END) * least(len(b.toks) / 20.0, 1.0)")} AS quality,
       {_round_sql("CASE WHEN len(b.ls) > 0 THEN 1.0 - len(list_distinct(b.ls)) / len(b.ls) ELSE 0.0 END")} AS dup_line_frac,
-      {_round_sql("CASE WHEN coalesce(list_sum(list_transform(b.ls, x -> length(x))), 0) > 0 THEN coalesce(list_sum(list_transform(b.ls, ln -> CASE WHEN len(list_filter(b.ls, x -> x = ln)) > 1 THEN length(ln) ELSE 0 END)), 0) / list_sum(list_transform(b.ls, x -> length(x))) ELSE 0.0 END")} AS dup_line_char_frac,
-      {_round_sql("CASE WHEN length(b.text) > 0 AND t2.cnt IS NOT NULL THEN least(t2.cnt * length(t2.gram) / length(b.text), 1.0) ELSE 0.0 END")} AS top_2gram_char_frac,
-      {_round_sql("CASE WHEN len(b.g5) > 0 THEN 1.0 - len(list_distinct(b.g5)) / len(b.g5) ELSE 0.0 END")} AS dup_5gram_frac
-    FROM base b LEFT JOIN top2 t2 USING (doc_id)
+      {_round_sql(_sql_dup_char_frac('b.ls'))} AS dup_line_char_frac,
+      {_round_sql(_sql_topgram_frac('t2'))} AS top_2gram_char_frac,
+      {_round_sql("CASE WHEN len(b.g5) > 0 THEN 1.0 - len(list_distinct(b.g5)) / len(b.g5) ELSE 0.0 END")} AS dup_5gram_frac,
+      {_round_sql("CASE WHEN len(b.ps) > 0 THEN 1.0 - len(list_distinct(b.ps)) / len(b.ps) ELSE 0.0 END")} AS dup_para_frac,
+      {_round_sql(_sql_dup_char_frac('b.ps'))} AS dup_para_char_frac,
+      {_round_sql(_sql_topgram_frac('t3'))} AS top_3gram_char_frac,
+      {_round_sql(_sql_topgram_frac('t4'))} AS top_4gram_char_frac,
+      {', '.join(_round_sql(f"CASE WHEN t.tc > 0 THEN coalesce(cp.c{n}, 0) / t.tc ELSE 0.0 END") + f" AS dup_{n}gram_char_frac" for n in _REP_NS)}
+    FROM base b
+    LEFT JOIN top2 t2 USING (doc_id)
+    LEFT JOIN top3 t3 USING (doc_id)
+    LEFT JOIN top4 t4 USING (doc_id)
+    JOIN tl t USING (doc_id)
+    LEFT JOIN covpiv cp USING (doc_id)
     """,
+)
+
+# bench continuity: the round-7 4-signal form keeps its timings
+# comparable (BENCH_ONLY wins the registry merge in bench.py)
+BENCH_ONLY["text_stats"] = lambda spark, sf: text_stats(
+    _docs(spark, sf), repetition=True
+)
+# and the full 13-signal pass gets its own bench row
+BENCH_ONLY["text_stats_full"] = lambda spark, sf: text_stats(
+    _docs(spark, sf), repetition="full"
 )
 
 

@@ -94,6 +94,26 @@ def _check_reserved_columns(df: DataFrame) -> None:
 
 GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# The complete Gopher A1.1 repetition table (Rae et al. 2021, Table A1):
+# signal -> maximum allowed fraction.  Plug into
+# ``curate(repetition_ceilings=GOPHER_REPETITION_CEILINGS)`` (or
+# stream_curate) for the paper's full repetition-removal rule set.
+GOPHER_REPETITION_CEILINGS: "dict[str, float]" = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
 
 def gopher_gate_flags(
     text_col: str = "text",
@@ -190,6 +210,7 @@ def curate(
     max_chars: int | None = None,
     max_dup_line_frac: float | None = None,
     max_top_2gram_char_frac: float | None = None,
+    repetition_ceilings: "Mapping[str, float] | None" = None,
     redact: Sequence[str] | bool | None = None,
     lm: "tuple[Any, ...] | None" = None,  # (vocab, meta, floor) or
     # (vocab, bigrams, meta, floor) — see the docstring
@@ -232,6 +253,13 @@ def curate(
     exceeds the ceiling fail a ``_rep_ok`` gate computed in the SAME
     one-scan pass; the report gains ``n_repetitive``.  ``None`` (default)
     disables each.
+
+    ``repetition_ceilings`` (round 8) — the general form: a mapping of
+    ANY :func:`~adampro_spark.pipeline.text.with_repetition` signal name
+    to its ceiling, e.g. the full Gopher A1.1 repetition table
+    ``GOPHER_REPETITION_CEILINGS`` (13 signals; extended signals switch
+    the staging to ``with_repetition(extended=True)`` automatically).
+    Merges with the two legacy knobs; unknown signal names raise.
 
     ``redact`` (round 7) — PII scrubbing BEFORE the gates: ``True`` for
     every category in scrub.PII_PATTERNS or a sequence of category
@@ -315,22 +343,33 @@ def curate(
         )
     )
     rep_internals: list[str] = []
-    if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
+    ceilings: dict[str, float] = dict(repetition_ceilings or {})
+    if max_dup_line_frac is not None:
+        ceilings.setdefault("dup_line_frac", float(max_dup_line_frac))
+    if max_top_2gram_char_frac is not None:
+        ceilings.setdefault(
+            "top_2gram_char_frac", float(max_top_2gram_char_frac)
+        )
+    if ceilings:
         from adampro_spark.pipeline.text import with_repetition
 
+        basic = {
+            "dup_line_frac", "dup_line_char_frac",
+            "top_2gram_char_frac", "dup_5gram_frac",
+        }
         df, rep, rep_internals = with_repetition(
-            df, text_col, toks=F.col("_ap_gtoks")
+            df, text_col, toks=F.col("_ap_gtoks"),
+            extended=bool(set(ceilings) - basic),
         )
+        unknown = sorted(set(ceilings) - set(rep))
+        if unknown:
+            raise ValueError(
+                f"unknown repetition signals {unknown}; available: "
+                f"{sorted(rep)}"
+            )
         rep_ok = F.lit(True)
-        if max_dup_line_frac is not None:
-            rep_ok = rep_ok & (
-                rep["dup_line_frac"] <= F.lit(float(max_dup_line_frac))
-            )
-        if max_top_2gram_char_frac is not None:
-            rep_ok = rep_ok & (
-                rep["top_2gram_char_frac"]
-                <= F.lit(float(max_top_2gram_char_frac))
-            )
+        for sig, ceil in sorted(ceilings.items()):
+            rep_ok = rep_ok & (rep[sig] <= F.lit(float(ceil)))
         flags["_rep_ok"] = rep_ok
     extras = dict(extra_gates or {})
     clash = set(extras) & set(flags)

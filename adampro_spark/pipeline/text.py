@@ -145,7 +145,7 @@ def langid_expr(text: str | Column, toks: Column | None = None) -> Column:
 
 def text_stats(
     df: DataFrame, text_col: str = "text", pk: str = "doc_id",
-    repetition: bool = False,
+    repetition: "bool | str" = False,
 ) -> DataFrame:
     """Per-document quality statistics, one projection pass:
 
@@ -160,7 +160,9 @@ def text_stats(
 
     ``repetition=True`` appends the four Gopher-style repetition signals
     (:func:`with_repetition` — staged materialization, still map-only,
-    no join) to the output.
+    no join) to the output; ``repetition="full"`` appends the COMPLETE
+    thirteen-signal Gopher A1.1 repetition table
+    (``with_repetition(extended=True)``).
     """
     # stage the token array once: six consumers below would otherwise
     # each re-tokenize the document (no CSE for CodegenFallback lambdas)
@@ -195,13 +197,18 @@ def text_stats(
         F.round(quality, 4).alias("quality"),
     ]
     if repetition:
-        df, finals, _internals = with_repetition(df, text_col, toks=toks)
+        df, finals, _internals = with_repetition(
+            df, text_col, toks=toks, extended=(repetition == "full")
+        )
         cols += [c.alias(n) for n, c in finals.items()]
     return df.select(*cols)
 
 
 def with_repetition(
-    df: DataFrame, text_col: str = "text", toks: Column | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    toks: Column | None = None,
+    extended: bool = False,
 ) -> tuple[DataFrame, dict[str, Column], list[str]]:
     """Gopher-style repetition signals (Rae et al. 2021, "Scaling
     Language Models: Methods, Analysis & Insights from Training Gopher",
@@ -218,7 +225,26 @@ def with_repetition(
       run-length fold, O(G log G) per row);
     * ``dup_5gram_frac`` — fraction of word 5-gram occurrences that are
       repeats (1 − distinct/total; a simplification of Gopher's
-      char-coverage variant, documented deviation).
+      char-coverage variant, documented deviation — the exact
+      char-coverage family lives behind ``extended=True``).
+
+    ``extended=True`` (round 8) completes the Gopher A1.1 repetition
+    table — nine more signals, same staged one-scan discipline:
+
+    * ``dup_para_frac`` / ``dup_para_char_frac`` — the line metrics over
+      PARAGRAPHS (split on the literal ``\\n\\n``, empties dropped);
+    * ``top_3gram_char_frac`` / ``top_4gram_char_frac`` — characters
+      covered by the most frequent word 3-/4-gram (count × gram length /
+      doc length, ties to the lexicographically smallest gram);
+    * ``dup_{5..10}gram_char_frac`` — characters inside token positions
+      covered by ANY duplicated word n-gram (a gram occurring ≥ 2× in
+      the document), overlaps counted ONCE — Gopher's char-coverage
+      definition.  Computed as an interval-union fold over the sorted
+      duplicate-gram start positions (each step slices ≤ n token
+      lengths, so total work is O(G log G + D·n) per document — no
+      quadratic blowup on adversarially repetitive docs).  Deviation:
+      char mass counts the characters of the covered TOKENS (separators
+      excluded from numerator and denominator alike).
 
     Documents with fewer tokens than n produce NO n-grams (not a phantom
     shorter gram): a one-word document scores 0.0, never "maximally
@@ -358,6 +384,189 @@ def with_repetition(
         "_rep_ls", "_rep_g2s", "_rep_g5", "_rep_nl", "_rep_nd",
         "_rep_lc", "_rep_dc", "_rep_st", "_rep_n5", "_rep_n5d",
     ]
+    if not extended:
+        return staged, finals, internals
+
+    # ---- extended Gopher A1.1 signals (round 8) ----------------------
+    def _neighbor_dup_chars(arr: Column) -> Column:
+        # char mass of entries occurring >1× in the SORTED array — one
+        # neighbor comparison per position, O(L)
+        n_ = F.size(arr)
+        return F.when(
+            n_ > 0,
+            F.aggregate(
+                F.sequence(F.lit(1), n_),
+                zero,
+                lambda a, i: a
+                + F.when(
+                    (
+                        (i > 1)
+                        & (F.element_at(arr, i) == F.element_at(arr, i - 1))
+                    )
+                    | (
+                        (i < F.size(arr))
+                        & (F.element_at(arr, i) == F.element_at(arr, i + 1))
+                    ),
+                    F.length(F.element_at(arr, i)).cast("long"),
+                ).otherwise(zero),
+            ),
+        ).otherwise(zero)
+
+    paras = F.array_sort(
+        F.filter(F.split(t, "\n\n"), lambda p_: F.length(p_) > 0)
+    )
+    NS = (5, 6, 7, 8, 9, 10)
+
+    def _sorted_pos_grams(th: Column, n: int) -> Column:
+        # (gram HASH, start) structs sorted by hash then start — grams
+        # are matched by the portable 31-poly fold over token hashes
+        # (the span_dedup recipe) instead of materialized strings: a
+        # long sort beats a string sort ~3× here, and the DuckDB mirror
+        # folds the same hashes so parity is exact INCLUDING collisions.
+        # Struct array_sort orders by fields in declaration order.
+        return F.when(
+            F.size(th) >= n,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(th) - (n - 1)),
+                    lambda i: F.struct(
+                        F.aggregate(
+                            F.slice(th, i, n),
+                            F.lit(0).cast("long"),
+                            lambda acc, h: (acc * 31 + h) % F.lit(HASH_P),
+                        ).alias("g"),
+                        i.cast("int").alias("s"),
+                    ),
+                )
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<g:long,s:int>>")
+        )
+
+    # stage 1: sorted paragraph array, token lengths/hashes, sorted
+    # 3-/4-gram string arrays (top-gram needs the gram's char length and
+    # lexicographic tie-break, so those stay strings), sorted positioned
+    # n-gram hash-struct arrays — each is referenced by >1 downstream
+    # expression, so each MUST be a real column (the CollapseProject
+    # trap, see the module docstring)
+    staged = (
+        staged.withColumn("_rep_ps", paras)
+        .withColumn("_rep_tl", F.transform(toks, lambda x: F.length(x).cast("long")))
+        .withColumn("_rep_th", F.transform(toks, lambda x: poly_hash(char_codes(x))))
+        .withColumn("_rep_g3s", F.array_sort(_grams(toks, 3)))
+        .withColumn("_rep_g4s", F.array_sort(_grams(toks, 4)))
+    )
+    for n in NS:
+        staged = staged.withColumn(
+            f"_rep_sg{n}", _sorted_pos_grams(F.col("_rep_th"), n)
+        )
+
+    # stage 2: per-array reductions
+    def _dup_starts(sg: Column) -> Column:
+        # start positions whose gram equals a sorted neighbor's gram
+        # (= occurs ≥2× in the doc), ascending
+        g_ = F.size(sg)
+        flagged = F.filter(
+            F.sequence(F.lit(1), g_),
+            lambda j: (
+                (j > 1)
+                & (
+                    F.element_at(sg, j)["g"]
+                    == F.element_at(sg, j - 1)["g"]
+                )
+            )
+            | (
+                (j < F.size(sg))
+                & (
+                    F.element_at(sg, j)["g"]
+                    == F.element_at(sg, j + 1)["g"]
+                )
+            ),
+        )
+        return F.when(
+            g_ > 0,
+            F.array_sort(
+                F.transform(flagged, lambda j: F.element_at(sg, j)["s"])
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    staged = (
+        staged.withColumn("_rep_np", F.size(F.col("_rep_ps")))
+        .withColumn("_rep_npd", F.size(F.array_distinct(F.col("_rep_ps"))))
+        .withColumn(
+            "_rep_pc",
+            F.aggregate(F.col("_rep_ps"), zero, lambda a, p_: a + F.length(p_)),
+        )
+        .withColumn("_rep_pdc", _neighbor_dup_chars(F.col("_rep_ps")))
+        .withColumn("_rep_st3", F.aggregate(F.col("_rep_g3s"), init, _step))
+        .withColumn("_rep_st4", F.aggregate(F.col("_rep_g4s"), init, _step))
+        .withColumn(
+            "_rep_tc", F.aggregate(F.col("_rep_tl"), zero, lambda a, x: a + x)
+        )
+    )
+    for n in NS:
+        staged = staged.withColumn(f"_rep_ds{n}", _dup_starts(F.col(f"_rep_sg{n}")))
+
+    # stage 3 (finals): interval-union char coverage over the sorted
+    # duplicate-gram starts — starts ascend, so interval ends ascend and
+    # the accumulator is just (last covered end, char sum); each step
+    # slices at most n token lengths
+    def _coverage(ds: Column, n: int) -> Column:
+        cinit = F.struct(
+            F.lit(0).cast("int").alias("e"), zero.alias("c")
+        )
+
+        def cstep(acc, s):
+            a = F.greatest(s, acc["e"] + 1)
+            b = (s + F.lit(n - 1)).cast("int")
+            add = F.when(
+                b >= a,
+                F.aggregate(
+                    F.slice(F.col("_rep_tl"), a, b - a + 1),
+                    zero,
+                    lambda x, y: x + y,
+                ),
+            ).otherwise(zero)
+            return F.struct(
+                F.greatest(acc["e"], b).alias("e"), (acc["c"] + add).alias("c")
+            )
+
+        return F.aggregate(ds, cinit, cstep)["c"]
+
+    np_, npd = F.col("_rep_np"), F.col("_rep_npd")
+    pc, pdc = F.col("_rep_pc"), F.col("_rep_pdc")
+    tc = F.col("_rep_tc")
+    finals["dup_para_frac"] = F.round(
+        F.when(np_ > 0, 1.0 - npd / np_).otherwise(F.lit(0.0)), 4
+    )
+    finals["dup_para_char_frac"] = F.round(
+        F.when(pc > 0, pdc / pc).otherwise(F.lit(0.0)), 4
+    )
+    for gi, name in ((3, "top_3gram_char_frac"), (4, "top_4gram_char_frac")):
+        sti = F.col(f"_rep_st{gi}")
+        finals[name] = F.round(
+            F.when(
+                (n_chars > 0) & (sti["bc"] > 0),
+                F.least(
+                    sti["bc"] * F.length(sti["bg"]) / n_chars, F.lit(1.0)
+                ),
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+    for n in NS:
+        finals[f"dup_{n}gram_char_frac"] = F.round(
+            F.when(
+                tc > 0, _coverage(F.col(f"_rep_ds{n}"), n) / tc
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+    internals += (
+        ["_rep_ps", "_rep_tl", "_rep_th", "_rep_g3s", "_rep_g4s", "_rep_np",
+         "_rep_npd", "_rep_pc", "_rep_pdc", "_rep_st3", "_rep_st4",
+         "_rep_tc"]
+        + [f"_rep_sg{n}" for n in NS]
+        + [f"_rep_ds{n}" for n in NS]
+    )
     return staged, finals, internals
 
 

@@ -184,6 +184,7 @@ def stream_curate(
     max_chars: int | None = None,
     max_dup_line_frac: float | None = None,
     max_top_2gram_char_frac: float | None = None,
+    repetition_ceilings=None,
     redact=None,
     lm=None,
     extra_gates=None,
@@ -232,22 +233,33 @@ def stream_curate(
         toks=F.col("_ap_gtoks"),
     ))
     rep_internals: list[str] = []
-    if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
+    ceilings = dict(repetition_ceilings or {})
+    if max_dup_line_frac is not None:
+        ceilings.setdefault("dup_line_frac", float(max_dup_line_frac))
+    if max_top_2gram_char_frac is not None:
+        ceilings.setdefault(
+            "top_2gram_char_frac", float(max_top_2gram_char_frac)
+        )
+    if ceilings:
         from adampro_spark.pipeline.text import with_repetition
 
+        basic = {
+            "dup_line_frac", "dup_line_char_frac",
+            "top_2gram_char_frac", "dup_5gram_frac",
+        }
         out, rep, rep_internals = with_repetition(
-            out, text_col, toks=F.col("_ap_gtoks")
+            out, text_col, toks=F.col("_ap_gtoks"),
+            extended=bool(set(ceilings) - basic),
         )
+        unknown = sorted(set(ceilings) - set(rep))
+        if unknown:
+            raise ValueError(
+                f"unknown repetition signals {unknown}; available: "
+                f"{sorted(rep)}"
+            )
         rep_ok = F.lit(True)
-        if max_dup_line_frac is not None:
-            rep_ok = rep_ok & (
-                rep["dup_line_frac"] <= F.lit(float(max_dup_line_frac))
-            )
-        if max_top_2gram_char_frac is not None:
-            rep_ok = rep_ok & (
-                rep["top_2gram_char_frac"]
-                <= F.lit(float(max_top_2gram_char_frac))
-            )
+        for sig, ceil in sorted(ceilings.items()):
+            rep_ok = rep_ok & (rep[sig] <= F.lit(float(ceil)))
         flags["_rep_ok"] = rep_ok
     if lm is not None:
         from adampro_spark.pipeline.lm import bigram_lm_score_col, lm_score_col

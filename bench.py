@@ -81,6 +81,9 @@ HEADLINE = [
     "text_lm_bigram",
     # round 7: exact-substring (span) dedup, Lee-et-al-style
     "dedup_spans",
+    # round 8: the complete 13-signal Gopher A1.1 repetition table
+    # (one-scan staged projection; text_stats keeps the 4-signal form)
+    "text_stats_full",
     # round 7: asymmetric new-vs-reference dedup (banded, no ref self-join)
     "dedup_against",
 ]

@@ -101,3 +101,117 @@ def test_learned_gate_plugs_into_curate(spark, labeled):
 
     with pytest.raises(ValueError, match="clash"):
         curate(corpus, dedup=None, extra_gates={"_q_ok": F.lit(True)})
+
+
+# ---------------------------------------------------------------------------
+# round 8: the complete Gopher A1.1 repetition table
+# ---------------------------------------------------------------------------
+
+
+def test_extended_repetition_matches_bruteforce(spark):
+    """All nine extended signals (paragraph dups, top-3/4-gram coverage,
+    dup-{5..10}-gram char coverage with overlaps counted once) match a
+    python brute force, including empty/NULL/short docs."""
+    import re
+    from collections import Counter
+
+    from adampro_spark.pipeline.text import text_stats
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y z w v x y z w v x y z w v extra tail words here"),
+        (3, "p1 line\n\np2 para\n\np2 para\n\nshort"),
+        (4, "one two one two one two one two one two"),
+        (5, ""),
+        (6, None),
+        (7, "lone"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text_stats(df, repetition="full").collect()
+    }
+
+    def toks(t):
+        return [w for w in re.split(r"\s+", (t or "").lower()) if w]
+
+    def grams(tk, n):
+        return (
+            [" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)]
+            if len(tk) >= n
+            else []
+        )
+
+    def cov_frac(tk, n):
+        gs = grams(tk, n)
+        c = Counter(gs)
+        covered = set()
+        for i, g in enumerate(gs):
+            if c[g] >= 2:
+                covered.update(range(i, i + n))
+        tot = sum(len(w) for w in tk)
+        return (
+            round(sum(len(tk[p]) for p in covered) / tot, 4) if tot else 0.0
+        )
+
+    for i, t in docs:
+        tk, ps = toks(t), [p for p in (t or "").split("\n\n") if p]
+        got = out[i]
+        want_dpf = round(1 - len(set(ps)) / len(ps), 4) if ps else 0.0
+        assert got["dup_para_frac"] == pytest.approx(want_dpf, abs=1e-6), i
+        pcnt, pc = Counter(ps), sum(len(p) for p in ps)
+        want_dpc = (
+            round(sum(len(p) for p in ps if pcnt[p] > 1) / pc, 4) if pc else 0.0
+        )
+        assert got["dup_para_char_frac"] == pytest.approx(want_dpc, abs=1e-6), i
+        for n in (3, 4):
+            gs = grams(tk, n)
+            if gs and t:
+                cnt = Counter(gs)
+                g, c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                want = round(min(c * len(g) / len(t), 1.0), 4)
+            else:
+                want = 0.0
+            assert got[f"top_{n}gram_char_frac"] == pytest.approx(
+                want, abs=1e-6
+            ), (i, n)
+        for n in range(5, 11):
+            assert got[f"dup_{n}gram_char_frac"] == pytest.approx(
+                cov_frac(tk, n), abs=1e-6
+            ), (i, n)
+
+
+def test_gopher_repetition_ceilings_in_curate(spark):
+    """curate(repetition_ceilings=GOPHER_REPETITION_CEILINGS) drops the
+    pathologically repetitive documents in the one-scan gate pass and
+    counts them; unknown signal names raise."""
+    import numpy as np
+
+    from adampro_spark.pipeline.curate import (
+        GOPHER_REPETITION_CEILINGS,
+        curate,
+    )
+
+    rng = np.random.RandomState(23)
+    vocab = [f"w{i}" for i in range(300)]
+    good = [
+        (i, " ".join(rng.choice(vocab, size=40))) for i in range(12)
+    ]
+    bad = [
+        (100, " ".join(["spam ham eggs toast jam bread"] * 12)),  # dup 6-grams
+        (101, ("para one unique\n\n" + "same para\n\n" * 6).strip()),  # dup paras
+    ]
+    df = spark.createDataFrame(good + bad, "doc_id long, text string")
+    out, rep = curate(
+        df, langs=None, min_tokens=5, min_quality=0.0, dedup=None,
+        repetition_ceilings=GOPHER_REPETITION_CEILINGS,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert {100, 101}.isdisjoint(kept)
+    assert kept == {i for i, _ in good}
+    assert rep["n_repetitive"] == 2
+
+    with pytest.raises(ValueError, match="unknown repetition signals"):
+        curate(
+            df, dedup=None, repetition_ceilings={"no_such_signal": 0.5},
+        )
