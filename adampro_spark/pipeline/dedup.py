@@ -1146,10 +1146,18 @@ def line_dedup(
     pk: str = "doc_id",
     min_docs: int = 3,
     max_broadcast_rows: int = BROADCAST_HOT_MAX_ROWS,
+    sep: str = "\n",
 ) -> DataFrame:
     """Remove BOILERPLATE LINES — lines occurring in ≥ ``min_docs``
     distinct documents (C4 removed any line repeated ≥ 3×; RefinedWeb
     and CCNet run the same pass) — and rebuild each document's text.
+
+    ``sep`` picks the unit: the default ``"\\n"`` is C4's line; pass
+    ``"\\n\\n"`` for RefinedWeb-style PARAGRAPH removal (the separator
+    is used as a literal regex to split and verbatim to rejoin, so the
+    split→rejoin round-trip is byte-lossless for untouched documents —
+    keep it to fixed newline strings).  The output counter column is
+    named ``n_lines_removed`` either way.
 
     Output = the input columns with ``text_col`` rebuilt (surviving
     lines re-joined with ``\\n``) plus ``n_lines_removed``.  Lines that
@@ -1171,7 +1179,7 @@ def line_dedup(
     """
     from adampro_spark.pipeline.text import char_codes, poly_hash
 
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(F.col(text_col), str(sep))
     candidate = lambda ln: F.length(F.trim(ln)) > 0  # noqa: E731
     lh = df.select(
         F.col(pk).alias("_pk"),
@@ -1202,7 +1210,7 @@ def line_dedup(
     dr = F.coalesce(F.col("_drops"), F.array().cast("array<int>"))
     kept = F.filter(lines, lambda ln, i: ~F.array_contains(dr, i))
     rebuilt = F.when(
-        F.col(text_col).isNotNull(), F.concat_ws("\n", kept)
+        F.col(text_col).isNotNull(), F.concat_ws(str(sep), kept)
     )  # NULL text stays NULL (concat_ws would coerce it to "")
     return (
         joined.withColumn("n_lines_removed", F.size(dr).cast("long"))

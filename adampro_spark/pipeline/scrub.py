@@ -142,3 +142,104 @@ def redact_pii(
         # literal token strings)
         out = out.withColumn("pii_redacted", pii_total_expr(text_col, cats))
     return out.withColumn(text_col, redact_expr(text_col, cats))
+
+
+# ---------------------------------------------------------------------------
+# URL / domain filtering (UT1-blocklist-style source gating)
+# ---------------------------------------------------------------------------
+
+
+def domain_chain_expr(url_col: str | Column = "url") -> Column:
+    """The host's domain-suffix chain as an array column:
+    ``https://a.b.example.com/x`` → ``[a.b.example.com, b.example.com,
+    example.com, com]`` (lowercased, leading ``www.`` stripped).  A URL
+    whose host cannot be parsed yields an empty array.
+
+    This is the scalable unit of URL blocklisting: membership of ANY
+    chain element in a blocklist blocks the URL, so a list entry
+    ``example.com`` covers every subdomain without per-entry suffix
+    scans.
+    """
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    # try_parse_url: invalid URLs yield NULL host (plain parse_url
+    # RAISES on them since Spark 4 — a poisoned row would fail the job)
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        host.isNotNull() & (F.length(host) > 0),
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(".", F.slice(parts, i + 1, n - i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def url_gate_flags(
+    url_col: str = "url",
+    deny_domains: Sequence[str] = (),
+    allow_domains: Sequence[str] | None = None,
+) -> dict[str, Column]:
+    """URL gate for ``curate(extra_gates=...)``/``stream_curate`` over
+    LITERAL domain lists (config-sized; for blocklists that are
+    themselves datasets use :func:`filter_by_domains`): ``_url_ok`` is
+    true iff the host parses, no chain element is in ``deny_domains``,
+    and — when ``allow_domains`` is given — some chain element is in it.
+    A deny entry covers the domain and every subdomain.  One
+    ``arrays_overlap`` per list: vectorized, no per-entry scans.
+    """
+    chain = domain_chain_expr(url_col)
+    ok = F.size(chain) > 0
+    if deny_domains:
+        deny = sorted({d.lower().lstrip(".") for d in deny_domains})
+        ok = ok & ~F.arrays_overlap(chain, F.lit(deny))
+    if allow_domains is not None:
+        allow = sorted({d.lower().lstrip(".") for d in allow_domains})
+        ok = ok & F.arrays_overlap(chain, F.lit(allow))
+    return {"_url_ok": ok}
+
+
+def filter_by_domains(
+    df: DataFrame,
+    deny: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose URL host (or any parent domain) appears in the
+    ``deny`` table — the dataset-sized form of :func:`url_gate_flags`
+    (UT1-style blocklists run to millions of domains, far past any
+    literal-list or broadcast ceiling).
+
+    Plan shape at 100 TB: the suffix chain explodes to slim
+    ``(row, chain_domain)`` pairs — the document row is carried as an
+    opaque struct so text never widens the shuffle — and one LEFT ANTI
+    equi-join on the domain drops blocked rows; AQE broadcasts the deny
+    side when it fits and shuffle-joins (skew-splittable) when it
+    doesn't.  Rows with unparseable hosts are KEPT (no chain element to
+    match) — gate them separately with ``url_gate_flags`` if unparsed
+    URLs should fail.
+    """
+    deny_tab = (
+        deny.select(
+            F.lower(F.regexp_replace(F.col(domain_col), r"^\.", "")).alias(
+                "_deny_dom"
+            )
+        )
+        .distinct()
+    )
+    chained = df.withColumn("_dchain", domain_chain_expr(url_col))
+    hits = (
+        chained.select(
+            F.col(url_col).alias("_u"),
+            F.explode("_dchain").alias("_deny_dom"),
+        )
+        .join(deny_tab, "_deny_dom", "left_semi")
+        .select(F.col("_u"))
+        .distinct()
+    )
+    return (
+        chained.join(
+            hits.withColumnRenamed("_u", url_col), url_col, "left_anti"
+        ).drop("_dchain")
+    )

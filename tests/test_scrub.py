@@ -422,3 +422,108 @@ def test_compression_gate_streams(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT doc_id FROM comp_stream").collect()
     }
     assert got == want and got == set(range(8))
+
+
+# ---------------------------------------------------------------------------
+# round 8: URL / domain filtering
+# ---------------------------------------------------------------------------
+
+
+def _url_corpus(spark):
+    rows = [
+        (1, "https://www.example.com/page", "keep? no - denied root"),
+        (2, "http://sub.deep.example.com/x?q=1", "denied via parent"),
+        (3, "https://good.org/article", "kept"),
+        (4, "https://example.org/", "kept (org != com)"),
+        (5, "not a url at all", "unparseable"),
+        (6, None, "null url"),
+        (7, "https://evil.net:8080/path", "denied with port"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_url_gate_flags_deny_and_allow(spark):
+    from adampro_spark.pipeline.scrub import url_gate_flags
+
+    df = _url_corpus(spark)
+    flag = url_gate_flags("url", deny_domains=["example.com", "evil.net"])
+    got = {
+        r["doc_id"]: r["ok"]
+        for r in df.select("doc_id", flag["_url_ok"].alias("ok")).collect()
+    }
+    # parse_url keeps the port out of HOST; www. stripped; subdomains
+    # blocked via the chain; unparseable/NULL hosts fail the gate
+    assert got == {1: False, 2: False, 3: True, 4: True, 5: False,
+                   6: False, 7: False}
+
+    allow = url_gate_flags("url", allow_domains=["example.com"])
+    got2 = {
+        r["doc_id"]: r["ok"]
+        for r in df.select("doc_id", allow["_url_ok"].alias("ok")).collect()
+    }
+    assert got2[1] and got2[2] and not got2[3] and not got2[4]
+
+
+def test_filter_by_domains_dataset_blocklist(spark):
+    from adampro_spark.pipeline.scrub import filter_by_domains
+
+    df = _url_corpus(spark)
+    deny = spark.createDataFrame(
+        [("example.com",), (".evil.net",)], "domain string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in filter_by_domains(df, deny, "url").select("doc_id").collect()
+    }
+    # anti-join semantics: unparseable/NULL URLs are KEPT (documented),
+    # denied roots + subdomains dropped
+    assert kept == {3, 4, 5, 6}
+    out = filter_by_domains(df, deny, "url")
+    assert "_dchain" not in out.columns and set(out.columns) == {
+        "doc_id", "url", "text"
+    }
+
+
+def test_url_gate_composes_with_curate(spark):
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.scrub import url_gate_flags
+
+    rows = [
+        (i, f"https://site{i % 3}.com/p",
+         "a perfectly reasonable document with enough words to pass "
+         "the gates and some variation " + str(i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out, rep = curate(
+        df, langs=None, min_tokens=5, min_quality=0.0, dedup=None,
+        extra_gates=url_gate_flags("url", deny_domains=["site0.com"]),
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == {i for i in range(12) if i % 3 != 0}
+    assert rep["n_fail_url_ok"] == 4
+
+
+def test_line_dedup_paragraph_mode(spark):
+    """sep='\\n\\n' removes cross-document boilerplate PARAGRAPHS and
+    leaves untouched documents byte-identical."""
+    from adampro_spark.pipeline.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter\nfor daily updates"
+    rows = [
+        (1, f"unique one\n\n{boiler}\n\ntail one"),
+        (2, f"unique two\n\n{boiler}"),
+        (3, f"{boiler}\n\nunique three"),
+        (4, "totally original\n\nnothing shared here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, min_docs=3, sep="\n\n").collect()
+    }
+    assert out[1]["text"] == "unique one\n\ntail one"
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "unique three"
+    assert out[4]["text"] == rows[3][1]  # byte-identical
+    assert out[4]["n_lines_removed"] == 0
+    assert all(out[i]["n_lines_removed"] == 1 for i in (1, 2, 3))
