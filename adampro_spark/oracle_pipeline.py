@@ -1679,27 +1679,71 @@ def _lm_bigram_sql(v: int = _BLM_V, b: int = _BLM_B, lam: float = _BLM_LAM) -> s
 # Round-8 window re-fold (round-7 verdict #1): unigram and interpolated
 # bigram LM scoring merge into ONE tagged-union driver row — BOTH fits
 # (vocab/bigram selection, tie-breaks, smoothing, OOV mass) and both
-# scoring passes still ride the value hash per document.
+# scoring passes still ride the value hash per document — plus the
+# CCNet head/middle/tail perplexity-tercile split (lm.lm_bucket,
+# NTILE-exact per source, Wenzek et al. 2020 §4.3) as a third section.
 BENCH_ONLY["text_lm_bigram"] = _lm_bigram_row
+
+
+def _lm_bucket_row(spark, sf):
+    from adampro_spark.pipeline.lm import fit_unigram_lm, lm_bucket
+
+    docs = _docs(spark, sf).select("doc_id", "source", "text")
+    vocab, meta = fit_unigram_lm(docs, vocab_size=_LM_V)
+    return lm_bucket(docs, vocab, meta, by="source")
+
+
+BENCH_ONLY["text_lm_bucket"] = _lm_bucket_row
+
+
+def _lm_bucket_sql(v: int = _LM_V) -> str:
+    return f"""
+    WITH s AS (
+      SELECT sc.doc_id, d.source, sc.lm_logprob
+      FROM ({_lm_sql(v)}) sc JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, source, lm_logprob,
+             ntile(3) OVER (PARTITION BY source
+                            ORDER BY lm_logprob DESC, doc_id ASC) AS nt
+      FROM s WHERE lm_logprob IS NOT NULL
+    )
+    SELECT doc_id, source, lm_logprob,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM ranked
+    UNION ALL
+    SELECT doc_id, source, lm_logprob, NULL::VARCHAR
+    FROM s WHERE lm_logprob IS NULL
+    """
 
 
 def _lm_suite(spark, sf):
     uni = _lm_score_row(spark, sf).select(
-        F.lit("unigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens"
+        F.lit("unigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens",
+        F.lit(None).cast("string").alias("bucket"),
     )
     bi = _lm_bigram_row(spark, sf).select(
-        F.lit("bigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens"
+        F.lit("bigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens",
+        F.lit(None).cast("string").alias("bucket"),
     )
-    return _union_all([uni, bi])
+    bk = _lm_bucket_row(spark, sf).select(
+        F.lit("bucket3").alias("model"), "doc_id", "lm_logprob",
+        F.lit(None).cast("long").alias("lm_tokens"), "bucket",
+    )
+    return _union_all([uni, bi, bk])
 
 
 _register(
     "text_lm_suite",
     _lm_suite,
     f"""
-    SELECT 'unigram' AS model, * FROM ({_lm_sql()})
+    SELECT 'unigram' AS model, *, NULL::VARCHAR AS bucket FROM ({_lm_sql()})
     UNION ALL
-    SELECT 'bigram', * FROM ({_lm_bigram_sql()})
+    SELECT 'bigram', *, NULL::VARCHAR FROM ({_lm_bigram_sql()})
+    UNION ALL
+    SELECT 'bucket3', doc_id, lm_logprob, NULL::BIGINT, bucket
+    FROM ({_lm_bucket_sql()})
     """,
 )
 

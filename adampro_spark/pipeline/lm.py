@@ -409,3 +409,110 @@ def bigram_lm_score_col(
     return F.pandas_udf(_score, T.DoubleType())(
         F.col(text_col) if isinstance(text_col, str) else text_col
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing — perplexity-tercile corpus split
+# ---------------------------------------------------------------------------
+
+LM_BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def lm_bucket(
+    df: DataFrame,
+    vocab: DataFrame,
+    meta: dict[str, Any],
+    text_col: str = "text",
+    pk: str = "doc_id",
+    by: str | None = None,
+    n_buckets: int = 3,
+    method: str = "ntile",
+) -> DataFrame:
+    """Assign every document to a perplexity bucket — CCNet's
+    head/middle/tail corpus split (Wenzek et al. 2020 §4.3: Common Crawl
+    is released in LM-perplexity terciles per language; training recipes
+    pick their mix by bucket).  Returns ``(pk[, by], lm_logprob,
+    bucket)`` with bucket ∈ head/middle/tail for ``n_buckets=3`` (or
+    ``b1..bN`` beyond 3); BETTER scores (higher mean logprob = lower
+    perplexity) land in earlier buckets.  Documents that score NULL
+    (empty after tokenization) get a NULL bucket.
+
+    ``by`` optionally buckets within groups (CCNet buckets per
+    language; pass ``"lang"``/``"source"``).
+
+    ``method="ntile"`` (default) — EXACT equal-count split via NTILE
+    over (score DESC, pk ASC): deterministic, tie-stable, and exactly
+    mirrorable in ANSI SQL (the oracle row).  The window partitions by
+    ``by`` — fine whenever groups are languages/sources; a single
+    monster group serializes its sort into one task, so at extreme
+    scale prefer:
+
+    ``method="quantile"`` — approximate threshold split: per-group
+    ``percentile_approx`` thresholds (one tiny aggregate, broadcast
+    back) then a map-only comparison.  Bucket POPULATIONS are then only
+    approximately equal; boundaries are data-dependent doubles, so this
+    path is benchmarked and pytest-sanity-checked rather than
+    hash-oracled.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if method not in ("ntile", "quantile"):
+        raise ValueError(f"unknown lm_bucket method {method!r}")
+    from pyspark.sql import Window
+
+    labels = (
+        list(LM_BUCKET_LABELS)
+        if n_buckets == 3
+        else [f"b{i + 1}" for i in range(n_buckets)]
+    )
+    keep = [pk] + ([by] if by else [])
+    scores = lm_score(
+        df.select(*keep, text_col), vocab, meta, text_col=text_col, pk=pk
+    )
+    if by:
+        scores = scores.join(df.select(pk, by), pk)
+    scored = scores.select(
+        *keep, F.round("lm_logprob", 4).alias("lm_logprob")
+    )
+    label_arr = F.lit(labels)
+    if method == "ntile":
+        w = Window.partitionBy(*( [by] if by else [] )).orderBy(
+            F.col("lm_logprob").desc(), F.col(pk).asc()
+        )
+        nt = F.ntile(n_buckets).over(w)
+        # NULL scores are excluded from the ranked set (they would
+        # otherwise pollute tercile sizes) and re-attach with NULL bucket
+        ranked = scored.filter(F.col("lm_logprob").isNotNull()).withColumn(
+            "bucket", F.element_at(label_arr, nt)
+        )
+        nulls = scored.filter(F.col("lm_logprob").isNull()).withColumn(
+            "bucket", F.lit(None).cast("string")
+        )
+        return ranked.unionByName(nulls)
+    # quantile: thresholds at (1/N .. (N-1)/N) score quantiles DESCENDING
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    nn = scored.filter(F.col("lm_logprob").isNotNull())
+    th = (
+        nn.groupBy(*([by] if by else []))
+        .agg(
+            F.percentile_approx(
+                "lm_logprob", [1.0 - p for p in ps], 10_000
+            ).alias("_ths")
+        )
+    )
+    joined = (
+        scored.join(F.broadcast(th), on=by, how="left")
+        if by
+        else scored.crossJoin(F.broadcast(th))
+    )
+    # _ths descending: bucket = 1 + count of thresholds the score is BELOW
+    idx = (
+        F.lit(1)
+        + F.size(
+            F.filter(F.col("_ths"), lambda t: F.col("lm_logprob") < t)
+        )
+    )
+    return joined.withColumn(
+        "bucket",
+        F.when(F.col("lm_logprob").isNotNull(), F.element_at(label_arr, idx)),
+    ).drop("_ths")

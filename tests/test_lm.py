@@ -436,3 +436,73 @@ def test_stream_curate_bigram_lm_matches_batch(spark, tables, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT doc_id FROM blm_stream").collect()
     }
     assert got == want and got
+
+
+def test_lm_bucket_ntile_terciles(spark, tables):
+    """NTILE buckets are equal-count (±1) per group, better scores land
+    in head, NULL-scoring docs get NULL bucket, labels generalize."""
+    from adampro_spark.pipeline.lm import fit_unigram_lm, lm_bucket
+
+    docs = tables["documents"].select("doc_id", "source", "text").unionByName(
+        spark.createDataFrame(
+            [(9_000_001, "srcx", "")], "doc_id long, source string, text string"
+        )
+    )
+    vocab, meta = fit_unigram_lm(docs, vocab_size=64)
+    out = lm_bucket(docs, vocab, meta, by="source").cache()
+    assert set(out.columns) == {"doc_id", "source", "lm_logprob", "bucket"}
+    # the empty doc scores NULL and gets a NULL bucket
+    nb = out.filter(F.col("doc_id") == 9_000_001).first()
+    assert nb["lm_logprob"] is None and nb["bucket"] is None
+    sizes = {
+        (r["source"], r["bucket"]): r["n"]
+        for r in out.filter(F.col("bucket").isNotNull())
+        .groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src in {s for s, _ in sizes}:
+        hs = [sizes.get((src, b), 0) for b in ("head", "middle", "tail")]
+        assert max(hs) - min(hs) <= 1, (src, hs)
+    # every head score >= every tail score within a group
+    import collections
+    rows = collections.defaultdict(lambda: {"head": [], "middle": [], "tail": []})
+    for r in out.filter(F.col("bucket").isNotNull()).collect():
+        rows[r["source"]][r["bucket"]].append(r["lm_logprob"])
+    for src, d in rows.items():
+        if d["head"] and d["tail"]:
+            assert min(d["head"]) >= max(d["tail"]), src
+    out.unpersist()
+
+
+def test_lm_bucket_quantile_path_sane(spark, tables):
+    """The scale path (approx thresholds + map-only compare) produces
+    monotone buckets with roughly balanced populations."""
+    from adampro_spark.pipeline.lm import fit_unigram_lm, lm_bucket
+
+    docs = tables["documents"].select("doc_id", "source", "text")
+    vocab, meta = fit_unigram_lm(docs, vocab_size=64)
+    out = lm_bucket(docs, vocab, meta, method="quantile").cache()
+    per = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["bucket"] is not None
+    }
+    n = sum(per.values())
+    for b in ("head", "middle", "tail"):
+        assert per.get(b, 0) > 0.15 * n, per  # roughly balanced
+    hm = out.filter(F.col("bucket") == "head").agg(
+        F.min("lm_logprob")
+    ).first()[0]
+    tm = out.filter(F.col("bucket") == "tail").agg(
+        F.max("lm_logprob")
+    ).first()[0]
+    assert hm >= tm
+    out.unpersist()
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        lm_bucket(docs, vocab, meta, n_buckets=1)
+    with pytest.raises(ValueError, match="method"):
+        lm_bucket(docs, vocab, meta, method="nope")
+    five = lm_bucket(docs, vocab, meta, n_buckets=5)
+    labels = {r["bucket"] for r in five.select("bucket").distinct().collect()}
+    assert labels <= {"b1", "b2", "b3", "b4", "b5", None}

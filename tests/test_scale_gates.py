@@ -53,31 +53,46 @@ def boiler_corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string").cache()
 
 
-@pytest.mark.parametrize("op", [span_dedup, line_dedup])
-def test_hot_set_gate_routes_to_shuffle_with_identical_output(
-    spark, boiler_corpus, op
-):
-    """max_broadcast_rows=0 (adversarial: every hot set 'too big') must
-    remove the forced BroadcastExchange from the semi-join and still
-    produce byte-identical output."""
-    kw = {"n": 5, "min_docs": 2} if op is span_dedup else {"min_docs": 2}
+def test_gated_semi_join_routes_by_hot_size(spark, boiler_corpus):
+    """The routing primitive itself: under the row gate the semi-join
+    plans a forced BroadcastExchange; past it, a plain shuffle join
+    (auto-broadcast disabled so the assert is exact)."""
+    from adampro_spark.pipeline.dedup import _gated_semi_join
+
+    big = boiler_corpus.select(F.col("doc_id").alias("k"))
+    hot = boiler_corpus.select(F.col("doc_id").alias("k")).filter(
+        F.col("k") < 20
+    ).distinct()
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        # disable AUTO broadcasts so the only BroadcastExchange left can
-        # come from a forced F.broadcast — makes the plan assert exact
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        bc = op(boiler_corpus, **kw)
-        sh = op(boiler_corpus, max_broadcast_rows=0, **kw)
+        bc = _gated_semi_join(big, hot, "k", max_broadcast_rows=10**6)
+        sh = _gated_semi_join(big, hot, "k", max_broadcast_rows=0)
         assert "BroadcastExchange" in _plan(bc)
         assert "BroadcastExchange" not in _plan(sh)
-        assert _rows(bc) == _rows(sh)
-        # the pass actually did something on this corpus
-        cut_col = (
-            "n_tokens_removed" if op is span_dedup else "n_lines_removed"
+        assert sorted(r["k"] for r in bc.collect()) == sorted(
+            r["k"] for r in sh.collect()
         )
-        assert sh.agg(F.sum(cut_col)).collect()[0][0] > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+@pytest.mark.parametrize("op", [span_dedup, line_dedup])
+def test_hot_set_gate_identical_output_on_both_routes(
+    spark, boiler_corpus, op
+):
+    """max_broadcast_rows=0 (adversarial: every hot set 'too big')
+    routes through the shuffle path and still produces byte-identical
+    output.  (The per-route plan shape is asserted on the routing
+    primitive above — the operators eagerly checkpoint their per-doc
+    output, which truncates the externally visible plan.)"""
+    kw = {"n": 5, "min_docs": 2} if op is span_dedup else {"min_docs": 2}
+    bc = op(boiler_corpus, **kw)
+    sh = op(boiler_corpus, max_broadcast_rows=0, **kw)
+    assert _rows(bc) == _rows(sh)
+    # the pass actually did something on this corpus
+    cut_col = "n_tokens_removed" if op is span_dedup else "n_lines_removed"
+    assert sh.agg(F.sum(cut_col)).collect()[0][0] > 0
 
 
 def test_tfidf_df_t_is_not_a_term_window(spark, boiler_corpus):
