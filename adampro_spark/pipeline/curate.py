@@ -25,7 +25,9 @@ from adampro_spark.pipeline.dedup import (
     minhash_dup_pairs,
     simhash_pairs,
 )
-from adampro_spark.pipeline.text import langid_expr, tokens_expr
+from adampro_spark.pipeline.text import (
+    langid_expr, pushdown_barrier, tokens_expr,
+)
 
 
 def gate_flags(
@@ -370,7 +372,10 @@ def curate(
         rep_ok = F.lit(True)
         for sig, ceil in sorted(ceilings.items()):
             rep_ok = rep_ok & (rep[sig] <= F.lit(float(ceil)))
-        flags["_rep_ok"] = rep_ok
+        # pushdown_barrier: without it, filtering on this flag
+        # substitutes the staged gram projections into each other's
+        # lambdas — an O(T^3) interpreted plan (see text.pushdown_barrier)
+        flags["_rep_ok"] = pushdown_barrier(rep_ok)
     extras = dict(extra_gates or {})
     clash = set(extras) & set(flags)
     if clash:

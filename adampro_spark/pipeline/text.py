@@ -417,24 +417,44 @@ def with_repetition(
     )
     NS = (5, 6, 7, 8, 9, 10)
 
-    def _sorted_pos_grams(th: Column, n: int) -> Column:
-        # (gram HASH, start) structs sorted by hash then start — grams
-        # are matched by the portable 31-poly fold over token hashes
-        # (the span_dedup recipe) instead of materialized strings: a
-        # long sort beats a string sort ~3× here, and the DuckDB mirror
-        # folds the same hashes so parity is exact INCLUDING collisions.
-        # Struct array_sort orders by fields in declaration order.
+    _empty_longs = F.array().cast("array<long>")
+
+    def _base_gram_hashes(th: Column, n: int) -> Column:
+        # h_n[i] = 31-poly fold of th[i..i+n-1] — the span_dedup recipe
         return F.when(
             F.size(th) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(th) - (n - 1)),
+                lambda i: F.aggregate(
+                    F.slice(th, i, n),
+                    F.lit(0).cast("long"),
+                    lambda acc, h: (acc * 31 + h) % F.lit(HASH_P),
+                ),
+            ),
+        ).otherwise(_empty_longs)
+
+    # NOTE a chained incremental form (h_n extends h_{n-1}, O(G) per
+    # extra n) was tried and REVERTED: each h_{n} is referenced by both
+    # h_{n+1} and its sort consumer, and CollapseProject substitutes the
+    # chain through successive withColumns — the h5 body ends up copied
+    # 2^5 times into one filter expression (a 365 MB task binary OOMed
+    # the JVM in curate's gate pass).  The independent per-n folds below
+    # each reference the staged token-hash column exactly once, so the
+    # worst collapse is 6 linear copies of a slim attribute reference.
+
+    def _sorted_pos_grams(hn: Column) -> Column:
+        # (gram HASH, start) structs sorted by hash then start — grams
+        # are matched by the portable 31-poly hash instead of
+        # materialized strings (long sort ≪ string sort; the DuckDB
+        # mirror folds the same hashes so parity is exact INCLUDING
+        # collisions).  Struct array_sort orders by declaration order.
+        return F.when(
+            F.size(hn) >= 1,
             F.array_sort(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(th) - (n - 1)),
+                    F.sequence(F.lit(1), F.size(hn)),
                     lambda i: F.struct(
-                        F.aggregate(
-                            F.slice(th, i, n),
-                            F.lit(0).cast("long"),
-                            lambda acc, h: (acc * 31 + h) % F.lit(HASH_P),
-                        ).alias("g"),
+                        F.element_at(hn, i).alias("g"),
                         i.cast("int").alias("s"),
                     ),
                 )
@@ -458,7 +478,11 @@ def with_repetition(
     )
     for n in NS:
         staged = staged.withColumn(
-            f"_rep_sg{n}", _sorted_pos_grams(F.col("_rep_th"), n)
+            f"_rep_h{n}", _base_gram_hashes(F.col("_rep_th"), n)
+        )
+    for n in NS:
+        staged = staged.withColumn(
+            f"_rep_sg{n}", _sorted_pos_grams(F.col(f"_rep_h{n}"))
         )
 
     # stage 2: per-array reductions
@@ -564,10 +588,48 @@ def with_repetition(
         ["_rep_ps", "_rep_tl", "_rep_th", "_rep_g3s", "_rep_g4s", "_rep_np",
          "_rep_npd", "_rep_pc", "_rep_pdc", "_rep_st3", "_rep_st4",
          "_rep_tc"]
+        + [f"_rep_h{n}" for n in NS]
         + [f"_rep_sg{n}" for n in NS]
         + [f"_rep_ds{n}" for n in NS]
     )
     return staged, finals, internals
+
+
+def pushdown_barrier(flag: Column) -> Column:
+    """OR an always-false NONDETERMINISTIC disjunct onto a boolean gate
+    COLUMN so no filter on it can be substituted through the staged
+    projections below it.
+
+    Why this exists: ``PushPredicateThroughNonJoin`` pushes a filter
+    through a Project by ``replaceAlias``-substituting the condition —
+    unconditionally, with no reference-count or expression-size guard;
+    its only gate is ``fields.forall(_.deterministic)`` ON THE PROJECT.
+    For a flag derived from :func:`with_repetition`'s staged array
+    columns that substitution nests each stage's higher-order-function
+    body inside the next stage's lambda (``element_at(h_n, i)`` becomes
+    the whole transform-aggregate fold, re-evaluated PER ELEMENT),
+    turning the O(T·n) per-document plan into an interpreted O(T^3):
+    curating 20 real documents ran for minutes and the collapsed filter
+    alone was a multi-MB task binary.
+
+    Placement matters, measured variant by variant: an ND disjunct in
+    the FILTER CONDITION does not help (the determinism gate is on the
+    project, not the condition), and a standalone unreferenced ND
+    column is deleted by ColumnPruning before pushdown runs.  The one
+    shape that pins the plan is ND **inside the flag column itself**:
+    the filter references the flag, so pruning keeps it, and the
+    project carrying it fails ``forall(_.deterministic)`` — every push,
+    merge (CombineFilters) and collapse (CollapseProject) below it is
+    blocked, while sibling deterministic conjuncts in the same filter
+    still split off and push to the scan (length/lang gates keep
+    pruning rows before the repetition arrays are ever built).
+
+    ``spark_partition_id() < 0`` is the disjunct: always false (ids are
+    non-negative), marked nondeterministic, costs nothing, and is
+    allowed in streaming Projects — so the same barrier serves
+    ``stream_curate``'s per-microbatch plans.
+    """
+    return flag | (F.spark_partition_id() < F.lit(0))
 
 
 def repetition_stats(

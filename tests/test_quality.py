@@ -210,6 +210,19 @@ def test_gopher_repetition_ceilings_in_curate(spark):
     assert {100, 101}.isdisjoint(kept)
     assert kept == {i for i, _ in good}
     assert rep["n_repetitive"] == 2
+    # regression guards (round 8), both observed in the wild:
+    # 1. a chained gram-hash staging once collapsed into a 365 MB task
+    #    binary here (exponential expression duplication through
+    #    CollapseProject) and OOMed the JVM — the plan must stay
+    #    linear-sized;
+    # 2. without text.pushdown_barrier on _rep_ok, filter pushdown
+    #    substituted the staged gram projections into each other's
+    #    lambdas (an interpreted O(T^3) plan: 20 real documents took
+    #    minutes) — the staged columns must SURVIVE as attributes in
+    #    the optimized kept plan instead of being inlined away
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_rep_sg5" in opt and "_rep_th" in opt
+    assert len(out._jdf.queryExecution().executedPlan().toString()) < 3_000_000
 
     with pytest.raises(ValueError, match="unknown repetition signals"):
         curate(
