@@ -1169,16 +1169,47 @@ def _scrub_sql() -> str:
 _register("scrub_redaction", _scrub_row, _scrub_sql())
 
 
+_URL_DENY = ("example0.com", "sub3.example1.com")
+
+
+def _gopher_url_expr() -> Column:
+    """Synthetic per-doc URL exercising every url_gate_flags branch:
+    unparseable (no scheme), www-stripping, apex-domain deny
+    (example0.com covers all its subdomains) and a subdomain-level deny
+    entry (sub3.example1.com blocks only that host)."""
+    did = F.col("doc_id")
+    return F.when(did % 13 == 0, F.lit("no-scheme-here")).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.when(did % 4 == 3, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("sub"), (did % 5).cast("string"),
+            F.lit(".example"), (did % 4).cast("string"),
+            F.lit(".com/p/"), did.cast("string"), F.lit("?q=1"),
+        )
+    )
+
+
 def _gopher_row(spark, sf):
     """The MassiveText A1.1 rule preset as a checked per-document flag
     table (curate.py:77 gopher_gate_flags) — the same expressions curate
-    consumes via extra_gates, adjudicated rule by rule."""
+    consumes via extra_gates, adjudicated rule by rule.  Round 8 folds
+    the URL/domain gate (scrub.url_gate_flags: try_parse_url host →
+    suffix chain → literal deny list) into the same row over a synthetic
+    url column, so the whole gate-preset surface is one driver row."""
     from adampro_spark.pipeline.curate import gopher_gate_flags
+    from adampro_spark.pipeline.scrub import url_gate_flags
 
     flags = gopher_gate_flags()
-    return _docs(spark, sf).select(
-        "doc_id", *[col.alias(name) for name, col in flags.items()]
+    uflags = url_gate_flags("url", deny_domains=_URL_DENY)
+    return _docs(spark, sf).withColumn("url", _gopher_url_expr()).select(
+        "doc_id",
+        *[col.alias(name) for name, col in flags.items()],
+        uflags["_url_ok"].alias("_url_ok"),
     )
+
+
+def _url_deny_sql() -> str:
+    return "[" + ", ".join(f"'{d}'" for d in _URL_DENY) + "]"
 
 
 def _gopher_sql() -> str:
@@ -1204,8 +1235,35 @@ def _gopher_sql() -> str:
         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
         len(list_filter(list_distinct(toks), t -> list_contains([{req}], t))) AS req
       FROM base
+    ),
+    u AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0 THEN 'no-scheme-here'
+             ELSE 'https://'
+               || CASE WHEN doc_id % 4 = 3 THEN 'www.' ELSE '' END
+               || 'sub' || (doc_id % 5)::VARCHAR
+               || '.example' || (doc_id % 4)::VARCHAR
+               || '.com/p/' || doc_id::VARCHAR || '?q=1' END AS url
+      FROM documents
+    ),
+    uh AS (
+      SELECT doc_id,
+        regexp_replace(
+          lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+          '^www\\.', '') AS host
+      FROM u
+    ),
+    uc AS (
+      SELECT doc_id,
+        (host <> ''
+         AND len(list_intersect(
+               list_transform(
+                 generate_series(1, len(string_split(host, '.'))),
+                 i -> array_to_string(string_split(host, '.')[i:], '.')),
+               {_url_deny_sql()})) = 0) AS url_ok
+      FROM uh
     )
-    SELECT doc_id,
+    SELECT m.doc_id,
       (n >= 50 AND n <= 100000) AS _g_words,
       ((CASE WHEN n > 0 THEN chars / n ELSE 0.0 END) >= 3.0
         AND (CASE WHEN n > 0 THEN chars / n ELSE 0.0 END) <= 10.0) AS _g_word_len,
@@ -1213,8 +1271,9 @@ def _gopher_sql() -> str:
       ((CASE WHEN nl > 0 THEN bullets / nl ELSE 0.0 END) <= 0.9
         AND (CASE WHEN nl > 0 THEN ellipses / nl ELSE 0.0 END) <= 0.3) AS _g_bullets,
       ((CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) >= 0.8) AS _g_alpha,
-      (req >= 2) AS _g_required
-    FROM m
+      (req >= 2) AS _g_required,
+      uc.url_ok AS _url_ok
+    FROM m JOIN uc ON m.doc_id = uc.doc_id
     """
 
 
@@ -1496,17 +1555,22 @@ def _line_dedup_row(spark, sf):
     return line_dedup(planted, min_docs=3)
 
 
-def _line_dedup_sql(min_docs: int = 3) -> str:
+def _line_dedup_sql(
+    min_docs: int = 3,
+    sep: str = "chr(10)",
+    boiler: str = _BOILER,
+    mod: int = 4,
+) -> str:
     h = _sql_poly_hash("ln")
     return f"""
     WITH planted AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 4 = 0
-                  THEN text || chr(10) || '{_BOILER}'
+             CASE WHEN doc_id % {mod} = 0
+                  THEN text || {sep} || '{boiler}'
                   ELSE text END AS text
       FROM documents
     ),
-    ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM planted),
+    ls AS (SELECT doc_id, text, string_split(text, {sep}) AS ls FROM planted),
     ex AS (
       SELECT doc_id, unnest(ls) AS ln,
              unnest(generate_series(1, len(ls))) AS pos
@@ -1532,20 +1596,59 @@ def _line_dedup_sql(min_docs: int = 3) -> str:
                  list_zip(l.ls, generate_series(1, len(l.ls))),
                  z -> NOT list_contains(coalesce(d.drops, CAST([] AS BIGINT[])), z[2])),
                z -> z[1]),
-             chr(10)), '') END AS text,
+             {sep}), '') END AS text,
       coalesce(len(d.drops), 0)::BIGINT AS n_lines_removed
     FROM ls l LEFT JOIN drops d USING (doc_id)
     """
 
 
-def _line_dedup_full_row(spark, sf):
-    # keep only the adjudicated columns (lang/source/n_chars unchanged)
-    return _line_dedup_row(spark, sf).select(
-        "doc_id", "text", "n_lines_removed"
+_PARA = "subscribe to our newsletter for weekly updates"
+
+
+def _para_dedup_row(spark, sf):
+    """RefinedWeb-style PARAGRAPH boilerplate removal (round 8): the
+    same line_dedup engine with sep='\\n\\n' on a paragraph-planted
+    corpus."""
+    from adampro_spark.pipeline.dedup import line_dedup
+
+    planted = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\n\n" + _PARA)),
+        ).otherwise(F.col("text")).alias("text"),
     )
+    return line_dedup(planted, min_docs=3, sep="\n\n")
 
 
-_register("dedup_lines", _line_dedup_full_row, _line_dedup_sql())
+def _line_dedup_suite(spark, sf):
+    # tagged union (round-8 fold): C4 line mode + RefinedWeb paragraph
+    # mode share the (mode, doc_id, text, n_lines_removed) schema; the
+    # driver hash adjudicates hotness counting, position collection and
+    # the byte-lossless rebuild for BOTH separators in one row
+    cols = ["doc_id", "text", "n_lines_removed"]
+    line = _line_dedup_row(spark, sf).select(
+        F.lit("line").alias("mode"), *cols
+    )
+    para = _para_dedup_row(spark, sf).select(
+        F.lit("para").alias("mode"), *cols
+    )
+    return _union_all([line, para])
+
+
+BENCH_ONLY["dedup_paragraphs"] = _para_dedup_row
+
+_register(
+    "dedup_lines",
+    _line_dedup_suite,
+    f"""
+    SELECT 'line' AS mode, * FROM ({_line_dedup_sql()})
+    UNION ALL
+    SELECT 'para' AS mode, * FROM (
+      {_line_dedup_sql(sep="chr(10) || chr(10)", boiler=_PARA, mod=5)}
+    )
+    """,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1868,12 +1971,43 @@ def _dedup_against_row(spark, sf):
     )
 
 
+def _dedup_against_simhash_row(spark, sf):
+    # pigeonhole chunks > max_hamming make the cross-corpus banded join
+    # EXHAUSTIVE, so the all-pairs oracle is exactly equivalent — the
+    # oracle row disables the hot-bucket cap like dedup_simhash_suite
+    # (the production default keeps it; pytest covers its semantics)
+    from adampro_spark.pipeline.dedup import dedup_against
+
+    new = _against_new(spark, sf)
+    ref = _docs(spark, sf).select("doc_id", "text")
+    return dedup_against(
+        new, ref, method="simhash", max_hamming=3,
+        max_bucket_size=10**9, return_matches=True,
+    )
+
+
+def _dedup_against_suite(spark, sf):
+    # tagged union (round-8 fold): the shingle-Jaccard and the
+    # token-order-tolerant simhash asymmetric paths share a
+    # (method, new_pk, ref_pk, score) schema in one driver row
+    mh = _dedup_against_row(spark, sf).select(
+        F.lit("minhash").alias("method"), "new_pk", "ref_pk",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    sh = _dedup_against_simhash_row(spark, sf).select(
+        F.lit("simhash").alias("method"), "new_pk", "ref_pk",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return _union_all([mh, sh])
+
+
 def _dedup_against_sql(threshold: float = 0.7, shingle_n: int = 8) -> str:
     sh = f"list_distinct({_sql_shingles('text', shingle_n)})"
     jac = (
         "len(list_intersect(n.sh, r.sh)) / "
         "(len(n.sh) + len(r.sh) - len(list_intersect(n.sh, r.sh)))"
     )
+    ham = "bit_count(xor(sn.simhash, sr.simhash))"
     return f"""
     WITH newb AS (
       SELECT doc_id + {_OFF} AS doc_id,
@@ -1884,15 +2018,21 @@ def _dedup_against_sql(threshold: float = 0.7, shingle_n: int = 8) -> str:
       FROM documents WHERE doc_id % 11 = 3
     ),
     n AS (SELECT doc_id, {sh} AS sh FROM newb),
-    r AS (SELECT doc_id, {sh} AS sh FROM documents)
-    SELECT n.doc_id AS new_pk, r.doc_id AS ref_pk,
-           round({jac}, 4) AS jaccard
+    r AS (SELECT doc_id, {sh} AS sh FROM documents),
+    sn AS ({_simhash_sql().replace('FROM documents', 'FROM newb')}),
+    sr AS ({_simhash_sql()})
+    SELECT 'minhash' AS method, n.doc_id AS new_pk, r.doc_id AS ref_pk,
+           round({jac}, 4)::DOUBLE AS score
     FROM n CROSS JOIN r
     WHERE round({jac}, 4) >= {threshold}
+    UNION ALL
+    SELECT 'simhash', sn.doc_id, sr.doc_id, {ham}::DOUBLE
+    FROM sn CROSS JOIN sr
+    WHERE {ham} <= 3
     """
 
 
-_register("dedup_against", _dedup_against_row, _dedup_against_sql())
+_register("dedup_against", _dedup_against_suite, _dedup_against_sql())
 
 
 # ---------------------------------------------------------------------------
