@@ -1638,6 +1638,18 @@ def _line_dedup_suite(spark, sf):
 
 BENCH_ONLY["dedup_paragraphs"] = _para_dedup_row
 
+
+def _line_dedup_bench(spark, sf):
+    # BENCH_ONLY keeps the round-7 single-mode shape so the bench row
+    # stays timing-comparable across rounds (the driver row is now the
+    # line+para union)
+    return _line_dedup_row(spark, sf).select(
+        "doc_id", "text", "n_lines_removed"
+    )
+
+
+BENCH_ONLY["dedup_lines"] = _line_dedup_bench
+
 _register(
     "dedup_lines",
     _line_dedup_suite,
@@ -1821,6 +1833,95 @@ def _lm_bucket_sql(v: int = _LM_V) -> str:
     """
 
 
+_DSIR_B = 512  # hashed feature buckets for the oracle fit
+_DSIR_K = 50  # Gumbel top-k sample size
+_DSIR_SEED = 42
+
+
+def _dsir_rows(spark, sf):
+    """DSIR importance weights + the Gumbel top-k resample (round 8,
+    pipeline/dsir.py — Xie et al. 2023): raw = the whole corpus, target
+    = the doc_id % 10 slice; both the per-document log-likelihood-ratio
+    weights and the exact k-document selection ride the driver hash."""
+    from adampro_spark.pipeline.dsir import (
+        dsir_resample, dsir_weights, fit_dsir,
+    )
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    buckets, meta = fit_dsir(docs, target, n_buckets=_DSIR_B)
+    w = dsir_weights(docs, buckets, meta).select(
+        F.lit("dsir").alias("model"), "doc_id",
+        F.round("dsir_logweight", 4).alias("lm_logprob"),
+        F.col("dsir_feats").alias("lm_tokens"),
+        F.lit(None).cast("string").alias("bucket"),
+    )
+    top = dsir_resample(
+        docs, buckets, meta, k=_DSIR_K, seed=_DSIR_SEED
+    ).select(
+        F.lit("dsir_top").alias("model"), "doc_id",
+        F.round("dsir_logweight", 4).alias("lm_logprob"),
+        F.lit(None).cast("long").alias("lm_tokens"),
+        F.lit(None).cast("string").alias("bucket"),
+    )
+    return _union_all([w, top])
+
+
+def _dsir_sql() -> str:
+    from adampro_spark.pipeline.mix import _MIX_A, _MIX_B
+    from adampro_spark.pipeline.text import HASH_P
+
+    b = _DSIR_B
+    th = f"list_transform({_TOKS.format(t='text')}, t -> {_sql_poly_hash('t')})"
+    uh = _sql_poly_hash(
+        f"concat('dsir|{_DSIR_SEED}', '|', doc_id::VARCHAR)"
+    )
+    return f"""
+    WITH dth AS (SELECT doc_id, {th} AS th FROM documents),
+    dfe AS (
+      SELECT doc_id, unnest(list_concat(
+        list_transform(th, h -> h % {b}),
+        CASE WHEN len(th) >= 2
+          THEN list_transform(generate_series(1, len(th) - 1),
+                 i -> ({_fold('list_slice(th, i, i + 1)')}) % {b})
+          ELSE CAST([] AS BIGINT[]) END)) AS bucket
+      FROM dth
+    ),
+    drc AS (SELECT bucket, count(*)::BIGINT AS c FROM dfe GROUP BY bucket),
+    dtc AS (SELECT bucket, count(*)::BIGINT AS c FROM dfe
+            WHERE doc_id % 10 = 0 GROUP BY bucket),
+    dtot AS (SELECT (SELECT coalesce(sum(c), 0) FROM drc) AS nr,
+                    (SELECT coalesce(sum(c), 0) FROM dtc) AS nt),
+    dbr AS (
+      -- every scored-corpus bucket is in drc (raw = scored corpus), so
+      -- the left join covers the full ratio table the scorer can hit
+      SELECT r.bucket,
+             log10((coalesce(t.c, 0) + 1) / (dtot.nt + {b}))
+           - log10((r.c + 1) / (dtot.nr + {b})) AS lr
+      FROM drc r LEFT JOIN dtc t USING (bucket), dtot
+    ),
+    dw AS (
+      SELECT d.doc_id, coalesce(s.lw, 0.0) AS lw,
+             coalesce(s.nf, 0)::BIGINT AS nf
+      FROM documents d LEFT JOIN (
+        SELECT f.doc_id, sum(b2.lr) AS lw, count(*)::BIGINT AS nf
+        FROM dfe f JOIN dbr b2 USING (bucket)
+        GROUP BY f.doc_id) s USING (doc_id)
+    )
+    SELECT 'dsir' AS model, doc_id, round(lw, 4) AS lm_logprob,
+           nf AS lm_tokens, NULL::VARCHAR AS bucket
+    FROM dw
+    UNION ALL
+    SELECT 'dsir_top', doc_id, round(lw, 4), NULL::BIGINT, NULL::VARCHAR
+    FROM (
+      SELECT doc_id, lw,
+        lw * ln(10) - ln(-ln(greatest(
+          ((({uh}) * {_MIX_A} + {_MIX_B}) % {HASH_P}) / {HASH_P}.0,
+          1e-12))) AS gk
+      FROM dw ORDER BY gk DESC, doc_id ASC LIMIT {_DSIR_K})
+    """
+
+
 def _lm_suite(spark, sf):
     uni = _lm_score_row(spark, sf).select(
         F.lit("unigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens",
@@ -1834,8 +1935,10 @@ def _lm_suite(spark, sf):
         F.lit("bucket3").alias("model"), "doc_id", "lm_logprob",
         F.lit(None).cast("long").alias("lm_tokens"), "bucket",
     )
-    return _union_all([uni, bi, bk])
+    return _union_all([uni, bi, bk, _dsir_rows(spark, sf)])
 
+
+BENCH_ONLY["pipeline_dsir"] = _dsir_rows
 
 _register(
     "text_lm_suite",
@@ -1847,6 +1950,8 @@ _register(
     UNION ALL
     SELECT 'bucket3', doc_id, lm_logprob, NULL::BIGINT, bucket
     FROM ({_lm_bucket_sql()})
+    UNION ALL
+    SELECT * FROM ({_dsir_sql()})
     """,
 )
 
@@ -2031,6 +2136,10 @@ def _dedup_against_sql(threshold: float = 0.7, shingle_n: int = 8) -> str:
     WHERE {ham} <= 3
     """
 
+
+# BENCH_ONLY keeps the round-7 minhash-only shape for timing
+# comparability; the driver row is now the minhash+simhash union
+BENCH_ONLY["dedup_against"] = _dedup_against_row
 
 _register("dedup_against", _dedup_against_suite, _dedup_against_sql())
 

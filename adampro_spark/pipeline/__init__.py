@@ -76,6 +76,12 @@ from adampro_spark.pipeline.mix import (  # noqa: F401
     sample_sources,
     split_dataset,
 )
+from adampro_spark.pipeline.dsir import (  # noqa: F401
+    dsir_resample,
+    dsir_weight_col,
+    dsir_weights,
+    fit_dsir,
+)
 from adampro_spark.pipeline.dedup import (  # noqa: F401
     dedup_against,
     line_dedup,

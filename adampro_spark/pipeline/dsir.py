@@ -1,0 +1,304 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Select raw-corpus documents whose hashed n-gram distribution looks like
+a small TARGET corpus (e.g. wiki+books): fit smoothed bucket
+probabilities on both corpora, weight every raw document by the
+log-likelihood ratio of its hashed features, then resample with the
+Gumbel top-k trick — weighted sampling WITHOUT replacement expressed as
+one distributed top-k, the only form that works at 100 TB (no
+sequential draws, no driver-side reservoir).
+
+No reference counterpart (the reference engine has no data-selection
+surface); this implements the public method directly, in the repo's
+portable-arithmetic style so every stage has an exact DuckDB mirror:
+
+* features  — per-token 31-poly hashes (text.poly_hash) and bigram
+  window folds ((a*31 + h) mod P), each mapped to ``hash % n_buckets``;
+  counts keep MULTIPLICITY (a bag, not a set — the paper's bag-of-
+  hashed-ngrams model);
+* fit       — one bounded groupBy per corpus (≤ n_buckets rows each),
+  add-one smoothing on both sides, a full log-ratio table small enough
+  to broadcast at any corpus size;
+* weights   — explode to slim (pk, bucket) pairs, broadcast-join the
+  ratio table, per-document sum with map-side combine; document text is
+  pruned out before the explode and never shuffles;
+* resample  — key = ln(10)·logweight + Gumbel(u), u a deterministic
+  unit hash of (salt, pk) (mix._unit_hash), Gumbel = -ln(-ln(u));
+  ``orderBy(key).limit(k)`` plans as TakeOrderedAndProject, so the
+  cross-partition state is exactly k rows.
+
+Plan-shape note: token-hash arrays are STAGED into a column before any
+window lambda reads them (the mix._grams_from_token_hashes lesson —
+an expression argument gets inlined into every window's lambda by
+CollapseProject, re-hashing the document per window).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adampro_spark.pipeline.mix import _token_hashes, _unit_hash
+from adampro_spark.pipeline.text import HASH_P
+
+DEFAULT_BUCKETS = 8192
+
+
+def _doc_features(th: Column, n_buckets: int, bigrams: bool) -> Column:
+    """Hashed feature-bucket array (WITH multiplicity) from a staged
+    token-hash column: unigram buckets, plus bigram window-fold buckets
+    when ``bigrams``.  ``th`` must be a plain column reference — see the
+    module docstring."""
+    b = F.lit(n_buckets)
+    uni = F.transform(th, lambda h: h % b)
+    if not bigrams:
+        return uni
+    k = F.size(th)
+    bi = F.when(
+        k >= 2,
+        F.transform(
+            F.sequence(F.lit(1), k - 1),
+            lambda i: F.aggregate(
+                F.slice(th, i, 2),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * 31 + h) % F.lit(HASH_P),
+            )
+            % b,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.concat(uni, bi)
+
+
+def _exploded_features(
+    df: DataFrame,
+    text_col: str,
+    pk: str | None,
+    n_buckets: int,
+    bigrams: bool,
+) -> DataFrame:
+    """Slim (pk?, bucket) pairs: stage token hashes, then explode the
+    feature buckets.  With ``pk`` uses explode_outer so empty documents
+    keep a (pk, NULL) row; without it (fit path) plain explode."""
+    cols = ([F.col(pk)] if pk else []) + [
+        _token_hashes(text_col).alias("_th")
+    ]
+    staged = df.select(*cols)
+    feats = _doc_features(F.col("_th"), n_buckets, bigrams)
+    if pk:
+        return staged.select(
+            F.col(pk), F.explode_outer(feats).alias("bucket")
+        )
+    return staged.select(F.explode(feats).alias("bucket"))
+
+
+def fit_dsir(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Fit the hashed-ngram importance model.
+
+    Returns ``(buckets, meta)``: ``buckets`` is an eagerly-materialized
+    DataFrame ``(bucket, log_ratio)`` with one row per bucket observed
+    in EITHER corpus, where ``log_ratio = log10 p_target(bucket) -
+    log10 p_raw(bucket)`` under add-one smoothing
+    ``p(b) = (c_b + 1) / (n + n_buckets)``; ``meta`` carries the totals
+    and ``default_log_ratio`` — the ratio of a bucket unseen in both
+    corpora (smoothing makes it a constant), applied by the scorers to
+    buckets absent from the table.
+
+    The fit is two bounded aggregations: each corpus collapses to at
+    most ``n_buckets`` count rows regardless of size, so the returned
+    table is always broadcastable.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            _exploded_features(df, text_col, None, n_buckets, bigrams)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    raw_c = counts(raw).persist()
+    tgt_c = counts(target).persist()
+    try:
+        n_raw = int(
+            raw_c.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+        )
+        n_tgt = int(
+            tgt_c.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+        )
+        dr = float(n_raw + n_buckets)
+        dt = float(n_tgt + n_buckets)
+        joined = raw_c.withColumnRenamed("cnt", "_rc").join(
+            tgt_c.withColumnRenamed("cnt", "_tc"), "bucket", "full_outer"
+        )
+        buckets = joined.select(
+            "bucket",
+            (
+                F.log10((F.coalesce(F.col("_tc"), F.lit(0)) + 1) / F.lit(dt))
+                - F.log10(
+                    (F.coalesce(F.col("_rc"), F.lit(0)) + 1) / F.lit(dr)
+                )
+            ).alias("log_ratio"),
+        ).localCheckpoint(eager=True)  # ≤ 2·n_buckets rows
+    finally:
+        raw_c.unpersist()
+        tgt_c.unpersist()
+    meta = {
+        "n_raw": n_raw,
+        "n_target": n_tgt,
+        "n_buckets": n_buckets,
+        "bigrams": bigrams,
+        "default_log_ratio": math.log10(1.0 / dt) - math.log10(1.0 / dr),
+        "base": 10,
+        "smoothing": "add_one",
+    }
+    return buckets, meta
+
+
+def dsir_weights(
+    df: DataFrame,
+    buckets: DataFrame,
+    meta: dict[str, Any],
+    text_col: str = "text",
+    pk: str = "doc_id",
+) -> DataFrame:
+    """Per-document log importance weight: ``(pk, dsir_logweight,
+    dsir_feats)`` — the sum of ``log_ratio`` over the document's feature
+    bag (buckets missing from the table score ``default_log_ratio``).
+    Documents with no tokens weigh 0.0 with ``dsir_feats = 0``.
+
+    Plan shape: slim (pk, bucket) explode, broadcast ratio join,
+    map-side-combined per-document sum — text never shuffles.
+    """
+    feats = _exploded_features(
+        df, text_col, pk, int(meta["n_buckets"]), bool(meta["bigrams"])
+    )
+    joined = feats.join(
+        F.broadcast(buckets.select("bucket", "log_ratio")),
+        "bucket",
+        "left",
+    )
+    lw = F.when(
+        F.col("bucket").isNotNull(),
+        F.coalesce(
+            F.col("log_ratio"), F.lit(float(meta["default_log_ratio"]))
+        ),
+    )
+    return joined.groupBy(pk).agg(
+        F.coalesce(F.sum(lw), F.lit(0.0)).alias("dsir_logweight"),
+        F.count(F.col("bucket")).alias("dsir_feats"),
+    )
+
+
+def dsir_weight_col(
+    buckets: "DataFrame | dict[int, float]",
+    meta: dict[str, Any],
+    text_col: str = "text",
+) -> Column:
+    """Map-only scoring: the same log importance weight as
+    :func:`dsir_weights`, as ONE Arrow-batched pandas-UDF column — no
+    explode, no join, no aggregate.  This is the stream-safe form (use
+    it as a ``stream_curate``/``curate`` ``extra_gates`` column, e.g.
+    ``{"_dsir_ok": dsir_weight_col(b, m) >= floor}``) and the batch
+    escape hatch for scoring inside an existing one-scan projection.
+
+    The ratio table rides the UDF closure (≤ 2·n_buckets entries).
+    Tokenization and hashing mirror the column path exactly: lowercase,
+    ``\\s+`` split (ASCII mode — parity with the JVM ``\\s``), 31-poly
+    codepoint fold, bigram window fold, ``% n_buckets``.  Empty and
+    NULL documents weigh 0.0, as in :func:`dsir_weights`.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(buckets, DataFrame):
+        table = {
+            int(r["bucket"]): float(r["log_ratio"]) for r in buckets.collect()
+        }
+    else:
+        table = {int(k): float(v) for k, v in buckets.items()}
+    default = float(meta["default_log_ratio"])
+    n_buckets = int(meta["n_buckets"])
+    bigrams = bool(meta["bigrams"])
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def _poly(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % HASH_P
+        return h
+
+    # no type hints: under `from __future__ import annotations` they are
+    # strings and pandas_udf's hint inference rejects them
+    def _score(texts):
+        out = []
+        get = table.get
+        for t in texts:
+            if t is None:
+                out.append(0.0)
+                continue
+            th = [_poly(w) for w in ws.split(t.lower()) if w]
+            total = sum(get(h % n_buckets, default) for h in th)
+            if bigrams:
+                total += sum(
+                    get(((th[i] * 31 + th[i + 1]) % HASH_P) % n_buckets,
+                        default)
+                    for i in range(len(th) - 1)
+                )
+            out.append(total)
+        return pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(_score, T.DoubleType())(
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    buckets: DataFrame,
+    meta: dict[str, Any],
+    k: int,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sample of ``k`` documents WITHOUT replacement,
+    probability ∝ exp(ln(10)·dsir_logweight), via the Gumbel top-k
+    trick: ``key = ln(10)·logweight - ln(-ln(u))`` with ``u`` the
+    deterministic unit hash of ``('dsir|' + seed, pk)`` — reruns,
+    repartitionings and engines agree on the exact sample.
+
+    Returns the selected input rows (all original columns) plus
+    ``dsir_logweight``, ordered by nothing in particular (the selection
+    is the contract, not the order).  ``orderBy(key).limit(k)`` plans
+    as TakeOrderedAndProject: every executor keeps its local top-k and
+    the driver merges k-sized heaps — no global sort, no collect.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = dsir_weights(df, buckets, meta, text_col=text_col, pk=pk)
+    u = F.greatest(
+        _unit_hash(F.col(pk), f"dsir|{seed}"), F.lit(1e-12)
+    )  # clamp: u = 0 would send the Gumbel to -inf
+    gumbel = -F.log(-F.log(u))
+    key = F.col("dsir_logweight") * F.lit(math.log(10.0)) + gumbel
+    sel = (
+        w.select(pk, "dsir_logweight", key.alias("_dsir_key"))
+        .orderBy(F.col("_dsir_key").desc(), F.col(pk).asc())
+        .limit(int(k))
+        .drop("_dsir_key")
+    )
+    # k-sized side: broadcast the selection back onto the full rows
+    return df.join(F.broadcast(sel), pk, "inner")

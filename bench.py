@@ -86,6 +86,10 @@ HEADLINE = [
     "text_stats_full",
     # round 7: asymmetric new-vs-reference dedup (banded, no ref self-join)
     "dedup_against",
+    # round 8: DSIR importance weights + Gumbel top-k resample
+    "pipeline_dsir",
+    # round 8: RefinedWeb paragraph-level boilerplate removal
+    "dedup_paragraphs",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the
