@@ -207,6 +207,43 @@ def test_weight_col_as_curate_gate(spark, corpora):
     assert rep["n_fail_dsir_ok"] == len(w) - len(got)
 
 
+def test_weight_col_gate_streams(spark, corpora, tmp_path):
+    """dsir_weight_col is stateless, so stream_curate(extra_gates=...)
+    filters micro-batches identically to batch curate — the same
+    batch≡stream contract as the compression and LM gates."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.dsir import dsir_weight_col
+    from adampro_spark.streaming.ingest import stream_curate
+
+    raw_df, tgt_df, raw, _target = corpora
+    buckets, meta = fit_dsir(raw_df, tgt_df, n_buckets=256)
+    w = dsir_weights(raw_df, buckets, meta).collect()
+    floor = min(r["dsir_logweight"] for r in w if r["dsir_logweight"] > 0)
+    gate = {"_dsir_ok": dsir_weight_col(buckets, meta) >= F.lit(floor)}
+    kw = dict(langs=None, min_tokens=0, min_quality=0.0, dedup=None)
+    batch_out, _ = curate(raw_df, extra_gates=gate, **kw)
+    want = {r["doc_id"] for r in batch_out.select("doc_id").collect()}
+    assert want  # non-degenerate
+
+    src = str(tmp_path / "dsir_src")
+    raw_df.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gated = stream_curate(stream, extra_gates=gate, **kw).select("doc_id")
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("dsir_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dsir"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM dsir_stream").collect()
+    }
+    assert got == want
+
+
 def test_resample_plans_as_takeordered(spark, corpora):
     raw_df, tgt_df, *_ = corpora
     buckets, meta = fit_dsir(raw_df, tgt_df, n_buckets=64)

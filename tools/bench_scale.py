@@ -41,6 +41,10 @@ ROWS = [
     "dedup_semantic",
     "dedup_spans",
     "dedup_against",
+    # round-8 additions: DSIR fit+weights+Gumbel-top-k and paragraph
+    # boilerplate removal — both claim bounded-fit / slim-shuffle shapes
+    "pipeline_dsir",
+    "dedup_paragraphs",
 ]
 COPIES = 10
 SHIFT = 10_000_000
