@@ -2209,7 +2209,18 @@ def _curate_full_row(spark, sf):
     from adampro_spark.pipeline.curate import curate
     from adampro_spark.pipeline.lm import fit_unigram_lm
 
+    # two orthogonal plants: a shared SPAN at the end of the original
+    # text (every 6th doc — cut by the round-8 span stage) and a shared
+    # BOILERPLATE LINE appended after it (every 4th doc — removed by the
+    # line stage; appending the line last keeps it byte-identical across
+    # carriers, so its hotness is unaffected by the span plant)
     planted = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN)),
+        ).otherwise(F.col("text")).alias("text"),
+    ).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 4 == 0,
@@ -2222,6 +2233,7 @@ def _curate_full_row(spark, sf):
         langs=("en",), min_tokens=20, min_quality=0.3,
         lm=(vocab, meta, _CF_FLOOR),
         line_dedup_min_docs=3,
+        span_dedup_min_docs=2, span_n=_SPAN_N,
         dedup="exact",
     )
     surv = out.select(
@@ -2245,12 +2257,14 @@ def _curate_full_sql(v: int = _LM_V, floor: float = _CF_FLOOR) -> str:
     )
     lh = _sql_poly_hash("ln")
     toks_of = _TOKS
+    n = _SPAN_N
+    sth = f"list_transform({_TOKS.format(t='text')}, t -> {_sql_poly_hash('t')})"
     return f"""
     WITH planted AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 4 = 0
-                  THEN text || chr(10) || '{_BOILER}'
-                  ELSE text END AS text
+        (CASE WHEN doc_id % 6 = 0 THEN text || ' {_SPAN}' ELSE text END)
+        || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_BOILER}' ELSE '' END)
+          AS text
       FROM documents
     ),
     -- stage 1: cross-document line dedup (min_docs = 3)
@@ -2283,8 +2297,54 @@ def _curate_full_sql(v: int = _LM_V, floor: float = _CF_FLOOR) -> str:
         coalesce(len(d.drops), 0)::BIGINT AS nrem
       FROM ls l LEFT JOIN ldrops d USING (doc_id)
     ),
-    -- stage 2: gates on the CLEANED text
-    t AS (SELECT doc_id, text, {toks_of.format(t='text')} AS toks FROM cleaned),
+    -- stage 1b (round 8): exact-substring span dedup on the cleaned
+    -- text (min_docs = 2, n = {n}) — the Lee et al. pass, mirrored from
+    -- the dedup_spans row recipe
+    stt AS (SELECT doc_id, text,
+              list_filter(string_split_regex(text, '\\s+'),
+                          t2 -> length(t2) > 0) AS rtoks,
+              {sth} AS th
+            FROM cleaned),
+    spg AS (
+      SELECT doc_id,
+        unnest(CASE WHEN len(th) >= {n}
+          THEN list_transform(generate_series(1, len(th) - {n - 1}),
+                 i -> {_fold(f'list_slice(th, i, i + {n - 1})')})
+          ELSE CAST([] AS BIGINT[]) END) AS g,
+        unnest(CASE WHEN len(th) >= {n}
+          THEN generate_series(1, len(th) - {n - 1})
+          ELSE CAST([] AS BIGINT[]) END) AS s
+      FROM stt
+    ),
+    shot AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM spg)
+      GROUP BY g HAVING count(*) >= 2
+    ),
+    sstarts AS (
+      SELECT doc_id, list(s) AS ss FROM spg
+      WHERE g IN (SELECT g FROM shot) GROUP BY doc_id
+    ),
+    spanned AS (
+      SELECT s0.doc_id,
+        CASE WHEN st.ss IS NULL THEN s0.text
+             ELSE coalesce(array_to_string(
+               list_transform(
+                 list_filter(
+                   list_zip(s0.rtoks, generate_series(1, len(s0.rtoks))),
+                   z -> len(list_filter(st.ss,
+                          s2 -> s2 <= z[2] AND z[2] <= s2 + {n - 1})) = 0),
+                 z -> z[1]),
+               ' '), '') END AS text,
+        coalesce(
+          len(list_filter(
+            list_zip(s0.rtoks, generate_series(1, len(s0.rtoks))),
+            z -> len(list_filter(coalesce(st.ss, CAST([] AS BIGINT[])),
+                   s2 -> s2 <= z[2] AND z[2] <= s2 + {n - 1})) > 0)),
+          0)::BIGINT AS srem
+      FROM stt s0 LEFT JOIN sstarts st USING (doc_id)
+    ),
+    -- stage 2: gates on the cleaned + span-cut text
+    t AS (SELECT doc_id, text, {toks_of.format(t='text')} AS toks FROM spanned),
     f AS (
       SELECT doc_id, text, toks,
         (CASE WHEN best.hits <= 0 THEN 'und' ELSE best.lang END) = 'en' AS lang_ok,
@@ -2320,6 +2380,8 @@ def _curate_full_sql(v: int = _LM_V, floor: float = _CF_FLOOR) -> str:
     SELECT 'doc' AS tag, doc_id::BIGINT AS val FROM outp
     UNION ALL SELECT 'n_after_gates', count(*)::BIGINT FROM kept
     UNION ALL SELECT 'n_boiler_lines', coalesce(sum(nrem), 0)::BIGINT FROM cleaned
+    UNION ALL SELECT 'n_span_tokens_removed',
+      coalesce(sum(srem), 0)::BIGINT FROM spanned
     UNION ALL SELECT 'n_dup_dropped',
       ((SELECT count(*) FROM lm_kept) - (SELECT count(*) FROM outp))::BIGINT
     UNION ALL SELECT 'n_input', count(*)::BIGINT FROM planted

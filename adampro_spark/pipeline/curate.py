@@ -217,6 +217,8 @@ def curate(
     lm: "tuple[Any, ...] | None" = None,  # (vocab, meta, floor) or
     # (vocab, bigrams, meta, floor) — see the docstring
     line_dedup_min_docs: int | None = None,
+    span_dedup_min_docs: int | None = None,
+    span_n: int = 50,
     dedup: str | None = "minhash",
     dedup_threshold: float | None = None,
     stage_timings: dict[str, float] | None = None,
@@ -277,6 +279,16 @@ def curate(
     by the SAME one-scan gate aggregate (the hotness join itself is the
     stage's only extra cost; its timing lands in ``gates_sec``).
 
+    ``span_dedup_min_docs`` / ``span_n`` (round 8) — when set,
+    exact-substring dedup (:func:`~adampro_spark.pipeline.dedup
+    .span_dedup`, Lee et al. 2022) cuts every token covered by a word
+    ``span_n``-gram shared by ≥ ``span_dedup_min_docs`` documents.  It
+    runs AFTER the line/paragraph boilerplate pass and BEFORE redaction
+    and the gates, so token floors and quality scores judge the text
+    that would actually train; the report gains
+    ``n_span_tokens_removed``, counted by the same one-scan gate
+    aggregate.
+
     ``lm`` — a ``(vocab, meta, min_logprob)`` triple from
     :func:`~adampro_spark.pipeline.lm.fit_unigram_lm`, or a
     ``(vocab, bigrams, meta, min_logprob)`` 4-tuple from
@@ -315,6 +327,23 @@ def curate(
         # (hotness shuffle + rebuild) a second time
         boiler_col = F.coalesce(F.sum("_ap_boiler_n"), F.lit(0)).alias(
             "boiler_lines"
+        )
+
+    span_col = None
+    if span_dedup_min_docs is not None:
+        from adampro_spark.pipeline.dedup import span_dedup
+
+        # exact-substring pass AFTER line boilerplate, BEFORE redaction
+        # and the gates (the Lee et al. 2022 composition: cut duplicated
+        # >= span_n-token spans so token floors and quality judge the
+        # text that would actually train); its report count rides the
+        # same one-scan gate aggregate as the line counter
+        df = span_dedup(
+            df, text_col=text_col, pk=pk, n=int(span_n),
+            min_docs=int(span_dedup_min_docs),
+        ).withColumnRenamed("n_tokens_removed", "_ap_span_n")
+        span_col = F.coalesce(F.sum("_ap_span_n"), F.lit(0)).alias(
+            "span_tokens"
         )
 
     pii_docs_col = None
@@ -403,7 +432,7 @@ def curate(
         else []
     ) + ([pii_docs_col] if pii_docs_col is not None else []) + (
         [boiler_col] if boiler_col is not None else []
-    ) + [
+    ) + ([span_col] if span_col is not None else []) + [
         # extra gates ride the SAME one-pass aggregate — adding a gate
         # (e.g. a learned quality score) costs zero extra scans
         F.sum((~F.col(name)).cast("long")).alias(f"x_{name}")
@@ -420,6 +449,8 @@ def curate(
         kept = kept.drop("_ap_pii_n")
     if boiler_col is not None:
         kept = kept.drop("_ap_boiler_n")
+    if span_col is not None:
+        kept = kept.drop("_ap_span_n")
 
     n_lm_fail = None
     if lm is not None:
@@ -526,6 +557,8 @@ def curate(
         report["n_lm_fail"] = n_lm_fail
     if boiler_col is not None:
         report["n_boiler_lines"] = int(agg["boiler_lines"])
+    if span_col is not None:
+        report["n_span_tokens_removed"] = int(agg["span_tokens"])
     if "_rep_ok" in flags:
         report["n_repetitive"] = int(agg["rep_fail"])
     if pii_docs_col is not None:

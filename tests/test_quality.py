@@ -228,3 +228,44 @@ def test_gopher_repetition_ceilings_in_curate(spark):
         curate(
             df, dedup=None, repetition_ceilings={"no_such_signal": 0.5},
         )
+
+
+def test_span_dedup_pre_stage_in_curate(spark):
+    """curate(span_dedup_min_docs=...) cuts shared >= span_n-token spans
+    BEFORE the gates (the Lee et al. composition): a doc that is mostly
+    one shared span fails the token floor after the cut, unique docs
+    survive with their text intact, and the report counts the removed
+    tokens via the one-scan aggregate."""
+    import numpy as np
+
+    from adampro_spark.pipeline.curate import curate
+
+    rng = np.random.RandomState(11)
+    vocab = [f"u{i}" for i in range(400)]
+    span = " ".join(f"s{i}" for i in range(10))  # the shared 10-gram
+    uniq = [(i, " ".join(rng.choice(vocab, size=30))) for i in range(8)]
+    # carriers: unique prefix + the shared span (span survives min_docs)
+    carriers = [
+        (100 + j, " ".join(rng.choice(vocab, size=25)) + " " + span)
+        for j in range(3)
+    ]
+    # mostly-span doc: 4 unique tokens + the span -> dies at min_tokens=20
+    husk = [(200, "a1 b2 c3 d4 " + span)]
+    df = spark.createDataFrame(
+        uniq + carriers + husk, "doc_id long, text string"
+    )
+    out, rep = curate(
+        df, langs=None, min_tokens=20, min_quality=0.0, dedup=None,
+        span_dedup_min_docs=2, span_n=10,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # unique docs untouched; carriers survive (25 tokens) with span cut
+    for i, t in uniq:
+        assert rows[i] == t, i
+    for j in range(3):
+        assert 100 + j in rows
+        assert "s0" not in rows[100 + j]
+    assert 200 not in rows  # husk fell below the token floor post-cut
+    # 4 docs x 10 span tokens removed
+    assert rep["n_span_tokens_removed"] == 40
+    assert rep["n_short"] == 1
