@@ -75,6 +75,7 @@ from adampro_spark.pipeline.mix import (  # noqa: F401
     pack_sequences,
     sample_sources,
     split_dataset,
+    temperature_weights,
 )
 from adampro_spark.pipeline.dsir import (  # noqa: F401
     dsir_resample,

@@ -187,6 +187,83 @@ def mix_sources(
     return df.withColumn(copy_col, F.explode(copies))
 
 
+def temperature_weights(
+    df: DataFrame,
+    tau: float,
+    source_col: str = "source",
+    text_col: str | None = "text",
+    max_weight: float | None = None,
+) -> dict[str, float]:
+    """Temperature-based source re-weighting (the Gopher / PaLM mixing
+    rule): sampling probability ``q_s ∝ p_s^tau`` where ``p_s`` is the
+    source's share of the corpus (TOKEN share when ``text_col`` is
+    given, document share with ``text_col=None``).  ``tau = 1``
+    reproduces natural proportions, ``tau = 0`` weights every source
+    equally, intermediate values up-weight small curated sources
+    without drowning the crawl.
+
+    Returns per-source multipliers for :func:`mix_sources` — ``w_s =
+    q_s / p_s``, normalized so the EXPECTED corpus size is unchanged
+    (``Σ_s n_s · w_s = Σ_s n_s``); pass the dict straight through:
+    ``mix_sources(df, temperature_weights(df, 0.7))``.  ``max_weight``
+    caps the multiplier (small sources would otherwise repeat for many
+    epochs; Gopher capped wiki/books at a few epochs) — the cap is
+    applied BEFORE normalization, so capped fits still keep the
+    expected size within the cap's distortion.
+
+    One aggregation (≤ |sources| rows to the driver); the weights are
+    plan literals from there on — the fit is driver-sized by
+    construction, like the LM and DSIR fit boundaries.
+    """
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    mass = (
+        F.size(tokens_expr(text_col)).cast("double")
+        if text_col is not None
+        else F.lit(1.0)
+    )
+    rows = (
+        df.select(F.col(source_col).alias("_s"), mass.alias("_m"))
+        .groupBy("_s")
+        .agg(F.sum("_m").alias("_n"))
+        .collect()
+    )
+    n = {r["_s"]: float(r["_n"]) for r in rows if r["_n"] and r["_n"] > 0}
+    if not n:
+        raise ValueError("no non-empty sources to weight")
+    total = sum(n.values())
+    q = {s: (v / total) ** float(tau) for s, v in n.items()}
+    qt = sum(q.values())
+    # already expectation-preserving: sum_s n_s * w_s = total exactly
+    w = {s: (q[s] / qt) / (n[s] / total) for s in n}
+    if max_weight is not None:
+        if max_weight <= 0:
+            raise ValueError(f"max_weight must be > 0, got {max_weight}")
+        cap = float(max_weight)
+        # waterfilling: pin capped sources at the cap and rescale the
+        # rest to preserve the expected size; a plain global rescale
+        # would push capped weights back over the cap.  Terminates in
+        # <= |sources| rounds (the capped set only grows).
+        capped: set[str] = set()
+        while True:
+            newly = {s for s in w if s not in capped and w[s] > cap}
+            if not newly:
+                break
+            capped |= newly
+            for s in capped:
+                w[s] = cap
+            free = [s for s in w if s not in capped]
+            if not free:
+                break  # everything capped; expected size shrinks to cap
+            budget = total - sum(n[s] * cap for s in capped)
+            cur = sum(n[s] * w[s] for s in free)
+            if budget <= 0 or cur <= 0:
+                break
+            for s in free:
+                w[s] *= budget / cur
+    return w
+
+
 def _token_hashes(text: str | Column) -> Column:
     """Per-token poly hashes — char-hash each token exactly once."""
     return F.transform(tokens_expr(text), lambda t: poly_hash(char_codes(t)))

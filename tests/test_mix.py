@@ -311,3 +311,60 @@ def test_assembly_edge_cases(spark, docs):
     # single split name: everything lands in it
     one = split_dataset(docs, {"all": 1.0})
     assert one.filter(F.col("split") != "all").count() == 0
+
+
+def test_temperature_weights_properties(spark):
+    from adampro_spark.pipeline.mix import mix_sources, temperature_weights
+
+    rows = (
+        [(i, "wiki", "alpha beta gamma") for i in range(10)]
+        + [(100 + i, "crawl", "w1 w2 w3 w4 w5 w6") for i in range(90)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # tau=1: natural proportions, every weight exactly 1
+    w1 = temperature_weights(df, 1.0)
+    assert set(w1) == {"wiki", "crawl"}
+    for v in w1.values():
+        assert v == pytest.approx(1.0, rel=1e-12)
+
+    # tau=0: equal source shares; expected size preserved
+    n = {"wiki": 10 * 3, "crawl": 90 * 6}  # token masses
+    total = sum(n.values())
+    w0 = temperature_weights(df, 0.0)
+    assert sum(n[s] * w0[s] for s in w0) == pytest.approx(total, rel=1e-9)
+    # equal target shares: n_s * w_s identical across sources
+    assert n["wiki"] * w0["wiki"] == pytest.approx(
+        n["crawl"] * w0["crawl"], rel=1e-9
+    )
+    assert w0["wiki"] > 1.0 > w0["crawl"]  # small source up-weighted
+
+    # intermediate tau is monotone between the extremes
+    wh = temperature_weights(df, 0.5)
+    assert 1.0 < wh["wiki"] < w0["wiki"]
+    assert w0["crawl"] < wh["crawl"] < 1.0
+
+    # doc-share mode (text_col=None) uses row counts
+    wd = temperature_weights(df, 0.0, text_col=None)
+    assert 10 * wd["wiki"] == pytest.approx(90 * wd["crawl"], rel=1e-9)
+
+    # cap: waterfilling keeps the cap AND the expected size (crawl
+    # absorbs the residual)
+    wc = temperature_weights(df, 0.0, max_weight=3.0)
+    assert wc["wiki"] == pytest.approx(3.0, rel=1e-12)
+    assert sum(n[s] * wc[s] for s in wc) == pytest.approx(total, rel=1e-9)
+
+    # plugs straight into mix_sources: realized sizes near expectation
+    mixed = mix_sources(df, w0)
+    got = {
+        r["source"]: r["cnt"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    # expected docs: wiki 10*w0[wiki] = 95, crawl 90*w0[crawl] ~ 47.5
+    assert got["wiki"] > 70  # up-sampled ~9.5x
+    assert 30 < got["crawl"] < 65  # down-sampled ~0.53x
+
+    with pytest.raises(ValueError):
+        temperature_weights(df, -0.1)
+    with pytest.raises(ValueError):
+        temperature_weights(df, 0.5, max_weight=0.0)
