@@ -273,30 +273,63 @@ def dsir_resample(
     text_col: str = "text",
     pk: str = "doc_id",
     seed: int = 42,
+    mode: str = "exact",
+    relative_error: float = 0.001,
 ) -> DataFrame:
     """Weighted sample of ``k`` documents WITHOUT replacement,
     probability ∝ exp(ln(10)·dsir_logweight), via the Gumbel top-k
     trick: ``key = ln(10)·logweight - ln(-ln(u))`` with ``u`` the
     deterministic unit hash of ``('dsir|' + seed, pk)`` — reruns,
-    repartitionings and engines agree on the exact sample.
+    repartitionings and engines agree on the sample.
 
     Returns the selected input rows (all original columns) plus
     ``dsir_logweight``, ordered by nothing in particular (the selection
-    is the contract, not the order).  ``orderBy(key).limit(k)`` plans
-    as TakeOrderedAndProject: every executor keeps its local top-k and
-    the driver merges k-sized heaps — no global sort, no collect.
+    is the contract, not the order).
+
+    ``mode`` (the lm_bucket pattern: an exact default and an
+    approximate scale path):
+
+    * ``"exact"`` — exactly ``k`` rows.  ``orderBy(key).limit(k)``
+      plans as TakeOrderedAndProject: every executor keeps its local
+      top-k and the driver merges k-sized heaps.  Right whenever k
+      rows fit on the driver (selection lists, eval sets, ≤ millions).
+    * ``"threshold"`` — for corpus-scale k (select 100M of 10B docs):
+      one ``approxQuantile`` pass (Greenwald-Khanna, driver receives a
+      single number) finds the key cutoff at rank ~k, then a map-only
+      ``filter(key >= cutoff)`` keeps ~k·(1 ± relative_error) rows —
+      nothing k-sized ever converges on one node, at the documented
+      cost of an approximate sample SIZE (membership is still exactly
+      "everything above the cutoff", so reruns agree row for row).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if mode not in ("exact", "threshold"):
+        raise ValueError(f"mode must be 'exact' or 'threshold', got {mode!r}")
     w = dsir_weights(df, buckets, meta, text_col=text_col, pk=pk)
     u = F.greatest(
         _unit_hash(F.col(pk), f"dsir|{seed}"), F.lit(1e-12)
     )  # clamp: u = 0 would send the Gumbel to -inf
     gumbel = -F.log(-F.log(u))
     key = F.col("dsir_logweight") * F.lit(math.log(10.0)) + gumbel
+    keyed = w.select(pk, "dsir_logweight", key.alias("_dsir_key"))
+    if mode == "threshold":
+        n = keyed.count()
+        if k >= n:
+            return df.join(
+                w.select(pk, "dsir_logweight"), pk, "inner"
+            )
+        # the continuous Gumbel term makes key ties measure-zero, so the
+        # quantile cutoff is a clean selector
+        q = 1.0 - float(k) / float(n)
+        cutoff = keyed.approxQuantile(
+            "_dsir_key", [q], float(relative_error)
+        )[0]
+        sel = keyed.filter(F.col("_dsir_key") >= F.lit(cutoff)).drop(
+            "_dsir_key"
+        )
+        return df.join(sel, pk, "inner")
     sel = (
-        w.select(pk, "dsir_logweight", key.alias("_dsir_key"))
-        .orderBy(F.col("_dsir_key").desc(), F.col(pk).asc())
+        keyed.orderBy(F.col("_dsir_key").desc(), F.col(pk).asc())
         .limit(int(k))
         .drop("_dsir_key")
     )

@@ -254,3 +254,42 @@ def test_resample_plans_as_takeordered(spark, corpora):
         dsir_resample(raw_df, buckets, meta, k=0)
     with pytest.raises(ValueError):
         fit_dsir(raw_df, tgt_df, n_buckets=1)
+    with pytest.raises(ValueError):
+        dsir_resample(raw_df, buckets, meta, k=5, mode="nope")
+
+
+def test_resample_threshold_mode_tracks_exact(spark, corpora):
+    """The scale path: approxQuantile cutoff + map-only filter selects
+    ~k rows whose membership agrees with the exact top-k up to the
+    quantile sketch's rank error (tight at this size)."""
+    raw_df, tgt_df, raw, _target = corpora
+    buckets, meta = fit_dsir(raw_df, tgt_df, n_buckets=64)
+    k = 10
+    exact = {
+        r["doc_id"]
+        for r in dsir_resample(raw_df, buckets, meta, k=k)
+        .select("doc_id").collect()
+    }
+    approx = {
+        r["doc_id"]
+        for r in dsir_resample(
+            raw_df, buckets, meta, k=k, mode="threshold",
+            relative_error=1e-6,
+        ).select("doc_id").collect()
+    }
+    # at relative_error ~ 0 on 42 rows the sketch is rank-exact; the
+    # >=-cutoff filter may keep the boundary row too (the documented
+    # ~k semantics), never fewer than the true top-k
+    assert exact <= approx
+    assert k <= len(approx) <= k + 1
+    # no TakeOrdered / global Sort of the full corpus in the plan
+    plan = (
+        dsir_resample(raw_df, buckets, meta, k=k, mode="threshold")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" not in plan
+    # k >= n degenerates to "keep everything scoreable"
+    all_rows = dsir_resample(
+        raw_df, buckets, meta, k=10_000, mode="threshold"
+    )
+    assert all_rows.count() == len(raw)
