@@ -661,3 +661,51 @@ def test_stream_curate_redact_and_repetition_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT doc_id, text FROM scrubbed_stream").collect()
     }
     assert got == want
+
+
+def test_stream_curate_full_ceiling_table_matches_batch(spark, tmp_path):
+    """Round 8: the COMPLETE Gopher repetition table (extended signals +
+    the pushdown barrier on _rep_ok) runs per micro-batch with exactly
+    batch curate's survivors — and the per-batch plan keeps the staged
+    gram columns instead of inlining them (the O(T^3) regression)."""
+    import numpy as np
+
+    from adampro_spark.pipeline.curate import (
+        GOPHER_REPETITION_CEILINGS, curate,
+    )
+    from adampro_spark.streaming.ingest import stream_curate
+
+    rng = np.random.RandomState(29)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = [(i, " ".join(rng.choice(vocab, size=40))) for i in range(10)]
+    rows += [
+        (100, " ".join(["spam ham eggs toast jam bread"] * 12)),
+        (101, ("para one unique\n\n" + "same para\n\n" * 6).strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "gopher_src")
+    df.repartition(2).write.parquet(src)
+
+    kw = dict(
+        langs=None, min_tokens=5, min_quality=0.0,
+        repetition_ceilings=GOPHER_REPETITION_CEILINGS,
+    )
+    batch_out, rep = curate(df, dedup=None, **kw)
+    want = {r["doc_id"] for r in batch_out.select("doc_id").collect()}
+    assert want == set(range(10)) and rep["n_repetitive"] == 2
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = stream_curate(stream, dedup=None, **kw).select("doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gopher_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gopher"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM gopher_stream").collect()
+    }
+    assert got == want
