@@ -26,7 +26,7 @@ from adampro_spark.pipeline.dedup import (
     simhash_pairs,
 )
 from adampro_spark.pipeline.text import (
-    langid_expr, pushdown_barrier, tokens_expr,
+    langid_expr, repetition_gate_flag, tokens_expr,
 )
 
 
@@ -374,6 +374,8 @@ def curate(
         )
     )
     rep_internals: list[str] = []
+    pre_rep = df  # pre-staging handle: the kept path re-stages from here
+    rep_extended = False
     ceilings: dict[str, float] = dict(repetition_ceilings or {})
     if max_dup_line_frac is not None:
         ceilings.setdefault("dup_line_frac", float(max_dup_line_frac))
@@ -388,9 +390,9 @@ def curate(
             "dup_line_frac", "dup_line_char_frac",
             "top_2gram_char_frac", "dup_5gram_frac",
         }
+        rep_extended = bool(set(ceilings) - basic)
         df, rep, rep_internals = with_repetition(
-            df, text_col, toks=F.col("_ap_gtoks"),
-            extended=bool(set(ceilings) - basic),
+            df, text_col, toks=F.col("_ap_gtoks"), extended=rep_extended,
         )
         unknown = sorted(set(ceilings) - set(rep))
         if unknown:
@@ -398,13 +400,11 @@ def curate(
                 f"unknown repetition signals {unknown}; available: "
                 f"{sorted(rep)}"
             )
-        rep_ok = F.lit(True)
-        for sig, ceil in sorted(ceilings.items()):
-            rep_ok = rep_ok & (rep[sig] <= F.lit(float(ceil)))
-        # pushdown_barrier: without it, filtering on this flag
-        # substitutes the staged gram projections into each other's
-        # lambdas — an O(T^3) interpreted plan (see text.pushdown_barrier)
-        flags["_rep_ok"] = pushdown_barrier(rep_ok)
+        # the barrier inside repetition_gate_flag: without it, filtering
+        # on this flag substitutes the staged gram projections into each
+        # other's lambdas — an O(T^3) interpreted plan (see
+        # text.pushdown_barrier)
+        flags["_rep_ok"] = repetition_gate_flag(rep, ceilings)
     extras = dict(extra_gates or {})
     clash = set(extras) & set(flags)
     if clash:
@@ -442,9 +442,35 @@ def curate(
     if stage_timings is not None:
         stage_timings["gates_sec"] = round(time.perf_counter() - t0, 3)
 
-    kept = flagged.filter(all_ok).drop(
-        "_ap_gtoks", *flags.keys(), *rep_internals
-    )
+    # kept path: the CHEAP gate conjuncts filter FIRST, below the
+    # repetition staging, so rows failing length/lang/extra gates never
+    # build the gram arrays (a single filter above the barrier'd flag
+    # project would evaluate the staging for every row — the ND project
+    # blocks pushdown for ALL conjuncts, cheap ones included); the
+    # repetition gate is then re-staged over the survivors only.  Same
+    # final set as one conjunction (commutative; NULL flags drop the
+    # row either way), evaluated over strictly fewer rows.
+    cheap_ok = None
+    for name, expr in flags.items():
+        if name == "_rep_ok":
+            continue
+        cheap_ok = expr if cheap_ok is None else (cheap_ok & expr)
+    kept = pre_rep if cheap_ok is None else pre_rep.filter(cheap_ok)
+    if "_rep_ok" in flags:
+        kept, rep_k, internals_k = with_repetition(
+            kept, text_col, toks=F.col("_ap_gtoks"), extended=rep_extended,
+        )
+        # the pinned gate must be a PROJECT FIELD, not a raw filter
+        # condition: PushPredicateThroughNonJoin pushes even an ND
+        # condition through deterministic projects (its determinism
+        # guard is on the project's fields), so filtering on the
+        # expression directly would inline the staging after all
+        kept = (
+            kept.withColumn("_rep_ok", repetition_gate_flag(rep_k, ceilings))
+            .filter(F.col("_rep_ok"))
+            .drop("_rep_ok", *internals_k)
+        )
+    kept = kept.drop("_ap_gtoks")
     if pii_docs_col is not None:
         kept = kept.drop("_ap_pii_n")
     if boiler_col is not None:

@@ -296,10 +296,16 @@ def dsir_resample(
     * ``"threshold"`` — for corpus-scale k (select 100M of 10B docs):
       one ``approxQuantile`` pass (Greenwald-Khanna, driver receives a
       single number) finds the key cutoff at rank ~k, then a map-only
-      ``filter(key >= cutoff)`` keeps ~k·(1 ± relative_error) rows —
-      nothing k-sized ever converges on one node, at the documented
-      cost of an approximate sample SIZE (membership is still exactly
-      "everything above the cutoff", so reruns agree row for row).
+      ``filter(key >= cutoff)`` — nothing k-sized ever converges on one
+      node.  The size guarantee is Greenwald-Khanna's RANK bound:
+      kept rows = ``k ± relative_error·n`` where n is the CORPUS size,
+      not ``k·(1 ± relative_error)`` — at k = 100M of n = 10B the
+      default 0.001 allows ±10M (±10% of k), so choose
+      ``relative_error`` relative to ``k/n`` when the size matters
+      (e.g. ``0.1·k/n`` for a ±10%-of-k band).  Membership is still
+      exactly "everything above the cutoff", so reruns agree row for
+      row.  The slim keyed frame is checkpointed once — the weights
+      pipeline is not re-executed per action.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -313,11 +319,13 @@ def dsir_resample(
     key = F.col("dsir_logweight") * F.lit(math.log(10.0)) + gumbel
     keyed = w.select(pk, "dsir_logweight", key.alias("_dsir_key"))
     if mode == "threshold":
+        # three actions consume keyed (count, quantile sketch, the final
+        # join); checkpoint the slim (pk, weight, key) frame once so the
+        # text explode -> ratio join -> aggregate never re-executes
+        keyed = keyed.localCheckpoint(eager=True)
         n = keyed.count()
         if k >= n:
-            return df.join(
-                w.select(pk, "dsir_logweight"), pk, "inner"
-            )
+            return df.join(keyed.drop("_dsir_key"), pk, "inner")
         # the continuous Gumbel term makes key ties measure-zero, so the
         # quantile cutoff is a clean selector
         q = 1.0 - float(k) / float(n)

@@ -18,6 +18,10 @@ hash-portable, and scale-shaped:
 * :func:`mix_sources` — the up-sampling generalization: weight 3.0
   repeats a source three times (multi-epoch mixing), fractional parts
   by the same deterministic coin; one map-only explode.
+* :func:`temperature_weights` — the Gopher/PaLM ``p^tau`` mixing rule:
+  one driver-sized aggregation of source token (or document) shares →
+  expectation-preserving multipliers for :func:`mix_sources`, with
+  epoch-cap waterfilling.
 * :func:`decontaminate` — drop training docs sharing any word n-gram
   with an evaluation set (the standard 13-gram eval-contamination rule).
   Shapes as: explode both sides to n-gram hashes → LEFT SEMI join to tag
@@ -52,6 +56,7 @@ __all__ = [
     "split_dataset",
     "sample_sources",
     "mix_sources",
+    "temperature_weights",
     "decontaminate",
     "pack_sequences",
 ]

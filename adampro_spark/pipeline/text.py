@@ -620,9 +620,12 @@ def pushdown_barrier(flag: Column) -> Column:
     the filter references the flag, so pruning keeps it, and the
     project carrying it fails ``forall(_.deterministic)`` — every push,
     merge (CombineFilters) and collapse (CollapseProject) below it is
-    blocked, while sibling deterministic conjuncts in the same filter
-    still split off and push to the scan (length/lang gates keep
-    pruning rows before the repetition arrays are ever built).
+    blocked.  NOTE the block applies to EVERY conjunct of a filter
+    above the ND project, cheap ones included (measured: the optimized
+    plan keeps one Filter above the project; nothing reaches the scan),
+    so a caller that wants cheap gates to prune rows before the staged
+    arrays are built must apply them as a SEPARATE filter *below* the
+    staging — curate's kept path does exactly that.
 
     ``spark_partition_id() < 0`` is the disjunct: always false (ids are
     non-negative), marked nondeterministic, costs nothing, and is
@@ -630,6 +633,24 @@ def pushdown_barrier(flag: Column) -> Column:
     ``stream_curate``'s per-microbatch plans.
     """
     return flag | (F.spark_partition_id() < F.lit(0))
+
+
+def repetition_gate_flag(rep: "dict[str, Column]", ceilings) -> Column:
+    """Fold ``{signal: max}`` ceilings over :func:`with_repetition`'s
+    signal expressions into ONE pinned boolean gate (conjunction of
+    ``signal <= ceiling``, then :func:`pushdown_barrier`).  The single
+    authority for this fold — batch curate and stream_curate both call
+    it, so the barrier can never be forgotten on one path.
+
+    CALLERS MUST MATERIALIZE the result as a COLUMN (``withColumn``)
+    and filter on the column reference: the optimizer's pushdown guard
+    is on project fields, so a raw ND filter CONDITION still gets
+    substituted through the staging (measured — see pushdown_barrier).
+    """
+    ok = F.lit(True)
+    for sig, ceil in sorted(ceilings.items()):
+        ok = ok & (rep[sig] <= F.lit(float(ceil)))
+    return pushdown_barrier(ok)
 
 
 def repetition_stats(

@@ -257,16 +257,13 @@ def stream_curate(
                 f"unknown repetition signals {unknown}; available: "
                 f"{sorted(rep)}"
             )
-        rep_ok = F.lit(True)
-        for sig, ceil in sorted(ceilings.items()):
-            rep_ok = rep_ok & (rep[sig] <= F.lit(float(ceil)))
-        # same pushdown pin as batch curate: per-microbatch plans run
-        # the same optimizer, and filtering on an unpinned flag inlines
-        # the staged gram projections into each other's lambdas — the
-        # O(T^3) plan text.pushdown_barrier documents
-        from adampro_spark.pipeline.text import pushdown_barrier
+        # shared fold + pushdown pin with batch curate: per-microbatch
+        # plans run the same optimizer, and filtering on an unpinned
+        # flag inlines the staged gram projections into each other's
+        # lambdas — the O(T^3) plan text.pushdown_barrier documents
+        from adampro_spark.pipeline.text import repetition_gate_flag
 
-        flags["_rep_ok"] = pushdown_barrier(rep_ok)
+        flags["_rep_ok"] = repetition_gate_flag(rep, ceilings)
     if lm is not None:
         from adampro_spark.pipeline.lm import bigram_lm_score_col, lm_score_col
 

@@ -223,6 +223,16 @@ def test_gopher_repetition_ceilings_in_curate(spark):
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     assert "_rep_sg5" in opt and "_rep_th" in opt
     assert len(out._jdf.queryExecution().executedPlan().toString()) < 3_000_000
+    # 3. (review finding) the ND project blocks pushdown for EVERY
+    #    conjunct, so the kept path must apply cheap gates as a SEPARATE
+    #    filter BELOW the staging: two Filter nodes, and the bottom one
+    #    (last in the top-down plan string) free of repetition columns
+    filters = [
+        ln for ln in opt.splitlines() if ln.lstrip().startswith("+- Filter")
+        or ln.lstrip().startswith("Filter")
+    ]
+    assert len(filters) >= 2, opt[:2000]
+    assert "_rep_" not in filters[-1]
 
     with pytest.raises(ValueError, match="unknown repetition signals"):
         curate(
