@@ -31,6 +31,7 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
     exact_dedup,
     embedding_dup_pairs,
     minhash_bands,
+    lsh_params,
     minhash_dup_pairs,
     minhash_signature,
     simhash_expr,

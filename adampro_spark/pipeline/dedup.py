@@ -257,13 +257,64 @@ def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def lsh_params(
+    threshold: float,
+    num_perm: int = 128,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick the (bands, rows) banding of ``num_perm`` MinHash
+    permutations that best matches a Jaccard ``threshold`` — the
+    standard S-curve optimization (Leskovec/Rajaraman/Ullman, "Mining
+    of Massive Datasets" §3.4; the same procedure the public
+    `datasketch` library ships): a candidate pair of similarity s
+    collides with probability ``1 - (1 - s^rows)^bands``, so minimize
+    ``fp_weight · ∫₀ᵗ P(s) ds + (1-fp_weight) · ∫ₜ¹ (1-P(s)) ds``
+    over all factorizations ``bands · rows <= num_perm``.
+
+    Pure driver-side arithmetic (a few hundred trapezoid evaluations);
+    returns ``(bands, rows)`` for :func:`minhash_dup_pairs` /
+    :func:`dedup_against` — or pass ``bands="auto"`` there and this
+    runs implicitly.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 2:
+        raise ValueError(f"num_perm must be >= 2, got {num_perm}")
+    if not (0.0 <= fp_weight <= 1.0):
+        raise ValueError(f"fp_weight must be in [0, 1], got {fp_weight}")
+    steps = 200
+
+    def _err(b: int, r: int) -> float:
+        # trapezoid integration of the collision curve on each side
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s <= threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        return fp_weight * fp + (1.0 - fp_weight) * fn
+
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        e = _err(b, r)
+        if best is None or e < best[0]:
+            best = (e, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     pk: str = "doc_id",
     threshold: float = 0.7,
     shingle_n: int = 8,
-    bands: int = 32,
+    bands: "int | str" = 32,
     rows: int = 4,
     seed: int = 42,
     max_bucket_size: int = 1024,
@@ -292,7 +343,13 @@ def minhash_dup_pairs(
 
     P(miss) at j = 0.7 with 32×4 is (1-0.7⁴)³² ≈ 1.5e-4 and falls to
     ~1e-6 at j = 0.8; verified exhaustively in the oracle suite at sf0.01.
+
+    ``bands="auto"`` (round 8) resolves the banding from the threshold
+    via :func:`lsh_params` over a ``bands·rows`` permutation budget of
+    128 — the S-curve fit, instead of hand-picked (32, 4).
     """
+    if bands == "auto":
+        bands, rows = lsh_params(float(threshold), num_perm=128)
     base = _minhash_base(df, text_col, pk, shingle_n, bands, rows, seed)
 
     handles: list = [base]
@@ -1394,7 +1451,7 @@ def dedup_against(
     method: str = "minhash",
     threshold: float = 0.7,
     shingle_n: int = 8,
-    bands: int = 32,
+    bands: "int | str" = 32,
     rows: int = 4,
     seed: int = 42,
     max_bucket_size: int = 1024,
@@ -1517,6 +1574,8 @@ def dedup_against(
 
     from pyspark.sql import Window
 
+    if bands == "auto":
+        bands, rows = lsh_params(float(threshold), num_perm=128)
     nb = _minhash_base(new, text_col, pk, shingle_n, bands, rows, seed)
     rb = _minhash_base(ref, text_col, pk, shingle_n, bands, rows, seed)
     try:

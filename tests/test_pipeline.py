@@ -889,3 +889,46 @@ def test_dup_groups_propagate_raises_at_cap_instead_of_mislabeling(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_groups(pairs, algorithm="propagate").collect()
+
+
+def test_lsh_params_s_curve_tuning():
+    """The (bands, rows) auto-tuner: S-curve properties, budget respect,
+    and monotone response to the threshold."""
+    from adampro_spark.pipeline.dedup import lsh_params
+
+    b, r = lsh_params(0.7, num_perm=128)
+    assert b * r <= 128 and b >= 1 and r >= 1
+    # the S-curve midpoint (1/b)^(1/r) should land near the threshold
+    mid = (1.0 / b) ** (1.0 / r)
+    assert 0.4 < mid < 0.9
+    # higher threshold -> more rows per band (sharper curve, higher mid)
+    b_lo, r_lo = lsh_params(0.3, num_perm=128)
+    b_hi, r_hi = lsh_params(0.9, num_perm=128)
+    assert r_hi > r_lo
+    assert (1.0 / b_hi) ** (1.0 / r_hi) > (1.0 / b_lo) ** (1.0 / r_lo)
+    # weighting all mass on false positives pushes the curve up
+    b_fp, r_fp = lsh_params(0.7, num_perm=128, fp_weight=1.0)
+    b_fn, r_fn = lsh_params(0.7, num_perm=128, fp_weight=0.0)
+    assert (1.0 / b_fp) ** (1.0 / r_fp) >= (1.0 / b_fn) ** (1.0 / r_fn)
+    with pytest.raises(ValueError):
+        lsh_params(0.0)
+    with pytest.raises(ValueError):
+        lsh_params(0.5, num_perm=1)
+    with pytest.raises(ValueError):
+        lsh_params(0.5, fp_weight=1.5)
+
+
+def test_minhash_bands_auto_matches_fixed_semantics(spark):
+    """bands='auto' resolves the banding from the threshold and returns
+    exact-Jaccard-verified pairs — the verification step makes the pair
+    SET threshold-exact regardless of banding, so auto and the fixed
+    (32, 4) banding agree on any pair the bands surface in both."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta " * 4)]
+    rows += [(2, rows[0][1] + " tail")]      # near-dup of 1
+    rows += [(3, "completely different text about other things entirely " * 4)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(corpus, threshold=0.7, bands="auto").collect()
+    }
+    assert (1, 2) in auto and all(3 not in p for p in auto)
