@@ -76,7 +76,9 @@ def gate_flags(
 # Internal staging columns curate/stream_curate inject and later drop.
 # An input column with one of these names (or prefixes) would be silently
 # clobbered and REMOVED from the output (ADVICE r7) — refuse instead.
-_RESERVED_GATE_FLAGS = ("_lang_ok", "_len_ok", "_cap_ok", "_q_ok", "_rep_ok")
+_RESERVED_GATE_FLAGS = (
+    "_lang_ok", "_len_ok", "_cap_ok", "_q_ok", "_rep_ok", "_lm_ok",
+)
 _RESERVED_PREFIXES = ("_ap_", "_rep_")
 
 

@@ -1216,11 +1216,13 @@ def line_dedup(
     and CCNet run the same pass) — and rebuild each document's text.
 
     ``sep`` picks the unit: the default ``"\\n"`` is C4's line; pass
-    ``"\\n\\n"`` for RefinedWeb-style PARAGRAPH removal (the separator
-    is used as a literal regex to split and verbatim to rejoin, so the
-    split→rejoin round-trip is byte-lossless for untouched documents —
-    keep it to fixed newline strings).  The output counter column is
-    named ``n_lines_removed`` either way.
+    ``"\\n\\n"`` for RefinedWeb-style PARAGRAPH removal.  ``sep`` is a
+    FIXED STRING, not a regex (ADVICE r8): it is regex-escaped for the
+    split and used verbatim for the rejoin, so regex-significant
+    separators like ``". "`` or ``"|"`` split literally and the
+    split→rejoin round-trip stays byte-lossless for untouched
+    documents.  The output counter column is named ``n_lines_removed``
+    either way.
 
     Output = the input columns with ``text_col`` rebuilt (surviving
     lines re-joined with ``\\n``) plus ``n_lines_removed``.  Lines that
@@ -1240,9 +1242,11 @@ def line_dedup(
     an innocent line that hash-equals a boilerplate line (~n_hot/1e9
     per distinct line).
     """
+    import re as _re
+
     from adampro_spark.pipeline.text import char_codes, poly_hash
 
-    lines = F.split(F.col(text_col), str(sep))
+    lines = F.split(F.col(text_col), _re.escape(str(sep)))
     candidate = lambda ln: F.length(F.trim(ln)) > 0  # noqa: E731
     lh = df.select(
         F.col(pk).alias("_pk"),

@@ -211,15 +211,23 @@ def filter_by_domains(
     (UT1-style blocklists run to millions of domains, far past any
     literal-list or broadcast ceiling).
 
-    Plan shape at 100 TB: the suffix chain explodes to slim
-    ``(row, chain_domain)`` pairs — the document row is carried as an
-    opaque struct so text never widens the shuffle — and one LEFT ANTI
-    equi-join on the domain drops blocked rows; AQE broadcasts the deny
-    side when it fits and shuffle-joins (skew-splittable) when it
-    doesn't.  Rows with unparseable hosts are KEPT (no chain element to
-    match) — gate them separately with ``url_gate_flags`` if unparsed
-    URLs should fail.
+    Plan shape at 100 TB (docstring corrected, ADVICE r8): the suffix
+    chain explodes to slim ``(url, chain_domain)`` pairs — document
+    text never enters the hit computation — and a LEFT SEMI equi-join
+    against the deny table yields the distinct blocked-URL set; AQE
+    broadcasts the deny side when it fits and shuffle-joins
+    (skew-splittable) when it doesn't.  Blocked rows are then dropped
+    by ONE url-keyed LEFT ANTI join whose hit side is size-gated like
+    :func:`~adampro_spark.pipeline.dedup._gated_semi_join`: the
+    (usually small — blocked minority) hit set broadcasts, so full
+    document rows never shuffle; past the row gate the anti-join
+    routes through a plain shuffle instead of OOMing the driver.  Rows
+    with unparseable hosts are KEPT (no chain element to match) — gate
+    them separately with ``url_gate_flags`` if unparsed URLs should
+    fail.
     """
+    from adampro_spark.pipeline.dedup import BROADCAST_HOT_MAX_ROWS
+
     deny_tab = (
         deny.select(
             F.lower(F.regexp_replace(F.col(domain_col), r"^\.", "")).alias(
@@ -238,8 +246,13 @@ def filter_by_domains(
         .select(F.col("_u"))
         .distinct()
     )
-    return (
-        chained.join(
-            hits.withColumnRenamed("_u", url_col), url_col, "left_anti"
-        ).drop("_dchain")
-    )
+    # the gate count runs the slim hit pipeline once more at plan time —
+    # unlike _gated_semi_join's callers this output is corpus-sized, so
+    # persisting across a lazy consumer would leak the cache and an eager
+    # checkpoint would spill the whole corpus; one extra slim url pass is
+    # the cheaper trade
+    n_hits = hits.count()
+    side = F.broadcast(hits) if n_hits <= BROADCAST_HOT_MAX_ROWS else hits
+    return chained.join(
+        side.withColumnRenamed("_u", url_col), url_col, "left_anti"
+    ).drop("_dchain")

@@ -288,7 +288,15 @@ def stream_curate(
     if extra_gates:
         # same contract as batch curate: stateless boolean flag columns
         # merged into the one-scan gate pass (e.g. the compression-ratio
-        # preset, text.compression_gate_flags)
+        # preset, text.compression_gate_flags).  Same clash check as
+        # batch curate (ADVICE r8): an extra gate named like a built-in
+        # flag would silently REPLACE that gate on the streaming path.
+        clashes = sorted(set(extra_gates) & set(flags))
+        if clashes:
+            raise ValueError(
+                f"extra_gates {clashes} collide with stream_curate's "
+                "built-in gate flags; rename them"
+            )
         flags.update(extra_gates)
     cond = None
     for name, expr in flags.items():

@@ -527,3 +527,57 @@ def test_line_dedup_paragraph_mode(spark):
     assert out[4]["text"] == rows[3][1]  # byte-identical
     assert out[4]["n_lines_removed"] == 0
     assert all(out[i]["n_lines_removed"] == 1 for i in (1, 2, 3))
+
+
+def test_line_dedup_regex_significant_separator(spark):
+    """ADVICE r8: sep is a FIXED STRING — a regex-significant separator
+    like '. ' must split literally (not as 'any char + space') and the
+    rejoin must stay byte-lossless for untouched documents."""
+    from adampro_spark.pipeline.dedup import line_dedup
+
+    boiler = "all rights reserved"
+    rows = [
+        (1, f"first sentence. {boiler}. tail one"),
+        (2, f"second sentence. {boiler}"),
+        (3, f"{boiler}. unique three"),
+        (4, "ab. cd. ef"),  # untouched: '.' must not match 'b'/'d'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, min_docs=3, sep=". ").collect()
+    }
+    assert out[1]["text"] == "first sentence. tail one"
+    assert out[2]["text"] == "second sentence"
+    assert out[3]["text"] == "unique three"
+    assert out[4]["text"] == rows[3][1]  # byte-identical round trip
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_curate_rejects_lm_ok_input_column(spark):
+    """ADVICE r8: '_lm_ok' is a reserved staging name (stream_curate
+    materializes and drops it when lm= is set) — an input column with
+    that name must be refused, batch and streaming alike."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.streaming.ingest import stream_curate
+
+    df = spark.createDataFrame(
+        [(1, "some text", True)], "doc_id long, text string, _lm_ok boolean"
+    )
+    with pytest.raises(ValueError, match="_lm_ok"):
+        curate(df, dedup=None)
+    with pytest.raises(ValueError, match="_lm_ok"):
+        stream_curate(df, dedup=None)
+
+
+def test_stream_curate_extra_gate_name_clash_raises(spark):
+    """ADVICE r8: an extra gate named like a built-in flag must raise
+    (batch curate already does) instead of silently replacing the
+    built-in gate on the streaming path."""
+    from adampro_spark.streaming.ingest import stream_curate
+
+    df = spark.createDataFrame([(1, "text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="_lang_ok"):
+        stream_curate(
+            df, dedup=None, extra_gates={"_lang_ok": F.lit(True)}
+        )
