@@ -484,8 +484,8 @@ def _simhash_row(spark, sf):
 
 
 def _simhash_pairs_row(spark, sf):
-    # chunks > max_hamming ⇒ the banded join is EXHAUSTIVE (pigeonhole),
-    # so the all-pairs oracle is exactly equivalent — PROVIDED the
+    # Manku multi-block keys ⇒ the banded join is EXHAUSTIVE (pigeonhole
+    # over whole blocks), so the all-pairs oracle is equivalent — PROVIDED the
     # hot-bucket guard never fires: the ORACLE row disables the cap so
     # the exhaustive contract holds at ANY sf (found at sf0.1, where the
     # template corpus packs >1024 near-identical fingerprints into one
@@ -2077,10 +2077,11 @@ def _dedup_against_row(spark, sf):
 
 
 def _dedup_against_simhash_row(spark, sf):
-    # pigeonhole chunks > max_hamming make the cross-corpus banded join
-    # EXHAUSTIVE, so the all-pairs oracle is exactly equivalent — the
-    # oracle row disables the hot-bucket cap like dedup_simhash_suite
-    # (the production default keeps it; pytest covers its semantics)
+    # Manku multi-block keys make the cross-corpus banded join
+    # EXHAUSTIVE (every pair within max_hamming shares one table's full
+    # key), so the all-pairs oracle is exactly equivalent — the oracle
+    # row disables the hot-bucket cap like dedup_simhash_suite (the
+    # production default keeps it; pytest covers its semantics)
     from adampro_spark.pipeline.dedup import dedup_against
 
     new = _against_new(spark, sf)

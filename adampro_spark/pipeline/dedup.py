@@ -776,37 +776,86 @@ def simhash_expr(text: str | Column, nbits: int = SIMHASH_BITS) -> Column:
     )
 
 
+def _simhash_block_keys(nbits: int, max_hamming: int):
+    """Manku-style multi-block bucketing keys for Hamming candidate
+    generation (Manku, Jain & Das Sarma, WWW 2007 §3): split the
+    ``nbits`` fingerprint into ``m`` near-equal blocks; any pair within
+    Hamming distance ``k`` agrees on at least ``m − k`` WHOLE blocks,
+    so keying C(m, m−k) tables — one per (m−k)-block subset, key =
+    those blocks' bits packed together — finds EVERY qualifying pair by
+    plain equi-join (pigeonhole, exact).
+
+    Versus single-chunk keys (one table per chunk, the previous
+    scheme): a 6-bit chunk has 64 possible values, so every bucket
+    holds ~n/64 rows BY CONSTRUCTION and a hot-bucket cap silently
+    truncates all of them past ~64·cap corpus rows (ADVICE r8) — the
+    multi-block key spans about half the fingerprint (15 bits at
+    nbits=30, k=3), shrinking expected buckets by 2⁹ at the cost of
+    C(2k, k) (=20) exploded rows per doc instead of k+2.  Exploded
+    rows are slim (pk, table, key); fingerprints never ride them.
+
+    m = 2k for 1 ≤ k ≤ 3 (half-fingerprint keys, ≤20 tables), k+2
+    beyond (2-block keys, (k+2)(k+1)/2 tables); k=0 degenerates to one
+    table keyed on the whole fingerprint.
+
+    Returns ``(key_array_expr, n_tables, min_key_bits)`` where
+    ``key_array_expr`` maps the fingerprint column ``_s`` to the array
+    of packed per-table keys (``posexplode`` → (table_idx, key)) and
+    ``min_key_bits`` is the narrowest table key's width (for expected-
+    bucket-size math).
+    """
+    import itertools
+
+    k = int(max_hamming)
+    if k < 0:
+        raise ValueError("max_hamming must be >= 0")
+    m = 1 if k == 0 else (2 * k if k <= 3 else k + 2)
+    m = min(m, nbits)
+    if m <= k:
+        raise ValueError(
+            f"max_hamming={k} too large for a {nbits}-bit fingerprint "
+            "(needs at least max_hamming+1 non-empty blocks)"
+        )
+    take = m - k if k else 1
+    widths = [nbits // m + (1 if j < nbits % m else 0) for j in range(m)]
+    offsets = [sum(widths[:j]) for j in range(m)]
+    keys = []
+    combos = list(itertools.combinations(range(m), take))
+    for combo in combos:
+        key = F.lit(0).cast("long")
+        for b in combo:
+            block = F.shiftright(F.col("_s"), offsets[b]).bitwiseAND(
+                F.lit((1 << widths[b]) - 1)
+            )
+            key = F.shiftleft(key, widths[b]) + block
+        keys.append(key)
+    min_key_bits = min(sum(widths[b] for b in combo) for combo in combos)
+    return F.array(*keys), len(combos), min_key_bits
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     pk: str = "doc_id",
     max_hamming: int = 3,
     nbits: int = SIMHASH_BITS,
-    chunks: int = 5,
     max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on ``chunks`` bit-chunks (pigeonhole:
-    hamming ≤ chunks-1 guarantees ≥1 equal chunk — with chunks > max_hamming
-    every qualifying pair shares a chunk, so the equi-join finds ALL of
-    them; no all-pairs), verify exact popcount(xor) ≤ max_hamming.
-    Degenerate chunk buckets are capped by the hot-bucket guard
+    """Near-dup pairs by SimHash: bucket on Manku-style multi-block keys
+    (:func:`_simhash_block_keys` — every pair with hamming ≤
+    ``max_hamming`` shares at least one table's full key, so the
+    equi-join finds ALL of them; no all-pairs), verify exact
+    popcount(xor) ≤ max_hamming.  Degenerate buckets (rare with
+    half-fingerprint keys) are capped by the hot-bucket guard
     (``banded_candidates``); the fingerprints ride the candidate join as
     pk-keyed lookups, not join payload.
     """
-    assert chunks > max_hamming, "need chunks > max_hamming for exactness"
-    width = (nbits + chunks - 1) // chunks
+    key_arr, _, _ = _simhash_block_keys(nbits, max_hamming)
     sim = _spread(df).select(F.col(pk).alias("_pk"), simhash_expr(text_col, nbits).alias("_s"))
     # barrier: stop CollapseProject inlining the simhash expression into
-    # every chunk lambda (see minhash_dup_pairs)
+    # every block-key expression (see minhash_dup_pairs)
     sim = sim.persist()
-    # chunk j = bits [j*width, (j+1)*width): floor(s / 2^(j*width)) % 2^width
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(chunks - 1)),
-        lambda j: F.floor(
-            F.col("_s") / F.pow(F.lit(2.0), j * width)
-        ).cast("long") % (1 << width),
-    )
-    chunked = sim.select("_pk", F.posexplode(chunk_arr).alias("_ci", "_cv"))
+    chunked = sim.select("_pk", F.posexplode(key_arr).alias("_ci", "_cv"))
     cand = banded_candidates(
         chunked, ["_ci", "_cv"], max_bucket_size=max_bucket_size
     )
@@ -1473,16 +1522,21 @@ def dedup_against(
     (exact shingle-Jaccard ≥ ``threshold`` against ANY reference doc,
     banded candidates exactly like the symmetric path — both corpora
     run the one-pass signature UDF, candidates come from a new-band ×
-    ref-band equi-join), or ``"simhash"`` (round 8: pigeonhole
-    chunk equi-join, cross-corpus only, verify exact
-    popcount ≤ ``max_hamming`` — token-order-tolerant near-dup without
-    shingle sets; matches carry ``hamming`` instead of ``jaccard``).  Reference band buckets larger than
+    ref-band equi-join), or ``"simhash"`` (Manku multi-block key
+    equi-join — :func:`_simhash_block_keys` — cross-corpus only, verify
+    exact popcount ≤ ``max_hamming`` — token-order-tolerant near-dup
+    without shingle sets; matches carry ``hamming`` instead of
+    ``jaccard``).  Reference band buckets larger than
     ``max_bucket_size`` are hash-thinned to ~2× the cap and then capped
     to the ``max_bucket_size`` lowest surviving pks (the hot-bucket
     argument: an oversized bucket is near-identical boilerplate, so any
     new doc matching the bucket matches its retained members; the
     two-stage form bounds every task at O(cap) — buckets at or under
-    the cap are untouched).
+    the cap are untouched).  For simhash the effective cap additionally
+    scales with the expected bucket size ``n_ref/2^key_bits`` (ADVICE
+    r8: a fixed cap would truncate EVERY fingerprint bucket once the
+    reference outgrows ``2^key_bits·cap``, silently breaking the
+    pigeonhole guarantee), so only ≥8×-expected hot spots are thinned.
 
     Returns the surviving new rows; with ``return_matches`` instead
     returns ``(new_pk, ref_pk, jaccard)`` match pairs (``jaccard`` is
@@ -1525,29 +1579,39 @@ def dedup_against(
             )
         return tagged.join(ref_h, keys, "left_anti").drop(*keys)
     if method == "simhash":
-        chunks, nbits = max_hamming + 2, SIMHASH_BITS
-        width = (nbits + chunks - 1) // chunks
+        import math as _math
+
+        nbits = SIMHASH_BITS
+        key_arr, _, key_bits = _simhash_block_keys(nbits, max_hamming)
         mk = lambda d, p_: _spread(d).select(  # noqa: E731
             F.col(p_).alias("_pk"), simhash_expr(text_col, nbits).alias("_s")
         ).persist()
         ns, rs = mk(new, pk), mk(ref, pk)
         try:
-            chunk_arr = F.transform(
-                F.sequence(F.lit(0), F.lit(chunks - 1)),
-                lambda j: F.floor(
-                    F.col("_s") / F.pow(F.lit(2.0), j * width)
-                ).cast("long") % (1 << width),
+            # Scale the ref-bucket cap with the EXPECTED bucket size
+            # (ADVICE r8): fingerprint-key buckets hold ~n_ref/2^key_bits
+            # rows by construction, so a fixed cap silently truncates
+            # EVERY bucket once the reference outgrows 2^key_bits·cap —
+            # collapsing the pigeonhole guarantee into systematic false
+            # negatives.  Capping at max(cap, 8× expected) only ever
+            # truncates buckets ≥8× their expected size — genuinely hot
+            # boilerplate concentrations, the case the cap is for.  The
+            # count is one cheap job on the persisted fingerprints.
+            n_ref = rs.count()
+            cap_eff = max(
+                int(max_bucket_size),
+                int(_math.ceil(8.0 * n_ref / float(1 << key_bits))),
             )
             nch = ns.select(
                 F.col("_pk").alias("_npk"),
-                F.posexplode(chunk_arr).alias("_ci", "_cv"),
+                F.posexplode(key_arr).alias("_ci", "_cv"),
             )
             rch = _cap_ref_buckets(
                 rs.select(
                     F.col("_pk").alias("_rpk"),
-                    F.posexplode(chunk_arr).alias("_ci", "_cv"),
+                    F.posexplode(key_arr).alias("_ci", "_cv"),
                 ),
-                ["_ci", "_cv"], "_rpk", max_bucket_size,
+                ["_ci", "_cv"], "_rpk", cap_eff,
             )
             ham = F.bit_count(F.col("s_n").bitwiseXOR(F.col("s_r")))
             matches = (

@@ -274,3 +274,97 @@ def test_lm_tuple_arity_validated(spark, tables):
         curate(docs, lm=({}, {}), dedup=None)
     with pytest.raises(ValueError, match="lm must be"):
         stream_curate(docs, lm=({}, {}, {}, {}, 0.0), dedup=None)
+
+
+def test_simhash_block_keys_pigeonhole_cover(spark):
+    """Every pair within max_hamming must share at least one table's
+    full key — driver-side check of _simhash_block_keys against random
+    fingerprints flipped by exactly k bits, for k = 0..4."""
+    from adampro_spark.pipeline.dedup import SIMHASH_BITS, _simhash_block_keys
+
+    rng = np.random.RandomState(7)
+    for k in range(5):
+        key_arr, n_tables, key_bits = _simhash_block_keys(SIMHASH_BITS, k)
+        assert key_bits >= SIMHASH_BITS // 3  # wide keys, not 6-bit chunks
+        base = [int(rng.randint(0, 1 << SIMHASH_BITS)) for _ in range(20)]
+        rows = []
+        for i, s in enumerate(base):
+            flipped = s
+            for b in rng.choice(SIMHASH_BITS, size=k, replace=False):
+                flipped ^= 1 << int(b)
+            rows.append((2 * i, s))
+            rows.append((2 * i + 1, flipped))
+        df = spark.createDataFrame(rows, "id long, _s long")
+        keyed = df.select("id", F.posexplode(key_arr).alias("_ci", "_cv"))
+        got = {
+            (r["a"], r["b"])
+            for r in keyed.alias("x")
+            .join(
+                keyed.alias("y"),
+                (F.col("x._ci") == F.col("y._ci"))
+                & (F.col("x._cv") == F.col("y._cv"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+            .collect()
+        }
+        for i in range(len(base)):
+            assert (2 * i, 2 * i + 1) in got, (k, i)
+
+
+def test_dedup_against_simhash_survives_large_reference(spark):
+    """ADVICE r8: with the old 6-bit single-chunk keys, 320 buckets held
+    the WHOLE reference, so a fixed cap thinned every bucket past ~320·cap
+    docs and silently dropped true matches.  Multi-block keys plus the
+    expected-size-scaled cap must keep a planted exact near-dup even with
+    a pathologically small max_bucket_size over a reference much larger
+    than the old bucket space."""
+    import string
+
+    rng = np.random.RandomState(29)
+    letters = np.array(list(string.ascii_lowercase))
+    # random-letter vocab: structured tokens ("tok123") produce clustered
+    # poly-hash bit patterns and hence clustered fingerprints; random
+    # words give the near-uniform spread real text shows
+    vocab = ["".join(rng.choice(letters, size=8)) for _ in range(2000)]
+    ref_rows = [
+        (i, " ".join(rng.choice(vocab, size=30))) for i in range(800)
+    ]
+    target_text = ref_rows[123][1]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10_000, target_text),
+         (10_001, " ".join(rng.choice(vocab, size=30)))],
+        "doc_id long, text string",
+    )
+    # max_bucket_size=8 < the OLD regime's ~12.5 expected rows per 6-bit
+    # chunk bucket (800·5/320) — the old scheme thinned every bucket here
+    m = dedup_against(
+        new, ref, method="simhash", max_hamming=3,
+        max_bucket_size=8, return_matches=True,
+    )
+    hits = {(r["new_pk"], r["ref_pk"]) for r in m.collect()}
+    assert (10_000, 123) in hits, hits
+    # exactness under the tiny cap: the banded hit set must equal the
+    # driver-side brute force (the old single-chunk scheme MISSED pairs
+    # here because every 6-bit bucket exceeded the cap and was thinned)
+    from adampro_spark.pipeline.dedup import simhash_expr
+
+    rsim = {r["doc_id"]: r["s"]
+            for r in ref.select("doc_id", simhash_expr("text").alias("s")).collect()}
+    nsim = {r["doc_id"]: r["s"]
+            for r in new.select("doc_id", simhash_expr("text").alias("s")).collect()}
+    brute = {
+        (n_id, r_id)
+        for n_id, ns in nsim.items()
+        for r_id, rs in rsim.items()
+        if bin(ns ^ rs).count("1") <= 3
+    }
+    assert hits == brute
+    surv = dedup_against(
+        new, ref, method="simhash", max_hamming=3, max_bucket_size=8
+    )
+    kept = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert kept == {n for n in nsim if not any(b[0] == n for b in brute)}
+    assert 10_000 not in kept
