@@ -506,3 +506,36 @@ def test_lm_bucket_quantile_path_sane(spark, tables):
     five = lm_bucket(docs, vocab, meta, n_buckets=5)
     labels = {r["bucket"] for r in five.select("bucket").distinct().collect()}
     assert labels <= {"b1", "b2", "b3", "b4", "b5", None}
+
+
+def test_lm_bucket_auto_routes_monster_group_to_quantile(
+    spark, tables, monkeypatch
+):
+    """verdict r8 #1: method='auto' must count the largest group and
+    route PAST the gate to the quantile path (no NTILE window sorting a
+    monster group in one task) while staying NTILE-exact under it."""
+    import adampro_spark.pipeline.lm as lm_mod
+    from adampro_spark.pipeline.lm import fit_unigram_lm, lm_bucket
+
+    docs = tables["documents"].select("doc_id", "source", "text")
+    vocab, meta = fit_unigram_lm(docs, vocab_size=64)
+
+    # under the gate: auto == ntile, row for row
+    a = lm_bucket(docs, vocab, meta, by="source")  # default auto
+    n = lm_bucket(docs, vocab, meta, by="source", method="ntile")
+    key = lambda r: (r["doc_id"], r["bucket"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, n.collect()))
+    plan_small = a._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile(" in plan_small
+
+    # plant a monster group: gate forced tiny so 'source' groups exceed it
+    monkeypatch.setattr(lm_mod, "LM_BUCKET_NTILE_MAX_GROUP_ROWS", 10)
+    big = lm_bucket(docs, vocab, meta, by="source")
+    plan_big = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile(" not in plan_big  # no single-task group sort
+    q = lm_bucket(docs, vocab, meta, by="source", method="quantile")
+    assert sorted(map(key, big.collect())) == sorted(map(key, q.collect()))
+
+    # by=None: the whole corpus is the one group
+    solo = lm_bucket(docs, vocab, meta)
+    assert "ntile(" not in solo._jdf.queryExecution().optimizedPlan().toString()
