@@ -65,14 +65,39 @@ def _spread(df: DataFrame) -> DataFrame:
 # a set that can be billions of rows (Lee et al. 2022's duplicated-gram
 # sets at crawl scale are exactly that).
 BROADCAST_HOT_MAX_ROWS = 2_000_000
+# Byte ceiling backing the row gate (verdict r8 #6): the 2M-row default
+# assumes ~24 B rows; a wider key type would silently under-estimate, so
+# the effective gate is min(max_rows, budget / schema-estimated row bytes).
+BROADCAST_HOT_BYTE_BUDGET = 50 * 1024 * 1024
+_HOT_ROW_OVERHEAD_BYTES = 16
+# Catalyst defaultSize analogue for the key types hot sets actually use
+# (PySpark's DataType doesn't expose defaultSize); unknown types assume
+# string width, the conservative direction
+_HOT_KEY_BYTES = {
+    "tinyint": 1, "smallint": 2, "int": 4, "integer": 4,
+    "bigint": 8, "long": 8, "float": 4, "double": 8,
+    "date": 4, "timestamp": 8, "boolean": 1,
+}
+
+
+def _hot_key_width(dtype) -> int:
+    return _HOT_KEY_BYTES.get(dtype.simpleString(), 20)
 
 
 def _gated_semi_join(
     big: DataFrame, hot: DataFrame, key: str, max_broadcast_rows: int
 ) -> DataFrame:
     """``big LEFT SEMI JOIN hot ON key``, broadcasting ``hot`` only when
-    its row count clears the gate (the verdict-r7 routing fix: byte-aware
-    like simjoin's query-side stats, never a forced broadcast).
+    its row count clears the gate (the verdict-r7 routing fix: never a
+    forced broadcast of an unbounded set).
+
+    ``hot`` MUST be the slim single-column key set — enforced, not
+    assumed (verdict r8 #6): the row gate's byte math keys off the ONE
+    column's schema-estimated width, so a refactor that widens the hot
+    frame would silently under-estimate broadcast bytes.  The effective
+    gate is ``min(max_broadcast_rows,
+    BROADCAST_HOT_BYTE_BUDGET / (defaultSize(key) + overhead))`` —
+    2.1M rows for a long key, proportionally fewer for wide types.
 
     ``hot`` is expected PERSISTED by the caller: the gate's count is then
     one cheap job and the join replays the cache instead of re-running
@@ -80,8 +105,18 @@ def _gated_semi_join(
     span_dedup's gram pipeline once over, 2.9 s → 4.6 s at sf0.1).  The
     caller releases the cache after materializing its (small) output.
     """
+    if list(hot.columns) != [key]:
+        raise ValueError(
+            f"_gated_semi_join expects a slim single-column hot set "
+            f"[{key!r}], got columns {hot.columns} — the broadcast byte "
+            "estimate only holds for the bare key"
+        )
+    row_bytes = _hot_key_width(hot.schema[0].dataType) + _HOT_ROW_OVERHEAD_BYTES
+    gate = min(
+        int(max_broadcast_rows), BROADCAST_HOT_BYTE_BUDGET // row_bytes
+    )
     n_hot = hot.count()
-    side = F.broadcast(hot) if n_hot <= int(max_broadcast_rows) else hot
+    side = F.broadcast(hot) if n_hot <= gate else hot
     return big.join(side, key, "left_semi")
 
 

@@ -279,3 +279,37 @@ def test_span_dedup_pre_stage_in_curate(spark):
     # 4 docs x 10 span tokens removed
     assert rep["n_span_tokens_removed"] == 40
     assert rep["n_short"] == 1
+
+
+def test_pushdown_barrier_nd_disjunct_is_load_bearing(spark, monkeypatch):
+    """verdict r8 #7 — Spark-version canary: pushdown_barrier encodes
+    optimizer behavior (PushPredicateThroughNonJoin's determinism gate
+    on Project fields).  This asserts the ND disjunct is still DOING
+    something: with the barrier patched out, the optimizer must inline
+    the staged gram projections into the gate (the O(T^3) plan the
+    barrier exists to prevent).  If THIS test fails after a Spark
+    upgrade, the optimizer changed — re-measure pushdown_barrier
+    (pipeline/text.py) before trusting either plan shape, and consider
+    the documented localCheckpoint fallback if the barrier stopped
+    blocking substitution."""
+    import adampro_spark.pipeline.text as tmod
+    from adampro_spark.pipeline.curate import (
+        GOPHER_REPETITION_CEILINGS,
+        curate,
+    )
+
+    # one tiny doc: the degraded plan still EXECUTES here (the report
+    # aggregate runs it), so keep T small — the assertion is on the
+    # compiled plan, not the runtime
+    df = spark.createDataFrame(
+        [(1, "hello world one two three four five six seven eight " * 4)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(tmod, "pushdown_barrier", lambda flag: flag)
+    out, _ = curate(
+        df, langs=None, min_tokens=1, min_quality=0.0, dedup=None,
+        repetition_ceilings=GOPHER_REPETITION_CEILINGS,
+    )
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    # staged attributes inlined away => the disjunct is load-bearing
+    assert "_rep_sg5" not in opt

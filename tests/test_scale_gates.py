@@ -368,3 +368,31 @@ def test_dedup_against_simhash_survives_large_reference(spark):
     kept = {r["doc_id"] for r in surv.select("doc_id").collect()}
     assert kept == {n for n in nsim if not any(b[0] == n for b in brute)}
     assert 10_000 not in kept
+
+
+def test_gated_semi_join_pins_slim_hot_set_and_byte_budget(
+    spark, boiler_corpus, monkeypatch
+):
+    """verdict r8 #6: the broadcast gate's byte math only holds for a
+    bare single-column key — a wider hot frame must be refused, and the
+    byte budget must cap the row gate (a tiny budget forces the shuffle
+    route even when the row gate would allow broadcasting)."""
+    import adampro_spark.pipeline.dedup as dmod
+    from adampro_spark.pipeline.dedup import _gated_semi_join
+
+    big = boiler_corpus.select(F.col("doc_id").alias("k"))
+    hot = big.filter(F.col("k") < 20).distinct()
+    wide = boiler_corpus.select(F.col("doc_id").alias("k"), "text")
+    with pytest.raises(ValueError, match="single-column"):
+        _gated_semi_join(big, wide, "k", max_broadcast_rows=10**6)
+    with pytest.raises(ValueError, match="single-column"):
+        _gated_semi_join(big, hot, "doc_id", max_broadcast_rows=10**6)
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        monkeypatch.setattr(dmod, "BROADCAST_HOT_BYTE_BUDGET", 0)
+        sh = _gated_semi_join(big, hot, "k", max_broadcast_rows=10**6)
+        assert "BroadcastExchange" not in _plan(sh)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
