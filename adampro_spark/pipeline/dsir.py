@@ -265,6 +265,13 @@ def dsir_weight_col(
     )
 
 
+# Largest k the exact Gumbel top-k path handles: the k-row selection is
+# merged on the driver (TakeOrderedAndProject) and broadcast back, so
+# past this `mode="auto"` switches to the threshold path — the same
+# count-then-route discipline as lm_bucket/_gated_semi_join.
+DSIR_EXACT_MAX_K = 2_000_000
+
+
 def dsir_resample(
     df: DataFrame,
     buckets: DataFrame,
@@ -273,7 +280,7 @@ def dsir_resample(
     text_col: str = "text",
     pk: str = "doc_id",
     seed: int = 42,
-    mode: str = "exact",
+    mode: str = "auto",
     relative_error: float = 0.001,
 ) -> DataFrame:
     """Weighted sample of ``k`` documents WITHOUT replacement,
@@ -286,9 +293,13 @@ def dsir_resample(
     ``dsir_logweight``, ordered by nothing in particular (the selection
     is the contract, not the order).
 
-    ``mode`` (the lm_bucket pattern: an exact default and an
-    approximate scale path):
+    ``mode`` (the lm_bucket pattern: an exact small-k path and an
+    approximate scale path, AUTO-ROUTED by default):
 
+    * ``"auto"`` (default) — ``"exact"`` for ``k ≤ DSIR_EXACT_MAX_K``
+      (the driver-merge/broadcast bound), ``"threshold"`` past it, so
+      a corpus-scale selection can no longer converge k rows on the
+      driver by default.  The routing needs no job (k is a literal).
     * ``"exact"`` — exactly ``k`` rows.  ``orderBy(key).limit(k)``
       plans as TakeOrderedAndProject: every executor keeps its local
       top-k and the driver merges k-sized heaps.  Right whenever k
@@ -309,8 +320,12 @@ def dsir_resample(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    if mode not in ("exact", "threshold"):
-        raise ValueError(f"mode must be 'exact' or 'threshold', got {mode!r}")
+    if mode not in ("auto", "exact", "threshold"):
+        raise ValueError(
+            f"mode must be 'auto', 'exact' or 'threshold', got {mode!r}"
+        )
+    if mode == "auto":
+        mode = "exact" if int(k) <= DSIR_EXACT_MAX_K else "threshold"
     w = dsir_weights(df, buckets, meta, text_col=text_col, pk=pk)
     u = F.greatest(
         _unit_hash(F.col(pk), f"dsir|{seed}"), F.lit(1e-12)

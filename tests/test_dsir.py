@@ -293,3 +293,56 @@ def test_resample_threshold_mode_tracks_exact(spark, corpora):
         raw_df, buckets, meta, k=10_000, mode="threshold"
     )
     assert all_rows.count() == len(raw)
+
+
+def test_resample_auto_routes_by_k(spark, corpora, monkeypatch):
+    """verdict r8 #8: mode='auto' (the default) must pick the exact
+    Gumbel top-k under DSIR_EXACT_MAX_K and the threshold path past it
+    — same results as the explicit modes, no driver-converged k-sized
+    selection on the big route."""
+    import adampro_spark.pipeline.dsir as dmod
+
+    raw_df, tgt_df, *_ = corpora
+    buckets, meta = fit_dsir(raw_df, tgt_df, n_buckets=64)
+
+    auto = dsir_resample(raw_df, buckets, meta, k=5)  # default auto
+    exact = dsir_resample(raw_df, buckets, meta, k=5, mode="exact")
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(map(key, auto.collect())) == sorted(map(key, exact.collect()))
+    assert "TakeOrderedAndProject" in (
+        auto._jdf.queryExecution().executedPlan().toString()
+    )
+
+    monkeypatch.setattr(dmod, "DSIR_EXACT_MAX_K", 3)
+    big = dsir_resample(raw_df, buckets, meta, k=5, relative_error=1e-6)
+    thr = dsir_resample(
+        raw_df, buckets, meta, k=5, mode="threshold", relative_error=1e-6
+    )
+    assert sorted(map(key, big.collect())) == sorted(map(key, thr.collect()))
+    assert "TakeOrderedAndProject" not in (
+        big._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_at_scale_preset_curate_dsir_bucket_end_to_end(spark, corpora):
+    """verdict r8 #8 'done' gate: the documented at-scale pipeline —
+    curate -> dsir_resample(auto) -> lm_bucket(auto) — runs end to end
+    with every route self-selected, producing gated, resampled,
+    bucketed documents."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.lm import fit_unigram_lm, lm_bucket
+
+    raw_df, tgt_df, *_ = corpora
+    gated, rep = curate(
+        raw_df, langs=None, min_tokens=5, min_quality=0.0, dedup=None
+    )
+    buckets, meta = fit_dsir(gated, tgt_df, n_buckets=64)
+    picked = dsir_resample(gated, buckets, meta, k=12)
+    assert picked.count() == 12
+    vocab, lmeta = fit_unigram_lm(tgt_df, vocab_size=64)
+    out = lm_bucket(picked, vocab, lmeta)
+    rows = out.collect()
+    assert len(rows) == 12
+    got_buckets = {r["bucket"] for r in rows}
+    assert got_buckets <= {"head", "middle", "tail", None}
+    assert {"head", "tail"} <= got_buckets  # the split actually split
