@@ -1499,18 +1499,31 @@ def _cap_ref_buckets(
     """Cap reference buckets in two stages (verdict-r7 #4): a bare
     row_number window funnels a WHOLE hot bucket through one task before
     filtering (spill + straggler on a 50%-hot bucket).  Stage 1
-    aggregates bucket sizes (slim, map-side combined) and hash-thins
-    only the OVERSIZED buckets to ~2× the cap BEFORE the window, so the
-    window task ingests O(cap) rows, never O(bucket).  Buckets at or
-    under the cap pass through UNTOUCHED — identical results wherever
-    the cap doesn't fire (the oracle's regime)."""
+    aggregates bucket sizes (slim, map-side combined) and keeps only the
+    OVERSIZED keys — usually an empty/tiny table, so the left join back
+    is AQE-broadcast (the r9 A/B: joining the FULL sizes table instead
+    cost ~15% on the bench row; an eager emptiness probe cost an extra
+    job and measured slightly worse than this fully lazy shape).  Cold
+    buckets ride the join unmodified (NULL ``_bn`` skips the thinning);
+    hot buckets hash-thin to ~2× the cap before the row_number cap, so
+    every window task ingests O(cap) rows, never O(bucket).  Results
+    are identical wherever the cap doesn't fire (the oracle's regime).
+
+    ``rows`` should be a SLIM (pk, bucket-key) frame — callers persist
+    the slim explode rather than letting both the sizes pass and the
+    candidate join re-read a fat signature cache (measured ~1 s of 3.3
+    at sf0.1)."""
     from pyspark.sql import Window
 
-    sizes = rows.groupBy(*bkeys).agg(F.count(F.lit(1)).alias("_bn"))
+    hot_keys = (
+        rows.groupBy(*bkeys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > int(max_bucket_size))
+    )
     thinned = (
-        rows.join(sizes, bkeys)
+        rows.join(hot_keys, bkeys, "left")
         .filter(
-            (F.col("_bn") <= int(max_bucket_size))
+            F.col("_bn").isNull()
             | (
                 F.pmod(
                     F.xxhash64(pk_col),
@@ -1686,10 +1699,15 @@ def dedup_against(
             F.col("_pk").alias("_npk"),
             F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash"),
         )
+        # SLIM band cache: the signature cache rows are fat (the shingle
+        # sets ride them for verification), and both the hot-bucket probe
+        # and the candidate join only need (pk, band) — re-reading the
+        # fat cache twice cost ~1 s of the r9 A/B's 3.3 s; the slim
+        # explode is a few MB and both passes read it instead
         raw_ref_bands = rb.select(
             F.col("_pk").alias("_rpk"),
             F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash"),
-        )
+        ).persist()
         ref_bands = _cap_ref_buckets(
             raw_ref_bands, ["_band_idx", "_band_hash"], "_rpk",
             max_bucket_size,
@@ -1721,6 +1739,10 @@ def dedup_against(
     finally:
         nb.unpersist()
         rb.unpersist()
+        try:
+            raw_ref_bands.unpersist()
+        except NameError:  # lsh_params/_minhash_base raised before bind
+            pass
     if return_matches:
         return matches.select(
             F.col("_npk").alias("new_pk"),
