@@ -320,7 +320,86 @@ def _ngram_counts_row(spark, sf):
     )
 
 
+def _langid_nb_row(spark, sf):
+    # round 9 (verdict r8 #3): the TRAINED char-n-gram Naive-Bayes
+    # langid (pipeline/langid.py) — prediction + rounded mean log-prob
+    # per doc; whitespace-only docs score 'und' and are excluded so the
+    # SQL mirror (which recomputes fit AND scoring from the embedded
+    # seed corpus) compares content rows only
+    from adampro_spark.pipeline.langid import fit_langid, langid_scores_col
+
+    model, meta = fit_langid()
+    return (
+        _docs(spark, sf)
+        .select("doc_id", langid_scores_col(model, meta, "text").alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s").getField("lang").alias("lang_nb"),
+            F.col("_s").getField("logp").alias("logp"),
+        )
+        .filter(F.col("lang_nb") != "und")
+    )
+
+
+def _langid_nb_sql() -> str:
+    """DuckDB mirror of fit_langid + langid_scores_col: the seed corpus
+    is embedded verbatim, the model (add-one-smoothed log10 gram
+    probabilities quantized to 6 decimals) is recomputed in SQL, and
+    scoring sums matched-gram log-probs plus floor·(T−matched) per
+    (doc, lang) — argmax with lang-ascending tie-break, mean rounded to
+    4 decimals exactly like the pandas UDF."""
+    from adampro_spark.pipeline.langid import LANGID_MAX_CHARS, SEED_TEXTS
+
+    seed_vals = ",\n      ".join(
+        "('{}', '{}')".format(lang, SEED_TEXTS[lang].replace("'", "''"))
+        for lang in sorted(SEED_TEXTS)
+    )
+    norm = (
+        "' ' || trim(regexp_replace(lower({t}), '\\s+', ' ', 'g')) || ' '"
+    )
+    grams = (
+        "list_transform(generate_series(1, length(t) - 1), i -> substr(t, i, 2))"
+        " || "
+        "list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3))"
+    )
+    return f"""
+    WITH seeds(lang, txt) AS (VALUES
+      {seed_vals}),
+    sn AS (SELECT lang, {norm.format(t='txt')} AS t FROM seeds),
+    sg AS (SELECT lang, unnest({grams}) AS g FROM sn),
+    cnt AS (SELECT lang, g, count(*) AS c FROM sg GROUP BY lang, g),
+    nl AS (SELECT lang, count(*) AS n_l FROM sg GROUP BY lang),
+    voc AS (SELECT count(DISTINCT g) AS v FROM sg),
+    model AS (SELECT lang, g, round(log10((c + 1) / (n_l + v)), 6) AS lp
+              FROM cnt JOIN nl USING (lang) CROSS JOIN voc),
+    floors AS (SELECT lang, round(log10(1.0 / (n_l + v)), 6) AS fl
+               FROM nl CROSS JOIN voc),
+    docs AS (SELECT doc_id,
+                    substr({norm.format(t='text')}, 1, {LANGID_MAX_CHARS})
+                      AS t
+             FROM documents WHERE trim(text) <> ''),
+    dg AS (SELECT doc_id, unnest({grams}) AS g FROM docs),
+    tc AS (SELECT doc_id, count(*) AS tcnt FROM dg GROUP BY doc_id),
+    matched AS (SELECT d.doc_id, m.lang, sum(m.lp) AS s, count(*) AS mc
+                FROM dg d JOIN model m USING (g) GROUP BY d.doc_id, m.lang),
+    scored AS (SELECT t.doc_id, f.lang,
+                      coalesce(m.s, 0) + (t.tcnt - coalesce(m.mc, 0)) * f.fl
+                        AS total,
+                      t.tcnt
+               FROM tc t CROSS JOIN floors f
+               LEFT JOIN matched m
+                 ON m.doc_id = t.doc_id AND m.lang = f.lang),
+    best AS (SELECT doc_id, lang, round(total / tcnt, 4) AS logp,
+                    row_number() OVER (
+                      PARTITION BY doc_id ORDER BY total DESC, lang ASC
+                    ) AS rn
+             FROM scored)
+    SELECT doc_id, lang AS lang_nb, logp FROM best WHERE rn = 1
+    """
+
+
 BENCH_ONLY["text_langid"] = _langid_row
+BENCH_ONLY["text_langid_nb"] = _langid_nb_row
 BENCH_ONLY["text_fingerprint"] = _fingerprint_row
 BENCH_ONLY["text_ngram_counts"] = _ngram_counts_row
 
@@ -355,7 +434,17 @@ def _text_suite(spark, sf):
         F.col("ngram").alias("k"),
         F.col("cnt").cast("long").alias("v"),
     )
-    return _union_all([lang, fp, ng])
+    # round 9: the trained NB langid joins the fold — prediction AND
+    # rounded score both enter the value hash (v carries the score
+    # scaled to an exact integer so the shared long column fits)
+    nb = _langid_nb_row(spark, sf).select(
+        F.lit("langid_nb").alias("part"),
+        F.concat_ws(
+            "|", F.col("doc_id").cast("string"), F.col("lang_nb")
+        ).alias("k"),
+        F.round(F.col("logp") * 10_000).cast("long").alias("v"),
+    )
+    return _union_all([lang, fp, ng, nb])
 
 
 _register(
@@ -369,6 +458,10 @@ _register(
     SELECT 'fingerprint', doc_id::VARCHAR, fp::BIGINT FROM ({_FP_SQL})
     UNION ALL
     SELECT 'ngrams', ngram, cnt::BIGINT FROM ({_NGRAM_SQL})
+    UNION ALL
+    SELECT 'langid_nb', doc_id::VARCHAR || '|' || lang_nb,
+           round(logp * 10000)::BIGINT
+    FROM ({_langid_nb_sql()})
     """,
 )
 

@@ -90,6 +90,8 @@ HEADLINE = [
     "pipeline_dsir",
     # round 8: RefinedWeb paragraph-level boilerplate removal
     "dedup_paragraphs",
+    # round 9: trained char-n-gram NB language ID (map-only Arrow UDF)
+    "text_langid_nb",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the
