@@ -398,10 +398,27 @@ def _langid_nb_sql() -> str:
     """
 
 
+def _bpe_count_row(spark, sf):
+    # round 9 (verdict r8 #4): trained-BPE token counts — fit the merge
+    # table on the corpus (Spark word-freq agg + driver merge loop),
+    # then one Arrow-batched counting pass.  Encoding is an iterative
+    # merge loop, not SQL-expressible, so the operator is pytest-pinned
+    # (tests/test_bpe.py: parity vs an independent naive reference)
+    # like the DEFLATE gate; this row carries the bench timing.
+    from adampro_spark.pipeline.bpe import bpe_token_count_col, fit_bpe
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    merges, _meta = fit_bpe(docs, num_merges=500)
+    return docs.select(
+        "doc_id", bpe_token_count_col(merges, "text").alias("n_bpe")
+    )
+
+
 BENCH_ONLY["text_langid"] = _langid_row
 BENCH_ONLY["text_langid_nb"] = _langid_nb_row
 BENCH_ONLY["text_fingerprint"] = _fingerprint_row
 BENCH_ONLY["text_ngram_counts"] = _ngram_counts_row
+BENCH_ONLY["text_bpe_count"] = _bpe_count_row
 
 _FP_SQL = (
     f"SELECT doc_id, {_sql_poly_hash(_sql_norm_text('text'))} AS fp FROM documents"

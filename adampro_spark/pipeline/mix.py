@@ -198,6 +198,7 @@ def temperature_weights(
     source_col: str = "source",
     text_col: str | None = "text",
     max_weight: float | None = None,
+    mass_col: Column | None = None,
 ) -> dict[str, float]:
     """Temperature-based source re-weighting (the Gopher / PaLM mixing
     rule): sampling probability ``q_s ∝ p_s^tau`` where ``p_s`` is the
@@ -216,17 +217,25 @@ def temperature_weights(
     applied BEFORE normalization, so capped fits still keep the
     expected size within the cap's distortion.
 
+    ``mass_col`` overrides the mass expression entirely — pass a
+    TRAINED token count (``bpe.bpe_token_count_col(merges)``) so the
+    temperature mix is computed in the same units the downstream model
+    trains in, instead of the whitespace-token share.
+
     One aggregation (≤ |sources| rows to the driver); the weights are
     plan literals from there on — the fit is driver-sized by
     construction, like the LM and DSIR fit boundaries.
     """
     if tau < 0:
         raise ValueError(f"tau must be >= 0, got {tau}")
-    mass = (
-        F.size(tokens_expr(text_col)).cast("double")
-        if text_col is not None
-        else F.lit(1.0)
-    )
+    if mass_col is not None:
+        mass = mass_col.cast("double")
+    else:
+        mass = (
+            F.size(tokens_expr(text_col)).cast("double")
+            if text_col is not None
+            else F.lit(1.0)
+        )
     rows = (
         df.select(F.col(source_col).alias("_s"), mass.alias("_m"))
         .groupBy("_s")

@@ -92,6 +92,8 @@ HEADLINE = [
     "dedup_paragraphs",
     # round 9: trained char-n-gram NB language ID (map-only Arrow UDF)
     "text_langid_nb",
+    # round 9: trained-BPE fit (Spark agg + driver merges) + count pass
+    "text_bpe_count",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the
