@@ -45,6 +45,18 @@ ROWS = [
     # boilerplate removal — both claim bounded-fit / slim-shuffle shapes
     "pipeline_dsir",
     "dedup_paragraphs",
+    # round-9 additions (verdict r8 #5): the heaviest bench row and the
+    # never-probed suites — the full 13-signal repetition table
+    # (map-only staged HOFs), the LM suite incl. DSIR + tercile
+    # bucketing, the line/paragraph dedup tagged union, the 5-stage
+    # curate composition — plus the round-9 operators (trained langid,
+    # trained BPE fit+count)
+    "text_stats_full",
+    "text_lm_suite",
+    "dedup_lines",
+    "pipeline_curate_full",
+    "text_langid_nb",
+    "text_bpe_count",
 ]
 COPIES = 10
 SHIFT = 10_000_000
