@@ -37,6 +37,7 @@ def gate_flags(
     min_quality: float = 0.3,
     max_chars: int | None = None,
     toks: Column | None = None,
+    langid_col: Column | None = None,
 ) -> dict[str, Column]:
     """The curation gates as PURE COLUMN EXPRESSIONS — one dict of
     boolean flags (``_lang_ok/_len_ok/_cap_ok/_q_ok``) computed in a
@@ -50,6 +51,12 @@ def gate_flags(
     quality flags score ONE tokenization instead of embedding it in
     every flag expression (measured: the gate pass 1.26 s → staged
     ~0.5 s at sf0.1).
+
+    ``langid_col``: a language-code column that REPLACES the stopword
+    heuristic in the ``langs`` gate — pass
+    ``langid.trained_langid_col(model, meta)`` for the trained NB model
+    (round 9); any stateless expression works, so the gate streams
+    unchanged.
     """
     toks = tokens_expr(text_col) if toks is None else toks
     n_chars = F.length(F.col(text_col)).cast("long")
@@ -57,9 +64,13 @@ def gate_flags(
     alnum = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))
     alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
     quality = alnum_ratio * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    lang_pred = (
+        langid_col if langid_col is not None
+        else langid_expr(text_col, toks=toks)
+    )
     return {
         "_lang_ok": (
-            langid_expr(text_col, toks=toks).isin(list(langs))
+            lang_pred.isin(list(langs))
             if langs is not None
             else F.lit(True)
         ),
@@ -209,6 +220,7 @@ def curate(
     text_col: str = "text",
     pk: str = "doc_id",
     langs: Sequence[str] | None = ("en",),
+    langid_col: Column | None = None,
     min_tokens: int = 20,
     min_quality: float = 0.3,
     max_chars: int | None = None,
@@ -372,7 +384,7 @@ def curate(
         gate_flags(
             text_col, langs=langs, min_tokens=min_tokens,
             min_quality=min_quality, max_chars=max_chars,
-            toks=F.col("_ap_gtoks"),
+            toks=F.col("_ap_gtoks"), langid_col=langid_col,
         )
     )
     rep_internals: list[str] = []

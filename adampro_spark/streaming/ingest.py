@@ -179,6 +179,7 @@ def stream_curate(
     watermark: str = "1 day",
     dedup: str | None = "exact",
     langs=("en",),
+    langid_col=None,
     min_tokens: int = 20,
     min_quality: float = 0.3,
     max_chars: int | None = None,
@@ -230,7 +231,7 @@ def stream_curate(
     flags = dict(gate_flags(
         text_col, langs=langs, min_tokens=min_tokens,
         min_quality=min_quality, max_chars=max_chars,
-        toks=F.col("_ap_gtoks"),
+        toks=F.col("_ap_gtoks"), langid_col=langid_col,
     ))
     rep_internals: list[str] = []
     ceilings = dict(repetition_ceilings or {})

@@ -166,3 +166,29 @@ def test_curate_composes_with_trained_langid(spark, fitted):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert kept == {0, 1}  # en, de rows
     assert rep["n_fail_nblang_ok"] == len(HELDOUT) - 2
+
+
+def test_langid_col_replaces_heuristic_in_curate_and_stream(spark, fitted):
+    """gate_flags(langid_col=...) swaps the trained model into the langs
+    gate; batch curate and stream_curate (batch mode) agree."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.streaming.ingest import stream_curate
+
+    model, meta = fitted
+    rows = [(i, (txt + " ") * 3) for i, txt in enumerate(HELDOUT.values())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col = trained_langid_col(model, meta)
+    out, rep = curate(
+        df, langs=("fi", "pl"), langid_col=col,
+        min_tokens=3, min_quality=0.0, dedup=None,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    want = {i for i, lang in enumerate(HELDOUT) if lang in ("fi", "pl")}
+    assert kept == want
+    assert rep["n_lang_fail"] == len(HELDOUT) - 2
+
+    s_out = stream_curate(
+        df, langs=("fi", "pl"), langid_col=trained_langid_col(model, meta),
+        min_tokens=3, min_quality=0.0, dedup=None,
+    )
+    assert {r["doc_id"] for r in s_out.select("doc_id").collect()} == want
