@@ -566,7 +566,13 @@ _register(
 
 def _simhash_sql() -> str:
     toks = _TOKS.format(t="text")
-    th = f"list_transform({toks}, t -> {_fold(_CODES.format(t='t'))})"
+    # Knuth-mix mirror of simhash_expr (round 9): ((h*A) // 2^15) % 2^30
+    # — integer ops end to end, exact in both engines (product < 2^61)
+    mixed = (
+        f"((({_fold(_CODES.format(t='t'))}) * 2654435761) // 32768) "
+        f"% {1 << SIMHASH_BITS}"
+    )
+    th = f"list_transform({toks}, t -> {mixed})"
     bit = "(floor(h / 2**b)::BIGINT % 2)"
     return f"""
     SELECT doc_id,

@@ -782,11 +782,32 @@ def simhash_expr(text: str | Column, nbits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint over token hashes: bit b of the result is set
     iff Σ_tokens (2·bit_b(h(token)) − 1) > 0.
 
+    Token hashes are Knuth-mixed before bit extraction (round 9):
+    ``h' = ⌊h·2654435761 / 2^15⌋ mod 2^30`` — the raw 31-poly hashes of
+    a STRUCTURED vocabulary ("tok0".."tok1999", URL shards, template
+    slugs) share bit patterns, and the per-bit ±1 sums inherit the bias:
+    measured mean pairwise hamming between UNRELATED 30-token docs was
+    8.2/30 with raw hashes (min 0 — full fingerprint collisions!) vs
+    14.1/30 mixed (ideal 15), while a 1-token-of-30 edit still moves
+    only ~3.6 bits — so hamming ≤ 3 keeps near-dup recall but stops
+    matching unrelated structured docs.  The mix is exact 64-bit
+    integer arithmetic (product < 2^61), mirrored verbatim in the
+    DuckDB oracle.
+
     Bit extraction uses floor-division by 2^b (portable to DuckDB; all
     values < 2^30 so double-precision division is exact).
     """
     toks = tokens_expr(text)
-    th = F.transform(toks, lambda t: poly_hash(char_codes(t)))
+    # shiftright(·,15) IS the ⌊/2^15⌋: long/long division in Spark is
+    # DOUBLE division, inexact past 2^53 — the ~2^61 product needs
+    # integer ops end to end (DuckDB mirrors with `// 32768`)
+    th = F.transform(
+        toks,
+        lambda t: F.shiftright(
+            poly_hash(char_codes(t)) * F.lit(2654435761), 15
+        )
+        % F.lit(1 << SIMHASH_BITS),
+    )
     bit = lambda h, b: F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2  # noqa: E731
     # SINGLE PASS over the token hashes with a per-bit counter array as
     # the accumulator — the per-bit formulation (nbits independent sums)
