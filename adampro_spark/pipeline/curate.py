@@ -613,6 +613,7 @@ def curate_report_by(
     by: str = "source",
     text_col: str = "text",
     langs: Sequence[str] | None = ("en",),
+    langid_col: Column | None = None,
     min_tokens: int = 20,
     min_quality: float = 0.3,
     max_chars: int | None = None,
@@ -636,7 +637,7 @@ def curate_report_by(
         gate_flags(
             text_col, langs=langs, min_tokens=min_tokens,
             min_quality=min_quality, max_chars=max_chars,
-            toks=F.col("_ap_gtoks"),
+            toks=F.col("_ap_gtoks"), langid_col=langid_col,
         )
     )
     extras = dict(extra_gates or {})
