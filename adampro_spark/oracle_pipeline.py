@@ -377,7 +377,8 @@ def _langid_nb_sql() -> str:
     docs AS (SELECT doc_id,
                     substr({norm.format(t='text')}, 1, {LANGID_MAX_CHARS})
                       AS t
-             FROM documents WHERE trim(text) <> ''),
+             FROM documents
+             WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
     dg AS (SELECT doc_id, unnest({grams}) AS g FROM docs),
     tc AS (SELECT doc_id, count(*) AS tcnt FROM dg GROUP BY doc_id),
     matched AS (SELECT d.doc_id, m.lang, sum(m.lp) AS s, count(*) AS mc
@@ -1921,7 +1922,11 @@ def _lm_bucket_row(spark, sf):
 
     docs = _docs(spark, sf).select("doc_id", "source", "text")
     vocab, meta = fit_unigram_lm(docs, vocab_size=_LM_V)
-    return lm_bucket(docs, vocab, meta, by="source")
+    # pin the exact split: the oracle mirrors NTILE, and method="auto"
+    # (the r9 default) would silently flip to the approximate quantile
+    # path past the group-size gate (review r9 — the cap-free analogue
+    # of dedup_simhash_suite's max_bucket_size=1e9)
+    return lm_bucket(docs, vocab, meta, by="source", method="ntile")
 
 
 BENCH_ONLY["text_lm_bucket"] = _lm_bucket_row

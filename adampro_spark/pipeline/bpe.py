@@ -172,7 +172,10 @@ def _encoder(merges: Sequence) -> "tuple":
     """Build the (ranks, regex, cache) closure state shared by the
     encode/count UDFs."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    pat = re.compile(BPE_TOKEN_PATTERN)
+    # re.ASCII: Java regex \s (the Spark fit side) is ASCII-only while
+    # Python's is Unicode-aware — without the flag, fit and encode would
+    # tokenize U+00A0 text differently (review r9)
+    pat = re.compile(BPE_TOKEN_PATTERN, re.ASCII)
     cache: dict[str, tuple] = {}
 
     def encode_word(word: str) -> tuple:

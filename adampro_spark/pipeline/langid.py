@@ -269,14 +269,18 @@ SEED_TEXTS: dict[str, str] = {
 # oracle mirror so both engines cap identically.
 LANGID_MAX_CHARS = 600
 
-_WS = re.compile(r"\s+")
+# ASCII \s (re.ASCII): parity with Java regex and DuckDB RE2, whose \s
+# classes are ASCII-only — a U+00A0 must survive normalization in BOTH
+# engines (review r9)
+_WS = re.compile(r"\s+", re.ASCII)
+_ASCII_WS = " \t\n\r\f\v"
 
 
 def _norm(text: str) -> str:
     """Lowercase, collapse whitespace, pad with one boundary space each
     side (Cavnar-Trenkle boundary grams).  Mirrored in SQL as
     ``' ' || trim(regexp_replace(lower(t), '\\s+', ' ', 'g')) || ' '``."""
-    return " " + _WS.sub(" ", text.lower()).strip() + " "
+    return " " + _WS.sub(" ", text.lower()).strip(_ASCII_WS) + " "
 
 
 def _grams(norm: str, orders) -> list[str]:
@@ -313,7 +317,10 @@ def fit_langid(
     if seeds is None:
         texts = dict(SEED_TEXTS)
     elif isinstance(seeds, DataFrame):
-        rows = seeds.collect()
+        # deterministic concatenation order — a bare collect() is
+        # partition-ordered, and junction grams would differ run to run
+        # for multi-row languages (review r9)
+        rows = sorted(seeds.collect(), key=lambda r: (str(r[0]), str(r[1])))
         texts = {}
         for r in rows:
             lang, t = r[0], r[1]
@@ -394,7 +401,7 @@ def langid_scores_col(
     def _score(texts):
         out_lang, out_lp = [], []
         for t in texts:
-            if t is None or not t.strip():
+            if t is None or not t.strip(_ASCII_WS):
                 # whitespace-only text still yields boundary grams from
                 # the padded norm — gate on content, not gram count
                 out_lang.append("und")

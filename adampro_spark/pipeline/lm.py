@@ -435,6 +435,7 @@ def lm_bucket(
     by: str | None = None,
     n_buckets: int = 3,
     method: str = "auto",
+    max_group_rows_hint: int | None = None,
 ) -> DataFrame:
     """Assign every document to a perplexity bucket — CCNet's
     head/middle/tail corpus split (Wenzek et al. 2020 §4.3: Common Crawl
@@ -477,12 +478,21 @@ def lm_bucket(
     if method == "auto":
         # group sizes are input-row counts (scoring is 1:1), so the gate
         # never pays the scoring UDF; NULL-scoring docs only ever shrink
-        # a group, keeping the routing conservative
+        # a group, keeping the routing conservative.  NOTE the count
+        # replays df's upstream lineage once (review r9) — in a long
+        # composition (curate → dsir → bucket) either persist df first
+        # or pass ``max_group_rows_hint`` (any upper bound works: the
+        # hint only has to be honest, the split stays exact either way)
         n_max = (
-            df.groupBy(by).count().agg(F.max("count")).collect()[0][0]
-            if by
-            else df.count()
-        ) or 0
+            int(max_group_rows_hint)
+            if max_group_rows_hint is not None
+            else (
+                df.groupBy(by).count().agg(F.max("count")).collect()[0][0]
+                if by
+                else df.count()
+            )
+            or 0
+        )
         method = (
             "ntile" if n_max <= LM_BUCKET_NTILE_MAX_GROUP_ROWS else "quantile"
         )

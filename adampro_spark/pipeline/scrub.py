@@ -226,7 +226,10 @@ def filter_by_domains(
     them separately with ``url_gate_flags`` if unparsed URLs should
     fail.
     """
-    from adampro_spark.pipeline.dedup import BROADCAST_HOT_MAX_ROWS
+    from adampro_spark.pipeline.dedup import (
+        BROADCAST_HOT_BYTE_BUDGET,
+        BROADCAST_HOT_MAX_ROWS,
+    )
 
     deny_tab = (
         deny.select(
@@ -246,13 +249,24 @@ def filter_by_domains(
         .select(F.col("_u"))
         .distinct()
     )
-    # the gate count runs the slim hit pipeline once more at plan time —
-    # unlike _gated_semi_join's callers this output is corpus-sized, so
-    # persisting across a lazy consumer would leak the cache and an eager
-    # checkpoint would spill the whole corpus; one extra slim url pass is
-    # the cheaper trade
-    n_hits = hits.count()
-    side = F.broadcast(hits) if n_hits <= BROADCAST_HOT_MAX_ROWS else hits
+    # eagerly materialize the HIT SET (the blocked minority — bounded by
+    # blocked URLs, not the corpus; review r9: the earlier lazy count
+    # re-ran the whole hit pipeline once per consumer), then gate the
+    # forced broadcast on MEASURED bytes, not just rows — URL keys are
+    # long strings, so a row-only gate re-introduces the byte-blind
+    # broadcast verdict r8 #6 closed in _gated_semi_join
+    hits = hits.localCheckpoint(eager=True)
+    st = hits.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("_u")), F.lit(0)).alias("b"),
+    ).first()
+    est_bytes = int(st["b"]) + 16 * int(st["n"])
+    side = (
+        F.broadcast(hits)
+        if st["n"] <= BROADCAST_HOT_MAX_ROWS
+        and est_bytes <= BROADCAST_HOT_BYTE_BUDGET
+        else hits
+    )
     return chained.join(
         side.withColumnRenamed("_u", url_col), url_col, "left_anti"
     ).drop("_dchain")

@@ -93,7 +93,7 @@ FIXTURE = (
 def test_fit_matches_naive_reference(spark):
     df = spark.createDataFrame([(1, FIXTURE)], "doc_id long, text string")
     merges, meta = fit_bpe(df, num_merges=60, min_pair_freq=2)
-    wf = Counter(re.findall(BPE_TOKEN_PATTERN, FIXTURE))
+    wf = Counter(re.findall(BPE_TOKEN_PATTERN, FIXTURE, re.ASCII))
     want = _ref_fit(dict(wf), 60)
     assert merges == want
     assert meta["n_merges"] == len(want)
@@ -109,7 +109,7 @@ def test_encode_matches_naive_reference(spark):
         .first()["t"]
     )
     want = []
-    for w in re.findall(BPE_TOKEN_PATTERN, probe):
+    for w in re.findall(BPE_TOKEN_PATTERN, probe, re.ASCII):
         want.extend(_ref_encode(w, merges))
     assert got == want
 
@@ -130,7 +130,7 @@ def test_roundtrip_and_counts(spark):
         # round-trip: stripping END markers reconstructs the
         # pre-tokenized word sequence
         words = "".join(toks).split(END)[:-1] if toks else []
-        assert words == re.findall(BPE_TOKEN_PATTERN, r["text"])
+        assert words == re.findall(BPE_TOKEN_PATTERN, r["text"], re.ASCII)
         # trained BPE compresses vs characters, never beats word count
         assert len(words) <= n <= sum(len(w) + 1 for w in words)
 
