@@ -73,6 +73,55 @@ def _merge_word(
     return tuple(out)
 
 
+def _learn_merges(
+    word_freqs: "dict[str, int]", num_merges: int, min_pair_freq: int
+) -> "list[tuple[str, str]]":
+    """The pure driver-side merge loop (separable so the incremental
+    pair index can be property-tested against a naive full-recount
+    reference without a SparkSession): each merge touches only the
+    words containing the winning pair; ties break to the
+    lexicographically smallest pair, so the fit is deterministic."""
+    # incremental pair index: counts + which words contain each pair
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple, set] = {}
+    words = [
+        (tuple(w) + (END,), int(c)) for w, c in sorted(word_freqs.items())
+    ]
+    for wi, (symbols, freq) in enumerate(words):
+        for p in _pairs(symbols):
+            pair_counts[p] += freq
+            pair_words.setdefault(p, set()).add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        if not pair_counts:
+            break
+        # deterministic: max count, ties → lexicographically smallest
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < int(min_pair_freq):
+            break
+        merges.append(best)
+        for wi in list(pair_words.get(best, ())):
+            symbols, freq = words[wi]
+            new_symbols = _merge_word(symbols, best)
+            if new_symbols == symbols:
+                continue
+            for p in _pairs(symbols):
+                pair_counts[p] -= freq
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        del pair_words[p]
+            for p in _pairs(new_symbols):
+                pair_counts[p] += freq
+                pair_words.setdefault(p, set()).add(wi)
+            words[wi] = (new_symbols, freq)
+    return merges
+
+
 def fit_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -119,51 +168,13 @@ def fit_bpe(
     )
     if not rows:
         raise ValueError("fit_bpe: no words in the corpus sample")
-    vocab: dict[tuple, int] = {
-        tuple(r["_w"]) + (END,): int(r["_c"]) for r in rows
-    }
-
-    # incremental pair index: counts + which words contain each pair
-    pair_counts: Counter = Counter()
-    pair_words: dict[tuple, set] = {}
-    words = list(vocab.items())  # [(symbols, freq)]
-    for wi, (symbols, freq) in enumerate(words):
-        for p in _pairs(symbols):
-            pair_counts[p] += freq
-            pair_words.setdefault(p, set()).add(wi)
-
-    merges: list[tuple[str, str]] = []
-    for _ in range(int(num_merges)):
-        if not pair_counts:
-            break
-        # deterministic: max count, ties → lexicographically smallest
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] < int(min_pair_freq):
-            break
-        merges.append(best)
-        for wi in list(pair_words.get(best, ())):
-            symbols, freq = words[wi]
-            new_symbols = _merge_word(symbols, best)
-            if new_symbols == symbols:
-                continue
-            for p in _pairs(symbols):
-                pair_counts[p] -= freq
-                if pair_counts[p] <= 0:
-                    del pair_counts[p]
-                ws = pair_words.get(p)
-                if ws is not None:
-                    ws.discard(wi)
-                    if not ws:
-                        del pair_words[p]
-            for p in _pairs(new_symbols):
-                pair_counts[p] += freq
-                pair_words.setdefault(p, set()).add(wi)
-            words[wi] = (new_symbols, freq)
+    word_freqs = {r["_w"]: int(r["_c"]) for r in rows}
+    merges = _learn_merges(word_freqs, int(num_merges), int(min_pair_freq))
     meta = {
         "pattern": BPE_TOKEN_PATTERN,
         "end": END,
         "n_merges": len(merges),
-        "n_fit_words": len(words),
+        "n_fit_words": len(word_freqs),
     }
     return merges, meta
 

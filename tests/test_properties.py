@@ -158,3 +158,125 @@ def test_models_always_predict_finite(samples):
     probe = np.array([0.5, 0.5, 0.5])
     assert math.isfinite(lin.test(probe))
     assert math.isfinite(svm.test(probe))
+
+
+# ---------------------------------------------------------------------------
+# trainable BPE (round 9): the incremental-pair-index fit vs a naive
+# full-recount reference, and encode round-trip — pure driver kernels
+# ---------------------------------------------------------------------------
+
+from adampro_spark.pipeline.bpe import END as _BPE_END
+from adampro_spark.pipeline.bpe import _encoder, _learn_merges
+
+_WORD = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _naive_learn(word_freqs, num_merges, min_pair_freq=2):
+    from collections import Counter as C
+
+    vocab = {tuple(w) + (_BPE_END,): c for w, c in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = C()
+        for symbols, freq in vocab.items():
+            for i in range(len(symbols) - 1):
+                pairs[(symbols[i], symbols[i + 1])] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_freq:
+            break
+        merges.append(best)
+        a, b = best
+        nv = {}
+        for symbols, freq in vocab.items():
+            out, i = [], 0
+            while i < len(symbols):
+                if (
+                    i < len(symbols) - 1
+                    and symbols[i] == a
+                    and symbols[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + freq
+        vocab = nv
+    return merges
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.dictionaries(_WORD, st.integers(min_value=1, max_value=50),
+                    min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=25),
+)
+def test_bpe_incremental_fit_equals_naive(word_freqs, num_merges):
+    assert _learn_merges(word_freqs, num_merges, 2) == _naive_learn(
+        word_freqs, num_merges
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.dictionaries(_WORD, st.integers(min_value=1, max_value=50),
+                    min_size=1, max_size=15),
+    st.lists(_WORD, min_size=1, max_size=10),
+)
+def test_bpe_encode_roundtrip_and_determinism(word_freqs, probe_words):
+    merges = _learn_merges(word_freqs, 20, 2)
+    encode_word, _pat = _encoder(merges)
+    for w in probe_words:
+        toks = encode_word(w)
+        # lossless: concatenated tokens reproduce word + END marker
+        assert "".join(toks) == w + _BPE_END
+        assert 1 <= len(toks) <= len(w) + 1
+        assert encode_word(w) == toks  # cached result identical
+
+
+# ---------------------------------------------------------------------------
+# trained langid (round 9): fit invariants over arbitrary seed corpora
+# ---------------------------------------------------------------------------
+
+from adampro_spark.pipeline.langid import _grams, _norm, fit_langid
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=2, max_size=4),
+        st.text(min_size=1, max_size=120),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_langid_fit_invariants(seeds):
+    model, meta = fit_langid(seeds)
+    assert meta["langs"] == sorted(seeds)
+    vocab = {g for tab in model.values() for g in tab}
+    assert meta["V"] == len(vocab)
+    for lang in meta["langs"]:
+        fl = meta["floors"][lang]
+        assert fl == round(fl, 6)
+        # unseen grams are never MORE probable than seen ones
+        if model[lang]:
+            assert fl <= min(model[lang].values()) + 1e-9
+        for v in model[lang].values():
+            assert v == round(v, 6) and v < 0
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=200))
+def test_langid_norm_and_grams_totals(t):
+    norm = _norm(t)
+    assert norm.startswith(" ") and norm.endswith(" ")
+    for n in (2, 3):
+        gs = [g for g in _grams(norm, (n,))]
+        assert len(gs) == max(len(norm) - n + 1, 0)
+        assert all(len(g) == n for g in gs)
