@@ -1306,22 +1306,72 @@ def _gopher_url_expr() -> Column:
     )
 
 
+def _messy_url_expr():
+    # a deliberately dirty URL variant for the canonicalization check:
+    # uppercase scheme/host, www., default port, tracking params,
+    # fragments, sometimes a trailing slash, sometimes unparseable
+    did = F.col("doc_id")
+    return F.when(did % 13 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("HTTPS://WWW.Site"), (did % 7).cast("string"),
+            F.lit(".COM:443/Path/"), did.cast("string"),
+            F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=s"),
+            F.when(did % 2 == 0, F.lit("&q=1")).otherwise(F.lit("")),
+            F.lit("#frag"),
+        )
+    )
+
+
+def _messy_html_expr():
+    # wrap each doc's text in markup with every removal class the
+    # extractor handles: head/style/script blocks, structural closers,
+    # entities, comments
+    return F.concat(
+        F.lit(
+            "<html><head><title>T</title><style>c{}</style>"
+            "<script>s()</script></head><body><h1>Head</h1><p>"
+        ),
+        F.col("text"),
+        F.lit(" &amp; more</p><li>item</li><!-- note --></body></html>"),
+    )
+
+
 def _gopher_row(spark, sf):
     """The MassiveText A1.1 rule preset as a checked per-document flag
     table (curate.py:77 gopher_gate_flags) — the same expressions curate
     consumes via extra_gates, adjudicated rule by rule.  Round 8 folds
     the URL/domain gate (scrub.url_gate_flags: try_parse_url host →
     suffix chain → literal deny list) into the same row over a synthetic
-    url column, so the whole gate-preset surface is one driver row."""
+    url column; round 9 folds the two web-preprocessing expressions —
+    scrub.canonical_url_expr over a dirty URL variant (the canonical
+    STRING is hash-checked) and scrub.html_to_text_expr over the doc
+    text wrapped in messy markup (the extracted text rides as a poly
+    hash) — so the whole crawl-front-end surface is one driver row."""
     from adampro_spark.pipeline.curate import gopher_gate_flags
-    from adampro_spark.pipeline.scrub import url_gate_flags
+    from adampro_spark.pipeline.scrub import (
+        canonical_url_expr,
+        html_to_text_expr,
+        url_gate_flags,
+    )
+    from adampro_spark.pipeline.text import char_codes, poly_hash
 
     flags = gopher_gate_flags()
     uflags = url_gate_flags("url", deny_domains=_URL_DENY)
-    return _docs(spark, sf).withColumn("url", _gopher_url_expr()).select(
-        "doc_id",
-        *[col.alias(name) for name, col in flags.items()],
-        uflags["_url_ok"].alias("_url_ok"),
+    return (
+        _docs(spark, sf)
+        .withColumn("url", _gopher_url_expr())
+        .withColumn("murl", _messy_url_expr())
+        .withColumn("mhtml", _messy_html_expr())
+        .select(
+            "doc_id",
+            *[col.alias(name) for name, col in flags.items()],
+            uflags["_url_ok"].alias("_url_ok"),
+            canonical_url_expr("murl").alias("canon_url"),
+            poly_hash(char_codes(html_to_text_expr("mhtml"))).alias(
+                "html_fp"
+            ),
+        )
     )
 
 
@@ -1334,6 +1384,10 @@ def _gopher_sql() -> str:
 
     toks = _TOKS.format(t="text")
     req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    _trimmed = (
+        "regexp_replace(regexp_replace(t0, '^\\s+', ''), '\\s+$', '')"
+    )
+    hfp = _sql_poly_hash(_trimmed)
     return f"""
     WITH base AS (
       SELECT doc_id, text, {toks} AS toks,
@@ -1379,6 +1433,95 @@ def _gopher_sql() -> str:
                  i -> array_to_string(string_split(host, '.')[i:], '.')),
                {_url_deny_sql()})) = 0) AS url_ok
       FROM uh
+    ),
+    mu AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0 THEN 'not a url'
+             ELSE 'HTTPS://WWW.Site' || (doc_id % 7)::VARCHAR
+               || '.COM:443/Path/' || doc_id::VARCHAR
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || '?utm_source=s'
+               || CASE WHEN doc_id % 2 = 0 THEN '&q=1' ELSE '' END
+               || '#frag' END AS mu
+      FROM documents
+    ),
+    cu0 AS (
+      SELECT doc_id, trim(mu) AS u,
+        regexp_extract(trim(mu), '^([A-Za-z][A-Za-z0-9+.\\-]*://)([^/?#]*)(.*)$', 1) AS sch,
+        regexp_extract(trim(mu), '^([A-Za-z][A-Za-z0-9+.\\-]*://)([^/?#]*)(.*)$', 2) AS auth,
+        regexp_extract(trim(mu), '^([A-Za-z][A-Za-z0-9+.\\-]*://)([^/?#]*)(.*)$', 3) AS rest
+      FROM mu
+    ),
+    cu1 AS (
+      SELECT doc_id, u, lower(sch) AS ls,
+        regexp_replace(lower(auth), '^www\\.', '') AS la0, rest, sch
+      FROM cu0
+    ),
+    cu2 AS (
+      SELECT doc_id, u, ls, sch,
+        CASE WHEN ls = 'http://' AND la0 LIKE '%:80'
+               THEN regexp_replace(la0, ':80$', '')
+             WHEN ls = 'https://' AND la0 LIKE '%:443'
+               THEN regexp_replace(la0, ':443$', '')
+             ELSE la0 END AS la,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(rest, '#.*$', ''),
+                '[?&](utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*',
+                '', 'g'),
+              '^([^?&]*)&', '\\1?'),
+            '\\?&', '?', 'g'),
+          '[?&]+$', '') AS r0
+      FROM cu1
+    ),
+    cu AS (
+      SELECT doc_id,
+        CASE WHEN length(sch) > 0
+             THEN ls || la ||
+               (CASE WHEN length(
+                       CASE WHEN r0 NOT LIKE '%?%' AND length(r0) > 1
+                            THEN regexp_replace(r0, '/+$', '')
+                            ELSE r0 END) = 0
+                     THEN '/'
+                     ELSE CASE WHEN r0 NOT LIKE '%?%' AND length(r0) > 1
+                               THEN regexp_replace(r0, '/+$', '')
+                               ELSE r0 END END)
+             ELSE u END AS canon_url
+      FROM cu2
+    ),
+    mh AS (
+      SELECT doc_id,
+        '<html><head><title>T</title><style>c{{}}</style>'
+        || '<script>s()</script></head><body><h1>Head</h1><p>'
+        || text || ' &amp; more</p><li>item</li><!-- note --></body></html>'
+          AS h
+      FROM documents
+    ),
+    ht AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(h,
+                  '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<noscript[^>]*>.*?</noscript>|<head[^>]*>.*?</head>|<!--.*?-->',
+                  ' ', 'g'),
+                '(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>|</title>',
+                chr(10), 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+          '[ \\t]+', ' ', 'g'),
+          ' ?\\n ?', chr(10), 'g'),
+          '\\n{{3,}}', chr(10) || chr(10), 'g') AS t0
+      FROM mh
+    ),
+    hf AS (
+      SELECT doc_id,
+        {hfp} AS html_fp
+      FROM ht
     )
     SELECT m.doc_id,
       (n >= 50 AND n <= 100000) AS _g_words,
@@ -1389,8 +1532,13 @@ def _gopher_sql() -> str:
         AND (CASE WHEN nl > 0 THEN ellipses / nl ELSE 0.0 END) <= 0.3) AS _g_bullets,
       ((CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) >= 0.8) AS _g_alpha,
       (req >= 2) AS _g_required,
-      uc.url_ok AS _url_ok
-    FROM m JOIN uc ON m.doc_id = uc.doc_id
+      uc.url_ok AS _url_ok,
+      cu.canon_url AS canon_url,
+      hf.html_fp AS html_fp
+    FROM m
+    JOIN uc ON m.doc_id = uc.doc_id
+    JOIN cu ON m.doc_id = cu.doc_id
+    JOIN hf ON m.doc_id = hf.doc_id
     """
 
 

@@ -270,3 +270,112 @@ def filter_by_domains(
     return chained.join(
         side.withColumnRenamed("_u", url_col), url_col, "left_anti"
     ).drop("_dchain")
+
+
+# ---------------------------------------------------------------------------
+# web preprocessing — HTML → text extraction and URL canonicalization
+# (round 9; no reference counterpart — the front end of a crawl pipeline)
+# ---------------------------------------------------------------------------
+
+# invisible-content blocks removed whole (no RE2 backreferences, so each
+# tag pair is spelled out); (?is) = case-insensitive + dot-matches-newline
+_HTML_BLOCKS = (
+    r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+    r"|<noscript[^>]*>.*?</noscript>|<head[^>]*>.*?</head>|<!--.*?-->"
+)
+# structural closers become line breaks so extracted text keeps Gopher's
+# line-based signals (bullet/ellipsis fractions, line dedup) meaningful
+_HTML_BREAKS = r"(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>|</title>"
+_HTML_TAG = r"(?s)<[^>]*>"
+
+
+def html_to_text_expr(html: str | Column) -> Column:
+    """Visible text of an HTML document as ONE chain of codegen'd
+    ``regexp_replace`` steps — the extraction stage that runs BEFORE
+    every text operator in a crawl pipeline (C4/CCNet/RefinedWeb all
+    start from rendered-ish text, not markup).
+
+    Steps: drop script/style/noscript/head/comment blocks whole; turn
+    structural closers (``<br> </p> </div> </li> </tr> </hN>``) into
+    newlines so line-based quality signals survive; strip remaining
+    tags; unescape the six common entities (``&amp;`` LAST, so double-
+    escaped text unescapes one level per pass, the standard contract);
+    collapse runs of spaces/tabs, tidy newline spacing, trim.
+
+    Map-only and RE2-portable (no backreferences, no lookaround) — the
+    DuckDB oracle mirrors the chain verbatim.  This is a heuristic
+    extractor (like the quality heuristics, not a DOM parser): good for
+    boilerplate-scale corpus work, not for faithful rendering.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    t = F.regexp_replace(c, _HTML_BLOCKS, " ")
+    t = F.regexp_replace(t, _HTML_BREAKS, "\n")
+    t = F.regexp_replace(t, _HTML_TAG, " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+        ("&amp;", "&"),  # LAST: &amp;lt; -> &lt; (one level per pass)
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    # trim() strips spaces only — newlines need the regex form
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+# tracking parameters stripped by canonical_url_expr — the public lists
+# every crawl pipeline uses (UTM family + the big ad-click ids)
+_TRACKING_PARAM = r"(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)"
+
+
+def canonical_url_expr(url: str | Column) -> Column:
+    """Canonical form of a URL for exact URL-level dedup — the cheapest
+    dedup signal a crawl has (two fetches of the same canonical URL are
+    duplicates before any text comparison):
+
+    * scheme and host lowercased (path/query case preserved);
+    * leading ``www.`` dropped (consistent with ``domain_chain_expr``);
+    * default ports stripped (``http://…:80``, ``https://…:443``);
+    * fragment stripped;
+    * tracking parameters stripped (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``mc_eid``, ``igshid``), with separator repair so the
+      query stays well-formed;
+    * trailing ``/`` dropped from non-root paths; bare authority gets
+      ``/``.
+
+    One codegen'd expression chain, RE2-portable.  Unparseable inputs
+    (no ``scheme://``) pass through trimmed-only, so the expression is
+    safe on dirty crawl columns; use with ``dropDuplicates`` or
+    ``exact_dedup``-style grouping for URL-level dedup.
+    """
+    c = F.trim(F.col(url) if isinstance(url, str) else url)
+    scheme_pat = r"^([A-Za-z][A-Za-z0-9+.\-]*://)([^/?#]*)(.*)$"
+    scheme = F.regexp_extract(c, scheme_pat, 1)
+    auth = F.regexp_extract(c, scheme_pat, 2)
+    rest = F.regexp_extract(c, scheme_pat, 3)
+    lscheme = F.lower(scheme)
+    lauth = F.regexp_replace(F.lower(auth), r"^www\.", "")
+    lauth = F.when(
+        (lscheme == "http://") & lauth.endswith(":80"),
+        F.regexp_replace(lauth, r":80$", ""),
+    ).when(
+        (lscheme == "https://") & lauth.endswith(":443"),
+        F.regexp_replace(lauth, r":443$", ""),
+    ).otherwise(lauth)
+    r = F.regexp_replace(rest, r"#.*$", "")                 # fragment
+    r = F.regexp_replace(r, r"[?&]" + _TRACKING_PARAM + r"=[^&#]*", "")
+    # separator repair: stripping a LEADING '?param' leaves the next
+    # param glued on with '&' — promote the first '&' (no '?' before
+    # it) back to '?'; '^' keeps the global replace to one application
+    r = F.regexp_replace(r, r"^([^?&]*)&", "$1?")
+    r = F.regexp_replace(r, r"\?&", "?")
+    r = F.regexp_replace(r, r"[?&]+$", "")                  # dangling sep
+    # non-root trailing slash (path only — not inside a query)
+    r = F.when(
+        ~r.contains("?") & (F.length(r) > 1), F.regexp_replace(r, r"/+$", "")
+    ).otherwise(r)
+    r = F.when(F.length(r) == 0, F.lit("/")).otherwise(r)
+    return F.when(
+        F.length(scheme) > 0, F.concat(lscheme, lauth, r)
+    ).otherwise(c)

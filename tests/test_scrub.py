@@ -581,3 +581,88 @@ def test_stream_curate_extra_gate_name_clash_raises(spark):
         stream_curate(
             df, dedup=None, extra_gates={"_lang_ok": F.lit(True)}
         )
+
+
+def test_html_to_text_extraction(spark):
+    """html_to_text_expr strips invisible blocks, turns structure into
+    line breaks, unescapes entities one level, and normalizes spacing."""
+    from adampro_spark.pipeline.scrub import html_to_text_expr
+
+    rows = [
+        (1, "<html><head><title>T</title><style>x{color:red}</style>"
+            "</head><body><h1>Hello</h1><p>World &amp; <b>friends</b>."
+            "</p><script>evil()</script><ul><li>one</li><li>two</li>"
+            "</ul><!-- hidden --></body></html>"),
+        (2, "plain text, no markup"),
+        (3, "a &amp;lt; b &nbsp; c &quot;d&quot; &#39;e&#39;"),
+        (4, "<div>x</div>\n\n\n\n<div>y</div>"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, h string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text_expr("h").alias("t")).collect()
+    }
+    assert got[1] == "Hello\nWorld & friends .\none\ntwo"
+    assert got[2] == "plain text, no markup"
+    # one unescape level: &amp;lt; -> &lt; (not <)
+    assert got[3] == "a &lt; b c \"d\" 'e'"
+    assert got[4] == "x\n\ny"
+    assert got[5] is None
+
+
+def test_canonical_url_expr(spark):
+    """URL canonicalization: case, www., default ports, fragments,
+    tracking params (with separator repair), trailing slashes; unparsed
+    inputs pass through."""
+    from adampro_spark.pipeline.scrub import canonical_url_expr
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/Sub?utm_source=x&q=1&fbclid=z#f",
+         "https://example.com/Path/Sub?q=1"),
+        ("http://site.com:80/", "http://site.com/"),
+        ("https://site.com:443", "https://site.com/"),
+        ("https://site.com/a/b/", "https://site.com/a/b"),
+        ("http://x.com/?utm_campaign=a", "http://x.com/"),
+        ("http://y.com/p?a=1&utm_medium=m&b=2", "http://y.com/p?a=1&b=2"),
+        ("http://z.com/?utm_a=1&utm_b=2", "http://z.com/"),
+        ("http://k.com/p?gclid=g&a=2", "http://k.com/p?a=2"),
+        ("  http://pad.com/x  ", "http://pad.com/x"),
+        ("not a url", "not a url"),
+        # non-default port survives
+        ("http://p.com:8080/q", "http://p.com:8080/q"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url_expr("u").alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    # idempotence: canonicalizing a canonical URL is a no-op
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in got.items()], "i long, u string"
+    )
+    again = {
+        r["i"]: r["c"]
+        for r in df2.select("i", canonical_url_expr("u").alias("c")).collect()
+    }
+    assert again == got
+
+
+def test_url_dedup_via_canonical_form(spark):
+    """The crawl-dedup use: dropDuplicates on the canonical URL
+    collapses tracking-param/case/port variants of the same page."""
+    from adampro_spark.pipeline.scrub import canonical_url_expr
+
+    rows = [
+        (1, "http://a.com/page?utm_source=x"),
+        (2, "HTTP://WWW.A.com:80/page"),
+        (3, "http://a.com/page#top"),
+        (4, "http://a.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    out = df.withColumn("cu", canonical_url_expr("url")).dropDuplicates(["cu"])
+    assert out.count() == 2
