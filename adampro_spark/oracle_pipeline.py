@@ -326,11 +326,15 @@ def _langid_nb_row(spark, sf):
     # per doc; whitespace-only docs score 'und' and are excluded so the
     # SQL mirror (which recomputes fit AND scoring from the embedded
     # seed corpus) compares content rows only
+    from adampro_spark.pipeline.dedup import _spread
     from adampro_spark.pipeline.langid import fit_langid, langid_scores_col
 
     model, meta = fit_langid()
+    # _spread: the Arrow UDF inherits the scan's parallelism, and a
+    # single-row-group parquet arrives under-partitioned (measured
+    # 3.3 s → 1.3 s at sf0.1 on 32 cores)
     return (
-        _docs(spark, sf)
+        _spread(_docs(spark, sf))
         .select("doc_id", langid_scores_col(model, meta, "text").alias("_s"))
         .select(
             "doc_id",
