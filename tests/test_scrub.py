@@ -666,3 +666,52 @@ def test_url_dedup_via_canonical_form(spark):
     df = spark.createDataFrame(rows, "i long, url string")
     out = df.withColumn("cu", canonical_url_expr("url")).dropDuplicates(["cu"])
     assert out.count() == 2
+
+
+def test_web_preprocessing_fuzz_batch(spark):
+    """Adversarial-input guard for the newest expressions: random
+    tag-soup/URL-ish strings must never error, canonicalization must be
+    idempotent, and extraction must never return NULL for non-NULL
+    input."""
+    import random
+    import string as _string
+
+    from adampro_spark.pipeline.scrub import (
+        canonical_url_expr,
+        html_to_text_expr,
+    )
+
+    rng = random.Random(97)
+    alphabet = _string.printable + "éü中"
+    frags = ["<", ">", "</", "/>", "&amp;", "&", "#", "?", "://",
+             "http://", "HTTPS://", "www.", ":80", ":443", "utm_x=1",
+             "<script>", "</script>", "<p>", "\n", "\t", " "]
+    rows = []
+    for i in range(300):
+        parts = [
+            rng.choice(frags) if rng.random() < 0.5
+            else "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(0, 12))
+        ]
+        rows.append((i, "".join(parts)))
+    df = spark.createDataFrame(rows, "i long, s string")
+    out = df.select(
+        "i",
+        html_to_text_expr("s").alias("t"),
+        canonical_url_expr("s").alias("c"),
+    ).collect()
+    assert len(out) == 300
+    got = {r["i"]: (r["t"], r["c"]) for r in out}
+    for i, s in rows:
+        t, c = got[i]
+        assert t is not None and c is not None
+    # idempotence of canonicalization over the whole fuzz set
+    df2 = spark.createDataFrame(
+        [(i, c) for i, (_t, c) in got.items()], "i long, s string"
+    )
+    again = {
+        r["i"]: r["c"]
+        for r in df2.select("i", canonical_url_expr("s").alias("c")).collect()
+    }
+    bad = {i for i in again if again[i] != got[i][1]}
+    assert not bad, [(got[i][1], again[i]) for i in sorted(bad)[:3]]
