@@ -715,3 +715,63 @@ def test_web_preprocessing_fuzz_batch(spark):
     }
     bad = {i for i in again if again[i] != got[i][1]}
     assert not bad, [(got[i][1], again[i]) for i in sorted(bad)[:3]]
+
+
+def test_crawl_front_end_composition(spark):
+    """The full crawl front end in one flow: raw HTML + dirty URLs →
+    html_to_text_expr → canonical-URL exact dedup → curate gates (with
+    a URL gate) → near-dup dedup.  Each stage's effect is asserted."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.scrub import (
+        canonical_url_expr,
+        html_to_text_expr,
+        url_gate_flags,
+    )
+
+    good = ("this is a perfectly reasonable document with plenty of "
+            "ordinary english words that passes every quality gate "
+            "because it keeps talking about normal things ") * 2
+    wrap = lambda body: (  # noqa: E731
+        "<html><head><style>x{}</style></head><body><p>"
+        + body + "</p><script>s()</script></body></html>"
+    )
+    rows = [
+        # 1+2: same page fetched twice with tracking params → URL dedup
+        (1, "http://a.com/page?utm_source=x", wrap(good + "alpha")),
+        (2, "HTTP://WWW.A.com:80/page#top", wrap(good + "alpha")),
+        # 3: distinct page, near-dup TEXT of 1 → minhash dedup
+        (3, "http://a.com/other", wrap(good + "alpha beta")),
+        # 4: blocked domain
+        (4, "http://spam.bad.com/x", wrap(good + "gamma")),
+        # 5: junk content (fails gates after extraction)
+        (5, "http://a.com/junk", wrap("@@@ ### !!!")),
+        # 6: clean unique survivor
+        (6, "http://a.com/unique", wrap(
+            "completely different content about rivers bridges and "
+            "markets with enough ordinary english words to pass the "
+            "gates " * 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    extracted = (
+        df.withColumn("text", html_to_text_expr("html"))
+        .withColumn("curl", canonical_url_expr("url"))
+        .drop("html")
+    )
+    # extraction really removed the markup
+    assert all(
+        "<" not in r["text"] for r in extracted.select("text").collect()
+    )
+    url_deduped = extracted.dropDuplicates(["curl"])
+    assert url_deduped.count() == 5  # 1/2 collapsed
+    out, rep = curate(
+        url_deduped, langs=None, min_tokens=10, min_quality=0.3,
+        dedup="minhash", dedup_threshold=0.8,
+        extra_gates=url_gate_flags("url", deny_domains=["bad.com"]),
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # one of {1,2} (url dedup) then one of {that, 3} (near-dup text),
+    # 4 blocked, 5 junk, 6 survives
+    assert 6 in kept and 4 not in kept and 5 not in kept
+    assert len(kept & {1, 2, 3}) == 1
+    assert rep["n_fail_url_ok"] == 1 and rep["n_low_quality"] >= 1
+    assert rep["n_dup_dropped"] == 1
