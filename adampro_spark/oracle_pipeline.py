@@ -1471,13 +1471,13 @@ def _gopher_sql() -> str:
         regexp_replace(
           regexp_replace(
             regexp_replace(
-              regexp_replace(
-                regexp_replace(rest, '#.*$', ''),
-                '[?&](utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*',
-                '', 'g'),
-              '^([^?&]*)&', '\\1?'),
-            '\\?&', '?', 'g'),
-          '[?&]+$', '') AS r0
+              regexp_replace(rest, '#.*$', ''),
+              '&(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*',
+              '', 'g'),
+            '\\?(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*&',
+            '?', 'g'),
+          '\\?(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*$',
+          '') AS r0
       FROM cu1
     ),
     cu AS (

@@ -364,13 +364,17 @@ def canonical_url_expr(url: str | Column) -> Column:
         F.regexp_replace(lauth, r":443$", ""),
     ).otherwise(lauth)
     r = F.regexp_replace(rest, r"#.*$", "")                 # fragment
-    r = F.regexp_replace(r, r"[?&]" + _TRACKING_PARAM + r"=[^&#]*", "")
-    # separator repair: stripping a LEADING '?param' leaves the next
-    # param glued on with '&' — promote the first '&' (no '?' before
-    # it) back to '?'; '^' keeps the global replace to one application
-    r = F.regexp_replace(r, r"^([^?&]*)&", "$1?")
-    r = F.regexp_replace(r, r"\?&", "?")
-    r = F.regexp_replace(r, r"[?&]+$", "")                  # dangling sep
+    # tracking params in three passes that never damage anything else
+    # (review r9 follow-up: a generic separator repair rewrote legal
+    # '&' characters in QUERY-LESS paths like /a&b):
+    #   1. every non-leading '&param=v';
+    #   2. a leading '?param=v&' with a successor keeps its '?';
+    #   3. a tracker-only query '?param=v' drops entirely.
+    # Pass 1 first, so a run of consecutive leading trackers reduces to
+    # one before pass 2 fires.
+    r = F.regexp_replace(r, r"&" + _TRACKING_PARAM + r"=[^&#]*", "")
+    r = F.regexp_replace(r, r"\?" + _TRACKING_PARAM + r"=[^&#]*&", "?")
+    r = F.regexp_replace(r, r"\?" + _TRACKING_PARAM + r"=[^&#]*$", "")
     # non-root trailing slash (path only — not inside a query)
     r = F.when(
         ~r.contains("?") & (F.length(r) > 1), F.regexp_replace(r, r"/+$", "")

@@ -631,6 +631,10 @@ def test_canonical_url_expr(spark):
         ("not a url", "not a url"),
         # non-default port survives
         ("http://p.com:8080/q", "http://p.com:8080/q"),
+        # legal '&' in a query-less path must NOT be rewritten
+        ("http://r.com/a&b", "http://r.com/a&b"),
+        # consecutive leading trackers
+        ("http://s.com/?utm_a=1&utm_b=2&q=3", "http://s.com/?q=3"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
