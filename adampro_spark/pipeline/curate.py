@@ -662,3 +662,60 @@ def curate_report_by(
         for flag in flags
     ] + [F.sum(all_ok.cast("long")).alias("n_pass")]
     return flagged.groupBy(by).agg(*aggs)
+
+
+def curate_failures(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    langs: Sequence[str] | None = ("en",),
+    langid_col: Column | None = None,
+    min_tokens: int = 20,
+    min_quality: float = 0.3,
+    max_chars: int | None = None,
+    extra_gates: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Per-DOCUMENT gate diagnostics — the row-level companion of
+    :func:`curate`'s aggregate attrition report: ``(pk, failed_gates)``
+    for every document that fails AT LEAST one gate, where
+    ``failed_gates`` is the sorted array of failing gate names
+    (``lang_ok``/``len_ok``/``cap_ok``/``q_ok`` plus any
+    ``extra_gates``, leading underscore stripped).  Debugging a
+    pipeline means sampling exactly this table and reading the text of
+    what died and why.
+
+    Same one-scan flag projection as curate — the only extra work is
+    the array fold; at 100 TB this is a map-only pass whose OUTPUT is
+    the failing minority (sample or limit it before collecting).
+    """
+    _check_reserved_columns(df)
+    from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
+
+    staged = df.withColumn("_ap_gtoks", _tokens_expr(text_col))
+    flags = dict(
+        gate_flags(
+            text_col, langs=langs, min_tokens=min_tokens,
+            min_quality=min_quality, max_chars=max_chars,
+            toks=F.col("_ap_gtoks"), langid_col=langid_col,
+        )
+    )
+    extras = dict(extra_gates or {})
+    clash = set(extras) & set(flags)
+    if clash:
+        raise ValueError(
+            f"extra_gates clash with built-in gates: {sorted(clash)}"
+        )
+    flags.update(extras)
+    names = sorted(flags)
+    failed = F.filter(
+        F.array(*[
+            F.when(~F.coalesce(flags[n], F.lit(False)),
+                   F.lit(n.lstrip("_"))).otherwise(F.lit(None))
+            for n in names
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        staged.select(F.col(pk), failed.alias("failed_gates"))
+        .filter(F.size("failed_gates") > 0)
+    )

@@ -779,3 +779,36 @@ def test_crawl_front_end_composition(spark):
     assert len(kept & {1, 2, 3}) == 1
     assert rep["n_fail_url_ok"] == 1 and rep["n_low_quality"] >= 1
     assert rep["n_dup_dropped"] == 1
+
+
+def test_curate_failures_per_doc_reasons(spark):
+    """curate_failures names every failing gate per document and agrees
+    with curate's survivor set and aggregate report."""
+    from adampro_spark.pipeline.curate import curate, curate_failures
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river "
+            "bank and the weather is fine today with some clouds around"),
+        (2, "@@@ ### !!!"),                      # junk: lang + quality (+len)
+        (3, "short text only"),                  # too short
+        (4, "le texte est en français et il contient beaucoup de mots "
+            "ordinaires pour dépasser la limite de longueur du filtre "
+            "sans aucun doute possible ici"),    # wrong language
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(langs=("en",), min_tokens=10, min_quality=0.3)
+    fails = {
+        r["doc_id"]: list(r["failed_gates"])
+        for r in curate_failures(df, **kw).collect()
+    }
+    assert 1 not in fails
+    assert "len_ok" in fails[3]
+    assert "lang_ok" in fails[4] and "len_ok" not in fails[4]
+    assert {"lang_ok", "q_ok"} <= set(fails[2])
+    out, rep = curate(df, dedup=None, **kw)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == {1}
+    assert set(fails) == {2, 3, 4}  # failures ∪ survivors = input
+    # aggregate report consistent with per-doc reasons
+    assert rep["n_lang_fail"] == sum("lang_ok" in v for v in fails.values())
+    assert rep["n_short"] == sum("len_ok" in v for v in fails.values())
