@@ -684,6 +684,12 @@ def curate_failures(
     pipeline means sampling exactly this table and reading the text of
     what died and why.
 
+    Covers the four base gates plus any stateless ``extra_gates``
+    (URL, compression, trained-langid, DSIR floors…).  The repetition
+    and LM gates need curate's staged projections / scoring pass and do
+    not ride here — diagnose those via curate's ``n_repetitive`` /
+    LM-floor report counts.
+
     Same one-scan flag projection as curate — the only extra work is
     the array fold; at 100 TB this is a map-only pass whose OUTPUT is
     the failing minority (sample or limit it before collecting).

@@ -123,6 +123,7 @@ def stream_dedup(
     ts_col: str | None = None,
     watermark: str = "1 day",
     method: str = "exact",
+    key_col=None,
 ) -> DataFrame:
     """Cross-micro-batch dedup of a document stream: the first arrival of
     each fingerprint survives, later copies are dropped — state is
@@ -155,7 +156,13 @@ def stream_dedup(
     from adampro_spark.pipeline.dedup import simhash_expr
     from adampro_spark.pipeline.text import char_codes, poly_hash, tokens_expr
 
-    if method == "exact":
+    if key_col is not None:
+        # custom dedup key (round 9): any stateless expression — e.g.
+        # scrub.canonical_url_expr("url") for URL-level stream dedup
+        # (the cheapest crawl dedup, before any text comparison); the
+        # method fingerprints are ignored when a key is supplied
+        key = key_col
+    elif method == "exact":
         key = poly_hash(char_codes(F.concat_ws(" ", tokens_expr(text_col))))
     elif method == "simhash":
         key = simhash_expr(text_col)

@@ -709,3 +709,43 @@ def test_stream_curate_full_ceiling_table_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT doc_id FROM gopher_stream").collect()
     }
     assert got == want
+
+
+def test_stream_dedup_custom_key_canonical_url(spark, tmp_path):
+    """stream_dedup(key_col=...) dedups on ANY stateless expression —
+    URL-level crawl dedup via canonical_url_expr, cross-micro-batch,
+    equal to the batch run of the same code."""
+    from adampro_spark.pipeline.scrub import canonical_url_expr
+    from adampro_spark.streaming.ingest import stream_dedup
+
+    rows = [
+        (1, "http://a.com/page?utm_source=x", "text one"),
+        (2, "HTTP://WWW.A.com:80/page", "text two"),      # same page
+        (3, "http://a.com/page#top", "text three"),       # same page
+        (4, "http://a.com/other", "text four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    batch = stream_dedup(df, key_col=canonical_url_expr("url"))
+    kept_batch = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert len(kept_batch) == 2 and 4 in kept_batch
+    assert len(kept_batch & {1, 2, 3}) == 1
+
+    # micro-batched: duplicates SPLIT ACROSS batches must still collapse
+    src = str(tmp_path / "urls")
+    df.filter(F.col("doc_id") <= 2).repartition(1).write.parquet(src)
+    df.filter(F.col("doc_id") > 2).repartition(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, url string, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_dedup(stream, key_col=canonical_url_expr("url"))
+        .writeStream.format("memory").queryName("url_dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM url_dedup_stream").collect()
+    }
+    assert len(got) == 2 and 4 in got and len(got & {1, 2, 3}) == 1
