@@ -1458,7 +1458,7 @@ def _gopher_sql() -> str:
     ),
     cu1 AS (
       SELECT doc_id, u, lower(sch) AS ls,
-        regexp_replace(lower(auth), '^www\\.', '') AS la0, rest, sch
+        regexp_replace(lower(auth), '^(www\\.)+', '') AS la0, rest, sch
       FROM cu0
     ),
     cu2 AS (
@@ -1468,16 +1468,17 @@ def _gopher_sql() -> str:
              WHEN ls = 'https://' AND la0 LIKE '%:443'
                THEN regexp_replace(la0, ':443$', '')
              ELSE la0 END AS la,
+        regexp_extract(regexp_replace(rest, '#.*$', ''), '^([^?]*)', 1) AS p0,
         regexp_replace(
           regexp_replace(
             regexp_replace(
-              regexp_replace(rest, '#.*$', ''),
+              regexp_extract(regexp_replace(rest, '#.*$', ''), '(\?.*)$', 1),
               '&(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*',
               '', 'g'),
-            '\\?(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*&',
-            '?', 'g'),
-          '\\?(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*$',
-          '') AS r0
+            '^\?(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*&',
+            '?'),
+          '^\?(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*$',
+          '') AS q3
       FROM cu1
     ),
     cu AS (
@@ -1485,13 +1486,14 @@ def _gopher_sql() -> str:
         CASE WHEN length(sch) > 0
              THEN ls || la ||
                (CASE WHEN length(
-                       CASE WHEN r0 NOT LIKE '%?%' AND length(r0) > 1
-                            THEN regexp_replace(r0, '/+$', '')
-                            ELSE r0 END) = 0
+                       CASE WHEN length(p0) > 1
+                            THEN regexp_replace(p0, '/+$', '')
+                            ELSE p0 END) = 0
                      THEN '/'
-                     ELSE CASE WHEN r0 NOT LIKE '%?%' AND length(r0) > 1
-                               THEN regexp_replace(r0, '/+$', '')
-                               ELSE r0 END END)
+                     ELSE CASE WHEN length(p0) > 1
+                               THEN regexp_replace(p0, '/+$', '')
+                               ELSE p0 END END)
+               || q3
              ELSE u END AS canon_url
       FROM cu2
     ),

@@ -712,7 +712,10 @@ def curate_failures(
             f"extra_gates clash with built-in gates: {sorted(clash)}"
         )
     flags.update(extras)
-    names = sorted(flags)
+    # sort by the STRIPPED name — the output array's documented order
+    # (review r9.2: '_' sorts before letters, so sorting pre-strip put
+    # built-ins ahead of unprefixed extra gates)
+    names = sorted(flags, key=lambda n: (n.lstrip("_"), n))
     failed = F.filter(
         F.array(*[
             F.when(~F.coalesce(flags[n], F.lit(False)),

@@ -355,7 +355,9 @@ def canonical_url_expr(url: str | Column) -> Column:
     auth = F.regexp_extract(c, scheme_pat, 2)
     rest = F.regexp_extract(c, scheme_pat, 3)
     lscheme = F.lower(scheme)
-    lauth = F.regexp_replace(F.lower(auth), r"^www\.", "")
+    # '(www\.)+': one-level stripping was not idempotent on stacked
+    # prefixes (review r9.2 — canonicalize-on-ingest flows re-apply it)
+    lauth = F.regexp_replace(F.lower(auth), r"^(www\.)+", "")
     lauth = F.when(
         (lscheme == "http://") & lauth.endswith(":80"),
         F.regexp_replace(lauth, r":80$", ""),
@@ -364,22 +366,31 @@ def canonical_url_expr(url: str | Column) -> Column:
         F.regexp_replace(lauth, r":443$", ""),
     ).otherwise(lauth)
     r = F.regexp_replace(rest, r"#.*$", "")                 # fragment
-    # tracking params in three passes that never damage anything else
-    # (review r9 follow-up: a generic separator repair rewrote legal
-    # '&' characters in QUERY-LESS paths like /a&b):
-    #   1. every non-leading '&param=v';
-    #   2. a leading '?param=v&' with a successor keeps its '?';
-    #   3. a tracker-only query '?param=v' drops entirely.
-    # Pass 1 first, so a run of consecutive leading trackers reduces to
-    # one before pass 2 fires.
-    r = F.regexp_replace(r, r"&" + _TRACKING_PARAM + r"=[^&#]*", "")
-    r = F.regexp_replace(r, r"\?" + _TRACKING_PARAM + r"=[^&#]*&", "?")
-    r = F.regexp_replace(r, r"\?" + _TRACKING_PARAM + r"=[^&#]*$", "")
-    # non-root trailing slash (path only — not inside a query)
-    r = F.when(
-        ~r.contains("?") & (F.length(r) > 1), F.regexp_replace(r, r"/+$", "")
-    ).otherwise(r)
-    r = F.when(F.length(r) == 0, F.lit("/")).otherwise(r)
+    # split at the FIRST '?': the tracking passes then run over the
+    # query ONLY (review r9.2 — an unanchored pass deleted '&utm_…='
+    # sequences from query-less paths and '?tracker=…' suffixes inside
+    # query VALUES):
+    #   1. every non-leading '&param=v' in the query;
+    #   2. the ANCHORED leading '?param=v&' keeps its '?';
+    #   3. an ANCHORED tracker-only query '?param=v' drops entirely.
+    # Pass 1 first, so consecutive leading trackers reduce to one.
+    path = F.regexp_extract(r, r"^([^?]*)", 1)
+    query = F.regexp_extract(r, r"(\?.*)$", 1)
+    query = F.regexp_replace(query, r"&" + _TRACKING_PARAM + r"=[^&#]*", "")
+    query = F.regexp_replace(
+        query, r"^\?" + _TRACKING_PARAM + r"=[^&#]*&", "?"
+    )
+    query = F.regexp_replace(
+        query, r"^\?" + _TRACKING_PARAM + r"=[^&#]*$", ""
+    )
+    # non-root trailing slash on the PATH alone
+    path = F.when(
+        F.length(path) > 1, F.regexp_replace(path, r"/+$", "")
+    ).otherwise(path)
+    # RFC 3986 normalization: empty path ≡ '/' — also when a query
+    # follows ('http://a.com?q=1' ≡ 'http://a.com/?q=1', review r9.2)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    r = F.concat(path, query)
     return F.when(
         F.length(scheme) > 0, F.concat(lscheme, lauth, r)
     ).otherwise(c)

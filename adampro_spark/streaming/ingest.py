@@ -150,6 +150,11 @@ def stream_dedup(
     an unbounded corpus (dup detection then spans the watermark horizon,
     the standard streaming-dedup contract).  Without ``ts_col`` the
     state grows with the distinct-document count.
+    ``key_col`` replaces the fingerprint with ANY stateless expression
+    (e.g. ``scrub.canonical_url_expr("url")`` for URL-level dedup);
+    NULL keys never dedup against each other (a per-row full-row-hash
+    fallback), only fully identical rows collapse.
+
     Runs identically on a batch DataFrame (dropDuplicates semantics
     match), which is how tests adjudicate it.
     """
@@ -160,8 +165,16 @@ def stream_dedup(
         # custom dedup key (round 9): any stateless expression — e.g.
         # scrub.canonical_url_expr("url") for URL-level stream dedup
         # (the cheapest crawl dedup, before any text comparison); the
-        # method fingerprints are ignored when a key is supplied
-        key = key_col
+        # method fingerprints are ignored when a key is supplied.
+        # NULL keys must NOT collapse into one group (dropDuplicates
+        # treats NULLs as equal — review r9.2: every NULL-url doc but
+        # the first would vanish): substitute a deterministic per-row
+        # fallback, so NULL-key rows dedup only when fully identical
+        fallback = F.concat(
+            F.lit("_ap_nullkey_"),
+            F.xxhash64(*[F.col(c) for c in stream.columns]).cast("string"),
+        )
+        key = F.coalesce(key_col.cast("string"), fallback)
     elif method == "exact":
         key = poly_hash(char_codes(F.concat_ws(" ", tokens_expr(text_col))))
     elif method == "simhash":

@@ -635,6 +635,13 @@ def test_canonical_url_expr(spark):
         ("http://r.com/a&b", "http://r.com/a&b"),
         # consecutive leading trackers
         ("http://s.com/?utm_a=1&utm_b=2&q=3", "http://s.com/?q=3"),
+        # review r9.2 regressions:
+        ("http://a.com/path&utm_source=abc", "http://a.com/path&utm_source=abc"),
+        ("http://a.com/p?a=1?utm_x=2", "http://a.com/p?a=1?utm_x=2"),
+        ("http://www.www.example.com/x", "http://example.com/x"),
+        ("HTTP://a.com:80?q=1", "http://a.com/?q=1"),
+        ("http://a.com/?q=1", "http://a.com/?q=1"),
+        ("http://a.com/Path/?q=1", "http://a.com/Path?q=1"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"

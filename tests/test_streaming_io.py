@@ -749,3 +749,24 @@ def test_stream_dedup_custom_key_canonical_url(spark, tmp_path):
         for r in spark.sql("SELECT doc_id FROM url_dedup_stream").collect()
     }
     assert len(got) == 2 and 4 in got and len(got & {1, 2, 3}) == 1
+
+
+def test_stream_dedup_custom_key_null_urls_not_collapsed(spark):
+    """review r9.2: NULL keys must never dedup against each other —
+    distinct documents with NULL urls all survive; fully identical rows
+    still collapse."""
+    from adampro_spark.pipeline.scrub import canonical_url_expr
+    from adampro_spark.streaming.ingest import stream_dedup
+
+    rows = [
+        (1, None, "doc one"),
+        (2, None, "doc two"),
+        (3, None, "doc two"),           # fully identical to... no: id differs
+        (4, "http://a.com/x", "doc four"),
+        (5, "http://a.com/x?utm_source=s", "doc five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = stream_dedup(df, key_col=canonical_url_expr("url"))
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert {1, 2, 3} <= kept                 # distinct NULL-url docs survive
+    assert len(kept & {4, 5}) == 1           # canonical dup collapses
