@@ -1511,9 +1511,11 @@ def _gopher_sql() -> str:
           replace(replace(replace(replace(replace(replace(replace(
             regexp_replace(
               regexp_replace(
-                regexp_replace(h,
-                  '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<noscript[^>]*>.*?</noscript>|<head[^>]*>.*?</head>|<!--.*?-->',
-                  ' ', 'g'),
+                regexp_replace(
+                  regexp_replace(h,
+                    '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<noscript[^>]*>.*?</noscript>|<head[^>]*>.*?</head>|<!--.*?-->',
+                    ' ', 'g'),
+                  '(?is)<script[^>]*>.*$|<style[^>]*>.*$', ' ', 'g'),
                 '(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>|</title>',
                 chr(10), 'g'),
               '(?s)<[^>]*>', ' ', 'g'),

@@ -309,6 +309,12 @@ def html_to_text_expr(html: str | Column) -> Column:
     """
     c = F.col(html) if isinstance(html, str) else html
     t = F.regexp_replace(c, _HTML_BLOCKS, " ")
+    # truncated fetches leave UNCLOSED script/style blocks whose bodies
+    # would otherwise leak into the text as junk — after the paired
+    # pass, anything from an unmatched opener to EOF is invisible
+    t = F.regexp_replace(
+        t, r"(?is)<script[^>]*>.*$|<style[^>]*>.*$", " "
+    )
     t = F.regexp_replace(t, _HTML_BREAKS, "\n")
     t = F.regexp_replace(t, _HTML_TAG, " ")
     for ent, rep in (

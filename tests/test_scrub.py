@@ -597,6 +597,8 @@ def test_html_to_text_extraction(spark):
         (3, "a &amp;lt; b &nbsp; c &quot;d&quot; &#39;e&#39;"),
         (4, "<div>x</div>\n\n\n\n<div>y</div>"),
         (5, None),
+        # truncated fetch: unclosed script body must not leak
+        (6, "<p>keep this</p><script>var leaked = 'junk';"),
     ]
     df = spark.createDataFrame(rows, "i long, h string")
     got = {
@@ -609,6 +611,7 @@ def test_html_to_text_extraction(spark):
     assert got[3] == "a &lt; b c \"d\" 'e'"
     assert got[4] == "x\n\ny"
     assert got[5] is None
+    assert got[6] == "keep this"
 
 
 def test_canonical_url_expr(spark):
