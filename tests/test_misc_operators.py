@@ -446,6 +446,53 @@ def test_fulltext_bm25_exact_vs_reference_formula(spark, docs, tmp_path):
 
 
 
+def test_fulltext_bm25_hot_term_skew(spark, tmp_path):
+    """Planted skew (verdict r9 #1): one term on 50% of the corpus must
+    not degrade or mis-score — df(t) is an aggregate, so the hot term
+    contributes ONE (term, count) row, not a one-task window over half
+    the posting table.  Scores checked exactly vs the driver formula."""
+    import math
+
+    from adampro_spark.ops import AdamOps
+
+    n = 2000
+    rows = [
+        (
+            i,
+            ("hotword filler%d " % (i % 97)) * 3
+            if i % 2 == 0
+            else ("coldword%d filler%d " % (i % 11, i % 97)) * 3,
+        )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    ops = AdamOps(spark, str(tmp_path / "cskew"))
+    ops.index.create_from_df("fth", "dh", docs, "text", "fulltext", pk="doc_id")
+    res = ops.query.fulltext("fth", ["hotword", "coldword3"], scoring="bm25", k=25)
+    got = [(r["doc_id"], r["ap_score"]) for r in res.collect()]
+    assert len(got) == 25
+
+    toks = {i: t.lower().split() for i, t in rows}
+    n_docs = n
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    k1, b = 1.2, 0.75
+    want = {}
+    for term in ("hotword", "coldword3"):
+        dfreq = sum(1 for ts in toks.values() if term in ts)
+        idf = math.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        for d, ts in toks.items():
+            tf = ts.count(term)
+            if tf:
+                dl = len(ts)
+                want[d] = want.get(d, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl)
+                )
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert [d for d, _ in got] == [d for d, _ in top]
+    for (d, s), (_, w) in zip(got, top):
+        assert abs(s - w) < 1e-9, (d, s, w)
+
+
 def test_compound_and_empty_relation(spark):
     """The two trivial tree nodes: compound is an identity pass-through
     (CompoundQueryExpression carries a protobuf subtree; Catalyst's

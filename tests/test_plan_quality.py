@@ -56,6 +56,25 @@ def test_small_prefilter_broadcasts(spark, emb):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
+def test_bm25_dfreq_is_aggregate_not_term_window(docs):
+    """verdict r9 #1: df(t) must be a map-side-combinable
+    groupBy(term).count() broadcast-joined back — NEVER a
+    Window.partitionBy(term), which funnels a hot term's entire posting
+    list through one window task at 100 TB."""
+    from adampro_spark.index.persist import FEATURE_COL
+    from adampro_spark.operators.fulltext import build_text_index, text_search_indexed
+
+    postings, meta = build_text_index(docs, "text", pk="doc_id")
+    res = text_search_indexed(postings, meta, ["spark", "query"], scoring="bm25")
+    # scope to the query-time plan: the cached build plan (below the
+    # InMemoryRelation boundary) legitimately has a per-DOCUMENT window
+    # for doc length (bounded partitions — a doc's distinct-term count)
+    plan = _plan(res).split("InMemoryRelation")[0]
+    assert "Window" not in plan, f"term-partitioned window in BM25 plan:\n{plan}"
+    assert "BroadcastHashJoin" in plan, plan
+    postings.unpersist()
+
+
 def test_distance_stays_jvm_side(emb):
     # the distance expression must evaluate JVM-side (higher-order
     # functions are CodegenFallback, so no WholeStageCodegen node — but
