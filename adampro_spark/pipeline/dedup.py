@@ -184,30 +184,32 @@ def banded_candidates(
       no plan shape avoids that, so the cap is a semantic choice, not
       just an optimization.
 
-    The hot/cold split is ONE window pass over the band table: per-bucket
-    count and representative (min pk) computed with ``Window.partitionBy
-    (band keys)`` — the table is hash-partitioned by those keys anyway for
-    the self-join, so the window adds a per-partition sort, not a shuffle.
-    No driver round-trip, no literal hot-key list (an earlier version
-    collected over-cap keys to the driver — fine when degenerate buckets
-    are rare, but the window form stays correct even if a corpus has
-    MILLIONS of hot buckets).  The tagged table is persisted: the cold
-    self-join reads it twice and the star branch once, and without the
-    barrier each consumer would re-run the upstream band-hash UDF (at
-    100 TB the band table is a persisted artifact of the corpus build
-    anyway, like the signature table).
+    The hot/cold split is a map-side-combinable per-bucket aggregate
+    joined back onto the band table (verdict r9 #2): ``groupBy(band
+    keys).agg(count, min pk)`` partial-combines on the map side — a
+    degenerate bucket (e.g. a corpus that is 50% one identical document)
+    contributes ONE (keys, count, rep) row per map task before the
+    shuffle — and the join-back is AQE-skew-splittable (the hot probe
+    partition splits across tasks because the build side holds a single
+    row per bucket).  The previous ``Window.partitionBy(band keys)``
+    shape put all ~n/2 rows of a degenerate bucket through ONE
+    WindowExec task, which AQE cannot split; a planted-degenerate test
+    (tests/test_skew.py) pins the new shape.  No driver round-trip, no
+    literal hot-key list (an earlier version collected over-cap keys to
+    the driver — fine when degenerate buckets are rare, but the
+    aggregate form stays correct even if a corpus has MILLIONS of hot
+    buckets).  The tagged table is persisted: the cold self-join reads
+    it twice and the star branch once, and without the barrier each
+    consumer would re-run the upstream band-hash UDF (at 100 TB the band
+    table is a persisted artifact of the corpus build anyway, like the
+    signature table).
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*keys)
+    stats = bandtab.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_bn"), F.min(pk_col).alias("_rep")
+    )
     tagged = (
-        bandtab.repartition(*keys)
-        .select(
-            *keys,
-            pk_col,
-            F.count(F.lit(1)).over(w).alias("_bn"),
-            F.min(pk_col).over(w).alias("_rep"),
-        )
+        bandtab.join(stats, on=list(keys))
+        .select(*keys, pk_col, "_bn", "_rep")
         .persist()
     )
     if handles is not None:

@@ -137,6 +137,45 @@ def test_minhash_hot_bucket_emits_linear_pairs(spark):
     pairs.unpersist()
 
 
+def test_banded_candidates_tagging_is_aggregate_not_window(spark):
+    """verdict r9 #2: the hot/cold band tagging must be a map-side-
+    combinable groupBy(keys).agg(count, min) joined back — never a
+    Window.partitionBy(band keys), which puts a degenerate bucket's
+    ~n/2 rows through ONE WindowExec task that AQE cannot split.  The
+    join-back IS splittable: the build side holds one row per bucket.
+    Checked on a planted-degenerate table (one bucket = 50% of rows)."""
+    from adampro_spark.pipeline.dedup import banded_candidates
+
+    rows = [(0, 0, i) for i in range(500)]  # degenerate bucket: 50%
+    rows += [(1 + i % 7, i % 71, 500 + i) for i in range(500)]
+    bandtab = spark.createDataFrame(rows, "band int, bkey long, _pk long")
+    handles = []
+    pairs = banded_candidates(
+        bandtab, ["band", "bkey"], max_bucket_size=64, handles=handles
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, f"window tagging is back:\n{plan}"
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # hot bucket contributes exactly B-1 star pairs rooted at its min pk
+    hot = {(0, i) for i in range(1, 500)}
+    assert hot <= got
+    # cold buckets: full enumeration, so every pair is within one bucket
+    buckets = {}
+    for b, k, p in rows:
+        buckets.setdefault((b, k), []).append(p)
+    want_cold = {
+        (a, c)
+        for mem in buckets.values()
+        if len(mem) <= 64
+        for a in mem
+        for c in mem
+        if a < c
+    }
+    assert got == hot | want_cold
+    for h in handles:
+        h.unpersist()
+
+
 def test_semantic_dedup_hot_cluster_chunks(spark):
     """Adversarial skew: one centroid direction owns ~70% of the corpus.
     The chunk-block plan must (a) split the hot cluster into bounded
