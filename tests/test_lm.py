@@ -539,3 +539,81 @@ def test_lm_bucket_auto_routes_monster_group_to_quantile(
     # by=None: the whole corpus is the one group
     solo = lm_bucket(docs, vocab, meta)
     assert "ntile(" not in solo._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ccnet_pipeline_composition(spark, tables, monkeypatch):
+    """verdict r9 #3 + #6: the CCNet composition (trained langid →
+    curate → per-language lm_bucket) must (a) wire curate's driver-side
+    n_output into lm_bucket's auto gate as max_group_rows_hint — no
+    lineage replay to decide the route — and (b) never re-evaluate the
+    upstream chain after the survivor materialization (accumulator in
+    the input lineage).  Output equals the hand-rolled composition."""
+    import adampro_spark.pipeline.lm as lm_mod
+    from adampro_spark.pipeline.ccnet import ccnet_pipeline
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.langid import fit_langid, trained_langid_col
+    from adampro_spark.pipeline.lm import fit_unigram_lm
+
+    base = tables["documents"].select("doc_id", "text").limit(200)
+    base = spark.createDataFrame(base.collect(), "doc_id long, text string")
+    n_rows = base.count()
+    vocab, meta = fit_unigram_lm(base, vocab_size=64)
+
+    seen = {}
+    orig_bucket = lm_mod.lm_bucket
+
+    def spy(df, *a, **kw):
+        seen.update(kw)
+        return orig_bucket(df, *a, **kw)
+
+    monkeypatch.setattr(lm_mod, "lm_bucket", spy)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def tag(s):
+        acc.add(1)
+        return s
+
+    rep, handles = {}, []
+    out = ccnet_pipeline(
+        base.withColumn("text", tag("text")), vocab, meta,
+        report_out=rep, handles=handles,
+    )
+    # (a) the hint is curate's n_output and the route decision was
+    # driver-side — auto with the hint, no count job
+    assert seen.get("method") == "auto"
+    assert seen.get("max_group_rows_hint") == rep["n_output"]
+
+    # (b) materialize the persisted survivors once; after that the
+    # upstream chain (the tag UDF) must NEVER run again
+    assert len(handles) == 1
+    handles[0].count()
+    fills = acc.value
+    got = out.collect()
+    assert acc.value == fills, "lm_bucket replayed the curate lineage"
+    out.collect()
+    assert acc.value == fills
+
+    # (c) output equals the hand-rolled composition on the plain input
+    lmodel, lmeta = fit_langid()
+    tagged = base.withColumn(
+        "lang_cc", trained_langid_col(lmodel, lmeta, "text")
+    ).filter(F.col("lang_cc") != "und")
+    surv, rep2 = curate(
+        tagged, langs=None, min_tokens=20, min_quality=0.3, dedup="exact"
+    )
+    want = orig_bucket(
+        surv, vocab, meta, by="lang_cc", method="ntile"
+    ).collect()
+    key = lambda r: (r["doc_id"], r["lang_cc"], r["bucket"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert rep2["n_output"] == rep["n_output"]
+
+    # (d) the per-language report covers every surviving language and
+    # its totals add up to the tagged corpus
+    bl = {r["lang_cc"]: r for r in rep["by_lang"].collect()}
+    langs_out = {r["lang_cc"] for r in got}
+    assert langs_out <= set(bl)
+    assert sum(r["n"] for r in bl.values()) == tagged.count()
+    handles[0].unpersist()
