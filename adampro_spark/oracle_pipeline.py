@@ -438,6 +438,62 @@ _NGRAM_SQL = f"""
     """
 
 
+def _quality_lr_row(spark, sf):
+    """Round 10 (verdict r9 #4): the TRAINED quality classifier
+    (pipeline/quality.py) — closed-form ridge fit on the bundled
+    labeled seed set, weights quantized at fit time (the round-6
+    model-float precedent), scoring one codegen dot product over the
+    engineered feature expressions.  The row re-runs the FIT and
+    asserts it reproduces the pinned constant (a drift errors the row
+    red), then scores the corpus with the pinned weights — the same
+    literals the static SQL mirror embeds."""
+    from adampro_spark.pipeline.quality import (
+        QUALITY_SEED_WEIGHTS, fit_quality_seed, quality_score_expr,
+    )
+
+    w = fit_quality_seed(spark)
+    if w != QUALITY_SEED_WEIGHTS:
+        raise AssertionError(
+            f"seed quality fit drifted from the pinned weights: {w}"
+        )
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.round(F.round(quality_score_expr(w), 4) * 10_000)
+        .cast("long")
+        .alias("q_lr"),
+    )
+
+
+def _quality_lr_sql() -> str:
+    from adampro_spark.pipeline.quality import QUALITY_SEED_WEIGHTS
+    from adampro_spark.pipeline.text import QUALITY_STOPWORDS
+
+    w = QUALITY_SEED_WEIGHTS
+    toks = _TOKS.format(t="text")
+    feats = [
+        "1.0",
+        "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
+        " / greatest(length(text), 1)",
+        f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks,"
+        f" w -> list_contains({sorted(QUALITY_STOPWORDS)}, w)))"
+        f" / len(toks) ELSE 0.0 END",
+        "least(len(toks) / 100.0, 1.0)",
+        "CASE WHEN len(toks) > 0 THEN (length(text) / len(toks)) / 10.0"
+        " ELSE 0.0 END",
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+        " / greatest(length(text), 1)",
+        "length(regexp_replace(text, '[^A-Z]', '', 'g'))"
+        " / greatest(length(text), 1)",
+    ]
+    # left-fold sum in the same order as quality_score_expr: 0.0 + w0*f0
+    # + w1*f1 + ... (SQL + is left-associative, matching Spark's fold)
+    score = "0.0 " + " ".join(f"+ {wi!r} * ({f})" for wi, f in zip(w, feats))
+    return f"""
+    SELECT doc_id, round(round({score}, 4) * 10000)::BIGINT AS q_lr
+    FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+    """
+
+
 def _text_suite(spark, sf):
     lang = _langid_row(spark, sf).select(
         F.lit("langid").alias("part"),
@@ -466,7 +522,15 @@ def _text_suite(spark, sf):
         ).alias("k"),
         F.round(F.col("logp") * 10_000).cast("long").alias("v"),
     )
-    return _union_all([lang, fp, ng, nb])
+    # round 10: the trained quality classifier joins the fold — the fit
+    # is re-asserted against the pinned weights inside the row, and the
+    # per-document learned score rides the value hash
+    ql = _quality_lr_row(spark, sf).select(
+        F.lit("quality_lr").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("q_lr").alias("v"),
+    )
+    return _union_all([lang, fp, ng, nb, ql])
 
 
 _register(
@@ -484,6 +548,8 @@ _register(
     SELECT 'langid_nb', doc_id::VARCHAR || '|' || lang_nb,
            round(logp * 10000)::BIGINT
     FROM ({_langid_nb_sql()})
+    UNION ALL
+    SELECT 'quality_lr', doc_id::VARCHAR, q_lr FROM ({_quality_lr_sql()})
     """,
 )
 

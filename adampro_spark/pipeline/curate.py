@@ -89,6 +89,7 @@ def gate_flags(
 # clobbered and REMOVED from the output (ADVICE r7) — refuse instead.
 _RESERVED_GATE_FLAGS = (
     "_lang_ok", "_len_ok", "_cap_ok", "_q_ok", "_rep_ok", "_lm_ok",
+    "_mlq_ok",
 )
 _RESERVED_PREFIXES = ("_ap_", "_rep_")
 
@@ -237,6 +238,8 @@ def curate(
     dedup_threshold: float | None = None,
     stage_timings: dict[str, float] | None = None,
     extra_gates: Mapping[str, Column] | None = None,
+    quality_weights: Sequence[float] | None = None,
+    quality_junk_threshold: float = 0.5,
     **dedup_kw: Any,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Filter + deduplicate a document corpus; returns ``(survivors,
@@ -319,6 +322,15 @@ def curate(
     plug in the learned classifier): the kept set requires them, and the
     report gains a ``n_fail<name>`` attrition count per gate — all at
     zero additional scans.
+
+    ``quality_weights`` (round 10, verdict r9 #4) — a LEARNED quality
+    model's weight vector (:func:`~adampro_spark.pipeline.quality
+    .train_quality_model` / the bundled ``QUALITY_SEED_WEIGHTS``): adds
+    a ``_mlq_ok`` gate ``quality_score_expr(w) <
+    quality_junk_threshold`` (scores ≥ the threshold are junk under the
+    1.0-=-junk labeling) riding the same one-scan pass; the report
+    gains ``n_fail_mlq_ok``.  Sugar over ``extra_gates`` — passing an
+    explicit ``_mlq_ok`` extra gate alongside raises the usual clash.
 
     ``stage_timings`` — pass a dict to receive wall-clock seconds per
     stage (``gates_sec`` / ``pairs_sec`` / ``resolution_sec``); splitting
@@ -420,6 +432,17 @@ def curate(
         # text.pushdown_barrier)
         flags["_rep_ok"] = repetition_gate_flag(rep, ceilings)
     extras = dict(extra_gates or {})
+    if quality_weights is not None:
+        from adampro_spark.pipeline.quality import quality_score_expr
+
+        if "_mlq_ok" in extras:
+            raise ValueError(
+                "quality_weights given but extra_gates already defines "
+                "_mlq_ok — pass one or the other"
+            )
+        extras["_mlq_ok"] = quality_score_expr(
+            list(quality_weights), text_col
+        ) < F.lit(float(quality_junk_threshold))
     clash = set(extras) & set(flags)
     if clash:
         raise ValueError(f"extra_gates clash with built-in gates: {sorted(clash)}")

@@ -28,8 +28,11 @@ from adampro_spark.pipeline.text import QUALITY_STOPWORDS, tokens_expr
 
 __all__ = [
     "QUALITY_DIMS",
+    "QUALITY_SEED_EXAMPLES",
+    "QUALITY_SEED_WEIGHTS",
     "quality_feature_exprs",
     "train_quality_model",
+    "fit_quality_seed",
     "quality_score_expr",
     "classify_quality",
 ]
@@ -66,6 +69,78 @@ def quality_feature_exprs(text_col: str = "text") -> list[Column]:
 QUALITY_DIMS = 7
 
 
+# Bundled labeled seed set (the langid SEED_TEXTS pattern): a fixed,
+# versioned training corpus so the fitted weight vector is a constant of
+# the LIBRARY, not of the user's corpus — which makes the scoring
+# expression statically SQL-mirrorable (verdict r9 #4).  label 1.0 =
+# junk, 0.0 = keep.  Composed by hand to span the feature dimensions:
+# clean prose (high alnum/stopword ratios), symbol soup, digit dumps,
+# SHOUTING, single-token fragments, boilerplate lists.
+QUALITY_SEED_EXAMPLES: list[tuple[str, float]] = [
+    ("the quick brown fox jumps over the lazy dog near the river bank", 0.0),
+    ("she walked to the market in the morning and bought fresh bread", 0.0),
+    ("a committee was formed to review the policy and report its findings", 0.0),
+    ("the weather this weekend should be mild with a chance of light rain", 0.0),
+    ("after dinner they discussed the plan for the journey in great detail", 0.0),
+    ("this article describes how the system processes records at scale", 0.0),
+    ("the teacher asked each student to read one chapter before class", 0.0),
+    ("many of the results were consistent with what the model predicted", 0.0),
+    ("he finished the report early and spent the evening with his family", 0.0),
+    ("the committee agreed that the proposal should move to a full vote", 0.0),
+    ("$$$ !!! ### @@@ %%% ^^^ &&& *** ((( ))) ___ +++ === ~~~ ``` |||", 1.0),
+    ("xjqz vkwp qgzx bmfj zzyx wqpv kjxz pqvw zxqj wvkp xqzj vpwk", 1.0),
+    ("1029384756 5647382910 1122334455 9988776655 3141592653 2718281828", 1.0),
+    ("THIS ENTIRE DOCUMENT IS SHOUTING AT THE READER IN CAPITAL LETTERS", 1.0),
+    ("click here click here click here click here click here click here", 1.0),
+    ("a", 1.0),
+    ("0x4f 0x2a 0xff 0x00 0x9b 0xc3 0xd4 0x11 0x7e 0x88 0x5a 0x66", 1.0),
+    ("buy now!!! limited offer!!! buy now!!! limited offer!!! buy now!!!", 1.0),
+    (">>>>> <<<<< ||||| ///// \\\\\\ ----- _____ ===== +++++ *****", 1.0),
+    ("lorem9 ipsum8 dolor7 sit6 amet5 consectetur4 adipiscing3 elit2", 1.0),
+    # LONG examples on both sides: without them the ridge leans on the
+    # length prior alone and long repetitive junk scores as keep
+    (
+        "the history of the region is documented in several archives and "
+        "the museum curates a collection of letters maps and photographs "
+        "that trace how the town grew from a river crossing into a center "
+        "of trade while the surrounding farms supplied grain and wool to "
+        "markets along the coast and travelers wrote of the fairs held "
+        "each autumn when the harvest was brought in and the roads filled "
+        "with carts and the inns were busy for weeks at a time",
+        0.0,
+    ),
+    (
+        "researchers measured the flow of the river at twelve stations "
+        "over three seasons and found that the spring melt arrived two "
+        "weeks earlier than in the previous decade which changed when "
+        "farmers planted their fields and how the reservoirs downstream "
+        "were managed so the report recommends that the schedule for "
+        "releasing water be revised and that the stations continue to "
+        "record levels daily so future plans rest on a longer record",
+        0.0,
+    ),
+    ("@#$% " * 120, 1.0),
+    ("9182736450 " * 80, 1.0),
+    ("click here buy now " * 60, 1.0),
+    ("WINNER WINNER WINNER " * 70, 1.0),
+]
+
+
+# The closed-form ridge fit of QUALITY_SEED_EXAMPLES, quantized to 6
+# decimals — pinned so static SQL mirrors can embed the same literals.
+# fit_quality_seed() must reproduce this exactly (pytest-pinned and
+# re-asserted by the driver row at query-build time); a drift means the
+# features, the seed set, or the solver changed and the constant must
+# be re-derived.  At threshold 0.5: every KEEP example scores keep and
+# 11/14 junk examples score junk (a 7-feature linear model's honest
+# ceiling — short fragments and long repetitive spam are caught; a few
+# mid-length junk shapes slip).  Train on in-domain labels via
+# train_quality_model when precision matters.
+QUALITY_SEED_WEIGHTS: list[float] = [
+    2.157529, -0.509875, -1.091065, -0.017886, -2.027046, 1.65993, 0.961889,
+]
+
+
 def train_quality_model(
     df: DataFrame,
     label_col: str,
@@ -73,6 +148,7 @@ def train_quality_model(
     model: str = "lr",
     sample_fraction: float = 1.0,
     seed: int = 42,
+    quantize: int | None = 6,
 ) -> list[float]:
     """Fit a linear quality model on labeled documents (``label_col``:
     1.0 = junk, 0.0 = keep — any numeric target works) and return its
@@ -83,12 +159,20 @@ def train_quality_model(
     with ``sample_fraction`` (a labeled set is small by construction;
     millions of labels at 100 TB still sample down to a driver-sized
     matrix).  ``model``: "lr" (closed-form ridge — deterministic,
-    recommended) or "svm" (Pegasos subgradient)."""
+    recommended) or "svm" (Pegasos subgradient).
+
+    ``quantize`` (round 10, the round-6 model-float precedent): the
+    returned weights are rounded to this many decimals AT FIT TIME, so
+    the scoring expression built from them is bit-identical across
+    engines (the DuckDB oracle embeds the same literals).  ``None``
+    keeps raw doubles."""
     feats = F.array(*quality_feature_exprs(text_col))
     sdf = df.select(feats.alias("f"), F.col(label_col).cast("double").alias("y"))
     if sample_fraction < 1.0:
         sdf = sdf.sample(fraction=sample_fraction, seed=seed)
-    rows = sdf.collect()
+    # deterministic fit: collect() is partition-ordered, and lstsq/
+    # Pegasos outcomes depend on row order — sort the driver-side rows
+    rows = sorted(sdf.collect(), key=lambda r: (tuple(r["f"]), r["y"]))
     if not rows:
         raise ValueError("no labeled rows to train on")
     import numpy as np
@@ -105,7 +189,23 @@ def train_quality_model(
         m.train(data)
     else:
         raise ValueError(f"unknown quality model {model!r}")
-    return m.to_weights()
+    w = m.to_weights()
+    if quantize is not None:
+        w = [round(x, int(quantize)) for x in w]
+    return w
+
+
+def fit_quality_seed(spark, model: str = "lr") -> list[float]:
+    """Fit the quality classifier on the bundled
+    :data:`QUALITY_SEED_EXAMPLES` — quantized weights that are a pure
+    function of the library version, suitable for embedding in static
+    SQL mirrors and config files.  The feature extraction still runs
+    through the SAME Spark expressions as corpus scoring, so fit and
+    score can never drift apart."""
+    df = spark.createDataFrame(
+        QUALITY_SEED_EXAMPLES, "text string, label double"
+    )
+    return train_quality_model(df, "label", model=model)
 
 
 def quality_score_expr(weights: list[float], text_col: str = "text") -> Column:

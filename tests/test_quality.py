@@ -103,6 +103,70 @@ def test_learned_gate_plugs_into_curate(spark, labeled):
         curate(corpus, dedup=None, extra_gates={"_q_ok": F.lit(True)})
 
 
+def test_seed_fit_reproduces_pinned_weights(spark):
+    """verdict r9 #4: the bundled-seed fit is deterministic and
+    quantized at fit time — it must reproduce the pinned constant the
+    SQL mirrors embed, and separate the seed set perfectly at the 0.5
+    threshold."""
+    from adampro_spark.pipeline.quality import (
+        QUALITY_SEED_EXAMPLES,
+        QUALITY_SEED_WEIGHTS,
+        fit_quality_seed,
+    )
+
+    w = fit_quality_seed(spark)
+    assert w == QUALITY_SEED_WEIGHTS
+    # shuffled input order must not change the fit (sorted collect)
+    df = spark.createDataFrame(
+        list(reversed(QUALITY_SEED_EXAMPLES)), "text string, label double"
+    ).repartition(7)
+    assert train_quality_model(df, "label") == QUALITY_SEED_WEIGHTS
+
+    scored = spark.createDataFrame(
+        QUALITY_SEED_EXAMPLES, "text string, label double"
+    ).select("label", quality_score_expr(w).alias("s"))
+    rows = scored.collect()
+    # every keep example scores keep; junk recall >= 11/14 (the pinned
+    # model's documented ceiling — a 7-feature linear fit)
+    assert all(r["s"] < 0.5 for r in rows if r["label"] == 0.0)
+    junk = [r for r in rows if r["label"] == 1.0]
+    assert sum(1 for r in junk if r["s"] >= 0.5) >= len(junk) - 3
+
+
+def test_curate_quality_weights_gate(spark, labeled):
+    """verdict r9 #4: curate(quality_weights=...) is first-class sugar —
+    same behavior as the hand-built extra gate, report key n_fail_mlq_ok,
+    clash with an explicit _mlq_ok raises."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.quality import QUALITY_SEED_WEIGHTS
+
+    corpus = labeled.select("doc_id", "text")
+    out, report = curate(
+        corpus, langs=None, min_tokens=0, min_quality=0.0, dedup=None,
+        quality_weights=QUALITY_SEED_WEIGHTS,
+    )
+    want, wreport = curate(
+        corpus, langs=None, min_tokens=0, min_quality=0.0, dedup=None,
+        extra_gates={
+            "_mlq_ok": quality_score_expr(QUALITY_SEED_WEIGHTS) < 0.5
+        },
+    )
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in want.select("doc_id").collect())
+    assert a == b
+    assert report["n_fail_mlq_ok"] == wreport["n_fail_mlq_ok"] > 0
+    # the fixture's long repetitive junk is exactly what the long seed
+    # examples exist to catch — all of it must fail the learned gate
+    junk_ids = {r["doc_id"] for r in labeled.filter(F.col("y") == 1.0).collect()}
+    assert not (set(a) & junk_ids)
+
+    with pytest.raises(ValueError, match="_mlq_ok"):
+        curate(
+            corpus, dedup=None, quality_weights=QUALITY_SEED_WEIGHTS,
+            extra_gates={"_mlq_ok": F.lit(True)},
+        )
+
+
 # ---------------------------------------------------------------------------
 # round 8: the complete Gopher A1.1 repetition table
 # ---------------------------------------------------------------------------
