@@ -2576,13 +2576,44 @@ _register("dedup_against", _dedup_against_suite, _dedup_against_sql())
 # ---------------------------------------------------------------------------
 
 
-def _report_by_row(spark, sf):
-    from adampro_spark.pipeline.curate import curate_report_by
+_REPORT_COUNTERS = (
+    "n", "n_lang_fail", "n_short", "n_too_long", "n_low_quality", "n_pass",
+)
 
-    return curate_report_by(
-        _docs(spark, sf), by="source",
-        langs=("en",), min_tokens=20, min_quality=0.3,
+
+def _report_by_row(spark, sf):
+    """Per-source gate attrition (curate_report_by) + the per-DOCUMENT
+    failure table (curate_failures, round 10 — verdict r9 #8) as one
+    tagged union: ``('report', source|counter, count)`` rows melt the
+    aggregate report, ``('failures', doc_id|gate,gate,..., NULL)`` rows
+    pin the exact failing-gate SET per document (sorted stripped names
+    — the curate_failures output contract)."""
+    from adampro_spark.pipeline.curate import curate_failures, curate_report_by
+
+    kw = dict(langs=("en",), min_tokens=20, min_quality=0.3)
+    rep = curate_report_by(_docs(spark, sf), by="source", **kw)
+    melted = rep.select(
+        F.lit("report").alias("part"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.concat(F.col("source"), F.lit(f"|{c}")).alias("k"),
+                    F.col(c).cast("long").alias("v"),
+                )
+                for c in _REPORT_COUNTERS
+            ])
+        ).alias("s"),
+    ).select("part", F.col("s.k").alias("k"), F.col("s.v").alias("v"))
+    fails = curate_failures(_docs(spark, sf), **kw).select(
+        F.lit("failures").alias("part"),
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.array_join("failed_gates", ","),
+        ).alias("k"),
+        F.lit(None).cast("long").alias("v"),
     )
+    return melted.unionByName(fails)
 
 
 def _report_by_sql() -> str:
@@ -2595,27 +2626,48 @@ def _report_by_sql() -> str:
         " '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)"
         " * least(len(toks) / 20.0, 1.0)"
     )
+    counters = {
+        "n": "count(*)",
+        "n_lang_fail": "count(*) FILTER (WHERE NOT lang_ok)",
+        "n_short": "count(*) FILTER (WHERE NOT len_ok)",
+        "n_too_long": "0",
+        "n_low_quality": "count(*) FILTER (WHERE NOT q_ok)",
+        "n_pass": "count(*) FILTER (WHERE lang_ok AND len_ok AND q_ok)",
+    }
+    melt = "\n      UNION ALL ".join(
+        f"SELECT 'report' AS part, source || '|{name}' AS k,"
+        f" ({expr})::BIGINT AS v FROM f GROUP BY source"
+        for name, expr in counters.items()
+    )
+    # failed-gate array: sorted by STRIPPED name (the curate_failures
+    # contract) — cap_ok, lang_ok, len_ok, q_ok
+    gates = (
+        "list_filter(["
+        "CASE WHEN NOT coalesce(cap_ok, FALSE) THEN 'cap_ok' END, "
+        "CASE WHEN NOT coalesce(lang_ok, FALSE) THEN 'lang_ok' END, "
+        "CASE WHEN NOT coalesce(len_ok, FALSE) THEN 'len_ok' END, "
+        "CASE WHEN NOT coalesce(q_ok, FALSE) THEN 'q_ok' END"
+        "], x -> x IS NOT NULL)"
+    )
     return f"""
-    WITH t AS (SELECT source, text, {_TOKS.format(t='text')} AS toks
+    WITH t AS (SELECT doc_id, source, text, {_TOKS.format(t='text')} AS toks
                FROM documents),
     f AS (
-      SELECT source,
+      SELECT doc_id, source,
         (CASE WHEN best.hits <= 0 THEN 'und' ELSE best.lang END) = 'en'
           AS lang_ok,
         len(toks) >= 20 AS len_ok,
         TRUE AS cap_ok,
         {quality} >= 0.3 AS q_ok
-      FROM (SELECT source, text, toks,
+      FROM (SELECT doc_id, source, text, toks,
               list_aggregate([{structs}], 'max') AS best FROM t)
     )
-    SELECT source,
-      count(*)::BIGINT AS n,
-      (count(*) FILTER (WHERE NOT lang_ok))::BIGINT AS n_lang_fail,
-      (count(*) FILTER (WHERE NOT len_ok))::BIGINT AS n_short,
-      0::BIGINT AS n_too_long,
-      (count(*) FILTER (WHERE NOT q_ok))::BIGINT AS n_low_quality,
-      (count(*) FILTER (WHERE lang_ok AND len_ok AND q_ok))::BIGINT AS n_pass
-    FROM f GROUP BY source
+    {melt}
+    UNION ALL
+    SELECT 'failures', doc_id::VARCHAR || '|' || array_to_string(g, ','),
+           NULL::BIGINT
+    FROM (SELECT doc_id, {gates} AS g FROM f)
+    WHERE len(g) > 0
     """
 
 
