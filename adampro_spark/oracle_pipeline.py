@@ -351,7 +351,17 @@ def _langid_nb_sql() -> str:
     probabilities quantized to 6 decimals) is recomputed in SQL, and
     scoring sums matched-gram log-probs plus floor·(T−matched) per
     (doc, lang) — argmax with lang-ascending tie-break, mean rounded to
-    4 decimals exactly like the pandas UDF."""
+    4 decimals exactly like the pandas UDF.
+
+    Accepted risk (ADVICE r9): argmax parity relies on the two engines
+    accumulating the SAME double totals.  The summands are 6-decimal
+    quantized model floats, so totals agree exactly unless two
+    languages tie to within double rounding of each other — a
+    knife-edge no observed corpus hits (every fold is hash-green at
+    three scales); if it ever fires, the symptom is a spurious one-doc
+    mismatch, not a real defect.  Likewise Python round() is half-even
+    vs DuckDB's half-away — distinguishable only at an exact 5 in the
+    5th decimal of a mean, same knife-edge class."""
     from adampro_spark.pipeline.langid import LANGID_MAX_CHARS, SEED_TEXTS
 
     seed_vals = ",\n      ".join(
@@ -638,7 +648,8 @@ _register(
 def _simhash_sql() -> str:
     toks = _TOKS.format(t="text")
     # Knuth-mix mirror of simhash_expr (round 9): ((h*A) // 2^15) % 2^30
-    # — integer ops end to end, exact in both engines (product < 2^61)
+    # — integer ops end to end, exact in both engines (HASH_P-bounded
+    # operand: product ≈ 2.66e18 < 2^62, one spare int64 bit — ADVICE r9)
     mixed = (
         f"((({_fold(_CODES.format(t='t'))}) * 2654435761) // 32768) "
         f"% {1 << SIMHASH_BITS}"
@@ -1535,16 +1546,23 @@ def _gopher_sql() -> str:
                THEN regexp_replace(la0, ':443$', '')
              ELSE la0 END AS la,
         regexp_extract(regexp_replace(rest, '#.*$', ''), '^([^?]*)', 1) AS p0,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_extract(regexp_replace(rest, '#.*$', ''), '(\?.*)$', 1),
-              '&(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*',
-              '', 'g'),
-            '^\?(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*&',
-            '?'),
-          '^\?(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)=[^&#]*$',
-          '') AS q3
+        -- split-filter-rejoin mirror of canonical_url_expr (ADVICE r9:
+        -- valueless trackers): params matched WHOLE, order preserved
+        CASE WHEN len(list_filter(
+               string_split(regexp_replace(
+                 regexp_extract(regexp_replace(rest, '#.*$', ''),
+                                '(\?.*)$', 1), '^\?', ''), '&'),
+               p -> length(p) > 0 AND NOT regexp_matches(p,
+                 '^(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$')
+             )) > 0
+             THEN '?' || array_to_string(list_filter(
+               string_split(regexp_replace(
+                 regexp_extract(regexp_replace(rest, '#.*$', ''),
+                                '(\?.*)$', 1), '^\?', ''), '&'),
+               p -> length(p) > 0 AND NOT regexp_matches(p,
+                 '^(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$')
+             ), '&')
+             ELSE '' END AS q3
       FROM cu1
     ),
     cu AS (

@@ -793,15 +793,18 @@ def simhash_expr(text: str | Column, nbits: int = SIMHASH_BITS) -> Column:
     14.1/30 mixed (ideal 15), while a 1-token-of-30 edit still moves
     only ~3.6 bits — so hamming ≤ 3 keeps near-dup recall but stops
     matching unrelated structured docs.  The mix is exact 64-bit
-    integer arithmetic (product < 2^61), mirrored verbatim in the
-    DuckDB oracle.
+    integer arithmetic: the operands are bounded by HASH_P ≈ 1e9+7, so
+    the product tops out near (1e9+6)·2654435761 ≈ 2.66e18 < 2^62 —
+    inside int64 in both engines but with only one spare bit, so a
+    wider hash modulus or multiplier would overflow (ADVICE r9).
+    Mirrored verbatim in the DuckDB oracle.
 
     Bit extraction uses floor-division by 2^b (portable to DuckDB; all
     values < 2^30 so double-precision division is exact).
     """
     toks = tokens_expr(text)
     # shiftright(·,15) IS the ⌊/2^15⌋: long/long division in Spark is
-    # DOUBLE division, inexact past 2^53 — the ~2^61 product needs
+    # DOUBLE division, inexact past 2^53 — the ~2.66e18 (< 2^62) product needs
     # integer ops end to end (DuckDB mirrors with `// 32768`)
     th = F.transform(
         toks,

@@ -438,11 +438,13 @@ LANGID_MAX_CHARS = 600
 # code through the compression/symbol gates, which exist for it.
 LANGID_GAP_FLOOR = 0.02
 
-# ASCII \s (re.ASCII): parity with Java regex and DuckDB RE2, whose \s
-# classes are ASCII-only — a U+00A0 must survive normalization in BOTH
-# engines (review r9)
-_WS = re.compile(r"\s+", re.ASCII)
-_ASCII_WS = " \t\n\r\f\v"
+# EXPLICIT whitespace class, identical in Python, Java regex and DuckDB
+# RE2: a U+00A0 must survive normalization in BOTH engines (review r9),
+# and Python's ASCII \s additionally matches vertical tab (\x0b) where
+# RE2's does not (ADVICE r9) — so neither \s nor \x0b can appear in the
+# class if the pandas UDF and the SQL mirror are to stay byte-identical.
+_WS = re.compile(r"[ \t\n\r\f]+")
+_ASCII_WS = " \t\n\r\f"
 
 
 def _norm(text: str) -> str:

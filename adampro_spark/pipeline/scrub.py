@@ -225,11 +225,26 @@ def filter_by_domains(
     with unparseable hosts are KEPT (no chain element to match) — gate
     them separately with ``url_gate_flags`` if unparsed URLs should
     fail.
+
+    EAGER (ADVICE r9): calling this runs a full-corpus job immediately
+    — the hit set is materialized via ``localCheckpoint(eager=True)``
+    so the gate count and the anti-join don't recompute the hit
+    pipeline once per consumer.  That also means it cannot run on a
+    STREAMING DataFrame (checkpointing is batch-only) — it raises
+    up front; gate streams with the stateless ``url_gate_flags``
+    expressions instead.
     """
     from adampro_spark.pipeline.dedup import (
         BROADCAST_HOT_BYTE_BUDGET,
         BROADCAST_HOT_MAX_ROWS,
     )
+
+    if df.isStreaming:
+        raise ValueError(
+            "filter_by_domains materializes the hit set eagerly and "
+            "cannot run on a streaming DataFrame — use url_gate_flags "
+            "(stateless expressions) in stream_curate/extra_gates"
+        )
 
     deny_tab = (
         deny.select(
@@ -372,23 +387,30 @@ def canonical_url_expr(url: str | Column) -> Column:
         F.regexp_replace(lauth, r":443$", ""),
     ).otherwise(lauth)
     r = F.regexp_replace(rest, r"#.*$", "")                 # fragment
-    # split at the FIRST '?': the tracking passes then run over the
-    # query ONLY (review r9.2 — an unanchored pass deleted '&utm_…='
+    # split at the FIRST '?': tracking removal then runs over the query
+    # ONLY (review r9.2 — an unanchored pass deleted '&utm_…='
     # sequences from query-less paths and '?tracker=…' suffixes inside
-    # query VALUES):
-    #   1. every non-leading '&param=v' in the query;
-    #   2. the ANCHORED leading '?param=v&' keeps its '?';
-    #   3. an ANCHORED tracker-only query '?param=v' drops entirely.
-    # Pass 1 first, so consecutive leading trackers reduce to one.
+    # query VALUES).  The query is split on '&' and rebuilt from the
+    # surviving params (ADVICE r9: regex deletion required '=value', so
+    # VALUELESS trackers — '?utm_source', '&gclid' — survived, and
+    # adjacent valueless trackers defeat single-pass replacement
+    # entirely); each param is matched WHOLE, so 'fbclidx=1' is not
+    # prefix-garbled.  Empty segments ('&&', bare '?') drop with the
+    # rebuild.  Param ORDER is preserved — reorder-normalization is out
+    # of scope (two URLs differing only in param order do not
+    # canonicalize together).
     path = F.regexp_extract(r, r"^([^?]*)", 1)
     query = F.regexp_extract(r, r"(\?.*)$", 1)
-    query = F.regexp_replace(query, r"&" + _TRACKING_PARAM + r"=[^&#]*", "")
-    query = F.regexp_replace(
-        query, r"^\?" + _TRACKING_PARAM + r"=[^&#]*&", "?"
+    params = F.split(F.regexp_replace(query, r"^\?", ""), "&")
+    kept_params = F.filter(
+        params,
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike("^" + _TRACKING_PARAM + "(=.*)?$"),
     )
-    query = F.regexp_replace(
-        query, r"^\?" + _TRACKING_PARAM + r"=[^&#]*$", ""
-    )
+    query = F.when(
+        F.size(kept_params) > 0,
+        F.concat(F.lit("?"), F.array_join(kept_params, "&")),
+    ).otherwise(F.lit(""))
     # non-root trailing slash on the PATH alone
     path = F.when(
         F.length(path) > 1, F.regexp_replace(path, r"/+$", "")

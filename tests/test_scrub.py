@@ -484,6 +484,24 @@ def test_filter_by_domains_dataset_blocklist(spark):
     }
 
 
+def test_filter_by_domains_rejects_streaming(spark, tmp_path):
+    """ADVICE r9: the eager hit-set materialization is batch-only — a
+    streaming input must raise a clear error up front, not fail deep in
+    localCheckpoint."""
+    import pytest as _pytest
+
+    from adampro_spark.pipeline.scrub import filter_by_domains
+
+    src = str(tmp_path / "stream_src")
+    _url_corpus(spark).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    deny = spark.createDataFrame([("example.com",)], "domain string")
+    with _pytest.raises(ValueError, match="streaming"):
+        filter_by_domains(stream, deny, "url")
+
+
 def test_url_gate_composes_with_curate(spark):
     from adampro_spark.pipeline.curate import curate
     from adampro_spark.pipeline.scrub import url_gate_flags
@@ -645,6 +663,17 @@ def test_canonical_url_expr(spark):
         ("HTTP://a.com:80?q=1", "http://a.com/?q=1"),
         ("http://a.com/?q=1", "http://a.com/?q=1"),
         ("http://a.com/Path/?q=1", "http://a.com/Path?q=1"),
+        # ADVICE r9: VALUELESS trackers ('?utm_source', '&gclid') must
+        # strip too, including adjacent runs; whole-param matching must
+        # not prefix-garble longer legit names
+        ("http://v.com/p?utm_source", "http://v.com/p"),
+        ("http://v.com/p?a=1&gclid", "http://v.com/p?a=1"),
+        ("http://v.com/p?gclid&a=1", "http://v.com/p?a=1"),
+        ("http://v.com/p?a=1&utm_a&utm_b&utm_c&utm_d&b=2",
+         "http://v.com/p?a=1&b=2"),
+        ("http://v.com/p?utm_x&gclid", "http://v.com/p"),
+        ("http://v.com/p?fbclidextra=1", "http://v.com/p?fbclidextra=1"),
+        ("http://v.com/p?a=1&&b=2", "http://v.com/p?a=1&b=2"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
