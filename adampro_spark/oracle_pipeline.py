@@ -504,6 +504,9 @@ def _quality_lr_sql() -> str:
     """
 
 
+BENCH_ONLY["text_quality_lr"] = _quality_lr_row
+
+
 def _text_suite(spark, sf):
     lang = _langid_row(spark, sf).select(
         F.lit("langid").alias("part"),

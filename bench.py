@@ -94,6 +94,12 @@ HEADLINE = [
     "text_langid_nb",
     # round 9: trained-BPE fit (Spark agg + driver merges) + count pass
     "text_bpe_count",
+    # round 10: the CCNet end-to-end composition (trained langid →
+    # curate → per-language perplexity terciles, count-hint wired)
+    "pipeline_ccnet",
+    # round 10: trained quality classifier (pinned-seed ridge fit +
+    # one codegen dot-product scoring pass)
+    "text_quality_lr",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the
