@@ -57,6 +57,11 @@ ROWS = [
     "pipeline_curate_full",
     "text_langid_nb",
     "text_bpe_count",
+    # round-10 additions: the CCNet end-to-end composition (langid →
+    # curate → per-language terciles, count-hint wired) and the trained
+    # quality classifier (pinned-seed fit + codegen dot-product scoring)
+    "pipeline_ccnet",
+    "text_quality_lr",
 ]
 COPIES = 10
 SHIFT = 10_000_000
