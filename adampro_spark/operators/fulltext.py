@@ -147,8 +147,9 @@ def text_search_indexed(
     has ~1e9 postings, so one task buffers a billion rows.  The
     aggregate partial-combines on the map side and the broadcast join
     adds no shuffle; a planted hot-term skew test pins the shape
-    (tests/test_fulltext.py) and a compiled-plan assert forbids any
-    Window over the term column (tests/test_plan_quality.py).
+    (tests/test_misc_operators.py::test_fulltext_bm25_hot_term_skew)
+    and a compiled-plan assert forbids any Window over the term column
+    (tests/test_plan_quality.py).
     """
     from adampro_spark.index.persist import FEATURE_COL
 

@@ -44,7 +44,10 @@ from adampro_spark.pipeline.simjoin import ivf_knn_join, knn_join
 # SQL fragment generators (the DuckDB mirrors of text.py's expressions)
 # ---------------------------------------------------------------------------
 
-_TOKS = "list_filter(string_split_regex(lower({t}), '\\s+'), t -> length(t) > 0)"
+# the token-split class is Java's \s WRITTEN OUT — RE2's \s lacks \x0B,
+# so a bare '\s+' here would tokenize 'foo\x0bbar' differently from the
+# Spark side (review r10)
+_TOKS = "list_filter(string_split_regex(lower({t}), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)"
 _CODES = "list_transform(string_split({t}, ''), c -> ascii(c)::BIGINT)"
 
 
@@ -239,7 +242,7 @@ _register(
     SELECT b.doc_id,
       length(b.text)::BIGINT AS n_chars_obs,
       len(b.toks)::BIGINT AS n_tokens,
-      len(regexp_extract_all(b.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+      len(regexp_extract_all(b.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))::BIGINT AS n_bpe_tokens,
       {_round_sql("CASE WHEN len(b.toks) > 0 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(b.toks, t -> length(t)::BIGINT)), (a, b2) -> a + b2) / len(b.toks) ELSE 0.0 END")} AS avg_token_len,
       {_round_sql("CASE WHEN length(b.text) > 0 THEN length(regexp_replace(b.text, '[^a-zA-Z0-9 ]', '', 'g')) / length(b.text) ELSE 0.0 END")} AS alnum_ratio,
       {_round_sql(f"CASE WHEN len(b.toks) > 0 THEN len(list_filter(b.toks, t -> list_contains({list(QUALITY_STOPWORDS)}, t))) / len(b.toks) ELSE 0.0 END")} AS stopword_ratio,
@@ -1530,10 +1533,10 @@ def _gopher_sql() -> str:
       FROM documents
     ),
     cu0 AS (
-      SELECT doc_id, trim(mu) AS u,
-        regexp_extract(trim(mu), '^([A-Za-z][A-Za-z0-9+.\\-]*://)([^/?#]*)(.*)$', 1) AS sch,
-        regexp_extract(trim(mu), '^([A-Za-z][A-Za-z0-9+.\\-]*://)([^/?#]*)(.*)$', 2) AS auth,
-        regexp_extract(trim(mu), '^([A-Za-z][A-Za-z0-9+.\\-]*://)([^/?#]*)(.*)$', 3) AS rest
+      SELECT doc_id, regexp_replace(mu, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+\\z', '', 'g') AS u,
+        regexp_extract(regexp_replace(mu, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+\\z', '', 'g'), '(?s)^([A-Za-z][A-Za-z0-9+.\\-]*://)([^/?#]*)(.*)\\z', 1) AS sch,
+        regexp_extract(regexp_replace(mu, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+\\z', '', 'g'), '(?s)^([A-Za-z][A-Za-z0-9+.\\-]*://)([^/?#]*)(.*)\\z', 2) AS auth,
+        regexp_extract(regexp_replace(mu, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+\\z', '', 'g'), '(?s)^([A-Za-z][A-Za-z0-9+.\\-]*://)([^/?#]*)(.*)\\z', 3) AS rest
       FROM mu
     ),
     cu1 AS (
@@ -1541,32 +1544,32 @@ def _gopher_sql() -> str:
         regexp_replace(lower(auth), '^(www\\.)+', '') AS la0, rest, sch
       FROM cu0
     ),
+    cu1b AS (
+      -- split-filter-rejoin mirror of canonical_url_expr (ADVICE r9:
+      -- valueless trackers): params matched WHOLE ((?s)…\z — same
+      -- newline semantics as the Spark rlike), order preserved; the
+      -- filtered list is computed ONCE (review r10)
+      SELECT *, list_filter(
+          string_split(regexp_replace(
+            regexp_extract(regexp_replace(rest, '(?s)#.*\\z', ''),
+                           '(?s)(\?.*)\\z', 1), '^\?', ''), '&'),
+          p -> length(p) > 0 AND NOT regexp_matches(p,
+            '(?s)^(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?\\z')
+        ) AS keptq
+      FROM cu1
+    ),
     cu2 AS (
       SELECT doc_id, u, ls, sch,
         CASE WHEN ls = 'http://' AND la0 LIKE '%:80'
-               THEN regexp_replace(la0, ':80$', '')
+               THEN regexp_replace(la0, ':80\\z', '')
              WHEN ls = 'https://' AND la0 LIKE '%:443'
-               THEN regexp_replace(la0, ':443$', '')
+               THEN regexp_replace(la0, ':443\\z', '')
              ELSE la0 END AS la,
-        regexp_extract(regexp_replace(rest, '#.*$', ''), '^([^?]*)', 1) AS p0,
-        -- split-filter-rejoin mirror of canonical_url_expr (ADVICE r9:
-        -- valueless trackers): params matched WHOLE, order preserved
-        CASE WHEN len(list_filter(
-               string_split(regexp_replace(
-                 regexp_extract(regexp_replace(rest, '#.*$', ''),
-                                '(\?.*)$', 1), '^\?', ''), '&'),
-               p -> length(p) > 0 AND NOT regexp_matches(p,
-                 '^(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$')
-             )) > 0
-             THEN '?' || array_to_string(list_filter(
-               string_split(regexp_replace(
-                 regexp_extract(regexp_replace(rest, '#.*$', ''),
-                                '(\?.*)$', 1), '^\?', ''), '&'),
-               p -> length(p) > 0 AND NOT regexp_matches(p,
-                 '^(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$')
-             ), '&')
+        regexp_extract(regexp_replace(rest, '(?s)#.*\\z', ''), '^([^?]*)', 1) AS p0,
+        CASE WHEN len(keptq) > 0
+             THEN '?' || array_to_string(keptq, '&')
              ELSE '' END AS q3
-      FROM cu1
+      FROM cu1b
     ),
     cu AS (
       SELECT doc_id,
@@ -1574,11 +1577,11 @@ def _gopher_sql() -> str:
              THEN ls || la ||
                (CASE WHEN length(
                        CASE WHEN length(p0) > 1
-                            THEN regexp_replace(p0, '/+$', '')
+                            THEN regexp_replace(p0, '/+\\z', '')
                             ELSE p0 END) = 0
                      THEN '/'
                      ELSE CASE WHEN length(p0) > 1
-                               THEN regexp_replace(p0, '/+$', '')
+                               THEN regexp_replace(p0, '/+\\z', '')
                                ELSE p0 END END)
                || q3
              ELSE u END AS canon_url
@@ -2438,7 +2441,7 @@ def _span_dedup_sql(n: int = _SPAN_N, min_docs: int = 2) -> str:
     -- toks: CASE-PRESERVING split for the rebuild (hashes below use the
     -- lowercased tokens; positions align 1:1)
     t AS (SELECT doc_id, text,
-                 list_filter(string_split_regex(text, '\\s+'),
+                 list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                              t2 -> length(t2) > 0) AS toks,
                  {th} AS th FROM planted),
     pg AS (
@@ -2608,7 +2611,13 @@ def _report_by_row(spark, sf):
     tagged union: ``('report', source|counter, count)`` rows melt the
     aggregate report, ``('failures', doc_id|gate,gate,..., NULL)`` rows
     pin the exact failing-gate SET per document (sorted stripped names
-    — the curate_failures output contract)."""
+    — the curate_failures output contract).
+
+    Deliberately calls BOTH public operators (two map-only gate passes
+    over the corpus) rather than computing one shared flag projection:
+    the row exists to adjudicate curate_report_by AND curate_failures
+    as users call them — inlining a shared implementation here would
+    stop testing the operators (review r10, accepted)."""
     from adampro_spark.pipeline.curate import curate_failures, curate_report_by
 
     kw = dict(langs=("en",), min_tokens=20, min_quality=0.3)
@@ -2800,7 +2809,7 @@ def _curate_full_sql(v: int = _LM_V, floor: float = _CF_FLOOR) -> str:
     -- text (min_docs = 2, n = {n}) — the Lee et al. pass, mirrored from
     -- the dedup_spans row recipe
     stt AS (SELECT doc_id, text,
-              list_filter(string_split_regex(text, '\\s+'),
+              list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                           t2 -> length(t2) > 0) AS rtoks,
               {sth} AS th
             FROM cleaned),

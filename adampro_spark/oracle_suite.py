@@ -1106,7 +1106,7 @@ _FULLTEXT_SQL = """
     SELECT doc_id, score AS ap_score FROM (
       SELECT doc_id,
         len(list_filter(
-          list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0),
+          list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0),
           t -> list_contains(['spark', 'query', 'join'], t)))::DOUBLE AS score
       FROM documents
     ) WHERE score > 0

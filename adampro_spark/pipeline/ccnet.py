@@ -87,6 +87,13 @@ def ccnet_pipeline(
     tagged = df.withColumn(
         lang_col, trained_langid_col(langid_model, langid_meta, text_col)
     ).filter(F.col(lang_col) != "und")
+    if report_out is not None:
+        # the by_lang report is a SECOND consumer of the langid-tagged
+        # corpus — persist it so evaluating the report doesn't re-run
+        # the full-corpus langid UDF (review r10); released via handles
+        tagged = tagged.persist()
+        if handles is not None:
+            handles.append(tagged)
 
     kw: dict[str, Any] = dict(
         langs=None, min_tokens=20, min_quality=0.3, dedup="exact"

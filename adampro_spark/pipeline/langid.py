@@ -609,7 +609,14 @@ def langid_scores_col(
             i = int(np.argmax(scores))  # langs sorted asc → ties break asc
             out_lang.append(langs[i])
             out_lp.append(round(float(scores[i]) / total, 4))
-            second = float(np.partition(scores, -2)[-2])
+            # degenerate single-language model (fit_langid refuses one,
+            # but model/meta are caller-supplied): no runner-up exists,
+            # so the argmax is unopposed — gap = +inf (review r10)
+            second = (
+                float(np.partition(scores, -2)[-2])
+                if scores.shape[0] > 1
+                else float("-inf")
+            )
             out_gap.append(round((float(scores[i]) - second) / total, 4))
         return pd.DataFrame(
             {"lang": out_lang, "logp": out_lp, "gap": out_gap}

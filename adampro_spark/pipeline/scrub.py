@@ -370,8 +370,18 @@ def canonical_url_expr(url: str | Column) -> Column:
     safe on dirty crawl columns; use with ``dropDuplicates`` or
     ``exact_dedup``-style grouping for URL-level dedup.
     """
-    c = F.trim(F.col(url) if isinstance(url, str) else url)
-    scheme_pat = r"^([A-Za-z][A-Za-z0-9+.\-]*://)([^/?#]*)(.*)$"
+    # Newline discipline (review r10): Java's '$' matches before a
+    # final newline while RE2's does not, and '.' crosses newlines in
+    # neither — so every anchor below is '\z' and every '.' span is
+    # '(?s)', both of which the two engines implement identically.
+    # Edge whitespace (incl. \n — crawl columns carry trailing
+    # newlines) is stripped up front with an explicit class; F.trim
+    # alone only strips spaces.
+    raw = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(
+        raw, r"^[ \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+\z", ""
+    )
+    scheme_pat = r"(?s)^([A-Za-z][A-Za-z0-9+.\-]*://)([^/?#]*)(.*)\z"
     scheme = F.regexp_extract(c, scheme_pat, 1)
     auth = F.regexp_extract(c, scheme_pat, 2)
     rest = F.regexp_extract(c, scheme_pat, 3)
@@ -381,12 +391,12 @@ def canonical_url_expr(url: str | Column) -> Column:
     lauth = F.regexp_replace(F.lower(auth), r"^(www\.)+", "")
     lauth = F.when(
         (lscheme == "http://") & lauth.endswith(":80"),
-        F.regexp_replace(lauth, r":80$", ""),
+        F.regexp_replace(lauth, r":80\z", ""),
     ).when(
         (lscheme == "https://") & lauth.endswith(":443"),
-        F.regexp_replace(lauth, r":443$", ""),
+        F.regexp_replace(lauth, r":443\z", ""),
     ).otherwise(lauth)
-    r = F.regexp_replace(rest, r"#.*$", "")                 # fragment
+    r = F.regexp_replace(rest, r"(?s)#.*\z", "")            # fragment
     # split at the FIRST '?': tracking removal then runs over the query
     # ONLY (review r9.2 — an unanchored pass deleted '&utm_…='
     # sequences from query-less paths and '?tracker=…' suffixes inside
@@ -400,12 +410,17 @@ def canonical_url_expr(url: str | Column) -> Column:
     # of scope (two URLs differing only in param order do not
     # canonicalize together).
     path = F.regexp_extract(r, r"^([^?]*)", 1)
-    query = F.regexp_extract(r, r"(\?.*)$", 1)
+    query = F.regexp_extract(r, r"(?s)(\?.*)\z", 1)
     params = F.split(F.regexp_replace(query, r"^\?", ""), "&")
+    # (?s) + \z, not '$': Java's '$' matches BEFORE a trailing newline
+    # while RE2's does not (cross-engine divergence on 'gclid\n'), and
+    # '.' excludes newlines in both — (?s)…\z strips a tracker whose
+    # raw value embeds or ends with a newline identically in both
+    # engines (review r10)
     kept_params = F.filter(
         params,
         lambda p: (F.length(p) > 0)
-        & ~p.rlike("^" + _TRACKING_PARAM + "(=.*)?$"),
+        & ~p.rlike("(?s)^" + _TRACKING_PARAM + r"(=.*)?\z"),
     )
     query = F.when(
         F.size(kept_params) > 0,
@@ -413,7 +428,7 @@ def canonical_url_expr(url: str | Column) -> Column:
     ).otherwise(F.lit(""))
     # non-root trailing slash on the PATH alone
     path = F.when(
-        F.length(path) > 1, F.regexp_replace(path, r"/+$", "")
+        F.length(path) > 1, F.regexp_replace(path, r"/+\z", "")
     ).otherwise(path)
     # RFC 3986 normalization: empty path ≡ '/' — also when a query
     # follows ('http://a.com?q=1' ≡ 'http://a.com/?q=1', review r9.2)

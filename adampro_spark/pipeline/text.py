@@ -42,8 +42,10 @@ def _c(col: str | Column) -> Column:
 def tokens_expr(text: str | Column) -> Column:
     """Whitespace tokens of the lowercased text, empties dropped.
 
-    DuckDB mirror: ``list_filter(string_split_regex(lower(t), '\\s+'),
-    t -> length(t) > 0)``.
+    The split class is Java's ``\s`` — ``[ \t\n\x0B\f\r]`` — written
+    explicitly in the DuckDB mirror because RE2's ``\s`` lacks ``\x0B``
+    (review r10): ``list_filter(string_split_regex(lower(t),
+    '[ \t\n\x0B\f\r]+'), t -> length(t) > 0)``.
     """
     return F.filter(F.split(F.lower(_c(text)), r"\s+"), lambda t: F.length(t) > 0)
 

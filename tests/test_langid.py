@@ -295,3 +295,37 @@ def test_curate_language_gate_rejects_low_confidence(spark, fitted):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert kept == {0, 1, 2, 3, 4}, kept
     assert report["n_lang_fail"] == 4
+
+
+def test_single_language_model_gap_is_unopposed(spark):
+    """review r10: a caller-supplied one-language model must not crash
+    the gap computation — the argmax is unopposed, gap = +inf, and a
+    min_gap floor passes it."""
+    from adampro_spark.pipeline.langid import (
+        LANGID_GAP_FLOOR,
+        SEED_TEXTS,
+        _grams,
+        _norm,
+    )
+    import math as _math
+    from collections import Counter as _Counter
+
+    # hand-build the degenerate model fit_langid refuses
+    counts = _Counter(_grams(_norm(SEED_TEXTS["en"]), (2, 3)))
+    V = len(counts)
+    n_l = sum(counts.values())
+    model = {
+        "en": {g: round(_math.log10((c + 1) / (n_l + V)), 6)
+               for g, c in counts.items()}
+    }
+    meta = {
+        "orders": (2, 3), "langs": ["en"],
+        "floors": {"en": round(_math.log10(1.0 / (n_l + V)), 6)}, "V": V,
+    }
+    df = spark.createDataFrame([(1, HELDOUT["en"])], "i long, text string")
+    got = df.select(
+        langid_scores_col(model, meta).alias("s"),
+        trained_langid_col(model, meta, min_gap=LANGID_GAP_FLOOR).alias("g"),
+    ).first()
+    assert got["s"]["lang"] == "en" and got["s"]["gap"] == float("inf")
+    assert got["g"] == "en"

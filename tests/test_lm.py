@@ -585,14 +585,17 @@ def test_ccnet_pipeline_composition(spark, tables, monkeypatch):
     assert seen.get("method") == "auto"
     assert seen.get("max_group_rows_hint") == rep["n_output"]
 
-    # (b) materialize the persisted survivors once; after that the
-    # upstream chain (the tag UDF) must NEVER run again
-    assert len(handles) == 1
-    handles[0].count()
+    # (b) materialize the persisted handles once (tagged corpus +
+    # survivors — review r10 added the tagged persist for by_lang);
+    # after that the upstream chain (the tag UDF) must NEVER run again
+    assert len(handles) == 2
+    for h in handles:
+        h.count()
     fills = acc.value
     got = out.collect()
     assert acc.value == fills, "lm_bucket replayed the curate lineage"
     out.collect()
+    rep["by_lang"].collect()
     assert acc.value == fills
 
     # (c) output equals the hand-rolled composition on the plain input
@@ -616,4 +619,5 @@ def test_ccnet_pipeline_composition(spark, tables, monkeypatch):
     langs_out = {r["lang_cc"] for r in got}
     assert langs_out <= set(bl)
     assert sum(r["n"] for r in bl.values()) == tagged.count()
-    handles[0].unpersist()
+    for h in handles:
+        h.unpersist()

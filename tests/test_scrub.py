@@ -674,6 +674,11 @@ def test_canonical_url_expr(spark):
         ("http://v.com/p?utm_x&gclid", "http://v.com/p"),
         ("http://v.com/p?fbclidextra=1", "http://v.com/p?fbclidextra=1"),
         ("http://v.com/p?a=1&&b=2", "http://v.com/p?a=1&b=2"),
+        # review r10: newline semantics — Java '$' matches before a
+        # trailing newline, RE2's does not, and '.' crosses neither;
+        # (?s)…\z strips these identically in both engines
+        ("http://w.com/p?gclid\n", "http://w.com/p"),
+        ("http://w.com/p?utm_source=x\ny&a=1", "http://w.com/p?a=1"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
