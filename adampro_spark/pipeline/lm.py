@@ -30,6 +30,7 @@ hash-checked end to end, not just the final projection.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -104,20 +105,30 @@ def lm_score(
     text_col: str = "text",
     pk: str = "doc_id",
     score_col: str = "lm_logprob",
+    carry: "Sequence[str] | None" = None,
 ) -> DataFrame:
-    """Per-document mean log10 token probability: ``(pk, score_col,
-    lm_tokens)`` — one row per input document.  Empty documents (no
-    whitespace tokens) score NULL with ``lm_tokens = 0``; a gate
-    comparing ``score >= threshold`` therefore drops them, the
+    """Per-document mean log10 token probability: ``(pk[, carry…],
+    score_col, lm_tokens)`` — one row per input document.  Empty
+    documents (no whitespace tokens) score NULL with ``lm_tokens = 0``;
+    a gate comparing ``score >= threshold`` therefore drops them, the
     conservative default.
 
     Plan shape: explode to slim ``(pk, tok)`` pairs, broadcast-join the
     vocabulary, aggregate per document with map-side combine.  The text
     column itself is pruned out before the explode — nothing document-
     sized ever shuffles.
+
+    ``carry`` (round 10): extra pk-functional columns (a language code,
+    a source tag) ride the explode and the grouping keys, so callers
+    that need them alongside the score — ``lm_bucket(by=...)`` — pay a
+    few bytes per token row instead of a second read of ``df`` plus a
+    corpus-sized pk join.
     """
+    carry = list(carry or [])
     exploded = df.select(
-        F.col(pk), F.explode_outer(tokens_expr(text_col)).alias("tok")
+        F.col(pk),
+        *[F.col(c) for c in carry],
+        F.explode_outer(tokens_expr(text_col)).alias("tok"),
     )
     joined = exploded.join(
         F.broadcast(vocab.select("tok", "logp")), on="tok", how="left"
@@ -126,7 +137,7 @@ def lm_score(
         F.col("tok").isNotNull(),
         F.coalesce(F.col("logp"), F.lit(float(meta["oov_logp"]))),
     )
-    return joined.groupBy(pk).agg(
+    return joined.groupBy(pk, *carry).agg(
         F.avg(lp).alias(score_col),
         F.count(F.col("tok")).alias("lm_tokens"),
     )
@@ -504,11 +515,13 @@ def lm_bucket(
         else [f"b{i + 1}" for i in range(n_buckets)]
     )
     keep = [pk] + ([by] if by else [])
+    # carry= threads the group column through the scoring aggregate —
+    # previously a second read of df + a corpus-sized pk join re-attached
+    # it (round 10: one upstream evaluation, zero extra joins)
     scores = lm_score(
-        df.select(*keep, text_col), vocab, meta, text_col=text_col, pk=pk
+        df.select(*keep, text_col), vocab, meta, text_col=text_col, pk=pk,
+        carry=[by] if by else None,
     )
-    if by:
-        scores = scores.join(df.select(pk, by), pk)
     scored = scores.select(
         *keep, F.round("lm_logprob", 4).alias("lm_logprob")
     )

@@ -621,3 +621,23 @@ def test_ccnet_pipeline_composition(spark, tables, monkeypatch):
     assert sum(r["n"] for r in bl.values()) == tagged.count()
     for h in handles:
         h.unpersist()
+
+
+def test_lm_bucket_by_carries_group_without_pk_join(spark, tables):
+    """round 10: lm_bucket(by=...) threads the group column through the
+    scoring aggregate (lm_score carry=) — the plan's ONLY join is the
+    broadcast vocabulary join; no corpus-sized pk re-join, no second
+    read of the input."""
+    from adampro_spark.pipeline.lm import fit_unigram_lm, lm_bucket
+
+    docs = tables["documents"].select("doc_id", "source", "text")
+    vocab, meta = fit_unigram_lm(docs, vocab_size=64)
+    out = lm_bucket(docs, vocab, meta, by="source", method="ntile")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # every Join node is the vocabulary join on tok (it appears once per
+    # union branch — ranked + NULL re-attach); none joins on the pk
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and all("tok" in ln for ln in join_lines), plan
+    assert not any("doc_id" in ln for ln in join_lines), plan
+    # and the result still carries the group column
+    assert {"doc_id", "source", "lm_logprob", "bucket"} == set(out.columns)
