@@ -2298,13 +2298,16 @@ def _ccnet_rows(spark, sf):
     fit/score, and the per-language NTILE split.  ``lang|bucket`` folds
     into the suite's shared bucket column."""
     from adampro_spark.pipeline.ccnet import ccnet_pipeline
-    from adampro_spark.pipeline.lm import fit_unigram_lm
+    from adampro_spark.pipeline.lm import (
+        fit_unigram_lm, fit_unigram_lm_by, lm_bucket_by,
+    )
 
     docs = _docs(spark, sf).select("doc_id", "text")
     vocab, meta = fit_unigram_lm(docs, vocab_size=_LM_V)
     handles: list = []
-    out = ccnet_pipeline(docs, vocab, meta, handles=handles)
-    res = out.select(
+    rep: dict = {}
+    out = ccnet_pipeline(docs, vocab, meta, handles=handles, report_out=rep)
+    shared = out.select(
         F.lit("ccnet").alias("model"),
         "doc_id",
         "lm_logprob",
@@ -2312,8 +2315,29 @@ def _ccnet_rows(spark, sf):
         F.concat(F.col("lang_cc"), F.lit("|"), F.col("bucket")).alias(
             "bucket"
         ),
-    ).localCheckpoint(eager=True)
-    for h in handles:  # release the composition's survivor cache
+    )
+    # round 10 second part: the PAPER-FAITHFUL per-language mode — one
+    # model per identified language fit on the SAME survivors, each
+    # language bucketed against its own model (fit_unigram_lm_by /
+    # lm_bucket_by); the count hint reuses curate's n_output
+    surv = handles[-1]
+    vocab_by, metas = fit_unigram_lm_by(
+        surv, by="lang_cc", vocab_size=_LM_V
+    )
+    pl = lm_bucket_by(
+        surv, vocab_by, metas, by="lang_cc",
+        method="auto", max_group_rows_hint=rep["n_output"],
+    ).select(
+        F.lit("ccnet_pl").alias("model"),
+        "doc_id",
+        "lm_logprob",
+        F.lit(None).cast("long").alias("lm_tokens"),
+        F.concat(F.col("lang_cc"), F.lit("|"), F.col("bucket")).alias(
+            "bucket"
+        ),
+    )
+    res = shared.unionByName(pl).localCheckpoint(eager=True)
+    for h in handles:  # release the composition's caches
         h.unpersist()
     return res
 
@@ -2365,6 +2389,64 @@ def _ccnet_sql(v: int = _LM_V) -> str:
     """
 
 
+def _ccnet_pl_sql(v: int = _LM_V) -> str:
+    """Per-LANGUAGE mode mirror (fit_unigram_lm_by + lm_bucket_by over
+    the same curate survivors): one add-one-smoothed vocabulary per
+    language, each language scored against its own model and split into
+    NTILE terciles.  Survivors carry ≥ 20 tokens, so no NULL-score
+    branch exists on this path."""
+    return f"""
+    WITH ld AS ({_langid_nb_sql()}),
+    ct AS (
+      SELECT d.doc_id, d.text, ld.lang_nb,
+             {_TOKS.format(t='d.text')} AS toks
+      FROM documents d JOIN ld ON ld.doc_id = d.doc_id
+    ),
+    ckept AS (
+      SELECT doc_id, text, lang_nb FROM ct
+      WHERE len(toks) >= 20 AND
+        (CASE WHEN length(text) > 0 THEN length(regexp_replace(text,
+         '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)
+        * least(len(toks) / 20.0, 1.0) >= 0.3
+    ),
+    ch AS (SELECT doc_id, lang_nb, text,
+                  {_sql_poly_hash(_sql_norm_text('text'))} AS hh
+           FROM ckept),
+    coutp AS (SELECT doc_id, lang_nb, text FROM ch
+              WHERE doc_id IN (SELECT min(doc_id) FROM ch GROUP BY hh)),
+    pex AS (SELECT doc_id, lang_nb,
+                   unnest({_TOKS.format(t='text')}) AS tok
+            FROM coutp),
+    pcnt AS (SELECT lang_nb, tok, count(*)::BIGINT AS cnt
+             FROM pex GROUP BY lang_nb, tok),
+    pden AS (SELECT lang_nb,
+                    (coalesce(sum(cnt), 0) + least(count(*), {v}) + 1)::DOUBLE
+                      AS denom
+             FROM pcnt GROUP BY lang_nb),
+    pvoc AS (SELECT lang_nb, tok, cnt,
+                    row_number() OVER (PARTITION BY lang_nb
+                                       ORDER BY cnt DESC, tok ASC) AS rn
+             FROM pcnt),
+    plp AS (SELECT pv.lang_nb, pv.tok, log10((pv.cnt + 1) / pd.denom) AS logp
+            FROM pvoc pv JOIN pden pd USING (lang_nb) WHERE pv.rn <= {v}),
+    psc AS (SELECT e.doc_id, e.lang_nb,
+                   round(avg(coalesce(l.logp, log10(1.0 / pd.denom))), 4)
+                     AS lm_logprob
+            FROM pex e
+            JOIN pden pd USING (lang_nb)
+            LEFT JOIN plp l ON l.lang_nb = e.lang_nb AND l.tok = e.tok
+            GROUP BY e.doc_id, e.lang_nb),
+    pr AS (SELECT doc_id, lang_nb, lm_logprob,
+                  ntile(3) OVER (PARTITION BY lang_nb
+                                 ORDER BY lm_logprob DESC, doc_id ASC) AS nt
+           FROM psc)
+    SELECT doc_id, lm_logprob,
+           lang_nb || '|' || (CASE nt WHEN 1 THEN 'head'
+                              WHEN 2 THEN 'middle' ELSE 'tail' END) AS bucket
+    FROM pr
+    """
+
+
 def _lm_suite(spark, sf):
     uni = _lm_score_row(spark, sf).select(
         F.lit("unigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens",
@@ -2401,6 +2483,9 @@ _register(
     UNION ALL
     SELECT 'ccnet', doc_id, lm_logprob, NULL::BIGINT, bucket
     FROM ({_ccnet_sql()})
+    UNION ALL
+    SELECT 'ccnet_pl', doc_id, lm_logprob, NULL::BIGINT, bucket
+    FROM ({_ccnet_pl_sql()})
     """,
 )
 

@@ -94,6 +94,9 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
 )
 from adampro_spark.pipeline.lm import (  # noqa: F401
     bigram_lm_score,
+    fit_unigram_lm_by,
+    lm_bucket_by,
+    lm_score_by,
     fit_bigram_lm,
     fit_unigram_lm,
     lm_filter,

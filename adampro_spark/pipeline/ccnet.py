@@ -36,8 +36,8 @@ from pyspark.sql import functions as F
 
 def ccnet_pipeline(
     df: DataFrame,
-    vocab: DataFrame,
-    meta: dict[str, Any],
+    vocab: DataFrame | None = None,
+    meta: dict[str, Any] | None = None,
     langid_model: dict[str, dict[str, float]] | None = None,
     langid_meta: dict[str, Any] | None = None,
     text_col: str = "text",
@@ -47,6 +47,8 @@ def ccnet_pipeline(
     curate_kw: Mapping[str, Any] | None = None,
     report_out: dict | None = None,
     handles: list | None = None,
+    per_language_lm: bool = False,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """Run the CCNet corpus build end-to-end; returns ``(pk, lang_col,
     lm_logprob, bucket)`` — every curate survivor with its trained-NB
@@ -54,8 +56,17 @@ def ccnet_pipeline(
     earlier buckets; ``head``/``middle``/``tail`` for ``n_buckets=3``).
 
     * ``vocab``/``meta`` — a unigram LM from :func:`~adampro_spark
-      .pipeline.lm.fit_unigram_lm` (CCNet scores with a per-language
-      Wikipedia LM; pass any fitted scorer).
+      .pipeline.lm.fit_unigram_lm`, shared across languages.
+    * ``per_language_lm=True`` (round 10) — the paper-faithful mode:
+      IGNORE ``vocab``/``meta`` and fit ONE model per identified
+      language on the curate survivors (:func:`~adampro_spark.pipeline
+      .lm.fit_unigram_lm_by`), then bucket each language against its
+      own model (:func:`~adampro_spark.pipeline.lm.lm_bucket_by`).
+      Wenzek et al. score each language against its own LM — a shared
+      vocabulary mostly measures WHICH language a document is in, not
+      how fluent it is.  ``vocab_size`` overrides the per-language
+      vocabulary cap (default :data:`~adampro_spark.pipeline.lm
+      .DEFAULT_VOCAB`).
     * ``langid_model``/``langid_meta`` — a trained NB model from
       :func:`~adampro_spark.pipeline.langid.fit_langid`; ``None`` fits
       the bundled seed languages.  Documents identified ``und``
@@ -115,6 +126,25 @@ def ccnet_pipeline(
     survivors = survivors.persist()
     if handles is not None:
         handles.append(survivors)
+    if per_language_lm:
+        from adampro_spark.pipeline.lm import (
+            DEFAULT_VOCAB, fit_unigram_lm_by, lm_bucket_by,
+        )
+
+        vocab_by, metas = fit_unigram_lm_by(
+            survivors, by=lang_col, text_col=text_col,
+            vocab_size=int(vocab_size or DEFAULT_VOCAB),
+        )
+        return lm_bucket_by(
+            survivors, vocab_by, metas, by=lang_col,
+            text_col=text_col, pk=pk, n_buckets=n_buckets,
+            method="auto", max_group_rows_hint=report["n_output"],
+        )
+    if vocab is None or meta is None:
+        raise ValueError(
+            "ccnet_pipeline needs (vocab, meta) from fit_unigram_lm, or "
+            "per_language_lm=True to fit per-language models itself"
+        )
     return lm_bucket(
         survivors,
         vocab,

@@ -143,6 +143,162 @@ def lm_score(
     )
 
 
+def fit_unigram_lm_by(
+    df: DataFrame,
+    by: str,
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, dict[str, dict[str, Any]]]:
+    """Fit one add-one-smoothed unigram LM PER GROUP — the CCNet shape
+    (Wenzek et al. 2020 score each language against its own LM; one
+    shared vocabulary across languages mostly measures which language a
+    document is in, not how fluent it is).
+
+    Returns ``(vocab_by, metas)``: ``vocab_by`` is ``(by, tok, cnt,
+    logp)`` with the top-``vocab_size`` tokens per group, ``metas[g]``
+    carries that group's ``n_tokens``/``vocab_size_eff``/``oov_logp``.
+
+    Plan shape: one explode → ``groupBy(by, tok)`` count (map-side
+    combined), per-group totals collected as the fit boundary (≤
+    |groups| rows), then a top-V per group via ``row_number`` over the
+    DISTINCT-TOKEN table — each window partition holds one group's
+    vocabulary (Heaps-law sized, millions of slim rows at worst), not
+    its corpus; fit on a ``sample_fraction`` when even that is too big.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    from pyspark.sql import Window
+
+    src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    counts = (
+        src.select(F.col(by), F.explode(tokens_expr(text_col)).alias("tok"))
+        .groupBy(by, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts = counts.persist()
+    try:
+        tots = {
+            r[by]: (int(r["n"]), int(r["d"]))
+            for r in counts.groupBy(by)
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
+                F.count(F.lit(1)).alias("d"),
+            )
+            .collect()  # ≤ |groups| rows — the fit boundary
+        }
+        metas: dict[str, dict[str, Any]] = {}
+        denoms = []
+        for g, (n, d) in sorted(tots.items(), key=lambda kv: str(kv[0])):
+            v_eff = min(vocab_size, d)
+            denom = float(n + v_eff + 1)
+            metas[g] = {
+                "n_tokens": n,
+                "vocab_size_eff": v_eff,
+                "oov_logp": math.log10(1.0 / denom),
+                "base": 10,
+                "smoothing": "add_one",
+            }
+            denoms.append((g, denom))
+        denom_map = F.create_map(
+            *[F.lit(x) for g, dn in denoms for x in (g, dn)]
+        )
+        w = Window.partitionBy(by).orderBy(
+            F.col("cnt").desc(), F.col("tok").asc()
+        )
+        vocab_by = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= vocab_size)
+            .drop("_rn")
+            .withColumn(
+                "logp",
+                F.log10((F.col("cnt") + 1) / F.element_at(denom_map, F.col(by))),
+            )
+            .localCheckpoint(eager=True)  # materialize before unpersist
+        )
+    finally:
+        counts.unpersist()
+    return vocab_by, metas
+
+
+def lm_score_by(
+    df: DataFrame,
+    vocab_by: DataFrame,
+    metas: dict[str, dict[str, Any]],
+    by: str,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    score_col: str = "lm_logprob",
+) -> DataFrame:
+    """Score each document against ITS GROUP'S model: ``(pk, by,
+    score_col, lm_tokens)``.  Same plan shape as :func:`lm_score` with
+    the group column carried through the explode and the vocabulary
+    joined on ``(by, tok)``; the OOV mass is the group's own
+    (broadcast map).  Documents in a group with no fitted model (absent
+    from ``metas``) score NULL — gate or re-fit, don't guess."""
+    oov_map = F.create_map(
+        *[
+            F.lit(x)
+            for g in sorted(metas, key=str)
+            for x in (g, float(metas[g]["oov_logp"]))
+        ]
+    )
+    exploded = df.select(
+        F.col(pk), F.col(by), F.explode_outer(tokens_expr(text_col)).alias("tok")
+    )
+    joined = exploded.join(
+        F.broadcast(vocab_by.select(by, "tok", "logp")), on=[by, "tok"], how="left"
+    )
+    lp = F.when(
+        F.col("tok").isNotNull(),
+        F.coalesce(F.col("logp"), F.element_at(oov_map, F.col(by))),
+    )
+    return joined.groupBy(pk, by).agg(
+        F.avg(lp).alias(score_col),
+        F.count(F.col("tok")).alias("lm_tokens"),
+    )
+
+
+def lm_bucket_by(
+    df: DataFrame,
+    vocab_by: DataFrame,
+    metas: dict[str, dict[str, Any]],
+    by: str,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    n_buckets: int = 3,
+    method: str = "auto",
+    max_group_rows_hint: int | None = None,
+) -> DataFrame:
+    """Per-group perplexity buckets scored against PER-GROUP models —
+    :func:`lm_bucket` with :func:`fit_unigram_lm_by` models: the full
+    CCNet corpus release shape (per language, in terciles, against that
+    language's LM).  Same auto ntile/quantile routing and
+    ``max_group_rows_hint`` contract as :func:`lm_bucket`."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if method not in ("auto", "ntile", "quantile"):
+        raise ValueError(f"unknown lm_bucket method {method!r}")
+    if method == "auto":
+        n_max = (
+            int(max_group_rows_hint)
+            if max_group_rows_hint is not None
+            else df.groupBy(by).count().agg(F.max("count")).collect()[0][0]
+        ) or 0
+        method = (
+            "ntile" if n_max <= LM_BUCKET_NTILE_MAX_GROUP_ROWS else "quantile"
+        )
+    scores = lm_score_by(
+        df.select(pk, by, text_col), vocab_by, metas, by,
+        text_col=text_col, pk=pk,
+    )
+    scored = scores.select(
+        pk, by, F.round("lm_logprob", 4).alias("lm_logprob")
+    )
+    return _bucket_scores(scored, pk=pk, by=by, n_buckets=n_buckets, method=method)
+
+
 def lm_perplexity_col(score_col: str = "lm_logprob") -> Column:
     """``10^(-mean log10 prob)`` — the conventional perplexity view of
     an :func:`lm_score` column."""
@@ -507,13 +663,6 @@ def lm_bucket(
         method = (
             "ntile" if n_max <= LM_BUCKET_NTILE_MAX_GROUP_ROWS else "quantile"
         )
-    from pyspark.sql import Window
-
-    labels = (
-        list(LM_BUCKET_LABELS)
-        if n_buckets == 3
-        else [f"b{i + 1}" for i in range(n_buckets)]
-    )
     keep = [pk] + ([by] if by else [])
     # carry= threads the group column through the scoring aggregate —
     # previously a second read of df + a corpus-sized pk join re-attached
@@ -524,6 +673,27 @@ def lm_bucket(
     )
     scored = scores.select(
         *keep, F.round("lm_logprob", 4).alias("lm_logprob")
+    )
+    return _bucket_scores(scored, pk=pk, by=by, n_buckets=n_buckets, method=method)
+
+
+def _bucket_scores(
+    scored: DataFrame,
+    pk: str,
+    by: str | None,
+    n_buckets: int,
+    method: str,
+) -> DataFrame:
+    """The split step shared by :func:`lm_bucket` and
+    :func:`lm_bucket_by`: ``scored`` is ``(pk[, by], lm_logprob)`` with
+    the score already rounded; ``method`` must be resolved (ntile or
+    quantile, not auto)."""
+    from pyspark.sql import Window
+
+    labels = (
+        list(LM_BUCKET_LABELS)
+        if n_buckets == 3
+        else [f"b{i + 1}" for i in range(n_buckets)]
     )
     label_arr = F.lit(labels)
     if method == "ntile":

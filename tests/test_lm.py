@@ -641,3 +641,118 @@ def test_lm_bucket_by_carries_group_without_pk_join(spark, tables):
     assert not any("doc_id" in ln for ln in join_lines), plan
     # and the result still carries the group column
     assert {"doc_id", "source", "lm_logprob", "bucket"} == set(out.columns)
+
+
+def test_fit_unigram_lm_by_matches_per_group_reference(spark):
+    """round 10 (CCNet fidelity): the per-group fit must equal running
+    fit_unigram_lm on each group's slice — same vocab, same logp, same
+    OOV mass per group."""
+    from adampro_spark.pipeline.lm import (
+        fit_unigram_lm,
+        fit_unigram_lm_by,
+        lm_score,
+        lm_score_by,
+    )
+
+    rows = [
+        (1, "en", "the cat sat on the mat and the dog sat too"),
+        (2, "en", "the dog ate the bone near the mat"),
+        (3, "de", "der hund und die katze und der vogel"),
+        (4, "de", "die katze sass auf der matte und der hund auch"),
+        (5, "fr", "le chat et le chien et le even"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    vocab_by, metas = fit_unigram_lm_by(df, by="lang", vocab_size=4)
+    assert set(metas) == {"en", "de", "fr"}
+
+    for lang in metas:
+        sl = df.filter(F.col("lang") == lang)
+        v_ref, m_ref = fit_unigram_lm(sl, vocab_size=4)
+        got = {
+            (r["tok"], r["cnt"]): r["logp"]
+            for r in vocab_by.filter(F.col("lang") == lang).collect()
+        }
+        want = {(r["tok"], r["cnt"]): r["logp"] for r in v_ref.collect()}
+        assert set(got) == set(want), lang
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12), (lang, k)
+        for key in ("n_tokens", "vocab_size_eff"):
+            assert metas[lang][key] == m_ref[key], (lang, key)
+        assert metas[lang]["oov_logp"] == pytest.approx(
+            m_ref["oov_logp"], rel=1e-12
+        )
+
+        # per-group scoring == scoring each slice with its own model
+        got_s = {
+            r["doc_id"]: r["lm_logprob"]
+            for r in lm_score_by(sl, vocab_by, metas, by="lang").collect()
+        }
+        want_s = {
+            r["doc_id"]: r["lm_logprob"]
+            for r in lm_score(sl, v_ref, m_ref).collect()
+        }
+        assert got_s == pytest.approx(want_s, rel=1e-12), lang
+
+
+def test_lm_bucket_by_per_language_terciles(spark, tables):
+    """lm_bucket_by: per-group NTILE split against per-group models —
+    balanced buckets within each group, monotone scores, auto routes
+    past the gate like lm_bucket."""
+    import adampro_spark.pipeline.lm as lm_mod
+    from adampro_spark.pipeline.lm import fit_unigram_lm_by, lm_bucket_by
+
+    docs = tables["documents"].select("doc_id", "source", "text")
+    vocab_by, metas = fit_unigram_lm_by(docs, by="source", vocab_size=64)
+    out = lm_bucket_by(docs, vocab_by, metas, by="source").cache()
+    sizes = {}
+    for r in out.filter(F.col("bucket").isNotNull()).groupBy(
+        "source", "bucket"
+    ).count().collect():
+        sizes[(r["source"], r["bucket"])] = r["count"]
+    for src in {s for s, _ in sizes}:
+        hs = [sizes.get((src, b), 0) for b in ("head", "middle", "tail")]
+        assert max(hs) - min(hs) <= 1, (src, hs)
+    import collections
+    per = collections.defaultdict(lambda: {"head": [], "tail": []})
+    for r in out.filter(F.col("bucket").isin("head", "tail")).collect():
+        per[r["source"]][r["bucket"]].append(r["lm_logprob"])
+    for src, d in per.items():
+        if d["head"] and d["tail"]:
+            assert min(d["head"]) >= max(d["tail"]), src
+    out.unpersist()
+
+    # auto gate: monster group routes to quantile (no ntile window)
+    import pytest as _pytest
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(lm_mod, "LM_BUCKET_NTILE_MAX_GROUP_ROWS", 10)
+        big = lm_bucket_by(docs, vocab_by, metas, by="source")
+        assert "ntile(" not in big._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ccnet_per_language_lm_mode(spark, tables):
+    """ccnet_pipeline(per_language_lm=True): fits per-language models on
+    the survivors and buckets each language against its own model —
+    equals the hand-rolled fit_by + bucket_by on the same survivors."""
+    from adampro_spark.pipeline.ccnet import ccnet_pipeline
+    from adampro_spark.pipeline.lm import fit_unigram_lm_by, lm_bucket_by
+
+    base = tables["documents"].select("doc_id", "text").limit(150)
+    base = spark.createDataFrame(base.collect(), "doc_id long, text string")
+    rep, handles = {}, []
+    out = ccnet_pipeline(
+        base, per_language_lm=True, vocab_size=64,
+        report_out=rep, handles=handles,
+    ).collect()
+    surv = handles[-1]
+    vocab_by, metas = fit_unigram_lm_by(surv, by="lang_cc", vocab_size=64)
+    want = lm_bucket_by(
+        surv, vocab_by, metas, by="lang_cc", method="ntile"
+    ).collect()
+    key = lambda r: (r["doc_id"], r["lang_cc"], r["bucket"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, want))
+    assert len(out) == rep["n_output"]
+    for h in handles:
+        h.unpersist()
+
+    with pytest.raises(ValueError, match="vocab"):
+        ccnet_pipeline(base)
