@@ -49,6 +49,7 @@ def ccnet_pipeline(
     handles: list | None = None,
     per_language_lm: bool = False,
     vocab_size: int | None = None,
+    langid_min_gap: float | None = None,
 ) -> DataFrame:
     """Run the CCNet corpus build end-to-end; returns ``(pk, lang_col,
     lm_logprob, bucket)`` — every curate survivor with its trained-NB
@@ -95,8 +96,14 @@ def ccnet_pipeline(
 
     if langid_model is None or langid_meta is None:
         langid_model, langid_meta = fit_langid()
+    # langid_min_gap: CCNet drops documents the identifier is not
+    # confident about — below-floor predictions come back 'und' and the
+    # same filter removes them (pass langid.LANGID_GAP_FLOOR)
     tagged = df.withColumn(
-        lang_col, trained_langid_col(langid_model, langid_meta, text_col)
+        lang_col,
+        trained_langid_col(
+            langid_model, langid_meta, text_col, min_gap=langid_min_gap
+        ),
     ).filter(F.col(lang_col) != "und")
     if report_out is not None:
         # the by_lang report is a SECOND consumer of the langid-tagged

@@ -209,6 +209,8 @@ def stream_curate(
     redact=None,
     lm=None,
     extra_gates=None,
+    quality_weights=None,
+    quality_junk_threshold: float = 0.5,
 ) -> DataFrame:
     """The streaming counterpart of batch :func:`~adampro_spark.pipeline.
     curate.curate`: the SAME gate expressions (``gate_flags`` — stateless,
@@ -306,6 +308,14 @@ def stream_curate(
                 f"bigram model — got a {len(lm)}-tuple"
             )
         flags["_lm_ok"] = score >= F.lit(float(lm_floor))
+    if quality_weights is not None:
+        # batch-curate symmetry (round 10): the learned quality gate is
+        # a stateless codegen dot product, so it streams unchanged
+        from adampro_spark.pipeline.quality import quality_score_expr
+
+        flags["_mlq_ok"] = quality_score_expr(
+            list(quality_weights), text_col
+        ) < F.lit(float(quality_junk_threshold))
     if extra_gates:
         # same contract as batch curate: stateless boolean flag columns
         # merged into the one-scan gate pass (e.g. the compression-ratio

@@ -329,3 +329,28 @@ def test_single_language_model_gap_is_unopposed(spark):
     ).first()
     assert got["s"]["lang"] == "en" and got["s"]["gap"] == float("inf")
     assert got["g"] == "en"
+
+
+def test_ccnet_langid_min_gap_drops_low_confidence(spark, fitted):
+    """round 10: ccnet_pipeline(langid_min_gap=...) removes documents
+    the identifier is not confident about before the gates."""
+    from adampro_spark.pipeline.ccnet import ccnet_pipeline
+    from adampro_spark.pipeline.langid import LANGID_GAP_FLOOR
+
+    model, meta = fitted
+    rows = [(i, (HELDOUT["en"] + " ") * 3) for i in range(6)]
+    rows += [(100 + i, (t + " ") * 6) for i, t in enumerate(JUNK_REJECT[:3])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep, handles = {}, []
+    out = ccnet_pipeline(
+        df, per_language_lm=True, vocab_size=32,
+        langid_model=model, langid_meta=meta,
+        langid_min_gap=LANGID_GAP_FLOOR,
+        curate_kw=dict(langs=None, min_tokens=3, min_quality=0.0, dedup=None),
+        report_out=rep, handles=handles,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids <= set(range(6)) and len(ids) >= 1
+    assert not (ids & {100, 101, 102})
+    for h in handles:
+        h.unpersist()

@@ -377,3 +377,40 @@ def test_pushdown_barrier_nd_disjunct_is_load_bearing(spark, monkeypatch):
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     # staged attributes inlined away => the disjunct is load-bearing
     assert "_rep_sg5" not in opt
+
+
+def test_stream_curate_quality_weights_matches_batch(spark, labeled, tmp_path):
+    """round 10: the learned quality gate streams — stream_curate
+    (quality_weights=) over micro-batched files keeps exactly batch
+    curate(quality_weights=)'s survivors."""
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.quality import QUALITY_SEED_WEIGHTS
+    from adampro_spark.streaming.ingest import stream_curate
+
+    corpus = labeled.select("doc_id", "text")
+    src = str(tmp_path / "qsrc")
+    corpus.write.parquet(src)
+    want, _rep = curate(
+        corpus, langs=None, min_tokens=0, min_quality=0.0, dedup=None,
+        quality_weights=QUALITY_SEED_WEIGHTS,
+    )
+    want_ids = sorted(r["doc_id"] for r in want.select("doc_id").collect())
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    gated = stream_curate(
+        stream, langs=None, min_tokens=0, min_quality=0.0, dedup=None,
+        quality_weights=QUALITY_SEED_WEIGHTS,
+    )
+    sink = str(tmp_path / "qsink")
+    q = gated.select("doc_id").writeStream.format("parquet").option(
+        "path", sink
+    ).option("checkpointLocation", str(tmp_path / "qchk")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    got_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    )
+    assert got_ids == want_ids
