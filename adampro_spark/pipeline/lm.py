@@ -162,10 +162,15 @@ def fit_unigram_lm_by(
 
     Plan shape: one explode → ``groupBy(by, tok)`` count (map-side
     combined), per-group totals collected as the fit boundary (≤
-    |groups| rows), then a top-V per group via ``row_number`` over the
-    DISTINCT-TOKEN table — each window partition holds one group's
-    vocabulary (Heaps-law sized, millions of slim rows at worst), not
-    its corpus; fit on a ``sample_fraction`` when even that is too big.
+    |groups| rows), then a TWO-STAGE salted top-V per group: stage 1
+    ranks within ``(group, hash(tok) % n_salts)`` partitions (each
+    holds ~vocab_g/n_salts distinct-token rows), stage 2 ranks the
+    surviving ≤ n_salts·V candidates per group — every global top-V
+    token ranks ≤ V inside its own salt, so the result is exact, and
+    no window task ever sees a whole language's vocabulary (the
+    single-window form would put a Heaps-law-sized partition through
+    one un-splittable task at 100 TB).  ``sample_fraction`` bounds the
+    fit further when even the counts shuffle is too big.
     """
     if vocab_size < 1:
         raise ValueError("vocab_size must be >= 1")
@@ -204,11 +209,19 @@ def fit_unigram_lm_by(
         denom_map = F.create_map(
             *[F.lit(x) for g, dn in denoms for x in (g, dn)]
         )
-        w = Window.partitionBy(by).orderBy(
-            F.col("cnt").desc(), F.col("tok").asc()
+        n_salts = 32
+        order = (F.col("cnt").desc(), F.col("tok").asc())
+        w1 = Window.partitionBy(
+            by, F.pmod(F.hash("tok"), F.lit(n_salts))
+        ).orderBy(*order)
+        stage1 = (
+            counts.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= vocab_size)
+            .drop("_rn")
         )
+        w2 = Window.partitionBy(by).orderBy(*order)
         vocab_by = (
-            counts.withColumn("_rn", F.row_number().over(w))
+            stage1.withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") <= vocab_size)
             .drop("_rn")
             .withColumn(
