@@ -2342,15 +2342,28 @@ def _ccnet_rows(spark, sf):
     return res
 
 
-def _ccnet_sql(v: int = _LM_V) -> str:
-    """Mirror of the full composition: langid from the embedded-seed NB
-    mirror, curate's langs=None/min_tokens=20/min_quality=0.3 gates +
-    exact dedup, the corpus-fit unigram scorer, NTILE(3) per language
-    (the hint keeps lm_bucket on the exact path at oracle scales)."""
+def _ccnet_both_sql(v: int = _LM_V) -> str:
+    """ONE mirror for both composition parts, sharing the
+    langid -> curate-gates -> exact-dedup survivor prefix (review r10:
+    the per-language mirror used to copy the prefix verbatim — two
+    copies of the gate arithmetic is how parity silently breaks).
+    Emits ``(model, doc_id, lm_logprob, bucket)``:
+
+    * ``'ccnet'`` — the corpus-fit shared unigram scorer, NTILE(3)
+      per language (NULL-scoring docs keep a NULL bucket);
+    * ``'ccnet_pl'`` — the per-LANGUAGE mode (fit_unigram_lm_by +
+      lm_bucket_by): one add-one-smoothed vocabulary per language,
+      each language scored against its own model and split into
+      terciles.  Survivors carry ≥ 20 tokens, so no NULL-score branch
+      exists on this path."""
     quality = (
         "(CASE WHEN length(text) > 0 THEN length(regexp_replace(text,"
         " '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)"
         " * least(len(toks) / 20.0, 1.0)"
+    )
+    tercile = (
+        "(CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+        " ELSE 'tail' END)"
     )
     return f"""
     WITH ld AS ({_langid_nb_sql()}),
@@ -2363,12 +2376,12 @@ def _ccnet_sql(v: int = _LM_V) -> str:
       SELECT doc_id, text, lang_nb FROM ct
       WHERE len(toks) >= 20 AND {quality} >= 0.3
     ),
-    ch AS (SELECT doc_id, lang_nb,
+    ch AS (SELECT doc_id, lang_nb, text,
                   {_sql_poly_hash(_sql_norm_text('text'))} AS hh
            FROM ckept),
-    csurv AS (SELECT min(doc_id) AS sid FROM ch GROUP BY hh),
-    coutp AS (SELECT doc_id, lang_nb FROM ch
-              WHERE doc_id IN (SELECT sid FROM csurv)),
+    coutp AS (SELECT doc_id, lang_nb, text FROM ch
+              WHERE doc_id IN (SELECT min(doc_id) FROM ch GROUP BY hh)),
+    -- shared-LM part: corpus-fit scorer joined onto the survivors
     csc AS (
       SELECT o.doc_id, o.lang_nb, s.lm_logprob
       FROM coutp o JOIN ({_lm_sql(v)}) s ON s.doc_id = o.doc_id
@@ -2378,42 +2391,8 @@ def _ccnet_sql(v: int = _LM_V) -> str:
              ntile(3) OVER (PARTITION BY lang_nb
                             ORDER BY lm_logprob DESC, doc_id ASC) AS nt
       FROM csc WHERE lm_logprob IS NOT NULL
-    )
-    SELECT doc_id, lm_logprob,
-           lang_nb || '|' || (CASE nt WHEN 1 THEN 'head'
-                              WHEN 2 THEN 'middle' ELSE 'tail' END) AS bucket
-    FROM cranked
-    UNION ALL
-    SELECT doc_id, lm_logprob, NULL::VARCHAR
-    FROM csc WHERE lm_logprob IS NULL
-    """
-
-
-def _ccnet_pl_sql(v: int = _LM_V) -> str:
-    """Per-LANGUAGE mode mirror (fit_unigram_lm_by + lm_bucket_by over
-    the same curate survivors): one add-one-smoothed vocabulary per
-    language, each language scored against its own model and split into
-    NTILE terciles.  Survivors carry ≥ 20 tokens, so no NULL-score
-    branch exists on this path."""
-    return f"""
-    WITH ld AS ({_langid_nb_sql()}),
-    ct AS (
-      SELECT d.doc_id, d.text, ld.lang_nb,
-             {_TOKS.format(t='d.text')} AS toks
-      FROM documents d JOIN ld ON ld.doc_id = d.doc_id
     ),
-    ckept AS (
-      SELECT doc_id, text, lang_nb FROM ct
-      WHERE len(toks) >= 20 AND
-        (CASE WHEN length(text) > 0 THEN length(regexp_replace(text,
-         '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)
-        * least(len(toks) / 20.0, 1.0) >= 0.3
-    ),
-    ch AS (SELECT doc_id, lang_nb, text,
-                  {_sql_poly_hash(_sql_norm_text('text'))} AS hh
-           FROM ckept),
-    coutp AS (SELECT doc_id, lang_nb, text FROM ch
-              WHERE doc_id IN (SELECT min(doc_id) FROM ch GROUP BY hh)),
+    -- per-language part: per-group fit + scoring over the SAME survivors
     pex AS (SELECT doc_id, lang_nb,
                    unnest({_TOKS.format(t='text')}) AS tok
             FROM coutp),
@@ -2440,9 +2419,14 @@ def _ccnet_pl_sql(v: int = _LM_V) -> str:
                   ntile(3) OVER (PARTITION BY lang_nb
                                  ORDER BY lm_logprob DESC, doc_id ASC) AS nt
            FROM psc)
-    SELECT doc_id, lm_logprob,
-           lang_nb || '|' || (CASE nt WHEN 1 THEN 'head'
-                              WHEN 2 THEN 'middle' ELSE 'tail' END) AS bucket
+    SELECT 'ccnet' AS model, doc_id, lm_logprob,
+           lang_nb || '|' || {tercile} AS bucket
+    FROM cranked
+    UNION ALL
+    SELECT 'ccnet', doc_id, lm_logprob, NULL::VARCHAR
+    FROM csc WHERE lm_logprob IS NULL
+    UNION ALL
+    SELECT 'ccnet_pl', doc_id, lm_logprob, lang_nb || '|' || {tercile}
     FROM pr
     """
 
@@ -2481,11 +2465,8 @@ _register(
     UNION ALL
     SELECT * FROM ({_dsir_sql()})
     UNION ALL
-    SELECT 'ccnet', doc_id, lm_logprob, NULL::BIGINT, bucket
-    FROM ({_ccnet_sql()})
-    UNION ALL
-    SELECT 'ccnet_pl', doc_id, lm_logprob, NULL::BIGINT, bucket
-    FROM ({_ccnet_pl_sql()})
+    SELECT model, doc_id, lm_logprob, NULL::BIGINT, bucket
+    FROM ({_ccnet_both_sql()})
     """,
 )
 

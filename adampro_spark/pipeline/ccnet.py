@@ -13,10 +13,11 @@ passes it to :func:`~adampro_spark.pipeline.lm.lm_bucket` as
 ``max_group_rows_hint`` — the auto ntile/quantile route then decides
 WITHOUT replaying the curate lineage for a group-size count (the count
 is an honest upper bound on every per-language group).  Survivors are
-persisted once: ``lm_bucket`` reads them twice (the scoring pass and
-the by-column re-join) and both reads hit the cache, so after the
-survivor materialization the upstream chain is never evaluated again —
-a composition test pins that with an accumulator in the input lineage
+persisted once: the shared-LM path reads them once more for scoring and
+the per-language path twice (the per-language FIT and the scoring
+pass), and every read hits the cache, so after the survivor
+materialization the upstream chain is never evaluated again — a
+composition test pins that with an accumulator in the input lineage
 (tests/test_lm.py).
 
 Reference parity: the reference engine has no corpus pipeline — this is
@@ -140,7 +141,9 @@ def ccnet_pipeline(
 
         vocab_by, metas = fit_unigram_lm_by(
             survivors, by=lang_col, text_col=text_col,
-            vocab_size=int(vocab_size or DEFAULT_VOCAB),
+            vocab_size=(
+                DEFAULT_VOCAB if vocab_size is None else int(vocab_size)
+            ),
         )
         return lm_bucket_by(
             survivors, vocab_by, metas, by=lang_col,

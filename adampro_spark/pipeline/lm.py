@@ -193,6 +193,14 @@ def fit_unigram_lm_by(
             )
             .collect()  # ≤ |groups| rows — the fit boundary
         }
+        if None in tots:
+            # a None group key would later land in F.create_map as a
+            # NULL map key — an opaque executor error; fail clearly at
+            # the fit boundary instead (review r10)
+            raise ValueError(
+                f"fit_unigram_lm_by: NULL values in group column {by!r} — "
+                "filter them or fill a sentinel group first"
+            )
         metas: dict[str, dict[str, Any]] = {}
         denoms = []
         for g, (n, d) in sorted(tots.items(), key=lambda kv: str(kv[0])):
