@@ -756,3 +756,41 @@ def test_ccnet_per_language_lm_mode(spark, tables):
 
     with pytest.raises(ValueError, match="vocab"):
         ccnet_pipeline(base)
+
+
+def test_fit_by_salted_topv_exact_on_adversarial_ties(spark):
+    """The two-stage salted top-V must be EXACT: on a corpus engineered
+    so every count ties (the cut falls inside tie runs at both stages),
+    the per-group vocabulary equals the single-slice reference fit for
+    every group."""
+    import random
+
+    from adampro_spark.pipeline.lm import fit_unigram_lm, fit_unigram_lm_by
+
+    rng = random.Random(11)
+    rows = []
+    i = 0
+    for g in range(12):
+        # 120 distinct tokens per group, counts drawn from {1,2,3} so
+        # the top-16 boundary lands inside a tie run
+        toks = []
+        for t in range(120):
+            toks += [f"g{g}w{t:03d}"] * rng.choice([1, 2, 3])
+        rng.shuffle(toks)
+        for chunk in range(0, len(toks), 40):
+            rows.append((i, f"grp{g}", " ".join(toks[chunk:chunk + 40])))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    vocab_by, metas = fit_unigram_lm_by(df, by="grp", vocab_size=16)
+    got = {}
+    for r in vocab_by.collect():
+        got.setdefault(r["grp"], set()).add((r["tok"], r["cnt"], r["logp"]))
+    assert set(got) == {f"grp{g}" for g in range(12)}
+    for g in range(12):
+        sl = df.filter(F.col("grp") == f"grp{g}")
+        v_ref, m_ref = fit_unigram_lm(sl, vocab_size=16)
+        want = {(r["tok"], r["cnt"], r["logp"]) for r in v_ref.collect()}
+        assert got[f"grp{g}"] == want, g
+        assert metas[f"grp{g}"]["oov_logp"] == pytest.approx(
+            m_ref["oov_logp"], rel=1e-12
+        )
