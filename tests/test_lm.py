@@ -794,3 +794,49 @@ def test_fit_by_salted_topv_exact_on_adversarial_ties(spark):
         assert metas[f"grp{g}"]["oov_logp"] == pytest.approx(
             m_ref["oov_logp"], rel=1e-12
         )
+
+
+def test_ccnet_buckets_separate_clean_from_corrupted(spark, tables):
+    """Semantic acceptance: per-language perplexity terciles must put
+    typo-corrupted variants of real documents in WORSE buckets than the
+    clean majority — the property the CCNet split exists for."""
+    import random
+
+    from adampro_spark.pipeline.ccnet import ccnet_pipeline
+
+    rng = random.Random(23)
+
+    def corrupt(t):
+        toks = t.split()
+        out = []
+        for w in toks:
+            if len(w) > 3 and rng.random() < 0.6:
+                i = rng.randrange(1, len(w) - 1)
+                w = w[:i] + "zq" + w[i + 1:]  # rare-gram typo
+            out.append(w)
+        return " ".join(out)
+
+    base = [
+        (r["doc_id"], r["text"])
+        for r in tables["documents"].select("doc_id", "text").limit(120).collect()
+    ]
+    rows = base + [(100_000 + i, corrupt(t)) for i, (_d, t) in enumerate(base[:20])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    handles: list = []
+    out = ccnet_pipeline(
+        df, per_language_lm=True, vocab_size=64, handles=handles,
+        curate_kw=dict(langs=None, min_tokens=5, min_quality=0.0, dedup=None),
+    )
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    for h in handles:
+        h.unpersist()
+    rank = {"head": 0, "middle": 1, "tail": 2}
+    corrupted = [got[k] for k in got if k >= 100_000]
+    assert corrupted, "corrupted docs vanished from the output"
+    mean_bad = sum(rank[b] for b in corrupted) / len(corrupted)
+    clean = [got[k] for k in got if k < 100_000]
+    mean_clean = sum(rank[b] for b in clean) / len(clean)
+    # corrupted docs skew toward tail: strictly worse mean bucket, and a
+    # majority of them land outside head
+    assert mean_bad > mean_clean + 0.5, (mean_bad, mean_clean)
+    assert sum(1 for b in corrupted if b != "head") >= 0.7 * len(corrupted)
