@@ -1302,12 +1302,76 @@ _TEMPORAL_UNKEYED_SQL = """
     """
 
 
+def _temporal_asof_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """HOT-KEY as-of join driver row (verdict r10 #4): user_ids not
+    divisible by 3 collapse onto one planted hot key (-1, ~2/3 of all
+    rows), and ``skew_threshold=200`` forces that key through the
+    time-bucketed parallel carry (temporal.py ``_unkeyed_carry(by=)``:
+    global-quantile buckets, per-key boundary prefix/suffix carry) while
+    the cold keys stay on the plain window — BOTH legs of the round-11
+    default count-then-route are inside the hash.  The explicit threshold
+    pins the route deterministically at every sf; it selects exactly the
+    keys ``skew_threshold="auto"`` would select on a genuinely hot corpus
+    (the derivation itself is pytest-pinned in tests/test_skew.py).
+    ``tolerance`` rides through the carry too.  Oracle = DuckDB's native
+    ASOF LEFT JOIN with the tolerance voided post-join.  Timestamps are
+    disambiguated with +event_id·1e-6 so the winner is unique."""
+    from adampro_spark.pipeline.temporal import asof_join
+    from adampro_spark.session import load_tables
+
+    ev = load_tables(spark, sf)["events"].select(
+        "event_id", "event_type", "value",
+        F.when(F.col("user_id") % 3 != 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            + F.col("event_id").cast("double") / F.lit(1e6)
+        ).alias("ts"),
+    )
+    left = ev.filter(F.col("event_type") == "view")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "k", "ts", F.col("value").alias("click_value")
+    )
+    res = asof_join(
+        left, right, time_col="ts", by="k", right_cols=["click_value"],
+        tolerance=86400.0, skew_threshold=200,
+    )
+    return res.select(
+        "event_id", "k",
+        F.round("ts_right", 6).alias("ts_right"),
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
+BENCH_ONLY["temporal_asof_skew"] = _temporal_asof_skew
+_TEMPORAL_SKEW_SQL = """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN user_id % 3 <> 0 THEN -1 ELSE user_id END::BIGINT AS k,
+             epoch(ts) + event_id / 1e6 AS ts
+      FROM events
+    ), m AS (
+      SELECT l.event_id, l.k, r.ts AS rts, r.value AS rv, l.ts AS lts
+      FROM (SELECT * FROM ev WHERE event_type = 'view') l
+      ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') r
+        ON l.k = r.k AND l.ts >= r.ts
+    )
+    SELECT event_id, k,
+           CASE WHEN lts - rts <= 86400.0 THEN round(rts, 6) END AS ts_right,
+           CASE WHEN lts - rts <= 86400.0 THEN round(rv, 4) END AS click_value
+    FROM m
+    """
+
+
 # Round-8 window re-fold (round-7 verdict #1): the three temporal-join
 # rows (keyed as-of, bucketed range, unkeyed as-of) merge into ONE
 # tagged-union driver row over a shared (mode, event_id, k, a, b)
 # schema — asof/unkeyed carry (ts_right, click_value), range carries
 # (win_id, w_start, value); every column of every variant still rides
-# the value hash.  Individual callables stay in BENCH_ONLY.
+# the value hash.  Individual callables stay in BENCH_ONLY.  Round 11
+# adds a fourth part: the planted-hot-key SKEW route (verdict r10 #4).
 
 
 def _temporal_suite(spark: SparkSession, sf: str) -> DataFrame:
@@ -1332,7 +1396,14 @@ def _temporal_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts_right").alias("a"),
         F.col("click_value").alias("b"),
     )
-    return _union_all([a, r, u])
+    s = _temporal_asof_skew(spark, sf).select(
+        F.lit("skew").alias("mode"),
+        "event_id",
+        F.col("k"),
+        F.col("ts_right").alias("a"),
+        F.col("click_value").alias("b"),
+    )
+    return _union_all([a, r, u, s])
 
 
 _register(
@@ -1348,6 +1419,9 @@ _register(
     UNION ALL
     SELECT 'unkeyed', event_id, NULL::BIGINT, ts_right, click_value
     FROM ({_TEMPORAL_UNKEYED_SQL})
+    UNION ALL
+    SELECT 'skew', event_id, k, ts_right, click_value
+    FROM ({_TEMPORAL_SKEW_SQL})
     """,
 )
 

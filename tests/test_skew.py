@@ -108,7 +108,37 @@ def test_asof_skew_bucket_sizes_bounded(spark, skewed_events):
     assert biggest <= total * 0.10, (biggest, total)
 
 
-def test_minhash_hot_bucket_emits_linear_pairs(spark):
+def test_asof_default_auto_routes_planted_hot_key(spark, skewed_events, monkeypatch):
+    """verdict r10 #1: skew routing is the DEFAULT.  With the auto floor
+    lowered to test scale, a bare `asof_join(left, right, by=)` — no
+    skew kwarg at all — must compile the bucketed carry for the planted
+    hot key (`_ap_pid` in the plan) and still match the plain window's
+    answer exactly."""
+    from adampro_spark.pipeline import temporal
+
+    left, right = skewed_events
+    monkeypatch.setattr(temporal, "ASOF_SKEW_MIN_ROWS", 500)
+    auto = asof_join(left, right, time_col="ts", by="k", right_cols=["payload"])
+    assert "_ap_pid" in auto._jdf.queryExecution().executedPlan().toString()
+    plain = asof_join(left, right, time_col="ts", by="k",
+                      right_cols=["payload"], skew_threshold=None)
+    assert "_ap_pid" not in plain._jdf.queryExecution().executedPlan().toString()
+    assert _collect(auto) == _collect(plain)
+
+
+def test_asof_auto_threshold_scales_with_partitions(spark, skewed_events, monkeypatch):
+    """The auto threshold is max(floor, rows/shuffle.partitions): with the
+    floor at 1, a cold key (~40 rows << 5000/32) must NOT route — only
+    the hot key does, so the plain-window leg still appears in the plan
+    alongside the bucketed leg."""
+    from adampro_spark.pipeline import temporal
+
+    left, right = skewed_events
+    monkeypatch.setattr(temporal, "ASOF_SKEW_MIN_ROWS", 1)
+    hot = temporal._detect_hot_keys(
+        left.select("k", "ts").unionByName(right.select("k", "ts")), "k", "auto"
+    )
+    assert hot == ["HOT"]
     """A degenerate bucket holding 50% of the corpus (identical text)
     must contribute O(B) star pairs, not O(B²): total pair count stays
     linear in the corpus, and dedup still collapses every copy."""
