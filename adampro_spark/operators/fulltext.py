@@ -150,6 +150,16 @@ def text_search_indexed(
     (tests/test_misc_operators.py::test_fulltext_bm25_hot_term_skew)
     and a compiled-plan assert forbids any Window over the term column
     (tests/test_plan_quality.py).
+
+    The filtered posting list IS evaluated twice (once to build the
+    ≤|terms|-row dfreq table, once as the join probe) — an ACCEPTED
+    double scan (ADVICE r10): the dfreq leg column-prunes to the term
+    column alone and the ``term IN (...)`` filter pushes into both
+    scans, so the second evaluation reads one dictionary-encoded column
+    of the index, while a ``persist`` here would pin the full posting
+    payload in executor memory with no release path from this lazy API
+    (the caller can ``index_df.cache()`` once if the index is queried
+    repeatedly — the persisted-index driver row does exactly that).
     """
     from adampro_spark.index.persist import FEATURE_COL
 

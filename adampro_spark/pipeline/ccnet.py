@@ -6,19 +6,24 @@ driver-adjudicated operators (``pipeline/langid.py``, ``curate.py``,
 composition, the way the paper releases Common Crawl: per language, in
 perplexity terciles, after dedup and filtering.
 
-At-scale wiring (verdict r9 #3): :func:`~adampro_spark.pipeline.curate
-.curate`'s one-pass gate aggregate already yields the post-curate
-document count driver-side (``report["n_output"]``), so the composition
-passes it to :func:`~adampro_spark.pipeline.lm.lm_bucket` as
+At-scale wiring (verdict r9 #3, refined r10 #3): :func:`~adampro_spark
+.pipeline.curate.curate` runs its one-pass gate aggregate GROUPED by
+the identified language (``report_by=lang_col``) — the per-language
+attrition report falls out of the same job (``report["by_group"]``, a
+driver-built frame: evaluating it never touches the corpus again), and
+the composition passes ``min(n_output, max per-language n_pass)`` to
+:func:`~adampro_spark.pipeline.lm.lm_bucket` as
 ``max_group_rows_hint`` — the auto ntile/quantile route then decides
-WITHOUT replaying the curate lineage for a group-size count (the count
-is an honest upper bound on every per-language group).  Survivors are
-persisted once: the shared-LM path reads them once more for scoring and
-the per-language path twice (the per-language FIT and the scoring
-pass), and every read hits the cache, so after the survivor
-materialization the upstream chain is never evaluated again — a
-composition test pins that with an accumulator in the input lineage
-(tests/test_lm.py).
+WITHOUT replaying the curate lineage, against a bound that is tight
+PER GROUP (ADVICE r10: the previous global-count hint flipped every
+language to approximate quantiles once the corpus total crossed the
+ntile cap, even when no single language did).  Survivors are persisted
+once: the shared-LM path reads them once more for scoring and the
+per-language path twice (the per-language FIT and the scoring pass),
+and every read hits the cache, so after the survivor materialization
+the upstream chain is never evaluated again — a composition test pins
+that, plus the one-gate-pass claim, with an accumulator in the input
+lineage (tests/test_lm.py).
 
 Reference parity: the reference engine has no corpus pipeline — this is
 LLM-training-data scope (the brief's first-class additions), built on
@@ -79,19 +84,24 @@ def ccnet_pipeline(
       ``min_quality=0.3``, ``dedup="exact"``.
     * ``report_out`` — pass a dict to receive curate's global attrition
       report plus ``report_out["by_lang"]``: the per-LANGUAGE gate
-      attrition DataFrame (:func:`~adampro_spark.pipeline.curate
-      .curate_report_by` over the langid-tagged corpus) — the report
-      CCNet tracks per language.
-    * ``handles`` — receives the persisted survivor DataFrame so
-      materializing callers can release the cache (the
-      ``banded_candidates`` convention).
+      attrition DataFrame — the report CCNet tracks per language.
+      Round 11 (verdict r10 #3): it comes out of curate's ONE gate
+      aggregate (``report_by=lang_col``), not a second gate scan, and
+      is driver-built — collecting it runs no job over the corpus.
+    * ``handles`` — receives the persisted DataFrames (langid-tagged
+      corpus + survivors) so materializing callers can release the
+      caches (the ``banded_candidates`` convention).  Without
+      ``handles`` nothing is persisted (ADVICE r10: no session-lifetime
+      cache leak) and curate's gate pass + survivor lineage each
+      re-evaluate the langid UDF — pass ``handles`` for production runs.
 
     The bucket split runs ``method="auto"`` with ``max_group_rows_hint
-    = report["n_output"]`` — exact NTILE terciles while every language
-    group fits one window task, the approximate quantile route past
-    2M rows per group, and in both cases ZERO extra jobs to decide.
+    = min(n_output, max per-language n_pass)`` — exact NTILE terciles
+    while every language GROUP fits one window task (the bound is
+    per-group, ADVICE r10), the approximate quantile route past 2M rows
+    per group, and in both cases ZERO extra jobs to decide.
     """
-    from adampro_spark.pipeline.curate import curate, curate_report_by
+    from adampro_spark.pipeline.curate import curate
     from adampro_spark.pipeline.langid import fit_langid, trained_langid_col
     from adampro_spark.pipeline.lm import lm_bucket
 
@@ -106,33 +116,35 @@ def ccnet_pipeline(
             langid_model, langid_meta, text_col, min_gap=langid_min_gap
         ),
     ).filter(F.col(lang_col) != "und")
-    if report_out is not None:
-        # the by_lang report is a SECOND consumer of the langid-tagged
-        # corpus — persist it so evaluating the report doesn't re-run
-        # the full-corpus langid UDF (review r10); released via handles
+    if handles is not None:
+        # curate consumes the tagged corpus twice (gate aggregate +
+        # survivor lineage) — persist so the full-corpus langid UDF runs
+        # once, but ONLY when the caller can release the cache via
+        # handles (ADVICE r10: an unreleasable persist leaks for the
+        # session)
         tagged = tagged.persist()
-        if handles is not None:
-            handles.append(tagged)
+        handles.append(tagged)
 
     kw: dict[str, Any] = dict(
         langs=None, min_tokens=20, min_quality=0.3, dedup="exact"
     )
     kw.update(curate_kw or {})
-    survivors, report = curate(tagged, text_col=text_col, pk=pk, **kw)
+    # report_by=lang_col: the per-language attrition rides curate's ONE
+    # gate aggregate (verdict r10 #3) and max_group_pass gives the
+    # per-language routing bound for free
+    survivors, report = curate(
+        tagged, text_col=text_col, pk=pk, report_by=lang_col, **kw
+    )
+    by_lang = report.pop("by_group")
+    hint = min(int(report["n_output"]), int(report.pop("max_group_pass")))
     if report_out is not None:
         report_out.update(report)
-        report_out["by_lang"] = curate_report_by(
-            tagged,
-            by=lang_col,
-            text_col=text_col,
-            langs=kw.get("langs"),
-            min_tokens=kw.get("min_tokens", 20),
-            min_quality=kw.get("min_quality", 0.3),
-            max_chars=kw.get("max_chars"),
-        )
+        report_out["by_lang"] = by_lang
 
-    survivors = survivors.persist()
     if handles is not None:
+        # the LM stage reads survivors 1-2× (fit + score) — same
+        # persist-only-with-a-release-path rule as the tagged corpus
+        survivors = survivors.persist()
         handles.append(survivors)
     if per_language_lm:
         from adampro_spark.pipeline.lm import (
@@ -148,7 +160,7 @@ def ccnet_pipeline(
         return lm_bucket_by(
             survivors, vocab_by, metas, by=lang_col,
             text_col=text_col, pk=pk, n_buckets=n_buckets,
-            method="auto", max_group_rows_hint=report["n_output"],
+            method="auto", max_group_rows_hint=hint,
         )
     if vocab is None or meta is None:
         raise ValueError(
@@ -164,5 +176,5 @@ def ccnet_pipeline(
         by=lang_col,
         n_buckets=n_buckets,
         method="auto",
-        max_group_rows_hint=report["n_output"],
+        max_group_rows_hint=hint,
     )

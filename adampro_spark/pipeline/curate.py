@@ -240,8 +240,9 @@ def curate(
     extra_gates: Mapping[str, Column] | None = None,
     quality_weights: Sequence[float] | None = None,
     quality_junk_threshold: float = 0.5,
+    report_by: str | None = None,
     **dedup_kw: Any,
-) -> tuple[DataFrame, dict[str, int]]:
+) -> tuple[DataFrame, dict[str, Any]]:
     """Filter + deduplicate a document corpus; returns ``(survivors,
     report)`` where the report counts each gate's attrition:
 
@@ -336,6 +337,25 @@ def curate(
     stage (``gates_sec`` / ``pairs_sec`` / ``resolution_sec``); splitting
     pairs from resolution forces the pair set through an eager
     localCheckpoint (one extra materialization, bench/diagnostic use).
+
+    ``report_by`` (round 11, verdict r10 #3) — a group column: the SAME
+    one-pass gate aggregate groups by it instead of globally, the global
+    report is derived driver-side by summing the (collected) per-group
+    rows, and the report gains two keys at ZERO extra scans:
+
+      * ``report["by_group"]`` — a driver-built DataFrame with
+        :func:`curate_report_by`'s schema (``by, n, n_lang_fail,
+        n_short, n_too_long, n_low_quality, [n_repetitive,]
+        [n_fail<extra>…,] n_pass[, n_pii_docs, n_boiler_lines,
+        n_span_tokens_removed]``) — evaluating it runs NO job over the
+        corpus (the rows are already on the driver);
+      * ``report["max_group_pass"]`` — the largest per-group ``n_pass``,
+        an honest per-group size bound for downstream routing
+        (ccnet_pipeline feeds it to ``lm_bucket``'s auto gate).
+
+    The per-group rows are COLLECTED (like the global aggregate row
+    already is), so ``report_by`` is for modest-cardinality grouping —
+    languages, sources, crawls — not per-document keys.
     """
     import time
 
@@ -475,7 +495,26 @@ def curate(
         F.sum((~F.col(name)).cast("long")).alias(f"x_{name}")
         for name in extras
     ]
-    agg = flagged.agg(*aggs).collect()[0]
+    by_group_df = None
+    max_group_pass = None
+    if report_by is None:
+        agg = flagged.agg(*aggs).collect()[0]
+    else:
+        # SAME one-pass aggregate, grouped: the shuffle carries
+        # ≤ |groups| × counters (map-side combined), and the global
+        # report falls out by summing driver-side — the per-group
+        # attrition report costs zero extra scans (verdict r10 #3)
+        per_group = flagged.groupBy(report_by).agg(*aggs)
+        g_rows = per_group.collect()
+        cnames = [c for c in per_group.columns if c != report_by]
+        agg = {c: sum(int(r[c] or 0) for r in g_rows) for c in cnames}
+        by_group_df, max_group_pass = _by_group_frame(
+            df.sparkSession, flagged.schema[report_by].dataType,
+            report_by, g_rows, flags, extras,
+            has_pii=pii_docs_col is not None,
+            has_boiler=boiler_col is not None,
+            has_span=span_col is not None,
+        )
     if stage_timings is not None:
         stage_timings["gates_sec"] = round(time.perf_counter() - t0, 3)
 
@@ -628,7 +667,47 @@ def curate(
         report["n_pii_docs"] = int(agg["pii_docs"])
     for name in extras:
         report[f"n_fail{name}"] = int(agg[f"x_{name}"])
+    if by_group_df is not None:
+        report["by_group"] = by_group_df
+        report["max_group_pass"] = max_group_pass
     return out, report
+
+
+def _by_group_frame(
+    spark, by_dt, report_by, g_rows, flags, extras,
+    has_pii=False, has_boiler=False, has_span=False,
+):
+    """Reshape curate's collected per-group aggregate rows into a
+    driver-built DataFrame with :func:`curate_report_by`'s column
+    naming/order (base-gate fails → n_repetitive → n_fail<extra> →
+    n_pass, optional doc counters last).  Returns ``(df,
+    max_group_pass)``."""
+    from pyspark.sql import types as T
+
+    cols = [
+        ("n", "n"), ("lang_fail", "n_lang_fail"), ("short", "n_short"),
+        ("too_long", "n_too_long"), ("low_q", "n_low_quality"),
+    ]
+    if "_rep_ok" in flags:
+        cols.append(("rep_fail", "n_repetitive"))
+    cols += [(f"x_{name}", f"n_fail{name}") for name in extras]
+    cols.append(("kept", "n_pass"))
+    if has_pii:
+        cols.append(("pii_docs", "n_pii_docs"))
+    if has_boiler:
+        cols.append(("boiler_lines", "n_boiler_lines"))
+    if has_span:
+        cols.append(("span_tokens", "n_span_tokens_removed"))
+    schema = T.StructType(
+        [T.StructField(report_by, by_dt)]
+        + [T.StructField(out, T.LongType(), False) for _, out in cols]
+    )
+    rows = [
+        tuple([r[report_by]] + [int(r[src] or 0) for src, _ in cols])
+        for r in g_rows
+    ]
+    max_pass = max((int(r["kept"] or 0) for r in g_rows), default=0)
+    return spark.createDataFrame(rows, schema), max_pass
 
 
 def curate_report_by(

@@ -171,8 +171,23 @@ def train_quality_model(
     if sample_fraction < 1.0:
         sdf = sdf.sample(fraction=sample_fraction, seed=seed)
     # deterministic fit: collect() is partition-ordered, and lstsq/
-    # Pegasos outcomes depend on row order — sort the driver-side rows
-    rows = sorted(sdf.collect(), key=lambda r: (tuple(r["f"]), r["y"]))
+    # Pegasos outcomes depend on row order — sort the driver-side rows.
+    # NULL text/label first fails loudly (ADVICE r10: the ratio features
+    # come back NULL on NULL text and None is not orderable against
+    # float — the raw sort raised an opaque TypeError)
+    rows = sdf.collect()
+    n_bad = sum(
+        1
+        for r in rows
+        if r["y"] is None or r["f"] is None or any(x is None for x in r["f"])
+    )
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} labeled rows have NULL {text_col!r}/{label_col!r} — "
+            "quality features are undefined on NULL text; drop or fill "
+            "those rows before training"
+        )
+    rows = sorted(rows, key=lambda r: (tuple(r["f"]), r["y"]))
     if not rows:
         raise ValueError("no labeled rows to train on")
     import numpy as np

@@ -580,14 +580,29 @@ def test_ccnet_pipeline_composition(spark, tables, monkeypatch):
         base.withColumn("text", tag("text")), vocab, meta,
         report_out=rep, handles=handles,
     )
-    # (a) the hint is curate's n_output and the route decision was
-    # driver-side — auto with the hint, no count job
+    # (a0) verdict r10 #3: report_out costs ONE gate pass — the by_lang
+    # report is a DRIVER-BUILT LocalRelation (its rows came out of
+    # curate's one grouped gate aggregate), so materializing it scans
+    # nothing and runs zero corpus jobs; the accumulator must not move
+    fills0 = acc.value
+    bl_plan = rep["by_lang"]._jdf.queryExecution().optimizedPlan().toString()
+    assert bl_plan.startswith(("LogicalRDD", "LocalRelation")) and not any(
+        node in bl_plan
+        for node in ("EvalPython", "InMemoryRelation", "Relation [", "Join")
+    ), f"by_lang is not driver-built — a second gate scan is back:\n{bl_plan}"
+    bl_rows = rep["by_lang"].collect()
+    assert acc.value == fills0, "collecting by_lang re-ran the gate pass"
+    # (a) the hint is min(n_output, max per-language n_pass) — the
+    # per-group bound (ADVICE r10) — and the route decision was
+    # driver-side: auto with the hint, no count job
     assert seen.get("method") == "auto"
-    assert seen.get("max_group_rows_hint") == rep["n_output"]
+    assert seen.get("max_group_rows_hint") == min(
+        rep["n_output"], max(r["n_pass"] for r in bl_rows)
+    )
 
     # (b) materialize the persisted handles once (tagged corpus +
-    # survivors — review r10 added the tagged persist for by_lang);
-    # after that the upstream chain (the tag UDF) must NEVER run again
+    # survivors); after that the upstream chain (the tag UDF) must
+    # NEVER run again
     assert len(handles) == 2
     for h in handles:
         h.count()
@@ -613,12 +628,22 @@ def test_ccnet_pipeline_composition(spark, tables, monkeypatch):
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert rep2["n_output"] == rep["n_output"]
 
-    # (d) the per-language report covers every surviving language and
-    # its totals add up to the tagged corpus
+    # (d) the per-language report covers every surviving language, its
+    # totals add up to the tagged corpus, and the ONE-PASS rows equal
+    # the standalone two-pass curate_report_by on the same tagged corpus
+    # (verdict r10 #3 parity)
+    from adampro_spark.pipeline.curate import curate_report_by
+
     bl = {r["lang_cc"]: r for r in rep["by_lang"].collect()}
     langs_out = {r["lang_cc"] for r in got}
     assert langs_out <= set(bl)
     assert sum(r["n"] for r in bl.values()) == tagged.count()
+    two_pass = curate_report_by(
+        tagged, by="lang_cc", langs=None, min_tokens=20, min_quality=0.3
+    )
+    assert rep["by_lang"].columns == two_pass.columns
+    want_rows = {tuple(r) for r in two_pass.collect()}
+    assert {tuple(r) for r in rep["by_lang"].collect()} == want_rows
     for h in handles:
         h.unpersist()
 
