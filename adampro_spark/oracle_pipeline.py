@@ -2336,8 +2336,35 @@ def _ccnet_rows(spark, sf):
             "bucket"
         ),
     )
-    res = shared.unionByName(pl).localCheckpoint(eager=True)
-    for h in handles:  # release the composition's caches
+    # round 11 third part (verdict r10 #5): the PRODUCTION dedup shape —
+    # ccnet with near-dup minhash removal (curate_kw routes curate's
+    # dedup stage; threshold 0.8, the curate default).  The oracle leg
+    # is the exact all-pairs Jaccard graph + recursive components over
+    # the gate survivors (the dedup_minhash / dedup_resolution oracle
+    # pattern), so the banded plan's survivor set is pinned end-to-end
+    # inside the composition.  max_bucket_size is disabled like the
+    # simhash oracle row: the hot-bucket star guard is a production
+    # bound whose pair-set semantics are pytest-pinned; the EXHAUSTIVE
+    # contract is what the all-pairs oracle states.
+    handles_mh: list = []
+    out_mh = ccnet_pipeline(
+        docs, vocab, meta, handles=handles_mh,
+        curate_kw={
+            "dedup": "minhash", "dedup_threshold": 0.8,
+            "max_bucket_size": 10**9,
+        },
+    )
+    mh = out_mh.select(
+        F.lit("ccnet_mh").alias("model"),
+        "doc_id",
+        "lm_logprob",
+        F.lit(None).cast("long").alias("lm_tokens"),
+        F.concat(F.col("lang_cc"), F.lit("|"), F.col("bucket")).alias(
+            "bucket"
+        ),
+    )
+    res = shared.unionByName(pl).unionByName(mh).localCheckpoint(eager=True)
+    for h in handles + handles_mh:  # release the composition's caches
         h.unpersist()
     return res
 
@@ -2355,7 +2382,13 @@ def _ccnet_both_sql(v: int = _LM_V) -> str:
       lm_bucket_by): one add-one-smoothed vocabulary per language,
       each language scored against its own model and split into
       terciles.  Survivors carry ≥ 20 tokens, so no NULL-score branch
-      exists on this path."""
+      exists on this path.
+    * ``'ccnet_mh'`` (round 11, verdict r10 #5) — the production
+      near-dup shape: the SAME gate survivors deduplicated by the
+      exact all-pairs Jaccard ≥ 0.8 graph with recursive-reachability
+      components and min-pk survivorship (the dedup_minhash +
+      dedup_resolution oracle fragments), then scored/bucketed like
+      ``'ccnet'``."""
     quality = (
         "(CASE WHEN length(text) > 0 THEN length(regexp_replace(text,"
         " '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)"
@@ -2365,8 +2398,12 @@ def _ccnet_both_sql(v: int = _LM_V) -> str:
         "(CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
         " ELSE 'tail' END)"
     )
+    jac = (
+        "round(len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh)"
+        " - len(list_intersect(a.sh, b.sh))), 4)"
+    )
     return f"""
-    WITH ld AS ({_langid_nb_sql()}),
+    WITH RECURSIVE ld AS ({_langid_nb_sql()}),
     ct AS (
       SELECT d.doc_id, d.text, ld.lang_nb,
              {_TOKS.format(t='d.text')} AS toks
@@ -2418,7 +2455,35 @@ def _ccnet_both_sql(v: int = _LM_V) -> str:
     pr AS (SELECT doc_id, lang_nb, lm_logprob,
                   ntile(3) OVER (PARTITION BY lang_nb
                                  ORDER BY lm_logprob DESC, doc_id ASC) AS nt
-           FROM psc)
+           FROM psc),
+    -- ccnet_mh part: minhash-dedup composition over the SAME gate
+    -- survivors — exact all-pairs Jaccard >= 0.8 graph, recursive
+    -- components, min-pk survivors (verdict r10 #5)
+    mhs AS (SELECT doc_id,
+                   list_distinct({_sql_shingles('text', 8)}) AS sh
+            FROM ckept),
+    mp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM mhs a JOIN mhs b ON a.doc_id < b.doc_id
+           WHERE {jac} >= 0.8),
+    me AS (SELECT id_a AS src, id_b AS dst FROM mp
+           UNION SELECT id_b, id_a FROM mp),
+    mreach(id, r) AS (
+      SELECT DISTINCT src, src FROM me
+      UNION
+      SELECT e.src, mreach.r FROM me e JOIN mreach ON e.dst = mreach.id
+    ),
+    mdrop AS (SELECT id FROM
+                (SELECT id, min(r) AS survivor FROM mreach GROUP BY id)
+              WHERE id != survivor),
+    moutp AS (SELECT doc_id, lang_nb FROM ckept
+              WHERE doc_id NOT IN (SELECT id FROM mdrop)),
+    msc AS (SELECT o.doc_id, o.lang_nb, s.lm_logprob
+            FROM moutp o JOIN ({_lm_sql(v)}) s ON s.doc_id = o.doc_id),
+    mranked AS (SELECT doc_id, lang_nb, lm_logprob,
+                       ntile(3) OVER (PARTITION BY lang_nb
+                                      ORDER BY lm_logprob DESC, doc_id ASC)
+                         AS nt
+                FROM msc WHERE lm_logprob IS NOT NULL)
     SELECT 'ccnet' AS model, doc_id, lm_logprob,
            lang_nb || '|' || {tercile} AS bucket
     FROM cranked
@@ -2428,6 +2493,12 @@ def _ccnet_both_sql(v: int = _LM_V) -> str:
     UNION ALL
     SELECT 'ccnet_pl', doc_id, lm_logprob, lang_nb || '|' || {tercile}
     FROM pr
+    UNION ALL
+    SELECT 'ccnet_mh', doc_id, lm_logprob, lang_nb || '|' || {tercile}
+    FROM mranked
+    UNION ALL
+    SELECT 'ccnet_mh', doc_id, lm_logprob, NULL::VARCHAR
+    FROM msc WHERE lm_logprob IS NULL
     """
 
 
