@@ -42,6 +42,7 @@ __all__ = [
     "SEED_TEXTS",
     "fit_langid",
     "langid_scores_col",
+    "script_prefilter_col",
     "trained_langid_col",
 ]
 
@@ -634,12 +635,153 @@ def langid_scores_col(
     )
 
 
+# Unicode script blocks the prefilter can resolve without the NB model:
+# (script key, codepoint ranges).  The ranges drive both the driver-side
+# OWNERSHIP scan (a script only shortcuts when exactly one model
+# language writes in it — custom seed sets with e.g. both Russian and
+# Ukrainian automatically disable the Cyrillic shortcut) and the
+# JVM-side regexp_count character class (built from the same ranges, so
+# the two can never disagree).
+_SCRIPT_BLOCKS: list[tuple[str, tuple[tuple[int, int], ...]]] = [
+    ("hangul", ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F))),
+    ("kana", ((0x3040, 0x30FF),)),
+    ("han", ((0x4E00, 0x9FFF),)),
+    ("greek", ((0x0370, 0x03FF), (0x1F00, 0x1FFF))),
+    ("cyrillic", ((0x0400, 0x04FF),)),
+    ("arabic", ((0x0600, 0x06FF), (0x0750, 0x077F))),
+]
+
+
+def _script_class(ranges: "tuple[tuple[int, int], ...]") -> str:
+    return "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]"
+
+# Evidence floor (chars) and dominance numerator/denominator: a script
+# shortcuts only when it covers >= 90% of the non-whitespace prefix AND
+# at least 4 characters — the analogue of the gap floor for the script
+# path (a 2-char fragment is not evidence).
+_SCRIPT_MIN_CHARS = 4
+_SCRIPT_DOMINANCE = (9, 10)  # c * 10 >= nonws * 9, exact integer test
+
+
+def _script_users(model: Mapping[str, Mapping[str, float]]) -> dict[str, set]:
+    """Which model languages write in each script block — derived from
+    the fitted gram tables themselves, so the shortcut adapts to ANY
+    seed set (not just the bundled one)."""
+    users: dict[str, set] = {key: set() for key, _ in _SCRIPT_BLOCKS}
+    for lang, tab in model.items():
+        seen: set[str] = set()
+        for g in tab:
+            for ch in g:
+                cp = ord(ch)
+                for key, ranges in _SCRIPT_BLOCKS:
+                    if key not in seen and any(
+                        lo <= cp <= hi for lo, hi in ranges
+                    ):
+                        seen.add(key)
+        for key in seen:
+            users[key].add(lang)
+    return users
+
+
+def script_prefilter_col(
+    model: dict[str, dict[str, float]],
+    meta: dict[str, Any],
+    text_col: "str | Column" = "text",
+    max_chars: int | None = LANGID_MAX_CHARS,
+) -> "Column | None":
+    """Single-script shortcut (round 11, verdict r10 #7): a language
+    code for documents whose first ``max_chars`` characters are >= 90%
+    one Unicode script that exactly ONE model language writes in
+    (>= 4 script chars), NULL otherwise — one ``regexp_count`` per
+    applicable script class, pure codegen, no Python.
+
+    This is both a throughput and a short-text accuracy device: a
+    10-character CJK/Cyrillic/Greek fragment identifies its script with
+    certainty while its 2-3 grams are thin NB evidence, and the V×L
+    matmul (the scorer's cost) is skipped entirely for the resolved
+    rows (:func:`trained_langid_col` feeds the UDF NULL text for them).
+
+    Script→language resolution comes from the MODEL (``_script_users``):
+    a script written by zero or several model languages never shortcuts
+    (fit Russian+Ukrainian and Cyrillic falls back to the NB scorer).
+    Han is the special case — Japanese prose always mixes kana and
+    Korean hangul, so pure-Han text resolves to the Han-only user
+    (Chinese) guarded by ``kana == 0`` / ``hangul == 0`` counts when
+    those languages are in the model; kanji-ONLY Japanese (headline
+    register) is the documented miss, and mixed-script prose (ja =
+    han+kana) resolves through the combined kana+han dominance rule.
+
+    Returns ``None`` when no script shortcut applies to this model
+    (e.g. an all-Latin seed set) — callers fall back to the scorer
+    alone."""
+    users = _script_users(model)
+    langs = set(meta["langs"])
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.substring(col, 1, int(max_chars)) if max_chars is not None else col
+    nonws = F.length(F.regexp_replace(t, "[ \t\n\r\f]+", ""))
+    num, den = _SCRIPT_DOMINANCE
+
+    counts: dict[str, Column] = {}
+    classes = {key: _script_class(ranges) for key, ranges in _SCRIPT_BLOCKS}
+
+    def _cnt(key: str) -> Column:
+        if key not in counts:
+            counts[key] = F.regexp_count(t, F.lit(classes[key]))
+        return counts[key]
+
+    def _dominates(c: Column) -> Column:
+        return (c >= F.lit(_SCRIPT_MIN_CHARS)) & (
+            c * F.lit(den) >= nonws * F.lit(num)
+        )
+
+    rules: list[tuple[Column, str]] = []
+    han_users = users["han"] & langs
+    kana_users = users["kana"] & langs
+    hangul_users = users["hangul"] & langs
+    # ja: kana is unique to Japanese among writing systems — when one
+    # model language owns kana, kana presence + (kana+han) dominance
+    # resolves mixed-script Japanese prose
+    if len(kana_users) == 1:
+        ja = next(iter(kana_users))
+        c_mix = _cnt("kana") + _cnt("han")
+        rules.append((
+            (_cnt("kana") >= F.lit(_SCRIPT_MIN_CHARS))
+            & (c_mix * F.lit(den) >= nonws * F.lit(num)),
+            ja,
+        ))
+    # zh: the Han user that does NOT write kana (Japanese is excluded by
+    # its kana, Korean by its hangul) — only when exactly one remains
+    zh_cands = han_users - kana_users
+    if len(zh_cands) == 1:
+        zh = next(iter(zh_cands))
+        cond = _dominates(_cnt("han"))
+        if kana_users:
+            cond = cond & (_cnt("kana") == 0)
+        if hangul_users:
+            cond = cond & (_cnt("hangul") == 0)
+        rules.append((cond, zh))
+    # single-user scripts: hangul/greek/cyrillic/arabic
+    for key in ("hangul", "greek", "cyrillic", "arabic"):
+        owner = users[key] & langs
+        if len(owner) == 1:
+            rules.append((_dominates(_cnt(key)), next(iter(owner))))
+    if not rules:
+        return None
+    expr = None
+    for cond, lang in rules:
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(
+            cond, F.lit(lang)
+        )
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
 def trained_langid_col(
     model: dict[str, dict[str, float]],
     meta: dict[str, Any],
     text_col: "str | Column" = "text",
     max_chars: int | None = LANGID_MAX_CHARS,
     min_gap: float | None = None,
+    script_prefilter: bool = True,
 ) -> Column:
     """Just the predicted language code — drop-in replacement for the
     stopword heuristic ``text.langid_expr`` wherever a lang column is
@@ -653,11 +795,29 @@ def trained_langid_col(
     riding a meaningless argmax).  Pass :data:`LANGID_GAP_FLOOR` for
     the calibrated default.  The struct is computed once: the two field
     reads collapse to a single Arrow UDF evaluation (asserted in
-    tests/test_langid.py)."""
-    s = langid_scores_col(model, meta, text_col, max_chars)
+    tests/test_langid.py).
+
+    ``script_prefilter`` (round 11, verdict r10 #7, default ON):
+    single-script documents whose script exactly one model language
+    writes in resolve through :func:`script_prefilter_col` — pure
+    codegen, and the Arrow UDF receives NULL text for those rows, so
+    the gram counting + V×L matmul never run on the dominant non-Latin
+    case.  Script-resolved rows BYPASS ``min_gap`` (>= 90% single-
+    script coverage with >= 4 chars IS the confidence evidence — a
+    short CJK fragment is certain by script while its 2-3 grams would
+    flunk the gap floor).  On an all-Latin model the prefilter compiles
+    away entirely."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    pre = (
+        script_prefilter_col(model, meta, col, max_chars)
+        if script_prefilter
+        else None
+    )
+    scored_input = col if pre is None else F.when(pre.isNull(), col)
+    s = langid_scores_col(model, meta, scored_input, max_chars)
     lang = s.getField("lang")
-    if min_gap is None:
-        return lang
-    return F.when(
-        s.getField("gap") >= F.lit(float(min_gap)), lang
-    ).otherwise(F.lit("und"))
+    if min_gap is not None:
+        lang = F.when(
+            s.getField("gap") >= F.lit(float(min_gap)), lang
+        ).otherwise(F.lit("und"))
+    return lang if pre is None else F.coalesce(pre, lang)
