@@ -1141,6 +1141,8 @@ CURATE_STAGES: dict[str, float] = {}
 
 
 def _curate_corpus(spark, sf):
+    import time as _time
+
     from adampro_spark.pipeline.curate import curate
 
     CURATE_STAGES.clear()
@@ -1148,7 +1150,16 @@ def _curate_corpus(spark, sf):
         _docs(spark, sf), langs=("en",), min_tokens=20, min_quality=0.2,
         dedup="minhash", dedup_threshold=0.8, stage_timings=CURATE_STAGES,
     )
-    return out.select("doc_id")
+    # emit_sec (verdict r10 #2): curate's internal n_out count already
+    # evaluated the survivor lineage once; the bench caller's collect()
+    # evaluates it AGAIN (gate filter + anti-join re-run — the pair set
+    # is checkpointed, the survivors are not).  Materialize here under
+    # a timer so the stage breakdown attributes 100% of the row instead
+    # of leaving the second evaluation as an unattributed residual.
+    t0 = _time.perf_counter()
+    res = out.select("doc_id").localCheckpoint(eager=True)
+    CURATE_STAGES["emit_sec"] = round(_time.perf_counter() - t0, 3)
+    return res
 
 
 BENCH_ONLY["pipeline_curate"] = _curate_corpus
