@@ -56,13 +56,16 @@ ASOF_SKEW_MIN_ROWS = 2_000_000
 
 def _detect_hot_keys(
     unioned: DataFrame, by: str, skew_threshold: int | str
-) -> list:
-    """Per-key row counts in ONE map-side-combinable job; returns the
-    non-NULL keys above the routing threshold.  ``"auto"`` derives the
-    threshold as ``max(ASOF_SKEW_MIN_ROWS, total / shuffle.partitions)``
-    — candidates above the fixed floor are collected in the SAME job
-    (``collect_list(when(...))`` drops the rest), so the driver never
-    sees more than ``total / floor`` keys."""
+) -> "tuple[list, bool]":
+    """Per-key row counts in ONE map-side-combinable job; returns
+    ``(hot non-NULL keys, NULL key is hot)`` above the routing
+    threshold.  ``"auto"`` derives the threshold as
+    ``max(ASOF_SKEW_MIN_ROWS, total / shuffle.partitions)`` —
+    candidates above the fixed floor are collected in the SAME job
+    (``collect_list(when(...))`` drops the rest; the NULL key rides a
+    separate conditional count, since collect_list cannot hold a NULL
+    struct field distinguishably), so the driver never sees more than
+    ``total / floor`` keys."""
     floor = (
         ASOF_SKEW_MIN_ROWS if skew_threshold == "auto" else int(skew_threshold)
     )
@@ -73,10 +76,13 @@ def _detect_hot_keys(
             F.sum("_ap_n").alias("_ap_total"),
             F.collect_list(
                 F.when(
-                    F.col("_ap_n") > floor,
+                    F.col(by).isNotNull() & (F.col("_ap_n") > floor),
                     F.struct(F.col(by).alias("k"), F.col("_ap_n").alias("n")),
                 )
             ).alias("_ap_cands"),
+            F.coalesce(
+                F.sum(F.when(F.col(by).isNull(), F.col("_ap_n"))), F.lit(0)
+            ).alias("_ap_null_n"),
         )
         .collect()[0]
     )
@@ -86,11 +92,8 @@ def _detect_hot_keys(
             unioned.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
         thr = max(floor, int(row["_ap_total"] or 0) // max(parts, 1))
-    return [
-        c["k"]
-        for c in (row["_ap_cands"] or [])
-        if c["k"] is not None and c["n"] > thr
-    ]
+    hot = [c["k"] for c in (row["_ap_cands"] or []) if c["n"] > thr]
+    return hot, int(row["_ap_null_n"]) > thr
 
 
 def asof_join(
@@ -148,9 +151,11 @@ def asof_join(
     count-then-route pattern of ``lm_bucket(method="auto")`` /
     ``dsir(mode="auto")``.  An ``int`` routes keys above that explicit
     count (same single job); ``None`` opts out (no count job, one window
-    partition per key — the pre-round-11 shape).  Only detected-heavy
-    NON-NULL keys re-route (a NULL hot key stays on the plain window —
-    filter NULL keys upstream if that is your skew).
+    partition per key — the pre-round-11 shape).  A detected-heavy NULL
+    key routes through the UNKEYED quantile-bucketed carry (all NULL
+    keys form one window partition — exactly the unkeyed problem; the
+    keyed carry's equi-join-back would drop NULLs), so no key shape
+    serializes into a single task.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
@@ -195,11 +200,20 @@ def asof_join(
 
     if keyed:
         hot_vals: list = []
+        null_hot = False
         if skew_threshold is not None:
-            hot_vals = _detect_hot_keys(unioned, by, skew_threshold)
+            hot_vals, null_hot = _detect_hot_keys(unioned, by, skew_threshold)
         plain = unioned
+        is_hot = None
         if hot_vals:
             is_hot = F.coalesce(F.col(by).isin(hot_vals), F.lit(False))
+        if null_hot:
+            # a hot NULL key routes through the UNKEYED carry below: all
+            # NULL keys form ONE window partition (Spark window
+            # semantics), which is exactly the unkeyed problem
+            null_pred = F.col(by).isNull()
+            is_hot = null_pred if is_hot is None else (is_hot | null_pred)
+        if is_hot is not None:
             plain = unioned.filter(~is_hot)
         order = [F.col(time_col).asc(), F.col("_ap_side").asc()]
         w_back = (
@@ -222,15 +236,32 @@ def asof_join(
             out = out.withColumn(
                 "_ap_mf", F.first(F.col("_ap_pack"), ignorenulls=True).over(w_fwd)
             )
+        need = [*unioned.columns, "_ap_m"] + (["_ap_mf"] if want_fwd else [])
+        legs = [out.select(*need)] if is_hot is not None else [out]
         if hot_vals:
-            # heavy keys: same semantics via the per-key time-bucketed
-            # parallel carry — (key, bucket) window partitions, per-key
-            # boundary carry (see _unkeyed_carry's `by` mode)
+            # heavy non-NULL keys: same semantics via the per-key
+            # time-bucketed parallel carry — (key, bucket) window
+            # partitions, per-key boundary carry (_unkeyed_carry `by=`)
             hot = _unkeyed_carry(
-                unioned.filter(is_hot), time_col, num_partitions, want_fwd, by=by
+                unioned.filter(
+                    F.coalesce(F.col(by).isin(hot_vals), F.lit(False))
+                ),
+                time_col, num_partitions, want_fwd, by=by,
             )
-            need = [*unioned.columns, "_ap_m"] + (["_ap_mf"] if want_fwd else [])
-            out = out.select(*need).unionByName(hot.select(*need))
+            legs.append(hot.select(*need))
+        if null_hot:
+            # heavy NULL key (round 11): the whole NULL group is one
+            # window partition, i.e. the UNKEYED problem — route it
+            # through the unkeyed quantile-bucketed carry (the keyed
+            # carry's equi-join-back would drop NULL keys)
+            nh = _unkeyed_carry(
+                unioned.filter(F.col(by).isNull()),
+                time_col, num_partitions, want_fwd,
+            )
+            legs.append(nh.select(*need))
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
     else:
         out = _unkeyed_carry(unioned, time_col, num_partitions, want_fwd)
 

@@ -135,10 +135,46 @@ def test_asof_auto_threshold_scales_with_partitions(spark, skewed_events, monkey
 
     left, right = skewed_events
     monkeypatch.setattr(temporal, "ASOF_SKEW_MIN_ROWS", 1)
-    hot = temporal._detect_hot_keys(
+    hot, null_hot = temporal._detect_hot_keys(
         left.select("k", "ts").unionByName(right.select("k", "ts")), "k", "auto"
     )
     assert hot == ["HOT"]
+    assert null_hot is False
+
+
+@pytest.mark.parametrize("direction", ["backward", "nearest"])
+def test_asof_null_hot_key_routes_through_unkeyed_carry(spark, direction):
+    """round 11: a NULL by-key holding most of the corpus re-routes
+    through the UNKEYED bucketed carry (the keyed carry's equi-join-back
+    would drop NULL keys) and must match the plain window exactly —
+    NULL keys form one window partition in both shapes."""
+    rng = np.random.RandomState(7)
+    rows = [(None, float(t), int(v))
+            for t, v in zip(np.sort(rng.uniform(0, 1e6, 2000)),
+                            rng.randint(0, 1000, 2000))]
+    rows += [(f"k{rng.randint(20)}", float(rng.uniform(0, 1e6)),
+              int(rng.randint(0, 1000))) for _ in range(500)]
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(rows)],
+        "lid long, k string, ts double",
+    )
+    right = spark.createDataFrame(
+        [(k, t + 0.5, v) for (k, t, v) in rows[::4]],
+        "k string, ts double, payload long",
+    )
+    plain = asof_join(left, right, time_col="ts", by="k",
+                      right_cols=["payload"], direction=direction,
+                      skew_threshold=None)
+    routed = asof_join(left, right, time_col="ts", by="k",
+                       right_cols=["payload"], direction=direction,
+                       skew_threshold=400)
+    # the NULL group re-routes: the unkeyed carry's bucket column is in
+    # the plan even though no non-NULL key crossed the threshold
+    assert "_ap_pid" in routed._jdf.queryExecution().executedPlan().toString()
+    assert _collect(plain) == _collect(routed)
+
+
+def test_minhash_hot_bucket_emits_linear_pairs(spark):
     """A degenerate bucket holding 50% of the corpus (identical text)
     must contribute O(B) star pairs, not O(B²): total pair count stays
     linear in the corpus, and dedup still collapses every copy."""

@@ -62,9 +62,43 @@ ROWS = [
     # quality classifier (pinned-seed fit + codegen dot-product scoring)
     "pipeline_ccnet",
     "text_quality_lr",
+    # round-11 additions (verdict r10 #6): the shapes changed/added most
+    # recently — the unkeyed as-of prefix-carry and the keyed HOT-KEY
+    # bucketed carry (now the default route), both over a 10x events
+    # copy; BM25 probes via the custom per-dir builder below (the
+    # *_persisted registry row would silently reuse the sf0.1 index)
+    "temporal_asof_unkeyed",
+    "temporal_asof_skew",
+    "fulltext_bm25_scaled",
 ]
 COPIES = 10
 SHIFT = 10_000_000
+
+
+def _bm25_scaled(spark, sf_dir):
+    """fulltext BM25 probe: build the posting index over THIS dir's
+    documents (fresh catalog per dir), then run the bm25 term query —
+    the aggregate-dfreq query shape under test (verdict r9 #1 / r10 #6).
+    The build is included in the timing: at 10x documents both the
+    posting build and the query-side dfreq aggregate must scale."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from adampro_spark.operators.fulltext import SCORE_COL
+    from adampro_spark.ops import AdamOps
+
+    tag = "ft_" + os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(ROOT, "_scratch", "scale_" + tag)
+    shutil.rmtree(base, ignore_errors=True)
+    ops = AdamOps(spark, base)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ops.index.create_from_df(
+        "docs_ft", "documents_ext", docs.select("doc_id", "text"),
+        "text", "fulltext", pk="doc_id",
+    )
+    res = ops.query.fulltext("docs_ft", ["spark", "query", "join"], scoring="bm25")
+    return res.select("doc_id", F.round(SCORE_COL, 4).alias(SCORE_COL))
 
 
 def synthesize(spark) -> None:
@@ -111,6 +145,26 @@ def synthesize(spark) -> None:
         os.path.join(SF1, "embeddings.parquet")
     )
 
+    # events (round 11): 10 shifted copies for the temporal probes —
+    # event_ids shift so the as-of tie-breakers stay unique; user_ids
+    # repeat, so every key holds 10x the rows (exactly the hot-key
+    # pressure the skew route exists for)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+    vparts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(k * SHIFT))
+        for k in range(COPIES)
+    ]
+    vout = vparts[0]
+    for p in vparts[1:]:
+        vout = vout.unionByName(p)
+    vout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1, "events.parquet")
+    )
+
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -124,6 +178,7 @@ def main() -> None:
         synthesize(spark)
 
     registry = {**S.QUERIES, **S.BENCH_ONLY}
+    registry["fulltext_bm25_scaled"] = _bm25_scaled
     # warm plan shapes once at the smallest sf
     for name in ROWS:
         try:
