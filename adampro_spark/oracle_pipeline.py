@@ -395,7 +395,7 @@ def _langid_nb_sql() -> str:
                     substr({norm.format(t='text')}, 1, {LANGID_MAX_CHARS})
                       AS t
              FROM documents
-             WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+             WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
     dg AS (SELECT doc_id, unnest({grams}) AS g FROM docs),
     tc AS (SELECT doc_id, count(*) AS tcnt FROM dg GROUP BY doc_id),
     matched AS (SELECT d.doc_id, m.lang, sum(m.lp) AS s, count(*) AS mc
@@ -1557,13 +1557,13 @@ def _gopher_sql() -> str:
     ),
     cu1b AS (
       -- split-filter-rejoin mirror of canonical_url_expr (ADVICE r9:
-      -- valueless trackers): params matched WHOLE ((?s)…\z — same
+      -- valueless trackers): params matched WHOLE ((?s)…\\z — same
       -- newline semantics as the Spark rlike), order preserved; the
       -- filtered list is computed ONCE (review r10)
       SELECT *, list_filter(
           string_split(regexp_replace(
             regexp_extract(regexp_replace(rest, '(?s)#.*\\z', ''),
-                           '(?s)(\?.*)\\z', 1), '^\?', ''), '&'),
+                           '(?s)(\\?.*)\\z', 1), '^\\?', ''), '&'),
           p -> length(p) > 0 AND NOT regexp_matches(p,
             '(?s)^(utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?\\z')
         ) AS keptq
