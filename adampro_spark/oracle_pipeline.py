@@ -2300,14 +2300,19 @@ def _dsir_sql() -> str:
     """
 
 
-def _ccnet_rows(spark, sf):
+def _ccnet_rows(spark, sf, include_mh: bool = True):
     """Round 10 (verdict r9 #6): the CCNet END-TO-END composition
     (pipeline/ccnet.py, Wenzek et al. 2020) as one hash-adjudicated
     part — trained NB langid → curate (gates + exact dedup) →
     per-LANGUAGE perplexity terciles.  The value hash pins every stage
     at once: langid argmax, gate arithmetic, dedup survivorship, the LM
     fit/score, and the per-language NTILE split.  ``lang|bucket`` folds
-    into the suite's shared bucket column."""
+    into the suite's shared bucket column.
+
+    ``include_mh=False`` (bench only) keeps the round-10 two-part shape
+    so the ``pipeline_ccnet`` bench row stays comparable across rounds;
+    the minhash composition gets its own ``pipeline_ccnet_mh`` row.
+    The DRIVER suite always carries all three parts."""
     from adampro_spark.pipeline.ccnet import ccnet_pipeline
     from adampro_spark.pipeline.lm import (
         fit_unigram_lm, fit_unigram_lm_by, lm_bucket_by,
@@ -2347,25 +2352,47 @@ def _ccnet_rows(spark, sf):
             "bucket"
         ),
     )
-    # round 11 third part (verdict r10 #5): the PRODUCTION dedup shape —
-    # ccnet with near-dup minhash removal (curate_kw routes curate's
-    # dedup stage; threshold 0.8, the curate default).  The oracle leg
-    # is the exact all-pairs Jaccard graph + recursive components over
-    # the gate survivors (the dedup_minhash / dedup_resolution oracle
-    # pattern), so the banded plan's survivor set is pinned end-to-end
-    # inside the composition.  max_bucket_size is disabled like the
-    # simhash oracle row: the hot-bucket star guard is a production
-    # bound whose pair-set semantics are pytest-pinned; the EXHAUSTIVE
-    # contract is what the all-pairs oracle states.
+    legs = [shared, pl]
     handles_mh: list = []
+    if include_mh:
+        # round 11 third part (verdict r10 #5): the PRODUCTION dedup
+        # shape — ccnet with near-dup minhash removal (curate_kw routes
+        # curate's dedup stage; threshold 0.8, the curate default).  The
+        # oracle leg is the exact all-pairs Jaccard graph + recursive
+        # components over the gate survivors (the dedup_minhash /
+        # dedup_resolution oracle pattern), so the banded plan's
+        # survivor set is pinned end-to-end inside the composition.
+        # max_bucket_size is disabled like the simhash oracle row: the
+        # hot-bucket star guard is a production bound whose pair-set
+        # semantics are pytest-pinned; the EXHAUSTIVE contract is what
+        # the all-pairs oracle states.
+        legs.append(_ccnet_mh_rows(spark, sf, docs, vocab, meta, handles_mh))
+    res = _union_all(legs).localCheckpoint(eager=True)
+    for h in handles + handles_mh:  # release the composition's caches
+        h.unpersist()
+    return res
+
+
+def _ccnet_mh_rows(spark, sf, docs=None, vocab=None, meta=None, handles=None):
+    """The minhash-dedup CCNet composition alone (round 11, verdict r10
+    #5) — see _ccnet_rows.  Callable standalone for the
+    ``pipeline_ccnet_mh`` bench row."""
+    from adampro_spark.pipeline.ccnet import ccnet_pipeline
+    from adampro_spark.pipeline.lm import fit_unigram_lm
+
+    own = handles is None
+    if docs is None:
+        docs = _docs(spark, sf).select("doc_id", "text")
+        vocab, meta = fit_unigram_lm(docs, vocab_size=_LM_V)
+    hs: list = [] if handles is None else handles
     out_mh = ccnet_pipeline(
-        docs, vocab, meta, handles=handles_mh,
+        docs, vocab, meta, handles=hs,
         curate_kw={
             "dedup": "minhash", "dedup_threshold": 0.8,
             "max_bucket_size": 10**9,
         },
     )
-    mh = out_mh.select(
+    res = out_mh.select(
         F.lit("ccnet_mh").alias("model"),
         "doc_id",
         "lm_logprob",
@@ -2374,9 +2401,10 @@ def _ccnet_rows(spark, sf):
             "bucket"
         ),
     )
-    res = shared.unionByName(pl).unionByName(mh).localCheckpoint(eager=True)
-    for h in handles + handles_mh:  # release the composition's caches
-        h.unpersist()
+    if own:
+        res = res.localCheckpoint(eager=True)
+        for h in hs:
+            h.unpersist()
     return res
 
 
@@ -2532,7 +2560,13 @@ def _lm_suite(spark, sf):
 
 
 BENCH_ONLY["pipeline_dsir"] = _dsir_rows
-BENCH_ONLY["pipeline_ccnet"] = _ccnet_rows
+# bench rows: pipeline_ccnet keeps the round-10 two-part shape for
+# cross-round timing comparability; the minhash composition's cost is
+# its own row (round 11) — the DRIVER suite row carries all three parts
+BENCH_ONLY["pipeline_ccnet"] = lambda spark, sf: _ccnet_rows(
+    spark, sf, include_mh=False
+)
+BENCH_ONLY["pipeline_ccnet_mh"] = _ccnet_mh_rows
 
 _register(
     "text_lm_suite",

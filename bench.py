@@ -100,6 +100,11 @@ HEADLINE = [
     # round 10: trained quality classifier (pinned-seed ridge fit +
     # one codegen dot-product scoring pass)
     "text_quality_lr",
+    # round 11: the CCNet composition in its minhash production shape
+    # (langid → gates → banded near-dup removal → component resolution
+    # → shared-LM terciles); pipeline_ccnet keeps the r10 two-part
+    # shape so the two rows stay separately comparable across rounds
+    "pipeline_ccnet_mh",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the

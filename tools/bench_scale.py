@@ -70,6 +70,9 @@ ROWS = [
     "temporal_asof_unkeyed",
     "temporal_asof_skew",
     "fulltext_bm25_scaled",
+    # round 11: the minhash-ccnet composition as its own row
+    # (pipeline_ccnet stays the r10 two-part shape)
+    "pipeline_ccnet_mh",
 ]
 COPIES = 10
 SHIFT = 10_000_000
