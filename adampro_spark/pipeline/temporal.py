@@ -474,6 +474,7 @@ def range_join(
     by: str | None = None,
     bucket_width: float = 3600.0,
     how: str = "inner",
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join events to every interval containing them
     (``start <= time <= end``, plus the ``by`` key when given) WITHOUT a
@@ -486,6 +487,18 @@ def range_join(
 
     ``bucket_width`` (seconds) trades candidate slack against explosion
     factor — size it near the typical interval length.
+
+    ``max_buckets_per_interval`` (round 11): an interval spanning more
+    than this many buckets fails the job with a clear message instead
+    of silently exploding — ONE open-ended / sentinel-dated interval
+    (end = 9999-12-31 is a classic dirty-data shape) would otherwise
+    emit ``span/width`` rows and dominate the whole shuffle at scale.
+    The guard is evaluated inside the sequence expression (an
+    ``assert_true`` folded into the sequence start, so the optimizer
+    can never prune it); raise ``bucket_width`` or the cap for
+    legitimately long intervals.  Inverted intervals (``end < start``)
+    emit NO buckets (they contain no events — Spark's ``sequence``
+    would otherwise descend and emit spurious candidate rows).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unknown range_join how {how!r}")
@@ -499,20 +512,36 @@ def range_join(
     # the two sides may share lineage (intervals derived from events), and
     # disjoint names keep the join condition unambiguous without df[...]
     # attribute references.
+    w = F.lit(float(bucket_width))
+    sb = F.floor(F.col(f"_ap_i_{start_col}").cast("double") / w).cast("long")
+    eb = F.floor(F.col(f"_ap_i_{end_col}").cast("double") / w).cast("long")
+    nb = eb - sb + F.lit(1)
+    cap = int(max_buckets_per_interval)
+    # NULL-bounded intervals keep dropping via the NULL sequence; only a
+    # real span above the cap raises.  assert_true returns NULL when the
+    # condition holds, so `sb + coalesce(assert, 0)` is sb on the happy
+    # path and the assert cannot be pruned away.
+    guard = F.coalesce(
+        F.assert_true(
+            (nb <= F.lit(cap)) | nb.isNull(),
+            F.concat(
+                F.lit("range_join: an interval spans "),
+                nb.cast("string"),
+                F.lit(
+                    f" buckets (> max_buckets_per_interval={cap}); "
+                    "raise bucket_width or the cap"
+                ),
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     iv_b = intervals.select(
         *[F.col(c).alias(f"_ap_i_{c}") for c in intervals.columns]
     ).withColumn(
         "_ap_ibucket",
         F.explode(
-            F.sequence(
-                F.floor(
-                    F.col(f"_ap_i_{start_col}").cast("double")
-                    / F.lit(float(bucket_width))
-                ).cast("long"),
-                F.floor(
-                    F.col(f"_ap_i_{end_col}").cast("double")
-                    / F.lit(float(bucket_width))
-                ).cast("long"),
+            F.when(nb >= 1, F.sequence(sb + guard, eb)).otherwise(
+                F.lit(None).cast("array<long>")
             )
         ),
     )

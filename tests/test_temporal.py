@@ -375,3 +375,42 @@ def test_asof_null_time_rights_never_match(spark):
              for r in asof_join(left.drop("k"), right.drop("k"),
                                 time_col="ts", right_cols=["payload"]).collect()}
     assert got_u == {i: (222 if i >= 5 else None) for i in range(10)}
+
+
+def test_range_join_explosion_guard(spark):
+    """round 11: one sentinel-dated interval (span >> cap) must fail the
+    job with a clear message instead of exploding span/width rows; an
+    inverted interval (end < start) emits nothing; legitimate intervals
+    are unaffected by the guard expression."""
+    from adampro_spark.pipeline.temporal import range_join
+
+    ev = spark.createDataFrame(
+        [(1, 100.0), (2, 5000.0)], "event_id long, ts double"
+    )
+    good = spark.createDataFrame(
+        [(10, 0.0, 7200.0)], "win long, start double, end double"
+    )
+    out = range_join(ev, good, bucket_width=3600.0)
+    assert {r["event_id"] for r in out.collect()} == {1, 2}
+
+    # sentinel end date: ~9999-12-31 in epoch seconds, ~70M hourly buckets
+    dirty = spark.createDataFrame(
+        [(11, 0.0, 253402300799.0)], "win long, start double, end double"
+    )
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        range_join(ev, dirty, bucket_width=3600.0).collect()
+    # the same interval passes with an explicit higher cap + wider buckets
+    ok = range_join(
+        ev, dirty, bucket_width=3600.0 * 24 * 365,
+        max_buckets_per_interval=10_000,
+    )
+    assert {r["event_id"] for r in ok.collect()} == {1, 2}
+
+    inverted = spark.createDataFrame(
+        [(12, 7200.0, 0.0)], "win long, start double, end double"
+    )
+    assert range_join(ev, inverted, bucket_width=3600.0).count() == 0
+    left = range_join(ev, inverted, bucket_width=3600.0, how="left")
+    rows = left.collect()
+    assert {r["event_id"] for r in rows} == {1, 2}
+    assert all(r["win"] is None for r in rows)
