@@ -150,6 +150,12 @@ def sample_sources(
     return df.filter(u < rate)
 
 
+# Upper bound on a mix weight = per-row copy count (round 11, the
+# range_join explosion-guard family): no real mixing recipe repeats a
+# source 10,000x, but a units mistake would multiply the corpus by it.
+_MAX_MIX_WEIGHT = 10_000.0
+
+
 def mix_sources(
     df: DataFrame,
     weights: Mapping[str, float],
@@ -172,10 +178,18 @@ def mix_sources(
     no shuffle.
     """
     for s, w in weights.items():
-        if float(w) < 0:
-            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
-    if float(default_weight) < 0:
-        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+        if not 0 <= float(w) <= _MAX_MIX_WEIGHT:
+            raise ValueError(
+                f"weight for {s!r} must be in [0, {_MAX_MIX_WEIGHT}], got "
+                f"{w} — a weight IS a per-row copy count (explosion "
+                "factor); mis-typed weights (epochs*1e6, epoch-seconds) "
+                "would multiply the corpus silently"
+            )
+    if not 0 <= float(default_weight) <= _MAX_MIX_WEIGHT:
+        raise ValueError(
+            f"default_weight must be in [0, {_MAX_MIX_WEIGHT}], got "
+            f"{default_weight}"
+        )
     u = _unit_hash(pk, salt)
     w_expr: Column = F.lit(float(default_weight))
     for s, w in weights.items():

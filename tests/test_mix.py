@@ -368,3 +368,19 @@ def test_temperature_weights_properties(spark):
         temperature_weights(df, -0.1)
     with pytest.raises(ValueError):
         temperature_weights(df, 0.5, max_weight=0.0)
+
+
+def test_mix_weight_explosion_guard(spark):
+    """round 11: a mis-typed weight (units mistake) is a silent corpus
+    multiplier — reject outside [0, 10_000] at the call site."""
+    import pytest
+
+    from adampro_spark.pipeline.mix import mix_sources
+
+    df = spark.createDataFrame([(1, "wiki")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="copy count"):
+        mix_sources(df, {"wiki": 1e6})
+    with pytest.raises(ValueError, match="default_weight"):
+        mix_sources(df, {"wiki": 2.0}, default_weight=1e9)
+    # legit weights unaffected
+    assert mix_sources(df, {"wiki": 3.0}).count() == 3
