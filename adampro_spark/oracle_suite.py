@@ -1189,6 +1189,36 @@ def _temporal_asof(spark: SparkSession, sf: str) -> DataFrame:
 
 # registered below as part of the round-8 temporal_suite fold
 BENCH_ONLY["temporal_asof"] = _temporal_asof
+
+
+def _temporal_asof_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Round 11: the STREAM-STATIC as-of formulation
+    (streaming/ingest.stream_asof — sorted per-key reference arrays +
+    stateless element_at lookup, the shape that runs on a live stream)
+    evaluated in batch mode against the SAME DuckDB ASOF oracle as the
+    window formulation: two independent implementations of the as-of
+    contract, both inside the hash."""
+    from adampro_spark.session import load_tables
+    from adampro_spark.streaming.ingest import stream_asof
+
+    ev = load_tables(spark, sf)["events"].select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    left = ev.filter(F.col("event_type") == "view")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    res = stream_asof(left, right, time_col="ts", by="user_id",
+                      right_cols=["click_value"])
+    return res.select(
+        "event_id",
+        F.round("ts_right", 6).alias("ts_right"),
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
+BENCH_ONLY["temporal_asof_stream"] = _temporal_asof_stream
 _TEMPORAL_ASOF_SQL = """
     WITH ev AS (
       SELECT event_id, user_id, event_type, value, epoch(ts) AS ts FROM events
@@ -1403,7 +1433,14 @@ def _temporal_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts_right").alias("a"),
         F.col("click_value").alias("b"),
     )
-    return _union_all([a, r, u, s])
+    st = _temporal_asof_stream(spark, sf).select(
+        F.lit("sasof").alias("mode"),
+        "event_id",
+        F.lit(None).cast("long").alias("k"),
+        F.col("ts_right").alias("a"),
+        F.col("click_value").alias("b"),
+    )
+    return _union_all([a, r, u, s, st])
 
 
 _register(
@@ -1422,6 +1459,9 @@ _register(
     UNION ALL
     SELECT 'skew', event_id, k, ts_right, click_value
     FROM ({_TEMPORAL_SKEW_SQL})
+    UNION ALL
+    SELECT 'sasof', event_id, NULL::BIGINT, ts_right, click_value
+    FROM ({_TEMPORAL_ASOF_SQL})
     """,
 )
 

@@ -431,6 +431,135 @@ def progressive_knn_stream(
     )
 
 
+def stream_asof(
+    stream: DataFrame,
+    reference: DataFrame,
+    time_col: str = "ts",
+    by: str | None = None,
+    right_cols: "list[str] | None" = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_right",
+    max_rows_per_key: int = 100_000,
+) -> DataFrame:
+    """STREAM-STATIC as-of join (round 11): enrich a live event stream
+    with the matching row of a static reference table per ``direction``
+    — the production shape of as-of at ingest time (tag each event with
+    the most recent quote/config/dimension snapshot at or before its
+    timestamp).  Same surface and semantics as the batch
+    :func:`~adampro_spark.pipeline.temporal.asof_join`
+    (backward/forward/nearest, ``tolerance`` seconds, equal times
+    match, the matched row carried ATOMICALLY), with one deliberate
+    tightening: equal right timestamps within a key break
+    deterministically by payload order (the batch window's order among
+    exact ts ties is engine-internal).
+
+    Shape (the reason this streams at all): the batch formulation is a
+    window over the UNION of both sides — stateful, and Structured
+    Streaming cannot sort a stream.  But against a STATIC right side
+    the lookup is a pure function of the event row: the reference
+    compiles once into one sorted ``array<struct(ts, payload…)>`` per
+    key, the stream equi-joins that tiny table on the key (Spark
+    broadcasts a dimension-sized build side; AQE decides), and the
+    match is ``element_at(filter(arr, r -> r.ts <= t), -1)`` — a
+    stateless codegen expression, so the SAME code runs on a batch
+    DataFrame, which is how tests adjudicate it (vs batch asof_join).
+
+    ``max_rows_per_key`` bounds the per-key history array (one key's
+    reference rows land in ONE array cell — the explosion-guard family,
+    like ``range_join``'s bucket cap): above the cap the job fails with
+    a clear message; as-of against an unbounded per-key history is the
+    batch operator's job, not a stream enrichment's.
+
+    NULL-time reference rows never match (dropped up front, the batch
+    contract).  NULL / unseen keys yield NULL right columns (left
+    semantics).  Returns the stream's columns plus ``ts<suffix>`` and
+    each requested right column (``<col><suffix>`` on name clash).
+    """
+    from adampro_spark.pipeline.temporal import _TS_FIELD
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
+    reference = reference.filter(F.col(time_col).isNotNull())
+    rcols = right_cols or [
+        c for c in reference.columns if c not in (time_col, by)
+    ]
+    keys = [by] if by is not None else []
+    pack = F.struct(
+        F.col(time_col).cast("double").alias(_TS_FIELD),
+        *[F.col(c) for c in rcols],
+    )
+    grouped = (
+        reference.groupBy(*[F.col(k) for k in keys])
+        if keys
+        else reference.groupBy(F.lit(1).alias("_ap_one"))
+    ).agg(F.sort_array(F.collect_list(pack)).alias("_ap_ref"))
+    cap = int(max_rows_per_key)
+    # non-prunable guard (the range_join pattern): assert_true returns
+    # NULL when the bound holds, so slicing from `1 + guard` is the
+    # whole array on the happy path and raises on a hot key
+    guard = F.coalesce(
+        F.assert_true(
+            F.size("_ap_ref") <= F.lit(cap),
+            F.concat(
+                F.lit("stream_asof: a reference key holds "),
+                F.size("_ap_ref").cast("string"),
+                F.lit(
+                    f" rows (> max_rows_per_key={cap}); as-of against an "
+                    "unbounded per-key history is batch asof_join's job"
+                ),
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    grouped = grouped.withColumn(
+        "_ap_ref", F.slice(F.col("_ap_ref"), F.lit(1) + guard, F.size("_ap_ref"))
+    )
+
+    if keys:
+        joined = stream.join(grouped, on=keys, how="left")
+    else:
+        joined = stream.withColumn("_ap_one", F.lit(1)).join(
+            grouped, on=["_ap_one"], how="left"
+        ).drop("_ap_one")
+
+    t = F.col(time_col).cast("double")
+    arr = F.col("_ap_ref")
+    back = F.filter(arr, lambda x: x[_TS_FIELD] <= t)
+    fwd = F.filter(arr, lambda x: x[_TS_FIELD] >= t)
+    # element_at under ANSI (Spark 4 default) raises on index 0/out-of-
+    # bounds — guard on size explicitly
+    mb = F.when(F.size(back) > 0, F.element_at(back, F.size(back)))
+    mf = F.when(F.size(fwd) > 0, F.element_at(fwd, F.lit(1)))
+
+    tol = None if tolerance is None else F.lit(float(tolerance))
+    valid_b = mb.isNotNull() if tol is None else (
+        mb.isNotNull() & ((t - mb[_TS_FIELD]) <= tol)
+    )
+    valid_f = mf.isNotNull() if tol is None else (
+        mf.isNotNull() & ((mf[_TS_FIELD] - t) <= tol)
+    )
+    if direction == "backward":
+        m = F.when(valid_b, mb)
+    elif direction == "forward":
+        m = F.when(valid_f, mf)
+    else:  # nearest: closer side wins, tie -> backward (pandas)
+        db = t - mb[_TS_FIELD]
+        df_ = mf[_TS_FIELD] - t
+        m = (
+            F.when(valid_b & valid_f, F.when(df_ < db, mf).otherwise(mb))
+            .when(valid_b, mb)
+            .when(valid_f, mf)
+        )
+
+    proj = [F.col(c) for c in stream.columns]
+    proj.append(m[_TS_FIELD].alias(f"ts{suffix}"))
+    for c in rcols:
+        name = f"{c}{suffix}" if c in stream.columns else c
+        proj.append(m[c].alias(name))
+    return joined.select(*proj)
+
+
 def stream_insert_entity(
     stream: DataFrame, entity, checkpoint_dir: str, trigger_available_now: bool = True
 ):

@@ -105,6 +105,10 @@ HEADLINE = [
     # → shared-LM terciles); pipeline_ccnet keeps the r10 two-part
     # shape so the two rows stay separately comparable across rounds
     "pipeline_ccnet_mh",
+    # round 11: stream-static as-of (sorted per-key reference arrays +
+    # stateless element_at lookup — the formulation that runs on a live
+    # stream), timed in batch mode like every streaming-capable row
+    "temporal_asof_stream",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the

@@ -770,3 +770,124 @@ def test_stream_dedup_custom_key_null_urls_not_collapsed(spark):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert {1, 2, 3} <= kept                 # distinct NULL-url docs survive
     assert len(kept & {4, 5}) == 1           # canonical dup collapses
+
+
+# ---------------------------------------------------------------------------
+# round 11: stream-static as-of enrichment (streaming/ingest.stream_asof)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_sides(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    left = spark.createDataFrame(
+        [
+            (i, f"k{rng.randint(5)}" if rng.rand() > 0.1 else None,
+             float(rng.uniform(0, 1e5)))
+            for i in range(400)
+        ],
+        "lid long, k string, ts double",
+    )
+    # unique right timestamps per key (ties are the documented batch-vs-
+    # stream tie-break difference, excluded like the oracle rows do)
+    ref = spark.createDataFrame(
+        [
+            (f"k{i % 6}", float(1000 * j + i), int(i * 100 + j))
+            for i in range(6)
+            for j in range(40)
+        ],
+        "k string, ts double, payload long",
+    )
+    return left, ref
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_stream_asof_batch_parity_with_asof_join(spark, asof_sides, direction):
+    """stream_asof on a BATCH frame must equal batch asof_join row for
+    row (keyed + unkeyed, with and without tolerance) — the same
+    adjudication pattern as every other streaming operator here."""
+    from adampro_spark.pipeline.temporal import asof_join
+    from adampro_spark.streaming.ingest import stream_asof
+
+    left, ref = asof_sides
+    key = lambda df, ks=("lid",): sorted(  # noqa: E731
+        (tuple(r[k] for k in ks), r["ts_right"], r["payload"])
+        for r in df.collect()
+    )
+    for tol in (None, 5000.0):
+        want = asof_join(left, ref, time_col="ts", by="k",
+                         right_cols=["payload"], direction=direction,
+                         tolerance=tol)
+        got = stream_asof(left, ref, time_col="ts", by="k",
+                          right_cols=["payload"], direction=direction,
+                          tolerance=tol)
+        assert key(got) == key(want), (direction, tol, "keyed")
+        want_u = asof_join(left.drop("k"), ref.drop("k"), time_col="ts",
+                           right_cols=["payload"], direction=direction,
+                           tolerance=tol)
+        got_u = stream_asof(left.drop("k"), ref.drop("k"), time_col="ts",
+                            right_cols=["payload"], direction=direction,
+                            tolerance=tol)
+        assert key(got_u) == key(want_u), (direction, tol, "unkeyed")
+
+
+def test_stream_asof_runs_on_a_real_stream(spark, asof_sides, tmp_path):
+    """The same expression graph must run as an actual micro-batched
+    readStream (two source files -> two micro-batches) and produce the
+    batch answer."""
+    from adampro_spark.streaming.ingest import stream_asof
+
+    left, ref = asof_sides
+    src = tmp_path / "asof_src"
+    rows = left.collect()
+    spark.createDataFrame(rows[:200], left.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b0"))
+    spark.createDataFrame(rows[200:], left.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(left.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stream_asof(stream, ref, time_col="ts", by="k",
+                      right_cols=["payload"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["lid"], r["ts_right"], r["payload"])
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    want = {
+        (r["lid"], r["ts_right"], r["payload"])
+        for r in stream_asof(left, ref, time_col="ts", by="k",
+                             right_cols=["payload"]).collect()
+    }
+    assert got == want
+
+
+def test_stream_asof_per_key_history_guard(spark):
+    """A reference key above max_rows_per_key fails with a clear message
+    (one key's history lands in ONE array cell — the explosion-guard
+    family); below the cap it works."""
+    from adampro_spark.streaming.ingest import stream_asof
+
+    left = spark.createDataFrame([(1, "hot", 50.0)], "lid long, k string, ts double")
+    ref = spark.createDataFrame(
+        [("hot", float(i), i) for i in range(200)],
+        "k string, ts double, payload long",
+    )
+    with pytest.raises(Exception, match="max_rows_per_key"):
+        stream_asof(left, ref, by="k", max_rows_per_key=100).collect()
+    row = stream_asof(left, ref, by="k", max_rows_per_key=200).collect()[0]
+    assert row["payload"] == 50 and row["ts_right"] == 50.0
