@@ -613,19 +613,82 @@ _SQL_DOCS_TRUNC = f"""
   FROM documents WHERE doc_id % 7 = 0
 """
 
-_register(
-    "dedup_exact",
-    lambda spark, sf: exact_dedup(_docs_with_exact_copies(spark, sf)).select(
-        "survivor", "n_copies", F.array_join("dup_ids", ",").alias("dup_ids")
-    ),
-    f"""
-    SELECT min(doc_id)::BIGINT AS survivor,
+def _docs_with_ccnet_copies(spark, sf) -> DataFrame:
+    """Planted NORMALIZED-equivalent copies: every 11th document gets two
+    derived copies that differ in case, Latin accents, digits and
+    punctuation but CCNet-normalize to the same text — copyA appends
+    ``' 111!'``, copyB uppercases, swaps E/A for É/À and appends
+    ``' 222?'`` (both suffixes normalize to ``'000'``).  The originals
+    stay distinct (no suffix), so ``normalize="ccnet"`` must group
+    exactly the copy pairs while plain exact dedup groups none of them.
+    """
+    d = _docs(spark, sf).select("doc_id", "text")
+    sel = d.filter(F.col("doc_id") % 11 == 0)
+    a = sel.select(
+        (F.col("doc_id") + _OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" 111!")).alias("text"),
+    )
+    b = sel.select(
+        (F.col("doc_id") + 2 * _OFF).alias("doc_id"),
+        F.concat(
+            F.translate(F.upper(F.col("text")), "EA", "ÉÀ"), F.lit(" 222?")
+        ).alias("text"),
+    )
+    return d.unionByName(a).unionByName(b)
+
+
+_SQL_DOCS_CCNET = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_OFF} AS doc_id, text || ' 111!' AS text
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + {2 * _OFF} AS doc_id,
+         translate(upper(text), 'EA', 'ÉÀ') || ' 222?' AS text
+  FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def _dedup_exact_suite(spark, sf) -> DataFrame:
+    """Tagged union (round 11): the plain whitespace-normalized groups
+    PLUS the CCNet-normalized groups (Wenzek et al. 2020 §3.1 —
+    lower/accent-fold/digit→0/punct-strip before hashing) over a corpus
+    with planted normalized-equivalent copies.  One value hash
+    adjudicates the whole normalization chain (translate table, digit
+    fold, explicit punct class) against DuckDB's independent mirror."""
+    shape = lambda df, tag: df.select(  # noqa: E731
+        F.lit(tag).alias("part"),
+        "survivor",
+        "n_copies",
+        F.array_join("dup_ids", ",").alias("dup_ids"),
+    )
+    plain = shape(exact_dedup(_docs_with_exact_copies(spark, sf)), "plain")
+    cc = shape(
+        exact_dedup(_docs_with_ccnet_copies(spark, sf), normalize="ccnet"),
+        "ccnet",
+    )
+    return plain.unionByName(cc)
+
+
+def _dedup_exact_sql() -> str:
+    from adampro_spark.pipeline.text import sql_ccnet_normalize
+
+    groups = lambda tag, src, norm: f"""
+    SELECT '{tag}' AS part,
+           min(doc_id)::BIGINT AS survivor,
            count(*)::BIGINT AS n_copies,
            array_to_string(list_slice(list_sort(list(doc_id)), 2, len(list(doc_id))), ',') AS dup_ids
-    FROM (SELECT doc_id, {_sql_poly_hash(_sql_norm_text('text'))} AS h FROM ({_SQL_DOCS_EXACT}))
+    FROM (SELECT doc_id, {_sql_poly_hash(_sql_norm_text(norm))} AS h FROM ({src}))
     GROUP BY h HAVING count(*) > 1
-    """,
-)
+    """  # noqa: E731
+    return (
+        groups("plain", _SQL_DOCS_EXACT, "text")
+        + " UNION ALL "
+        + groups("ccnet", _SQL_DOCS_CCNET, sql_ccnet_normalize("text"))
+    )
+
+
+_register("dedup_exact", _dedup_exact_suite, _dedup_exact_sql())
 
 
 def _minhash_sql(threshold: float, shingle_n: int) -> str:

@@ -16,6 +16,7 @@ Everything here is designed for the 100 TB shape first:
 """
 
 from adampro_spark.pipeline.text import (  # noqa: F401
+    ccnet_normalize_expr,
     char_codes,
     fingerprint_expr,
     langid_expr,

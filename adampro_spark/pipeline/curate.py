@@ -602,7 +602,9 @@ def curate(
                 "groups have no similarity knob"
             )
         t1 = time.perf_counter()
-        groups = exact_dedup(kept, text_col=text_col, pk=pk)
+        # dedup_kw reaches exact_dedup too — e.g. normalize="ccnet" for
+        # the paper's case/accent/digit/punct-folded match (Wenzek 2020)
+        groups = exact_dedup(kept, text_col=text_col, pk=pk, **dedup_kw)
         dropped = groups.select(F.explode("dup_ids").alias(pk))
         if stage_timings is not None:
             dropped = dropped.localCheckpoint(eager=True)

@@ -125,8 +125,29 @@ def _gated_semi_join(
 # ---------------------------------------------------------------------------
 
 
+def _resolve_normalize(normalize) -> "callable":
+    """Resolve the dedup-hash text normalization: ``None`` (identity),
+    ``"ccnet"`` (:func:`~adampro_spark.pipeline.text.ccnet_normalize_expr`
+    — Wenzek et al. 2020 §3.1: case/accent/digit/punct folding), or a
+    callable ``Column -> Column``."""
+    if normalize is None:
+        return lambda c: c
+    if normalize == "ccnet":
+        from adampro_spark.pipeline.text import ccnet_normalize_expr
+
+        return ccnet_normalize_expr
+    if callable(normalize):
+        return normalize
+    raise ValueError(
+        f"normalize must be None, 'ccnet', or a callable, got {normalize!r}"
+    )
+
+
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", pk: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    normalize: str | None = None,
 ) -> DataFrame:
     """Exact duplicate groups over whitespace-normalized lowercased text.
 
@@ -137,8 +158,16 @@ def exact_dedup(
     never shuffled (only pk + hash), collision-checked groups are fine at
     the P=1e9+7 modulus for dedup purposes; swap in a 128-bit hash for
     adversarial corpora.
+
+    ``normalize="ccnet"`` additionally folds case, Latin accents, digits
+    (→``0``) and punctuation before hashing — the normalization CCNet
+    applies before its paragraph dedup; the added work is one map-only
+    codegen projection, the plan shape is unchanged.
     """
-    norm_h = poly_hash(char_codes(F.concat_ws(" ", tokens_expr(text_col))))
+    norm = _resolve_normalize(normalize)
+    norm_h = poly_hash(
+        char_codes(F.concat_ws(" ", tokens_expr(norm(F.col(text_col)))))
+    )
     return (
         _spread(df).select(F.col(pk).alias("_pk"), norm_h.alias("_h"))
         .groupBy("_h")
@@ -1320,6 +1349,7 @@ def line_dedup(
     min_docs: int = 3,
     max_broadcast_rows: int = BROADCAST_HOT_MAX_ROWS,
     sep: str = "\n",
+    normalize: str | None = None,
 ) -> DataFrame:
     """Remove BOILERPLATE LINES — lines occurring in ≥ ``min_docs``
     distinct documents (C4 removed any line repeated ≥ 3×; RefinedWeb
@@ -1333,6 +1363,12 @@ def line_dedup(
     split→rejoin round-trip stays byte-lossless for untouched
     documents.  The output counter column is named ``n_lines_removed``
     either way.
+
+    ``normalize="ccnet"`` matches lines by their CCNet-normalized hash
+    (case/accent/digit/punct folding — the paper's paragraph-dedup
+    normalization) while the REBUILT text keeps each surviving line's
+    original bytes, exactly like cc_net: normalization is for matching
+    only, never applied to the output.
 
     Output = the input columns with ``text_col`` rebuilt (surviving
     lines re-joined with ``\\n``) plus ``n_lines_removed``.  Lines that
@@ -1356,12 +1392,13 @@ def line_dedup(
 
     from adampro_spark.pipeline.text import char_codes, poly_hash
 
+    norm = _resolve_normalize(normalize)
     lines = F.split(F.col(text_col), _re.escape(str(sep)))
     candidate = lambda ln: F.length(F.trim(ln)) > 0  # noqa: E731
     lh = df.select(
         F.col(pk).alias("_pk"),
         F.posexplode(
-            F.transform(lines, lambda ln: poly_hash(char_codes(ln)))
+            F.transform(lines, lambda ln: poly_hash(char_codes(norm(ln))))
         ).alias("_pos", "_lh"),
         lines.alias("_ls"),
     ).withColumn("_keepable", candidate(F.col("_ls")[F.col("_pos")]))

@@ -66,6 +66,88 @@ def poly_hash(codes: Column) -> Column:
     )
 
 
+def _build_accent_table() -> tuple[str, str]:
+    """Deterministic accent-fold table over U+00C0–U+017F (Latin-1
+    Supplement + Latin Extended-A): every LOWERCASE character whose NFD
+    decomposition is one ASCII letter followed only by combining marks
+    maps to that letter.  Non-decomposable letters (œ æ ø ß đ ł ı ħ)
+    deliberately pass through — CCNet's ``strip_accents`` (NFD + drop
+    Mn marks) leaves them unchanged too.  Uppercase needs no entries:
+    normalization lowercases first.  The table is frozen Unicode data
+    (this range has been stable since Unicode 1.1), so Spark and the
+    DuckDB oracle share the exact same literal."""
+    import string as _string
+    import unicodedata as _ud
+
+    frm, to = [], []
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp)
+        if ch.lower() != ch:
+            continue
+        d = _ud.normalize("NFD", ch)
+        if (
+            len(d) > 1
+            and d[0] in _string.ascii_lowercase
+            and all(_ud.combining(c) for c in d[1:])
+        ):
+            frm.append(ch)
+            to.append(d[0])
+    return "".join(frm), "".join(to)
+
+
+#: accent-fold translate() table shared by the Spark expression and the
+#: DuckDB oracle mirror (80 chars each side).
+ACCENT_FROM, ACCENT_TO = _build_accent_table()
+
+#: punctuation stripped by :func:`ccnet_normalize_expr` — an EXPLICIT
+#: character set (ASCII punctuation + the common Unicode quote/dash/
+#: ellipsis/bullet marks), not ``\p{P}``: Java regex and DuckDB's RE2
+#: ship different Unicode table versions, so a category class could
+#: hash-diverge between the engines on exotic codepoints; a literal
+#: class is identical by construction.
+DEDUP_PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~«»‹›“”„‚‘’–—―‐…·•¿¡§¶†‡"
+
+
+def _punct_class(chars: str) -> str:
+    """Regex character class matching exactly ``chars`` — escaping is
+    the shared subset Java regex and RE2 treat identically."""
+    return "[" + "".join(
+        ("\\" + c) if c in "\\]^-[" else c for c in chars
+    ) + "]"
+
+
+def ccnet_normalize_expr(text: str | Column) -> Column:
+    """CCNet's dedup-hash text normalization (Wenzek et al. 2020 §3.1;
+    cc_net ``text_normalizer.normalize``): lowercase, fold Latin
+    accents, collapse every digit to ``0``, strip punctuation.  Two
+    documents differing only in case, accents, numbers, or punctuation
+    hash equal — the normalization the paper applies before paragraph
+    dedup.
+
+    Pure codegen (``lower`` → ``translate`` → two ``regexp_replace``),
+    map-only, exactly mirrored in DuckDB (``translate`` + global
+    ``regexp_replace`` — parity verified incl. non-decomposable œ/æ/ß).
+    Deviation from cc_net: accent folding covers the NFD-decomposable
+    Latin-1/Extended-A range via a translate table (full NFD is not
+    expressible as a Catalyst expression); other scripts pass through
+    unchanged, which only makes the dedup more conservative there.
+    """
+    x = F.lower(_c(text))
+    x = F.translate(x, ACCENT_FROM, ACCENT_TO)
+    x = F.regexp_replace(x, "[0-9]", "0")
+    return F.regexp_replace(x, _punct_class(DEDUP_PUNCT), "")
+
+
+def sql_ccnet_normalize(t: str) -> str:
+    """DuckDB mirror of :func:`ccnet_normalize_expr` (same literals)."""
+    cls = _punct_class(DEDUP_PUNCT).replace("'", "''")
+    frm = ACCENT_FROM.replace("'", "''")
+    return (
+        f"regexp_replace(regexp_replace(translate(lower({t}), "
+        f"'{frm}', '{ACCENT_TO}'), '[0-9]', '0', 'g'), '{cls}', '', 'g')"
+    )
+
+
 def fingerprint_expr(text: str | Column) -> Column:
     """Document fingerprint: polynomial hash of the whitespace-normalized
     lowercased text (join tokens with single spaces first, so formatting

@@ -932,3 +932,102 @@ def test_minhash_bands_auto_matches_fixed_semantics(spark):
         for r in minhash_dup_pairs(corpus, threshold=0.7, bands="auto").collect()
     }
     assert (1, 2) in auto and all(3 not in p for p in auto)
+
+
+# ---------------------------------------------------------------------------
+# CCNet dedup-hash normalization (round 11; Wenzek et al. 2020 §3.1)
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_normalize_expr_folds(spark):
+    from adampro_spark.pipeline.text import ccnet_normalize_expr
+
+    cases = [
+        # case + accents + digits + punct all fold
+        ("Héllo, Wörld! 42?", "hello world 00"),
+        # non-decomposable letters pass through (CCNet strip_accents too)
+        ("ŒUF æther ßtraße øre", "œuf æther ßtraße øre"),
+        # unicode quotes/dashes/ellipsis stripped
+        ("«déjà-vu» — c’est fini…", "dejavu  cest fini"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["t"])
+    out = [r[0] for r in df.select(ccnet_normalize_expr("t")).collect()]
+    # whitespace is NOT collapsed by the expr itself (tokens_expr does
+    # that downstream) — compare token sequences
+    assert [o.split() for o in out] == [e.split() for _, e in cases]
+
+
+def test_exact_dedup_ccnet_groups_normalized_equivalents(spark):
+    rows = [
+        (1, "The quick Brown Fox, item 12!"),
+        (2, "the QUICK brown fox — item 99"),   # case/digit/punct variant
+        (3, "Thé quïck brôwn fôx item 00"),      # accent variant
+        (4, "a completely different document"),
+        (5, "The quick Brown Fox, item 12!"),    # byte-identical to 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = exact_dedup(df).collect()
+    # plain: only the byte-identical pair groups
+    assert len(plain) == 1 and plain[0]["n_copies"] == 2
+    cc = exact_dedup(df, normalize="ccnet").collect()
+    assert len(cc) == 1
+    g = cc[0]
+    assert g["survivor"] == 1 and g["n_copies"] == 4
+    assert g["dup_ids"] == [2, 3, 5]
+
+
+def test_exact_dedup_normalize_rejects_unknown(docs):
+    with pytest.raises(ValueError, match="normalize"):
+        exact_dedup(docs, normalize="nfkc")
+
+
+def test_line_dedup_ccnet_matches_variant_boilerplate(spark):
+    from adampro_spark.pipeline import line_dedup
+
+    boiler = [
+        "Copyright 2019 Example Corp.",
+        "copyright 2024 EXAMPLE corp",     # digits + case differ
+        "Cöpyright 2001 Éxample Corp!!!",  # accents + punct differ
+    ]
+    # bodies must differ in LETTERS: a digit-only difference would
+    # itself fold to one line under the normalization being tested
+    names = ["alpha", "bravo", "carol"]
+    rows = [
+        (i, f"unique body {names[i]} stays\n{b}") for i, b in enumerate(boiler)
+    ] + [(99, "untouched doc\nno shared lines here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # plain hashing sees 3 distinct lines -> nothing reaches min_docs=3
+    out_plain = {r["doc_id"]: r for r in line_dedup(df, min_docs=3).collect()}
+    assert all(r["n_lines_removed"] == 0 for r in out_plain.values())
+    # normalized hashing groups all three variants -> each doc loses it
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df, min_docs=3, normalize="ccnet").collect()
+    }
+    for i in range(3):
+        assert out[i]["n_lines_removed"] == 1
+        assert out[i]["text"] == f"unique body {names[i]} stays"
+    # untouched document keeps its exact bytes
+    assert out[99]["text"] == "untouched doc\nno shared lines here"
+    assert out[99]["n_lines_removed"] == 0
+
+
+def test_curate_exact_dedup_accepts_normalize(spark):
+    from adampro_spark.pipeline.curate import curate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field every single day"
+    )
+    rows = [
+        (1, base + " item 12!"),
+        (2, base.upper() + " ITEM 99?"),  # ccnet-equivalent to 1
+        (3, base + " but genuinely different tail content here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out, rep = curate(
+        df, dedup="exact", normalize="ccnet", min_tokens=5, min_quality=0.0
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 3}
+    assert rep["n_dup_dropped"] == 1
