@@ -1280,7 +1280,26 @@ def _split_sample_corpus(spark, sf):
     ).select("doc_id", "split")
 
 
+def _decontaminate_bloom_corpus(spark, sf):
+    """Same corpus/eval derivation as ``pipeline_decontaminate`` but via
+    the zero-shuffle Bloom path (method="bloom") — the bench pair makes
+    the scale trade measurable round over round."""
+    from adampro_spark.pipeline.mix import decontaminate
+
+    docs = _docs(spark, sf)
+    ev = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.array_join(
+                F.slice(F.split(F.lower("text"), r"\s+"), 6, 13), " "
+            ).alias("text")
+        )
+    )
+    return decontaminate(docs, ev, n=13, method="bloom").select("doc_id")
+
+
 BENCH_ONLY["pipeline_decontaminate"] = _decontaminate_corpus
+BENCH_ONLY["pipeline_decontaminate_bloom"] = _decontaminate_bloom_corpus
 BENCH_ONLY["pipeline_pack"] = _pack_corpus
 BENCH_ONLY["pipeline_split_sample"] = _split_sample_corpus
 

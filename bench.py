@@ -61,6 +61,8 @@ HEADLINE = [
     # round 6: dataset assembly — eval decontamination (13-gram semi-join)
     # and sequence packing (sharded greedy first-fit)
     "pipeline_decontaminate",
+    # round 11: the zero-shuffle Bloom-filter path (method="bloom")
+    "pipeline_decontaminate_bloom",
     "pipeline_pack",
     # round 7: source re-weighting + hash-stable train/val/test split
     "pipeline_split_sample",

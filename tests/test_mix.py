@@ -384,3 +384,146 @@ def test_mix_weight_explosion_guard(spark):
         mix_sources(df, {"wiki": 2.0}, default_weight=1e9)
     # legit weights unaffected
     assert mix_sources(df, {"wiki": 3.0}).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (round 11, the zero-shuffle scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_bloom_matches_semi_path(spark, docs):
+    from adampro_spark.pipeline.text import tokens_expr
+
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(tokens_expr("text"), 5, 5)).alias("text")
+    )
+    semi = {r[0] for r in decontaminate(docs, eval_df, n=5).select("doc_id").collect()}
+    bloom = {
+        r[0]
+        for r in decontaminate(docs, eval_df, n=5, method="bloom")
+        .select("doc_id")
+        .collect()
+    }
+    # bloom can only OVER-drop (false positives), never under-drop
+    assert bloom <= semi
+    # at fpp=1e-6 over a few-thousand-gram corpus the expected FP count
+    # is ~1e-3 — exact agreement
+    assert bloom == semi
+
+
+def test_decontaminate_bloom_drops_planted_contamination(spark, docs):
+    picked = docs.orderBy("doc_id").limit(2).collect()
+    evals = [
+        (" ".join(r["text"].lower().split()[5:18]),)
+        for r in picked
+        if len(r["text"].split()) >= 18
+    ]
+    assert evals
+    eval_df = spark.createDataFrame(evals, "text string")
+    ids = {
+        r["doc_id"]
+        for r in decontaminate(docs, eval_df, n=13, method="bloom")
+        .select("doc_id")
+        .collect()
+    }
+    for r in picked:
+        if len(r["text"].split()) >= 18:
+            assert r["doc_id"] not in ids
+
+
+def test_decontaminate_bloom_empty_eval_and_nulls(spark, docs):
+    # empty eval set keeps everything (no filter built at all)
+    assert (
+        decontaminate(docs, docs.limit(0), method="bloom").count()
+        == docs.count()
+    )
+    # NULL text is kept by both paths
+    with_null = docs.unionByName(
+        docs.limit(1).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.lit(None).cast("string").alias("text"),
+            "lang", "source", "n_chars",
+        ).select(docs.columns)
+    )
+    eval_df = docs.limit(1).select("text")
+    out = decontaminate(with_null, eval_df, n=5, method="bloom")
+    assert out.filter(F.col("text").isNull()).count() == 1
+
+
+def test_decontaminate_bloom_plan_is_map_only(spark, docs):
+    eval_df = docs.limit(1).select("text")
+    plan = (
+        decontaminate(docs, eval_df, method="bloom")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # no join, no shuffle: one scan + ArrowEvalPython filter
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_decontaminate_bloom_guards(spark, docs):
+    eval_df = docs.limit(5).select("text")
+    with pytest.raises(ValueError, match="max_eval_grams"):
+        decontaminate(docs, eval_df, method="bloom", max_eval_grams=3)
+    with pytest.raises(ValueError, match="method"):
+        decontaminate(docs, eval_df, method="minhash")
+
+
+def test_bloom_filter_fp_rate_and_no_false_negatives():
+    import numpy as np
+
+    from adampro_spark.pipeline.mix import (
+        _bloom_contains,
+        _bloom_insert,
+        _bloom_params,
+    )
+
+    rng = np.random.default_rng(7)
+    for n_items in (19, 1000, 50_000):
+        items = np.unique(
+            rng.integers(0, 1_000_000_007, n_items).astype(np.int64)
+        )
+        m, k = _bloom_params(len(items), 1e-6)
+        assert m & (m - 1) == 0, "m must be a power of two (stride coprimality)"
+        words = np.zeros(m // 64, dtype=np.uint64)
+        _bloom_insert(words, items, m, k)
+        # zero false negatives, ever
+        assert _bloom_contains(words, items, m, k).all()
+        probes = np.setdiff1d(
+            rng.integers(0, 1_000_000_007, 1_000_000).astype(np.int64), items
+        )
+        fp = _bloom_contains(words, probes, m, k).sum() / len(probes)
+        # 100x headroom over the 1e-6 target (the double-hashing bug this
+        # pins regressed to 2.5e-5)
+        assert fp < 1e-4, f"n={n_items}: measured FP rate {fp}"
+
+
+def test_fold_grams_np_matches_spark_expression(spark, docs):
+    import numpy as np
+
+    from adampro_spark.pipeline.mix import (
+        _fold_grams_np,
+        _grams_from_token_hashes,
+        _token_hashes,
+    )
+
+    n = 5
+    rows = (
+        docs.limit(50)
+        .select("doc_id", _token_hashes("text").alias("th"))
+        .withColumn("g", _grams_from_token_hashes(F.col("th"), n))
+        .collect()
+    )
+    # include a short doc (< n tokens) and an empty doc
+    extra = [([], []), ([11, 22], None)]  # expected grams computed below
+    th_lists = [list(r["th"]) for r in rows] + [[], [11, 22]]
+    lens = np.array([len(t) for t in th_lists])
+    flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in th_lists if t])
+    grams, doc_of = _fold_grams_np(flat, lens, n)
+    got = [sorted(set(grams[doc_of == i].tolist())) for i in range(len(th_lists))]
+    want = [sorted(set(r["g"])) for r in rows]
+    assert got[: len(rows)] == want
+    # empty doc: no grams; short doc: ONE gram = fold of its full sequence
+    assert got[len(rows)] == []
+    P = 1_000_000_007
+    assert got[len(rows) + 1] == [(11 * 31 + 22) % P]
