@@ -1887,6 +1887,15 @@ def _decontaminate_sql(n: int = _DECON_N) -> str:
     """
 
 
+def _shuffle_key_sql() -> str:
+    """Mirror of shuffle_dataset's integer sort key (salt 'shuffle')."""
+    from adampro_spark.pipeline.mix import _MIX_A, _MIX_B
+    from adampro_spark.pipeline.text import HASH_P
+
+    h = _sql_poly_hash("concat('shuffle', '|', doc_id::VARCHAR)")
+    return f"(({h}) * {_MIX_A} + {_MIX_B}) % {HASH_P}"
+
+
 # Round-8 window re-fold (round-7 verdict #1): hash-stable splitting and
 # eval-set decontamination merge into ONE tagged-union driver row over a
 # shared (stage, doc_id, label) schema — split contributes every
@@ -1895,6 +1904,8 @@ BENCH_ONLY["pipeline_decontaminate_row"] = _decontaminate_row
 
 
 def _assembly_suite(spark, sf):
+    from adampro_spark.pipeline.mix import shuffle_dataset
+
     sp = _split_row(spark, sf).select(
         F.lit("split").alias("stage"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1905,7 +1916,15 @@ def _assembly_suite(spark, sf):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lit(None).cast("string").alias("label"),
     )
-    return _union_all([sp, de])
+    # round 11: deterministic training-order shuffle — the exposed
+    # integer sort key IS the permutation (the driver's hash compare is
+    # order-insensitive, so adjudicating the key adjudicates the order)
+    sh = shuffle_dataset(_docs(spark, sf), key_col="_k").select(
+        F.lit("shuffle").alias("stage"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("_k").cast("string").alias("label"),
+    )
+    return _union_all([sp, de, sh])
 
 
 _register(
@@ -1917,6 +1936,9 @@ _register(
     UNION ALL
     SELECT 'decontaminate', doc_id::BIGINT, NULL::VARCHAR
     FROM ({_decontaminate_sql()})
+    UNION ALL
+    SELECT 'shuffle', doc_id::BIGINT, ({_shuffle_key_sql()})::VARCHAR
+    FROM documents
     """,
 )
 

@@ -76,6 +76,7 @@ from adampro_spark.pipeline.mix import (  # noqa: F401
     mix_sources,
     pack_sequences,
     sample_sources,
+    shuffle_dataset,
     split_dataset,
     temperature_weights,
 )

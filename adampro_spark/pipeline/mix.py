@@ -59,6 +59,7 @@ __all__ = [
     "split_dataset",
     "sample_sources",
     "mix_sources",
+    "shuffle_dataset",
     "temperature_weights",
     "decontaminate",
     "pack_sequences",
@@ -207,6 +208,44 @@ def mix_sources(
         n > 0, F.sequence(F.lit(0), n - 1)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(copy_col, F.explode(copies))
+
+
+def shuffle_dataset(
+    df: DataFrame,
+    pk: str = "doc_id",
+    salt: str = "shuffle",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: sort the corpus by
+    the keyed portable hash ``(hash(salt|pk), pk)`` — the final step of
+    a training pipeline, so examples arrive in pseudo-random order
+    instead of crawl/source order.
+
+    Properties: (a) deterministic and engine-portable — the sort key is
+    the same oracle-checkable hash chain as :func:`split_dataset`, so
+    reruns and other engines reproduce the exact permutation; (b)
+    re-shuffling per epoch is just a new ``salt``; (c) append-stable in
+    the sense that a new row lands at a position that is a pure function
+    of its pk, displacing nothing relatively.
+
+    ``key_col`` (optional) exposes the INTEGER sort key as a column —
+    downstream writers can range-partition on it, and the oracle can
+    adjudicate the full permutation without materializing ranks.
+
+    At scale: one ``orderBy`` = range-repartition + per-partition sort
+    (the one unavoidable shuffle of a global reorder); the hash key is
+    uniform by construction so range partitions balance regardless of
+    pk skew.  For per-file-local order at zero global-sort cost, write
+    with ``df.repartition(n, F.col(key)).sortWithinPartitions(key)``.
+    """
+    col = pk if isinstance(pk, str) else pk
+    key = F.concat(F.lit(salt), F.lit("|"), F.col(col).cast("string"))
+    mixed = (poly_hash(char_codes(key)) * F.lit(_MIX_A) + F.lit(_MIX_B)) % F.lit(
+        HASH_P
+    )
+    if key_col is not None:
+        return df.withColumn(key_col, mixed).orderBy(key_col, col)
+    return df.orderBy(mixed, F.col(col))
 
 
 def temperature_weights(

@@ -527,3 +527,36 @@ def test_fold_grams_np_matches_spark_expression(spark, docs):
     assert got[len(rows)] == []
     P = 1_000_000_007
     assert got[len(rows) + 1] == [(11 * 31 + 22) % P]
+
+
+# ---------------------------------------------------------------------------
+# shuffle_dataset (round 11: deterministic training-order shuffle)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_dataset_order_properties(spark, docs):
+    from adampro_spark.pipeline.mix import shuffle_dataset
+
+    out = shuffle_dataset(docs, key_col="_k")
+    rows = out.select("doc_id", "_k").collect()
+    # returned order IS ascending by (key, pk)
+    keys = [(r["_k"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # deterministic across reruns
+    again = [
+        (r["_k"], r["doc_id"])
+        for r in shuffle_dataset(docs, key_col="_k").select("doc_id", "_k").collect()
+    ]
+    assert keys == again
+    # the permutation genuinely differs from pk order
+    ids = [d for _, d in keys]
+    assert ids != sorted(ids)
+    # a different salt gives a different epoch order
+    other = [
+        r["doc_id"]
+        for r in shuffle_dataset(docs, salt="epoch2").select("doc_id").collect()
+    ]
+    assert other != ids and sorted(other) == sorted(ids)
+    # without key_col the order matches the exposed-key order
+    bare = [r["doc_id"] for r in shuffle_dataset(docs).select("doc_id").collect()]
+    assert bare == ids
