@@ -437,3 +437,64 @@ def canonical_url_expr(url: str | Column) -> Column:
     return F.when(
         F.length(scheme) > 0, F.concat(lscheme, lauth, r)
     ).otherwise(c)
+
+
+# ---------------------------------------------------------------------------
+# Encoding-artifact (mojibake) detection — round 11.  Web corpora carry
+# UTF-8-decoded-as-Latin-1/cp1252 double-encoding damage ("CafÃ©"
+# for Café, "donâ€™t" for don’t), mangled NBSPs
+# ("Â ") and U+FFFD replacement characters; a document dense in them
+# trains garbage byte sequences.  Detection is plain regexp_count codegen
+# (the pii_stats shape): one map-only projection, patterns portable to
+# RE2 (explicit classes, no lookaround).
+# ---------------------------------------------------------------------------
+
+# Continuation-range glyphs: U+0080-U+00BF as Latin-1, plus what cp1252
+# prints for bytes 0x80-0x9F (euro/curly-quote/dagger row).  A UTF-8
+# lead byte mis-decoded as Latin-1/cp1252 is ALWAYS followed by one of
+# these, while legit accented text (São, Café, née) never
+# pairs an accented CAPITAL with one.
+_MOJI_CONT = "\u0080-\u00bf" + bytes(range(0x80, 0xA0)).decode(
+    "cp1252", errors="ignore"
+)
+
+#: mojibake signature -> regex (all RE2-portable).  Keys are stable API
+#: (they name diagnostics the way PII categories do).
+MOJIBAKE_PATTERNS: dict[str, str] = {
+    # lead glyphs À-Ñ followed by a continuation glyph: the
+    # two-byte UTF-8 sequences for Latin accents (Ã© = é),
+    # NBSP (Â ), and Cyrillic (Ð° = а) decoded
+    # as Latin-1/cp1252
+    "utf8_as_latin1": f"[À-Ñ][{_MOJI_CONT}]",
+    # three-byte sequences (curly quotes/dashes): â followed by TWO
+    # continuation glyphs ("donâ€™t")
+    "utf8_punct": f"â[{_MOJI_CONT}][{_MOJI_CONT}]",
+    # the replacement character a lossy decode leaves behind
+    "replacement_char": "�",
+}
+
+
+def mojibake_count_expr(text: str | Column) -> Column:
+    """Total mojibake-signature matches in ``text`` (0 for clean text;
+    NULL text → NULL).  One codegen projection, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    total: Column | None = None
+    for pat in MOJIBAKE_PATTERNS.values():
+        cnt = F.regexp_count(c, F.lit(pat))
+        total = cnt if total is None else total + cnt
+    return total
+
+
+def encoding_gate_flags(
+    text_col: str = "text", max_artifacts: int = 0
+) -> dict[str, Column]:
+    """Curate-pluggable gate: a document passes iff its mojibake-
+    signature count is ≤ ``max_artifacts`` (default 0 — any
+    double-encoding damage fails; raise it to tolerate stray artifacts
+    in long documents).  NULL text passes (the token-floor gate owns
+    NULLs).  Usage::
+
+        curate(df, extra_gates=encoding_gate_flags())
+    """
+    n = mojibake_count_expr(text_col)
+    return {"_enc_ok": F.coalesce(n <= int(max_artifacts), F.lit(True))}

@@ -856,3 +856,76 @@ def test_curate_failures_per_doc_reasons(spark):
     # aggregate report consistent with per-doc reasons
     assert rep["n_lang_fail"] == sum("lang_ok" in v for v in fails.values())
     assert rep["n_short"] == sum("len_ok" in v for v in fails.values())
+
+
+# ---------------------------------------------------------------------------
+# Encoding-artifact (mojibake) detection (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_mojibake_counts_and_duckdb_parity(spark):
+    import duckdb
+
+    from adampro_spark.pipeline.scrub import (
+        MOJIBAKE_PATTERNS,
+        mojibake_count_expr,
+    )
+
+    cases = [
+        ("CafÃ© rÃ©sumÃ© naÃ¯ve", 4),        # 2-byte accents double-decoded
+        ("donâ€™t â€” reallyâ€¦", 3),          # 3-byte cp1252 punctuation
+        ("hello � world", 1),             # replacement char
+        ("Ð¿Ñ€Ð¸Ð²ÐµÑ‚", 6),                 # Cyrillic double-decoded
+        ("São Paulo, Café, née, don’t — vraiment…", 0),
+        ("Привет мир Ελλάδα 日本語 ß æ ø", 0),
+        ("Die Straße nach Zürich: àéîõü", 0),
+        ("ÀÉÎÕÜ UPPERCASE ACCENTS", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["t"])
+    got = [r[0] for r in df.select(mojibake_count_expr("t")).collect()]
+    assert got == [n for _, n in cases]
+    # the same pattern strings count identically under DuckDB's RE2
+    con = duckdb.connect()
+    for (t, want), g in zip(cases, got):
+        d = sum(
+            con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, p]
+            ).fetchone()[0]
+            for p in MOJIBAKE_PATTERNS.values()
+        )
+        assert d == g == want
+    # NULL text -> NULL count
+    ndf = spark.createDataFrame([(None,)], "t string")
+    assert ndf.select(mojibake_count_expr("t")).collect()[0][0] is None
+
+
+def test_encoding_gate_in_curate(spark):
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.scrub import encoding_gate_flags
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and keeps going "
+        "through the quiet field toward the distant hills every day"
+    )
+    dirty = clean + " but the encoding broke: CafÃ© donâ€™t â€”"
+    df = spark.createDataFrame(
+        [(1, clean), (2, dirty)], ["doc_id", "text"]
+    )
+    out, rep = curate(
+        df,
+        min_tokens=5,
+        min_quality=0.0,
+        dedup=None,
+        extra_gates=encoding_gate_flags(),
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    assert rep["n_fail_enc_ok"] == 1
+    # a tolerant ceiling lets the stray-artifact doc through
+    out2, _ = curate(
+        df,
+        min_tokens=5,
+        min_quality=0.0,
+        dedup=None,
+        extra_gates=encoding_gate_flags(max_artifacts=10),
+    )
+    assert out2.count() == 2
