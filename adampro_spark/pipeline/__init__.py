@@ -73,6 +73,7 @@ from adampro_spark.pipeline.cluster import (  # noqa: F401
 )
 from adampro_spark.pipeline.mix import (  # noqa: F401
     decontaminate,
+    decontamination_gate_flags,
     mix_sources,
     pack_sequences,
     sample_sources,

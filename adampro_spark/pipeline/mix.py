@@ -62,6 +62,7 @@ __all__ = [
     "shuffle_dataset",
     "temperature_weights",
     "decontaminate",
+    "decontamination_gate_flags",
     "pack_sequences",
 ]
 
@@ -524,14 +525,17 @@ def _fold_grams_np(flat, lens, n: int):
     return acc, doc_of_win
 
 
-def _decontaminate_bloom(
-    train: DataFrame,
+def _contaminated_col(
     ev_grams: DataFrame,
-    text_col: str,
+    text_col: str | Column,
     n: int,
     fpp: float,
     max_eval_grams: int,
-) -> DataFrame:
+) -> Column | None:
+    """Boolean "shares an n-gram with the eval set" column: collect the
+    eval gram hashes, compile the Bloom filter, return the Arrow-batched
+    membership check over ``text_col``.  ``None`` when the eval set is
+    empty (nothing can be contaminated)."""
     import numpy as np
     import pandas as pd
 
@@ -543,7 +547,7 @@ def _decontaminate_bloom(
             "use method='semi'"
         )
     if not ev:
-        return train
+        return None
     items = np.array([r[0] for r in ev], dtype=np.int64)
     m, k = _bloom_params(len(items), fpp)
     words = np.zeros(m // 64, dtype=np.uint64)
@@ -574,11 +578,46 @@ def _decontaminate_bloom(
     from pyspark.sql import types as T
 
     udf = F.pandas_udf(_any_in_bloom, T.BooleanType())
-    return (
-        train.withColumn("_dc_th", _token_hashes(text_col))
-        .filter(~udf(F.col("_dc_th")))
-        .drop("_dc_th")
+    return udf(_token_hashes(text_col))
+
+
+def _decontaminate_bloom(
+    train: DataFrame,
+    ev_grams: DataFrame,
+    text_col: str,
+    n: int,
+    fpp: float,
+    max_eval_grams: int,
+) -> DataFrame:
+    bad = _contaminated_col(ev_grams, text_col, n, fpp, max_eval_grams)
+    return train if bad is None else train.filter(~bad)
+
+
+def decontamination_gate_flags(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    fpp: float = 1e-6,
+    max_eval_grams: int = 50_000_000,
+) -> dict[str, Column]:
+    """Eval-decontamination as a CURATE GATE: the Bloom-filter
+    contamination check (see :func:`decontaminate` ``method="bloom"``)
+    packaged as a ``{"_decon_ok": Column}`` flag for
+    ``curate(extra_gates=...)`` / ``stream_curate`` — the check rides
+    curate's one-scan gate pass (and streams unchanged: the filter is a
+    stateless map), and the report gains ``n_fail_decon_ok`` attrition
+    for free.  The eval set is collected ONCE here, at gate-build time.
+    """
+    ev_col = eval_text_col or text_col
+    ev_grams = (
+        eval_df.select(_token_hashes(ev_col).alias("_th"))
+        .select(F.explode(_grams_from_token_hashes(F.col("_th"), n)).alias("_g"))
+        .distinct()
     )
+    bad = _contaminated_col(ev_grams, text_col, n, float(fpp), int(max_eval_grams))
+    ok = F.lit(True) if bad is None else ~bad
+    return {"_decon_ok": ok}
 
 
 _PACK_SHARD_BITS = 20  # up to ~1M local packs per shard

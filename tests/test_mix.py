@@ -560,3 +560,66 @@ def test_shuffle_dataset_order_properties(spark, docs):
     # without key_col the order matches the exposed-key order
     bare = [r["doc_id"] for r in shuffle_dataset(docs).select("doc_id").collect()]
     assert bare == ids
+
+
+def test_decontamination_gate_in_curate_and_stream(spark, docs):
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.mix import decontamination_gate_flags
+    from adampro_spark.pipeline.text import tokens_expr
+
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(tokens_expr("text"), 5, 5)).alias("text")
+    )
+    gate = decontamination_gate_flags(eval_df, n=5)
+    out, rep = curate(
+        docs, min_tokens=1, min_quality=0.0, langs=None, dedup=None,
+        extra_gates=gate,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # gate result == standalone bloom decontaminate on the same corpus
+    standalone = {
+        r["doc_id"]
+        for r in decontaminate(docs, eval_df, n=5, method="bloom")
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == standalone
+    assert rep["n_fail_decon_ok"] == docs.count() - len(standalone)
+    # empty eval set -> permissive gate (everything passes)
+    g0 = decontamination_gate_flags(docs.limit(0), n=5)
+    out0, _ = curate(
+        docs, min_tokens=1, min_quality=0.0, langs=None, dedup=None,
+        extra_gates=g0,
+    )
+    assert out0.count() == docs.count()
+
+
+def test_stream_curate_decontamination_gate_matches_batch(spark, docs, tmp_path):
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.mix import decontamination_gate_flags
+    from adampro_spark.pipeline.text import tokens_expr
+    from adampro_spark.streaming.ingest import stream_curate
+
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(tokens_expr("text"), 5, 5)).alias("text")
+    )
+    gate = decontamination_gate_flags(eval_df, n=5)
+    kw = dict(langs=None, min_tokens=1, min_quality=0.0, dedup=None)
+    batch_out, _ = curate(docs, extra_gates=gate, **kw)
+    want = {r["doc_id"] for r in batch_out.select("doc_id").collect()}
+
+    slim = docs.select("doc_id", "text")
+    src = str(tmp_path / "decon_src")
+    slim.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gated = stream_curate(stream, extra_gates=gate, **kw).select("doc_id")
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("decon_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM decon_stream").collect()}
+    assert got == want
