@@ -1938,21 +1938,63 @@ _register(
 
 
 def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
-    """Tumbling-window event stats — the streaming module's aggregation
-    run in batch mode (the same DataFrame code serves readStream; batch
-    IS the oracle for the stream, streaming/ingest.py)."""
-    from adampro_spark.streaming.ingest import windowed_event_stats
+    """Tumbling-window + SESSION-window event stats (round 11 fold) —
+    the streaming module's aggregations run in batch mode (the same
+    DataFrame code serves readStream; batch IS the oracle for the
+    stream, streaming/ingest.py).  The session part adjudicates
+    F.session_window's merge semantics (boundary-inclusive gap, close =
+    last ts + gap) against an independent lag/cumsum SQL formulation."""
+    from adampro_spark.streaming.ingest import (
+        sessionize_events,
+        windowed_event_stats,
+    )
 
-    return windowed_event_stats(_table(spark, sf, "events"), window="1 hour")
+    ev = _table(spark, sf, "events")
+    tw = windowed_event_stats(ev, window="1 hour").select(
+        F.lit("tumbling").alias("part"),
+        F.col("event_type").alias("key"),
+        F.col("window_start").alias("t0"),
+        (F.col("window_start") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+        "n",
+        "total_value",
+    )
+    se = sessionize_events(ev, gap="30 minutes").select(
+        F.lit("session").alias("part"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("session_start").alias("t0"),
+        F.col("session_end").alias("t1"),
+        F.col("n_events").alias("n"),
+        "total_value",
+    )
+    return tw.unionByName(se)
 
 
 _register(
     "events_windowed_stats",
     _events_windowed,
     """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT 'tumbling' AS part, event_type AS key,
+           date_trunc('hour', ts) AS t0,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS t1,
            count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'session', user_id::VARCHAR,
+           min(ts), max(ts) + INTERVAL 30 MINUTE,
+           count(*)::BIGINT, round(sum(value), 4)
+    FROM (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+      )
+    ) GROUP BY user_id, sid
     """,
 )
 

@@ -1,4 +1,5 @@
 from adampro_spark.streaming.ingest import (  # noqa: F401
+    sessionize_events,
     stream_asof,
     stream_events,
     stream_insert_entity,

@@ -891,3 +891,75 @@ def test_stream_asof_per_key_history_guard(spark):
         stream_asof(left, ref, by="k", max_rows_per_key=100).collect()
     row = stream_asof(left, ref, by="k", max_rows_per_key=200).collect()[0]
     assert row["payload"] == 50 and row["ts_right"] == 50.0
+
+
+# ---------------------------------------------------------------------------
+# sessionize_events (round 11: native session windows, batch == stream)
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_merge_semantics(spark):
+    from datetime import datetime
+
+    from adampro_spark.streaming.ingest import sessionize_events
+
+    rows = [
+        # user 1: gap EXACTLY 60s merges (boundary inclusive); 61s splits
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (1, datetime(2024, 1, 1, 0, 1, 0), 2.0),
+        (1, datetime(2024, 1, 1, 0, 2, 1), 4.0),
+        # user 2: single burst
+        (2, datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (2, datetime(2024, 1, 1, 0, 0, 59), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in sessionize_events(df, gap="1 minute").collect()
+    }
+    from datetime import datetime as dt
+
+    assert out == {
+        (1, dt(2024, 1, 1, 0, 0, 0), dt(2024, 1, 1, 0, 2, 0)): (2, 3.0),
+        (1, dt(2024, 1, 1, 0, 2, 1), dt(2024, 1, 1, 0, 3, 1)): (1, 4.0),
+        (2, dt(2024, 1, 1, 0, 0, 0), dt(2024, 1, 1, 0, 1, 59)): (2, 2.0),
+    }
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    from adampro_spark.session import load_tables
+    from adampro_spark.streaming.ingest import sessionize_events, stream_events
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "ts", "user_id", "value"
+    )
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_events(ev, gap="30 minutes").collect()
+    }
+    src = str(tmp_path / "sess_src")
+    # several files -> several micro-batches; sessions must still merge
+    # across them through the state store.  The fixture's files are NOT
+    # in time order, so the watermark must cover the full span — a
+    # tight watermark would (correctly) drop late rows as late data
+    ev.repartition(3).write.parquet(src)
+    stream = stream_events(spark, src)
+    q = (
+        sessionize_events(stream.select("event_id", "ts", "user_id", "value"),
+                          gap="30 minutes", watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert got == batch
