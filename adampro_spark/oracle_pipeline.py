@@ -2277,6 +2277,86 @@ def _lm_bigram_sql(v: int = _BLM_V, b: int = _BLM_B, lam: float = _BLM_LAM) -> s
 # NTILE-exact per source, Wenzek et al. 2020 §4.3) as a third section.
 BENCH_ONLY["text_lm_bigram"] = _lm_bigram_row
 
+_KN_D = 0.75
+
+
+def _lm_kn_row(spark, sf):
+    """Interpolated Kneser-Ney bigram scoring (round 11) — the ENTIRE
+    fit (vocab, truncated bigram table, continuation counts, exact
+    context totals, truncation leftover mass) plus scoring, one hash."""
+    from adampro_spark.pipeline.lm import bigram_lm_score, fit_bigram_lm
+
+    docs = _docs(spark, sf)
+    vocab, bigrams, meta = fit_bigram_lm(
+        docs, vocab_size=_BLM_V, bigram_size=_BLM_B,
+        smoothing="kn", discount=_KN_D,
+    )
+    out = bigram_lm_score(docs, vocab, bigrams, meta)
+    return out.select(
+        "doc_id",
+        F.round("lm_logprob", 4).alias("lm_logprob"),
+        "lm_tokens",
+    )
+
+
+def _lm_kn_sql(v: int = _BLM_V, b: int = _BLM_B, d: float = _KN_D) -> str:
+    toks = _TOKS.format(t="text")
+    p_uni = "(coalesce(cv.cnt, 0) + 1) / (m.n + m.v + 1)"
+    p_cont = "(coalesce(cn.cont, 0) + 1) / cd.cont_denom"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    ex AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+    counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM ex GROUP BY tok),
+    tot AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n, count(*)::BIGINT AS d
+            FROM counts),
+    vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {v}),
+    m AS (SELECT n, least(d, {v}) AS v FROM tot),
+    pairs AS (
+      SELECT prev, cur, count(*)::BIGINT AS cnt FROM (
+        SELECT tk[i - 1] AS prev, tk[i] AS cur
+        FROM (SELECT tk, unnest(generate_series(2, len(tk))) AS i FROM t)
+      ) GROUP BY prev, cur
+    ),
+    bigs AS (SELECT prev, cur, cnt FROM pairs
+             ORDER BY cnt DESC, prev ASC, cur ASC LIMIT {b}),
+    cont AS (SELECT cur, count(*)::BIGINT AS cont FROM pairs GROUP BY cur),
+    ctx AS (SELECT prev, sum(cnt)::DOUBLE AS ctx_total FROM pairs
+            WHERE prev IN (SELECT tok FROM vocab) GROUP BY prev),
+    tstat AS (SELECT prev, sum(cnt)::BIGINT AS t_sum,
+                     count(*)::BIGINT AS t_types
+              FROM bigs GROUP BY prev),
+    cd AS (SELECT (SELECT count(*) FROM pairs) + m.v + 1 AS cont_denom FROM m),
+    pos AS (
+      SELECT doc_id, CASE WHEN i > 1 THEN tk[i - 1] END AS prev, tk[i] AS cur
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t)
+    ),
+    sc AS (
+      SELECT p.doc_id,
+        log10(CASE
+          WHEN p.prev IS NULL THEN {p_uni}
+          WHEN cx.ctx_total IS NOT NULL THEN
+            greatest(coalesce(bg.cnt, 0) - {d}, 0) / cx.ctx_total
+            + (1 - (coalesce(tt.t_sum, 0) - {d} * coalesce(tt.t_types, 0))
+                   / cx.ctx_total) * ({p_cont})
+          ELSE {p_cont} END) AS lp
+      FROM pos p
+      LEFT JOIN vocab cv ON cv.tok = p.cur
+      LEFT JOIN cont cn ON cn.cur = p.cur
+      LEFT JOIN ctx cx ON cx.prev = p.prev
+      LEFT JOIN tstat tt ON tt.prev = p.prev
+      LEFT JOIN bigs bg ON bg.prev = p.prev AND bg.cur = p.cur, m, cd
+    ),
+    agg AS (SELECT doc_id, round(avg(lp), 4) AS lm_logprob,
+                   count(*)::BIGINT AS lm_tokens
+            FROM sc GROUP BY doc_id)
+    SELECT dd.doc_id, a.lm_logprob,
+           coalesce(a.lm_tokens, 0)::BIGINT AS lm_tokens
+    FROM documents dd LEFT JOIN agg a USING (doc_id)
+    """
+
+
+BENCH_ONLY["text_lm_kn"] = _lm_kn_row
+
 
 def _lm_bucket_row(spark, sf):
     from adampro_spark.pipeline.lm import fit_unigram_lm, lm_bucket
@@ -2654,12 +2734,16 @@ def _lm_suite(spark, sf):
         F.lit("bigram").alias("model"), "doc_id", "lm_logprob", "lm_tokens",
         F.lit(None).cast("string").alias("bucket"),
     )
+    kn = _lm_kn_row(spark, sf).select(
+        F.lit("kn").alias("model"), "doc_id", "lm_logprob", "lm_tokens",
+        F.lit(None).cast("string").alias("bucket"),
+    )
     bk = _lm_bucket_row(spark, sf).select(
         F.lit("bucket3").alias("model"), "doc_id", "lm_logprob",
         F.lit(None).cast("long").alias("lm_tokens"), "bucket",
     )
     return _union_all(
-        [uni, bi, bk, _dsir_rows(spark, sf), _ccnet_rows(spark, sf)]
+        [uni, bi, kn, bk, _dsir_rows(spark, sf), _ccnet_rows(spark, sf)]
     )
 
 
@@ -2679,6 +2763,8 @@ _register(
     SELECT 'unigram' AS model, *, NULL::VARCHAR AS bucket FROM ({_lm_sql()})
     UNION ALL
     SELECT 'bigram', *, NULL::VARCHAR FROM ({_lm_bigram_sql()})
+    UNION ALL
+    SELECT 'kn', *, NULL::VARCHAR FROM ({_lm_kn_sql()})
     UNION ALL
     SELECT 'bucket3', doc_id, lm_logprob, NULL::BIGINT, bucket
     FROM ({_lm_bucket_sql()})

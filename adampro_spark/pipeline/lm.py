@@ -416,8 +416,12 @@ def fit_bigram_lm(
     lam: float = 0.7,
     sample_fraction: float | None = None,
     seed: int = 42,
+    smoothing: str = "interp",
+    discount: float = 0.75,
 ) -> tuple[DataFrame, DataFrame, dict[str, Any]]:
-    """Fit an INTERPOLATED bigram model on top of the unigram fit:
+    """Fit a bigram model on top of the unigram fit.
+
+    ``smoothing="interp"`` (default):
 
     ``P(cur | prev) = λ · c(prev,cur)/c(prev) + (1−λ) · P_uni(cur)``
 
@@ -427,15 +431,45 @@ def fit_bigram_lm(
     FIRST token scores unigram-only.  The unigram leg keeps add-one
     smoothing, so interpolated probabilities are always positive.
 
-    Returns ``(vocab, bigrams, meta)``: the unigram vocabulary table,
-    the ``(prev, cur, cnt)`` bigram table, and meta (the unigram fields
-    plus ``lam``, ``denom``, ``bigram_size_eff``).  Fit cost: ONE extra
-    explode → groupBy → TakeOrdered pass over consecutive token pairs —
-    the same map-side-combined shape as the unigram counts.
+    ``smoothing="kn"`` — interpolated KNESER-NEY (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.17), the standard for n-gram quality
+    scoring: absolute-discount the seen-bigram leg and back off to the
+    CONTINUATION distribution (how many distinct contexts a word
+    follows) instead of raw frequency:
+
+    ``P(cur|prev) = max(c(prev,cur)−D, 0)/ctx(prev)
+                    + γ(prev) · P_cont(cur)``
+
+    with ``ctx(prev) = Σ_w c(prev, w)`` (exact context totals, not the
+    unigram count — a document-final token has no successor), and
+    ``γ(prev)`` the EXACT leftover mass of the TRUNCATED table:
+    ``γ = 1 − Σ_{cur∈table(prev)} (c−D)/ctx`` — probabilities stay
+    normalized under top-``bigram_size`` truncation because truncated
+    pairs' whole mass routes to the backoff.  Documented deviations
+    from textbook KN: ``P_cont(cur) = (N1+(·cur)+1)/(N1+(··)+V+1)`` is
+    add-one smoothed (mirrors the unigram leg; keeps OOV positive), and
+    a prev outside the vocabulary backs off fully (``P = P_cont``).
+
+    Returns ``(vocab, bigrams, meta)``: the unigram vocabulary table
+    (for ``kn`` it carries four extra prev/cur-role columns: ``cont``
+    distinct-left-context counts, ``ctx_total``, and the truncated
+    table's per-prev ``t_sum``/``t_types``), the ``(prev, cur, cnt)``
+    bigram table, and meta (the unigram fields plus ``lam``/``denom``/
+    ``bigram_size_eff``; for kn also ``smoothing``, ``discount``,
+    ``cont_denom``).  Fit cost: one explode → groupBy over consecutive
+    token pairs (map-side combined); kn adds two vocab-sized
+    aggregations of the persisted pair table.
     """
     if not 0.0 <= lam < 1.0:
         raise ValueError("lam must be in [0, 1) — the unigram leg keeps "
                          "probabilities positive only with weight > 0")
+    if smoothing not in ("interp", "kn"):
+        raise ValueError(f"smoothing must be 'interp' or 'kn', got {smoothing!r}")
+    if smoothing == "kn" and not 0.0 < discount < 1.0:
+        raise ValueError(
+            f"discount must be in (0, 1) — every table count is >= 1, so "
+            f"D < 1 keeps the discounted leg non-negative; got {discount}"
+        )
     vocab, meta = fit_unigram_lm(
         df, text_col=text_col, vocab_size=vocab_size,
         sample_fraction=sample_fraction, seed=seed,
@@ -454,20 +488,68 @@ def fit_bigram_lm(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-    bigrams = (
+    pairs = (
         staged.select(F.explode(pair_arr).alias("_p"))
         .select("_p.prev", "_p.cur")
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("prev").asc(), F.col("cur").asc())
+    )
+    if smoothing == "kn":
+        # three consumers of the full pair aggregate -> persist once
+        pairs = pairs.persist()
+    top = (
+        pairs.orderBy(F.col("cnt").desc(), F.col("prev").asc(), F.col("cur").asc())
         .limit(bigram_size)
         .localCheckpoint(eager=True)
     )
     meta = dict(meta)
     meta["lam"] = float(lam)
     meta["denom"] = float(meta["n_tokens"] + meta["vocab_size_eff"] + 1)
-    meta["bigram_size_eff"] = bigrams.count()
-    return vocab, bigrams, meta
+    meta["bigram_size_eff"] = top.count()
+    if smoothing == "kn":
+        try:
+            # N1+(.cur): distinct left contexts per word (pairs are
+            # already distinct by (prev, cur), so this is a row count)
+            cont = pairs.groupBy("cur").agg(F.count(F.lit(1)).alias("cont"))
+            # exact context totals per prev (vocab members only: OOV
+            # prevs back off fully at scoring time)
+            ctx = (
+                pairs.join(
+                    F.broadcast(vocab.select(F.col("tok").alias("prev"))),
+                    "prev", "left_semi",
+                )
+                .groupBy("prev")
+                .agg(F.sum("cnt").alias("ctx_total"))
+            )
+            # leftover-mass ingredients from the TRUNCATED table
+            tstats = top.groupBy("prev").agg(
+                F.sum("cnt").alias("t_sum"),
+                F.count(F.lit(1)).alias("t_types"),
+            )
+            n_types = pairs.count()  # N1+(..)
+            vocab = (
+                vocab.join(
+                    cont.select(F.col("cur").alias("tok"), "cont"),
+                    "tok", "left",
+                )
+                .join(
+                    ctx.select(F.col("prev").alias("tok"), "ctx_total"),
+                    "tok", "left",
+                )
+                .join(
+                    tstats.select(
+                        F.col("prev").alias("tok"), "t_sum", "t_types"
+                    ),
+                    "tok", "left",
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            pairs.unpersist()
+        meta["smoothing"] = "kn"
+        meta["discount"] = float(discount)
+        meta["cont_denom"] = float(n_types + meta["vocab_size_eff"] + 1)
+    return vocab, top, meta
 
 
 def bigram_lm_score(
@@ -479,17 +561,22 @@ def bigram_lm_score(
     pk: str = "doc_id",
     score_col: str = "lm_logprob",
 ) -> DataFrame:
-    """Per-document mean log10 interpolated token probability:
-    ``(pk, score_col, lm_tokens)``; empty documents score NULL.
+    """Per-document mean log10 bigram token probability:
+    ``(pk, score_col, lm_tokens)``; empty documents score NULL.  The
+    probability formula follows ``meta["smoothing"]`` — interpolated
+    (default) or Kneser-Ney (see :func:`fit_bigram_lm`).
 
     Plan shape: ONE explode to slim ``(pk, prev, cur)`` triples (prev
     NULL on each document's first token), then broadcast joins against
     the vocabulary (twice — as cur and as prev context) and the bigram
     table, then the per-doc aggregate with map-side combine.  Text
-    never shuffles; both model tables broadcast.
+    never shuffles; both model tables broadcast.  The kn variant is the
+    SAME plan — its extra per-prev statistics ride the vocabulary
+    broadcast as columns, not extra joins.
     """
     lam = float(meta["lam"])
     denom = float(meta["denom"])
+    kn = meta.get("smoothing") == "kn"
     tk = tokens_expr(text_col)
     staged = df.select(F.col(pk), tk.alias("_tk"))
     n = F.size(F.col("_tk"))
@@ -506,12 +593,25 @@ def bigram_lm_score(
     exploded = staged.select(
         F.col(pk), F.explode_outer(pos_arr).alias("_p")
     ).select(F.col(pk), F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
-    cur_v = vocab.select(
-        F.col("tok").alias("cur"), F.col("cnt").alias("_c_cur")
-    )
-    prev_v = vocab.select(
-        F.col("tok").alias("prev"), F.col("cnt").alias("_c_prev")
-    )
+    if kn:
+        cur_v = vocab.select(
+            F.col("tok").alias("cur"),
+            F.col("cnt").alias("_c_cur"),
+            F.col("cont").alias("_cont"),
+        )
+        prev_v = vocab.select(
+            F.col("tok").alias("prev"),
+            F.col("ctx_total").alias("_ctx"),
+            F.col("t_sum").alias("_tsum"),
+            F.col("t_types").alias("_ttyp"),
+        )
+    else:
+        cur_v = vocab.select(
+            F.col("tok").alias("cur"), F.col("cnt").alias("_c_cur")
+        )
+        prev_v = vocab.select(
+            F.col("tok").alias("prev"), F.col("cnt").alias("_c_prev")
+        )
     big = bigrams.select("prev", "cur", F.col("cnt").alias("_c_pc"))
     joined = (
         exploded.join(F.broadcast(cur_v), "cur", "left")
@@ -519,10 +619,28 @@ def bigram_lm_score(
         .join(F.broadcast(big), ["prev", "cur"], "left")
     )
     p_uni = (F.coalesce(F.col("_c_cur"), F.lit(0)) + 1) / F.lit(denom)
-    p_bi = F.coalesce(F.col("_c_pc") / F.col("_c_prev"), F.lit(0.0))
+    if kn:
+        d = float(meta["discount"])
+        p_cont = (F.coalesce(F.col("_cont"), F.lit(0)) + 1) / F.lit(
+            float(meta["cont_denom"])
+        )
+        ctx = F.col("_ctx").cast("double")
+        gamma = 1.0 - (
+            F.coalesce(F.col("_tsum"), F.lit(0))
+            - F.lit(d) * F.coalesce(F.col("_ttyp"), F.lit(0))
+        ) / ctx
+        seen = F.greatest(
+            F.coalesce(F.col("_c_pc"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        ) / ctx
+        p_next = F.when(ctx.isNotNull(), seen + gamma * p_cont).otherwise(
+            p_cont
+        )
+    else:
+        p_bi = F.coalesce(F.col("_c_pc") / F.col("_c_prev"), F.lit(0.0))
+        p_next = F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
     p = F.when(F.col("cur").isNotNull(), F.when(
         F.col("prev").isNull(), p_uni
-    ).otherwise(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni))
+    ).otherwise(p_next))
     return joined.groupBy(pk).agg(
         F.avg(F.log10(p)).alias(score_col),
         F.count(F.col("cur")).alias("lm_tokens"),
@@ -555,21 +673,43 @@ def bigram_lm_score_col(
     import pandas as pd
     from pyspark.sql import types as T
 
+    kn = meta.get("smoothing") == "kn"
     if isinstance(vocab, DataFrame):
-        vt = {r["tok"]: int(r["cnt"]) for r in vocab.collect()}
+        vrows = vocab.collect()
+        vt = {r["tok"]: int(r["cnt"]) for r in vrows}
+        if kn:
+            # prev/cur-role statistics ride the same table (fit_bigram_lm)
+            kt = {
+                r["tok"]: (
+                    int(r["cont"]) if r["cont"] is not None else 0,
+                    int(r["ctx_total"]) if r["ctx_total"] is not None else None,
+                    int(r["t_sum"]) if r["t_sum"] is not None else 0,
+                    int(r["t_types"]) if r["t_types"] is not None else 0,
+                )
+                for r in vrows
+            }
     else:
         vt = {str(k): int(v) for k, v in vocab.items()}
+        if kn:
+            raise ValueError(
+                "smoothing='kn' needs the fitted vocabulary DataFrame "
+                "(it carries the continuation/context statistics)"
+            )
     if isinstance(bigrams, DataFrame):
         bt = {(r["prev"], r["cur"]): int(r["cnt"]) for r in bigrams.collect()}
     else:
         bt = {tuple(k): int(v) for k, v in bigrams.items()}
     lam = float(meta["lam"])
     denom = float(meta["denom"])
+    if kn:
+        kd = float(meta["discount"])
+        cont_denom = float(meta["cont_denom"])
     ws = _re.compile(r"\s+", _re.ASCII)
 
     def _score(texts):
         out = []
         vget, bget = vt.get, bt.get
+        kget = kt.get if kn else None
         for t in texts:
             if t is None:
                 out.append(None)
@@ -584,6 +724,17 @@ def bigram_lm_score_col(
                 p_uni = (vget(w, 0) + 1) / denom
                 if i == 0:
                     p = p_uni
+                elif kn:
+                    kc = kget(w)
+                    p_cont = ((kc[0] if kc else 0) + 1) / cont_denom
+                    kp = kget(prev)
+                    ctx = kp[1] if kp else None
+                    if ctx:
+                        pc = bget((prev, w), 0)
+                        gamma = 1.0 - (kp[2] - kd * kp[3]) / ctx
+                        p = max(pc - kd, 0.0) / ctx + gamma * p_cont
+                    else:
+                        p = p_cont
                 else:
                     cp = vget(prev)
                     pc = bget((prev, w))

@@ -81,6 +81,9 @@ HEADLINE = [
     "dedup_lines",
     # round 7: interpolated bigram LM (two-table fit + scoring)
     "text_lm_bigram",
+    # round 11: interpolated Kneser-Ney bigram (fit incl. continuation
+    # counts + scoring)
+    "text_lm_kn",
     # round 7: exact-substring (span) dedup, Lee-et-al-style
     "dedup_spans",
     # round 8: the complete 13-signal Gopher A1.1 repetition table

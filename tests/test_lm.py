@@ -865,3 +865,167 @@ def test_ccnet_buckets_separate_clean_from_corrupted(spark, tables):
     # majority of them land outside head
     assert mean_bad > mean_clean + 0.5, (mean_bad, mean_clean)
     assert sum(1 for b in corrupted if b != "head") >= 0.7 * len(corrupted)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothing (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_kn_matches_hand_computed_fixture(spark):
+    """Every KN term pinned on a tiny corpus computed by hand via an
+    independent Python evaluation of the published formula."""
+    import math
+
+    from adampro_spark.pipeline.lm import bigram_lm_score, fit_bigram_lm
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b a c"),
+        (3, "b c b a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    D = 0.5
+    vocab, bigs, meta = fit_bigram_lm(
+        df, vocab_size=10, bigram_size=100, smoothing="kn", discount=D
+    )
+    assert meta["smoothing"] == "kn"
+    got = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in bigram_lm_score(df, vocab, bigs, meta).collect()
+    }
+    # independent reference
+    toks = {i: t.split() for i, t in rows}
+    from collections import Counter
+
+    uni = Counter()
+    pairs = Counter()
+    for t in toks.values():
+        uni.update(t)
+        pairs.update(zip(t, t[1:]))
+    V = len(uni)
+    denom = sum(uni.values()) + V + 1
+    cont = Counter(c for _, c in pairs)
+    ctx = Counter()
+    for (p, _), n in pairs.items():
+        ctx[p] += n
+    cont_denom = len(pairs) + V + 1
+
+    def p_kn(prev, w):
+        pc = (cont.get(w, 0) + 1) / cont_denom
+        if prev is None:
+            return (uni.get(w, 0) + 1) / denom
+        if not ctx.get(prev):
+            return pc
+        # bigram_size covers ALL pairs here, so t_sum/t_types == full
+        t_sum = sum(n for (p, _), n in pairs.items() if p == prev)
+        t_types = sum(1 for (p, _) in pairs if p == prev)
+        g = 1.0 - (t_sum - D * t_types) / ctx[prev]
+        return max(pairs.get((prev, w), 0) - D, 0) / ctx[prev] + g * pc
+
+    for i, t in toks.items():
+        want = sum(
+            math.log10(p_kn(t[j - 1] if j else None, w))
+            for j, w in enumerate(t)
+        ) / len(t)
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+def test_kn_truncation_mass_routes_to_backoff(spark):
+    """With a truncated bigram table, gamma absorbs the removed pairs'
+    mass: probabilities over observed curs stay below 1 and every
+    probability is positive."""
+    from adampro_spark.pipeline.lm import bigram_lm_score, fit_bigram_lm
+
+    rows = [(i, "x " + " ".join(f"w{j % 7}" for j in range(i, i + 12)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab, bigs, meta = fit_bigram_lm(
+        df, vocab_size=10, bigram_size=5, smoothing="kn"
+    )
+    assert meta["bigram_size_eff"] == 5  # truncation is live
+    out = bigram_lm_score(df, vocab, bigs, meta).collect()
+    assert all(r["lm_logprob"] is not None and r["lm_logprob"] < 0 for r in out)
+
+
+def test_kn_score_col_matches_join_path(spark, tables):
+    from adampro_spark.pipeline.lm import (
+        bigram_lm_score,
+        bigram_lm_score_col,
+        fit_bigram_lm,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    vocab, bigs, meta = fit_bigram_lm(
+        docs, vocab_size=32, bigram_size=128, smoothing="kn"
+    )
+    join_path = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in bigram_lm_score(docs, vocab, bigs, meta).collect()
+    }
+    col_path = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", bigram_lm_score_col(vocab, bigs, meta).alias("s")
+        ).collect()
+    }
+    for k, v in join_path.items():
+        if v is None:
+            assert col_path[k] is None
+        else:
+            assert abs(v - col_path[k]) < 1e-9
+
+
+def test_kn_validation_errors(spark, tables):
+    import pytest as _pytest
+
+    from adampro_spark.pipeline.lm import bigram_lm_score_col, fit_bigram_lm
+
+    docs = tables["documents"].select("doc_id", "text")
+    with _pytest.raises(ValueError, match="smoothing"):
+        fit_bigram_lm(docs, smoothing="katz")
+    with _pytest.raises(ValueError, match="discount"):
+        fit_bigram_lm(docs, smoothing="kn", discount=1.5)
+    vocab, bigs, meta = fit_bigram_lm(
+        docs, vocab_size=16, bigram_size=32, smoothing="kn"
+    )
+    with _pytest.raises(ValueError, match="kn"):
+        bigram_lm_score_col({"a": 1}, bigs, meta)
+
+
+def test_stream_curate_kn_lm_matches_batch(spark, tables, tmp_path):
+    from adampro_spark.pipeline.curate import curate
+    from adampro_spark.pipeline.lm import bigram_lm_score, fit_bigram_lm
+    from adampro_spark.streaming.ingest import stream_curate
+
+    docs = tables["documents"].select("doc_id", "text")
+    vocab, bigrams, meta = fit_bigram_lm(
+        docs, vocab_size=32, bigram_size=128, smoothing="kn"
+    )
+    med = bigram_lm_score(docs, vocab, bigrams, meta).approxQuantile(
+        "lm_logprob", [0.5], 0.0
+    )[0]
+    kw = dict(langs=("en",), min_tokens=10, min_quality=0.2)
+    batch_out, batch_rep = curate(
+        docs, lm=(vocab, bigrams, meta, med), dedup=None, **kw
+    )
+    want = {r["doc_id"] for r in batch_out.select("doc_id").collect()}
+    assert batch_rep["n_lm_fail"] > 0
+    src = str(tmp_path / "kn_src")
+    docs.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gated = stream_curate(
+        stream, lm=(vocab, bigrams, meta, med), dedup=None, **kw
+    ).select("doc_id")
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("kn_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM kn_stream").collect()
+    }
+    assert got == want and got
