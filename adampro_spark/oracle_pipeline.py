@@ -2277,7 +2277,10 @@ def _lm_bigram_sql(v: int = _BLM_V, b: int = _BLM_B, lam: float = _BLM_LAM) -> s
 # NTILE-exact per source, Wenzek et al. 2020 §4.3) as a third section.
 BENCH_ONLY["text_lm_bigram"] = _lm_bigram_row
 
-_KN_D = 0.75
+# vocab 16 < the corpus's ~31 distinct tokens, so the kn row exercises
+# VOCAB TRUNCATION live: OOV curs floor at 1/cont_denom, OOV prevs back
+# off fully — the divergence class review r11 #1 found is inside the hash
+_KN_V, _KN_B, _KN_D = 16, 256, 0.75
 
 
 def _lm_kn_row(spark, sf):
@@ -2288,7 +2291,7 @@ def _lm_kn_row(spark, sf):
 
     docs = _docs(spark, sf)
     vocab, bigrams, meta = fit_bigram_lm(
-        docs, vocab_size=_BLM_V, bigram_size=_BLM_B,
+        docs, vocab_size=_KN_V, bigram_size=_KN_B,
         smoothing="kn", discount=_KN_D,
     )
     out = bigram_lm_score(docs, vocab, bigrams, meta)
@@ -2299,7 +2302,7 @@ def _lm_kn_row(spark, sf):
     )
 
 
-def _lm_kn_sql(v: int = _BLM_V, b: int = _BLM_B, d: float = _KN_D) -> str:
+def _lm_kn_sql(v: int = _KN_V, b: int = _KN_B, d: float = _KN_D) -> str:
     toks = _TOKS.format(t="text")
     p_uni = "(coalesce(cv.cnt, 0) + 1) / (m.n + m.v + 1)"
     p_cont = "(coalesce(cn.cont, 0) + 1) / cd.cont_denom"
@@ -2319,7 +2322,12 @@ def _lm_kn_sql(v: int = _BLM_V, b: int = _BLM_B, d: float = _KN_D) -> str:
     ),
     bigs AS (SELECT prev, cur, cnt FROM pairs
              ORDER BY cnt DESC, prev ASC, cur ASC LIMIT {b}),
-    cont AS (SELECT cur, count(*)::BIGINT AS cont FROM pairs GROUP BY cur),
+    -- cont is VOCAB-RESTRICTED exactly like the Spark model (the fitted
+    -- vocab table is the only model artifact, so an OOV cur carries no
+    -- continuation count and floors at 1/cont_denom — review r11: the
+    -- unrestricted table silently diverged whenever the vocab truncates)
+    cont AS (SELECT cur, count(*)::BIGINT AS cont FROM pairs
+             WHERE cur IN (SELECT tok FROM vocab) GROUP BY cur),
     ctx AS (SELECT prev, sum(cnt)::DOUBLE AS ctx_total FROM pairs
             WHERE prev IN (SELECT tok FROM vocab) GROUP BY prev),
     tstat AS (SELECT prev, sum(cnt)::BIGINT AS t_sum,

@@ -1394,7 +1394,16 @@ def line_dedup(
 
     norm = _resolve_normalize(normalize)
     lines = F.split(F.col(text_col), _re.escape(str(sep)))
-    candidate = lambda ln: F.length(F.trim(ln)) > 0  # noqa: E731
+    # a line empty after trimming never counts as boilerplate (removing
+    # it would silently reflow paragraphs); under normalization the same
+    # guard applies to the NORMALIZED form — otherwise every punct-only
+    # separator line ('***', '---', '...') normalizes to '' and they all
+    # hash-equal into one phantom boilerplate group (review r11)
+    candidate = lambda ln: (  # noqa: E731
+        (F.length(F.trim(ln)) > 0)
+        if normalize is None
+        else ((F.length(F.trim(ln)) > 0) & (F.length(F.trim(norm(ln))) > 0))
+    )
     lh = df.select(
         F.col(pk).alias("_pk"),
         F.posexplode(

@@ -447,8 +447,12 @@ def fit_bigram_lm(
     normalized under top-``bigram_size`` truncation because truncated
     pairs' whole mass routes to the backoff.  Documented deviations
     from textbook KN: ``P_cont(cur) = (N1+(·cur)+1)/(N1+(··)+V+1)`` is
-    add-one smoothed (mirrors the unigram leg; keeps OOV positive), and
-    a prev outside the vocabulary backs off fully (``P = P_cont``).
+    add-one smoothed (mirrors the unigram leg; keeps OOV positive), a
+    prev outside the vocabulary backs off fully (``P = P_cont``), and a
+    cur outside the vocabulary floors at ``P_cont = 1/(N1+(··)+V+1)``
+    — the vocabulary table is the model's ONLY per-token artifact, so
+    an OOV word carries no continuation count (the same truncation
+    rule as the unigram leg's OOV mass).
 
     Returns ``(vocab, bigrams, meta)``: the unigram vocabulary table
     (for ``kn`` it carries four extra prev/cur-role columns: ``cont``

@@ -84,11 +84,17 @@ def _unit_hash(pk: str | Column, salt: str) -> Column:
     ``F.hash``/``xxhash64`` the whole chain has an exact DuckDB mirror,
     so split membership itself is oracle-checkable.
     """
+    return _mixed_hash(pk, salt) / F.lit(float(HASH_P))
+
+
+def _mixed_hash(pk: str | Column, salt: str) -> Column:
+    """The integer universal-hash chain behind every mix.py coin and the
+    shuffle key: ``(poly_hash(salt|pk)·a + b) mod P`` — ONE definition,
+    mirrored by the oracle SQL builders."""
     col = pk if isinstance(pk, Column) else F.col(pk)
     key = F.concat(F.lit(salt), F.lit("|"), col.cast("string"))
     h = poly_hash(char_codes(key))
-    mixed = (h * F.lit(_MIX_A) + F.lit(_MIX_B)) % F.lit(HASH_P)
-    return mixed / F.lit(float(HASH_P))
+    return (h * F.lit(_MIX_A) + F.lit(_MIX_B)) % F.lit(HASH_P)
 
 
 def split_dataset(
@@ -239,14 +245,10 @@ def shuffle_dataset(
     pk skew.  For per-file-local order at zero global-sort cost, write
     with ``df.repartition(n, F.col(key)).sortWithinPartitions(key)``.
     """
-    col = pk if isinstance(pk, str) else pk
-    key = F.concat(F.lit(salt), F.lit("|"), F.col(col).cast("string"))
-    mixed = (poly_hash(char_codes(key)) * F.lit(_MIX_A) + F.lit(_MIX_B)) % F.lit(
-        HASH_P
-    )
+    mixed = _mixed_hash(pk, salt)
     if key_col is not None:
-        return df.withColumn(key_col, mixed).orderBy(key_col, col)
-    return df.orderBy(mixed, F.col(col))
+        return df.withColumn(key_col, mixed).orderBy(key_col, pk)
+    return df.orderBy(mixed, F.col(pk))
 
 
 def temperature_weights(
@@ -402,13 +404,7 @@ def decontaminate(
     and broadcast; use ``method="semi"`` there).
     """
     ev_col = eval_text_col or text_col
-    # two selects per side: materialize the token-hash array first so the
-    # window fold sees a column reference (see _grams_from_token_hashes)
-    ev_grams = (
-        eval_df.select(_token_hashes(ev_col).alias("_th"))
-        .select(F.explode(_grams_from_token_hashes(F.col("_th"), n)).alias("_g"))
-        .distinct()
-    )
+    ev_grams = _eval_grams(eval_df, ev_col, n)
     if method == "bloom":
         return _decontaminate_bloom(
             train, ev_grams, text_col, n, float(fpp), int(max_eval_grams)
@@ -426,6 +422,18 @@ def decontaminate(
         .distinct()
     )
     return train.join(contaminated, pk, "left_anti")
+
+
+def _eval_grams(eval_df: DataFrame, ev_col: str, n: int) -> DataFrame:
+    """Distinct n-gram hashes of the eval corpus — the one derivation
+    both decontaminate paths AND the curate gate share.  Two selects:
+    materialize the token-hash array first so the window fold sees a
+    column reference (see _grams_from_token_hashes)."""
+    return (
+        eval_df.select(_token_hashes(ev_col).alias("_th"))
+        .select(F.explode(_grams_from_token_hashes(F.col("_th"), n)).alias("_g"))
+        .distinct()
+    )
 
 
 def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
@@ -504,22 +512,32 @@ def _fold_grams_np(flat, lens, n: int):
     import numpy as np
 
     d = len(lens)
-    nw = np.where(lens > 0, np.maximum(lens - (n - 1), 1), 0)
+    # lens < 0 encodes NULL token arrays (no grams at all); lens == 0 is
+    # an EMPTY array, which the Spark expression gives ONE gram (the fold
+    # over an empty slice = 0) — the semi-join path matches whitespace-only
+    # docs on that gram 0, so the bloom path must too (review r11: the
+    # old lens>0 guard made bloom UNDER-drop vs semi on empty-text docs)
+    nw = np.where(lens < 0, 0, np.maximum(lens - (n - 1), 1))
     doc_of_win = np.repeat(np.arange(d), nw)
-    starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), nw)
+    plens = np.maximum(lens, 0)  # NULL sentinel -1 holds no flat slots
+    starts = np.repeat(np.concatenate(([0], np.cumsum(plens)[:-1])), nw)
     # local window offset within each doc
     wi = np.arange(nw.sum()) - np.repeat(
         np.concatenate(([0], np.cumsum(nw)[:-1])), nw
     )
     base = starts + wi
-    ends = starts + np.repeat(lens, nw)  # doc end per window
+    ends = starts + np.repeat(plens, nw)  # doc end per window
     acc = np.zeros(len(base), dtype=np.int64)
+    # empty batch of tokens: every window is over an empty slice (valid
+    # is all-False), but the clamped gather still needs one real slot
+    flat_safe = flat if len(flat) else np.zeros(1, dtype=np.int64)
     for j in range(n):
         idx = base + j
         valid = idx < ends
         acc = np.where(
             valid,
-            (acc * 31 + flat[np.minimum(idx, len(flat) - 1)]) % HASH_P,
+            (acc * 31 + flat_safe[np.minimum(idx, len(flat_safe) - 1)])
+            % HASH_P,
             acc,
         )
     return acc, doc_of_win
@@ -539,6 +557,12 @@ def _contaminated_col(
     import numpy as np
     import pandas as pd
 
+    if not 0.0 < fpp < 0.5:
+        raise ValueError(
+            f"fpp must be in (0, 0.5), got {fpp} — a mistyped rate (1e6 "
+            "for 1e-6) would build a saturated filter that silently "
+            "drops the whole corpus"
+        )
     ev = ev_grams.limit(max_eval_grams + 1).collect()
     if len(ev) > max_eval_grams:
         raise ValueError(
@@ -563,12 +587,18 @@ def _contaminated_col(
         # NULL text -> NULL token array: counts as no grams (kept), the
         # same outcome the semi-join path gives a NULL-text document
         lens = np.array(
-            [0 if t is None else len(t) for t in token_hashes], dtype=np.int64
+            [-1 if t is None else len(t) for t in token_hashes],
+            dtype=np.int64,
         )
-        if lens.sum() == 0:
+        if (lens >= 0).sum() == 0:
             return pd.Series(np.zeros(len(token_hashes), dtype=bool))
-        flat = np.concatenate(
-            [np.asarray(t, dtype=np.int64) for t in token_hashes if t is not None]
+        arrs = [
+            np.asarray(t, dtype=np.int64)
+            for t in token_hashes
+            if t is not None
+        ]
+        flat = (
+            np.concatenate(arrs) if arrs else np.array([], dtype=np.int64)
         )
         grams, doc_of_win = _fold_grams_np(flat, lens, n)
         hit = _bloom_contains(words, grams, m, k)
@@ -610,11 +640,7 @@ def decontamination_gate_flags(
     for free.  The eval set is collected ONCE here, at gate-build time.
     """
     ev_col = eval_text_col or text_col
-    ev_grams = (
-        eval_df.select(_token_hashes(ev_col).alias("_th"))
-        .select(F.explode(_grams_from_token_hashes(F.col("_th"), n)).alias("_g"))
-        .distinct()
-    )
+    ev_grams = _eval_grams(eval_df, ev_col, n)
     bad = _contaminated_col(ev_grams, text_col, n, float(fpp), int(max_eval_grams))
     ok = F.lit(True) if bad is None else ~bad
     return {"_decon_ok": ok}

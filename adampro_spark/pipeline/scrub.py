@@ -461,11 +461,18 @@ _MOJI_CONT = "\u0080-\u00bf" + bytes(range(0x80, 0xA0)).decode(
 #: mojibake signature -> regex (all RE2-portable).  Keys are stable API
 #: (they name diagnostics the way PII categories do).
 MOJIBAKE_PATTERNS: dict[str, str] = {
-    # lead glyphs À-Ñ followed by a continuation glyph: the
+    # lead glyphs Â Ã Ð Ñ followed by a continuation glyph
+    # — EXACTLY the UTF-8 lead bytes of Latin-1 (0xC2/0xC3) and
+    # Cyrillic (0xD0/0xD1) text.  NOT the full À-Ñ lead range:
+    # legit French/Spanish typography pairs OTHER accented capitals
+    # with NBSP/guillemets («DÉJÀ», RESUME + NBSP before ':')
+    # which fall in the continuation class — measured false positives
+    # (review r11); É/À/Ç as lead bytes would only encode the
+    # rare U+0240-U+0251 row.  Original comment: the
     # two-byte UTF-8 sequences for Latin accents (Ã© = é),
     # NBSP (Â ), and Cyrillic (Ð° = а) decoded
     # as Latin-1/cp1252
-    "utf8_as_latin1": f"[À-Ñ][{_MOJI_CONT}]",
+    "utf8_as_latin1": f"[ÂÃÐÑ][{_MOJI_CONT}]",
     # three-byte sequences (curly quotes/dashes): â followed by TWO
     # continuation glyphs ("donâ€™t")
     "utf8_punct": f"â[{_MOJI_CONT}][{_MOJI_CONT}]",

@@ -1029,3 +1029,77 @@ def test_stream_curate_kn_lm_matches_batch(spark, tables, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT doc_id FROM kn_stream").collect()
     }
     assert got == want and got
+
+
+def test_kn_truncated_vocab_oov_cur_floors(spark, tables):
+    """Review r11 #1: with a TRUNCATING vocabulary, an OOV cur must floor
+    at P_cont = 1/cont_denom (the vocab table is the model's only
+    per-token artifact) — pinned against an independent reference that
+    restricts continuation counts to the vocabulary."""
+    import math
+    import re
+    from collections import Counter
+
+    from adampro_spark.pipeline.lm import bigram_lm_score, fit_bigram_lm
+
+    docs = tables["documents"].select("doc_id", "text")
+    V, B, D = 8, 64, 0.75  # vocab far below the corpus's distinct tokens
+    vocab, bigs, meta = fit_bigram_lm(
+        docs, vocab_size=V, bigram_size=B, smoothing="kn", discount=D
+    )
+    got = {
+        r["doc_id"]: r["lm_logprob"]
+        for r in bigram_lm_score(docs, vocab, bigs, meta).collect()
+    }
+    ws = re.compile(r"\s+", re.ASCII)
+    toks_by = {
+        r["doc_id"]: [w for w in ws.split((r["text"] or "").lower()) if w]
+        for r in docs.collect()
+    }
+    uni = Counter()
+    pairs = Counter()
+    for t in toks_by.values():
+        uni.update(t)
+        pairs.update(zip(t, t[1:]))
+    assert len(uni) > V, "fixture must actually truncate"
+    vs = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    denom = sum(uni.values()) + len(vs) + 1
+    btab = dict(
+        sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:B]
+    )
+    cont = Counter(c for (_, c) in pairs if c in vs)  # VOCAB-RESTRICTED
+    ctx = Counter()
+    for (p, _), cn in pairs.items():
+        if p in vs:
+            ctx[p] += cn
+    tsum = Counter()
+    ttyp = Counter()
+    for (p, _), cn in btab.items():
+        tsum[p] += cn
+        ttyp[p] += 1
+    cont_denom = len(pairs) + len(vs) + 1
+
+    def score(toks):
+        if not toks:
+            return None
+        s = 0.0
+        for i, w in enumerate(toks):
+            if i == 0:
+                p = (vs.get(w, 0) + 1) / denom
+            else:
+                prev = toks[i - 1]
+                pc = (cont.get(w, 0) + 1) / cont_denom
+                if prev in vs and ctx.get(prev):
+                    g = 1.0 - (tsum.get(prev, 0) - D * ttyp.get(prev, 0)) / ctx[prev]
+                    p = max(btab.get((prev, w), 0) - D, 0) / ctx[prev] + g * pc
+                else:
+                    p = pc
+            s += math.log10(p)
+        return s / len(toks)
+
+    for did, t in toks_by.items():
+        want = score(t)
+        if want is None:
+            assert got[did] is None
+        else:
+            assert abs(got[did] - want) < 1e-9, (did, got[did], want)

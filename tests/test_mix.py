@@ -523,8 +523,11 @@ def test_fold_grams_np_matches_spark_expression(spark, docs):
     got = [sorted(set(grams[doc_of == i].tolist())) for i in range(len(th_lists))]
     want = [sorted(set(r["g"])) for r in rows]
     assert got[: len(rows)] == want
-    # empty doc: no grams; short doc: ONE gram = fold of its full sequence
-    assert got[len(rows)] == []
+    # empty (non-NULL) doc: ONE gram 0 — the Spark expression's
+    # greatest(k-(n-1), 1) window over an empty slice folds to 0, and
+    # the semi-join path matches whitespace-only docs on exactly that
+    # gram; short doc: ONE gram = fold of its full sequence
+    assert got[len(rows)] == [0]
     P = 1_000_000_007
     assert got[len(rows) + 1] == [(11 * 31 + 22) % P]
 
@@ -623,3 +626,40 @@ def test_stream_curate_decontamination_gate_matches_batch(spark, docs, tmp_path)
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM decon_stream").collect()}
     assert got == want
+
+
+def test_decontaminate_bloom_review_fixes(spark, docs):
+    """Review r11: fpp validation, and empty-text docs match the
+    semi-join path's gram-0 semantics (bloom must never under-drop)."""
+    import numpy as np
+
+    from adampro_spark.pipeline.mix import _fold_grams_np
+
+    eval_df = docs.limit(1).select("text")
+    with pytest.raises(ValueError, match="fpp"):
+        decontaminate(docs, eval_df, method="bloom", fpp=1e6)
+    with pytest.raises(ValueError, match="fpp"):
+        decontaminate(docs, eval_df, method="bloom", fpp=0.0)
+
+    # whitespace-only eval doc -> gram 0; whitespace-only train docs
+    # must drop under BOTH paths (the numpy fold's empty-array window)
+    schema = "doc_id long, text string"
+    train = spark.createDataFrame(
+        [(1, "   \t "), (2, ""), (3, "real content that stays here"),
+         (4, None)],
+        schema,
+    )
+    ev = spark.createDataFrame([("  ",)], "text string")
+    semi = {r[0] for r in decontaminate(train, ev, n=5).select("doc_id").collect()}
+    bloom = {
+        r[0]
+        for r in decontaminate(train, ev, n=5, method="bloom")
+        .select("doc_id")
+        .collect()
+    }
+    assert semi == bloom == {3, 4}  # empties matched; NULL kept by both
+    # the numpy fold itself: NULL -> no gram, empty -> ONE gram 0
+    grams, doc_of = _fold_grams_np(
+        np.array([7], dtype=np.int64), np.array([-1, 0, 1]), 5
+    )
+    assert list(doc_of) == [1, 2] and list(grams) == [0, 7]

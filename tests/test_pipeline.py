@@ -1031,3 +1031,20 @@ def test_curate_exact_dedup_accepts_normalize(spark):
     kept = {r["doc_id"] for r in out.collect()}
     assert kept == {1, 3}
     assert rep["n_dup_dropped"] == 1
+
+
+def test_line_dedup_ccnet_keeps_punct_only_separators(spark):
+    """Review r11 #5: visually distinct punct-only separator lines all
+    normalize to '' — they must never be grouped as boilerplate."""
+    from adampro_spark.pipeline import line_dedup
+
+    rows = [
+        (0, "body alpha\n***"),
+        (1, "body bravo\n---"),
+        (2, "body carol\n…"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=3, normalize="ccnet").collect()}
+    for i, (_, text) in enumerate(rows):
+        assert out[i]["n_lines_removed"] == 0
+        assert out[i]["text"] == text

@@ -877,6 +877,9 @@ def test_mojibake_counts_and_duckdb_parity(spark):
         ("hello � world", 1),             # replacement char
         ("Ð¿Ñ€Ð¸Ð²ÐµÑ‚", 6),                 # Cyrillic double-decoded
         ("São Paulo, Café, née, don’t — vraiment…", 0),
+        # review r11: legit typography pairing accented CAPITALS with
+        # NBSP/guillemets must NOT flag (the full À-Ñ lead range did)
+        ("«DÉJÀ» RÉSUMÉ\u00a0: CAFÉ\u00a0! JOSÉ»", 0),
         ("Привет мир Ελλάδα 日本語 ß æ ø", 0),
         ("Die Straße nach Zürich: àéîõü", 0),
         ("ÀÉÎÕÜ UPPERCASE ACCENTS", 0),
