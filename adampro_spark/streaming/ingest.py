@@ -93,6 +93,7 @@ def windowed_event_stats(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "1 day",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window per-type stats with late-data handling.
 
@@ -100,10 +101,20 @@ def windowed_event_stats(
     ``watermark`` behind the max seen ``ts`` finalize and evict) AND on a
     batch DataFrame (watermark is a no-op there) — the batch run is the
     oracle for the streaming run.
+
+    ``slide`` (optional) makes the windows HOPPING: a window of
+    ``window`` length starts every ``slide`` (must evenly divide into
+    sensible overlap; an event lands in ``window/slide`` windows — the
+    standard smoothed-rate view).  ``None`` keeps tumbling windows.
     """
+    w = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),

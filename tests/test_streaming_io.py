@@ -963,3 +963,31 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_stream").collect()
     }
     assert got == batch
+
+
+def test_windowed_event_stats_hopping(spark):
+    from datetime import datetime
+
+    from adampro_spark.streaming.ingest import windowed_event_stats
+
+    rows = [
+        (datetime(2024, 1, 1, 0, 10), "click", 1.0),
+        (datetime(2024, 1, 1, 0, 40), "click", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = {
+        (r["window_start"], r["n"])
+        for r in windowed_event_stats(df, window="1 hour", slide="30 minutes").collect()
+    }
+    from datetime import datetime as dt
+
+    # each event lands in 2 hopping windows; the [23:30-00:30) and
+    # [00:30-01:30) windows hold one each, [00:00-01:00) holds both
+    assert out == {
+        (dt(2023, 12, 31, 23, 30), 1),
+        (dt(2024, 1, 1, 0, 0), 2),
+        (dt(2024, 1, 1, 0, 30), 1),
+    }
+    # tumbling default unchanged
+    t = windowed_event_stats(df, window="1 hour").collect()
+    assert len(t) == 1 and t[0]["n"] == 2
