@@ -1030,12 +1030,18 @@ def _profile_documents(spark, sf):
 
 
 def _profile_exact_stats(spark, sf):
-    res = _profile_documents(spark, sf)
-    return res.select(
+    from adampro_spark.pipeline.profile import profile
+
+    shape = lambda res: res.select(  # noqa: E731
         "column", "dtype", "n", "n_null",
         F.round("min", 4).alias("min"),
         F.round("max", 4).alias("max"),
         F.round("mean", 4).alias("mean"),
+    )
+    # round 11: the VECTOR leg (embeddings profile their L2 norm through
+    # the same min/max/mean slots) joins the adjudicated surface
+    return shape(_profile_documents(spark, sf)).unionByName(
+        shape(profile(_emb(spark, sf)))
     )
 
 
@@ -1049,6 +1055,16 @@ def _profile_sql() -> str:
         ("source", "string", "length(source)"),
         ("n_chars", "bigint", "n_chars"),
     ]
+    norm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), "
+        "(a, b) -> a + b))"
+    )
+    emb_cols = [
+        ("vec_id", "bigint", "vec_id", "embeddings"),
+        ("embedding", "array<float>", norm, "embeddings"),
+        ("label", "int", "label", "embeddings"),
+    ]
     parts = [
         f"""
         SELECT '{name}' AS "column", '{dt}' AS dtype,
@@ -1057,9 +1073,11 @@ def _profile_sql() -> str:
                round(min(({v})::DOUBLE), 4) AS min,
                round(max(({v})::DOUBLE), 4) AS max,
                round(avg(({v})::DOUBLE), 4) AS mean
-        FROM documents
+        FROM {tbl}
         """
-        for name, dt, v in cols
+        for name, dt, v, tbl in (
+            [(n_, d_, v_, "documents") for n_, d_, v_ in cols] + emb_cols
+        )
     ]
     return "\nUNION ALL\n".join(parts)
 

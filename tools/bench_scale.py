@@ -73,6 +73,11 @@ ROWS = [
     # round 11: the minhash-ccnet composition as its own row
     # (pipeline_ccnet stays the r10 two-part shape)
     "pipeline_ccnet_mh",
+    # round-11 fifth batch: the zero-shuffle Bloom decontamination path
+    # (map-only Arrow filter — MUST scale linearly) and the Kneser-Ney
+    # fit+score (full pair aggregate + three derived model tables)
+    "pipeline_decontaminate_bloom",
+    "text_lm_kn",
 ]
 COPIES = 10
 SHIFT = 10_000_000
