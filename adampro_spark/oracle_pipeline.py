@@ -1549,7 +1549,9 @@ def _gopher_row(spark, sf):
     from adampro_spark.pipeline.curate import gopher_gate_flags
     from adampro_spark.pipeline.scrub import (
         canonical_url_expr,
+        encoding_gate_flags,
         html_to_text_expr,
+        mojibake_count_expr,
         url_gate_flags,
     )
     from adampro_spark.pipeline.text import char_codes, poly_hash
@@ -1561,6 +1563,7 @@ def _gopher_row(spark, sf):
         .withColumn("url", _gopher_url_expr())
         .withColumn("murl", _messy_url_expr())
         .withColumn("mhtml", _messy_html_expr())
+        .withColumn("mtext", _moji_text_expr())
         .select(
             "doc_id",
             *[col.alias(name) for name, col in flags.items()],
@@ -1569,8 +1572,24 @@ def _gopher_row(spark, sf):
             poly_hash(char_codes(html_to_text_expr("mhtml"))).alias(
                 "html_fp"
             ),
+            # round 11: the encoding gate over a planted-damage variant —
+            # the raw signature count AND the flag are in the hash
+            mojibake_count_expr("mtext").alias("moji_n"),
+            encoding_gate_flags("mtext")["_enc_ok"].alias("_enc_ok"),
         )
     )
+
+
+# planted double-encoding damage appended to every 5th doc (two 2-byte
+# signatures + one 3-byte cp1252 triple = count 3); contains no ASCII
+# quote so it embeds verbatim in the SQL literal
+_MOJI_PLANT = " CafÃ© donâ€™t nÃ¤iv"
+
+
+def _moji_text_expr():
+    return F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(_MOJI_PLANT))
+    ).otherwise(F.col("text"))
 
 
 def _url_deny_sql() -> str:
@@ -1698,6 +1717,14 @@ def _gopher_sql() -> str:
              ELSE u END AS canon_url
       FROM cu2
     ),
+    moji AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN text || '{{MOJI}}' ELSE text END AS mtext
+      FROM documents
+    ),
+    me AS (
+      SELECT doc_id, {{MCNT}} AS moji_n FROM moji
+    ),
     mh AS (
       SELECT doc_id,
         '<html><head><title>T</title><style>c{{}}</style>'
@@ -1743,15 +1770,26 @@ def _gopher_sql() -> str:
       (req >= 2) AS _g_required,
       uc.url_ok AS _url_ok,
       cu.canon_url AS canon_url,
-      hf.html_fp AS html_fp
+      hf.html_fp AS html_fp,
+      me.moji_n::BIGINT AS moji_n,
+      (me.moji_n <= 0) AS _enc_ok
     FROM m
     JOIN uc ON m.doc_id = uc.doc_id
     JOIN cu ON m.doc_id = cu.doc_id
     JOIN hf ON m.doc_id = hf.doc_id
+    JOIN me ON m.doc_id = me.doc_id
     """
 
 
-_register("gopher_gates", _gopher_row, _gopher_sql())
+def _gopher_sql_full() -> str:
+    from adampro_spark.pipeline.scrub import sql_mojibake_count
+
+    return _gopher_sql().replace("{MOJI}", _MOJI_PLANT).replace(
+        "{MCNT}", sql_mojibake_count("mtext")
+    )
+
+
+_register("gopher_gates", _gopher_row, _gopher_sql_full())
 
 
 # ---------------------------------------------------------------------------

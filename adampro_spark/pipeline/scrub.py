@@ -492,6 +492,17 @@ def mojibake_count_expr(text: str | Column) -> Column:
     return total
 
 
+def sql_mojibake_count(t: str) -> str:
+    """DuckDB mirror of :func:`mojibake_count_expr` (same pattern
+    literals — the oracle builds its SQL from this so the two engines
+    can never drift)."""
+    parts = [
+        f"len(regexp_extract_all({t}, '" + p.replace("'", "''") + "'))"
+        for p in MOJIBAKE_PATTERNS.values()
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
 def encoding_gate_flags(
     text_col: str = "text", max_artifacts: int = 0
 ) -> dict[str, Column]:
