@@ -1966,7 +1966,21 @@ def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_events").alias("n"),
         "total_value",
     )
-    return tw.unionByName(se)
+    # round 11 second part: the per-EVENT session labeling — every
+    # event's (user, session ordinal) is in the hash, so the lag/cumsum
+    # assignment and the session_window aggregation adjudicate each
+    # other through the shared SQL formulation
+    from adampro_spark.streaming.ingest import assign_sessions
+
+    asg = assign_sessions(ev, gap="30 minutes").select(
+        F.lit("assign").alias("part"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").alias("t0"),
+        F.lit(None).cast("timestamp").alias("t1"),
+        (F.col("event_id") * 100000 + F.col("session_idx")).alias("n"),
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return tw.unionByName(se).unionByName(asg)
 
 
 _register(
@@ -1995,6 +2009,24 @@ _register(
         FROM events
       )
     ) GROUP BY user_id, sid
+    UNION ALL
+    SELECT 'assign', user_id::VARCHAR, ts, NULL::TIMESTAMP,
+           CASE WHEN ts IS NULL THEN NULL
+                ELSE event_id * 100000 + sid END,
+           NULL::DOUBLE
+    FROM (
+      SELECT user_id, event_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+      )
+    )
     """,
 )
 

@@ -1,4 +1,5 @@
 from adampro_spark.streaming.ingest import (  # noqa: F401
+    assign_sessions,
     sessionize_events,
     stream_asof,
     stream_events,

@@ -173,6 +173,53 @@ def sessionize_events(
     )
 
 
+def assign_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    pk: str = "event_id",
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Per-EVENT session assignment: each row gains ``session_col`` —
+    the 0-based ordinal of its session within its ``by`` key, under the
+    same boundary-inclusive gap rule as :func:`sessionize_events` (join
+    the two on ``(by, session_idx)`` ordinals match min-ts order).  Use
+    this when downstream needs the events themselves labeled (session
+    features, intra-session ordering); use :func:`sessionize_events`
+    for the aggregated per-session view and for streams (a per-event
+    label cannot stream: a late event can renumber history).
+
+    Batch formulation: ``lag`` + cumulative sum over the per-key
+    time-ordered window (ties broken by ``pk`` so the numbering is
+    deterministic).  Rows with NULL ``ts`` get NULL session.  Scale
+    note: per-key sequential, same bot-account caveat as
+    :func:`sessionize_events`.
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    if not _re.fullmatch(
+        r"\s*\d+\s*(second|minute|hour|day|week)s?\s*", str(gap)
+    ):
+        raise ValueError(f"cannot parse gap {gap!r} (use '<n> <unit>')")
+    w = Window.partitionBy(by).orderBy(ts_col, pk)
+    prev = F.lag(ts_col).over(w)
+    # interval arithmetic works on TIMESTAMP and TIMESTAMP_NTZ alike
+    # (a double cast does not); boundary-INCLUSIVE like session_window
+    brk = (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")).cast("long")
+    sid = F.sum(F.coalesce(brk, F.lit(0))).over(
+        Window.partitionBy(by).orderBy(ts_col, pk).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return events.withColumn(
+        session_col,
+        F.when(F.col(ts_col).isNotNull(), sid).otherwise(F.lit(None)),
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     text_col: str = "text",

@@ -991,3 +991,43 @@ def test_windowed_event_stats_hopping(spark):
     # tumbling default unchanged
     t = windowed_event_stats(df, window="1 hour").collect()
     assert len(t) == 1 and t[0]["n"] == 2
+
+
+def test_assign_sessions_matches_sessionize(spark):
+    """Per-event session ordinals are consistent with the session-window
+    stats: same number of sessions per user, same per-session event
+    counts, boundary-inclusive gap; NULL ts gets NULL session."""
+    from datetime import datetime
+
+    from adampro_spark.session import load_tables
+    from adampro_spark.streaming.ingest import assign_sessions, sessionize_events
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "ts", "user_id", "value"
+    )
+    assigned = assign_sessions(ev, gap="30 minutes")
+    agg = (
+        assigned.groupBy("user_id", "session_idx")
+        .count()
+        .filter(F.col("session_idx").isNotNull())
+    )
+    stats = sessionize_events(ev, gap="30 minutes")
+    a = sorted(
+        (r["user_id"], r["count"]) for r in agg.collect()
+    )
+    s = sorted((r["user_id"], r["n_events"]) for r in stats.collect())
+    assert a == s
+    # fixture: exact-gap merge + NULL handling
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0, 0)),
+        (2, 10, datetime(2024, 1, 1, 0, 1, 0)),   # exactly gap -> same
+        (3, 10, datetime(2024, 1, 1, 0, 2, 1)),   # gap+1s -> new
+        (4, 10, None),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {r["event_id"]: r["session_idx"]
+           for r in assign_sessions(df, gap="1 minute").collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="gap"):
+        assign_sessions(df, gap="whenever")
