@@ -1574,7 +1574,7 @@ def _gopher_row(spark, sf):
             ),
             # round 11: the encoding gate over a planted-damage variant —
             # the raw signature count AND the flag are in the hash
-            mojibake_count_expr("mtext").alias("moji_n"),
+            mojibake_count_expr("mtext").cast("long").alias("moji_n"),
             encoding_gate_flags("mtext")["_enc_ok"].alias("_enc_ok"),
         )
     )
@@ -1772,7 +1772,9 @@ def _gopher_sql() -> str:
       cu.canon_url AS canon_url,
       hf.html_fp AS html_fp,
       me.moji_n::BIGINT AS moji_n,
-      (me.moji_n <= 0) AS _enc_ok
+      -- NULL text passes the gate in BOTH engines (encoding_gate_flags
+      -- coalesces to TRUE; latent on the current NULL-free corpus)
+      coalesce(me.moji_n <= 0, TRUE) AS _enc_ok
     FROM m
     JOIN uc ON m.doc_id = uc.doc_id
     JOIN cu ON m.doc_id = cu.doc_id

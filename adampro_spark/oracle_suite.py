@@ -1937,6 +1937,24 @@ _register(
 )
 
 
+# ONE lag/cumsum session-break formulation shared by the 'session' and
+# 'assign' oracle legs — two hand-maintained copies could silently
+# desynchronize the cross-check (review r11)
+_SID_SQL = """
+  SELECT user_id, event_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+  )
+"""
+
+
 def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window + SESSION-window event stats (round 11 fold) —
     the streaming module's aggregations run in batch mode (the same
@@ -1976,7 +1994,9 @@ def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("assign").alias("part"),
         F.col("user_id").cast("string").alias("key"),
         F.col("ts").alias("t0"),
-        F.lit(None).cast("timestamp").alias("t1"),
+        # NULL t1 typed EXACTLY like ts — a bare "timestamp" cast would
+        # coerce the whole union's t1 to LTZ while t0 stays NTZ (review)
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("t1"),
         (F.col("event_id") * 100000 + F.col("session_idx")).alias("n"),
         F.lit(None).cast("double").alias("total_value"),
     )
@@ -1996,38 +2016,14 @@ _register(
     SELECT 'session', user_id::VARCHAR,
            min(ts), max(ts) + INTERVAL 30 MINUTE,
            count(*)::BIGINT, round(sum(value), 4)
-    FROM (
-      SELECT user_id, ts, value,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS sid
-      FROM (
-        SELECT user_id, event_id, ts, value,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS brk
-        FROM events
-      )
-    ) GROUP BY user_id, sid
+    FROM ({SID}) GROUP BY user_id, sid
     UNION ALL
     SELECT 'assign', user_id::VARCHAR, ts, NULL::TIMESTAMP,
-           CASE WHEN ts IS NULL THEN NULL
-                ELSE event_id * 100000 + sid END,
+           (CASE WHEN ts IS NULL THEN NULL
+                 ELSE event_id * 100000 + sid END)::BIGINT,
            NULL::DOUBLE
-    FROM (
-      SELECT user_id, event_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS sid
-      FROM (
-        SELECT user_id, event_id, ts,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS brk
-        FROM events
-      )
-    )
-    """,
+    FROM ({SID})
+    """.replace("{SID}", _SID_SQL),
 )
 
 
