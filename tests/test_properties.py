@@ -280,3 +280,101 @@ def test_langid_norm_and_grams_totals(t):
         gs = [g for g in _grams(norm, (n,))]
         assert len(gs) == max(len(norm) - n + 1, 0)
         assert all(len(g) == n for g in gs)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 kernels: driver-side properties (no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1_000_000_006),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    ),
+    st.sampled_from([1e-3, 1e-6, 1e-9]),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative(items, fpp):
+    from adampro_spark.pipeline.mix import (
+        _bloom_contains,
+        _bloom_insert,
+        _bloom_params,
+    )
+
+    arr = np.array(items, dtype=np.int64)
+    m, k = _bloom_params(len(arr), fpp)
+    assert m & (m - 1) == 0
+    words = np.zeros(m // 64, dtype=np.uint64)
+    _bloom_insert(words, arr, m, k)
+    assert _bloom_contains(words, arr, m, k).all()
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=1_000_000_006),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_fold_grams_np_matches_pure_python(docs, n):
+    """The vectorized batch fold == the obvious per-doc loop, including
+    the short/empty-doc single-gram rule."""
+    from adampro_spark.pipeline.mix import _fold_grams_np
+
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    flat = (
+        np.concatenate([np.asarray(d, dtype=np.int64) for d in docs if d])
+        if any(docs)
+        else np.array([], dtype=np.int64)
+    )
+    grams, doc_of = _fold_grams_np(flat, lens, n)
+    got = [grams[doc_of == i].tolist() for i in range(len(docs))]
+    P = 1_000_000_007
+    for d, g in zip(docs, got):
+        windows = (
+            [d[i : i + n] for i in range(max(len(d) - n + 1, 1))]
+            if True
+            else []
+        )
+        want = []
+        for w in windows:
+            acc = 0
+            for h in w:
+                acc = (acc * 31 + h) % P
+            want.append(acc)
+        assert g == want
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=80, deadline=None)
+def test_ccnet_normalize_reference_is_idempotent(t):
+    """The normalization is a projection: applying it twice equals once
+    (pure-python mirror of the column expression's char maps)."""
+    import re
+
+    from adampro_spark.pipeline.text import (
+        ACCENT_FROM,
+        ACCENT_TO,
+        DEDUP_PUNCT,
+    )
+
+    table = str.maketrans(ACCENT_FROM, ACCENT_TO)
+    cls = "[" + re.escape(DEDUP_PUNCT) + "]"
+
+    def norm(x):
+        x = x.lower().translate(table)
+        x = re.sub("[0-9]", "0", x)
+        return re.sub(cls, "", x)
+
+    assert norm(norm(t)) == norm(t)
+    # accent table is an involution-free pure fold: outputs are ASCII
+    assert all(c in "abcdefghijklmnopqrstuvwxyz" for c in ACCENT_TO)
