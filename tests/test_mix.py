@@ -663,3 +663,14 @@ def test_decontaminate_bloom_review_fixes(spark, docs):
         np.array([7], dtype=np.int64), np.array([-1, 0, 1]), 5
     )
     assert list(doc_of) == [1, 2] and list(grams) == [0, 7]
+
+
+def test_shuffle_dataset_string_pk(spark):
+    from adampro_spark.pipeline.mix import shuffle_dataset
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(50)], ["name", "x"]
+    )
+    ids = [r["name"] for r in shuffle_dataset(df, pk="name").collect()]
+    assert sorted(ids) == sorted(f"doc-{i}" for i in range(50))
+    assert ids != sorted(ids)

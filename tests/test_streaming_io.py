@@ -1031,3 +1031,16 @@ def test_assign_sessions_matches_sessionize(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="gap"):
         assign_sessions(df, gap="whenever")
+
+
+def test_sessionize_without_value_col(spark):
+    from datetime import datetime
+
+    from adampro_spark.streaming.ingest import sessionize_events
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 2))], ["user_id", "ts"]
+    )
+    out = sessionize_events(df, gap="1 hour", value_col=None).collect()
+    assert len(out) == 2 and "total_value" not in out[0].asDict()
+    assert all(r["n_events"] == 1 for r in out)
