@@ -174,6 +174,115 @@ def test_asof_null_hot_key_routes_through_unkeyed_carry(spark, direction):
     assert _collect(plain) == _collect(routed)
 
 
+@pytest.fixture(scope="module")
+def skewed_session_events(spark):
+    """70% of events on one bot key; timestamps interleave with 40 cold
+    keys so the time buckets genuinely split the hot key's stream."""
+    from datetime import datetime, timedelta
+
+    rng = np.random.RandomState(11)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(3500):  # hot key, bursty: gaps of 1-90 min
+        rows.append(("BOT", t0 + timedelta(minutes=float(rng.uniform(0, 60_000)))))
+    for i in range(1500):
+        rows.append((f"u{rng.randint(40)}",
+                     t0 + timedelta(minutes=float(rng.uniform(0, 60_000)))))
+    rows.append(("BOT", None))  # NULL ts stays NULL-labeled
+    rows.append((None, t0))     # NULL key rides the plain leg here
+    return spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rows)],
+        "event_id long, user_id string, ts timestamp",
+    ).cache()
+
+
+def _sessions(df):
+    return sorted(
+        (r["event_id"], r["user_id"], r["session_idx"]) for r in df.collect()
+    )
+
+
+def test_assign_sessions_skew_path_matches_plain(spark, skewed_session_events):
+    """verdict r11 #1: the per-(key, time-bucket) two-phase carry must
+    reproduce the plain per-key window's session ordinals EXACTLY on a
+    70%-hot-key corpus — including NULL-ts rows (NULL label) and the
+    bucket-boundary breaks the offset table patches."""
+    from adampro_spark.streaming.ingest import assign_sessions
+
+    ev = skewed_session_events
+    plain = assign_sessions(ev, gap="45 minutes", skew_threshold=None)
+    routed = assign_sessions(ev, gap="45 minutes", skew_threshold=500)
+    assert "_ap_spid" in routed._jdf.queryExecution().executedPlan().toString()
+    assert "_ap_spid" not in plain._jdf.queryExecution().executedPlan().toString()
+    assert _sessions(plain) == _sessions(routed)
+
+
+def test_assign_sessions_auto_routes_planted_hot_key(
+    spark, skewed_session_events, monkeypatch
+):
+    """The DEFAULT (skew_threshold='auto') must route the planted hot key
+    once the floor is at test scale — no kwarg at all — and still match."""
+    from adampro_spark.pipeline import temporal
+    from adampro_spark.streaming.ingest import assign_sessions
+
+    monkeypatch.setattr(temporal, "ASOF_SKEW_MIN_ROWS", 500)
+    ev = skewed_session_events
+    auto = assign_sessions(ev, gap="45 minutes")
+    assert "_ap_spid" in auto._jdf.queryExecution().executedPlan().toString()
+    plain = assign_sessions(ev, gap="45 minutes", skew_threshold=None)
+    assert _sessions(auto) == _sessions(plain)
+
+
+def test_assign_sessions_null_hot_key_routes_unkeyed(spark):
+    """A heavy NULL key (one window partition in the plain shape) routes
+    through the key-dropped carry — driver-side boundary prefix — and
+    matches the plain window exactly."""
+    from datetime import datetime, timedelta
+
+    from adampro_spark.streaming.ingest import assign_sessions
+
+    rng = np.random.RandomState(13)
+    t0 = datetime(2024, 1, 1)
+    rows = [(None, t0 + timedelta(minutes=float(rng.uniform(0, 20_000))))
+            for _ in range(1500)]
+    rows += [(f"u{rng.randint(10)}",
+              t0 + timedelta(minutes=float(rng.uniform(0, 20_000))))
+             for _ in range(300)]
+    ev = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rows)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    plain = assign_sessions(ev, gap="20 minutes", skew_threshold=None)
+    routed = assign_sessions(ev, gap="20 minutes", skew_threshold=400)
+    assert "_ap_spid" in routed._jdf.queryExecution().executedPlan().toString()
+    assert _sessions(plain) == _sessions(routed)
+
+
+def test_assign_sessions_carry_buckets_bounded(spark, skewed_session_events):
+    """No (key, bucket) window partition of the carry holds more than
+    ~10% of the rows — mirror the implementation's quantile bucketing."""
+    from pyspark.sql import functions as F
+
+    ev = skewed_session_events
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = ev.count()
+    qs = sorted(set(ev.select(F.col("ts").cast("double").alias("_t"))
+                    .stat.approxQuantile("_t", [i / p for i in range(1, p)], 0.01)))
+    barr = F.array(*[F.lit(float(b)) for b in qs])
+    t = F.col("ts").cast("double")
+    bucket = F.when(t.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(barr, lambda b: t >= b))
+    )
+    biggest = (
+        ev.filter(F.col("user_id") == "BOT")
+        .groupBy(bucket.alias("b"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert biggest <= total * 0.10, (biggest, total)
+
+
 def test_minhash_hot_bucket_emits_linear_pairs(spark):
     """A degenerate bucket holding 50% of the corpus (identical text)
     must contribute O(B) star pairs, not O(B²): total pair count stays
