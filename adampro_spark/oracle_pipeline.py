@@ -1029,20 +1029,36 @@ def _profile_documents(spark, sf):
     return profile(_docs_full(spark, sf))
 
 
-def _profile_exact_stats(spark, sf):
-    from adampro_spark.pipeline.profile import profile
-
-    shape = lambda res: res.select(  # noqa: E731
+def _profile_shape(res):
+    return res.select(
         "column", "dtype", "n", "n_null",
         F.round("min", 4).alias("min"),
         F.round("max", 4).alias("max"),
         F.round("mean", 4).alias("mean"),
     )
+
+
+def _profile_docs_row(spark, sf):
+    """The r10 single-table shape — the BENCH row under the historical
+    `pipeline_profile` name (cross-round comparability, verdict r11 #3);
+    the driver row below unions the vector leg on top."""
+    return _profile_shape(_profile_documents(spark, sf))
+
+
+def _profile_vec_row(spark, sf):
+    from adampro_spark.pipeline.profile import profile
+
+    return _profile_shape(profile(_emb(spark, sf)))
+
+
+def _profile_exact_stats(spark, sf):
     # round 11: the VECTOR leg (embeddings profile their L2 norm through
     # the same min/max/mean slots) joins the adjudicated surface
-    return shape(_profile_documents(spark, sf)).unionByName(
-        shape(profile(_emb(spark, sf)))
-    )
+    return _profile_docs_row(spark, sf).unionByName(_profile_vec_row(spark, sf))
+
+
+BENCH_ONLY["pipeline_profile"] = _profile_docs_row
+BENCH_ONLY["pipeline_profile_vec"] = _profile_vec_row
 
 
 def _profile_sql() -> str:

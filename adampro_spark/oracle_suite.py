@@ -1976,6 +1976,20 @@ def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         "total_value",
     )
+    # round 12 fourth part: HOPPING windows (slide=30m, so every event
+    # lands in window/slide = 2 windows) — the overlap arithmetic is
+    # pinned against an independent DuckDB time_bucket formulation
+    # (30-min buckets align identically from the 1970 and 2000 epochs);
+    # Spark drops NULL-ts rows from hopping windows (probed round 12),
+    # so the oracle filters them explicitly
+    hop = windowed_event_stats(ev, window="1 hour", slide="30 minutes").select(
+        F.lit("hop").alias("part"),
+        F.col("event_type").alias("key"),
+        F.col("window_start").alias("t0"),
+        (F.col("window_start") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+        "n",
+        "total_value",
+    )
     se = sessionize_events(ev, gap="30 minutes").select(
         F.lit("session").alias("part"),
         F.col("user_id").cast("string").alias("key"),
@@ -2000,7 +2014,7 @@ def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_id") * 100000 + F.col("session_idx")).alias("n"),
         F.lit(None).cast("double").alias("total_value"),
     )
-    return tw.unionByName(se).unionByName(asg)
+    return tw.unionByName(hop).unionByName(se).unionByName(asg)
 
 
 _register(
@@ -2012,6 +2026,17 @@ _register(
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS t1,
            count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
     FROM events GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'hop', event_type,
+           ws, ws + INTERVAL 1 HOUR,
+           count(*)::BIGINT, round(sum(value), 4)
+    FROM (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 30 MINUTE, ts)
+               - i * INTERVAL 30 MINUTE AS ws
+      FROM events, generate_series(0, 1) t(i)
+      WHERE ts IS NOT NULL
+    ) GROUP BY event_type, ws
     UNION ALL
     SELECT 'session', user_id::VARCHAR,
            min(ts), max(ts) + INTERVAL 30 MINUTE,
@@ -2025,6 +2050,47 @@ _register(
     FROM ({SID})
     """.replace("{SID}", _SID_SQL),
 )
+
+
+# Cross-round bench comparability (round 12, verdict r11 #3): the driver
+# row above grew from one part (r10) to a 4-part adjudicated union, so a
+# BENCH row named `events_windowed_stats` timing the union would not mean
+# the same work it meant in r10.  The pipeline_ccnet / pipeline_ccnet_mh
+# precedent, applied: bench keeps the ORIGINAL r10 tumbling shape under
+# the historical name (BENCH_ONLY wins the registry merge in bench.py)
+# and each later part is its own row — see README "bench row mapping".
+
+
+def _events_tumbling_row(spark: SparkSession, sf: str) -> DataFrame:
+    from adampro_spark.streaming.ingest import windowed_event_stats
+
+    return windowed_event_stats(_table(spark, sf, "events"), window="1 hour")
+
+
+def _events_hopping_row(spark: SparkSession, sf: str) -> DataFrame:
+    from adampro_spark.streaming.ingest import windowed_event_stats
+
+    return windowed_event_stats(
+        _table(spark, sf, "events"), window="1 hour", slide="30 minutes"
+    )
+
+
+def _events_sessionized_row(spark: SparkSession, sf: str) -> DataFrame:
+    from adampro_spark.streaming.ingest import sessionize_events
+
+    return sessionize_events(_table(spark, sf, "events"), gap="30 minutes")
+
+
+def _events_assign_row(spark: SparkSession, sf: str) -> DataFrame:
+    from adampro_spark.streaming.ingest import assign_sessions
+
+    return assign_sessions(_table(spark, sf, "events"), gap="30 minutes")
+
+
+BENCH_ONLY["events_windowed_stats"] = _events_tumbling_row
+BENCH_ONLY["events_hopping"] = _events_hopping_row
+BENCH_ONLY["events_sessionized"] = _events_sessionized_row
+BENCH_ONLY["events_session_assign"] = _events_assign_row
 
 
 def _random_data_query(spark: SparkSession, sf: str) -> DataFrame:

@@ -114,6 +114,14 @@ HEADLINE = [
     # stateless element_at lookup — the formulation that runs on a live
     # stream), timed in batch mode like every streaming-capable row
     "temporal_asof_stream",
+    # round 12 (verdict r11 #3): the parts the events_windowed_stats /
+    # pipeline_profile driver rows gained in r11/r12, as their own rows
+    # so the historical names keep timing their r10 shapes (BENCH_ONLY
+    # overrides in oracle_suite.py / oracle_pipeline.py; README mapping)
+    "events_hopping",
+    "events_sessionized",
+    "events_session_assign",
+    "pipeline_profile_vec",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the
