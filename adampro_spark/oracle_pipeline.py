@@ -1570,16 +1570,38 @@ def _gopher_row(spark, sf):
         mojibake_count_expr,
         url_gate_flags,
     )
-    from adampro_spark.pipeline.text import char_codes, poly_hash
+    from adampro_spark.pipeline.text import (
+        char_codes,
+        poly_hash,
+        space_free_dominant_expr,
+    )
 
     flags = gopher_gate_flags()
     uflags = url_gate_flags("url", deny_domains=_URL_DENY)
+    # round 12 script part (verdict r11 #2): every 4th doc becomes a
+    # planted zh/ja/th document; the script tokenizer's token count /
+    # mean "word" length, the dominance routing bit, and the four
+    # script-routed Gopher flags are all in the hash — so the char
+    # tokenization, the ≥½-non-ws dominance arithmetic, and the
+    # when(dom)-routing each adjudicate against an independent DuckDB
+    # formulation (Latin docs ride the same columns un-routed)
+    sflags = gopher_gate_flags("ztext", tokenizer="script")
+    st = F.col("_ap_ztoks")
+    sn = F.size(st).cast("long")
+    schars = F.aggregate(
+        F.transform(st, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    smean = F.round(F.when(sn > 0, schars / sn).otherwise(F.lit(0.0)), 4)
     return (
         _docs(spark, sf)
         .withColumn("url", _gopher_url_expr())
         .withColumn("murl", _messy_url_expr())
         .withColumn("mhtml", _messy_html_expr())
         .withColumn("mtext", _moji_text_expr())
+        .withColumn("ztext", _script_text_expr())
+        .withColumn("_ap_ztoks", _script_toks_expr())
         .select(
             "doc_id",
             *[col.alias(name) for name, col in flags.items()],
@@ -1592,6 +1614,13 @@ def _gopher_row(spark, sf):
             # the raw signature count AND the flag are in the hash
             mojibake_count_expr("mtext").cast("long").alias("moji_n"),
             encoding_gate_flags("mtext")["_enc_ok"].alias("_enc_ok"),
+            sn.alias("script_n_toks"),
+            smean.alias("script_mean_wl"),
+            space_free_dominant_expr("ztext").alias("script_dom"),
+            sflags["_g_words"].alias("_g_words_script"),
+            sflags["_g_word_len"].alias("_g_wl_script"),
+            sflags["_g_alpha"].alias("_g_alpha_script"),
+            sflags["_g_required"].alias("_g_req_script"),
         )
     )
 
@@ -1600,6 +1629,45 @@ def _gopher_row(spark, sf):
 # signatures + one 3-byte cp1252 triple = count 3); contains no ASCII
 # quote so it embeds verbatim in the SQL literal
 _MOJI_PLANT = " CafÃ© donâ€™t nÃ¤iv"
+
+# planted space-free-script documents (round 12): zh (pure Han, long
+# enough to pass the 50-token floor as characters), ja (mixed
+# kanji/kana), th (Thai incl. combining marks — each mark is its own
+# character token by design, parity-probed).  No ASCII quotes, so they
+# embed verbatim in the SQL literals.
+_SCRIPT_PLANTS = (
+    "今天天气很好我们决定去公园散步然后在湖边喝茶看书晚上回家做饭吃完饭以后"
+    "看了一部很长的电影觉得非常有意思第二天早上我们又去了博物馆参观了文物",
+    "日本語のテキストですここには漢字とひらがなとカタカナが混ざっています"
+    "これは品質ゲートの検証用の文章で五十文字より長くしてあります",
+    "วันนี้อากาศดีมากเราไปเดินเล่นที่สวนสาธารณะแล้วนั่งดื่มชาอ่านหนังสือริมทะเลสาบตอนเย็น",
+)
+
+
+def _script_text_expr():
+    did = F.col("doc_id")
+    expr = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(_SCRIPT_PLANTS[0]), F.lit(" "),
+            F.substring(F.col("text"), 1, 24),
+        ),
+    )
+    for i in (1, 2):
+        expr = expr.when(
+            did % 4 == i,
+            F.concat(
+                F.lit(_SCRIPT_PLANTS[i]), F.lit(" "),
+                F.substring(F.col("text"), 1, 24),
+            ),
+        )
+    return expr.otherwise(F.col("text"))
+
+
+def _script_toks_expr():
+    from adampro_spark.pipeline.text import script_tokens_expr
+
+    return script_tokens_expr(F.col("ztext"))
 
 
 def _moji_text_expr():
@@ -1614,6 +1682,11 @@ def _url_deny_sql() -> str:
 
 def _gopher_sql() -> str:
     from adampro_spark.pipeline.curate import GOPHER_REQUIRED_WORDS
+    from adampro_spark.pipeline.text import (
+        space_free_class,
+        sql_script_tokens,
+        sql_space_free_dominant,
+    )
 
     toks = _TOKS.format(t="text")
     req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
@@ -1621,6 +1694,10 @@ def _gopher_sql() -> str:
         "regexp_replace(regexp_replace(t0, '^\\s+', ''), '\\s+$', '')"
     )
     hfp = _sql_poly_hash(_trimmed)
+    stoks = sql_script_tokens("zx")
+    sdom = sql_space_free_dominant("zx")
+    scls = space_free_class()
+    smean = "(CASE WHEN zm.sn > 0 THEN zm.sc / zm.sn ELSE 0.0 END)"
     return f"""
     WITH base AS (
       SELECT doc_id, text, {toks} AS toks,
@@ -1774,6 +1851,25 @@ def _gopher_sql() -> str:
       SELECT doc_id,
         {hfp} AS html_fp
       FROM ht
+    ),
+    z AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN '{{ZH}}' || ' ' || substr(text, 1, 24)
+             WHEN doc_id % 4 = 1 THEN '{{JA}}' || ' ' || substr(text, 1, 24)
+             WHEN doc_id % 4 = 2 THEN '{{TH}}' || ' ' || substr(text, 1, 24)
+             ELSE text END AS zx
+      FROM documents
+    ),
+    zs AS (
+      SELECT doc_id, {stoks} AS st, {sdom} AS dom FROM z
+    ),
+    zm AS (
+      SELECT doc_id, dom,
+        len(st)::BIGINT AS sn,
+        coalesce(list_sum(list_transform(st, t -> length(t)::BIGINT)), 0) AS sc,
+        len(list_filter(st, x -> regexp_matches(x, '[a-z]|{scls}'))) AS salpha,
+        len(list_filter(list_distinct(st), t -> list_contains([{req}], t))) AS sreq
+      FROM zs
     )
     SELECT m.doc_id,
       (n >= 50 AND n <= 100000) AS _g_words,
@@ -1790,20 +1886,35 @@ def _gopher_sql() -> str:
       me.moji_n::BIGINT AS moji_n,
       -- NULL text passes the gate in BOTH engines (encoding_gate_flags
       -- coalesces to TRUE; latent on the current NULL-free corpus)
-      coalesce(me.moji_n <= 0, TRUE) AS _enc_ok
+      coalesce(me.moji_n <= 0, TRUE) AS _enc_ok,
+      zm.sn AS script_n_toks,
+      round({smean}, 4) AS script_mean_wl,
+      zm.dom AS script_dom,
+      (zm.sn >= 50 AND zm.sn <= 100000) AS _g_words_script,
+      (CASE WHEN zm.dom THEN TRUE
+            ELSE ({smean} >= 3.0 AND {smean} <= 10.0) END) AS _g_wl_script,
+      ((CASE WHEN zm.sn > 0 THEN zm.salpha / zm.sn ELSE 0.0 END) >= 0.8)
+        AS _g_alpha_script,
+      (CASE WHEN zm.dom THEN TRUE ELSE zm.sreq >= 2 END) AS _g_req_script
     FROM m
     JOIN uc ON m.doc_id = uc.doc_id
     JOIN cu ON m.doc_id = cu.doc_id
     JOIN hf ON m.doc_id = hf.doc_id
     JOIN me ON m.doc_id = me.doc_id
+    JOIN zm ON m.doc_id = zm.doc_id
     """
 
 
 def _gopher_sql_full() -> str:
     from adampro_spark.pipeline.scrub import sql_mojibake_count
 
-    return _gopher_sql().replace("{MOJI}", _MOJI_PLANT).replace(
-        "{MCNT}", sql_mojibake_count("mtext")
+    return (
+        _gopher_sql()
+        .replace("{MOJI}", _MOJI_PLANT)
+        .replace("{MCNT}", sql_mojibake_count("mtext"))
+        .replace("{ZH}", _SCRIPT_PLANTS[0])
+        .replace("{JA}", _SCRIPT_PLANTS[1])
+        .replace("{TH}", _SCRIPT_PLANTS[2])
     )
 
 

@@ -38,6 +38,7 @@ def gate_flags(
     max_chars: int | None = None,
     toks: Column | None = None,
     langid_col: Column | None = None,
+    tokenizer: str = "whitespace",
 ) -> dict[str, Column]:
     """The curation gates as PURE COLUMN EXPRESSIONS — one dict of
     boolean flags (``_lang_ok/_len_ok/_cap_ok/_q_ok``) computed in a
@@ -57,11 +58,22 @@ def gate_flags(
     ``langid.trained_langid_col(model, meta)`` for the trained NB model
     (round 9); any stateless expression works, so the gate streams
     unchanged.
+
+    ``tokenizer="script"`` (round 12): space-free-script characters
+    (zh/ja/th) count as their own tokens AND as alphanumeric mass in
+    the quality ratio — without it a Chinese document is one "token"
+    of 100% "symbols" and every gate here mis-fires.  Callers passing
+    a pre-staged ``toks`` must stage it with the SAME tokenizer
+    (curate threads this through).
     """
-    toks = tokens_expr(text_col) if toks is None else toks
+    from adampro_spark.pipeline.text import alnum_strip_class, resolve_tokenizer
+
+    toks = resolve_tokenizer(text_col, tokenizer) if toks is None else toks
     n_chars = F.length(F.col(text_col)).cast("long")
     n_tokens = F.size(toks).cast("long")
-    alnum = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))
+    alnum = F.length(
+        F.regexp_replace(F.col(text_col), alnum_strip_class(tokenizer), "")
+    )
     alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
     quality = alnum_ratio * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
     lang_pred = (
@@ -143,6 +155,7 @@ def gopher_gate_flags(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_required_words: int = 2,
+    tokenizer: str = "whitespace",
 ) -> dict[str, Column]:
     """The MassiveText/Gopher quality-filtering rule set (Rae et al.
     2021, appendix A1.1 — the public heuristics behind most modern
@@ -166,8 +179,34 @@ def gopher_gate_flags(
     Usage::
 
         curate(df, extra_gates=gopher_gate_flags(toks=F.col("_ap_gtoks")))
+
+    ``tokenizer="script"`` (round 12, verdict r11 #2): the Gopher rules
+    are English-targeted, and the whitespace tokenization makes them
+    DEGENERATE on space-free scripts — a Chinese document is ONE
+    "word", so ``_g_words`` fails on count, ``_g_word_len`` fails on a
+    mean length of hundreds, ``_g_alpha``/``_g_required`` fail outright
+    — exactly the corpora a multilingual langid invites in.  In script
+    mode: tokens come from :func:`~adampro_spark.pipeline.text.
+    script_tokens_expr` (each zh/ja/th character is its own word, so
+    the count/symbol/bullet rules regain meaning), a space-free-script
+    character counts as alphabetic in ``_g_alpha``, and the two rules
+    with no script analogue — ``_g_word_len`` (character "words" are
+    length 1 by construction) and ``_g_required`` (English word list) —
+    pass through as True for documents where space-free scripts
+    DOMINATE (≥ half the non-whitespace characters,
+    ``space_free_dominant_expr`` — one ``when()`` over the existing
+    exprs) while Latin documents in the same corpus keep the full rule
+    set.  All still pure codegen, DuckDB-mirrored.
     """
-    tk = tokens_expr(text_col) if toks is None else toks
+    from adampro_spark.pipeline.text import (
+        resolve_tokenizer,
+        space_free_class,
+        space_free_dominant_expr,
+    )
+
+    tk = resolve_tokenizer(text_col, tokenizer) if toks is None else toks
+    script_mode = tokenizer == "script"
+    dom = space_free_dominant_expr(text_col) if script_mode else F.lit(False)
     n_words = F.size(tk)
     tok_chars = F.aggregate(
         F.transform(tk, lambda x: F.length(x).cast("long")),
@@ -192,27 +231,34 @@ def gopher_gate_flags(
         F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
         / F.size(lines),
     ).otherwise(F.lit(0.0))
+    alpha_pat = f"[a-z]|{space_free_class()}" if script_mode else "[a-z]"
     alpha_frac = F.when(
         n_words > 0,
-        F.size(F.filter(tk, lambda x: x.rlike("[a-z]"))) / n_words,
+        F.size(F.filter(tk, lambda x: x.rlike(alpha_pat))) / n_words,
     ).otherwise(F.lit(0.0))
     required = F.size(
         F.array_intersect(
             F.array_distinct(tk), F.lit(list(GOPHER_REQUIRED_WORDS))
         )
     )
+    word_len_ok = (mean_len >= F.lit(float(min_mean_word_len))) & (
+        mean_len <= F.lit(float(max_mean_word_len))
+    )
+    required_ok = required >= F.lit(int(min_required_words))
+    if script_mode:
+        word_len_ok = F.when(dom, F.lit(True)).otherwise(word_len_ok)
+        required_ok = F.when(dom, F.lit(True)).otherwise(required_ok)
     return {
         "_g_words": (n_words >= F.lit(int(min_words)))
         & (n_words <= F.lit(int(max_words))),
-        "_g_word_len": (mean_len >= F.lit(float(min_mean_word_len)))
-        & (mean_len <= F.lit(float(max_mean_word_len))),
+        "_g_word_len": word_len_ok,
         "_g_symbols": F.when(n_words > 0, symbols / n_words).otherwise(
             F.lit(0.0)
         ) <= F.lit(float(max_symbol_ratio)),
         "_g_bullets": (bullet_frac <= F.lit(float(max_bullet_line_frac)))
         & (ellipsis_frac <= F.lit(float(max_ellipsis_line_frac))),
         "_g_alpha": alpha_frac >= F.lit(float(min_alpha_word_frac)),
-        "_g_required": required >= F.lit(int(min_required_words)),
+        "_g_required": required_ok,
     }
 
 
@@ -241,6 +287,7 @@ def curate(
     quality_weights: Sequence[float] | None = None,
     quality_junk_threshold: float = 0.5,
     report_by: str | None = None,
+    tokenizer: str = "whitespace",
     **dedup_kw: Any,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Filter + deduplicate a document corpus; returns ``(survivors,
@@ -356,6 +403,17 @@ def curate(
     The per-group rows are COLLECTED (like the global aggregate row
     already is), so ``report_by`` is for modest-cardinality grouping —
     languages, sources, crawls — not per-document keys.
+
+    ``tokenizer`` (round 12, verdict r11 #2) — ``"whitespace"``
+    (default) or ``"script"``: script mode stages script-aware tokens
+    (zh/ja/th characters as their own tokens,
+    :func:`~adampro_spark.pipeline.text.script_tokens_expr`) into
+    ``_ap_gtoks`` and extends the quality alnum mass with those
+    scripts, so token floors / quality / repetition signals stop
+    mis-gating space-free-script corpora; Latin documents are unchanged
+    by construction.  Pair with
+    ``extra_gates=gopher_gate_flags(toks=F.col("_ap_gtoks"),
+    tokenizer="script")`` for the script-routed Gopher rules.
     """
     import time
 
@@ -408,15 +466,20 @@ def curate(
         )
 
     # stage the token array once: langid's five per-language filters plus
-    # the length/quality flags would otherwise each re-tokenize the text
-    from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
+    # the length/quality flags would otherwise each re-tokenize the text.
+    # tokenizer="script" stages script-aware tokens (zh/ja/th characters
+    # as their own tokens) into the SAME column, so every downstream
+    # consumer — gates, repetition signals, user extra_gates built on
+    # _ap_gtoks — agrees on one tokenization (verdict r11 #2).
+    from adampro_spark.pipeline.text import resolve_tokenizer as _resolve_tok
 
-    df = df.withColumn("_ap_gtoks", _tokens_expr(text_col))
+    df = df.withColumn("_ap_gtoks", _resolve_tok(text_col, tokenizer))
     flags = dict(
         gate_flags(
             text_col, langs=langs, min_tokens=min_tokens,
             min_quality=min_quality, max_chars=max_chars,
             toks=F.col("_ap_gtoks"), langid_col=langid_col,
+            tokenizer=tokenizer,
         )
     )
     rep_internals: list[str] = []
@@ -722,6 +785,7 @@ def curate_report_by(
     min_quality: float = 0.3,
     max_chars: int | None = None,
     extra_gates: Mapping[str, Column] | None = None,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Per-GROUP gate attrition — the report a production pipeline
     tracks per crawl/source/domain to see WHERE the corpus is losing
@@ -734,14 +798,15 @@ def curate_report_by(
     A doc failing several gates counts in each (independent
     diagnostics, like curate's global report).
     """
-    from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
+    from adampro_spark.pipeline.text import resolve_tokenizer as _resolve_tok
 
-    staged = df.withColumn("_ap_gtoks", _tokens_expr(text_col))
+    staged = df.withColumn("_ap_gtoks", _resolve_tok(text_col, tokenizer))
     flags = dict(
         gate_flags(
             text_col, langs=langs, min_tokens=min_tokens,
             min_quality=min_quality, max_chars=max_chars,
             toks=F.col("_ap_gtoks"), langid_col=langid_col,
+            tokenizer=tokenizer,
         )
     )
     extras = dict(extra_gates or {})
@@ -778,6 +843,7 @@ def curate_failures(
     min_quality: float = 0.3,
     max_chars: int | None = None,
     extra_gates: Mapping[str, Column] | None = None,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Per-DOCUMENT gate diagnostics — the row-level companion of
     :func:`curate`'s aggregate attrition report: ``(pk, failed_gates)``
@@ -799,14 +865,15 @@ def curate_failures(
     the failing minority (sample or limit it before collecting).
     """
     _check_reserved_columns(df)
-    from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
+    from adampro_spark.pipeline.text import resolve_tokenizer as _resolve_tok
 
-    staged = df.withColumn("_ap_gtoks", _tokens_expr(text_col))
+    staged = df.withColumn("_ap_gtoks", _resolve_tok(text_col, tokenizer))
     flags = dict(
         gate_flags(
             text_col, langs=langs, min_tokens=min_tokens,
             min_quality=min_quality, max_chars=max_chars,
             toks=F.col("_ap_gtoks"), langid_col=langid_col,
+            tokenizer=tokenizer,
         )
     )
     extras = dict(extra_gates or {})

@@ -432,18 +432,25 @@ def _eval_grams(eval_df: DataFrame, ev_col: str, n: int) -> DataFrame:
     return (
         eval_df.select(_token_hashes(ev_col).alias("_th"))
         .select(F.explode(_grams_from_token_hashes(F.col("_th"), n)).alias("_g"))
+        # a NULL-text eval row can surface as a NULL gram; the semi-join
+        # path tolerates it silently (NULL never joins) but the bloom
+        # path's np.array(..., dtype=int64) would raise on None — drop
+        # NULLs so both methods see the same gram set (ADVICE r11)
+        .filter(F.col("_g").isNotNull())
         .distinct()
     )
 
 
 def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
     """Classic Bloom sizing: ``m = -n·ln(fpp)/ln²2`` bits, rounded UP to
-    a power of two, ``k = (m/n)·ln2`` probes.  m MUST be a power of two:
-    the probe sequence is double-hashed ``(h1 + i·h2) mod m`` with h2
-    odd, and an odd stride is coprime to a power of two so the probes
-    walk the full table — with a merely word-aligned m (e.g. 576 =
-    2^6·9), strides divisible by 3 cycle a small coset and the measured
-    FP rate ran 25× above the target."""
+    a power of two, ``k = (m/n)·ln2`` probes.  The power-of-two rounding
+    is CANONICAL SIZING, not a correctness requirement: ``_bloom_probe``
+    uses an independent splitmix64 avalanche per probe (double hashing
+    was abandoned for measured FP inflation — see its docstring), whose
+    ``% m`` is uniform for any m.  Rounding up keeps m word-aligned,
+    makes the modulo a cheap mask where numpy can use it, and only ever
+    LOWERS the realized FP rate below the target (the direction the
+    decontamination guarantee needs)."""
     import math
 
     m = max(64, int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))))

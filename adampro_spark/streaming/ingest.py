@@ -496,6 +496,7 @@ def stream_curate(
     extra_gates=None,
     quality_weights=None,
     quality_junk_threshold: float = 0.5,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """The streaming counterpart of batch :func:`~adampro_spark.pipeline.
     curate.curate`: the SAME gate expressions (``gate_flags`` — stateless,
@@ -532,13 +533,16 @@ def stream_curate(
         cats = _cats(None if redact is True else list(redact))
         out = out.withColumn(text_col, redact_expr(text_col, cats))
 
-    from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
+    from adampro_spark.pipeline.text import resolve_tokenizer as _resolve_tok
 
-    out = out.withColumn("_ap_gtoks", _tokens_expr(text_col))
+    # tokenizer="script" mirrors batch curate (round 12): stateless, so
+    # the script-aware gates stream unchanged
+    out = out.withColumn("_ap_gtoks", _resolve_tok(text_col, tokenizer))
     flags = dict(gate_flags(
         text_col, langs=langs, min_tokens=min_tokens,
         min_quality=min_quality, max_chars=max_chars,
         toks=F.col("_ap_gtoks"), langid_col=langid_col,
+        tokenizer=tokenizer,
     ))
     rep_internals: list[str] = []
     ceilings = dict(repetition_ceilings or {})

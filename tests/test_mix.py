@@ -448,6 +448,17 @@ def test_decontaminate_bloom_empty_eval_and_nulls(spark, docs):
     eval_df = docs.limit(1).select("text")
     out = decontaminate(with_null, eval_df, n=5, method="bloom")
     assert out.filter(F.col("text").isNull()).count() == 1
+    # ADVICE r11: a NULL-text row in the EVAL corpus used to crash the
+    # bloom build (np.array over a None gram) while the semi path
+    # silently tolerated it — both must run and agree now
+    eval_null = eval_df.unionByName(
+        spark.createDataFrame([(None,)], "text string")
+    )
+    b = {r[0] for r in decontaminate(docs, eval_null, n=5, method="bloom")
+         .select("doc_id").collect()}
+    s = {r[0] for r in decontaminate(docs, eval_null, n=5, method="semi")
+         .select("doc_id").collect()}
+    assert b == s
 
 
 def test_decontaminate_bloom_plan_is_map_only(spark, docs):

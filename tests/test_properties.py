@@ -340,11 +340,7 @@ def test_fold_grams_np_matches_pure_python(docs, n):
     got = [grams[doc_of == i].tolist() for i in range(len(docs))]
     P = 1_000_000_007
     for d, g in zip(docs, got):
-        windows = (
-            [d[i : i + n] for i in range(max(len(d) - n + 1, 1))]
-            if True
-            else []
-        )
+        windows = [d[i : i + n] for i in range(max(len(d) - n + 1, 1))]
         want = []
         for w in windows:
             acc = 0
