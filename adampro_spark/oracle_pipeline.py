@@ -2088,6 +2088,64 @@ def _shuffle_key_sql() -> str:
 BENCH_ONLY["pipeline_decontaminate_row"] = _decontaminate_row
 
 
+_SPACK_B = 512  # shuffle->pack stage's token budget
+
+
+def _shuffle_pack_stage(spark, sf):
+    """Round 12 (verdict r11 #7): the shuffle → pack COMPOSITION.  The
+    pack-internal document order is inside the hash (label = pack_id ·
+    10^5 + pack_pos), so the oracle adjudicates that packing in
+    ``order_col`` mode preserves the shuffled training order — a
+    DuckDB recursive CTE walks the same greedy first-fit over the
+    mirrored shuffle permutation.  ``num_shards=1`` makes the shard
+    hash (engine-specific murmur3) drop out of the semantics; the
+    multi-shard scale path is pinned by the property test + bench row.
+    """
+    from adampro_spark.pipeline.mix import pack_sequences, shuffle_dataset
+    from adampro_spark.pipeline.text import tokens_expr
+
+    docs = _docs(spark, sf).select(
+        "doc_id", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
+    )
+    shuffled = shuffle_dataset(docs, key_col="_ord")
+    packed = pack_sequences(
+        shuffled, budget=_SPACK_B, order_col="_ord",
+        num_shards=1, truncate_oversize=True,
+    )
+    return packed.select(
+        F.lit("shufflepack").alias("stage"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("pack_id") * 100_000 + F.col("pack_pos"))
+        .cast("string").alias("label"),
+    )
+
+
+def _shuffle_pack_sql(b: int = _SPACK_B) -> str:
+    toks = _TOKS.format(t="text")
+    return f"""
+    WITH RECURSIVE ordered AS (
+      SELECT doc_id, least(len({toks}), {b})::BIGINT AS nt,
+             row_number() OVER (
+               ORDER BY ({_shuffle_key_sql()}), doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT rn, doc_id, nt, 0::BIGINT AS pack, nt AS used
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.rn, o.doc_id, o.nt,
+             CASE WHEN w.used + o.nt > {b} THEN w.pack + 1 ELSE w.pack END,
+             CASE WHEN w.used + o.nt > {b} THEN o.nt ELSE w.used + o.nt END
+      FROM walk w JOIN ordered o ON o.rn = w.rn + 1
+    )
+    SELECT doc_id,
+           pack * 100000
+             + (row_number() OVER (PARTITION BY pack ORDER BY rn)) - 1
+             AS packpos
+    FROM walk
+    """
+
+
 def _assembly_suite(spark, sf):
     from adampro_spark.pipeline.mix import shuffle_dataset
 
@@ -2109,7 +2167,7 @@ def _assembly_suite(spark, sf):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("_k").cast("string").alias("label"),
     )
-    return _union_all([sp, de, sh])
+    return _union_all([sp, de, sh, _shuffle_pack_stage(spark, sf)])
 
 
 _register(
@@ -2124,6 +2182,9 @@ _register(
     UNION ALL
     SELECT 'shuffle', doc_id::BIGINT, ({_shuffle_key_sql()})::VARCHAR
     FROM documents
+    UNION ALL
+    SELECT 'shufflepack', doc_id::BIGINT, packpos::VARCHAR
+    FROM ({_shuffle_pack_sql()})
     """,
 )
 

@@ -1779,22 +1779,89 @@ _register(
 def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
     """Media fingerprinting over a derived binary column (documents.text
     utf-8 encoded — the corpus is ASCII so byte and char counts agree
-    with the SQL mirror)."""
+    with the SQL mirror).
+
+    Round 12 second part (verdict r11 #6): the pure-numpy baseline JPEG
+    codec, driver-adjudicated through an EXACTLY-predictable shape —
+    per doc, a flat gray image (value doc_id%256, varied non-8-multiple
+    dims, varied restart intervals) encodes to a real baseline JPEG and
+    decodes back through the sniffing ``decode_media`` hook inside the
+    standard mapInPandas media kernel.  A flat block survives quant=1
+    EXACTLY (only the DC coefficient is non-zero and it is integral, so
+    quantization never rounds), so DuckDB independently predicts every
+    decoded pixel: the hash carries the pixel count, the pixel SUM, and
+    the packed decoded dims — Huffman/bit-reader/DC-predictor/restart/
+    MCU-crop bugs all shift at least one of them.  (Non-flat content is
+    pytest-pinned by round-trip tolerance; lossy values are not
+    SQL-predictable.)
+    """
     from adampro_spark.pipeline.multimodal import media_fingerprint
 
     media = _table(spark, sf, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content")
     )
-    return media_fingerprint(media)
+    fp = media_fingerprint(media).select(
+        F.lit("fp").alias("part"),
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.col("fp_hex").alias("s"),
+    )
+
+    def _jpeg_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import decode_media, encode_jpeg
+
+        for pdf in batches:
+            ids, n1, n2, n3 = [], [], [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                v = did % 256
+                h = 8 + (did % 3) * 4   # 8 / 12 / 16 — MCU-grid overhang
+                w = 8 + (did % 5) * 2   # 8 / 10 / 12 / 14 / 16
+                blob = encode_jpeg(
+                    np.full((h, w), v, dtype=np.uint8),
+                    quant=1,
+                    restart_interval=did % 4,  # 0 = no DRI
+                )
+                dec = decode_media(blob, w, h)
+                ids.append(did)
+                n1.append(int(dec.size))
+                n2.append(int(dec.astype(np.int64).sum()))
+                n3.append(dec.shape[1] * 1000 + dec.shape[0])
+            yield pd.DataFrame(
+                {"media_id": ids, "n1": n1, "n2": n2, "n3": n3}
+            )
+
+    jp = media.select("media_id").mapInPandas(
+        _jpeg_kernel, schema="media_id long, n1 long, n2 long, n3 long"
+    ).select(
+        F.lit("jpeg").alias("part"),
+        "media_id", "n1", "n2", "n3",
+        F.lit(None).cast("string").alias("s"),
+    )
+    return fp.unionByName(jp)
 
 
 _register(
     "multimodal_fingerprint",
     _multimodal_fp,
     """
-    SELECT doc_id AS media_id,
-           octet_length(encode(text))::INT AS n_bytes,
-           substring(sha256(text), 1, 16) AS fp_hex
+    SELECT 'fp' AS part, doc_id AS media_id,
+           octet_length(encode(text))::BIGINT AS n1,
+           NULL::BIGINT AS n2, NULL::BIGINT AS n3,
+           substring(sha256(text), 1, 16) AS s
+    FROM documents
+    UNION ALL
+    SELECT 'jpeg', doc_id,
+           ((8 + (doc_id % 3) * 4) * (8 + (doc_id % 5) * 2))::BIGINT,
+           ((doc_id % 256) * (8 + (doc_id % 3) * 4)
+             * (8 + (doc_id % 5) * 2))::BIGINT,
+           ((8 + (doc_id % 5) * 2) * 1000 + (8 + (doc_id % 3) * 4))::BIGINT,
+           NULL::VARCHAR
     FROM documents
     """,
 )

@@ -663,6 +663,7 @@ def pack_sequences(
     pk: str = "doc_id",
     num_shards: int | None = None,
     truncate_oversize: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training pack such that every pack's
     total ``token_col`` is ≤ ``budget`` (greedy first-fit in deterministic
@@ -680,6 +681,16 @@ def pack_sequences(
     Docs with ``n_tokens > budget`` raise unless ``truncate_oversize``,
     which caps their contribution at ``budget`` (one doc alone in a pack
     — the trainer's truncation contract).
+
+    ``order_col`` (round 12, verdict r11 #7): the packing ORDER.  By
+    default packs fill in pk order, which silently DISCARDS a preceding
+    :func:`shuffle_dataset` — the model would still read pk-ordered
+    text inside every pack.  Pass the shuffle's exposed sort key
+    (``shuffle_dataset(key_col="_order")``) and each shard packs in
+    ``(order_col, pk)`` order instead, so every pack's internal document
+    order is a subsequence of the global shuffle permutation — the
+    training-order guarantee composed end-to-end.  Ties (and everything
+    else) stay deterministic via the pk tiebreak.
     """
     import pandas as pd
 
@@ -697,6 +708,7 @@ def pack_sequences(
         F.col(pk).alias("_pk"),
         F.col(token_col).cast("long").alias("_nt"),
         (F.pmod(F.hash(F.col(pk)), F.lit(shards))).alias("_shard"),
+        *([F.col(order_col).alias("_ord")] if order_col is not None else []),
     )
     oversize = slim.filter(F.col("_nt") > budget)
     if not truncate_oversize and oversize.limit(1).count() > 0:
@@ -708,10 +720,11 @@ def pack_sequences(
         )
 
     b = int(budget)
+    sort_keys = ["_ord", "_pk"] if order_col is not None else ["_pk"]
 
     def _pack(key, pdf):
         shard = int(key[0])
-        pdf = pdf.sort_values("_pk").reset_index(drop=True)
+        pdf = pdf.sort_values(sort_keys).reset_index(drop=True)
         sizes = pdf["_nt"].clip(upper=b).to_numpy()
         pack_ids = []
         positions = []

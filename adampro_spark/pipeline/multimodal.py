@@ -2,13 +2,15 @@
 
 North-star extension (BASELINE.json: "multimodal columns").  The schema,
 partitioning, UDF signatures, and batch shapes are REAL and tested, and
-three container formats decode FOR REAL with zero external libraries:
+four container formats decode FOR REAL with zero external libraries:
 uncompressed 24/32-bpp BMP (:func:`decode_bmp`), 16-bit PCM WAV
-(:func:`decode_wav`), and 8-bit PNG via stdlib zlib + numpy defilter
-(:func:`decode_png` — round 7), each with a matching fixture encoder and
-sniffed by the :func:`decode_media` decoder hook.  Remaining compressed
-codecs (JPEG/MP3 — DEFLATE is stdlib, DCT/MDCT codecs are not) stay
-behind the same ``decoder=`` hook: a deployment passes
+(:func:`decode_wav`), 8-bit PNG via stdlib zlib + numpy defilter
+(:func:`decode_png` — round 7), and baseline-sequential JPEG via a pure
+numpy Huffman + IDCT pipeline (:func:`decode_jpeg` — round 12, the
+dominant web-crawl image format), each with a matching fixture encoder
+and sniffed by the :func:`decode_media` decoder hook.  Remaining
+compressed codecs (progressive JPEG / MP3 — MDCT audio is out of
+scope) stay behind the same ``decoder=`` hook: a deployment passes
 ``decoder=PIL_decode`` and nothing else changes.
 ``deterministic_fake_decode`` derives pixel/sample statistics from the
 bytes themselves (seeded by content hash), so tests and oracles are
@@ -358,16 +360,515 @@ def decode_png(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
     return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# JPEG: real baseline-sequential decode in pure numpy (round 12, verdict
+# r11 #6 — JPEG is the dominant format of any web-crawl image corpus, so
+# the fingerprint/profile path was skipping the majority class).  Public
+# JPEG spec (ITU-T T.81): marker walk, DQT/DHT/SOF0/SOS/DRI parse,
+# Huffman-decoded interleaved MCUs with byte unstuffing and restart
+# markers, dequantize → 8×8 IDCT (orthonormal DCT-III matrix) → level
+# shift.  Output is the LUMA grid — the Y component directly (chroma
+# blocks are entropy-decoded to keep bitstream position, their IDCT is
+# skipped), matching the grayscale contract of decode_bmp/decode_png.
+# Progressive (SOF2), arithmetic, hierarchical, and 12-bit variants
+# raise honestly and route to the documented ``decoder=`` hook.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix C: forward = C·B·Cᵀ, inverse =
+    Cᵀ·B·C — float64, exact enough that quant=1 round-trips within ±2."""
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    C[0] *= 1 / np.sqrt(2)
+    return C * 0.5
+
+
+# Annex K.3 typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list) for (DC luma, AC luma) — the fixture encoder uses
+# the luma pair for every component; the decoder reads whatever DHT the
+# stream carries.
+_K3_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_K3_DC_VALS = list(range(12))
+_K3_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_K3_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per T.81 C.2 canonical assignment."""
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_lut(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol — the decoder-side inverse."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _huff_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _encode_block(
+    wr: "_BitWriter", block: np.ndarray, qt: np.ndarray, pred: int,
+    dc: dict, ac: dict, C: np.ndarray,
+) -> int:
+    coef = C @ (block.astype(np.float64) - 128.0) @ C.T
+    q = np.round(coef / qt).astype(np.int64).ravel()[_ZIGZAG]
+
+    def _mag(v: int) -> tuple[int, int]:
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    s, extra = _mag(int(q[0]) - pred)
+    code, ln = dc[s]
+    wr.put(code, ln)
+    if s:
+        wr.put(extra, s)
+    run = 0
+    for v in q[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac[0xF0]  # ZRL
+            wr.put(code, ln)
+            run -= 16
+        s, extra = _mag(int(v))
+        code, ln = ac[(run << 4) | s]
+        wr.put(code, ln)
+        wr.put(extra, s)
+        run = 0
+    if run:
+        code, ln = ac[0x00]  # EOB
+        wr.put(code, ln)
+    return int(q[0])
+
+
+def encode_jpeg(
+    img: np.ndarray, quant: "np.ndarray | int | None" = None,
+    subsample: bool = False, restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline-sequential JPEG writer — the fixture generator
+    for :func:`decode_jpeg` (the encode_bmp/encode_png pattern).
+    Grayscale for (h × w) uint8 input; (h × w × 3) RGB encodes YCbCr
+    4:4:4, or 4:2:0 with ``subsample=True`` (2×2 Y blocks per MCU, the
+    dominant web shape).  ``quant``: a scalar or 8×8 table (default 1 —
+    near-lossless, so round-trip tests get a tight tolerance); Annex K.3
+    luma Huffman tables for every component.  ``restart_interval``
+    emits a DRI segment and RSTn markers every N MCUs (what camera/web
+    encoders do for error resilience) — exercises the decoder's
+    restart-resync path."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qt = np.full((8, 8), 1.0) * (quant if quant is not None else 1)
+    qt = np.maximum(np.asarray(qt, dtype=np.float64), 1.0)
+    if qt.shape != (8, 8):
+        qt = np.full((8, 8), float(np.ravel(qt)[0]))
+    C = _dct_matrix()
+    dc = _huff_codes(_K3_DC_BITS, _K3_DC_VALS)
+    ac = _huff_codes(_K3_AC_BITS, _K3_AC_VALS)
+
+    if gray:
+        comps = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # pad to even, then 2×2 box-average the chroma planes
+            he, we = (h + 1) & ~1, (w + 1) & ~1
+            def _pad(p, hh, ww):
+                out = np.empty((hh, ww))
+                out[:p.shape[0], :p.shape[1]] = p
+                out[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+                out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
+                return out
+            cbp, crp = _pad(cb, he, we), _pad(cr, he, we)
+            cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            comps, samp = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+        else:
+            comps, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def _plane_blocks(p, hi, vi):
+        """Pad the plane to the full MCU grid and pre-slice 8×8 blocks."""
+        ph, pw = mcuy * vi * 8, mcux * hi * 8
+        full = np.empty((ph, pw))
+        sh, sw = min(p.shape[0], ph), min(p.shape[1], pw)
+        full[:sh, :sw] = p[:sh, :sw]
+        full[sh:, :sw] = full[sh - 1:sh, :sw]
+        full[:, sw:] = full[:, sw - 1:sw]
+        return full
+
+    planes = [
+        _plane_blocks(p, hi, vi) for p, (hi, vi) in zip(comps, samp)
+    ]
+    scan = bytearray()
+    wr = _BitWriter()
+    preds = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                scan += wr.flush()
+                scan += bytes(
+                    [0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8]
+                )
+                wr = _BitWriter()
+                preds = [0] * len(comps)
+            for ci, ((hi, vi), plane) in enumerate(zip(samp, planes)):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        preds[ci] = _encode_block(
+                            wr, plane[y0:y0 + 8, x0:x0 + 8], qt,
+                            preds[ci], dc, ac, C,
+                        )
+            mcu_i += 1
+    scan += wr.flush()
+    scan = bytes(scan)
+
+    def _seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    qzz = np.round(qt).astype(np.uint8).ravel()[_ZIGZAG]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0]) + qzz.tobytes())  # DQT id 0, 8-bit
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += _seg(0xC0, sof)  # SOF0 baseline
+    out += _seg(0xC4, bytes([0x00] + _K3_DC_BITS) + bytes(_K3_DC_VALS))
+    out += _seg(0xC4, bytes([0x10] + _K3_AC_BITS) + bytes(_K3_AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for ci in range(len(comps)):
+        sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += scan + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    byte unstuffing done up front; RSTn markers are handled by the MCU
+    loop (the reader stops AT a marker)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0
+                self.n += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0xD9
+                )
+                if nxt == 0x00:
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+                # a real marker: feed zero bits (spec pads with 1s but
+                # any trailing bits are never consumed by valid streams)
+                self.acc = (self.acc << 8) | 0
+                self.n += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, lut: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def align_to_marker(self) -> int:
+        """Drop partial bits, skip to and consume the next marker;
+        returns its second byte."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                m = self.data[self.pos + 1]
+                self.pos += 2
+                return m
+            self.pos += 1
+        return 0xD9
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+    """Real baseline-sequential JPEG decode (ITU-T T.81) in pure numpy:
+    marker walk, DQT (8/16-bit) / DHT / SOF0 / DRI / SOS parse, Huffman
+    MCU decode with restart markers, dequantize → orthonormal 8×8 IDCT →
+    level shift.  Returns the (h × w) LUMA grid: the Y component
+    directly (a color JPEG's chroma blocks are entropy-decoded to keep
+    bitstream position, never IDCT'd — the grayscale contract of
+    decode_bmp/decode_png at a third of the math).  ``width``/``height``
+    args are ignored — the SOF0 header is the truth.  Progressive
+    (SOF2), extended/12-bit (SOF1 is accepted: its baseline-Huffman
+    8-bit form is bit-identical), arithmetic and hierarchical variants
+    raise NotImplementedError and route to the ``decoder=`` hook."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    qts: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, dict] = {}
+    ac_luts: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart = 0
+    pos = 2
+    scan_comps: list[dict] = []
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
+        data = content[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                prec, tid = data[i] >> 4, data[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    tbl = np.frombuffer(data[i : i + 64], dtype=np.uint8)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(
+                        data[i : i + 128], dtype=">u2"
+                    )
+                    i += 128
+                z = np.zeros(64, dtype=np.float64)
+                z[_ZIGZAG] = tbl.astype(np.float64)
+                qts[tid] = z.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(data[i + 17 : i + 17 + nv])
+                lut = _huff_lut(bits, vals)
+                (dc_luts if cls == 0 else ac_luts)[tid] = lut
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline Huffman
+            if data[0] != 8:
+                raise NotImplementedError(
+                    f"only 8-bit JPEG supported (precision={data[0]})"
+                )
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            nc = data[5]
+            comps = [
+                {
+                    "id": data[6 + 3 * c],
+                    "h": data[7 + 3 * c] >> 4,
+                    "v": data[7 + 3 * c] & 0x0F,
+                    "tq": data[8 + 3 * c],
+                }
+                for c in range(nc)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline-sequential JPEG supported (progressive/"
+                "arithmetic/hierarchical SOF marker "
+                f"0xFF{marker:02X}) — pass a real decoder= for these"
+            )
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan_comps = []
+            for s in range(ns):
+                cid, tabs = data[1 + 2 * s], data[2 + 2 * s]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": tabs >> 4, "ac": tabs & 0x0F}
+                )
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if not scan_comps or h == 0:
+        raise ValueError("JPEG stream has no SOS/SOF0 scan")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    C = _dct_matrix()
+    # the luma plane is the scan's FIRST component (Y in YCbCr, the only
+    # component in grayscale)
+    y0 = scan_comps[0]
+    yw, yh = mcux * y0["h"] * 8, mcuy * y0["v"] * 8
+    luma = np.zeros((yh, yw), dtype=np.float64)
+
+    rd = _BitReader(content, pos)
+    preds = [0] * len(scan_comps)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                m = rd.align_to_marker()
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError(
+                        f"expected JPEG restart marker, got 0xFF{m:02X}"
+                    )
+                preds = [0] * len(scan_comps)
+            for ci, comp in enumerate(scan_comps):
+                qt = qts[comp["tq"]]
+                dct = dc_luts[comp["dc"]]
+                act = ac_luts[comp["ac"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = rd.huff(dct)
+                        diff = _extend(rd.bits(s), s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(act)
+                            r, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = _extend(rd.bits(ssss), ssss)
+                            k += 1
+                        if ci == 0:
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[_ZIGZAG] = zz
+                            coef = blk.reshape(8, 8) * qt
+                            px = C.T @ coef @ C + 128.0
+                            yy = (my * comp["v"] + by) * 8
+                            xx = (mx * comp["h"] + bx) * 8
+                            luma[yy:yy + 8, xx:xx + 8] = px
+            mcu_i += 1
+    out = np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    # the luma plane covers the MCU grid at ITS sampling resolution:
+    # crop to ceil(dim * hi/hmax) per T.81 A.1.1
+    ch = -(-h * y0["v"] // vmax)
+    cw = -(-w * y0["h"] // hmax)
+    out = out[:ch, :cw]
+    if (ch, cw) != (h, w):
+        # subsampled-luma streams don't occur in practice (Y always has
+        # the max factors); replicate up rather than guess interpolation
+        yi = (np.arange(h) * ch // h).clip(0, ch - 1)
+        xi = (np.arange(w) * cw // w).clip(0, cw - 1)
+        out = out[np.ix_(yi, xi)]
+    return out
+
+
 def decode_media(content: bytes, width: int, height: int) -> np.ndarray:
-    """Decoder-hook entry that sniffs the container magic: BMP and PNG
-    decode to their (h × w) grayscale grid; WAV decodes to 16-bit PCM
-    scaled to uint8 and wrapped into a (1 × n) grid (so the same
-    featurizer applies); anything else is an honest
+    """Decoder-hook entry that sniffs the container magic: BMP, PNG and
+    baseline JPEG decode to their (h × w) grayscale/luma grid; WAV
+    decodes to 16-bit PCM scaled to uint8 and wrapped into a (1 × n)
+    grid (so the same featurizer applies); anything else is an honest
     :func:`decode_unavailable`."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         samples, _rate = decode_wav(content)
         mono = samples if samples.ndim == 1 else samples[:, 0]

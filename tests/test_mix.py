@@ -158,6 +158,51 @@ def test_pack_sequences_budget_and_determinism(spark, docs):
     assert a == b
 
 
+def test_pack_after_shuffle_preserves_order(spark, docs):
+    """verdict r11 #7: packing composed after shuffle_dataset must keep
+    the SHUFFLED order inside every pack — with order_col each pack's
+    pack_pos sequence follows the shuffle key (a subsequence of the
+    global permutation), across MULTIPLE shards; without it the default
+    pk order silently discards the shuffle."""
+    from adampro_spark.pipeline.mix import shuffle_dataset
+
+    base = docs.select("doc_id", "text").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    shuffled = shuffle_dataset(base, key_col="_ord")
+    out = pack_sequences(
+        shuffled, budget=512, num_shards=8, order_col="_ord"
+    ).cache()
+    assert out.count() == base.count()
+    rows = [
+        (r["pack_id"], r["pack_pos"], r["_ord"], r["doc_id"])
+        for r in out.collect()
+    ]
+    packs: dict = {}
+    for pid, pos, ordk, did in rows:
+        packs.setdefault(pid, []).append((pos, ordk, did))
+    multi = 0
+    for pid, mem in packs.items():
+        mem.sort()
+        keys = [(ordk, did) for _, ordk, did in mem]
+        assert keys == sorted(keys), f"pack {pid} broke shuffle order"
+        multi += len(mem) > 1
+    assert multi > 0  # the invariant was actually exercised
+    # default (no order_col): pk order inside packs — the old contract
+    legacy = pack_sequences(shuffled, budget=512, num_shards=8)
+    lrows = [
+        (r["pack_id"], r["pack_pos"], r["doc_id"]) for r in legacy.collect()
+    ]
+    lp: dict = {}
+    for pid, pos, did in lrows:
+        lp.setdefault(pid, []).append((pos, did))
+    for pid, mem in lp.items():
+        mem.sort()
+        dids = [d for _, d in mem]
+        assert dids == sorted(dids), pid
+    out.unpersist()
+
+
 def test_pack_sequences_oversize_contract(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, 999), (3, 20)], "doc_id long, n_tokens int"

@@ -78,6 +78,19 @@ ROWS = [
     # fit+score (full pair aggregate + three derived model tables)
     "pipeline_decontaminate_bloom",
     "text_lm_kn",
+    # round-12 additions (verdict r11 #5): the streaming-capable event
+    # rows were the only recent shapes with no recorded scaling ratio —
+    # tumbling + hopping window aggregates, the native session_window
+    # aggregation, the per-event session labeling on its DEFAULT route,
+    # the stream-static as-of lookup, and the session carry FORCED onto
+    # its skew route (threshold 50 routes virtually every user key, so
+    # the two-phase bucketed machinery itself is what scales)
+    "events_windowed_stats",
+    "events_hopping",
+    "events_sessionized",
+    "events_session_assign",
+    "events_assign_skew",
+    "temporal_asof_stream",
 ]
 COPIES = 10
 SHIFT = 10_000_000
@@ -107,6 +120,20 @@ def _bm25_scaled(spark, sf_dir):
     )
     res = ops.query.fulltext("docs_ft", ["spark", "query", "join"], scoring="bm25")
     return res.select("doc_id", F.round(SCORE_COL, 4).alias(SCORE_COL))
+
+
+def _assign_skew(spark, sf_dir):
+    """assign_sessions with the skew route FORCED (threshold 50 puts
+    virtually every user key through the per-(key, time-bucket) carry) —
+    probes the two-phase machinery itself, not the count-then-route
+    decision (events_session_assign probes the default)."""
+    from adampro_spark.session import load_tables
+    from adampro_spark.streaming.ingest import assign_sessions
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return assign_sessions(ev, gap="30 minutes", skew_threshold=50)
 
 
 def synthesize(spark) -> None:
@@ -187,6 +214,7 @@ def main() -> None:
 
     registry = {**S.QUERIES, **S.BENCH_ONLY}
     registry["fulltext_bm25_scaled"] = _bm25_scaled
+    registry["events_assign_skew"] = _assign_skew
     # warm plan shapes once at the smallest sf
     for name in ROWS:
         try:
