@@ -975,15 +975,26 @@ BENCH_ONLY["simjoin_ivf"] = _simjoin_ivf
 
 
 def _dedup_resolution(spark, sf):
+    """Round 12 second part (verdict-r12 extension): survivor selection
+    by QUALITY — ``keep_by=length(text), keep="max"`` keeps the FULLEST
+    copy of each near-dup family (the corpus plants truncated copies,
+    so min-pk and best-copy genuinely disagree wherever a truncated
+    copy has the smaller id); ties break to min pk.  Both policies ride
+    one row, so the component labeling, the per-component max, and the
+    tie-break are all inside the hash."""
     from adampro_spark.pipeline.dedup import deduplicate, minhash_dup_pairs
 
-    corpus = _docs_with_truncated_copies(spark, sf)
-    pairs = minhash_dup_pairs(corpus, threshold=0.7)
-    return (
-        deduplicate(corpus, pairs, pk="doc_id")
-        .select("doc_id")
-        .orderBy("doc_id")
+    corpus = _docs_with_truncated_copies(spark, sf).withColumn(
+        "_q", F.length("text").cast("long")
     )
+    pairs = minhash_dup_pairs(corpus, threshold=0.7)
+    minpk = deduplicate(corpus, pairs, pk="doc_id").select(
+        F.lit("minpk").alias("part"), "doc_id"
+    )
+    best = deduplicate(
+        corpus, pairs, pk="doc_id", keep_by="_q", keep="max"
+    ).select(F.lit("best").alias("part"), "doc_id")
+    return minpk.unionByName(best)
 
 
 _register(
@@ -1000,10 +1011,26 @@ _register(
       SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
     ),
     comp AS (SELECT id, min(r) AS survivor FROM reach GROUP BY id),
-    drops AS (SELECT id FROM comp WHERE id != survivor)
-    SELECT doc_id FROM ({_SQL_DOCS_TRUNC})
+    drops AS (SELECT id FROM comp WHERE id != survivor),
+    scored AS (
+      SELECT comp.id, comp.survivor AS comp_id, length(d.text)::BIGINT AS q
+      FROM comp JOIN ({_SQL_DOCS_TRUNC}) d ON d.doc_id = comp.id
+    ),
+    bq AS (SELECT comp_id, max(q) AS best FROM scored GROUP BY comp_id),
+    keepers AS (
+      SELECT s.comp_id, min(s.id) AS keep
+      FROM scored s JOIN bq ON s.comp_id = bq.comp_id AND s.q = bq.best
+      GROUP BY s.comp_id
+    ),
+    drops_best AS (
+      SELECT s.id FROM scored s JOIN keepers k ON s.comp_id = k.comp_id
+      WHERE s.id != k.keep
+    )
+    SELECT 'minpk' AS part, doc_id FROM ({_SQL_DOCS_TRUNC})
     WHERE doc_id NOT IN (SELECT id FROM drops)
-    ORDER BY doc_id
+    UNION ALL
+    SELECT 'best', doc_id FROM ({_SQL_DOCS_TRUNC})
+    WHERE doc_id NOT IN (SELECT id FROM drops_best)
     """,
 )
 
@@ -2072,6 +2099,52 @@ def _decontaminate_sql(n: int = _DECON_N) -> str:
     """
 
 
+def _contamination_stage(spark, sf):
+    """Round 12: the per-document overlap REPORT (contamination_report,
+    method='semi') over the same derived eval set as the drop stage —
+    window counts INCLUDING duplicates and matched-window counts are
+    both in the hash (label = n_grams·10⁶ + n_matched), so the
+    explode-with-duplicates, the broadcast membership join, and the
+    NULL/short-doc window conventions adjudicate independently of the
+    binary decontaminate stage."""
+    from adampro_spark.pipeline.mix import contamination_report
+    from adampro_spark.pipeline.text import tokens_expr
+
+    docs = _docs(spark, sf)
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(tokens_expr("text"), 5, _DECON_N)).alias("text")
+    )
+    rep = contamination_report(docs, eval_df, n=_DECON_N)
+    return rep.select(
+        F.lit("contamination").alias("stage"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("n_grams") * 1_000_000 + F.col("n_matched"))
+        .cast("string").alias("label"),
+    )
+
+
+def _contamination_sql(n: int = _DECON_N) -> str:
+    th = f"list_transform({_TOKS.format(t='text')}, t -> {_sql_poly_hash('t')})"
+    grams = (  # windows WITH duplicates — the report counts occurrences
+        f"list_transform(generate_series(1, greatest(len(th) - {n - 1}, 1)), "
+        f"i -> {_fold(f'list_slice(th, i, i + {n - 1})')})"
+    )
+    return f"""
+    WITH dt AS (SELECT doc_id, {th} AS th FROM documents),
+    et AS (SELECT list_slice(th, 5, {5 + n - 1}) AS th FROM dt
+           WHERE doc_id % 25 = 0),
+    dgc AS (SELECT doc_id, unnest({grams}) AS g FROM dt),
+    eg AS (SELECT DISTINCT unnest({grams}) AS g FROM et),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS ng,
+             sum(CASE WHEN g IN (SELECT g FROM eg) THEN 1 ELSE 0 END)::BIGINT
+               AS nm
+      FROM dgc GROUP BY doc_id
+    )
+    SELECT doc_id, (ng * 1000000 + nm)::BIGINT AS packed FROM per
+    """
+
+
 def _shuffle_key_sql() -> str:
     """Mirror of shuffle_dataset's integer sort key (salt 'shuffle')."""
     from adampro_spark.pipeline.mix import _MIX_A, _MIX_B
@@ -2167,7 +2240,10 @@ def _assembly_suite(spark, sf):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("_k").cast("string").alias("label"),
     )
-    return _union_all([sp, de, sh, _shuffle_pack_stage(spark, sf)])
+    return _union_all(
+        [sp, de, sh, _shuffle_pack_stage(spark, sf),
+         _contamination_stage(spark, sf)]
+    )
 
 
 _register(
@@ -2185,6 +2261,9 @@ _register(
     UNION ALL
     SELECT 'shufflepack', doc_id::BIGINT, packpos::VARCHAR
     FROM ({_shuffle_pack_sql()})
+    UNION ALL
+    SELECT 'contamination', doc_id::BIGINT, packed::VARCHAR
+    FROM ({_contamination_sql()})
     """,
 )
 

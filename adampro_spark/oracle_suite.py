@@ -2008,11 +2008,11 @@ _register(
 # 'assign' oracle legs — two hand-maintained copies could silently
 # desynchronize the cross-check (review r11)
 _SID_SQL = """
-  SELECT user_id, event_id, ts, value,
+  SELECT user_id, event_id, ts, value, event_type,
          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM (
-    SELECT user_id, event_id, ts, value,
+    SELECT user_id, event_id, ts, value, event_type,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id)
                      > INTERVAL 30 MINUTE
@@ -2020,6 +2020,45 @@ _SID_SQL = """
     FROM events
   )
 """
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_sql() -> str:
+    """Unrolled earliest-match chain over the shared session formulation
+    (greedy earliest matching is optimal, so min-ts chaining decides
+    funnel depth exactly): f1 = each session's first step-1 event,
+    f_{i+1} = first step-(i+1) event strictly later than f_i.  NULL-safe
+    session keys (a NULL user forms one session group in both engines);
+    NULL-ts rows have no session."""
+    ctes = [
+        "fe AS (SELECT user_id, sid, ts, event_type FROM ({SID}) "
+        "WHERE ts IS NOT NULL)".replace("{SID}", _SID_SQL),
+        f"f1 AS (SELECT user_id, sid, min(ts) AS t FROM fe "
+        f"WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1, 2)",
+    ]
+    for i in range(1, len(_FUNNEL_STEPS)):
+        ctes.append(
+            f"f{i + 1} AS (SELECT fe.user_id, fe.sid, min(fe.ts) AS t "
+            f"FROM fe JOIN f{i} ON fe.user_id IS NOT DISTINCT FROM "
+            f"f{i}.user_id AND fe.sid = f{i}.sid "
+            f"WHERE fe.event_type = '{_FUNNEL_STEPS[i]}' "
+            f"AND fe.ts > f{i}.t GROUP BY 1, 2)"
+        )
+    counts = " UNION ALL ".join(
+        f"SELECT {i + 1} AS i, count(*) AS n FROM f{i + 1}"
+        for i in range(len(_FUNNEL_STEPS))
+    )
+    values = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(_FUNNEL_STEPS)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        f"c AS ({counts})\n"
+        f"SELECT s.step, (s.i * 1000000 + coalesce(c.n, 0))::BIGINT AS n "
+        f"FROM (VALUES {values}) s(i, step) "
+        "LEFT JOIN c ON c.i = s.i"
+    )
 
 
 def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
@@ -2081,7 +2120,23 @@ def _events_windowed(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("event_id") * 100000 + F.col("session_idx")).alias("n"),
         F.lit(None).cast("double").alias("total_value"),
     )
-    return tw.unionByName(hop).unionByName(se).unionByName(asg)
+    # round 12 fifth part: the session FUNNEL (view -> click -> purchase,
+    # strictly-later chaining) — adjudicated against an independent
+    # unrolled min-ts chain over the shared session SQL
+    from adampro_spark.streaming.ingest import session_funnel
+
+    ts_t = ev.schema["ts"].dataType
+    fu = session_funnel(ev, steps=list(_FUNNEL_STEPS)).select(
+        F.lit("funnel").alias("part"),
+        F.col("step").alias("key"),
+        F.lit(None).cast(ts_t).alias("t0"),
+        F.lit(None).cast(ts_t).alias("t1"),
+        (F.col("step_idx").cast("long") * 1000000 + F.col("n_sessions")).alias("n"),
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return (
+        tw.unionByName(hop).unionByName(se).unionByName(asg).unionByName(fu)
+    )
 
 
 _register(
@@ -2115,7 +2170,11 @@ _register(
                  ELSE event_id * 100000 + sid END)::BIGINT,
            NULL::DOUBLE
     FROM ({SID})
-    """.replace("{SID}", _SID_SQL),
+    UNION ALL
+    SELECT 'funnel', step, NULL::TIMESTAMP, NULL::TIMESTAMP,
+           n, NULL::DOUBLE
+    FROM ({FUNNEL})
+    """.replace("{SID}", _SID_SQL).replace("{FUNNEL}", _funnel_sql()),
 )
 
 
@@ -2154,10 +2213,19 @@ def _events_assign_row(spark: SparkSession, sf: str) -> DataFrame:
     return assign_sessions(_table(spark, sf, "events"), gap="30 minutes")
 
 
+def _events_funnel_row(spark: SparkSession, sf: str) -> DataFrame:
+    from adampro_spark.streaming.ingest import session_funnel
+
+    return session_funnel(
+        _table(spark, sf, "events"), steps=list(_FUNNEL_STEPS)
+    )
+
+
 BENCH_ONLY["events_windowed_stats"] = _events_tumbling_row
 BENCH_ONLY["events_hopping"] = _events_hopping_row
 BENCH_ONLY["events_sessionized"] = _events_sessionized_row
 BENCH_ONLY["events_session_assign"] = _events_assign_row
+BENCH_ONLY["events_funnel"] = _events_funnel_row
 
 
 def _random_data_query(spark: SparkSession, sf: str) -> DataFrame:

@@ -72,6 +72,7 @@ from adampro_spark.pipeline.cluster import (  # noqa: F401
     fit_centroids,
 )
 from adampro_spark.pipeline.mix import (  # noqa: F401
+    contamination_report,
     decontaminate,
     decontamination_gate_flags,
     mix_sources,

@@ -789,14 +789,51 @@ def deduplicate(
     pk: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    keep_by: str | None = None,
+    keep: str = "max",
 ) -> DataFrame:
-    """Drop every near-duplicate except its group survivor (min pk):
-    ``df`` minus the non-survivor members of :func:`dup_groups` — one
-    broadcast-or-shuffle anti-join against a drop-list that is at most
-    the duplicate count, never the corpus."""
+    """Drop every near-duplicate except its group survivor: ``df`` minus
+    the non-survivor members of :func:`dup_groups` — one broadcast-or-
+    shuffle anti-join against a drop-list that is at most the duplicate
+    count, never the corpus.
+
+    Default survivor: the min-pk member.  ``keep_by`` (round 12) makes
+    the survivor the member with the LARGEST value of that ``df`` column
+    (``keep="min"`` flips to smallest), ties broken by min pk — the
+    production dedup policy: keep the fullest/highest-quality copy of
+    each near-dup family (``keep_by="n_chars"``, a quality score, a
+    recency timestamp), not whichever crawled first.  NULL scores never
+    win unless the whole group is NULL.  Cost: the component table
+    (duplicate members only) joins the score column and runs two slim
+    per-component aggregates — the corpus itself is still touched only
+    by the final anti-join.
+    """
+    groups = dup_groups(pairs, id_a, id_b)
+    if keep_by is None:
+        drops = groups.filter(F.col("id") != F.col("survivor")).select(
+            F.col("id").alias(pk)
+        )
+        return df.join(drops, pk, "left_anti")
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
+    scored = groups.join(
+        df.select(F.col(pk).alias("id"), F.col(keep_by).alias("_ap_q")),
+        "id",
+        "left",
+    )
+    agg = F.max("_ap_q") if keep == "max" else F.min("_ap_q")
+    best = scored.groupBy("survivor").agg(agg.alias("_ap_best"))
+    keepers = (
+        scored.join(best, "survivor")
+        # eqNullSafe: an all-NULL group keeps its min-pk member (best is
+        # NULL there); groups with a real best never match NULL scores
+        .filter(F.col("_ap_q").eqNullSafe(F.col("_ap_best")))
+        .groupBy("survivor")
+        .agg(F.min("id").alias("_ap_keep"))
+    )
     drops = (
-        dup_groups(pairs, id_a, id_b)
-        .filter(F.col("id") != F.col("survivor"))
+        scored.join(keepers, "survivor")
+        .filter(F.col("id") != F.col("_ap_keep"))
         .select(F.col("id").alias(pk))
     )
     return df.join(drops, pk, "left_anti")

@@ -653,6 +653,157 @@ def decontamination_gate_flags(
     return {"_decon_ok": ok}
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    pk: str = "doc_id",
+    method: str = "semi",
+    fpp: float = 1e-6,
+    max_eval_grams: int = 50_000_000,
+) -> DataFrame:
+    """Per-document train/eval overlap REPORT (round 12) — the measuring
+    companion of :func:`decontaminate`: ``(pk, n_grams, n_matched,
+    contamination)`` where ``n_grams`` counts the document's n-gram
+    WINDOWS (duplicates included; documents shorter than ``n`` tokens
+    contribute their full sequence as one gram, NULL text contributes
+    zero) and ``n_matched`` those present in the eval gram set —
+    ``contamination`` is their ratio.  The Dolma-style overlap audit: a
+    pipeline measures leakage and picks thresholds BEFORE committing to
+    a binary drop, and evaluation reports quote per-benchmark overlap
+    fractions.
+
+    ``method="semi"`` (default, exact): the same slim ``(pk, gram)``
+    explode as decontaminate, LEFT-joined against the broadcast eval
+    gram set with a conditional count — one shuffle of hashes, text
+    never moves.  ``method="bloom"``: the zero-shuffle map-only Arrow
+    kernel counts Bloom hits per document in one scan — counts can only
+    OVER-state contamination, by ≈ ``fpp`` per window (the conservative
+    direction), so use it for monitoring at scale and ``"semi"`` for
+    exact audits.  ``decontaminate(...)`` drops exactly the documents
+    this report gives ``n_matched > 0``.
+    """
+    ev_col = eval_text_col or text_col
+    ev_grams = _eval_grams(eval_df, ev_col, n)
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_matched") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    if method == "bloom":
+        counts = _contamination_counts_col(
+            ev_grams, text_col, n, float(fpp), int(max_eval_grams)
+        )
+        if counts is None:
+            # empty eval set: nothing can match — window counts only.
+            # NULL text must report 0 windows (size() of a NULL array is
+            # NULL/-1 depending on legacy conf; guard explicitly)
+            nw = F.when(
+                F.col(text_col).isNull(), F.lit(0).cast("long")
+            ).otherwise(
+                F.greatest(
+                    F.size(tokens_expr(text_col)).cast("long") - F.lit(n - 1),
+                    F.lit(1),
+                )
+            )
+            counts = F.array(nw, F.lit(0).cast("long"))
+        return train.select(
+            F.col(pk), counts.alias("_ap_cnt")
+        ).select(
+            pk,
+            F.element_at("_ap_cnt", 1).alias("n_grams"),
+            F.element_at("_ap_cnt", 2).alias("n_matched"),
+        ).withColumn("contamination", F.round(frac, 6))
+    if method != "semi":
+        raise ValueError(f"method must be 'semi' or 'bloom', got {method!r}")
+    tr_grams = train.select(
+        F.col(pk).alias("_pk"), _token_hashes(text_col).alias("_th")
+    ).select(
+        "_pk",
+        # explode_outer: a NULL-text document keeps its row (0 grams) —
+        # the report must cover the whole corpus, unlike the drop path
+        F.explode_outer(_grams_from_token_hashes(F.col("_th"), n)).alias("_g"),
+    )
+    per = (
+        tr_grams.join(
+            F.broadcast(ev_grams.withColumn("_ap_hit", F.lit(1))), "_g", "left"
+        )
+        .groupBy("_pk")
+        .agg(
+            F.sum(F.col("_g").isNotNull().cast("long")).alias("n_grams"),
+            F.coalesce(F.sum("_ap_hit"), F.lit(0)).cast("long").alias(
+                "n_matched"
+            ),
+        )
+    )
+    return per.select(
+        F.col("_pk").alias(pk), "n_grams", "n_matched"
+    ).withColumn("contamination", F.round(frac, 6))
+
+
+def _contamination_counts_col(
+    ev_grams: DataFrame,
+    text_col: str | Column,
+    n: int,
+    fpp: float,
+    max_eval_grams: int,
+) -> Column | None:
+    """``array<long> [n_gram_windows, n_bloom_hits]`` per document — the
+    counting sibling of :func:`_contaminated_col` (same driver-built
+    filter, same numpy window fold, one more bincount).  ``None`` when
+    the eval set is empty."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < fpp < 0.5:
+        raise ValueError(
+            f"fpp must be in (0, 0.5), got {fpp} — a mistyped rate (1e6 "
+            "for 1e-6) would build a saturated filter"
+        )
+    ev = ev_grams.limit(max_eval_grams + 1).collect()
+    if len(ev) > max_eval_grams:
+        raise ValueError(
+            f"eval corpus exceeds max_eval_grams={max_eval_grams} distinct "
+            "n-grams — the Bloom filter is driver-built; raise the cap or "
+            "use method='semi'"
+        )
+    if not ev:
+        return None
+    items = np.array([r[0] for r in ev], dtype=np.int64)
+    m, k = _bloom_params(len(items), fpp)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    _bloom_insert(words, items, m, k)
+
+    def _count_hits(token_hashes):
+        lens = np.array(
+            [-1 if t is None else len(t) for t in token_hashes],
+            dtype=np.int64,
+        )
+        d = len(token_hashes)
+        if (lens >= 0).sum() == 0:
+            return pd.Series([[0, 0]] * d)
+        arrs = [
+            np.asarray(t, dtype=np.int64)
+            for t in token_hashes
+            if t is not None
+        ]
+        flat = (
+            np.concatenate(arrs) if arrs else np.array([], dtype=np.int64)
+        )
+        grams, doc_of_win = _fold_grams_np(flat, lens, n)
+        hit = _bloom_contains(words, grams, m, k)
+        tot = np.bincount(doc_of_win, minlength=d).astype(np.int64)
+        mat = np.bincount(
+            doc_of_win, weights=hit, minlength=d
+        ).astype(np.int64)
+        return pd.Series([[int(t), int(h)] for t, h in zip(tot, mat)])
+
+    from pyspark.sql import types as T
+
+    udf = F.pandas_udf(_count_hits, T.ArrayType(T.LongType()))
+    return udf(_token_hashes(text_col))
+
+
 _PACK_SHARD_BITS = 20  # up to ~1M local packs per shard
 
 

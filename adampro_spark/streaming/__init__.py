@@ -1,5 +1,6 @@
 from adampro_spark.streaming.ingest import (  # noqa: F401
     assign_sessions,
+    session_funnel,
     sessionize_events,
     stream_asof,
     stream_events,

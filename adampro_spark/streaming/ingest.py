@@ -402,6 +402,88 @@ def _session_carry(
     )
 
 
+def session_funnel(
+    events: DataFrame,
+    steps: "list[str]",
+    gap: str = "30 minutes",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    pk: str = "event_id",
+    skew_threshold: "int | str | None" = "auto",
+) -> DataFrame:
+    """Ordered-funnel conversion over SESSIONS (round 12): for every
+    session (same gap rule as :func:`sessionize_events`), the funnel
+    depth is the largest ``k`` such that ``steps[0..k-1]`` occur in
+    order — step ``i+1`` STRICTLY LATER (event time) than the matched
+    step ``i``; simultaneous events do not chain, so the result is
+    deterministic under timestamp ties.  Greedy earliest matching is
+    optimal (exchange argument), so depth ≥ k iff an ordered chain
+    exists.  Returns one row per step:
+    ``(step_idx 1-based, step, n_sessions)`` where ``n_sessions``
+    counts sessions reaching at least that step — the classic
+    product-analytics funnel, here as one Spark job.
+
+    Shape: :func:`assign_sessions` labels events (inheriting its
+    default-on skew routing — a bot account cannot serialize the
+    labeling), one groupBy ``(by, session)`` folds the time-sorted
+    per-session event list (bounded by session length) through a
+    codegen ``aggregate`` that tracks ``(depth, last matched time)``,
+    and a ≤|sessions|-row explode/count aggregate emits the k counts.
+    Events with NULL time or NULL session are excluded (no session).
+    """
+    if not steps:
+        raise ValueError("steps must be a non-empty list of event types")
+    k = len(steps)
+    labeled = assign_sessions(
+        events, gap=gap, by=by, ts_col=ts_col, pk=pk,
+        skew_threshold=skew_threshold,
+    )
+    ev_pack = F.struct(
+        F.col(ts_col).cast("timestamp").cast("double").alias("t"),
+        F.col(pk).alias("k"),
+        F.col(type_col).alias("tp"),
+    )
+    sess = (
+        labeled.filter(F.col("session_idx").isNotNull())
+        .groupBy(F.col(by), F.col("session_idx"))
+        .agg(F.array_sort(F.collect_list(ev_pack)).alias("_ev"))
+    )
+    steps_lit = F.lit(list(steps))
+    init = F.struct(
+        F.lit(0).alias("d"), F.lit(0.0).alias("t")
+    )
+
+    def _advance(acc, e):
+        can = (
+            (acc["d"] < F.lit(k))
+            & (e["tp"] == F.element_at(steps_lit, acc["d"] + 1))
+            & ((acc["d"] == 0) | (e["t"] > acc["t"]))
+        )
+        return F.struct(
+            F.when(can, acc["d"] + 1).otherwise(acc["d"]).alias("d"),
+            F.when(can, e["t"]).otherwise(acc["t"]).alias("t"),
+        )
+
+    depth = sess.select(
+        F.aggregate(F.col("_ev"), init, _advance)["d"].alias("d")
+    )
+    counts = (
+        depth.filter(F.col("d") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("d"))).alias("step_idx"))
+        .groupBy("step_idx")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    frame = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    return frame.join(counts, "step_idx", "left").select(
+        "step_idx",
+        "step",
+        F.coalesce(F.col("n_sessions"), F.lit(0)).alias("n_sessions"),
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     text_col: str = "text",

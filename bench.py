@@ -122,6 +122,9 @@ HEADLINE = [
     "events_sessionized",
     "events_session_assign",
     "pipeline_profile_vec",
+    # round 12: ordered session-funnel analytics (assign_sessions ->
+    # per-session greedy fold -> k-row count)
+    "events_funnel",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the

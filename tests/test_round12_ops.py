@@ -1,0 +1,261 @@
+"""Round-12 extension operators: quality-aware dedup survivor selection
+(``deduplicate(keep_by=)``), ordered session funnels (``session_funnel``),
+and the per-document train/eval overlap report (``contamination_report``).
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# deduplicate(keep_by=)
+# ---------------------------------------------------------------------------
+
+
+def test_deduplicate_keep_by_best_copy(spark):
+    from adampro_spark.pipeline.dedup import deduplicate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, 30), (2, 90), (3, 90),   # group A: best q=90, tie -> pk 2
+            (10, 50), (11, 40),          # group B: best is pk 10
+            (20, 5),                     # singleton, never in pairs
+        ],
+        "doc_id long, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in deduplicate(corpus, pairs, keep_by="q").collect()
+    }
+    assert kept == {2, 10, 20}
+    # min-pk default unchanged
+    legacy = {r["doc_id"] for r in deduplicate(corpus, pairs).collect()}
+    assert legacy == {1, 10, 20}
+    # keep="min" flips the policy (lowest q wins, tie min pk)
+    low = {
+        r["doc_id"]
+        for r in deduplicate(corpus, pairs, keep_by="q", keep="min").collect()
+    }
+    assert low == {1, 11, 20}
+    with pytest.raises(ValueError, match="keep must be"):
+        deduplicate(corpus, pairs, keep_by="q", keep="best")
+
+
+def test_deduplicate_keep_by_null_scores(spark):
+    """NULL scores never beat a real score; an all-NULL group falls back
+    to the min-pk survivor."""
+    from adampro_spark.pipeline.dedup import deduplicate
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, 7), (3, None), (10, None), (11, None)],
+        "doc_id long, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in deduplicate(corpus, pairs, keep_by="q").collect()
+    }
+    assert kept == {2, 10}
+
+
+# ---------------------------------------------------------------------------
+# session_funnel
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+
+
+def test_session_funnel_ordered_chaining(spark):
+    from adampro_spark.streaming.ingest import session_funnel
+
+    t0 = datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + timedelta(minutes=m)
+
+    rows = [
+        # u1 session 1: full funnel in order
+        (1, "u1", at(0), "view"), (2, "u1", at(1), "click"),
+        (3, "u1", at(2), "purchase"),
+        # u1 session 2 (90 min later): click before view -> depth 1 only
+        (4, "u1", at(95), "click"), (5, "u1", at(96), "view"),
+        # u2: view then purchase, no click -> depth 1
+        (6, "u2", at(0), "view"), (7, "u2", at(3), "purchase"),
+        # u3: simultaneous view+click -> the tie must NOT chain (depth 1)
+        (8, "u3", at(0), "view"), (9, "u3", at(0), "click"),
+        # u4: NULL ts -> no session, excluded entirely
+        (10, "u4", None, "view"),
+    ]
+    out = {
+        r["step_idx"]: (r["step"], r["n_sessions"])
+        for r in session_funnel(
+            _ev(spark, rows), steps=["view", "click", "purchase"]
+        ).collect()
+    }
+    # sessions: u1/s1, u1/s2, u2, u3 = 4 with a view
+    assert out[1] == ("view", 4)
+    assert out[2] == ("click", 1)   # only u1/s1 chains a later click
+    assert out[3] == ("purchase", 1)
+    with pytest.raises(ValueError, match="non-empty"):
+        session_funnel(_ev(spark, rows), steps=[])
+
+
+def test_session_funnel_gap_splits_sessions(spark):
+    """The same user's view and click separated by more than the gap land
+    in DIFFERENT sessions — no cross-session chaining."""
+    from adampro_spark.streaming.ingest import session_funnel
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, "u1", t0, "view"),
+        (2, "u1", t0 + timedelta(minutes=90), "click"),
+    ]
+    out = {
+        r["step"]: r["n_sessions"]
+        for r in session_funnel(
+            _ev(spark, rows), steps=["view", "click"]
+        ).collect()
+    }
+    assert out == {"view": 1, "click": 0}
+    merged = {
+        r["step"]: r["n_sessions"]
+        for r in session_funnel(
+            _ev(spark, rows), steps=["view", "click"], gap="2 hours"
+        ).collect()
+    }
+    assert merged == {"view": 1, "click": 1}
+
+
+def test_session_funnel_matches_sql_mirror_on_real_events(spark):
+    """The driver-row formulation (unrolled min-ts chain in DuckDB over
+    the shared session SQL) must agree on the real events table."""
+    import duckdb
+
+    from adampro_spark.oracle_suite import _FUNNEL_STEPS, _funnel_sql
+    from adampro_spark.session import load_tables
+    from adampro_spark.streaming.ingest import session_funnel
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    got = {
+        r["step_idx"]: r["n_sessions"]
+        for r in session_funnel(ev, steps=list(_FUNNEL_STEPS)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    want = {
+        n // 1_000_000: n % 1_000_000
+        for _step, n in con.execute(_funnel_sql()).fetchall()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# contamination_report
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_report_counts_and_decontaminate_consistency(spark):
+    from adampro_spark.pipeline.mix import contamination_report, decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # windows: abc bcd cde def (n=3)
+            (2, "x y z"),             # one window, clean
+            (3, "c d e"),             # exactly the planted eval gram
+            (4, "zz"),                # shorter than n: one full-seq gram
+            (5, None),                # NULL text: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([("c d e",), ("q r s",)], "text string")
+    rep = {
+        r["doc_id"]: (r["n_grams"], r["n_matched"], r["contamination"])
+        for r in contamination_report(train, eval_df, n=3).collect()
+    }
+    assert rep[1] == (4, 1, round(1 / 4, 6))
+    assert rep[2] == (1, 0, 0.0)
+    assert rep[3] == (1, 1, 1.0)
+    assert rep[4] == (1, 0, 0.0)
+    assert rep[5] == (0, 0, 0.0)
+    kept = {
+        r["doc_id"] for r in decontaminate(train, eval_df, n=3).collect()
+    }
+    flagged = {d for d, (_, m, _) in rep.items() if m > 0}
+    assert kept == set(rep) - flagged  # report ⇔ drop consistency
+
+
+def test_contamination_report_bloom_matches_semi(spark, docs=None):
+    from adampro_spark.pipeline.mix import contamination_report
+    from adampro_spark.session import load_tables
+    from adampro_spark.pipeline.text import tokens_expr
+
+    corpus = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    eval_df = corpus.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(tokens_expr("text"), 5, 5)).alias("text")
+    )
+    semi = {
+        r["doc_id"]: (r["n_grams"], r["n_matched"])
+        for r in contamination_report(corpus, eval_df, n=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_grams"], r["n_matched"])
+        for r in contamination_report(
+            corpus, eval_df, n=5, method="bloom"
+        ).collect()
+    }
+    assert set(semi) == set(bloom)
+    over = 0
+    for d in semi:
+        assert bloom[d][0] == semi[d][0], d          # window counts exact
+        assert bloom[d][1] >= semi[d][1], d          # FP only over-counts
+        over += bloom[d][1] - semi[d][1]
+    # fpp=1e-6 over a few thousand windows: expected over-count ~0
+    assert over <= 2, over
+
+
+def test_contamination_report_bloom_plan_is_map_only(spark):
+    from adampro_spark.pipeline.mix import contamination_report
+    from adampro_spark.session import load_tables
+
+    corpus = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    eval_df = corpus.limit(3).select("text")
+    plan = (
+        contamination_report(corpus, eval_df, n=5, method="bloom")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_contamination_report_empty_eval(spark):
+    from adampro_spark.pipeline.mix import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, None)], "doc_id long, text string"
+    )
+    empty = train.limit(0).select("text")
+    for method in ("semi", "bloom"):
+        rep = {
+            r["doc_id"]: (r["n_grams"], r["n_matched"])
+            for r in contamination_report(
+                train, empty, n=3, method=method
+            ).collect()
+        }
+        assert rep[1][1] == 0 and rep[2] == (0, 0), method
+    with pytest.raises(ValueError, match="method must be"):
+        contamination_report(train, empty, method="hash").collect()

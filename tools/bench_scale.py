@@ -91,6 +91,8 @@ ROWS = [
     "events_session_assign",
     "events_assign_skew",
     "temporal_asof_stream",
+    # round 12: the session funnel (labeling + per-session fold + count)
+    "events_funnel",
 ]
 COPIES = 10
 SHIFT = 10_000_000
