@@ -987,7 +987,9 @@ def _dedup_resolution(spark, sf):
     corpus = _docs_with_truncated_copies(spark, sf).withColumn(
         "_q", F.length("text").cast("long")
     )
-    pairs = minhash_dup_pairs(corpus, threshold=0.7)
+    # materialize: TWO consumers (both survivor policies) read the pair
+    # set — unpersisted, the whole banding plan would run twice
+    pairs = minhash_dup_pairs(corpus, threshold=0.7, materialize=True)
     minpk = deduplicate(corpus, pairs, pk="doc_id").select(
         F.lit("minpk").alias("part"), "doc_id"
     )
@@ -995,6 +997,34 @@ def _dedup_resolution(spark, sf):
         corpus, pairs, pk="doc_id", keep_by="_q", keep="max"
     ).select(F.lit("best").alias("part"), "doc_id")
     return minpk.unionByName(best)
+
+
+def _dedup_resolution_minpk(spark, sf):
+    """BENCH row under the historical `dedup_resolution` name — the r11
+    single-policy shape, so cross-round timings stay comparable (the
+    driver row above widened to a 2-part union in round 12); the new
+    policy times as its own row `dedup_resolution_best`."""
+    from adampro_spark.pipeline.dedup import deduplicate, minhash_dup_pairs
+
+    corpus = _docs_with_truncated_copies(spark, sf)
+    pairs = minhash_dup_pairs(corpus, threshold=0.7)
+    return deduplicate(corpus, pairs, pk="doc_id").select("doc_id")
+
+
+def _dedup_resolution_best(spark, sf):
+    from adampro_spark.pipeline.dedup import deduplicate, minhash_dup_pairs
+
+    corpus = _docs_with_truncated_copies(spark, sf).withColumn(
+        "_q", F.length("text").cast("long")
+    )
+    pairs = minhash_dup_pairs(corpus, threshold=0.7)
+    return deduplicate(
+        corpus, pairs, pk="doc_id", keep_by="_q", keep="max"
+    ).select("doc_id")
+
+
+BENCH_ONLY["dedup_resolution"] = _dedup_resolution_minpk
+BENCH_ONLY["dedup_resolution_best"] = _dedup_resolution_best
 
 
 _register(

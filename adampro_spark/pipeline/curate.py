@@ -282,6 +282,8 @@ def curate(
     span_n: int = 50,
     dedup: str | None = "minhash",
     dedup_threshold: float | None = None,
+    dedup_keep_by: str | None = None,
+    dedup_keep: str = "max",
     stage_timings: dict[str, float] | None = None,
     extra_gates: Mapping[str, Column] | None = None,
     quality_weights: Sequence[float] | None = None,
@@ -315,6 +317,13 @@ def curate(
     dropped side is only the duplicates, so AQE broadcasts it in the
     common low-dup-rate case), or None; survivors keep each duplicate
     group's min-pk member (:func:`deduplicate`).
+
+    ``dedup_keep_by`` (round 12) — a column name: the near-dup group
+    survivor becomes the member with the max (``dedup_keep="min"``
+    flips) value of that column, ties min pk — keep the fullest /
+    highest-quality copy (``deduplicate(keep_by=)``).  Near-dup modes
+    only: exact groups are byte-identical after normalization, so
+    member choice is immaterial there and passing it raises.
 
     ``max_dup_line_frac`` / ``max_top_2gram_char_frac`` (round 7) —
     Gopher-style repetition ceilings (text.with_repetition): documents
@@ -653,6 +662,12 @@ def curate(
 
     n_pre_dedup = int(agg["kept"]) - (n_lm_fail or 0)
 
+    if dedup_keep_by is not None and dedup not in ("minhash", "simhash"):
+        raise ValueError(
+            "dedup_keep_by applies to near-dup modes (minhash/simhash) "
+            "only — exact-duplicate groups are identical text, member "
+            "choice is immaterial"
+        )
     if dedup is None:
         if dedup_threshold is not None:
             raise ValueError("dedup_threshold given but dedup is disabled")
@@ -705,7 +720,9 @@ def curate(
         if stage_timings is not None:
             stage_timings["pairs_sec"] = round(time.perf_counter() - t1, 3)
         t2 = time.perf_counter()
-        out = deduplicate(kept, pairs, pk=pk)
+        out = deduplicate(
+            kept, pairs, pk=pk, keep_by=dedup_keep_by, keep=dedup_keep
+        )
         n_out = out.count()
         if stage_timings is not None:
             stage_timings["resolution_sec"] = round(time.perf_counter() - t2, 3)

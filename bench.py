@@ -125,6 +125,10 @@ HEADLINE = [
     # round 12: ordered session-funnel analytics (assign_sessions ->
     # per-session greedy fold -> k-row count)
     "events_funnel",
+    # round 12: quality-aware survivor selection (keep the best-scored
+    # copy per near-dup family); dedup_resolution keeps its r11
+    # single-policy shape (BENCH_ONLY override — README mapping)
+    "dedup_resolution_best",
 ]
 
 # NOTE on the pipeline_curate name: the BENCH row (BENCH_ONLY wins the

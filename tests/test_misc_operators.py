@@ -299,10 +299,15 @@ def test_extract_features_real_wav_end_to_end(spark):
 def test_decode_media_unknown_magic_raises():
     from adampro_spark.pipeline.multimodal import decode_media
 
-    # JPEG has no stdlib codec — still an honest NotImplementedError
-    with pytest.raises(NotImplementedError):
+    # JPEG routes to the real baseline decoder (round 12) — a TRUNCATED
+    # stream must reject loudly, never return garbage pixels
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0truncated-jpeg", 2, 2)
-    # PNG magic now routes to the real decoder, which must reject a
+    # a codec this environment genuinely lacks (GIF) stays an honest
+    # NotImplementedError through the decoder hook
+    with pytest.raises(NotImplementedError):
+        decode_media(b"GIF89a-not-decodable", 2, 2)
+    # PNG magic routes to the real decoder, which must reject a
     # malformed body loudly rather than return garbage
     with pytest.raises(Exception):
         decode_media(b"\x89PNG\r\n\x1a\nxxxx", 2, 2)

@@ -259,3 +259,38 @@ def test_contamination_report_empty_eval(spark):
         assert rep[1][1] == 0 and rep[2] == (0, 0), method
     with pytest.raises(ValueError, match="method must be"):
         contamination_report(train, empty, method="hash").collect()
+
+
+def test_curate_dedup_keep_by(spark):
+    """curate(dedup_keep_by=) keeps the best-scored near-dup copy; the
+    exact mode rejects the knob (member choice is immaterial there)."""
+    from adampro_spark.pipeline.curate import curate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away to the hills where it finds a quiet place to sleep all day "
+        "long before returning home at night for a warm dinner with friends"
+    )
+    rows = [
+        (1, base, 10),
+        (2, base + " extra", 90),   # near-dup of 1, higher score
+        (3, "completely different words about ships sailing the wide "
+            "ocean under bright stars while the crew sings old songs and "
+            "the captain studies maps of distant islands and hidden coves "
+            "planning the long voyage home across the endless sea", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score long")
+    kept, rep = curate(
+        df, langs=None, min_tokens=5, min_quality=0.0,
+        dedup="minhash", dedup_threshold=0.6, dedup_keep_by="score",
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {2, 3}
+    assert rep["n_dup_dropped"] == 1
+    legacy, _ = curate(
+        df, langs=None, min_tokens=5, min_quality=0.0,
+        dedup="minhash", dedup_threshold=0.6,
+    )
+    assert {r["doc_id"] for r in legacy.collect()} == {1, 3}
+    with pytest.raises(ValueError, match="near-dup modes"):
+        curate(df, langs=None, dedup="exact", dedup_keep_by="score")
