@@ -2096,6 +2096,57 @@ def _split_sql() -> str:
 BENCH_ONLY["pipeline_split"] = _split_row
 
 
+def _grouped_split_stage(spark, sf):
+    """Round 12: the LEAKAGE-SAFE grouped split (``split_dataset(by=)``)
+    — every member of a group follows the group key's coin, and a
+    planted NULL key (every 31st doc) exercises the per-row pk
+    fallback.  The stage label carries the assigned split, so the
+    group-hash arithmetic, the bin bounds, and the NULL routing are all
+    inside the hash."""
+    from adampro_spark.pipeline.mix import split_dataset
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 31 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("grp"),
+    )
+    out = split_dataset(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, by="grp"
+    )
+    return out.select(
+        F.lit("gsplit").alias("stage"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("split").alias("label"),
+    )
+
+
+def _grouped_split_sql() -> str:
+    from adampro_spark.pipeline.mix import _MIX_A, _MIX_B
+    from adampro_spark.pipeline.text import HASH_P
+
+    hg = _sql_poly_hash("concat('split', '|', grp)")
+    hd = _sql_poly_hash("concat('split', '|', doc_id::VARCHAR)")
+    return f"""
+    SELECT doc_id,
+      CASE WHEN u < 0.8 THEN 'train'
+           WHEN u < 0.9 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+        (CASE WHEN grp IS NOT NULL
+              THEN (({hg}) * {_MIX_A} + {_MIX_B}) % {HASH_P}
+              ELSE (({hd}) * {_MIX_A} + {_MIX_B}) % {HASH_P}
+         END) / {HASH_P}.0 AS u
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN NULL ELSE source END AS grp
+        FROM documents
+      )
+    )
+    """
+
+
 def _decontaminate_row(spark, sf):
     """Survivors after removing docs sharing any word 5-gram with a
     DERIVED eval set (tokens 5..9 of every 25th document) — both engines
@@ -2272,7 +2323,7 @@ def _assembly_suite(spark, sf):
     )
     return _union_all(
         [sp, de, sh, _shuffle_pack_stage(spark, sf),
-         _contamination_stage(spark, sf)]
+         _contamination_stage(spark, sf), _grouped_split_stage(spark, sf)]
     )
 
 
@@ -2294,6 +2345,9 @@ _register(
     UNION ALL
     SELECT 'contamination', doc_id::BIGINT, packed::VARCHAR
     FROM ({_contamination_sql()})
+    UNION ALL
+    SELECT 'gsplit', doc_id::BIGINT, split
+    FROM ({_grouped_split_sql()})
     """,
 )
 

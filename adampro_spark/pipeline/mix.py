@@ -103,6 +103,7 @@ def split_dataset(
     pk: str = "doc_id",
     salt: str = "split",
     col: str = "split",
+    by: str | None = None,
 ) -> DataFrame:
     """Assign every row to a named split with probability proportional to
     ``weights`` (e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``),
@@ -112,13 +113,30 @@ def split_dataset(
     versions, and repartitionings agree; (b) append-stable — new rows
     never move old rows across splits; (c) disjoint and exhaustive.
     Map-only: the cumulative bins are plan literals.
+
+    ``by`` (round 12, LEAKAGE-SAFE grouped split): hash that column
+    instead of the pk, so every row sharing a group key — a URL host, a
+    source, a near-dup family label (join ``dup_groups``'s ``survivor``
+    on first) — lands in the SAME split.  Row-wise splitting puts one
+    member of a near-duplicate family in train and its twin in test,
+    which is exactly the eval leakage decontamination exists to prevent;
+    grouped splitting closes it structurally.  Still map-only and
+    append-stable (a new family member follows its family).  NULL group
+    keys fall back to the row's own pk hash — NULL is the absence of a
+    family, not one giant family (a coalesced NULL group would dump
+    every keyless row into a single split).
     """
     if not weights:
         raise ValueError("weights must be non-empty")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    u = _unit_hash(pk, salt)
+    if by is not None:
+        u = F.when(
+            F.col(by).isNotNull(), _unit_hash(by, salt)
+        ).otherwise(_unit_hash(pk, salt))
+    else:
+        u = _unit_hash(pk, salt)
     # cumulative upper bounds; last bin closes at 1.0 exactly
     names = list(weights)
     acc = 0.0

@@ -294,3 +294,60 @@ def test_curate_dedup_keep_by(spark):
     assert {r["doc_id"] for r in legacy.collect()} == {1, 3}
     with pytest.raises(ValueError, match="near-dup modes"):
         curate(df, langs=None, dedup="exact", dedup_keep_by="score")
+
+
+def test_split_dataset_grouped_is_leakage_safe(spark):
+    """split_dataset(by=): every member of a near-dup family (labeled by
+    dup_groups' survivor) lands in the SAME split — the structural fix
+    for train/test leakage; NULL group keys split independently."""
+    from adampro_spark.pipeline.dedup import dup_groups
+    from adampro_spark.pipeline.mix import split_dataset
+
+    # 60 families of 5 docs each, chained pairs
+    pairs = spark.createDataFrame(
+        [(f * 100 + i, f * 100 + i + 1) for f in range(60) for i in range(4)],
+        "id_a long, id_b long",
+    )
+    fam = dup_groups(pairs)  # (id, survivor)
+    docs = spark.createDataFrame(
+        [(f * 100 + i,) for f in range(60) for i in range(5)]
+        + [(90_000 + j,) for j in range(40)],  # unpaired rows
+        "doc_id long",
+    )
+    labeled = docs.join(
+        fam.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("family", F.col("survivor").cast("string"))
+    out = split_dataset(
+        labeled, {"train": 0.6, "val": 0.2, "test": 0.2}, by="family"
+    )
+    fam_splits = (
+        out.filter(F.col("family").isNotNull())
+        .groupBy("family")
+        .agg(F.count_distinct("split").alias("k"))
+    )
+    assert fam_splits.filter(F.col("k") > 1).count() == 0  # no straddling
+    # with enough families, more than one split is actually populated
+    used = {r["split"] for r in out.select("split").distinct().collect()}
+    assert len(used) >= 2
+    # NULL-family rows follow their own pk coin — identical to ungrouped
+    solo = {
+        r["doc_id"]: r["split"]
+        for r in out.filter(F.col("family").isNull()).collect()
+    }
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(
+            docs.filter(F.col("doc_id") >= 90_000),
+            {"train": 0.6, "val": 0.2, "test": 0.2},
+        ).collect()
+    }
+    assert solo == plain
+    # determinism under repartitioning
+    again = {
+        (r["doc_id"], r["split"])
+        for r in split_dataset(
+            labeled.repartition(13), {"train": 0.6, "val": 0.2, "test": 0.2},
+            by="family",
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in out.collect()}
