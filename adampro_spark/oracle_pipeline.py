@@ -1642,7 +1642,13 @@ def _gopher_row(spark, sf):
     # tokenization, the ≥½-non-ws dominance arithmetic, and the
     # when(dom)-routing each adjudicate against an independent DuckDB
     # formulation (Latin docs ride the same columns un-routed)
-    sflags = gopher_gate_flags("ztext", tokenizer="script")
+    # the flags read the STAGED token column (the _ap_gtoks/_ts_toks
+    # rule: no CSE for CodegenFallback lambdas — without toks= each flag
+    # re-tokenizes ztext; review r12); tokenizer="script" still routes
+    # the dominance/alnum/alpha expressions
+    sflags = gopher_gate_flags(
+        "ztext", toks=F.col("_ap_ztoks"), tokenizer="script"
+    )
     st = F.col("_ap_ztoks")
     sn = F.size(st).cast("long")
     schars = F.aggregate(

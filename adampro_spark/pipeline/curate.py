@@ -427,6 +427,22 @@ def curate(
     import time
 
     _check_reserved_columns(df)
+    # knob compatibility up front (review r12): these used to raise only
+    # AFTER the whole gate pipeline had run — minutes of cluster work
+    # before a parameter error on a big corpus
+    if dedup_keep_by is not None and dedup not in ("minhash", "simhash"):
+        raise ValueError(
+            "dedup_keep_by applies to near-dup modes (minhash/simhash) "
+            "only — exact-duplicate groups are identical text, member "
+            "choice is immaterial"
+        )
+    if dedup_keep != "max" and dedup_keep_by is None:
+        raise ValueError(
+            "dedup_keep has no effect without dedup_keep_by — pass the "
+            "score column to select survivors by"
+        )
+    if dedup is None and dedup_threshold is not None:
+        raise ValueError("dedup_threshold given but dedup is disabled")
 
     boiler_col = None
     if line_dedup_min_docs is not None:
@@ -662,15 +678,7 @@ def curate(
 
     n_pre_dedup = int(agg["kept"]) - (n_lm_fail or 0)
 
-    if dedup_keep_by is not None and dedup not in ("minhash", "simhash"):
-        raise ValueError(
-            "dedup_keep_by applies to near-dup modes (minhash/simhash) "
-            "only — exact-duplicate groups are identical text, member "
-            "choice is immaterial"
-        )
     if dedup is None:
-        if dedup_threshold is not None:
-            raise ValueError("dedup_threshold given but dedup is disabled")
         out = kept
         n_out = n_pre_dedup
     elif dedup == "exact":

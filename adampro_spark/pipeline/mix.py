@@ -360,7 +360,9 @@ def _token_hashes(text: str | Column) -> Column:
     return F.transform(tokens_expr(text), lambda t: poly_hash(char_codes(t)))
 
 
-def _grams_from_token_hashes(th: Column, n: int) -> Column:
+def _grams_from_token_hashes(
+    th: Column, n: int, distinct: bool = True
+) -> Column:
     """Distinct n-gram hashes from a MATERIALIZED token-hash array: every
     n-token window folds its n hashes ((a·31 + h) mod P).
 
@@ -372,19 +374,23 @@ def _grams_from_token_hashes(th: Column, n: int) -> Column:
     trap: it re-hashes every character n times (6.4 s).  Two selects —
     materialize, then window-fold — is the fast shape; still plain
     portable arithmetic (DuckDB: list_transform + list_reduce over
-    list_slice), no UDF."""
+    list_slice), no UDF.
+
+    ``distinct=False`` keeps EVERY window (duplicates included) — the
+    contamination REPORT counts window occurrences, where the dedup of
+    the membership paths would under-count repetitive documents
+    (review r12)."""
     k = F.size(th)
     idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.aggregate(
-                F.slice(th, i, n),
-                F.lit(0).cast("long"),
-                lambda acc, h: (acc * 31 + h) % F.lit(HASH_P),
-            ),
-        )
+    grams = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(th, i, n),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * 31 + h) % F.lit(HASH_P),
+        ),
     )
+    return F.array_distinct(grams) if distinct else grams
 
 
 def decontaminate(
@@ -582,6 +588,43 @@ def _contaminated_col(
     import numpy as np
     import pandas as pd
 
+    built = _build_eval_bloom(ev_grams, fpp, max_eval_grams)
+    if built is None:
+        return None
+    words, m, k = built
+
+    # no type hints: under `from __future__ import annotations` they are
+    # strings and pandas_udf's hint inference rejects them.  The UDF
+    # receives TOKEN HASHES, not grams: the gram window fold runs in
+    # numpy here (n vectorized passes) — measured 5x cheaper than the
+    # Catalyst slice+aggregate HOF per window, and it halves the Arrow
+    # payload (tokens, not n-per-token gram values)
+    def _any_in_bloom(token_hashes):
+        # NULL text -> NULL token array: counts as no grams (kept), the
+        # same outcome the semi-join path gives a NULL-text document
+        batch = _batch_gram_fold(token_hashes, n)
+        if batch is None:
+            return pd.Series(np.zeros(len(token_hashes), dtype=bool))
+        grams, doc_of_win = batch
+        hit = _bloom_contains(words, grams, m, k)
+        out = np.bincount(doc_of_win, weights=hit, minlength=len(token_hashes)) > 0
+        return pd.Series(out)
+
+    from pyspark.sql import types as T
+
+    udf = F.pandas_udf(_any_in_bloom, T.BooleanType())
+    return udf(_token_hashes(text_col))
+
+
+def _build_eval_bloom(
+    ev_grams: DataFrame, fpp: float, max_eval_grams: int
+) -> "tuple | None":
+    """Driver-built Bloom filter over the eval gram set — ``(words, m,
+    k)``, or ``None`` for an empty eval set.  ONE implementation for the
+    membership and counting kernels (review r12: two near-verbatim
+    copies would drift on the next cap/fpp/NULL fix)."""
+    import numpy as np
+
     if not 0.0 < fpp < 0.5:
         raise ValueError(
             f"fpp must be in (0, 0.5), got {fpp} — a mistyped rate (1e6 "
@@ -601,39 +644,26 @@ def _contaminated_col(
     m, k = _bloom_params(len(items), fpp)
     words = np.zeros(m // 64, dtype=np.uint64)
     _bloom_insert(words, items, m, k)
+    return words, m, k
 
-    # no type hints: under `from __future__ import annotations` they are
-    # strings and pandas_udf's hint inference rejects them.  The UDF
-    # receives TOKEN HASHES, not grams: the gram window fold runs in
-    # numpy here (n vectorized passes) — measured 5x cheaper than the
-    # Catalyst slice+aggregate HOF per window, and it halves the Arrow
-    # payload (tokens, not n-per-token gram values)
-    def _any_in_bloom(token_hashes):
-        # NULL text -> NULL token array: counts as no grams (kept), the
-        # same outcome the semi-join path gives a NULL-text document
-        lens = np.array(
-            [-1 if t is None else len(t) for t in token_hashes],
-            dtype=np.int64,
-        )
-        if (lens >= 0).sum() == 0:
-            return pd.Series(np.zeros(len(token_hashes), dtype=bool))
-        arrs = [
-            np.asarray(t, dtype=np.int64)
-            for t in token_hashes
-            if t is not None
-        ]
-        flat = (
-            np.concatenate(arrs) if arrs else np.array([], dtype=np.int64)
-        )
-        grams, doc_of_win = _fold_grams_np(flat, lens, n)
-        hit = _bloom_contains(words, grams, m, k)
-        out = np.bincount(doc_of_win, weights=hit, minlength=len(token_hashes)) > 0
-        return pd.Series(out)
 
-    from pyspark.sql import types as T
+def _batch_gram_fold(token_hashes, n: int):
+    """Per-Arrow-batch preamble shared by the bloom kernels: NULL-token
+    encoding (lens -1), flattening, and the numpy window fold.  Returns
+    ``(grams, doc_of_win)`` or ``None`` for an all-NULL batch."""
+    import numpy as np
 
-    udf = F.pandas_udf(_any_in_bloom, T.BooleanType())
-    return udf(_token_hashes(text_col))
+    lens = np.array(
+        [-1 if t is None else len(t) for t in token_hashes],
+        dtype=np.int64,
+    )
+    if (lens >= 0).sum() == 0:
+        return None
+    arrs = [
+        np.asarray(t, dtype=np.int64) for t in token_hashes if t is not None
+    ]
+    flat = np.concatenate(arrs) if arrs else np.array([], dtype=np.int64)
+    return _fold_grams_np(flat, lens, n)
 
 
 def _decontaminate_bloom(
@@ -739,8 +769,14 @@ def contamination_report(
     ).select(
         "_pk",
         # explode_outer: a NULL-text document keeps its row (0 grams) —
-        # the report must cover the whole corpus, unlike the drop path
-        F.explode_outer(_grams_from_token_hashes(F.col("_th"), n)).alias("_g"),
+        # the report must cover the whole corpus, unlike the drop path.
+        # distinct=False: the report counts WINDOW occurrences; the drop
+        # paths' dedup would under-count repetitive documents (a doc
+        # repeating one contaminated gram 50 times is 100% contaminated,
+        # not 1-of-distinct) — review r12
+        F.explode_outer(
+            _grams_from_token_hashes(F.col("_th"), n, distinct=False)
+        ).alias("_g"),
     )
     per = (
         tr_grams.join(
@@ -767,48 +803,23 @@ def _contamination_counts_col(
     max_eval_grams: int,
 ) -> Column | None:
     """``array<long> [n_gram_windows, n_bloom_hits]`` per document — the
-    counting sibling of :func:`_contaminated_col` (same driver-built
-    filter, same numpy window fold, one more bincount).  ``None`` when
-    the eval set is empty."""
+    counting sibling of :func:`_contaminated_col` (shared driver-built
+    filter and batch fold via ``_build_eval_bloom``/``_batch_gram_fold``,
+    one more bincount).  ``None`` when the eval set is empty."""
     import numpy as np
     import pandas as pd
 
-    if not 0.0 < fpp < 0.5:
-        raise ValueError(
-            f"fpp must be in (0, 0.5), got {fpp} — a mistyped rate (1e6 "
-            "for 1e-6) would build a saturated filter"
-        )
-    ev = ev_grams.limit(max_eval_grams + 1).collect()
-    if len(ev) > max_eval_grams:
-        raise ValueError(
-            f"eval corpus exceeds max_eval_grams={max_eval_grams} distinct "
-            "n-grams — the Bloom filter is driver-built; raise the cap or "
-            "use method='semi'"
-        )
-    if not ev:
+    built = _build_eval_bloom(ev_grams, fpp, max_eval_grams)
+    if built is None:
         return None
-    items = np.array([r[0] for r in ev], dtype=np.int64)
-    m, k = _bloom_params(len(items), fpp)
-    words = np.zeros(m // 64, dtype=np.uint64)
-    _bloom_insert(words, items, m, k)
+    words, m, k = built
 
     def _count_hits(token_hashes):
-        lens = np.array(
-            [-1 if t is None else len(t) for t in token_hashes],
-            dtype=np.int64,
-        )
         d = len(token_hashes)
-        if (lens >= 0).sum() == 0:
+        batch = _batch_gram_fold(token_hashes, n)
+        if batch is None:
             return pd.Series([[0, 0]] * d)
-        arrs = [
-            np.asarray(t, dtype=np.int64)
-            for t in token_hashes
-            if t is not None
-        ]
-        flat = (
-            np.concatenate(arrs) if arrs else np.array([], dtype=np.int64)
-        )
-        grams, doc_of_win = _fold_grams_np(flat, lens, n)
+        grams, doc_of_win = batch
         hit = _bloom_contains(words, grams, m, k)
         tot = np.bincount(doc_of_win, minlength=d).astype(np.int64)
         mat = np.bincount(

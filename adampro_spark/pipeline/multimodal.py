@@ -514,7 +514,10 @@ def encode_jpeg(
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qt = np.full((8, 8), 1.0) * (quant if quant is not None else 1)
-    qt = np.maximum(np.asarray(qt, dtype=np.float64), 1.0)
+    # ROUND the table up front: the scan divides by exactly what the
+    # DQT stores (a fractional table would make the decoder dequantize
+    # with a different value than the encoder divided by)
+    qt = np.maximum(np.round(np.asarray(qt, dtype=np.float64)), 1.0)
     if qt.shape != (8, 8):
         qt = np.full((8, 8), float(np.ravel(qt)[0]))
     C = _dct_matrix()
@@ -592,9 +595,20 @@ def encode_jpeg(
     def _seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
-    qzz = np.round(qt).astype(np.uint8).ravel()[_ZIGZAG]
+    qzz = np.round(qt).astype(np.int64).ravel()[_ZIGZAG]
+    if qzz.max() > 65535:
+        raise ValueError(
+            f"quantization values up to {int(qzz.max())} exceed the JPEG "
+            "16-bit DQT range"
+        )
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xDB, bytes([0]) + qzz.tobytes())  # DQT id 0, 8-bit
+    if qzz.max() > 255:
+        # 16-bit precision table (decode_jpeg reads prec=1) — a uint8
+        # cast here silently WRAPPED values > 255 while the scan divided
+        # by the unwrapped float, corrupting the stream (review r12)
+        out += _seg(0xDB, bytes([0x10]) + qzz.astype(">u2").tobytes())
+    else:
+        out += _seg(0xDB, bytes([0]) + qzz.astype(np.uint8).tobytes())
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof += bytes([len(comps)])
     for ci, (hi, vi) in enumerate(samp):
@@ -784,6 +798,21 @@ def decode_jpeg(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
         pos += 2 + seglen
     if not scan_comps or h == 0:
         raise ValueError("JPEG stream has no SOS/SOF0 scan")
+    # This decoder implements INTERLEAVED scans (all components in one
+    # SOS — what every common baseline encoder emits).  A
+    # non-interleaved stream (per-component scans) changes the MCU
+    # definition to one data unit per MCU (T.81 A.2.2): decoding it with
+    # per-MCU sampling-factor block counts would desynchronize the
+    # bitstream into garbage, so reject honestly (review r12).  A
+    # single-component IMAGE is fine when its factors are 1×1 (the two
+    # MCU definitions coincide there).
+    if len(scan_comps) != len(comps) or (
+        len(comps) == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1)
+    ):
+        raise NotImplementedError(
+            "non-interleaved JPEG scan (per-component SOS) unsupported — "
+            "pass a real decoder= for these streams"
+        )
 
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)

@@ -701,6 +701,29 @@ def test_jpeg_quant_table_and_bigger_quant():
     qt = 1 + (np.arange(64).reshape(8, 8) // 8).astype(np.float64)
     out = decode_jpeg(encode_jpeg(img, quant=qt))
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 12
+    # review r12: quant values > 255 used to WRAP in the 8-bit DQT while
+    # the scan divided by the unwrapped value (silent corruption) — now
+    # they round-trip through a 16-bit precision table
+    flat = np.full((8, 8), 200, dtype=np.uint8)
+    out300 = decode_jpeg(encode_jpeg(flat, quant=300))
+    # DC of a flat 200 block is 8*(200-128)=576; q=300 -> round(1.92)=2
+    # -> dequant 600 -> pixel 203: bounded quant error, NOT wrap garbage
+    assert int(np.abs(out300.astype(int) - 200).max()) <= 20
+    with pytest.raises(ValueError, match="16-bit DQT"):
+        encode_jpeg(flat, quant=70000)
+    # non-interleaved (per-component SOS) rejects honestly: forge an SOS
+    # carrying only the first of three components
+    rgbi = np.zeros((8, 8, 3), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(rgbi))
+    i = bytes(blob).find(b"\xff\xda")
+    # SOS payload: len(2) ns(1) [cid,tabs]*ns ss se ah; shrink to ns=1
+    ln = int.from_bytes(blob[i + 2:i + 4], "big")
+    one = (bytes([1, 0x00])
+           + bytes(blob[i + 4 + 1 + 6: i + 2 + ln]))  # comp1 + ss/se/ah
+    new = bytes([0xFF, 0xDA]) + (len(one) + 3).to_bytes(2, "big") + bytes([1]) + one
+    forged = bytes(blob[:i]) + new + bytes(blob[i + 2 + ln:])
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(forged)
 
 
 def test_jpeg_unsupported_variants_raise_honestly():

@@ -188,6 +188,15 @@ def test_contamination_report_counts_and_decontaminate_consistency(spark):
         for r in contamination_report(train, eval_df, n=3).collect()
     }
     assert rep[1] == (4, 1, round(1 / 4, 6))
+    # review r12: a REPETITIVE document counts window OCCURRENCES, not
+    # distinct grams — 'c d e c d e c d e' has 7 windows of which
+    # 'c d e' occurs 3 times (positions 0, 3, 6)
+    repet = spark.createDataFrame(
+        [(9, "c d e c d e c d e")], "doc_id long, text string"
+    )
+    for method in ("semi", "bloom"):
+        r9 = contamination_report(repet, eval_df, n=3, method=method).collect()[0]
+        assert (r9["n_grams"], r9["n_matched"]) == (7, 3), method
     assert rep[2] == (1, 0, 0.0)
     assert rep[3] == (1, 1, 1.0)
     assert rep[4] == (1, 0, 0.0)
