@@ -1633,7 +1633,12 @@ def _gopher_row(spark, sf):
         space_free_dominant_expr,
     )
 
-    flags = gopher_gate_flags()
+    from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
+
+    # both flag sets read STAGED token columns (review r12 second pass:
+    # the Latin flags each embedded their own tokens_expr — ~6
+    # tokenizations of `text` per document)
+    flags = gopher_gate_flags(toks=F.col("_ap_ttoks"))
     uflags = url_gate_flags("url", deny_domains=_URL_DENY)
     # round 12 script part (verdict r11 #2): every 4th doc becomes a
     # planted zh/ja/th document; the script tokenizer's token count /
@@ -1664,6 +1669,7 @@ def _gopher_row(spark, sf):
         .withColumn("mhtml", _messy_html_expr())
         .withColumn("mtext", _moji_text_expr())
         .withColumn("ztext", _script_text_expr())
+        .withColumn("_ap_ttoks", _tokens_expr("text"))
         .withColumn("_ap_ztoks", _script_toks_expr())
         .select(
             "doc_id",

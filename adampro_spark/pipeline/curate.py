@@ -441,8 +441,21 @@ def curate(
             "dedup_keep has no effect without dedup_keep_by — pass the "
             "score column to select survivors by"
         )
-    if dedup is None and dedup_threshold is not None:
-        raise ValueError("dedup_threshold given but dedup is disabled")
+    if dedup_threshold is not None:
+        if dedup is None:
+            raise ValueError("dedup_threshold given but dedup is disabled")
+        if dedup == "exact":
+            raise ValueError(
+                "dedup_threshold does not apply to dedup='exact' — exact "
+                "groups have no similarity knob"
+            )
+        if dedup == "simhash":
+            # r5 advice: silently ignoring the Jaccard knob here sent
+            # callers tuning a parameter with no effect
+            raise ValueError(
+                "dedup_threshold does not apply to dedup='simhash' — "
+                "tune max_hamming= instead"
+            )
 
     boiler_col = None
     if line_dedup_min_docs is not None:
@@ -682,11 +695,6 @@ def curate(
         out = kept
         n_out = n_pre_dedup
     elif dedup == "exact":
-        if dedup_threshold is not None:
-            raise ValueError(
-                "dedup_threshold does not apply to dedup='exact' — exact "
-                "groups have no similarity knob"
-            )
         t1 = time.perf_counter()
         # dedup_kw reaches exact_dedup too — e.g. normalize="ccnet" for
         # the paper's case/accent/digit/punct-folded match (Wenzek 2020)
@@ -714,13 +722,6 @@ def curate(
                 **dedup_kw,
             )
         elif dedup == "simhash":
-            if dedup_threshold is not None:
-                # r5 advice: silently ignoring the Jaccard knob here sent
-                # callers tuning a parameter with no effect
-                raise ValueError(
-                    "dedup_threshold does not apply to dedup='simhash' — "
-                    "tune max_hamming= instead"
-                )
             pairs = simhash_pairs(kept, text_col=text_col, pk=pk, **dedup_kw)
             pairs = pairs.localCheckpoint(eager=True)
         else:

@@ -505,7 +505,10 @@ def encode_jpeg(
     Grayscale for (h × w) uint8 input; (h × w × 3) RGB encodes YCbCr
     4:4:4, or 4:2:0 with ``subsample=True`` (2×2 Y blocks per MCU, the
     dominant web shape).  ``quant``: a scalar or 8×8 table (default 1 —
-    near-lossless, so round-trip tests get a tight tolerance); Annex K.3
+    near-lossless, so round-trip tests get a tight tolerance; values
+    256–65535 serialize as a 16-bit DQT, which T.81 forbids in strict
+    baseline — fine for this decoder pair, keep ≤ 255 for third-party
+    interop); Annex K.3
     luma Huffman tables for every component.  ``restart_interval``
     emits a DRI segment and RSTn markers every N MCUs (what camera/web
     encoders do for error resilience) — exercises the decoder's
@@ -520,6 +523,13 @@ def encode_jpeg(
     qt = np.maximum(np.round(np.asarray(qt, dtype=np.float64)), 1.0)
     if qt.shape != (8, 8):
         qt = np.full((8, 8), float(np.ravel(qt)[0]))
+    # validate BEFORE the per-MCU scan, not at DQT-serialization time —
+    # the scan is the dominant cost (review r12, second pass)
+    if qt.max() > 65535:
+        raise ValueError(
+            f"quantization values up to {int(qt.max())} exceed the JPEG "
+            "16-bit DQT range"
+        )
     C = _dct_matrix()
     dc = _huff_codes(_K3_DC_BITS, _K3_DC_VALS)
     ac = _huff_codes(_K3_AC_BITS, _K3_AC_VALS)
@@ -596,16 +606,15 @@ def encode_jpeg(
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
     qzz = np.round(qt).astype(np.int64).ravel()[_ZIGZAG]
-    if qzz.max() > 65535:
-        raise ValueError(
-            f"quantization values up to {int(qzz.max())} exceed the JPEG "
-            "16-bit DQT range"
-        )
     out = bytearray(b"\xff\xd8")  # SOI
     if qzz.max() > 255:
         # 16-bit precision table (decode_jpeg reads prec=1) — a uint8
         # cast here silently WRAPPED values > 255 while the scan divided
-        # by the unwrapped float, corrupting the stream (review r12)
+        # by the unwrapped float, corrupting the stream (review r12).
+        # INTEROP NOTE: T.81 B.2.4.1 forbids 16-bit tables in an 8-bit
+        # baseline process, so quant>255 streams are for THIS decoder
+        # pair (fixtures/tests), not for strict third-party baseline
+        # decoders — keep quant ≤ 255 for interoperable output.
         out += _seg(0xDB, bytes([0x10]) + qzz.astype(">u2").tobytes())
     else:
         out += _seg(0xDB, bytes([0]) + qzz.astype(np.uint8).tobytes())
