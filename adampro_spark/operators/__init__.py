@@ -5,6 +5,7 @@ from adampro_spark.operators.scan import (
     exists_projection,
     knn,
     project,
+    radius_scan,
     sequential_scan,
 )
 from adampro_spark.operators.fusion import (
@@ -18,6 +19,7 @@ from adampro_spark.operators.fusion import (
 
 __all__ = [
     "knn",
+    "radius_scan",
     "sequential_scan",
     "boolean_filter",
     "project",

@@ -84,6 +84,58 @@ def knn(
     return sequential_scan(df, vector_col, query, k, distance_name, pk=pk, **kwargs)
 
 
+def radius_scan(
+    df: DataFrame,
+    vector_col: str,
+    query: VectorLike,
+    radius: float,
+    distance_name: str = "euclidean",
+    weights: VectorLike | None = None,
+    p: float | None = None,
+    prefilter: DataFrame | None = None,
+    pk: str = "ap_id",
+    keep_vector: bool = False,
+    limit: int | None = None,
+    ordered: bool = True,
+) -> DataFrame:
+    """RANGE similarity search (round 12): every row within ``radius`` of
+    the query (``distance <= radius``, boundary inclusive), ascending by
+    distance — kNN's companion when the QUALITY BAR is known but the
+    answer size is not (all near-duplicates above a cosine floor, all
+    points within R meters via haversine, all candidates inside an
+    ADC error bound).  Same distance library, ``weights``/``p`` knobs,
+    prefilter-collapse rewrite and pk tie-breaking as
+    :func:`sequential_scan`; the reference has no range operator — this
+    is a beyond-reference extension expressed as ONE codegen filter.
+
+    Scale shape: the predicate stays inside whole-stage codegen (no
+    top-k heap, no shuffle); the result is whatever matches.  A
+    too-large radius returns the corpus, so ``limit`` caps the answer
+    with ``TakeOrderedAndProject`` semantics — the worst case is then
+    exactly one kNN.  ``ordered=False`` skips the final sort (a global
+    order over a large result is a range-shuffle; aggregating consumers
+    don't need it).
+    """
+    out = df
+    if prefilter is not None:
+        from adampro_spark.plans.rewrite import maybe_collapse_prefilter
+
+        out, collapsed = maybe_collapse_prefilter(out, prefilter, pk)
+        if not collapsed:
+            out = out.join(prefilter.select(pk), on=pk, how="left_semi")
+    dist = distance(distance_name, vector_col, query, weights=weights, p=p)
+    out = out.withColumn(DISTANCE_COL, dist).filter(
+        F.col(DISTANCE_COL) <= F.lit(float(radius))
+    )
+    if not keep_vector:
+        out = out.drop(vector_col)
+    if ordered or limit is not None:
+        out = out.orderBy(F.col(DISTANCE_COL).asc(), F.col(pk).asc())
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Boolean predicates (QueryObject.scala:29-74)
 # ---------------------------------------------------------------------------

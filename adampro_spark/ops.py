@@ -743,6 +743,34 @@ class QueryOps:
             data = boolean_filter(data, predicates)
         return sequential_scan(data, attribute, query, k, distance_name, pk=pk, **kw)
 
+    def radius(
+        self,
+        entity: str,
+        attribute: str,
+        query: Sequence[float],
+        radius: float,
+        distance_name: str = "euclidean",
+        predicates=None,
+        df: DataFrame | None = None,
+        pk: str = "ap_id",
+        **kw: Any,
+    ) -> DataFrame:
+        """BooleanFilterScan ∘ RANGE scan (round 12 beyond-reference
+        extension — the reference is kNN-only): every row within
+        ``radius`` of the query, ascending; same distance library and
+        predicate pushdown as :meth:`sequential`.  See
+        :func:`~adampro_spark.operators.scan.radius_scan` for the knobs
+        (``limit`` caps pathological radii, ``ordered=False`` skips the
+        final sort)."""
+        from adampro_spark.operators.scan import radius_scan
+
+        data = self._entity_df(entity, df)
+        if predicates is not None:
+            data = boolean_filter(data, predicates)
+        return radius_scan(
+            data, attribute, query, radius, distance_name, pk=pk, **kw
+        )
+
     def index(
         self,
         index_name: str,

@@ -279,6 +279,37 @@ _seq_variant(
     _knn_sql(_duck_distance("minkowski3")),
 )
 
+# Round 12: RANGE similarity search (radius_scan / ops.query.radius —
+# beyond-reference: ADAMpro is kNN-only).  The radius sits in a probed
+# GAP of the distance distribution (≥6e-4 from every corpus distance at
+# sf0.01 AND sf0.1), so the boundary-inclusive filter can never flip a
+# row on cross-engine float noise; the variant adjudicates the filter
+# expression, the inclusive bound and the ordering tie-break.
+_RADIUS = 3.0997
+
+
+def _radius_spark(spark: SparkSession, sf: str) -> DataFrame:
+    from adampro_spark.ops import AdamOps
+
+    df = _table(spark, sf, "embeddings")
+    ops = AdamOps(spark, os.path.join(_SCRATCH, "qcat"))
+    res = ops.query.radius(
+        "embeddings_ext", "embedding", QVEC, _RADIUS, "euclidean",
+        df=df, pk="vec_id",
+    )
+    return _round4(res.select("vec_id", DISTANCE_COL))
+
+
+_seq_variant(
+    "radius",
+    _radius_spark,
+    f"""
+    SELECT vec_id, round(d, 4) AS {DISTANCE_COL} FROM (
+      SELECT vec_id, {_duck_distance("euclidean")} AS d FROM embeddings
+    ) WHERE d <= {_RADIUS}
+    """,
+)
+
 
 def _correlation_sql() -> str:
     # center both sides then cosine (CorrelationDistance.scala:16-24)

@@ -28,6 +28,8 @@ HEADLINE = [
     "knn_seq_euclidean",
     "knn_seq_cosine",
     "knn_seq_minkowski3",
+    # round 12: range similarity search (codegen filter, no top-k heap)
+    "knn_seq_radius",
     "knn_boolean_combined",
     "knn_prefilter_semijoin",
     "projection_distinct",

@@ -360,3 +360,78 @@ def test_split_dataset_grouped_is_leakage_safe(spark):
         ).collect()
     }
     assert again == {(r["doc_id"], r["split"]) for r in out.collect()}
+
+
+# ---------------------------------------------------------------------------
+# radius_scan (range similarity search)
+# ---------------------------------------------------------------------------
+
+
+def test_radius_scan_semantics(spark):
+    from adampro_spark.operators import radius_scan
+    from adampro_spark.operators.scan import sequential_scan
+
+    rows = [
+        (1, [0.0, 0.0]), (2, [3.0, 4.0]),      # d=5 exactly (boundary)
+        (3, [1.0, 0.0]), (4, [10.0, 0.0]), (5, None),
+    ]
+    df = spark.createDataFrame(rows, "ap_id long, v array<double>")
+    got = radius_scan(df, "v", [0.0, 0.0], 5.0).collect()
+    # boundary INCLUSIVE; ascending; NULL vector never matches
+    assert [(r["ap_id"], r["ap_distance"]) for r in got] == [
+        (1, 0.0), (3, 1.0), (2, 5.0),
+    ]
+    # limit caps with TakeOrderedAndProject semantics
+    top = radius_scan(df, "v", [0.0, 0.0], 5.0, limit=2).collect()
+    assert [r["ap_id"] for r in top] == [1, 3]
+    # agrees with kNN on the same ordering for k = |matches|
+    knn3 = sequential_scan(df, "v", [0.0, 0.0], 3).collect()
+    assert [r["ap_id"] for r in knn3] == [r["ap_id"] for r in got]
+    # unordered mode returns the same SET
+    fast = radius_scan(df, "v", [0.0, 0.0], 5.0, ordered=False).collect()
+    assert {r["ap_id"] for r in fast} == {1, 2, 3}
+
+
+def test_radius_scan_plan_is_filter_not_topk(spark):
+    """The range scan must be a codegen FILTER — no TakeOrderedAndProject
+    / sort node unless ordered output or a limit is requested."""
+    from adampro_spark.operators import radius_scan
+    from adampro_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    q = [0.0] * len(emb.select("embedding").first()["embedding"])
+    plan_fast = (
+        radius_scan(emb, "embedding", q, 3.0, pk="vec_id", ordered=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" not in plan_fast
+    assert "Sort" not in plan_fast and "Exchange" not in plan_fast
+    plan_lim = (
+        radius_scan(emb, "embedding", q, 3.0, pk="vec_id", limit=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan_lim
+
+
+def test_ops_radius_with_predicates(spark):
+    """The facade composes BooleanFilterScan with the range scan."""
+    import os
+
+    from adampro_spark.ops import AdamOps
+    from adampro_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    ops = AdamOps(spark, os.path.join("/root/repo/_scratch", "radcat"))
+    from adampro_spark.oracle_suite import QVEC
+
+    res = ops.query.radius(
+        "embeddings_ext", "embedding", QVEC, 3.2, "euclidean",
+        predicates=[("label", "!=", [0])], df=emb, pk="vec_id",
+    ).collect()
+    assert all(r["ap_distance"] <= 3.2 for r in res)
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[r["vec_id"]] != 0 for r in res)
+    assert len(res) > 0
