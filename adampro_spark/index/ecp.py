@@ -89,16 +89,29 @@ def build_ecp(
         wl, cell = _assign(leaders)
         indexed = wl.select(pk, cell.alias(FEATURE_COL))
 
-    counts = {
-        int(r[FEATURE_COL]): int(r["cnt"])
-        for r in indexed.groupBy(FEATURE_COL).agg(F.count("*").alias("cnt")).collect()
+    # ONE stats pass: per-cell population AND per-cell max
+    # member-to-leader distance (the cell RADIUS — array_min of the
+    # leader-distance vector IS the distance to the assigned leader).
+    # Radii make ecp_radius's triangle-inequality pruning exact.
+    stats = {
+        int(r[FEATURE_COL]): (int(r["cnt"]), float(r["rad"]))
+        for r in wl.select(
+            cell.alias(FEATURE_COL),
+            F.array_min(
+                ref_dists_expr(vector_col, F.col("_ap_leaders"), distance_name)
+            ).alias("_d"),
+        )
+        .groupBy(FEATURE_COL)
+        .agg(F.count("*").alias("cnt"), F.max("_d").alias("rad"))
+        .collect()
     }
     meta = {
         "type": "ecp",
         "pk": pk,
         "distance": distance_name,
         "leaders": leaders.tolist(),
-        "counts": [counts.get(i, 0) for i in range(len(leaders))],
+        "counts": [stats.get(i, (0, 0.0))[0] for i in range(len(leaders))],
+        "radii": [stats.get(i, (0, 0.0))[1] for i in range(len(leaders))],
     }
     if autofit:
         # the leaders are too few to measure recall on — draw a dedicated
@@ -200,4 +213,61 @@ def ecp_knn(
     )
     return sequential_scan(
         df, vector_col, query, k, dn, prefilter=cands, pk=meta["pk"]
+    )
+
+
+#: distances satisfying the triangle inequality — the set ecp_radius's
+#: cell pruning is EXACT for.  Not listed (cosine, squaredeuclidean,
+#: chi-squared, KL, …): the bound d(q,x) ≥ d(q,leader) − radius_cell
+#: does not hold, pruning could drop true matches — those route to the
+#: brute-force radius_scan instead.
+METRIC_DISTANCES = frozenset(
+    {"euclidean", "manhattan", "chebyshev", "minkowski", "haversine"}
+)
+
+
+def ecp_radius(
+    df: DataFrame,
+    vector_col: str,
+    index_df: DataFrame,
+    meta: dict[str, Any],
+    query: list[float],
+    radius: float,
+    limit: int | None = None,
+    ordered: bool = True,
+) -> DataFrame:
+    """Index-accelerated RANGE search (round 12), EXACT for metric
+    distances: a cell can contain a match only if
+    ``d(q, leader) ≤ radius + cell_radius`` (triangle inequality, with
+    ``cell_radius`` = the cell's max member-to-leader distance recorded
+    at build), so whole cells are pruned BEFORE any row is read — with
+    the index table partitioned by cell, Parquet partition pruning skips
+    their files entirely, which is what makes range search viable at
+    100 TB (the brute :func:`~adampro_spark.operators.scan.radius_scan`
+    reads the full corpus per query).  Surviving cells' rows refine
+    through the exact codegen filter; results are identical to the
+    brute scan by construction.
+
+    Non-metric distances raise (the bound does not hold — use
+    ``radius_scan``); an index built before radii were recorded probes
+    every cell (correct, just not accelerated)."""
+    from adampro_spark.operators.scan import radius_scan
+
+    dn = meta["distance"]
+    if dn not in METRIC_DISTANCES:
+        raise NotImplementedError(
+            f"ecp_radius requires a metric distance (triangle "
+            f"inequality) — {dn!r} is not one; use radius_scan"
+        )
+    leaders = np.array(meta["leaders"], dtype=np.float64)
+    d = np_distance(np.asarray(query, dtype=np.float64), leaders, dn)
+    radii = np.array(
+        meta.get("radii", [np.inf] * len(leaders)), dtype=np.float64
+    )
+    chosen = [int(i) for i in np.flatnonzero(d <= float(radius) + radii)]
+    pk = meta["pk"]
+    cands = index_df.filter(F.col(FEATURE_COL).isin(chosen)).select(pk)
+    return radius_scan(
+        df, vector_col, query, radius, dn,
+        prefilter=cands, pk=pk, limit=limit, ordered=ordered,
     )

@@ -300,15 +300,30 @@ def _radius_spark(spark: SparkSession, sf: str) -> DataFrame:
     return _round4(res.select("vec_id", DISTANCE_COL))
 
 
-_seq_variant(
-    "radius",
-    _radius_spark,
-    f"""
+_RADIUS_SQL = f"""
     SELECT vec_id, round(d, 4) AS {DISTANCE_COL} FROM (
       SELECT vec_id, {_duck_distance("euclidean")} AS d FROM embeddings
     ) WHERE d <= {_RADIUS}
-    """,
-)
+    """
+
+_seq_variant("radius", _radius_spark, _RADIUS_SQL)
+
+
+def _radius_ecp_spark(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-accelerated range search (ecp_radius: triangle-inequality
+    cell pruning over per-cell radii recorded at build) — EXACT for
+    metric distances, so it adjudicates against the SAME brute-force
+    SQL as the sequential radius variant: the pruning bound provably
+    drops no true match, and the oracle enforces it."""
+    from adampro_spark.index.ecp import build_ecp, ecp_radius
+
+    emb = _table(spark, sf, "embeddings")
+    idx, meta = build_ecp(emb, "embedding", pk="vec_id", autofit=False)
+    res = ecp_radius(emb, "embedding", idx, meta, QVEC, _RADIUS)
+    return _round4(res.select("vec_id", DISTANCE_COL))
+
+
+_seq_variant("radius_ecp", _radius_ecp_spark, _RADIUS_SQL)
 
 
 def _correlation_sql() -> str:

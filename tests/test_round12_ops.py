@@ -435,3 +435,91 @@ def test_ops_radius_with_predicates(spark):
     }
     assert all(labels[r["vec_id"]] != 0 for r in res)
     assert len(res) > 0
+
+
+def test_ecp_radius_exact_vs_brute(spark):
+    """Triangle-inequality cell pruning must reproduce the brute range
+    scan EXACTLY (metric distances), while genuinely pruning cells."""
+    import numpy as np
+
+    from adampro_spark.index.ecp import METRIC_DISTANCES, build_ecp, ecp_radius
+    from adampro_spark.operators.scan import radius_scan
+    from adampro_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    q = [0.1] * len(emb.select("embedding").first()["embedding"])
+    for dn in ("euclidean", "manhattan"):
+        index_df, meta = build_ecp(
+            emb, "embedding", pk="vec_id", distance_name=dn, autofit=False
+        )
+        index_df = index_df.cache()
+        assert len(meta["radii"]) == len(meta["leaders"])
+        for r in (2.0, 3.0, 3.5):
+            brute = {
+                (x["vec_id"], x["ap_distance"])
+                for x in radius_scan(emb, "embedding", q, r, dn, pk="vec_id")
+                .collect()
+            }
+            accel = {
+                (x["vec_id"], x["ap_distance"])
+                for x in ecp_radius(emb, "embedding", index_df, meta, q, r)
+                .collect()
+            }
+            assert accel == brute, (dn, r)
+        index_df.unpersist()
+    # pruning actually happens on a separable corpus: two tight clusters
+    # far apart, query inside one -> the other cluster's cells fail the
+    # d(q, leader) <= r + cell_radius bound
+    rng = np.random.RandomState(5)
+    pts = [(i, (rng.standard_normal(8) * 0.1).tolist()) for i in range(200)]
+    pts += [
+        (200 + i, (rng.standard_normal(8) * 0.1 + 50.0).tolist())
+        for i in range(200)
+    ]
+    sep = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    idx2, meta2 = build_ecp(
+        sep, "embedding", pk="vec_id", distance_name="euclidean",
+        autofit=False,
+    )
+    from adampro_spark.index._util import np_distance
+
+    d2 = np_distance(np.zeros(8), np.array(meta2["leaders"]), "euclidean")
+    pruned = (d2 > 2.0 + np.array(meta2["radii"])).sum()
+    assert pruned > 0
+    near = {
+        x["vec_id"]
+        for x in ecp_radius(sep, "embedding", idx2, meta2, [0.0] * 8, 2.0)
+        .collect()
+    }
+    assert near == set(range(200))  # whole near cluster, nothing missed
+    # non-metric distances refuse (the bound does not hold)
+    index_df, meta = build_ecp(
+        emb, "embedding", pk="vec_id", distance_name="cosine", autofit=False
+    )
+    with pytest.raises(NotImplementedError, match="metric"):
+        ecp_radius(emb, "embedding", index_df, meta, q, 0.5)
+
+
+def test_ecp_radius_legacy_meta_probes_all_cells(spark):
+    """An index persisted before radii were recorded stays CORRECT —
+    every cell probed (no pruning), same answer."""
+    from adampro_spark.index.ecp import build_ecp, ecp_radius
+    from adampro_spark.operators.scan import radius_scan
+    from adampro_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    q = [0.1] * len(emb.select("embedding").first()["embedding"])
+    index_df, meta = build_ecp(
+        emb, "embedding", pk="vec_id", autofit=False
+    )
+    legacy = {k: v for k, v in meta.items() if k != "radii"}
+    brute = {
+        x["vec_id"]
+        for x in radius_scan(emb, "embedding", q, 3.0, pk="vec_id").collect()
+    }
+    got = {
+        x["vec_id"]
+        for x in ecp_radius(emb, "embedding", index_df, legacy, q, 3.0)
+        .collect()
+    }
+    assert got == brute
