@@ -75,6 +75,7 @@ from adampro_spark.pipeline.mix import (  # noqa: F401
     contamination_report,
     decontaminate,
     decontamination_gate_flags,
+    emit_packed,
     mix_sources,
     pack_sequences,
     sample_sources,

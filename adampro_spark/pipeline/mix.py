@@ -833,6 +833,55 @@ def _contamination_counts_col(
     return udf(_token_hashes(text_col))
 
 
+def emit_packed(
+    df: DataFrame,
+    text_col: str = "text",
+    pk: str = "doc_id",
+    sep: str = "\n\n",
+    pack_col: str = "pack_id",
+    pos_col: str = "pack_pos",
+) -> DataFrame:
+    """Materialize each training pack as ONE row (round 12 — the emit
+    step after :func:`pack_sequences`): ``(pack_id, n_docs, pks, text)``
+    where ``text`` is the members' ``text_col`` joined by ``sep`` in
+    ``pack_pos`` order — i.e. in the SHUFFLE order when the packs were
+    built with ``order_col=`` (``shuffle_dataset`` → ``pack_sequences``
+    → ``emit_packed`` is the full training-data emit chain), and ``pks``
+    is the same-order provenance list for attribution/debugging.
+
+    One groupBy on ``pack_col``: members collect into a sorted
+    struct array (bounded by the pack budget — a pack holds at most
+    ``budget`` tokens by construction, so the per-group state is small
+    and NO pack can become a hot key).  NULL member text joins as the
+    empty string (the document was counted by its token column, not its
+    text).  Map-side combine applies; the output is one row per pack,
+    ready for ``writeStream``/parquet emit partitioned by pack range.
+    """
+    packed = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(pos_col).alias("p"),
+                F.col(pk).alias("k"),
+                F.col(text_col).alias("t"),
+            )
+        )
+    )
+    return (
+        df.groupBy(F.col(pack_col))
+        .agg(packed.alias("_m"))
+        .select(
+            pack_col,
+            F.size("_m").alias("n_docs"),
+            F.transform(F.col("_m"), lambda m: m["k"]).alias("pks"),
+            F.array_join(
+                F.transform(F.col("_m"), lambda m: m["t"]),
+                sep,
+                "",  # NULL text -> empty string, never a dropped slot
+            ).alias("text"),
+        )
+    )
+
+
 _PACK_SHARD_BITS = 20  # up to ~1M local packs per shard
 
 

@@ -523,3 +523,34 @@ def test_ecp_radius_legacy_meta_probes_all_cells(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_emit_packed_follows_shuffle_order(spark):
+    """shuffle -> pack(order_col) -> emit: each emitted pack's text is
+    its members' text joined IN THE SHUFFLE ORDER; provenance pks align;
+    NULL text joins as empty."""
+    from adampro_spark.pipeline.mix import (
+        emit_packed,
+        pack_sequences,
+        shuffle_dataset,
+    )
+
+    rows = [(i, f"doc{i}" if i != 7 else None, 40) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens int")
+    shuffled = shuffle_dataset(df, key_col="_ord")
+    packs = pack_sequences(shuffled, budget=100, num_shards=2, order_col="_ord")
+    out = emit_packed(packs)
+    rows_by_pack = {}
+    for r in packs.collect():
+        rows_by_pack.setdefault(r["pack_id"], []).append(
+            (r["pack_pos"], r["doc_id"], r["text"])
+        )
+    got = {r["pack_id"]: r for r in out.collect()}
+    assert set(got) == set(rows_by_pack)
+    for pid, mem in rows_by_pack.items():
+        mem.sort()
+        want_pks = [d for _, d, _ in mem]
+        want_text = "\n\n".join((t if t is not None else "") for _, _, t in mem)
+        assert got[pid]["pks"] == want_pks, pid
+        assert got[pid]["text"] == want_text, pid
+        assert got[pid]["n_docs"] == len(mem), pid
