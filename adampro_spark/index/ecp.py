@@ -216,14 +216,16 @@ def ecp_knn(
     )
 
 
-#: distances satisfying the triangle inequality — the set ecp_radius's
-#: cell pruning is EXACT for.  Not listed (cosine, squaredeuclidean,
-#: chi-squared, KL, …): the bound d(q,x) ≥ d(q,leader) − radius_cell
-#: does not hold, pruning could drop true matches — those route to the
-#: brute-force radius_scan instead.
-METRIC_DISTANCES = frozenset(
-    {"euclidean", "manhattan", "chebyshev", "minkowski", "haversine"}
-)
+#: distances for which ecp_radius's cell pruning is EXACT: must satisfy
+#: the triangle inequality AND be buildable (ref_dists_expr + the
+#: np_distance kernel both implement them — chebyshev/haversine are
+#: metrics but neither kernel supports them, so an index can never
+#: exist).  Not listed (cosine, squaredeuclidean, chi-squared, KL, …):
+#: the bound d(q,x) ≥ d(q,leader) − radius_cell does not hold, pruning
+#: could drop true matches — those route to the brute-force radius_scan
+#: instead.  If minkowski is ever added, gate it on p ≥ 1 (p < 1 is not
+#: a metric).
+METRIC_DISTANCES = frozenset({"euclidean", "manhattan"})
 
 
 def ecp_radius(

@@ -114,7 +114,11 @@ def radius_scan(
     with ``TakeOrderedAndProject`` semantics — the worst case is then
     exactly one kNN.  ``ordered=False`` skips the final sort (a global
     order over a large result is a range-shuffle; aggregating consumers
-    don't need it).
+    don't need it) — EXCEPT when ``limit`` is also set: a capped answer
+    must be the CLOSEST ``limit`` rows (an unordered limit returns an
+    arbitrary, plan-dependent subset), so ``limit`` always forces the
+    ordering (``TakeOrderedAndProject`` — a per-partition top-k heap,
+    not a global sort-shuffle) and ``ordered=False`` is ignored.
     """
     out = df
     if prefilter is not None:

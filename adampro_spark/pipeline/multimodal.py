@@ -733,12 +733,25 @@ def decode_jpeg(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
     restart = 0
     pos = 2
     scan_comps: list[dict] = []
-    while pos + 4 <= len(content):
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker byte — skip them rather than misreading fill as seglen
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
+        if marker == 0x00:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length segment) — legal in
+            # the header stream per T.81 B.1.1.3, just skip
+            pos += 2
+            continue
+        if pos + 4 > len(content):
+            raise ValueError("truncated JPEG segment header")
         seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
         data = content[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

@@ -40,7 +40,7 @@ def _c(col: str | Column) -> Column:
 
 
 def tokens_expr(text: str | Column) -> Column:
-    """Whitespace tokens of the lowercased text, empties dropped.
+    r"""Whitespace tokens of the lowercased text, empties dropped.
 
     The split class is Java's ``\s`` — ``[ \t\n\x0B\f\r]`` — written
     explicitly in the DuckDB mirror because RE2's ``\s`` lacks ``\x0B``

@@ -328,10 +328,15 @@ def _session_carry(
     # monotonic under the UTC session tz (get_spark pins it), and only
     # bucket BALANCE depends on the numeric mapping anyway
     t = F.col(ts_col).cast("timestamp").cast("double")
-    qs = events.select(t.alias("_t")).stat.approxQuantile(
-        "_t", [i / p for i in range(1, p)], 0.01
-    )
-    bounds = sorted({q for q in qs if q is not None})
+    if p <= 1:
+        # single bucket: no quantile probe needed (and approxQuantile
+        # with an empty probability list raises a raw Py4J NPE)
+        bounds: list[float] = []
+    else:
+        qs = events.select(t.alias("_t")).stat.approxQuantile(
+            "_t", [i / p for i in range(1, p)], 0.01
+        )
+        bounds = sorted({q for q in qs if q is not None})
     barr = F.array(*[F.lit(float(b)) for b in bounds])
     bucket = F.when(t.isNull(), F.lit(0)).otherwise(
         F.size(F.filter(barr, lambda b: t >= b))

@@ -1,0 +1,96 @@
+"""Round-13 regressions: the four ADVICE items (r12) — assign_sessions
+under num_partitions<=1, the ecp_radius metric gate vs buildable
+distances, JPEG fill-byte / standalone-marker header walks, and the
+radius_scan limit-forces-ordering contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_assign_sessions_single_partition_carry(spark):
+    """ADVICE r12 (medium): num_partitions=1 used to hand approxQuantile
+    an EMPTY probability list (raw Py4J NPE) whenever a hot key routed
+    through the carry.  One bucket is a legal degenerate carry — results
+    must match the plain-window labeling exactly."""
+    from adampro_spark.streaming.ingest import assign_sessions
+
+    rows = [
+        ("bot", f"e{i:03d}", f"2024-01-01 00:{i:02d}:00") for i in range(40)
+    ] + [("u1", "x1", "2024-01-01 09:00:00"), ("u1", "x2", "2024-01-01 10:00:00")]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_id string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["event_id"], r["session_idx"])
+        for r in assign_sessions(
+            ev, gap="5 minutes", skew_threshold=None
+        ).collect()
+    }
+    got = {
+        (r["event_id"], r["session_idx"])
+        for r in assign_sessions(
+            ev, gap="5 minutes", skew_threshold=10, num_partitions=1
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ecp_metric_gate_matches_buildable_set(spark):
+    """ADVICE r12 (low): METRIC_DISTANCES must only list distances an
+    eCP index can actually be BUILT with — a chebyshev/haversine meta
+    used to pass the metric gate then die in np_distance with a
+    confusing 'unsupported reference distance'."""
+    from adampro_spark.index.ecp import METRIC_DISTANCES, ecp_radius
+
+    assert METRIC_DISTANCES == frozenset({"euclidean", "manhattan"})
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    for dn in ("chebyshev", "minkowski", "haversine", "cosine"):
+        fake_meta = {"distance": dn, "leaders": [[0.0, 0.0]], "pk": "vec_id"}
+        with pytest.raises(NotImplementedError, match="radius_scan"):
+            ecp_radius(df, "embedding", df, fake_meta, [0.0, 0.0], 1.0)
+
+
+def test_jpeg_header_walk_fill_and_standalone_markers():
+    """ADVICE r12 (low): legal 0xFF fill bytes before a marker
+    (T.81 B.1.1.2) and standalone TEM (0xFF01) markers in the header
+    stream must not desynchronize the segment walk."""
+    from adampro_spark.pipeline.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    buf = encode_jpeg(img, quant=1)
+    base = decode_jpeg(buf)
+
+    # inject fill bytes before the DQT marker and a TEM right after SOI
+    dqt = buf.index(b"\xff\xdb")
+    mangled = (
+        buf[:2] + b"\xff\x01" + buf[2:dqt] + b"\xff\xff\xff" + buf[dqt + 1 :]
+    )
+    out = decode_jpeg(mangled)
+    assert (out == base).all()
+
+    # a stuffed-zero pseudo-marker in header position is still rejected
+    with pytest.raises(ValueError, match="marker"):
+        decode_jpeg(buf[:2] + b"\xff\x00" + buf[2:])
+
+
+def test_radius_scan_limit_forces_ordering(spark):
+    """The documented contract: limit= always returns the CLOSEST rows
+    even with ordered=False (an unordered limit would be an arbitrary
+    plan-dependent subset)."""
+    from adampro_spark.operators.scan import radius_scan
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(50)],
+        "ap_id long, vec array<double>",
+    ).repartition(8)
+    got = [
+        r["ap_id"]
+        for r in radius_scan(
+            df, "vec", [0.0, 0.0], 100.0, limit=5, ordered=False
+        ).collect()
+    ]
+    assert got == [0, 1, 2, 3, 4]
