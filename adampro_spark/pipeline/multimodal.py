@@ -711,18 +711,68 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+def _fancy_double(a: np.ndarray, axis: int) -> np.ndarray:
+    """libjpeg's triangular "fancy" 2× upsample along one axis: each
+    input sample emits two outputs weighted 3:1 toward itself and its
+    nearer neighbor, edges replicated (jdsample.c h2v1/h2v2 convention,
+    in float — the ±2 decode tolerance absorbs the integer rounding)."""
+    a = np.swapaxes(a, 0, axis)
+    prev = np.concatenate([a[:1], a[:-1]], axis=0)
+    nxt = np.concatenate([a[1:], a[-1:]], axis=0)
+    out = np.empty((2 * a.shape[0],) + a.shape[1:], dtype=np.float64)
+    out[0::2] = (3.0 * a + prev) / 4.0
+    out[1::2] = (3.0 * a + nxt) / 4.0
+    return np.swapaxes(out, 0, axis)
+
+
+def _to_full_res(
+    plane: np.ndarray, comp: dict, h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Crop a component plane from its MCU grid to its true resolution
+    (ceil(dim · fac/facmax), T.81 A.1.1) and upsample to (h × w): the
+    ubiquitous 2× factors get the fancy triangular filter; anything
+    else replicates by nearest index (what libjpeg's int_upsample
+    does for non-2× ratios)."""
+    ch = -(-h * comp["v"] // vmax)
+    cw = -(-w * comp["h"] // hmax)
+    # libjpeg range-limits each sample right after the IDCT — BEFORE the
+    # upsample filter — so IDCT ringing must be clamped here, not after
+    # color conversion, or sharp-edge pixels drift from the reference
+    p = np.clip(np.round(plane[:ch, :cw]), 0.0, 255.0)
+    for axis, want in ((0, h), (1, w)):
+        have = p.shape[axis]
+        if have == want:
+            continue
+        if want in (2 * have, 2 * have - 1):
+            p = _fancy_double(p, axis)
+            p = p[:want] if axis == 0 else p[:, :want]
+        else:
+            idx = (np.arange(want) * have // want).clip(0, have - 1)
+            p = p[idx] if axis == 0 else p[:, idx]
+    return p
+
+
+def decode_jpeg(
+    content: bytes, width: int = 0, height: int = 0, rgb: bool = False
+) -> np.ndarray:
     """Real baseline-sequential JPEG decode (ITU-T T.81) in pure numpy:
     marker walk, DQT (8/16-bit) / DHT / SOF0 / DRI / SOS parse, Huffman
     MCU decode with restart markers, dequantize → orthonormal 8×8 IDCT →
-    level shift.  Returns the (h × w) LUMA grid: the Y component
+    level shift.  Default returns the (h × w) LUMA grid: the Y component
     directly (a color JPEG's chroma blocks are entropy-decoded to keep
     bitstream position, never IDCT'd — the grayscale contract of
-    decode_bmp/decode_png at a third of the math).  ``width``/``height``
-    args are ignored — the SOF0 header is the truth.  Progressive
-    (SOF2), extended/12-bit (SOF1 is accepted: its baseline-Huffman
-    8-bit form is bit-identical), arithmetic and hierarchical variants
-    raise NotImplementedError and route to the ``decoder=`` hook."""
+    decode_bmp/decode_png at a third of the math).  ``rgb=True``
+    (round 13) IDCTs the chroma planes too and returns (h × w × 3)
+    uint8 RGB: chroma is upsampled with libjpeg's triangular "fancy"
+    filter (3/4·near + 1/4·next per axis, edge-replicated) and converted
+    through the full-range BT.601 JFIF matrix — verified pixel-exact ±2
+    against the JDK ImageIO (IJG libjpeg) decoder on checked-in
+    external fixtures; a grayscale stream replicates luma ×3.
+    ``width``/``height`` args are ignored — the SOF0 header is the
+    truth.  Progressive (SOF2), extended/12-bit (SOF1 is accepted: its
+    baseline-Huffman 8-bit form is bit-identical), arithmetic and
+    hierarchical variants raise NotImplementedError and route to the
+    ``decoder=`` hook."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     qts: dict[int, np.ndarray] = {}
@@ -836,16 +886,27 @@ def decode_jpeg(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
             "pass a real decoder= for these streams"
         )
 
+    if rgb and len(scan_comps) not in (1, 3):
+        raise NotImplementedError(
+            f"rgb=True supports 1- or 3-component JPEG (YCbCr/grayscale), "
+            f"got {len(scan_comps)} components (CMYK/YCCK need an APP14 "
+            f"transform) — pass a real decoder= for these"
+        )
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     C = _dct_matrix()
     # the luma plane is the scan's FIRST component (Y in YCbCr, the only
-    # component in grayscale)
+    # component in grayscale); rgb=True materializes every plane
     y0 = scan_comps[0]
-    yw, yh = mcux * y0["h"] * 8, mcuy * y0["v"] * 8
-    luma = np.zeros((yh, yw), dtype=np.float64)
+    planes: list = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        if (ci == 0 or rgb)
+        else None
+        for ci, c in enumerate(scan_comps)
+    ]
+    luma = planes[0]
 
     rd = _BitReader(content, pos)
     preds = [0] * len(scan_comps)
@@ -884,15 +945,32 @@ def decode_jpeg(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
                                 raise ValueError("JPEG AC run past block end")
                             zz[k] = _extend(rd.bits(ssss), ssss)
                             k += 1
-                        if ci == 0:
+                        if ci == 0 or rgb:
                             blk = np.zeros(64, dtype=np.float64)
                             blk[_ZIGZAG] = zz
                             coef = blk.reshape(8, 8) * qt
                             px = C.T @ coef @ C + 128.0
                             yy = (my * comp["v"] + by) * 8
                             xx = (mx * comp["h"] + bx) * 8
-                            luma[yy:yy + 8, xx:xx + 8] = px
+                            planes[ci][yy:yy + 8, xx:xx + 8] = px
             mcu_i += 1
+    if rgb:
+        full = [
+            _to_full_res(planes[ci], c, h, w, hmax, vmax)
+            for ci, c in enumerate(scan_comps)
+        ]
+        if len(full) == 1:
+            yf = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            return np.repeat(yf[:, :, None], 3, axis=2)
+        yf, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        # full-range BT.601 (JFIF) — same constants as encode_jpeg's
+        # forward matrix and the independent test's reference
+        r = yf + 1.402 * cr
+        g = yf - 0.344136 * cb - 0.714136 * cr
+        b = yf + 1.772 * cb
+        return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+            np.uint8
+        )
     out = np.clip(np.round(luma), 0, 255).astype(np.uint8)
     # the luma plane covers the MCU grid at ITS sampling resolution:
     # crop to ceil(dim * hi/hmax) per T.81 A.1.1
