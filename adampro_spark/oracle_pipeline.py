@@ -1631,6 +1631,7 @@ def _gopher_row(spark, sf):
         char_codes,
         poly_hash,
         space_free_dominant_expr,
+        stopword_ratio_expr,
     )
 
     from adampro_spark.pipeline.text import tokens_expr as _tokens_expr
@@ -1654,6 +1655,15 @@ def _gopher_row(spark, sf):
     sflags = gopher_gate_flags(
         "ztext", toks=F.col("_ap_ztoks"), tokenizer="script"
     )
+    # round 13 (verdict r12 #2): planted fr/de documents adjudicate the
+    # language-ROUTED stop-word surfaces — the heuristic langid over the
+    # planted text, the per-language stopword_ratio (text_stats' routed
+    # formula), and the routed _g_required rule (French docs check
+    # French common words, not Gopher's English 8) — against a DuckDB
+    # mirror that re-derives the routing from the same frozen lists
+    rflags = gopher_gate_flags(
+        "ftext", toks=F.col("_ap_ftoks"), lang_col=F.col("_ap_flang")
+    )
     st = F.col("_ap_ztoks")
     sn = F.size(st).cast("long")
     schars = F.aggregate(
@@ -1669,8 +1679,13 @@ def _gopher_row(spark, sf):
         .withColumn("mhtml", _messy_html_expr())
         .withColumn("mtext", _moji_text_expr())
         .withColumn("ztext", _script_text_expr())
+        .withColumn("ftext", _lang_plant_expr())
         .withColumn("_ap_ttoks", _tokens_expr("text"))
         .withColumn("_ap_ztoks", _script_toks_expr())
+        .withColumn("_ap_ftoks", _tokens_expr("ftext"))
+        .withColumn(
+            "_ap_flang", langid_expr("ftext", toks=F.col("_ap_ftoks"))
+        )
         .select(
             "doc_id",
             *[col.alias(name) for name, col in flags.items()],
@@ -1690,6 +1705,14 @@ def _gopher_row(spark, sf):
             sflags["_g_word_len"].alias("_g_wl_script"),
             sflags["_g_alpha"].alias("_g_alpha_script"),
             sflags["_g_required"].alias("_g_req_script"),
+            F.col("_ap_flang").alias("flang"),
+            F.round(
+                stopword_ratio_expr(
+                    F.col("_ap_ftoks"), lang_col=F.col("_ap_flang")
+                ),
+                4,
+            ).alias("f_stop_ratio"),
+            rflags["_g_required"].alias("_g_req_routed"),
         )
     )
 
@@ -1711,6 +1734,35 @@ _SCRIPT_PLANTS = (
     "これは品質ゲートの検証用の文章で五十文字より長くしてあります",
     "วันนี้อากาศดีมากเราไปเดินเล่นที่สวนสาธารณะแล้วนั่งดื่มชาอ่านหนังสือริมทะเลสาบตอนเย็น",
 )
+
+
+# planted spaced-non-English documents (round 13, verdict r12 #2): every
+# 3rd doc becomes French, every 3rd+1 German — rich in their language's
+# frozen stop words (≥13 hits each; the 24-char English tail contributes
+# ≤2 hits to any other language, so the heuristic langid can never tie).
+# No ASCII quotes, so they embed verbatim in the SQL literals.
+_LANG_PLANTS = (
+    "le chat est dans la maison et les enfants jouent pour un moment "
+    "dans le jardin avec une balle et des amis sous le soleil",
+    "der hund ist nicht mit der katze und das kind ist auf dem weg zu "
+    "der schule mit einem ball und ein buch",
+)
+
+
+def _lang_plant_expr():
+    did = F.col("doc_id")
+    tail = F.substring(F.col("text"), 1, 24)
+    return (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(_LANG_PLANTS[0]), F.lit(" "), tail),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit(_LANG_PLANTS[1]), F.lit(" "), tail),
+        )
+        .otherwise(F.col("text"))
+    )
 
 
 def _script_text_expr():
@@ -1757,8 +1809,30 @@ def _gopher_sql() -> str:
         sql_space_free_dominant,
     )
 
+    from adampro_spark.pipeline.text import STOPWORDS
+
     toks = _TOKS.format(t="text")
     req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    # round-13 routed-stopword mirrors: langid argmax over the planted
+    # text's tokens, then per-language CASE routing of the stop/required
+    # lists (und/unknown falls back to the English behavior, matching
+    # lang_stopwords_expr / gopher_gate_flags(lang_col=))
+    fstructs = ", ".join(
+        f"{{'hits': len(list_filter(ftoks, t -> "
+        f"list_contains({list(STOPWORDS[lang])}, t))), 'lang': '{lang}'}}"
+        for lang in sorted(STOPWORDS)
+    )
+
+    def _route_case(en_words) -> str:
+        whens = " ".join(
+            f"WHEN '{lang}' THEN {list(STOPWORDS[lang])}"
+            for lang in sorted(STOPWORDS)
+            if lang != "en"
+        )
+        return f"(CASE flang {whens} ELSE {list(en_words)} END)"
+
+    stop_case = _route_case(STOPWORDS["en"])
+    req_case = _route_case(GOPHER_REQUIRED_WORDS)
     _trimmed = (
         "regexp_replace(regexp_replace(t0, '^\\s+', ''), '\\s+$', '')"
     )
@@ -1939,6 +2013,34 @@ def _gopher_sql() -> str:
         len(list_filter(st, x -> regexp_matches(x, '[a-z]|{scls}'))) AS salpha,
         len(list_filter(list_distinct(st), t -> list_contains([{req}], t))) AS sreq
       FROM zs
+    ),
+    fz AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN '{{FRP}}' || ' ' || substr(text, 1, 24)
+             WHEN doc_id % 3 = 1 THEN '{{DEP}}' || ' ' || substr(text, 1, 24)
+             ELSE text END AS fx
+      FROM documents
+    ),
+    ff AS (SELECT doc_id, {_TOKS.format(t='fx')} AS ftoks FROM fz),
+    fl AS (
+      SELECT doc_id, ftoks,
+        CASE WHEN best.hits <= 0 THEN 'und' ELSE best.lang END AS flang
+      FROM (
+        SELECT doc_id, ftoks,
+               list_aggregate([{fstructs}], 'max') AS best
+        FROM ff
+      )
+    ),
+    fm AS (
+      SELECT doc_id, flang,
+        round(CASE WHEN len(ftoks) > 0
+          THEN len(list_filter(ftoks, t -> list_contains({stop_case}, t)))
+               / len(ftoks)
+          ELSE 0.0 END, 4) AS f_stop_ratio,
+        (len(list_filter(list_distinct(ftoks),
+                         t -> list_contains({req_case}, t))) >= 2)
+          AS _g_req_routed
+      FROM fl
     )
     SELECT m.doc_id,
       (n >= 50 AND n <= 100000) AS _g_words,
@@ -1964,13 +2066,17 @@ def _gopher_sql() -> str:
             ELSE ({smean} >= 3.0 AND {smean} <= 10.0) END) AS _g_wl_script,
       ((CASE WHEN zm.sn > 0 THEN zm.salpha / zm.sn ELSE 0.0 END) >= 0.8)
         AS _g_alpha_script,
-      (CASE WHEN zm.dom THEN TRUE ELSE zm.sreq >= 2 END) AS _g_req_script
+      (CASE WHEN zm.dom THEN TRUE ELSE zm.sreq >= 2 END) AS _g_req_script,
+      fm.flang AS flang,
+      fm.f_stop_ratio AS f_stop_ratio,
+      fm._g_req_routed AS _g_req_routed
     FROM m
     JOIN uc ON m.doc_id = uc.doc_id
     JOIN cu ON m.doc_id = cu.doc_id
     JOIN hf ON m.doc_id = hf.doc_id
     JOIN me ON m.doc_id = me.doc_id
     JOIN zm ON m.doc_id = zm.doc_id
+    JOIN fm ON m.doc_id = fm.doc_id
     """
 
 
@@ -1984,6 +2090,8 @@ def _gopher_sql_full() -> str:
         .replace("{ZH}", _SCRIPT_PLANTS[0])
         .replace("{JA}", _SCRIPT_PLANTS[1])
         .replace("{TH}", _SCRIPT_PLANTS[2])
+        .replace("{FRP}", _LANG_PLANTS[0])
+        .replace("{DEP}", _LANG_PLANTS[1])
     )
 
 

@@ -156,6 +156,7 @@ def gopher_gate_flags(
     min_alpha_word_frac: float = 0.8,
     min_required_words: int = 2,
     tokenizer: str = "whitespace",
+    lang_col: Column | None = None,
 ) -> dict[str, Column]:
     """The MassiveText/Gopher quality-filtering rule set (Rae et al.
     2021, appendix A1.1 — the public heuristics behind most modern
@@ -197,6 +198,16 @@ def gopher_gate_flags(
     ``space_free_dominant_expr`` — one ``when()`` over the existing
     exprs) while Latin documents in the same corpus keep the full rule
     set.  All still pure codegen, DuckDB-mirrored.
+
+    ``lang_col`` (round 13, verdict r12 #2): a language-code column that
+    routes the ``_g_required`` "contains common words" rule onto the
+    detected language — English keeps Gopher's canonical 8-word set,
+    every other known code checks its own common-word list
+    (:data:`~adampro_spark.pipeline.text.STOPWORDS`), unknown codes
+    fall back to the English set (the historical behavior).  Without it
+    a French document fails ``_g_required`` spuriously — it contains no
+    English function words by construction.  One literal map lookup,
+    still pure codegen; composes with the script-dominance pass-through.
     """
     from adampro_spark.pipeline.text import (
         resolve_tokenizer,
@@ -236,11 +247,23 @@ def gopher_gate_flags(
         n_words > 0,
         F.size(F.filter(tk, lambda x: x.rlike(alpha_pat))) / n_words,
     ).otherwise(F.lit(0.0))
-    required = F.size(
-        F.array_intersect(
-            F.array_distinct(tk), F.lit(list(GOPHER_REQUIRED_WORDS))
+    if lang_col is None:
+        req_set: Column = F.lit(list(GOPHER_REQUIRED_WORDS))
+    else:
+        from adampro_spark.pipeline.text import STOPWORDS
+
+        pairs: list = []
+        for code in sorted(STOPWORDS):
+            words = (
+                GOPHER_REQUIRED_WORDS if code == "en" else STOPWORDS[code]
+            )
+            pairs += [F.lit(code), F.array(*[F.lit(x) for x in words])]
+        req_map = F.create_map(*pairs)
+        req_set = F.coalesce(
+            F.element_at(req_map, lang_col),
+            F.lit(list(GOPHER_REQUIRED_WORDS)),
         )
-    )
+    required = F.size(F.array_intersect(F.array_distinct(tk), req_set))
     word_len_ok = (mean_len >= F.lit(float(min_mean_word_len))) & (
         mean_len <= F.lit(float(max_mean_word_len))
     )

@@ -35,6 +35,37 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 QUALITY_STOPWORDS = STOPWORDS["en"]
 
 
+def lang_stopwords_expr(lang: Column) -> Column:
+    """``array<string>`` of the stop words for the detected language code
+    in ``lang``, falling back to the English list for unknown codes (incl.
+    ``und``/NULL) — one literal map lookup, pure codegen (round 13,
+    verdict r12 #2: a French document must not be scored against English
+    stop words)."""
+    pairs: list = []
+    for code in sorted(STOPWORDS):
+        pairs += [F.lit(code), F.array(*[F.lit(w) for w in STOPWORDS[code]])]
+    m = F.create_map(*pairs)
+    return F.coalesce(F.element_at(m, lang), F.element_at(m, F.lit("en")))
+
+
+def stopword_ratio_expr(toks: Column, lang_col: Column | None = None) -> Column:
+    """stop-word tokens / tokens (0.0 for empty docs), the single
+    formula behind ``text_stats.stopword_ratio`` and the routed Gopher
+    adjudication row.  Without ``lang_col`` the list is the frozen
+    English :data:`QUALITY_STOPWORDS` (the historical default); with it,
+    the list routes per document on the detected language code
+    (:func:`lang_stopwords_expr`)."""
+    if lang_col is None:
+        hits = F.size(
+            F.filter(toks, lambda t: F.array_contains(F.lit(list(QUALITY_STOPWORDS)), t))
+        )
+    else:
+        stop_arr = lang_stopwords_expr(lang_col)
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -338,12 +369,14 @@ def text_stats(
     df: DataFrame, text_col: str = "text", pk: str = "doc_id",
     repetition: "bool | str" = False,
     tokenizer: str = "whitespace",
+    lang_col: "Column | str | None" = None,
 ) -> DataFrame:
     """Per-document quality statistics, one projection pass:
 
     * ``n_chars_obs`` / ``n_tokens`` / ``n_bpe_tokens`` / ``avg_token_len``
     * ``alnum_ratio`` — alphanumeric+space chars / all chars
-    * ``stopword_ratio`` — English stopword tokens / tokens
+    * ``stopword_ratio`` — stopword tokens / tokens (English list by
+      default; see ``lang_col``)
     * ``quality`` — a composable [0,1] score: alnum_ratio damped by a
       length prior (docs under 20 tokens score down linearly)
 
@@ -361,6 +394,14 @@ def text_stats(
     and as alphanumeric mass, so token counts / avg length / alnum
     ratio stop degenerating on those corpora; Latin text is unchanged
     by construction.
+
+    ``lang_col`` (round 13, verdict r12 #2): a language-code column (or
+    the string ``"auto"`` for the built-in stopword-hit heuristic) that
+    routes ``stopword_ratio`` onto the detected language's stop-word
+    list (:func:`lang_stopwords_expr`, English fallback for unknown
+    codes) — without it a French document is scored against English
+    stop words and systematically under-reads.  Still one literal map
+    lookup inside the same codegen projection.
     """
     # stage the token array once: six consumers below would otherwise
     # each re-tokenize the document (no CSE for CodegenFallback lambdas)
@@ -371,11 +412,14 @@ def text_stats(
     alnum = F.length(
         F.regexp_replace(F.col(text_col), alnum_strip_class(tokenizer), "")
     )
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(F.lit(list(QUALITY_STOPWORDS)), t))
-    )
+    if lang_col is None:
+        lang = None
+    elif isinstance(lang_col, str) and lang_col == "auto":
+        lang = langid_expr(text_col, toks=toks)
+    else:
+        lang = _c(lang_col)
     alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
-    stopword_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    stopword_ratio = stopword_ratio_expr(toks, lang_col=lang)
     quality = alnum_ratio * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
     # mean length of the TOKENS themselves, not raw chars / tokens (the
     # raw numerator counts separators and padding — review r6: 'ab cd'
