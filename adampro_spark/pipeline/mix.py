@@ -403,6 +403,7 @@ def decontaminate(
     method: str = "semi",
     fpp: float = 1e-6,
     max_eval_grams: int = 50_000_000,
+    max_broadcast_grams: int = 5_000_000,
 ) -> DataFrame:
     """Remove training documents that share ANY word ``n``-gram with the
     evaluation corpus — the standard eval-decontamination rule (n = 13
@@ -426,6 +427,12 @@ def decontaminate(
     ≈ ``fpp · Σ grams(doc)`` documents.  Eval sets above
     ``max_eval_grams`` distinct grams raise (the filter is driver-built
     and broadcast; use ``method="semi"`` there).
+
+    ``max_broadcast_grams`` (round 13): the semi path broadcasts the
+    eval gram set only while its distinct-gram count stays at or below
+    this bound (count-then-route); above it the join degrades to a
+    shuffle semi-join with a warning instead of forcing a multi-GB
+    broadcast.
     """
     ev_col = eval_text_col or text_col
     ev_grams = _eval_grams(eval_df, ev_col, n)
@@ -441,11 +448,39 @@ def decontaminate(
         "_pk", F.explode(_grams_from_token_hashes(F.col("_th"), n)).alias("_g")
     )
     contaminated = (
-        tr_grams.join(F.broadcast(ev_grams), "_g", "left_semi")
+        tr_grams.join(
+            _route_eval_grams(ev_grams, max_broadcast_grams), "_g", "left_semi"
+        )
         .select(F.col("_pk").alias(pk))
         .distinct()
     )
     return train.join(contaminated, pk, "left_anti")
+
+
+def _route_eval_grams(ev_grams: DataFrame, max_broadcast_grams: int) -> DataFrame:
+    """Count-then-route the eval gram set (round 13, verdict r12 #4 —
+    the house asof/assign pattern): the exact semi paths used to FORCE
+    ``broadcast(ev_grams)`` on the docstring contract that eval suites
+    are small, with no guard — a huge eval set would force a multi-GB
+    broadcast instead of degrading.  At or below the threshold the plan
+    is unchanged (broadcast hash semi-join); above it the join falls
+    back to a plain shuffle semi-join and a warning suggests
+    ``method="bloom"`` (which sizes/guards its driver-built filter via
+    ``max_eval_grams``).  The count is one job over the slim distinct
+    gram hashes — cheap at the scales where it matters."""
+    n_grams = ev_grams.count()
+    if n_grams <= int(max_broadcast_grams):
+        return F.broadcast(ev_grams)
+    import warnings
+
+    warnings.warn(
+        f"decontamination eval gram set has {n_grams} distinct grams "
+        f"(> max_broadcast_grams={int(max_broadcast_grams)}); routing to "
+        "a shuffle semi-join instead of a broadcast — consider "
+        "method='bloom' for a zero-shuffle scan at this scale",
+        stacklevel=3,
+    )
+    return ev_grams
 
 
 def _eval_grams(eval_df: DataFrame, ev_col: str, n: int) -> DataFrame:
@@ -711,6 +746,7 @@ def contamination_report(
     method: str = "semi",
     fpp: float = 1e-6,
     max_eval_grams: int = 50_000_000,
+    max_broadcast_grams: int = 5_000_000,
 ) -> DataFrame:
     """Per-document train/eval overlap REPORT (round 12) — the measuring
     companion of :func:`decontaminate`: ``(pk, n_grams, n_matched,
@@ -780,7 +816,11 @@ def contamination_report(
     )
     per = (
         tr_grams.join(
-            F.broadcast(ev_grams.withColumn("_ap_hit", F.lit(1))), "_g", "left"
+            _route_eval_grams(
+                ev_grams.withColumn("_ap_hit", F.lit(1)), max_broadcast_grams
+            ),
+            "_g",
+            "left",
         )
         .groupBy("_pk")
         .agg(

@@ -17,7 +17,7 @@ is how the correctness tests adjudicate the streaming results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -135,6 +135,7 @@ def sessionize_events(
     ts_col: str = "ts",
     value_col: str | None = "value",
     watermark: str = "1 day",
+    max_events_per_session: int | None = None,
 ) -> DataFrame:
     """Per-key SESSION stats: consecutive events of one ``by`` key merge
     into a session while each inter-event gap is ≤ ``gap`` (boundary
@@ -155,10 +156,23 @@ def sessionize_events(
     account) concentrates in one task — session analytics over USER
     keys is bounded by real user activity in practice; pre-filter known
     bot ids if that assumption breaks.
+
+    ``max_events_per_session`` (round 13, verdict r12 #3): a no-gap bot
+    stream forms ONE unbounded session — set a cap to turn that into a
+    loud, actionable raise (the house assert-folded guard: the assert is
+    folded into the emitted ``n_events`` so the optimizer can never
+    prune it) instead of a silent mega-group.  Pre-filter the offending
+    key or raise the cap for legitimately long sessions.
     """
     agg = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         agg.append(F.round(F.sum(value_col), 4).alias("total_value"))
+    n_ev: Column = F.col("n_events")
+    if max_events_per_session is not None:
+        n_ev = n_ev + _session_cap_guard(
+            F.col("n_events"), int(max_events_per_session),
+            "sessionize_events",
+        )
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(by))
@@ -167,9 +181,31 @@ def sessionize_events(
             F.col(by),
             F.col("w").start.alias("session_start"),
             F.col("w").end.alias("session_end"),
-            "n_events",
+            n_ev.alias("n_events"),
             *(["total_value"] if value_col is not None else []),
         )
+    )
+
+
+def _session_cap_guard(n: Column, cap: int, where: str) -> Column:
+    """The house assert-folded session-size guard (the range_join
+    ``max_buckets_per_interval`` pattern, temporal.py): 0 on the happy
+    path, a loud named raise when one session exceeds ``cap`` events.
+    Added into an emitted value so Catalyst can never prune it."""
+    return F.coalesce(
+        F.assert_true(
+            n <= F.lit(int(cap)),
+            F.concat(
+                F.lit(f"{where}: a session holds "),
+                n.cast("string"),
+                F.lit(
+                    f" events (> max_events_per_session={cap}); "
+                    "pre-filter the offending key (a no-gap bot stream "
+                    "forms one unbounded session) or raise the cap"
+                ),
+            ),
+        ).cast("long"),
+        F.lit(0),
     )
 
 
@@ -416,6 +452,7 @@ def session_funnel(
     type_col: str = "event_type",
     pk: str = "event_id",
     skew_threshold: "int | str | None" = "auto",
+    max_events_per_session: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion over SESSIONS (round 12): for every
     session (same gap rule as :func:`sessionize_events`), the funnel
@@ -436,6 +473,13 @@ def session_funnel(
     codegen ``aggregate`` that tracks ``(depth, last matched time)``,
     and a ≤|sessions|-row explode/count aggregate emits the k counts.
     Events with NULL time or NULL session are excluded (no session).
+
+    ``max_events_per_session`` (round 13, verdict r12 #3): the
+    per-session ``collect_list`` is bounded by session length, and a
+    no-gap bot stream makes ONE session the whole corpus — the skew
+    routing protects the LABELING but not this fold.  The cap turns
+    that into a loud assert-folded raise naming the knob (instead of an
+    executor OOM); pre-filter the offending key or raise the cap.
     """
     if not steps:
         raise ValueError("steps must be a non-empty list of event types")
@@ -455,9 +499,14 @@ def session_funnel(
         .agg(F.array_sort(F.collect_list(ev_pack)).alias("_ev"))
     )
     steps_lit = F.lit(list(steps))
-    init = F.struct(
-        F.lit(0).alias("d"), F.lit(0.0).alias("t")
-    )
+    d0: Column = F.lit(0)
+    if max_events_per_session is not None:
+        # folded into the fold's seed so the guard can never be pruned
+        d0 = d0 + _session_cap_guard(
+            F.size(F.col("_ev")), int(max_events_per_session),
+            "session_funnel",
+        ).cast("int")
+    init = F.struct(d0.alias("d"), F.lit(0.0).alias("t"))
 
     def _advance(acc, e):
         can = (

@@ -243,3 +243,126 @@ def test_lang_stopwords_expr_fallback(spark):
     rows = [r["sw"] for r in df.collect()]
     assert rows[0][0] == "le"
     assert rows[1][0] == rows[2][0] == rows[3][0] == "the"
+
+
+# ---------------------------------------------------------------------------
+# Assert-folded session-size guard (verdict r12 #3)
+# ---------------------------------------------------------------------------
+
+def _bot_events(spark, n_bot=30):
+    rows = [
+        ("bot", f"b{i:03d}", f"2024-01-01 00:{i:02d}:00", "view")
+        for i in range(n_bot)  # 1-minute cadence, gap 5m -> ONE session
+    ] + [
+        ("u1", "x1", "2024-01-01 09:00:00", "view"),
+        ("u1", "x2", "2024-01-01 09:02:00", "cart"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id string, event_id string, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_session_size_guard_raises_loudly(spark):
+    """A planted no-gap mega-session must raise NAMING the cap in both
+    session folds; normal sessions under the cap are unaffected."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from adampro_spark.streaming.ingest import session_funnel, sessionize_events
+
+    ev = _bot_events(spark)
+    with pytest.raises(SparkRuntimeException, match="max_events_per_session=10"):
+        sessionize_events(
+            ev, gap="5 minutes", value_col=None, max_events_per_session=10
+        ).collect()
+    with pytest.raises(SparkRuntimeException, match="max_events_per_session=10"):
+        session_funnel(
+            ev, steps=["view", "cart"], gap="5 minutes",
+            max_events_per_session=10,
+        ).collect()
+
+    # a cap above the largest session changes nothing
+    base = sessionize_events(ev, gap="5 minutes", value_col=None).collect()
+    capped = sessionize_events(
+        ev, gap="5 minutes", value_col=None, max_events_per_session=100
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
+    f0 = session_funnel(ev, steps=["view", "cart"], gap="5 minutes").collect()
+    f1 = session_funnel(
+        ev, steps=["view", "cart"], gap="5 minutes",
+        max_events_per_session=100,
+    ).collect()
+    assert sorted(map(tuple, f0)) == sorted(map(tuple, f1))
+
+
+# ---------------------------------------------------------------------------
+# Count-then-route decontamination broadcast (verdict r12 #4)
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_routes_broadcast_by_gram_count(spark):
+    """Below the threshold the eval grams broadcast (today's plan);
+    above it the semi join degrades to a shuffle with a warning — same
+    survivors either way."""
+    import warnings
+
+    from adampro_spark.pipeline.mix import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"tok{i} " + " ".join(f"w{j}" for j in range(6))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    # eval shares the 6-token tail -> with n=5 every train doc matches
+    ev = spark.createDataFrame(
+        [(0, " ".join(f"w{j}" for j in range(6)))], "eid long, text string"
+    )
+    kept_b = decontaminate(train, ev, n=5).select("doc_id")
+    plan_b = kept_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # the count-then-route runs at call time, inside the context
+        kept_s = decontaminate(train, ev, n=5, max_broadcast_grams=0)
+        plan_s = kept_s._jdf.queryExecution().executedPlan().toString()
+        got_s = {r["doc_id"] for r in kept_s.collect()}
+    assert any("bloom" in str(x.message) for x in w)
+    # the routed semi join itself must not be a broadcast join
+    semi_section = [ln for ln in plan_s.splitlines() if "LeftSemi" in ln]
+    assert semi_section and all(
+        "Broadcast" not in ln for ln in semi_section
+    ), semi_section
+    got_b = {r["doc_id"] for r in kept_b.collect()}
+    assert got_b == got_s == set()  # every doc contaminated here
+
+    # a clean corpus survives identically through both routes
+    clean = spark.createDataFrame(
+        [(i, " ".join(f"u{i}x{j}" for j in range(8))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"] for r in decontaminate(clean, ev, n=5).collect()}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        b = {r["doc_id"] for r in decontaminate(
+            clean, ev, n=5, max_broadcast_grams=0).collect()}
+    assert a == b == set(range(10))
+
+
+def test_contamination_report_routes_too(spark):
+    """The report's semi path routes on the same threshold with equal
+    counts."""
+    import warnings
+
+    from adampro_spark.pipeline.mix import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, "a b c d e")], "eid long, text string")
+    base = {(r["doc_id"], r["n_grams"], r["n_matched"])
+            for r in contamination_report(train, ev, n=5).collect()}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        routed = {(r["doc_id"], r["n_grams"], r["n_matched"])
+                  for r in contamination_report(
+                      train, ev, n=5, max_broadcast_grams=0).collect()}
+    assert base == routed
+    assert (1, 3, 1) in base and (2, 3, 0) in base
