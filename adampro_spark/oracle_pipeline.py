@@ -2109,13 +2109,54 @@ _SEM_T = 0.95
 
 
 def _semantic_row(spark, sf):
-    from adampro_spark.pipeline.dedup import semantic_dup_pairs
+    """Round 13 widens this to a 3-part union (verdict r12 #5): the pair
+    set (existing), plus the ids DROPPED under min-pk resolution and
+    under quality-aware ``keep_by`` resolution with the L2 norm as the
+    score — the planted ×1.001-scaled copies have the larger norm AND
+    the larger id, so the two policies PROVABLY disagree on every
+    planted family and both drop sets ride the hash."""
+    from adampro_spark.pipeline.dedup import deduplicate, semantic_dup_pairs
 
     corpus = _emb_with_scaled_copies(spark, sf)
     cents = corpus.filter(
         (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < _OFF)
     ).orderBy("vec_id")
-    return semantic_dup_pairs(corpus, threshold=_SEM_T, centroids=cents)
+    pairs = semantic_dup_pairs(
+        corpus, threshold=_SEM_T, centroids=cents
+    ).localCheckpoint(eager=True)  # 3 consumers below
+    p = pairs.select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("cos_sim").alias("v"),
+    )
+    scored = corpus.withColumn(
+        "_q",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    minsurv = deduplicate(corpus, pairs, pk="vec_id")
+    bestsurv = deduplicate(scored, pairs, pk="vec_id", keep_by="_q", keep="max")
+    mind = corpus.join(minsurv.select("vec_id"), "vec_id", "left_anti").select(
+        F.lit("mindrop").alias("part"),
+        F.col("vec_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    bestd = corpus.join(
+        bestsurv.select("vec_id"), "vec_id", "left_anti"
+    ).select(
+        F.lit("bestdrop").alias("part"),
+        F.col("vec_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return p.unionByName(mind).unionByName(bestd)
 
 
 def _semantic_sql() -> str:
@@ -2128,7 +2169,7 @@ def _semantic_sql() -> str:
         " p -> p[1] * p[2])), (s, x) -> s + x)"
     )
     return f"""
-    WITH e AS ({_SQL_EMB_SCALED}),
+    WITH RECURSIVE e AS ({_SQL_EMB_SCALED}),
     n AS (
       SELECT vec_id,
              list_transform(embedding, x -> x / ({nrm.format(v='embedding')}))
@@ -2148,13 +2189,49 @@ def _semantic_sql() -> str:
                ) AS rn
         FROM n CROSS JOIN cent
       ) WHERE rn = 1
+    ),
+    sp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({dot.format(a='na.nv', b='nb.nv')}, 4) AS cos_sim
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE round({dot.format(a='na.nv', b='nb.nv')}, 4) >= {_SEM_T}
+    ),
+    -- round-13 resolution mirror (verdict r12 #5): components via
+    -- min-label reachability (the r < src guard is sound because a
+    -- component's min label is smaller than every node on any path),
+    -- then min-pk drops and norm-scored best-copy drops
+    edges AS (SELECT id_a AS src, id_b AS dst FROM sp
+              UNION SELECT id_b, id_a FROM sp),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id
+      WHERE reach.r < e2.src
+    ),
+    comp AS (SELECT id, min(r) AS comp_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT comp.id, comp.comp_id,
+             sqrt(list_reduce(list_prepend(0.0,
+               list_transform(e.embedding, x -> x * x)), (s, x) -> s + x))
+               AS q
+      FROM comp JOIN e ON e.vec_id = comp.id
+    ),
+    bq AS (SELECT comp_id, max(q) AS best FROM scored GROUP BY comp_id),
+    keepers AS (
+      SELECT s.comp_id, min(s.id) AS keep
+      FROM scored s JOIN bq ON s.comp_id = bq.comp_id AND s.q = bq.best
+      GROUP BY s.comp_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({dot.format(a='na.nv', b='nb.nv')}, 4) AS cos_sim
-    FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
-    JOIN n na ON na.vec_id = a.vec_id
-    JOIN n nb ON nb.vec_id = b.vec_id
-    WHERE round({dot.format(a='na.nv', b='nb.nv')}, 4) >= {_SEM_T}
+    SELECT 'pair' AS part, id_a AS a, id_b AS b, cos_sim AS v FROM sp
+    UNION ALL
+    SELECT 'mindrop', id, NULL::BIGINT, NULL::DOUBLE
+    FROM comp WHERE id != comp_id
+    UNION ALL
+    SELECT 'bestdrop', s.id, NULL::BIGINT, NULL::DOUBLE
+    FROM scored s JOIN keepers k ON s.comp_id = k.comp_id
+    WHERE s.id != k.keep
     """
 
 

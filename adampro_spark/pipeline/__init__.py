@@ -30,6 +30,7 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
     deduplicate,
     dup_groups,
     exact_dedup,
+    embedding_dedup,
     embedding_dup_pairs,
     minhash_bands,
     lsh_params,

@@ -1363,15 +1363,43 @@ def semantic_dedup(
     vector_col: str = "embedding",
     pk: str = "vec_id",
     threshold: float = 0.9,
+    keep_by: str | None = None,
+    keep: str = "max",
     **kw,
 ) -> DataFrame:
     """SemDeDup survivors: :func:`semantic_dup_pairs` →
     :func:`deduplicate` (connected components over the pair graph, min-pk
-    survivor per group, one anti-join)."""
+    survivor per group, one anti-join).
+
+    ``keep_by``/``keep`` (round 13, verdict r12 #5): quality-aware
+    survivor selection, same semantics as ``deduplicate(keep_by=)`` —
+    semantic near-dups are exactly where the copies DIFFER (truncation,
+    boilerplate, resolution), so keep the best-scoring member of each
+    family instead of whichever id is smallest."""
     pairs = semantic_dup_pairs(
         df, vector_col=vector_col, pk=pk, threshold=threshold, **kw
     )
-    return deduplicate(df, pairs, pk=pk)
+    return deduplicate(df, pairs, pk=pk, keep_by=keep_by, keep=keep)
+
+
+def embedding_dedup(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    pk: str = "vec_id",
+    threshold: float = 0.99,
+    keep_by: str | None = None,
+    keep: str = "max",
+    **kw,
+) -> DataFrame:
+    """Embedding-cosine near-dup survivors (round 13):
+    :func:`embedding_dup_pairs` (sign-LSH banded candidates, exact
+    cosine verify) → :func:`deduplicate` — the drop-step facade the
+    minhash/simhash/semantic families already have, with the same
+    quality-aware ``keep_by``/``keep`` survivor policy."""
+    pairs = embedding_dup_pairs(
+        df, vector_col=vector_col, pk=pk, threshold=threshold, **kw
+    )
+    return deduplicate(df, pairs, pk=pk, keep_by=keep_by, keep=keep)
 
 
 # ---------------------------------------------------------------------------

@@ -366,3 +366,38 @@ def test_contamination_report_routes_too(spark):
                       train, ev, n=5, max_broadcast_grams=0).collect()}
     assert base == routed
     assert (1, 3, 1) in base and (2, 3, 0) in base
+
+
+# ---------------------------------------------------------------------------
+# keep_by for embedding/semantic dedup (verdict r12 #5)
+# ---------------------------------------------------------------------------
+
+def test_semantic_and_embedding_dedup_keep_by(spark):
+    """Quality-aware survivor selection through the semantic and
+    embedding facades: keep_by picks the best-scoring family member
+    where min-pk would keep the smallest id."""
+    from adampro_spark.pipeline.dedup import embedding_dedup, semantic_dedup
+
+    # orthogonal one-hot directions: only planted copies are near-dups
+    base = [
+        (i, [1.0 if j == i else 0.0 for j in range(40)], 1.0)
+        for i in range(40)
+    ]
+    # planted copies: same direction, higher quality score, HIGHER id
+    copies = [
+        (100 + i, [x * 1.5 for x in v], 9.0) for i, v, _ in base if i % 4 == 0
+    ]
+    df = spark.createDataFrame(
+        base + copies, "vec_id long, embedding array<double>, score double"
+    )
+    for fn, kw in (
+        (semantic_dedup, {"threshold": 0.999999}),
+        (embedding_dedup, {"threshold": 0.999999}),
+    ):
+        minpk = {r["vec_id"] for r in fn(df, **kw).collect()}
+        best = {r["vec_id"] for r in fn(df, keep_by="score", **kw).collect()}
+        for i in range(0, 40, 4):
+            assert i in minpk and (100 + i) not in minpk, (fn.__name__, i)
+            assert (100 + i) in best and i not in best, (fn.__name__, i)
+        singles = {i for i in range(40) if i % 4 != 0}
+        assert singles <= minpk and singles <= best
