@@ -203,16 +203,75 @@ def ecp_knn(
     times_k: int = 5,
     prefilter: DataFrame | None = None,
     frac: float | str | None = "auto",
+    cell_bound: bool = False,
 ) -> DataFrame:
-    """Candidate scan → exact sequential refinement (IndexScanExpression:89-98)."""
+    """Candidate scan → exact sequential refinement (IndexScanExpression:89-98).
+
+    ``cell_bound=True`` (round 13, verdict r12 #8): EXACT kNN via the
+    triangle-inequality cell bounds the build records (the machinery
+    behind :func:`ecp_radius`) instead of the reference's lossy
+    ``times_k·k`` candidate budget.  Driver-side over the metadata: sort
+    cells by the member-distance UPPER bound ``d(q, leader) + radius``
+    and accumulate counts until ≥ k — the last upper bound taken, τ, is
+    a guaranteed kth-distance ceiling — then probe every cell whose
+    LOWER bound ``d(q, leader) − radius`` is ≤ τ; no true neighbor can
+    live elsewhere, so the refined top-k equals brute force exactly,
+    with the untouched cells' Parquet partitions never read.  Requires a
+    metric distance and recorded radii, and ``distance_name`` must equal
+    the index metric (the bound holds for the BUILD distance only);
+    incompatible inputs raise rather than silently degrade.  A
+    ``prefilter`` also raises: the τ budget counts ALL cell members, so
+    a filtered corpus could push the true kth distance past τ — use the
+    reference-shape budget path there (filter-aware, just lossy).
+    """
     from adampro_spark.operators.scan import sequential_scan
 
     dn = distance_name or meta["distance"]
-    cands = scan_ecp(
-        index_df, meta, query, k, times_k=times_k, prefilter=prefilter, frac=frac
-    )
+    pk = meta["pk"]
+    if not cell_bound:
+        cands = scan_ecp(
+            index_df, meta, query, k, times_k=times_k, prefilter=prefilter,
+            frac=frac,
+        )
+        return sequential_scan(
+            df, vector_col, query, k, dn, prefilter=cands, pk=pk
+        )
+    if dn != meta["distance"] or dn not in METRIC_DISTANCES:
+        raise NotImplementedError(
+            f"cell_bound=True needs the index's own metric distance "
+            f"(built {meta['distance']!r}, asked {dn!r}; metric set "
+            f"{sorted(METRIC_DISTANCES)}) — use the default budget path"
+        )
+    if "radii" not in meta:
+        raise ValueError(
+            "cell_bound=True needs per-cell radii (index built before "
+            "they were recorded) — rebuild the index or use the default"
+        )
+    if prefilter is not None:
+        raise NotImplementedError(
+            "cell_bound=True with a prefilter is unsound (the k-count "
+            "ceiling assumes unfiltered cells) — use the default path"
+        )
+    leaders = np.array(meta["leaders"], dtype=np.float64)
+    counts = np.array(meta["counts"], dtype=np.int64)
+    radii = np.array(meta["radii"], dtype=np.float64)
+    d = np_distance(np.asarray(query, dtype=np.float64), leaders, dn)
+    lb = np.maximum(d - radii, 0.0)
+    ub = d + radii
+    order = np.argsort(ub, kind="stable")
+    cum = 0
+    tau = float("inf")
+    for li in order:
+        if counts[li] <= 0:
+            continue
+        cum += int(counts[li])
+        tau = float(ub[li])
+        if cum >= k:
+            break
+    chosen = [int(i) for i in np.nonzero(lb <= tau)[0] if counts[i] > 0]
+    cands = index_df.filter(F.col(FEATURE_COL).isin(chosen)).select(pk)
     return sequential_scan(
-        df, vector_col, query, k, dn, prefilter=cands, pk=meta["pk"]
+        df, vector_col, query, k, dn, prefilter=cands, pk=pk
     )
 
 

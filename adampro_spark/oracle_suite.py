@@ -1010,6 +1010,15 @@ _PERSISTED_VARIANTS: list[tuple[str, Callable[[SparkSession, str], DataFrame], s
         _knn_sql(_duck_distance("euclidean")),
     ),
     (
+        "ecp_bound",
+        # round 13 (verdict r12 #8): exact triangle-inequality cell
+        # pruning over the SAME persisted index — no width tuning, the
+        # top-k equals brute force structurally, so the identical kNN
+        # oracle adjudicates it
+        _persisted_index_query("ecp", "euclidean", cell_bound=True),
+        _knn_sql(_duck_distance("euclidean")),
+    ),
+    (
         "pq",
         _persisted_index_query("pq", "euclidean"),
         _knn_sql(_duck_distance("euclidean")),
