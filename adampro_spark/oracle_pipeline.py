@@ -691,6 +691,74 @@ def _dedup_exact_sql() -> str:
 _register("dedup_exact", _dedup_exact_suite, _dedup_exact_sql())
 
 
+def _minhash_banded_sql(
+    threshold: float,
+    shingle_n: int,
+    bands: int = 32,
+    rows: int = 4,
+    seed: int = 42,
+) -> str:
+    """NEAR-LINEAR pair derivation (round 13, verdict r12 #6): the
+    engine's OWN banding re-derived in SQL — seeded (a,b) coefficient
+    literals from the shared ``minhash_coeffs`` spec, per-hash min over
+    the distinct shingle hashes, the 31-poly band fold, equi-join on
+    (band_idx, band_hash), then EXACT Jaccard verification on the
+    candidates only.  Replaces the all-pairs Jaccard subquery that made
+    the resolution oracle quadratic (unfinishable at sf0.1).  Same
+    semantics as the engine's banded plan by construction (both miss
+    the same sub-threshold-probability pairs); the banding THEORY (no
+    false negatives at the tested scales) stays pinned by the
+    dedup_minhash row's exhaustive all-pairs oracle."""
+    from adampro_spark.pipeline.dedup import minhash_coeffs
+
+    a_co, b_co = minhash_coeffs(bands * rows, seed)
+    coeffs = ", ".join(
+        f"{{'a': {a}::BIGINT, 'b': {b}::BIGINT}}"
+        for a, b in zip(a_co, b_co)
+    )
+    sh = f"list_distinct({_sql_shingles('text', shingle_n)})"
+    inter = "len(list_intersect(da.sh, db.sh))"
+    jac = (
+        f"round({inter} / (len(da.sh) + len(db.sh) - {inter}), 4)"
+    )
+    return f"""
+    WITH dd AS (SELECT doc_id, {sh} AS sh FROM ({_SQL_DOCS_TRUNC})),
+    sig AS (
+      SELECT doc_id, sh,
+        list_transform([{coeffs}], c ->
+          list_min(list_transform(sh, s -> (c.a * s + c.b) % {HASH_P})))
+          AS sg
+      FROM dd
+    ),
+    bnd AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {bands - 1}), j ->
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+                         sg[j * {rows} + 1 : j * {rows} + {rows}]),
+            (acc, x) -> (acc * 31 + x) % {HASH_P})) AS bh
+      FROM sig
+    ),
+    bt AS (
+      SELECT doc_id,
+             unnest(generate_series(0, {bands - 1})) AS bi,
+             unnest(bh) AS b
+      FROM bnd
+    ),
+    cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bt x JOIN bt y
+        ON x.bi = y.bi AND x.b = y.b AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, {jac} AS jaccard
+    FROM cand c
+    JOIN dd da ON da.doc_id = c.id_a
+    JOIN dd db ON db.doc_id = c.id_b
+    WHERE {jac} >= {threshold}
+    """
+
+
 def _minhash_sql(threshold: float, shingle_n: int) -> str:
     # exact all-pairs shingle-set Jaccard — the oracle for the banded plan
     sh = f"list_distinct({_sql_shingles('text', shingle_n)})"
@@ -1032,13 +1100,19 @@ _register(
     _dedup_resolution,
     f"""
     WITH RECURSIVE
-    p AS (SELECT id_a, id_b FROM ({_minhash_sql(0.7, 8)})),
+    -- round 13 (verdict r12 #6): banded pair derivation + guarded
+    -- min-label reachability replace the quadratic all-pairs subquery /
+    -- unguarded transitive closure, making this oracle near-linear and
+    -- two-scale like every other row (the r < src guard is sound: a
+    -- component's min label is smaller than every node on any path)
+    p AS (SELECT id_a, id_b FROM ({_minhash_banded_sql(0.7, 8)})),
     edges AS (SELECT id_a AS src, id_b AS dst FROM p
               UNION SELECT id_b, id_a FROM p),
     reach(id, r) AS (
       SELECT DISTINCT src, src FROM edges
       UNION
       SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+      WHERE reach.r < e.src
     ),
     comp AS (SELECT id, min(r) AS survivor FROM reach GROUP BY id),
     drops AS (SELECT id FROM comp WHERE id != survivor),

@@ -93,6 +93,9 @@ ROWS = [
     "temporal_asof_stream",
     # round 12: the session funnel (labeling + per-session fold + count)
     "events_funnel",
+    # round 13: exact triangle-inequality cell-bound eCP kNN (fresh
+    # per-dir index build + τ-pruned probe — verdict r12 #8)
+    "knn_ecp_bound_scaled",
 ]
 COPIES = 10
 SHIFT = 10_000_000
@@ -122,6 +125,35 @@ def _bm25_scaled(spark, sf_dir):
     )
     res = ops.query.fulltext("docs_ft", ["spark", "query", "join"], scoring="bm25")
     return res.select("doc_id", F.round(SCORE_COL, 4).alias(SCORE_COL))
+
+
+def _ecp_bound_scaled(spark, sf_dir):
+    """Round-13 exact cell-bound eCP kNN (verdict r12 #8) over THIS
+    dir's embeddings — fresh catalog per dir (the *_persisted registry
+    row would silently reuse the first-built index, the bm25 trap).
+    Build + query both inside the timing, the bm25 convention: at 10×
+    vectors the sqrt(n)-leader build and the τ-bounded cell probe must
+    scale together; the pruning keeps the query side sublinear."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from adampro_spark.operators.scan import DISTANCE_COL
+    from adampro_spark.ops import AdamOps
+
+    tag = "ecpb_" + os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(ROOT, "_scratch", "scale_" + tag)
+    shutil.rmtree(base, ignore_errors=True)
+    ops = AdamOps(spark, base)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    ops.index.create_from_df(
+        "emb_ecpb", "embeddings_ext", emb, "embedding", "ecp", pk="vec_id"
+    )
+    res = ops.query.index(
+        "emb_ecpb", [0.1] * dim, 20, "euclidean", df=emb, cell_bound=True
+    )
+    return res.select("vec_id", F.round(DISTANCE_COL, 4).alias(DISTANCE_COL))
 
 
 def _assign_skew(spark, sf_dir):
@@ -217,6 +249,7 @@ def main() -> None:
     registry = {**S.QUERIES, **S.BENCH_ONLY}
     registry["fulltext_bm25_scaled"] = _bm25_scaled
     registry["events_assign_skew"] = _assign_skew
+    registry["knn_ecp_bound_scaled"] = _ecp_bound_scaled
     # warm plan shapes once at the smallest sf
     for name in ROWS:
         try:
