@@ -1966,7 +1966,48 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         "media_id", "n1", "n2", "n3",
         F.lit(None).cast("string").alias("s"),
     )
-    return fp.unionByName(jp).unionByName(jrgb)
+
+    # round-13 dhash part: a planted-gradient grayscale BMP per doc
+    # (pixel = (doc_id + 3x + 7y) % 256, dims indivisible by the 9x8
+    # grid so the floor cell boundaries are exercised) rides the REAL
+    # image_dhash operator (encode_bmp -> decode_media -> box means ->
+    # 63-bit compare hash); BMP decode is lossless and the box means
+    # are exact integer-sum doubles, so DuckDB re-derives the hash from
+    # the pixel formula alone
+    def _bmp_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import encode_bmp
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                h = 18 + did % 5
+                w = 19 + did % 3
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                img = ((did + 3 * xs + 7 * ys) % 256).astype(np.uint8)
+                ids.append(did)
+                blobs.append(encode_bmp(img))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    from adampro_spark.pipeline.multimodal import image_dhash
+
+    bmp_media = media.select("media_id").mapInPandas(
+        _bmp_kernel, schema="media_id long, content binary"
+    )
+    dh = image_dhash(bmp_media).select(
+        F.lit("dhash").alias("part"),
+        "media_id",
+        F.col("dhash").alias("n1"),
+        ((18 + F.col("media_id") % 5) * 1000 + (19 + F.col("media_id") % 3))
+        .cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return fp.unionByName(jp).unionByName(jrgb).unionByName(dh)
 
 
 _PAL_VALUES = ", ".join(
@@ -2018,6 +2059,35 @@ _register(
         FROM documents
         JOIN (VALUES {_PAL_VALUES}) AS pal(i, r, g, b)
           ON pal.i = doc_id % 64
+    )
+    UNION ALL
+    -- round-13 dhash leg: BMP decode is LOSSLESS and the 9x8 box means
+    -- are exact integer-sum doubles, so the 63-bit difference hash is
+    -- re-derivable from the planted pixel formula alone (the Spark side
+    -- runs the real encode_bmp -> decode_media -> image_dhash path)
+    SELECT 'dhash', doc_id,
+      list_sum(list_transform(generate_series(0, 8), i ->
+        list_sum(list_transform(generate_series(0, 6), j ->
+          CASE WHEN m[i + 1][j + 1] > m[i + 1][j + 2]
+               THEN (1::BIGINT << (i * 7 + j)) ELSE 0::BIGINT
+          END))))::BIGINT,
+      (hh * 1000 + ww)::BIGINT,
+      NULL::BIGINT, NULL::VARCHAR
+    FROM (
+      SELECT doc_id, hh, ww,
+        list_transform(generate_series(0, 8), i ->
+          list_transform(generate_series(0, 7), j ->
+            list_sum(list_transform(
+              generate_series(i * hh // 9, (i + 1) * hh // 9 - 1), y ->
+                list_sum(list_transform(
+                  generate_series(j * ww // 8, (j + 1) * ww // 8 - 1), x ->
+                    ((doc_id + 3 * x + 7 * y) % 256)::BIGINT))))::DOUBLE
+            / (((i + 1) * hh // 9 - i * hh // 9)
+               * ((j + 1) * ww // 8 - j * ww // 8)))) AS m
+      FROM (
+        SELECT doc_id, 18 + doc_id % 5 AS hh, 19 + doc_id % 3 AS ww
+        FROM documents
+      )
     )
     """,
 )

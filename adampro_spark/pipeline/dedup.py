@@ -977,10 +977,37 @@ def simhash_pairs(
     (``banded_candidates``); the fingerprints ride the candidate join as
     pk-keyed lookups, not join payload.
     """
+    return fingerprint_pairs(
+        df.withColumn("_ap_fp", simhash_expr(text_col, nbits)),
+        "_ap_fp",
+        pk=pk,
+        max_hamming=max_hamming,
+        nbits=nbits,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def fingerprint_pairs(
+    df: DataFrame,
+    fp_col: str,
+    pk: str = "doc_id",
+    max_hamming: int = 3,
+    nbits: int = SIMHASH_BITS,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b, hamming)`` over ANY precomputed
+    NONNEGATIVE integer fingerprint column — the Manku multi-block
+    Hamming core behind :func:`simhash_pairs`, factored out (round 13)
+    so other fingerprint families plug in: image dHash
+    (:func:`~adampro_spark.pipeline.multimodal.image_dhash`, 63 bits),
+    audio/video signatures, or externally-computed hashes.  Candidates
+    via the exhaustive-by-pigeonhole block keys, exact popcount(xor)
+    verification, hot-bucket star guard — fingerprints never ride the
+    exploded key rows."""
     key_arr, _, _ = _simhash_block_keys(nbits, max_hamming)
-    sim = _spread(df).select(F.col(pk).alias("_pk"), simhash_expr(text_col, nbits).alias("_s"))
-    # barrier: stop CollapseProject inlining the simhash expression into
-    # every block-key expression (see minhash_dup_pairs)
+    sim = _spread(df).select(F.col(pk).alias("_pk"), F.col(fp_col).alias("_s"))
+    # barrier: stop CollapseProject inlining the fingerprint expression
+    # into every block-key expression (see minhash_dup_pairs)
     sim = sim.persist()
     chunked = sim.select("_pk", F.posexplode(key_arr).alias("_ci", "_cv"))
     cand = banded_candidates(

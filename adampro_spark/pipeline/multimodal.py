@@ -1119,3 +1119,75 @@ def media_fingerprint(
         F.length(F.col(content_col)).alias("n_bytes"),
         F.substring(F.sha2(F.col(content_col), 256), 1, 16).alias("fp_hex"),
     )
+
+
+#: dHash grid: 9 rows × 8 columns of box means → 7 horizontal
+#: comparisons per row = 63 bits.  63, not the classic 64, ON PURPOSE:
+#: bit 63 stays clear so the hash is a nonnegative BIGINT in every
+#: engine and the Manku block-key machinery's arithmetic shifts
+#: (dedup._simhash_block_keys) never sign-extend.
+DHASH_GRID = (9, 8)
+
+
+def dhash_bits(img: np.ndarray) -> int:
+    """63-bit difference hash of a decoded (h × w) grayscale grid
+    (gradient-direction perceptual fingerprint, the standard web-scale
+    image near-dup signature): box-average the image to the 9×8
+    :data:`DHASH_GRID` (exact integer-boundary cells,
+    ``floor(i·H/rows)``), then bit ``i·7+j`` = mean(i,j) > mean(i,j+1).
+    Integer pixel sums stay < 2^53, so the means are EXACT doubles and
+    the hash is bit-reproducible across engines — the DuckDB oracle
+    re-derives it from planted pixel formulas.  Images smaller than the
+    grid raise (no meaningful gradient signature below 9×8)."""
+    rows, cols = DHASH_GRID
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 3:  # RGB input: BT.601 luma, same as the decoders
+        img = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    h, w = img.shape
+    if h < rows or w < cols:
+        raise ValueError(
+            f"dhash_bits needs at least a {rows}x{cols} image, got {h}x{w}"
+        )
+    yb = [i * h // rows for i in range(rows + 1)]
+    xb = [j * w // cols for j in range(cols + 1)]
+    m = np.empty((rows, cols), dtype=np.float64)
+    for i in range(rows):
+        for j in range(cols):
+            cell = img[yb[i]:yb[i + 1], xb[j]:xb[j + 1]]
+            m[i, j] = cell.sum() / cell.size
+    out = 0
+    for i in range(rows):
+        for j in range(cols - 1):
+            if m[i, j] > m[i, j + 1]:
+                out |= 1 << (i * (cols - 1) + j)
+    return out
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    pk: str = "media_id",
+    decoder: Callable[[bytes, int, int], np.ndarray] = decode_media,
+) -> DataFrame:
+    """``(pk, dhash long)`` perceptual fingerprints for a binary media
+    column — one Arrow-batched mapInPandas pass (decode + box-resize +
+    compare per blob; no shuffle).  Re-encoded/slightly-retouched copies
+    of an image keep a near-identical hash while distinct images differ
+    in many bits, so near-dup IMAGE dedup is
+    ``deduplicate(df, fingerprint_pairs(image_dhash(df), "dhash", ...))``
+    — the same Manku multi-block Hamming machinery the text SimHash
+    family uses, now over pixels (round 13, beyond-reference)."""
+
+    def kern(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = [
+                int(dhash_bits(decoder(bytes(c), 0, 0)))
+                for c in pdf[content_col]
+            ]
+            yield pd.DataFrame({pk: pdf[pk], "dhash": hashes})
+
+    return df.select(pk, content_col).mapInPandas(
+        kern, schema=f"{pk} long, dhash long"
+    )

@@ -40,6 +40,9 @@ HEADLINE = [
     # LLM-pipeline operators, batch similarity join
     "knn_vaf_persisted",
     "knn_ecp_persisted",
+    # round 13: exact triangle-inequality cell-bound variant (verdict
+    # r12 #8) over the same persisted eCP index
+    "knn_ecp_bound_persisted",
     "text_stats",
     "dedup_minhash",
     "dedup_embedding",

@@ -515,3 +515,75 @@ def test_ecp_knn_cell_bound_exact(spark):
     with pytest.raises(NotImplementedError, match="prefilter"):
         ecp_knn(sep, "embedding", idx2, meta2, [0.0] * 8, 5,
                 prefilter=sep.select("vec_id"), cell_bound=True)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: dHash + fingerprint_pairs (round 13,
+# beyond-reference)
+# ---------------------------------------------------------------------------
+
+def test_image_dhash_and_fingerprint_pairs(spark):
+    """A re-encoded / lightly retouched copy keeps a near-identical
+    63-bit dHash (pairs via the Manku machinery); engineered-distinct
+    images (inverted / mirrored gradients, which flip the horizontal
+    comparison signs) do not pair.  The same image saved as BMP and as
+    JPEG must also pair — the cross-format near-dup case the byte-level
+    sha fingerprint can never catch."""
+    from adampro_spark.pipeline.dedup import deduplicate, fingerprint_pairs
+    from adampro_spark.pipeline.multimodal import (
+        dhash_bits,
+        encode_bmp,
+        encode_jpeg,
+        image_dhash,
+    )
+
+    h, w = 36, 32
+    ramp = (np.add.outer(np.arange(h) * 7, np.arange(w) * 3) % 256).astype(
+        np.uint8
+    )
+    inverted = (255 - ramp).astype(np.uint8)
+    mirrored = ramp[:, ::-1].copy()
+    # distinctness premise, pinned locally before the Spark assertions
+    def ham(a, b):
+        return bin(dhash_bits(a) ^ dhash_bits(b)).count("1")
+
+    assert ham(ramp, inverted) > 6 and ham(ramp, mirrored) > 6
+    retouched = np.clip(
+        ramp.astype(np.int16) + np.pad(
+            np.full((3, 3), 9, dtype=np.int16),
+            ((5, h - 8), (5, w - 8)),
+        ),
+        0, 255,
+    ).astype(np.uint8)
+    assert ham(ramp, retouched) <= 6  # may be 0: local edit vs strong ramp
+
+    rows = [
+        (0, encode_bmp(ramp)),
+        (1, encode_bmp(inverted)),
+        (2, encode_bmp(mirrored)),
+        (100, encode_bmp(retouched)),
+        (101, encode_jpeg(ramp, quant=2)),  # cross-format copy
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+
+    hashed = image_dhash(df)
+    got = {r["media_id"]: r["dhash"] for r in hashed.collect()}
+    assert all(0 <= v < (1 << 63) for v in got.values())
+    # kernel parity with the local function
+    assert got[0] == dhash_bits(ramp)
+
+    pairs = fingerprint_pairs(
+        hashed, "dhash", pk="media_id", max_hamming=6, nbits=63
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got_pairs and (0, 101) in got_pairs
+    assert all({a, b} <= {0, 100, 101} for a, b in got_pairs), got_pairs
+
+    survivors = {
+        r["media_id"]
+        for r in deduplicate(df, pairs, pk="media_id").collect()
+    }
+    assert survivors == {0, 1, 2}
+
+    with pytest.raises(ValueError, match="9x8"):
+        dhash_bits(np.zeros((4, 4), dtype=np.uint8))
