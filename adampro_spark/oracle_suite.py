@@ -2007,7 +2007,44 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.lit(None).cast("string").alias("s"),
     )
-    return fp.unionByName(jp).unionByName(jrgb).unionByName(dh)
+
+    # round-13 audio part: planted sawtooth PCM (exact int16 formula,
+    # clip length indivisible by the 64 windows) rides the real
+    # encode_wav -> decode_wav -> audio_envelope_bits path; the oracle
+    # re-derives the 63-bit envelope hash from the sample formula
+    def _wav_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import encode_wav
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                n = 6400 + (did % 7) * 160
+                t = np.arange(n, dtype=np.int64)
+                s = ((did * 7 + 13 * t) % 2048) - 1024
+                ids.append(did)
+                blobs.append(encode_wav(s.astype(np.int16)))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    from adampro_spark.pipeline.multimodal import audio_dhash
+
+    wav_media = media.select("media_id").mapInPandas(
+        _wav_kernel, schema="media_id long, content binary"
+    )
+    aw = audio_dhash(wav_media).select(
+        F.lit("awav").alias("part"),
+        "media_id",
+        F.col("dhash").alias("n1"),
+        (6400 + (F.col("media_id") % 7) * 160).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return (
+        fp.unionByName(jp).unionByName(jrgb).unionByName(dh).unionByName(aw)
+    )
 
 
 _PAL_VALUES = ", ".join(
@@ -2087,6 +2124,28 @@ _register(
       FROM (
         SELECT doc_id, 18 + doc_id % 5 AS hh, 19 + doc_id % 3 AS ww
         FROM documents
+      )
+    )
+    UNION ALL
+    -- round-13 audio leg: the 63-bit loudness-envelope hash of the
+    -- planted sawtooth PCM, re-derived from the sample formula (exact
+    -- integer |sample| sums -> exact double means)
+    SELECT 'awav', doc_id,
+      list_sum(list_transform(generate_series(0, 62), i ->
+        CASE WHEN env[i + 1] > env[i + 2]
+             THEN (1::BIGINT << i) ELSE 0::BIGINT
+        END))::BIGINT,
+      nn::BIGINT,
+      NULL::BIGINT, NULL::VARCHAR
+    FROM (
+      SELECT doc_id, nn,
+        list_transform(generate_series(0, 63), w ->
+          list_sum(list_transform(
+            generate_series(w * nn // 64, (w + 1) * nn // 64 - 1), t ->
+              abs(((doc_id * 7 + 13 * t) % 2048) - 1024)::BIGINT))::DOUBLE
+          / ((w + 1) * nn // 64 - w * nn // 64)) AS env
+      FROM (
+        SELECT doc_id, 6400 + (doc_id % 7) * 160 AS nn FROM documents
       )
     )
     """,

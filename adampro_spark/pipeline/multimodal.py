@@ -1163,6 +1163,71 @@ def dhash_bits(img: np.ndarray) -> int:
     return out
 
 
+#: audio envelope grid: 64 equal time windows → 63 adjacent-loudness
+#: comparisons (bit 63 clear, same sign-safety rationale as DHASH_GRID)
+AUDIO_ENVELOPE_WINDOWS = 64
+
+
+def audio_envelope_bits(samples: np.ndarray, windows: int = AUDIO_ENVELOPE_WINDOWS) -> int:
+    """63-bit loudness-envelope difference hash of a PCM sample array
+    (the audio sibling of :func:`dhash_bits`): mean |amplitude| per
+    window over ``windows`` exact integer-boundary time slices
+    (``floor(i·n/64)``), bit ``i`` = env(i) > env(i+1).  Robust to
+    re-encoding/level-preserving edits, distinct for different material;
+    integer |sample| sums stay < 2^53 so the means are exact doubles and
+    the hash reproduces bit-for-bit in the DuckDB oracle.  Multi-channel
+    input folds to channel 0 (the decode_media convention); clips
+    shorter than ``windows`` samples raise."""
+    s = np.asarray(samples)
+    if s.ndim == 2:
+        s = s[:, 0]
+    n = s.shape[0]
+    if n < windows:
+        raise ValueError(
+            f"audio_envelope_bits needs at least {windows} samples, got {n}"
+        )
+    a = np.abs(s.astype(np.int64))
+    bounds = [i * n // windows for i in range(windows + 1)]
+    env = np.array(
+        [
+            a[bounds[i]:bounds[i + 1]].sum() / (bounds[i + 1] - bounds[i])
+            for i in range(windows)
+        ]
+    )
+    out = 0
+    for i in range(windows - 1):
+        if env[i] > env[i + 1]:
+            out |= 1 << i
+    return out
+
+
+def audio_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    pk: str = "media_id",
+) -> DataFrame:
+    """``(pk, dhash long)`` envelope fingerprints for a WAV binary
+    column — decode_wav + :func:`audio_envelope_bits` in one
+    Arrow-batched mapInPandas pass; near-dup AUDIO dedup rides the same
+    Manku machinery:
+    ``deduplicate(df, fingerprint_pairs(audio_dhash(df), "dhash",
+    nbits=63))`` (round 13, beyond-reference)."""
+
+    def kern(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = []
+            for c in pdf[content_col]:
+                samples, _rate = decode_wav(bytes(c))
+                hashes.append(int(audio_envelope_bits(samples)))
+            yield pd.DataFrame({pk: pdf[pk], "dhash": hashes})
+
+    return df.select(pk, content_col).mapInPandas(
+        kern, schema=f"{pk} long, dhash long"
+    )
+
+
 def image_dhash(
     df: DataFrame,
     content_col: str = "content",

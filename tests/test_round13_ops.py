@@ -587,3 +587,51 @@ def test_image_dhash_and_fingerprint_pairs(spark):
 
     with pytest.raises(ValueError, match="9x8"):
         dhash_bits(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_audio_dhash_near_dup(spark):
+    """Level-preserving edits keep the envelope hash near-identical;
+    different material does not pair; the Spark kernel matches the
+    local function."""
+    from adampro_spark.pipeline.dedup import fingerprint_pairs
+    from adampro_spark.pipeline.multimodal import (
+        audio_dhash,
+        audio_envelope_bits,
+        encode_wav,
+    )
+
+    t = np.arange(8000, dtype=np.int64)
+    # amplitude-modulated tone: a distinctive loudness envelope
+    tone = (np.sin(t / 40.0) * (2000 + 1500 * np.sin(t / 900.0))).astype(
+        np.int16
+    )
+    clicky = tone.copy()
+    clicky[4000:4010] = 30000  # short transient, one window touched
+    reversed_ = tone[::-1].copy()  # envelope reversed -> many bits flip
+    white = (np.random.RandomState(3).randint(-3000, 3000, 8000)).astype(
+        np.int16
+    )
+
+    assert bin(
+        audio_envelope_bits(tone) ^ audio_envelope_bits(reversed_)
+    ).count("1") > 6
+
+    rows = [
+        (0, encode_wav(tone)),
+        (1, encode_wav(reversed_)),
+        (2, encode_wav(white)),
+        (100, encode_wav(clicky)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashed = audio_dhash(df)
+    got = {r["media_id"]: r["dhash"] for r in hashed.collect()}
+    assert got[0] == audio_envelope_bits(tone)
+    pairs = fingerprint_pairs(
+        hashed, "dhash", pk="media_id", max_hamming=4, nbits=63
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got_pairs
+    assert all({a, b} <= {0, 100} for a, b in got_pairs), got_pairs
+
+    with pytest.raises(ValueError, match="64 samples"):
+        audio_envelope_bits(np.zeros(10, dtype=np.int16))
