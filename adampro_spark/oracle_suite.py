@@ -2042,8 +2042,48 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.lit(None).cast("string").alias("s"),
     )
+    # round-13 video part: a planted MJPEG-AVI per doc (flat frames,
+    # exactly recoverable at quant=1) rides the real encode_avi_mjpeg ->
+    # decode_avi_frames -> video_fingerprint path with every_n=2
+    # container-level frame striding; the oracle predicts frame counts
+    # and the SAMPLED pixel sum from the plant formulas
+    def _avi_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import encode_avi_mjpeg
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                h = 14 + (did % 3) * 2
+                w = 16 + did % 5
+                nfr = 3 + did % 4
+                frames = [
+                    np.full((h, w), (did + 31 * f) % 256, dtype=np.uint8)
+                    for f in range(nfr)
+                ]
+                ids.append(did)
+                blobs.append(encode_avi_mjpeg(frames))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    from adampro_spark.pipeline.multimodal import video_fingerprint
+
+    avi_media = media.select("media_id").mapInPandas(
+        _avi_kernel, schema="media_id long, content binary"
+    )
+    vf = video_fingerprint(avi_media, every_n=2).select(
+        F.lit("vavi").alias("part"),
+        "media_id",
+        F.col("px_sum").alias("n1"),
+        (F.col("n_frames") * 1000 + F.col("n_sampled")).alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("string").alias("s"),
+    )
     return (
-        fp.unionByName(jp).unionByName(jrgb).unionByName(dh).unionByName(aw)
+        fp.unionByName(jp).unionByName(jrgb).unionByName(dh)
+        .unionByName(aw).unionByName(vf)
     )
 
 
@@ -2148,6 +2188,19 @@ _register(
         SELECT doc_id, 6400 + (doc_id % 7) * 160 AS nn FROM documents
       )
     )
+    UNION ALL
+    -- round-13 video leg: flat MJPEG frames are exactly recoverable, so
+    -- the every-2nd-frame sampled pixel sum is pure arithmetic
+    SELECT 'vavi', doc_id,
+      ((14 + (doc_id % 3) * 2) * (16 + doc_id % 5)
+        * list_sum(list_transform(
+            generate_series(0, (3 + doc_id % 4) - 1), f ->
+              CASE WHEN f % 2 = 0
+                   THEN ((doc_id + 31 * f) % 256)::BIGINT
+                   ELSE 0::BIGINT END)))::BIGINT,
+      ((3 + doc_id % 4) * 1000 + (3 + doc_id % 4 + 1) // 2)::BIGINT,
+      NULL::BIGINT, NULL::VARCHAR
+    FROM documents
     """,
 )
 

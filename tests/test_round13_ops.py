@@ -635,3 +635,45 @@ def test_audio_dhash_near_dup(spark):
 
     with pytest.raises(ValueError, match="64 samples"):
         audio_envelope_bits(np.zeros(10, dtype=np.int16))
+
+
+def test_video_dhash_and_mjpeg_avi(spark):
+    """MJPEG-AVI frame decode + mean-frame dHash: a re-encoded copy
+    (coarser quant) pairs with its source; different material does not;
+    container-level striding skips undecoded frames."""
+    from adampro_spark.pipeline.dedup import fingerprint_pairs
+    from adampro_spark.pipeline.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        video_dhash,
+    )
+
+    h, w = 36, 32
+    ramp = (np.add.outer(np.arange(h) * 7, np.arange(w) * 3) % 256).astype(
+        np.uint8
+    )
+    clip_a = [np.roll(ramp, f, axis=1) for f in range(4)]
+    clip_b = [255 - f for f in clip_a]  # inverted: far-apart mean frame
+    rows = [
+        (0, encode_avi_mjpeg(clip_a, quant=1)),
+        (1, encode_avi_mjpeg(clip_b, quant=1)),
+        (100, encode_avi_mjpeg(clip_a, quant=2)),  # re-encoded copy
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashed = video_dhash(df)
+    pairs = fingerprint_pairs(
+        hashed, "dhash", pk="media_id", max_hamming=6, nbits=63
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got_pairs == {(0, 100)}
+
+    # striding decodes only the sampled frames
+    avi = encode_avi_mjpeg(clip_a, quant=1)
+    assert len(decode_avi_frames(avi)) == 4
+    sampled = decode_avi_frames(avi, every_n=3)
+    assert len(sampled) == 2
+    assert (sampled[1] == decode_avi_frames(avi)[3]).all()
+
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        bad = avi.replace(b"\xff\xd8", b"\x00\x00", 1)
+        decode_avi_frames(bad)
