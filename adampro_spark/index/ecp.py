@@ -223,6 +223,15 @@ def ecp_knn(
     ``prefilter`` also raises: the τ budget counts ALL cell members, so
     a filtered corpus could push the true kth distance past τ — use the
     reference-shape budget path there (filter-aware, just lossy).
+
+    EXACTNESS CONTRACT (review r13): ``df`` must be the corpus the
+    index was built over — the τ ceiling trusts the build-time per-cell
+    counts, so a shrunken/substituted ``df`` (rows deleted since build,
+    a different table passed) can under-budget τ and silently miss true
+    neighbors.  This is the standard index-staleness contract: the
+    catalog marks indexes stale on entity change and ``load_index``
+    warns; rebuild (or use the default budget path, which degrades to
+    lower recall rather than broken exactness) after deletes.
     """
     from adampro_spark.operators.scan import sequential_scan
 

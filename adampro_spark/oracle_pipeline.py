@@ -706,9 +706,13 @@ def _minhash_banded_sql(
     candidates only.  Replaces the all-pairs Jaccard subquery that made
     the resolution oracle quadratic (unfinishable at sf0.1).  Same
     semantics as the engine's banded plan by construction (both miss
-    the same sub-threshold-probability pairs); the banding THEORY (no
-    false negatives at the tested scales) stays pinned by the
-    dedup_minhash row's exhaustive all-pairs oracle."""
+    the same sub-threshold-probability pairs) PROVIDED the engine side
+    disables the hot-bucket star guard (``max_bucket_size``) — this SQL
+    enumerates full bucket pairs, the guard's star replacement is
+    pytest-pinned production behavior (review r13; the ccnet_mh/simhash
+    rows follow the same convention).  The banding THEORY (no false
+    negatives at the tested scales) stays pinned by the dedup_minhash
+    row's exhaustive all-pairs oracle."""
     from adampro_spark.pipeline.dedup import minhash_coeffs
 
     a_co, b_co = minhash_coeffs(bands * rows, seed)
@@ -1056,8 +1060,14 @@ def _dedup_resolution(spark, sf):
         "_q", F.length("text").cast("long")
     )
     # materialize: TWO consumers (both survivor policies) read the pair
-    # set — unpersisted, the whole banding plan would run twice
-    pairs = minhash_dup_pairs(corpus, threshold=0.7, materialize=True)
+    # set — unpersisted, the whole banding plan would run twice.
+    # max_bucket_size disabled like the ccnet_mh/simhash oracle rows
+    # (review r13): the round-13 banded oracle enumerates FULL bucket
+    # pairs, while the production hot-bucket star guard — whose pair-set
+    # semantics are pytest-pinned — would diverge on a >1024-doc bucket.
+    pairs = minhash_dup_pairs(
+        corpus, threshold=0.7, materialize=True, max_bucket_size=1 << 30
+    )
     minpk = deduplicate(corpus, pairs, pk="doc_id").select(
         F.lit("minpk").alias("part"), "doc_id"
     )

@@ -466,18 +466,21 @@ def _route_eval_grams(ev_grams: DataFrame, max_broadcast_grams: int) -> DataFram
     is unchanged (broadcast hash semi-join); above it the join falls
     back to a plain shuffle semi-join and a warning suggests
     ``method="bloom"`` (which sizes/guards its driver-built filter via
-    ``max_eval_grams``).  The count is one job over the slim distinct
-    gram hashes — cheap at the scales where it matters."""
-    n_grams = ev_grams.count()
-    if n_grams <= int(max_broadcast_grams):
+    ``max_eval_grams``).  The probe is ``limit(threshold+1).count()`` —
+    bounded by the threshold, so a huge eval set stops deriving grams
+    once the answer is known and a small one costs one tiny job (review
+    r13: a full ``count()`` re-derived the whole gram lineage twice)."""
+    cap = int(max_broadcast_grams)
+    n_grams = ev_grams.limit(cap + 1).count()
+    if n_grams <= cap:
         return F.broadcast(ev_grams)
     import warnings
 
     warnings.warn(
-        f"decontamination eval gram set has {n_grams} distinct grams "
-        f"(> max_broadcast_grams={int(max_broadcast_grams)}); routing to "
-        "a shuffle semi-join instead of a broadcast — consider "
-        "method='bloom' for a zero-shuffle scan at this scale",
+        f"decontamination eval gram set exceeds max_broadcast_grams={cap} "
+        "distinct grams; routing to a shuffle semi-join instead of a "
+        "broadcast — consider method='bloom' for a zero-shuffle scan at "
+        "this scale",
         stacklevel=3,
     )
     return ev_grams

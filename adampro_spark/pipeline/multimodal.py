@@ -790,6 +790,10 @@ def decode_jpeg(
         # marker byte — skip them rather than misreading fill as seglen
         while pos + 1 < len(content) and content[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(content):
+            # stream ends in fill bytes (review r13: indexing content[len]
+            # raised a raw IndexError outside the ValueError contract)
+            raise ValueError("truncated JPEG stream (trailing fill bytes)")
         marker = content[pos + 1]
         if marker == 0x00:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -1272,6 +1276,30 @@ def decode_avi_frames(
     return frames
 
 
+def avi_frame_count(content: bytes) -> int:
+    """Number of video frames in an MJPEG-AVI — the same RIFF chunk walk
+    as :func:`decode_avi_frames` with every_n past the end, so NOTHING
+    is entropy-decoded (counting is pure byte striding)."""
+    n = 0
+
+    def walk(buf: bytes) -> None:
+        nonlocal n
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            clen = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            if cid == b"LIST" and buf[pos + 8:pos + 12] in (b"movi", b"rec "):
+                walk(buf[pos + 12:pos + 8 + clen])
+            elif cid[2:4] in (b"dc", b"db") and clen > 0:
+                n += 1
+            pos += 8 + clen + (clen % 2)
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    walk(content[12:])
+    return n
+
+
 def video_fingerprint(
     df: DataFrame,
     content_col: str = "content",
@@ -1280,7 +1308,9 @@ def video_fingerprint(
 ) -> DataFrame:
     """Per-video frame-sample statistics ``(pk, n_frames, n_sampled,
     px_sum)`` over an MJPEG-AVI binary column — decodes only every
-    ``every_n``-th frame (container-level striding) in one Arrow-batched
+    ``every_n``-th frame (container-level striding: the skipped frames'
+    bytes are walked, never entropy-decoded; the total count comes from
+    the decode-free :func:`avi_frame_count`) in one Arrow-batched
     mapInPandas pass; the exact-adjudication surface for the video
     modality (flat MJPEG frames at quant=1 are exactly recoverable, so
     the DuckDB oracle predicts the sampled pixel sums)."""
@@ -1291,9 +1321,9 @@ def video_fingerprint(
         for pdf in batches:
             nf, ns, sums = [], [], []
             for c in pdf[content_col]:
-                allf = decode_avi_frames(bytes(c))
-                sampled = allf[::every_n]
-                nf.append(len(allf))
+                blob = bytes(c)
+                sampled = decode_avi_frames(blob, every_n=every_n)
+                nf.append(avi_frame_count(blob))
                 ns.append(len(sampled))
                 sums.append(int(sum(f.astype(np.int64).sum() for f in sampled)))
             yield pd.DataFrame(

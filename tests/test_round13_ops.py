@@ -76,6 +76,11 @@ def test_jpeg_header_walk_fill_and_standalone_markers():
     with pytest.raises(ValueError, match="marker"):
         decode_jpeg(buf[:2] + b"\xff\x00" + buf[2:])
 
+    # a stream ENDING in fill bytes raises the contract ValueError, not
+    # a raw IndexError (review r13, confirmed crash)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8\xff\xff")
+
 
 def test_radius_scan_limit_forces_ordering(spark):
     """The documented contract: limit= always returns the CLOSEST rows
