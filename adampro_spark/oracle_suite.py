@@ -2081,9 +2081,61 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.lit(None).cast("string").alias("s"),
     )
+    # round-13 probe part: header-only metadata sniff over a 5-format
+    # cycle (bmp/jpeg/wav/avi/png, planted dims/lengths) — the ffprobe-
+    # lite pass; every field is pure arithmetic for the oracle
+    def _probe_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import (
+            encode_avi_mjpeg,
+            encode_bmp,
+            encode_jpeg,
+            encode_png,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                kind = did % 5
+                h = 18 + did % 5
+                w = 19 + did % 3
+                img = np.full((h, w), did % 256, dtype=np.uint8)
+                if kind == 0:
+                    blob = encode_bmp(img)
+                elif kind == 1:
+                    blob = encode_jpeg(img, quant=1)
+                elif kind == 2:
+                    n = 6400 + (did % 7) * 160
+                    blob = encode_wav(np.zeros(n, dtype=np.int16))
+                elif kind == 3:
+                    nfr = 3 + did % 4
+                    blob = encode_avi_mjpeg([img] * nfr)
+                else:
+                    blob = encode_png(img)
+                ids.append(did)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    from adampro_spark.pipeline.multimodal import probe_media
+
+    probe_in = media.select("media_id").mapInPandas(
+        _probe_kernel, schema="media_id long, content binary"
+    )
+    pr = probe_media(probe_in).select(
+        F.lit("probe").alias("part"),
+        "media_id",
+        (F.col("width").cast("long") * 1000 + F.col("height")).alias("n1"),
+        F.col("n_frames").alias("n2"),
+        F.col("sample_rate").cast("long").alias("n3"),
+        F.col("format").alias("s"),
+    )
     return (
         fp.unionByName(jp).unionByName(jrgb).unionByName(dh)
-        .unionByName(aw).unionByName(vf)
+        .unionByName(aw).unionByName(vf).unionByName(pr)
     )
 
 
@@ -2200,6 +2252,20 @@ _register(
                    ELSE 0::BIGINT END)))::BIGINT,
       ((3 + doc_id % 4) * 1000 + (3 + doc_id % 4 + 1) // 2)::BIGINT,
       NULL::BIGINT, NULL::VARCHAR
+    FROM documents
+    UNION ALL
+    -- round-13 probe leg: header-only metadata over the planted
+    -- 5-format cycle, all fields pure arithmetic
+    SELECT 'probe', doc_id,
+      CASE WHEN doc_id % 5 = 2 THEN NULL::BIGINT
+           ELSE ((19 + doc_id % 3) * 1000 + (18 + doc_id % 5))::BIGINT END,
+      CASE doc_id % 5
+           WHEN 2 THEN (6400 + (doc_id % 7) * 160)::BIGINT
+           WHEN 3 THEN (3 + doc_id % 4)::BIGINT
+           ELSE 1::BIGINT END,
+      CASE WHEN doc_id % 5 = 2 THEN 16000::BIGINT ELSE NULL::BIGINT END,
+      CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+           WHEN 3 THEN 'avi' ELSE 'png' END
     FROM documents
     """,
 )

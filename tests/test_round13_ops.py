@@ -682,3 +682,42 @@ def test_video_dhash_and_mjpeg_avi(spark):
     with pytest.raises(NotImplementedError, match="MJPEG"):
         bad = avi.replace(b"\xff\xd8", b"\x00\x00", 1)
         decode_avi_frames(bad)
+
+
+def test_media_probe_header_only(spark):
+    """ffprobe-lite: header-only metadata for all five formats, junk
+    survives as 'unknown', and a truncated header never raises."""
+    from adampro_spark.pipeline.multimodal import (
+        encode_avi_mjpeg,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+        media_probe,
+        probe_media,
+    )
+
+    img = np.full((18, 21), 50, dtype=np.uint8)
+    rows = [
+        (0, encode_bmp(img)),
+        (1, encode_jpeg(img, quant=1)),
+        (2, encode_wav(np.zeros(6400, dtype=np.int16), sample_rate=8000)),
+        (3, encode_avi_mjpeg([img] * 3)),
+        (4, encode_png(img)),
+        (5, b"not media at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in probe_media(df).collect()}
+    assert got[0]["format"] == "bmp" and (got[0]["width"], got[0]["height"]) == (21, 18)
+    assert got[1]["format"] == "jpeg" and got[1]["n_frames"] == 1
+    assert got[2]["format"] == "wav" and got[2]["sample_rate"] == 8000
+    assert got[2]["n_frames"] == 6400
+    assert got[3]["format"] == "avi" and got[3]["n_frames"] == 3
+    assert got[4]["format"] == "png" and (got[4]["width"], got[4]["height"]) == (21, 18)
+    assert got[5]["format"] == "unknown" and got[5]["width"] is None
+
+    # truncated headers: probe never raises
+    for blob in (b"BM\x01", b"\xff\xd8\xff\xff", b"RIFF1234WAVE",
+                 b"RIFF1234AVI "):
+        out = media_probe(blob)
+        assert isinstance(out["format"], str)
