@@ -771,6 +771,35 @@ class QueryOps:
             data, attribute, query, radius, distance_name, pk=pk, **kw
         )
 
+    def radius_indexed(
+        self,
+        index_name: str,
+        query: Sequence[float],
+        radius: float,
+        df: DataFrame | None = None,
+        **kw: Any,
+    ) -> DataFrame:
+        """Index-accelerated RANGE scan through a persisted eCP index
+        (round 13 facade for
+        :func:`~adampro_spark.index.ecp.ecp_radius`): triangle-
+        inequality cell pruning + Parquet partition pruning on the
+        cell-partitioned layout, results identical to :meth:`radius`.
+        ``df`` defaults to the index's cataloged entity."""
+        from adampro_spark.index.ecp import ecp_radius
+
+        rec = self.catalog.index(index_name)
+        if rec["type"] != "ecp":
+            raise ValueError(
+                f"radius_indexed needs an eCP index (cell radii), "
+                f"{index_name!r} is {rec['type']!r} — use "
+                "query.radius for the exact brute scan"
+            )
+        index_df, meta = self._index.load(index_name)
+        data = self._entity_df(rec["entity"], df)
+        return ecp_radius(
+            data, rec["attribute"], index_df, meta, list(query), radius, **kw
+        )
+
     def index(
         self,
         index_name: str,

@@ -721,3 +721,23 @@ def test_media_probe_header_only(spark):
                  b"RIFF1234AVI "):
         out = media_probe(blob)
         assert isinstance(out["format"], str)
+
+
+def test_ops_radius_indexed_facade(spark, tmp_path):
+    """query.radius_indexed routes through the persisted eCP index and
+    equals the brute range scan; non-eCP indexes refuse with routing."""
+    from adampro_spark.operators.scan import radius_scan
+    from adampro_spark.ops import AdamOps
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    o = AdamOps(spark, str(tmp_path / "cat"))
+    o.index.create_from_df("ri_ecp", "emb", emb, "embedding", "ecp", pk="vec_id")
+    o.index.create_from_df("ri_vaf", "emb", emb, "embedding", "vaf", pk="vec_id")
+    q = [0.1] * len(emb.select("embedding").first()["embedding"])
+    brute = {r["vec_id"] for r in radius_scan(
+        emb, "embedding", q, 3.0, pk="vec_id").collect()}
+    got = {r["vec_id"] for r in o.query.radius_indexed(
+        "ri_ecp", q, 3.0, df=emb).collect()}
+    assert got == brute
+    with pytest.raises(ValueError, match="eCP"):
+        o.query.radius_indexed("ri_vaf", q, 3.0, df=emb)
