@@ -280,12 +280,16 @@ def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
     )
 
 
-def decode_png(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+def decode_png(
+    content: bytes, width: int = 0, height: int = 0, rgb: bool = False
+) -> np.ndarray:
     """Real PNG decode in stdlib zlib + numpy: chunk walk, IDAT inflate,
     per-row defilter (None/Sub/Up/Average/Paeth), luma grayscale output —
     8-bit depth, color types 0/2/4/6, no interlace (palette and Adam7
-    raise honestly).  ``width``/``height`` args are ignored — the IHDR is
-    the truth, like :func:`decode_bmp`.
+    raise honestly).  ``rgb=True`` (round 13, parity with
+    ``decode_jpeg``): (h × w × 3) uint8 — truecolor channels verbatim
+    (lossless), gray replicated ×3, alpha dropped.  ``width``/``height``
+    args are ignored — the IHDR is the truth, like :func:`decode_bmp`.
 
     Defilter cost note: Up is fully vectorized; Sub is a per-channel
     running sum (vectorized via cumsum mod 256); Average/Paeth keep the
@@ -352,10 +356,11 @@ def decode_png(content: bytes, width: int = 0, height: int = 0) -> np.ndarray:
                 pred = (a + b) // 2 if ft == 3 else _paeth(a, b, c)
                 line[i] = (int(cur[i]) + pred) % 256
     px = recon.astype(np.uint32).reshape(h, w, ch)
-    if ch == 1:
-        return px[..., 0].astype(np.uint8)
-    if ch == 2:  # gray + alpha
-        return px[..., 0].astype(np.uint8)
+    if ch <= 2:  # gray (+alpha ignored)
+        gray = px[..., 0].astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2) if rgb else gray
+    if rgb:  # truecolor channels verbatim, alpha (ch=4) dropped
+        return px[..., :3].astype(np.uint8)
     r, g, b = px[..., 0], px[..., 1], px[..., 2]  # alpha (ch=4) ignored
     return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
 

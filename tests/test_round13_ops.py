@@ -741,3 +741,24 @@ def test_ops_radius_indexed_facade(spark, tmp_path):
     assert got == brute
     with pytest.raises(ValueError, match="eCP"):
         o.query.radius_indexed("ri_vaf", q, 3.0, df=emb)
+
+
+def test_png_rgb_decode_lossless():
+    """decode_png(rgb=True): truecolor channels come back VERBATIM
+    (PNG is lossless) across every filter type; gray replicates x3; the
+    luma default is unchanged."""
+    from adampro_spark.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(41)
+    rgb = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+    buf = encode_png(rgb, filters=([0, 1, 2, 3, 4] * 3)[:12])
+    assert (decode_png(buf, rgb=True) == rgb).all()
+    luma = decode_png(buf)
+    c = rgb.astype(np.uint32)
+    want = (
+        (299 * c[..., 0] + 587 * c[..., 1] + 114 * c[..., 2]) // 1000
+    ).astype(np.uint8)
+    assert (luma == want).all()
+    gray = rng.randint(0, 256, (8, 8), dtype=np.uint8)
+    rep = decode_png(encode_png(gray), rgb=True)
+    assert rep.shape == (8, 8, 3) and (rep == gray[:, :, None]).all()
