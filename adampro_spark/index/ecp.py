@@ -68,8 +68,28 @@ def build_ecp(
         )
         return wl, cell
 
+    def _assign_once(wl_):
+        """(pk, cell, min_dist) in ONE corpus scan: the distance vector
+        folds through a single struct array_min (lexicographic (d, i) →
+        first minimum, identical tie-break to argmin_expr), so the
+        ≤200-leader HOF evaluates twice per row in one pass instead of
+        ~5× across the old assign + stats scans (round 13; measured
+        14.0 s → see COVERAGE for the sf1 build).  Persisted as the
+        barrier both consumers (the index table, the stats aggregate)
+        read."""
+        dists = ref_dists_expr(vector_col, F.col("_ap_leaders"), distance_name)
+        best = F.array_min(
+            F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+        return wl_.select(
+            pk,
+            best["i"].cast("int").alias(FEATURE_COL),
+            best["d"].alias("_ap_dmin"),
+        ).persist()
+
     wl, cell = _assign(leaders)
-    indexed = wl.select(pk, cell.alias(FEATURE_COL))
+    assigned = _assign_once(wl)
+    indexed = assigned.select(pk, FEATURE_COL)
 
     if centroid_leaders:
         cent = (
@@ -86,23 +106,19 @@ def build_ecp(
         for r in cent:
             leaders[r[FEATURE_COL]] = [s["m"] for s in r["c"]]
         # re-assign to the moved leaders
+        assigned.unpersist()
         wl, cell = _assign(leaders)
-        indexed = wl.select(pk, cell.alias(FEATURE_COL))
+        assigned = _assign_once(wl)
+        indexed = assigned.select(pk, FEATURE_COL)
 
-    # ONE stats pass: per-cell population AND per-cell max
-    # member-to-leader distance (the cell RADIUS — array_min of the
-    # leader-distance vector IS the distance to the assigned leader).
-    # Radii make ecp_radius's triangle-inequality pruning exact.
+    # stats off the SAME persisted assignment pass: per-cell population
+    # AND per-cell max member-to-leader distance (the cell RADIUS —
+    # ``_ap_dmin`` IS the distance to the assigned leader).  Radii make
+    # ecp_radius's triangle-inequality pruning exact.
     stats = {
         int(r[FEATURE_COL]): (int(r["cnt"]), float(r["rad"]))
-        for r in wl.select(
-            cell.alias(FEATURE_COL),
-            F.array_min(
-                ref_dists_expr(vector_col, F.col("_ap_leaders"), distance_name)
-            ).alias("_d"),
-        )
-        .groupBy(FEATURE_COL)
-        .agg(F.count("*").alias("cnt"), F.max("_d").alias("rad"))
+        for r in assigned.groupBy(FEATURE_COL)
+        .agg(F.count("*").alias("cnt"), F.max("_ap_dmin").alias("rad"))
         .collect()
     }
     meta = {
