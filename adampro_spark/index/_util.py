@@ -224,8 +224,14 @@ def ref_dists_expr(
 
 
 def argmin_expr(dists: Column) -> Column:
-    """0-based index of the minimum element (deterministic: first minimum)."""
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    """0-based index of the minimum element (deterministic: first
+    minimum).  Implemented as one struct ``array_min`` over (d, i) —
+    lexicographic min = first minimum — so ``dists`` (often an expensive
+    distance HOF) is embedded ONCE instead of twice
+    (``array_position(dists, array_min(dists))`` — round 13)."""
+    return F.array_min(
+        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )["i"].cast("int")
 
 
 def np_pairwise(S: np.ndarray, R: np.ndarray, distance_name: str) -> np.ndarray:

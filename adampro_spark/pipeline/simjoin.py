@@ -295,7 +295,13 @@ def ivf_knn_join(
         leaders_lut = [[float(x) for x in r] for r in leaders]
 
         d = ref_dists_expr(vector_col, F.col("_ap_leaders"), distance_name)
-        cell = (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        # struct array_min: lexicographic (d, i) = the same first-minimum
+        # as array_position(array_min) but the leader-distance HOF
+        # evaluates ONCE per row instead of twice (round 13, the
+        # build_ecp fused-assignment trick)
+        cell = F.array_min(
+            F.transform(d, lambda dd, i: F.struct(dd.alias("d"), i.alias("i")))
+        )["i"].cast("int")
         data_cells = attach_lut(data, _ap_leaders=leaders_lut).select(
             pk, vector_col, cell.alias("_cell")
         )
