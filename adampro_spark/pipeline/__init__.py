@@ -32,6 +32,7 @@ from adampro_spark.pipeline.dedup import (  # noqa: F401
     exact_dedup,
     embedding_dedup,
     embedding_dup_pairs,
+    fingerprint_against,
     fingerprint_pairs,
     minhash_bands,
     lsh_params,

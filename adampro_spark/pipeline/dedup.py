@@ -1791,67 +1791,121 @@ def dedup_against(
             )
         return tagged.join(ref_h, keys, "left_anti").drop(*keys)
     if method == "simhash":
-        import math as _math
-
-        nbits = SIMHASH_BITS
-        key_arr, _, key_bits = _simhash_block_keys(nbits, max_hamming)
-        mk = lambda d, p_: _spread(d).select(  # noqa: E731
-            F.col(p_).alias("_pk"), simhash_expr(text_col, nbits).alias("_s")
-        ).persist()
-        ns, rs = mk(new, pk), mk(ref, pk)
-        try:
-            # Scale the ref-bucket cap with the EXPECTED bucket size
-            # (ADVICE r8): fingerprint-key buckets hold ~n_ref/2^key_bits
-            # rows by construction, so a fixed cap silently truncates
-            # EVERY bucket once the reference outgrows 2^key_bits·cap —
-            # collapsing the pigeonhole guarantee into systematic false
-            # negatives.  Capping at max(cap, 8× expected) only ever
-            # truncates buckets ≥8× their expected size — genuinely hot
-            # boilerplate concentrations, the case the cap is for.  The
-            # count is one cheap job on the persisted fingerprints.
-            n_ref = rs.count()
-            cap_eff = max(
-                int(max_bucket_size),
-                int(_math.ceil(8.0 * n_ref / float(1 << key_bits))),
-            )
-            nch = ns.select(
-                F.col("_pk").alias("_npk"),
-                F.posexplode(key_arr).alias("_ci", "_cv"),
-            )
-            rch = _cap_ref_buckets(
-                rs.select(
-                    F.col("_pk").alias("_rpk"),
-                    F.posexplode(key_arr).alias("_ci", "_cv"),
-                ),
-                ["_ci", "_cv"], "_rpk", cap_eff,
-            )
-            ham = F.bit_count(F.col("s_n").bitwiseXOR(F.col("s_r")))
-            matches = (
-                nch.join(rch, ["_ci", "_cv"])
-                .select("_npk", "_rpk")
-                .distinct()
-                .join(ns.select(F.col("_pk").alias("_npk"),
-                                F.col("_s").alias("s_n")), "_npk")
-                .join(rs.select(F.col("_pk").alias("_rpk"),
-                                F.col("_s").alias("s_r")), "_rpk")
-                .withColumn("hamming", ham.cast("int"))
-                .filter(F.col("hamming") <= int(max_hamming))
-                .localCheckpoint(eager=True)
-            )
-        finally:
-            ns.unpersist()
-            rs.unpersist()
-        if return_matches:
-            return matches.select(
-                F.col("_npk").alias("new_pk"),
-                F.col("_rpk").alias("ref_pk"),
-                "hamming",
-            )
-        dropped = matches.select(F.col("_npk").alias(pk)).distinct()
-        return new.join(dropped, pk, "left_anti")
+        return fingerprint_against(
+            new.withColumn("_ap_fp", simhash_expr(text_col, SIMHASH_BITS)),
+            ref.withColumn("_ap_fp", simhash_expr(text_col, SIMHASH_BITS)),
+            "_ap_fp",
+            pk=pk,
+            max_hamming=max_hamming,
+            nbits=SIMHASH_BITS,
+            max_bucket_size=max_bucket_size,
+            return_matches=return_matches,
+            _drop_fp=True,
+        )
     if method != "minhash":
         raise ValueError(f"unknown dedup_against method {method!r}")
+    return _minhash_against(
+        new, ref, text_col, pk, threshold, shingle_n, bands, rows, seed,
+        max_bucket_size, return_matches,
+    )
 
+
+def fingerprint_against(
+    new: DataFrame,
+    ref: DataFrame,
+    fp_col: str,
+    pk: str = "doc_id",
+    max_hamming: int = 3,
+    nbits: int = SIMHASH_BITS,
+    max_bucket_size: int = 1024,
+    return_matches: bool = False,
+    _drop_fp: bool = False,
+) -> DataFrame:
+    """Asymmetric Hamming dedup over ANY precomputed NONNEGATIVE integer
+    fingerprint columns (round 13): drop NEW rows within ``max_hamming``
+    of any REFERENCE row — the continuous-ingestion pattern for the
+    fingerprint families (text SimHash via :func:`dedup_against`
+    ``method="simhash"``, which delegates here; image
+    :func:`~adampro_spark.pipeline.multimodal.image_dhash` / audio /
+    video hashes with ``nbits=63``).  Manku multi-block key equi-join
+    (cross-corpus only — the reference never self-joins), exact
+    popcount verify, and the expected-bucket-scaled reference cap
+    (ADVICE r8).  ``return_matches=True`` yields
+    ``(new_pk, ref_pk, hamming)`` instead of the surviving rows."""
+    import math as _math
+
+    key_arr, _, key_bits = _simhash_block_keys(nbits, max_hamming)
+    mk = lambda d: _spread(d).select(  # noqa: E731
+        F.col(pk).alias("_pk"), F.col(fp_col).alias("_s")
+    ).persist()
+    ns, rs = mk(new), mk(ref)
+    try:
+        # Scale the ref-bucket cap with the EXPECTED bucket size
+        # (ADVICE r8): fingerprint-key buckets hold ~n_ref/2^key_bits
+        # rows by construction, so a fixed cap silently truncates
+        # EVERY bucket once the reference outgrows 2^key_bits·cap —
+        # collapsing the pigeonhole guarantee into systematic false
+        # negatives.  Capping at max(cap, 8× expected) only ever
+        # truncates buckets ≥8× their expected size — genuinely hot
+        # boilerplate concentrations, the case the cap is for.  The
+        # count is one cheap job on the persisted fingerprints.
+        n_ref = rs.count()
+        cap_eff = max(
+            int(max_bucket_size),
+            int(_math.ceil(8.0 * n_ref / float(1 << key_bits))),
+        )
+        nch = ns.select(
+            F.col("_pk").alias("_npk"),
+            F.posexplode(key_arr).alias("_ci", "_cv"),
+        )
+        rch = _cap_ref_buckets(
+            rs.select(
+                F.col("_pk").alias("_rpk"),
+                F.posexplode(key_arr).alias("_ci", "_cv"),
+            ),
+            ["_ci", "_cv"], "_rpk", cap_eff,
+        )
+        ham = F.bit_count(F.col("s_n").bitwiseXOR(F.col("s_r")))
+        matches = (
+            nch.join(rch, ["_ci", "_cv"])
+            .select("_npk", "_rpk")
+            .distinct()
+            .join(ns.select(F.col("_pk").alias("_npk"),
+                            F.col("_s").alias("s_n")), "_npk")
+            .join(rs.select(F.col("_pk").alias("_rpk"),
+                            F.col("_s").alias("s_r")), "_rpk")
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= int(max_hamming))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ns.unpersist()
+        rs.unpersist()
+    if return_matches:
+        return matches.select(
+            F.col("_npk").alias("new_pk"),
+            F.col("_rpk").alias("ref_pk"),
+            "hamming",
+        )
+    dropped = matches.select(F.col("_npk").alias(pk)).distinct()
+    out = new.join(dropped, pk, "left_anti")
+    return out.drop(fp_col) if _drop_fp else out
+
+
+def _minhash_against(
+    new: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    pk: str,
+    threshold: float,
+    shingle_n: int,
+    bands,
+    rows: int,
+    seed: int,
+    max_bucket_size: int,
+    return_matches: bool,
+) -> DataFrame:
+    """The minhash leg of :func:`dedup_against` (factored round 13)."""
     from pyspark.sql import Window
 
     if bands == "auto":

@@ -762,3 +762,55 @@ def test_png_rgb_decode_lossless():
     gray = rng.randint(0, 256, (8, 8), dtype=np.uint8)
     rep = decode_png(encode_png(gray), rgb=True)
     assert rep.shape == (8, 8, 3) and (rep == gray[:, :, None]).all()
+
+
+def test_fingerprint_against_images(spark):
+    """Asymmetric reference dedup over image dHashes: new images within
+    hamming t of ANY reference image drop; fresh material survives; the
+    text simhash path (which now delegates here) is unchanged."""
+    from adampro_spark.pipeline.dedup import dedup_against, fingerprint_against
+    from adampro_spark.pipeline.multimodal import dhash_bits, encode_bmp, image_dhash
+
+    h, w = 36, 32
+    ramp = (np.add.outer(np.arange(h) * 7, np.arange(w) * 3) % 256).astype(np.uint8)
+    inverted = (255 - ramp).astype(np.uint8)
+    mirrored = ramp[:, ::-1].copy()
+    ref = spark.createDataFrame(
+        [(900, encode_bmp(ramp))], "media_id long, content binary"
+    )
+    retouched = np.clip(
+        ramp.astype(np.int16) + np.pad(
+            np.full((3, 3), 9, dtype=np.int16), ((5, h - 8), (5, w - 8))
+        ), 0, 255,
+    ).astype(np.uint8)
+    new = spark.createDataFrame(
+        [(1, encode_bmp(retouched)), (2, encode_bmp(inverted)),
+         (3, encode_bmp(mirrored))],
+        "media_id long, content binary",
+    )
+    kept = fingerprint_against(
+        image_dhash(new), image_dhash(ref), "dhash",
+        pk="media_id", max_hamming=6, nbits=63,
+    )
+    assert {r["media_id"] for r in kept.collect()} == {2, 3}
+    matches = fingerprint_against(
+        image_dhash(new), image_dhash(ref), "dhash",
+        pk="media_id", max_hamming=6, nbits=63, return_matches=True,
+    ).collect()
+    assert [(m["new_pk"], m["ref_pk"]) for m in matches] == [(1, 900)]
+    assert matches[0]["hamming"] == bin(
+        dhash_bits(retouched) ^ dhash_bits(ramp)).count("1")
+
+    # the delegating text path still drops near-dup text and keeps fresh
+    refd = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog " * 4)],
+        "doc_id long, text string",
+    )
+    newd = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 4 + "tail"),
+         (2, "completely different words in every position here now")],
+        "doc_id long, text string",
+    )
+    out = dedup_against(newd, refd, method="simhash")
+    assert {r["doc_id"] for r in out.collect()} == {2}
+    assert out.columns == ["doc_id", "text"]  # no fp-column leak
