@@ -1281,6 +1281,159 @@ def decode_avi_frames(
     return frames
 
 
+#: formats image_dhash can decode (decode_media routes them to a 2-D
+#: luma grid; wav decodes to a 1×n strip too short for the dhash grid)
+_DHASH_FORMATS = ("bmp", "png", "jpeg")
+
+
+def curate_media(
+    df: DataFrame,
+    content_col: str = "content",
+    pk: str = "media_id",
+    formats: "tuple[str, ...] | None" = None,
+    min_width: int | None = None,
+    min_height: int | None = None,
+    dedup: str | None = "dhash",
+    max_hamming: int = 6,
+    stage_timings: "dict[str, float] | None" = None,
+) -> "tuple[DataFrame, dict]":
+    """Filter + deduplicate a MEDIA corpus — the multimodal sibling of
+    the text :func:`~adampro_spark.pipeline.curate.curate` (round 13):
+    returns ``(survivors, report)`` where the report counts each gate's
+    attrition.
+
+    Stages, mirroring the text pipeline's shape:
+
+    1. **Probe gates** (header-only, :func:`probe_media` — nothing is
+       decoded): ``formats`` whitelist (default: every format the probe
+       recognizes, i.e. ``'unknown'`` always drops) and optional
+       ``min_width``/``min_height`` floors (apply only to formats that
+       HAVE dimensions; audio passes them vacuously).
+    2. **Exact dedup** (``dedup="exact"`` or ``"dhash"``): sha256 over
+       the raw bytes (:func:`media_fingerprint`) — one hash-groupBy,
+       min-pk survivor per byte-identical family.  ``dedup=None`` skips
+       both dedup stages (the text-curate convention).
+    3. **Near-dup dedup** (``dedup="dhash"``, images only): 63-bit
+       :func:`image_dhash` over the :data:`_DHASH_FORMATS` survivors,
+       pairs via the Manku machinery
+       (:func:`~adampro_spark.pipeline.dedup.fingerprint_pairs`,
+       ``hamming ≤ max_hamming``), min-pk survivor per family; non-image
+       formats pass through untouched (route audio/video through
+       ``audio_dhash``/``video_dhash`` + ``fingerprint_pairs`` when
+       those corpora need their own near-dup pass).  ``dedup=None``
+       skips the stage.
+
+    Report keys: ``n_input, n_bad_format, n_too_small, n_after_gates,
+    n_exact_dropped, n_neardup_dropped, n_output``.  Scale shape: one
+    header-probe pass, one byte-hash groupBy, one decode pass over the
+    surviving IMAGES only — the expensive decode never touches rows the
+    cheap gates already dropped (the text curate's one-gate-scan
+    discipline applied to media)."""
+    import time
+
+    from adampro_spark.pipeline.dedup import deduplicate, fingerprint_pairs
+
+    t0 = time.perf_counter()
+    n_input = df.count()
+    probed = probe_media(df, content_col, pk)
+    fmt_ok = (
+        F.col("format").isin(list(formats))
+        if formats is not None
+        else F.col("format") != F.lit("unknown")
+    )
+    size_ok = F.lit(True)
+    if min_width is not None:
+        size_ok = size_ok & (
+            F.col("width").isNull() | (F.col("width") >= int(min_width))
+        )
+    if min_height is not None:
+        size_ok = size_ok & (
+            F.col("height").isNull() | (F.col("height") >= int(min_height))
+        )
+    flags = probed.select(
+        pk, "format", fmt_ok.alias("_fmt_ok"), size_ok.alias("_size_ok")
+    ).persist()
+    agg = flags.agg(
+        F.sum((~F.col("_fmt_ok")).cast("long")).alias("bad_fmt"),
+        F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")).alias(
+            "too_small"
+        ),
+        F.sum((F.col("_fmt_ok") & F.col("_size_ok")).cast("long")).alias(
+            "kept"
+        ),
+    ).first()
+    gated = df.join(
+        flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).select(pk, "format"),
+        pk,
+    )
+    if stage_timings is not None:
+        stage_timings["probe_sec"] = round(time.perf_counter() - t0, 3)
+
+    n_after_gates = int(agg["kept"])
+    if dedup not in (None, "exact", "dhash"):
+        raise ValueError(f"unknown curate_media dedup {dedup!r}")
+    if dedup is None:
+        out = gated.drop("format")
+        flags.unpersist()
+        return out, {
+            "n_input": n_input,
+            "n_bad_format": int(agg["bad_fmt"]),
+            "n_too_small": int(agg["too_small"]),
+            "n_after_gates": n_after_gates,
+            "n_exact_dropped": 0,
+            "n_neardup_dropped": 0,
+            "n_output": n_after_gates,
+        }
+
+    t1 = time.perf_counter()
+    fp = media_fingerprint(gated, content_col, pk)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp_hex", "n_bytes").orderBy(pk)
+    keep_exact = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(pk)
+    )
+    exact_kept = gated.join(keep_exact, pk, "left_semi").persist()
+    n_exact = exact_kept.count()
+    if stage_timings is not None:
+        stage_timings["exact_sec"] = round(time.perf_counter() - t1, 3)
+
+    t2 = time.perf_counter()
+    if dedup == "exact":
+        out = exact_kept.drop("format")
+        n_out = n_exact
+    else:
+        imgs = exact_kept.filter(F.col("format").isin(list(_DHASH_FORMATS)))
+        pairs = fingerprint_pairs(
+            image_dhash(imgs, content_col, pk),
+            "dhash",
+            pk=pk,
+            max_hamming=int(max_hamming),
+            nbits=63,
+        )
+        survivors_img = deduplicate(imgs, pairs, pk=pk)
+        out = survivors_img.unionByName(
+            exact_kept.filter(~F.col("format").isin(list(_DHASH_FORMATS)))
+        ).drop("format")
+        n_out = out.count()
+    if stage_timings is not None:
+        stage_timings["neardup_sec"] = round(time.perf_counter() - t2, 3)
+    flags.unpersist()
+
+    report = {
+        "n_input": n_input,
+        "n_bad_format": int(agg["bad_fmt"]),
+        "n_too_small": int(agg["too_small"]),
+        "n_after_gates": n_after_gates,
+        "n_exact_dropped": n_after_gates - n_exact,
+        "n_neardup_dropped": n_exact - n_out,
+        "n_output": n_out,
+    }
+    return out, report
+
+
 def media_probe(content: bytes) -> dict:
     """HEADER-ONLY metadata sniff (ffprobe-lite): container format plus
     dimensions / frame count / sample rate WITHOUT decoding any pixel or

@@ -814,3 +814,59 @@ def test_fingerprint_against_images(spark):
     out = dedup_against(newd, refd, method="simhash")
     assert {r["doc_id"] for r in out.collect()} == {2}
     assert out.columns == ["doc_id", "text"]  # no fp-column leak
+
+
+def test_curate_media_end_to_end(spark):
+    """The media curate composition: probe gates drop junk/undersized,
+    exact dedup drops byte copies, dhash drops retouched/cross-format
+    copies, audio passes the image stages untouched, and the report
+    accounts for every row."""
+    from adampro_spark.pipeline.multimodal import (
+        curate_media,
+        encode_bmp,
+        encode_jpeg,
+        encode_wav,
+    )
+
+    h, w = 36, 32
+    ramp = (np.add.outer(np.arange(h) * 7, np.arange(w) * 3) % 256).astype(np.uint8)
+    inverted = (255 - ramp).astype(np.uint8)
+    retouched = np.clip(
+        ramp.astype(np.int16) + np.pad(
+            np.full((3, 3), 9, dtype=np.int16), ((5, h - 8), (5, w - 8))
+        ), 0, 255,
+    ).astype(np.uint8)
+    tiny = np.full((4, 4), 9, dtype=np.uint8)
+    rows = [
+        (0, encode_bmp(ramp)),          # keeper
+        (1, encode_bmp(ramp)),          # exact byte copy -> exact drop
+        (2, encode_bmp(retouched)),     # near-dup -> dhash drop
+        (3, encode_jpeg(ramp, quant=2)),  # cross-format copy -> dhash drop
+        (4, encode_bmp(inverted)),      # distinct image -> keeper
+        (5, encode_bmp(tiny)),          # under the size floor
+        (6, b"junk bytes here"),        # unknown format
+        (7, encode_wav(np.zeros(6400, dtype=np.int16))),  # audio keeper
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    timings: dict = {}
+    out, report = curate_media(
+        df, min_width=8, min_height=8, stage_timings=timings
+    )
+    kept = {r["media_id"] for r in out.collect()}
+    assert kept == {0, 4, 7}
+    assert report == {
+        "n_input": 8,
+        "n_bad_format": 1,
+        "n_too_small": 1,
+        "n_after_gates": 6,
+        "n_exact_dropped": 1,
+        "n_neardup_dropped": 2,
+        "n_output": 3,
+    }
+    assert set(timings) == {"probe_sec", "exact_sec", "neardup_sec"}
+    assert out.columns == ["media_id", "content"]
+
+    # dedup=None keeps the near-dups, format whitelist drops audio
+    out2, rep2 = curate_media(df, formats=("bmp", "jpeg"), dedup=None)
+    assert rep2["n_bad_format"] == 2  # junk + wav outside the whitelist
+    assert {r["media_id"] for r in out2.collect()} == {0, 1, 2, 3, 4, 5}
