@@ -121,6 +121,12 @@ def build_ecp(
         .agg(F.count("*").alias("cnt"), F.max("_ap_dmin").alias("rad"))
         .collect()
     }
+    # release the fused-assignment cache (ADVICE r13: repeated builds
+    # accumulated session-lifetime cached partitions) — the index-table
+    # consumer reads a slim materialized (pk, cell) checkpoint instead,
+    # so unpersisting costs no recompute
+    indexed = assigned.select(pk, FEATURE_COL).localCheckpoint(eager=True)
+    assigned.unpersist()
     meta = {
         "type": "ecp",
         "pk": pk,

@@ -987,6 +987,31 @@ def simhash_pairs(
     )
 
 
+def _nonneg_fp_guard(fp_col: str) -> Column:
+    """The fingerprint column, assert-folded (the house
+    ``_session_cap_guard`` pattern): NULL-pass coalesce keeps it pure
+    codegen on the happy path; a negative fingerprint (bit 63 set —
+    arithmetic shifts in the Manku block keys would sign-extend into
+    silently-missed pairs) raises loudly naming the convention."""
+    return F.coalesce(
+        F.assert_true(
+            F.col(fp_col) >= 0,
+            F.concat(
+                F.lit("fingerprint column '"),
+                F.lit(fp_col),
+                F.lit("' holds a NEGATIVE value "),
+                F.col(fp_col).cast("string"),
+                F.lit(
+                    " (bit 63 set?) — Manku block keys need NONNEGATIVE"
+                    " fingerprints; use the 63-bit hash convention"
+                    " (dhash_bits/audio_envelope_bits) or mask to 63 bits"
+                ),
+            ),
+        ).cast("long"),
+        F.col(fp_col),
+    )
+
+
 def fingerprint_pairs(
     df: DataFrame,
     fp_col: str,
@@ -1003,9 +1028,22 @@ def fingerprint_pairs(
     audio/video signatures, or externally-computed hashes.  Candidates
     via the exhaustive-by-pigeonhole block keys, exact popcount(xor)
     verification, hot-bucket star guard — fingerprints never ride the
-    exploded key rows."""
+    exploded key rows.
+
+    NULL fingerprints (the failure-tolerant media kernels emit them for
+    undecodable blobs, round 14) are dropped up front: such rows can
+    never pair, so they pass through any downstream ``deduplicate`` as
+    non-candidates.  NEGATIVE fingerprints raise loudly via the house
+    assert-folded guard (ADVICE r13): the Manku block keys use
+    arithmetic shifts, so a bit-63-set hash would silently sign-extend
+    into wrong keys — i.e. MISSED pairs, not an error — use 63-bit
+    hash conventions (``nbits`` ≤ 63)."""
     key_arr, _, _ = _simhash_block_keys(nbits, max_hamming)
-    sim = _spread(df).select(F.col(pk).alias("_pk"), F.col(fp_col).alias("_s"))
+    sim = (
+        _spread(df)
+        .filter(F.col(fp_col).isNotNull())
+        .select(F.col(pk).alias("_pk"), _nonneg_fp_guard(fp_col).alias("_s"))
+    )
     # barrier: stop CollapseProject inlining the fingerprint expression
     # into every block-key expression (see minhash_dup_pairs)
     sim = sim.persist()
@@ -1835,8 +1873,12 @@ def fingerprint_against(
     import math as _math
 
     key_arr, _, key_bits = _simhash_block_keys(nbits, max_hamming)
-    mk = lambda d: _spread(d).select(  # noqa: E731
-        F.col(pk).alias("_pk"), F.col(fp_col).alias("_s")
+    # NULL fingerprints drop (undecodable-blob convention) and negative
+    # ones raise — same front door as fingerprint_pairs (round 14)
+    mk = lambda d: _spread(d).filter(  # noqa: E731
+        F.col(fp_col).isNotNull()
+    ).select(
+        F.col(pk).alias("_pk"), _nonneg_fp_guard(fp_col).alias("_s")
     ).persist()
     ns, rs = mk(new), mk(ref)
     try:

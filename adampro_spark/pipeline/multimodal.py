@@ -1026,6 +1026,8 @@ def extract_features(
     The fake featurizer is a per-band mean histogram of the decoded pixel
     grid — any real embedding model slots into the same batch loop (and
     would batch ONE model call per Arrow batch, not per row).
+    Undecodable blobs yield a NULL feature instead of crashing the job —
+    the :func:`image_dhash` failure-tolerance convention (round 14).
     """
 
     def featurize(batches: Iterator) -> Iterator:
@@ -1034,11 +1036,20 @@ def extract_features(
         for pdf in batches:
             feats = []
             for content, meta in zip(pdf[content_col], pdf["meta"]):
-                w = int(meta["width"] or 8)
-                h = int(meta["height"] or 8)
-                img = decoder(bytes(content), w, h)
-                bands = np.array_split(img.astype(np.float64).ravel(), out_dim)
-                feats.append(np.array([b.mean() / 255.0 for b in bands], dtype=np.float32))
+                try:
+                    w = int(meta["width"] or 8)
+                    h = int(meta["height"] or 8)
+                    img = decoder(bytes(content), w, h)
+                    bands = np.array_split(
+                        img.astype(np.float64).ravel(), out_dim
+                    )
+                    feats.append(
+                        np.array(
+                            [b.mean() / 255.0 for b in bands], dtype=np.float32
+                        )
+                    )
+                except Exception:
+                    feats.append(None)
             yield pd.DataFrame({pk: pdf[pk], "feature": list(feats)})
 
     return df.mapInPandas(
@@ -1295,12 +1306,13 @@ def curate_media(
     min_height: int | None = None,
     dedup: str | None = "dhash",
     max_hamming: int = 6,
+    decoder: Callable[[bytes, int, int], np.ndarray] = decode_media,
     stage_timings: "dict[str, float] | None" = None,
 ) -> "tuple[DataFrame, dict]":
     """Filter + deduplicate a MEDIA corpus — the multimodal sibling of
-    the text :func:`~adampro_spark.pipeline.curate.curate` (round 13):
-    returns ``(survivors, report)`` where the report counts each gate's
-    attrition.
+    the text :func:`~adampro_spark.pipeline.curate.curate` (round 13,
+    corpus-hardened round 14): returns ``(survivors, report)`` where the
+    report counts each gate's attrition.
 
     Stages, mirroring the text pipeline's shape:
 
@@ -1313,25 +1325,40 @@ def curate_media(
        the raw bytes (:func:`media_fingerprint`) — one hash-groupBy,
        min-pk survivor per byte-identical family.  ``dedup=None`` skips
        both dedup stages (the text-curate convention).
-    3. **Near-dup dedup** (``dedup="dhash"``, images only): 63-bit
-       :func:`image_dhash` over the :data:`_DHASH_FORMATS` survivors,
-       pairs via the Manku machinery
+    3. **Near-dup dedup** (``dedup="dhash"``), PER MODALITY and never
+       cross-modality (round 14, verdict r13 #4): images
+       (:data:`_DHASH_FORMATS`) through :func:`image_dhash` (``decoder``
+       is forwarded), wav through :func:`audio_dhash`, avi through
+       :func:`video_dhash`; each family's pairs via the Manku machinery
        (:func:`~adampro_spark.pipeline.dedup.fingerprint_pairs`,
-       ``hamming ≤ max_hamming``), min-pk survivor per family; non-image
-       formats pass through untouched (route audio/video through
-       ``audio_dhash``/``video_dhash`` + ``fingerprint_pairs`` when
-       those corpora need their own near-dup pass).  ``dedup=None``
-       skips the stage.
+       ``hamming ≤ max_hamming``), min-pk survivor per family.
+       Blobs the hash grid cannot cover — images/frames below the 9×8
+       dhash grid, clips below the 64-window envelope, judged from the
+       PROBED header dims so nothing is decoded to find out — pass
+       through undeduplicated, and UNDECODABLE blobs (probe-valid but
+       codec-unsupported: the failure-tolerant kernels hash them to
+       NULL) pass through too, counted as ``n_undecodable`` instead of
+       crashing the job (verdict r13 #1).
 
     Report keys: ``n_input, n_bad_format, n_too_small, n_after_gates,
-    n_exact_dropped, n_neardup_dropped, n_output``.  Scale shape: one
-    header-probe pass, one byte-hash groupBy, one decode pass over the
-    surviving IMAGES only — the expensive decode never touches rows the
-    cheap gates already dropped (the text curate's one-gate-scan
-    discipline applied to media)."""
+    n_exact_dropped, n_neardup_dropped, n_neardup_dropped_{image,audio,
+    video}, n_undecodable, n_output``.  Scale shape: one header-probe
+    pass, one byte-hash groupBy, one decode pass per present modality
+    over its eligible survivors only — drop-lists are slim
+    pk-projections (localCheckpointed, at most the duplicate count),
+    the blob column is NEVER persisted or checkpointed (ADVICE r13:
+    the r13 shape cached gate-survivor blobs for the session
+    lifetime), and the expensive decode never touches rows the cheap
+    gates already dropped."""
     import time
+    from functools import reduce
 
-    from adampro_spark.pipeline.dedup import deduplicate, fingerprint_pairs
+    from adampro_spark.pipeline.dedup import dup_groups, fingerprint_pairs
+
+    # validate BEFORE any work (ADVICE r13: raising after the persist
+    # leaked the cached probe flags)
+    if dedup not in (None, "exact", "dhash"):
+        raise ValueError(f"unknown curate_media dedup {dedup!r}")
 
     t0 = time.perf_counter()
     n_input = df.count()
@@ -1350,88 +1377,153 @@ def curate_media(
         size_ok = size_ok & (
             F.col("height").isNull() | (F.col("height") >= int(min_height))
         )
+    # carry the probed format/dims through the gates: the near-dup stage
+    # routes modalities and skips grid-too-small blobs from the HEADER,
+    # never by decoding (house _ap_ helper-column prefix)
     flags = probed.select(
-        pk, "format", fmt_ok.alias("_fmt_ok"), size_ok.alias("_size_ok")
-    ).persist()
-    agg = flags.agg(
-        F.sum((~F.col("_fmt_ok")).cast("long")).alias("bad_fmt"),
-        F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")).alias(
-            "too_small"
-        ),
-        F.sum((F.col("_fmt_ok") & F.col("_size_ok")).cast("long")).alias(
-            "kept"
-        ),
-    ).first()
-    gated = df.join(
-        flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).select(pk, "format"),
         pk,
-    )
-    if stage_timings is not None:
-        stage_timings["probe_sec"] = round(time.perf_counter() - t0, 3)
+        F.col("format").alias("_ap_fmt"),
+        F.col("width").alias("_ap_w"),
+        F.col("height").alias("_ap_h"),
+        F.col("n_frames").alias("_ap_nf"),
+        fmt_ok.alias("_fmt_ok"),
+        size_ok.alias("_size_ok"),
+    ).persist()
+    helper_cols = ("_ap_fmt", "_ap_w", "_ap_h", "_ap_nf")
+    try:
+        # F.sum over ZERO rows is NULL — coalesce so an empty corpus
+        # reports zeros instead of TypeError (ADVICE r13)
+        agg = flags.agg(
+            F.coalesce(
+                F.sum((~F.col("_fmt_ok")).cast("long")), F.lit(0)
+            ).alias("bad_fmt"),
+            F.coalesce(
+                F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")),
+                F.lit(0),
+            ).alias("too_small"),
+            F.coalesce(
+                F.sum((F.col("_fmt_ok") & F.col("_size_ok")).cast("long")),
+                F.lit(0),
+            ).alias("kept"),
+        ).first()
+        gated = df.join(
+            flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).select(
+                pk, *helper_cols
+            ),
+            pk,
+        )
+        if stage_timings is not None:
+            stage_timings["probe_sec"] = round(time.perf_counter() - t0, 3)
 
-    n_after_gates = int(agg["kept"])
-    if dedup not in (None, "exact", "dhash"):
-        raise ValueError(f"unknown curate_media dedup {dedup!r}")
-    if dedup is None:
-        out = gated.drop("format")
-        flags.unpersist()
-        return out, {
+        n_after_gates = int(agg["kept"])
+        report = {
             "n_input": n_input,
             "n_bad_format": int(agg["bad_fmt"]),
             "n_too_small": int(agg["too_small"]),
             "n_after_gates": n_after_gates,
             "n_exact_dropped": 0,
             "n_neardup_dropped": 0,
+            "n_undecodable": 0,
             "n_output": n_after_gates,
         }
+        if dedup is None:
+            return gated.drop(*helper_cols), report
 
-    t1 = time.perf_counter()
-    fp = media_fingerprint(gated, content_col, pk)
-    from pyspark.sql import Window
+        # exact stage: a slim localCheckpointed pk drop-list (at most
+        # the duplicate count) — the blob DF itself is never cached
+        t1 = time.perf_counter()
+        fp = media_fingerprint(gated, content_col, pk)
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("fp_hex", "n_bytes").orderBy(pk)
-    keep_exact = (
-        fp.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(pk)
-    )
-    exact_kept = gated.join(keep_exact, pk, "left_semi").persist()
-    n_exact = exact_kept.count()
-    if stage_timings is not None:
-        stage_timings["exact_sec"] = round(time.perf_counter() - t1, 3)
-
-    t2 = time.perf_counter()
-    if dedup == "exact":
-        out = exact_kept.drop("format")
-        n_out = n_exact
-    else:
-        imgs = exact_kept.filter(F.col("format").isin(list(_DHASH_FORMATS)))
-        pairs = fingerprint_pairs(
-            image_dhash(imgs, content_col, pk),
-            "dhash",
-            pk=pk,
-            max_hamming=int(max_hamming),
-            nbits=63,
+        w = Window.partitionBy("fp_hex", "n_bytes").orderBy(pk)
+        exact_drops = (
+            fp.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(pk)
+            .localCheckpoint(eager=True)
         )
-        survivors_img = deduplicate(imgs, pairs, pk=pk)
-        out = survivors_img.unionByName(
-            exact_kept.filter(~F.col("format").isin(list(_DHASH_FORMATS)))
-        ).drop("format")
-        n_out = out.count()
-    if stage_timings is not None:
-        stage_timings["neardup_sec"] = round(time.perf_counter() - t2, 3)
-    flags.unpersist()
+        n_exact_dropped = exact_drops.count()
+        report["n_exact_dropped"] = n_exact_dropped
+        drop_dfs = [exact_drops]
+        if stage_timings is not None:
+            stage_timings["exact_sec"] = round(time.perf_counter() - t1, 3)
 
-    report = {
-        "n_input": n_input,
-        "n_bad_format": int(agg["bad_fmt"]),
-        "n_too_small": int(agg["too_small"]),
-        "n_after_gates": n_after_gates,
-        "n_exact_dropped": n_after_gates - n_exact,
-        "n_neardup_dropped": n_exact - n_out,
-        "n_output": n_out,
-    }
-    return out, report
+        n_neardup = 0
+        n_undec = 0
+        if dedup == "dhash":
+            t2 = time.perf_counter()
+            base = gated.join(exact_drops, pk, "left_anti")
+            present = {
+                r["_ap_fmt"]
+                for r in flags.filter(F.col("_fmt_ok") & F.col("_size_ok"))
+                .select("_ap_fmt")
+                .distinct()
+                .collect()
+            }
+            grid_r, grid_c = DHASH_GRID
+            modalities = (
+                (
+                    "image",
+                    set(_DHASH_FORMATS),
+                    F.col("_ap_fmt").isin(list(_DHASH_FORMATS))
+                    & (F.col("_ap_w") >= grid_c)
+                    & (F.col("_ap_h") >= grid_r),
+                    lambda d: image_dhash(d, content_col, pk, decoder=decoder),
+                ),
+                (
+                    "audio",
+                    {"wav"},
+                    (F.col("_ap_fmt") == "wav")
+                    & (F.col("_ap_nf") >= AUDIO_ENVELOPE_WINDOWS),
+                    lambda d: audio_dhash(d, content_col, pk),
+                ),
+                (
+                    "video",
+                    {"avi"},
+                    (F.col("_ap_fmt") == "avi")
+                    & (F.col("_ap_nf") >= 1)
+                    & (F.col("_ap_w") >= grid_c)
+                    & (F.col("_ap_h") >= grid_r),
+                    lambda d: video_dhash(d, content_col, pk),
+                ),
+            )
+            for name, fmts, cond, hasher in modalities:
+                report[f"n_neardup_dropped_{name}"] = 0
+                if not (fmts & present):
+                    continue  # modality absent: no empty decode jobs
+                hashed = hasher(base.filter(cond)).persist()
+                n_undec += hashed.filter(F.col("dhash").isNull()).count()
+                pairs = fingerprint_pairs(
+                    hashed,
+                    "dhash",
+                    pk=pk,
+                    max_hamming=int(max_hamming),
+                    nbits=63,
+                )
+                mod_drops = (
+                    dup_groups(pairs)
+                    .filter(F.col("id") != F.col("survivor"))
+                    .select(F.col("id").alias(pk))
+                    .localCheckpoint(eager=True)
+                )
+                hashed.unpersist()
+                n_mod = mod_drops.count()
+                report[f"n_neardup_dropped_{name}"] = n_mod
+                n_neardup += n_mod
+                drop_dfs.append(mod_drops)
+            if stage_timings is not None:
+                stage_timings["neardup_sec"] = round(
+                    time.perf_counter() - t2, 3
+                )
+
+        report["n_neardup_dropped"] = n_neardup
+        report["n_undecodable"] = n_undec
+        report["n_output"] = n_after_gates - n_exact_dropped - n_neardup
+        all_drops = reduce(lambda a, b: a.unionByName(b), drop_dfs)
+        out = gated.join(all_drops, pk, "left_anti").drop(*helper_cols)
+        return out, report
+    finally:
+        flags.unpersist()
 
 
 def media_probe(content: bytes) -> dict:
@@ -1597,21 +1689,38 @@ def video_fingerprint(
     the decode-free :func:`avi_frame_count`) in one Arrow-batched
     mapInPandas pass; the exact-adjudication surface for the video
     modality (flat MJPEG frames at quant=1 are exactly recoverable, so
-    the DuckDB oracle predicts the sampled pixel sums)."""
+    the DuckDB oracle predicts the sampled pixel sums).  Undecodable
+    blobs yield a NULL row (all three stats) instead of crashing the
+    job — the :func:`image_dhash` failure-tolerance convention
+    (round 14)."""
 
     def kern(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            nf, ns, sums = [], [], []
+            nf: list = []
+            ns: list = []
+            sums: list = []
             for c in pdf[content_col]:
-                blob = bytes(c)
-                sampled = decode_avi_frames(blob, every_n=every_n)
-                nf.append(avi_frame_count(blob))
-                ns.append(len(sampled))
-                sums.append(int(sum(f.astype(np.int64).sum() for f in sampled)))
+                try:
+                    blob = bytes(c)
+                    sampled = decode_avi_frames(blob, every_n=every_n)
+                    nf.append(avi_frame_count(blob))
+                    ns.append(len(sampled))
+                    sums.append(
+                        int(sum(f.astype(np.int64).sum() for f in sampled))
+                    )
+                except Exception:
+                    nf.append(None)
+                    ns.append(None)
+                    sums.append(None)
             yield pd.DataFrame(
-                {pk: pdf[pk], "n_frames": nf, "n_sampled": ns, "px_sum": sums}
+                {
+                    pk: pdf[pk],
+                    "n_frames": pd.array(nf, dtype="Int64"),
+                    "n_sampled": pd.array(ns, dtype="Int64"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                }
             )
 
     return df.select(pk, content_col).mapInPandas(
@@ -1631,20 +1740,29 @@ def video_dhash(
     :func:`~adampro_spark.pipeline.dedup.fingerprint_pairs` like the
     image/audio families.  Note the mean is frame-order-invariant: a
     reversed clip hashes identically (use per-frame hashes for temporal
-    sensitivity)."""
+    sensitivity).  Undecodable blobs (non-MJPEG codecs, zero sampled
+    frames, frames below the dhash grid) yield a NULL hash instead of
+    crashing the job — the :func:`image_dhash` failure-tolerance
+    convention (round 14)."""
 
     def kern(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            hashes = []
+            hashes: list = []
             for c in pdf[content_col]:
-                frames = decode_avi_frames(bytes(c), every_n=every_n)
-                mean = np.mean(
-                    np.stack([f.astype(np.float64) for f in frames]), axis=0
-                )
-                hashes.append(int(dhash_bits(mean)))
-            yield pd.DataFrame({pk: pdf[pk], "dhash": hashes})
+                try:
+                    frames = decode_avi_frames(bytes(c), every_n=every_n)
+                    mean = np.mean(
+                        np.stack([f.astype(np.float64) for f in frames]),
+                        axis=0,
+                    )
+                    hashes.append(int(dhash_bits(mean)))
+                except Exception:
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {pk: pdf[pk], "dhash": pd.array(hashes, dtype="Int64")}
+            )
 
     return df.select(pk, content_col).mapInPandas(
         kern, schema=f"{pk} long, dhash long"
@@ -1699,17 +1817,25 @@ def audio_dhash(
     Arrow-batched mapInPandas pass; near-dup AUDIO dedup rides the same
     Manku machinery:
     ``deduplicate(df, fingerprint_pairs(audio_dhash(df), "dhash",
-    nbits=63))`` (round 13, beyond-reference)."""
+    nbits=63))`` (round 13, beyond-reference).  Undecodable blobs
+    (non-PCM codecs, truncated RIFF, clips shorter than the envelope
+    grid) yield a NULL hash instead of crashing the job — the
+    :func:`image_dhash` failure-tolerance convention (round 14)."""
 
     def kern(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            hashes = []
+            hashes: list = []
             for c in pdf[content_col]:
-                samples, _rate = decode_wav(bytes(c))
-                hashes.append(int(audio_envelope_bits(samples)))
-            yield pd.DataFrame({pk: pdf[pk], "dhash": hashes})
+                try:
+                    samples, _rate = decode_wav(bytes(c))
+                    hashes.append(int(audio_envelope_bits(samples)))
+                except Exception:
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {pk: pdf[pk], "dhash": pd.array(hashes, dtype="Int64")}
+            )
 
     return df.select(pk, content_col).mapInPandas(
         kern, schema=f"{pk} long, dhash long"
@@ -1729,17 +1855,32 @@ def image_dhash(
     in many bits, so near-dup IMAGE dedup is
     ``deduplicate(df, fingerprint_pairs(image_dhash(df), "dhash", ...))``
     — the same Manku multi-block Hamming machinery the text SimHash
-    family uses, now over pixels (round 13, beyond-reference)."""
+    family uses, now over pixels (round 13, beyond-reference).
+
+    FAILURE-TOLERANT (round 14, verdict r13 #1): an undecodable blob —
+    a codec variant the decoder raises on, truncated bytes, an image
+    smaller than the dhash grid — yields a NULL hash instead of killing
+    the whole Spark job from inside the Arrow kernel.  The single-blob
+    decoders keep their honest raises; a corpus-scale fleet kernel must
+    survive what a real web corpus guarantees to contain
+    (``fingerprint_pairs`` drops NULL fingerprints, so such rows pass
+    through any dedup as non-candidates — count them with
+    ``F.sum(col.isNull())`` or :func:`curate_media`'s
+    ``n_undecodable``)."""
 
     def kern(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            hashes = [
-                int(dhash_bits(decoder(bytes(c), 0, 0)))
-                for c in pdf[content_col]
-            ]
-            yield pd.DataFrame({pk: pdf[pk], "dhash": hashes})
+            hashes: list = []
+            for c in pdf[content_col]:
+                try:
+                    hashes.append(int(dhash_bits(decoder(bytes(c), 0, 0))))
+                except Exception:
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {pk: pdf[pk], "dhash": pd.array(hashes, dtype="Int64")}
+            )
 
     return df.select(pk, content_col).mapInPandas(
         kern, schema=f"{pk} long, dhash long"

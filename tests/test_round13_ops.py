@@ -861,6 +861,10 @@ def test_curate_media_end_to_end(spark):
         "n_after_gates": 6,
         "n_exact_dropped": 1,
         "n_neardup_dropped": 2,
+        "n_neardup_dropped_image": 2,
+        "n_neardup_dropped_audio": 0,
+        "n_neardup_dropped_video": 0,
+        "n_undecodable": 0,
         "n_output": 3,
     }
     assert set(timings) == {"probe_sec", "exact_sec", "neardup_sec"}

@@ -1,0 +1,264 @@
+"""Round-14 operators: failure-tolerant media kernels (verdict r13 #1),
+per-modality near-dup inside curate_media (verdict r13 #4), and the
+fingerprint front-door guards (ADVICE r13).
+
+The planted undecodable blobs are all PROBE-VALID (header parses, so the
+header-only gates keep them) but CODEC-UNSUPPORTED (the decoders raise):
+palette PNG, arithmetic-coded (SOF9) JPEG, non-PCM WAV, an AVI whose
+frame payload is not JPEG — exactly the blob classes a real web corpus
+guarantees to contain.  The contract under test: the job COMPLETES, such
+rows pass through dedup as non-candidates, and the report counts them."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+
+def _palette_png(w: int = 16, h: int = 16) -> bytes:
+    """A real palette (color-type 3) PNG: media_probe reads its IHDR
+    dims; decode_png raises NotImplementedError on it."""
+    from adampro_spark.pipeline.multimodal import _PNG_MAGIC, _png_chunk
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    plte = bytes(x % 256 for x in range(48))  # 16 RGB entries
+    raw = b"".join(b"\x00" + bytes([i % 16] * w) for i in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _sof9_jpeg(img: np.ndarray) -> bytes:
+    """An arithmetic-coded-marker JPEG: encode baseline, then flip the
+    SOF0 marker to SOF9 — media_probe still reads dims (SOF9 is in its
+    SOF list); decode_jpeg raises NotImplementedError."""
+    from adampro_spark.pipeline.multimodal import encode_jpeg
+
+    blob = encode_jpeg(img, quant=2)
+    i = blob.find(b"\xff\xc0")
+    assert i > 0
+    return blob[:i] + b"\xff\xc9" + blob[i + 2:]
+
+
+def _nonpcm_wav(n_samples: int = 200) -> bytes:
+    """A RIFF/WAVE stream with fmt codec id 2 (ADPCM): media_probe
+    reports format wav with n_frames ≥ the envelope grid; decode_wav
+    raises NotImplementedError."""
+    from adampro_spark.pipeline.multimodal import _riff_chunk
+
+    fmt = (
+        (2).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (16_000).to_bytes(4, "little")
+        + (32_000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"data", b"\x00" * (2 * n_samples))
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _junk_frame_avi(frame: np.ndarray) -> bytes:
+    """A structurally-valid MJPEG-AVI whose frame payload is NOT a JPEG:
+    probe/avi_frame_count work (container walk), decode_avi_frames
+    raises on the frame."""
+    from adampro_spark.pipeline.multimodal import encode_avi_mjpeg
+
+    blob = encode_avi_mjpeg([frame])
+    i = blob.find(b"\xff\xd8", blob.find(b"movi"))
+    assert i > 0
+    return blob[:i] + b"\x00\x00" + blob[i + 2:]
+
+
+def test_curate_media_undecodable_tolerance_and_modalities(spark):
+    """The flagship corpus-grade contract (verdict r13 #1 + #4): a mixed
+    image/audio/video corpus containing probe-valid-but-undecodable
+    blobs curates to completion; near-dup runs PER MODALITY (retouched
+    image, transient-click audio copy, re-encoded video copy all drop;
+    originals survive); undecodables pass through, counted."""
+    from adampro_spark.pipeline.multimodal import (
+        curate_media,
+        encode_avi_mjpeg,
+        encode_bmp,
+        encode_wav,
+    )
+
+    h, w = 36, 32
+    ramp = (np.add.outer(np.arange(h) * 7, np.arange(w) * 3) % 256).astype(
+        np.uint8
+    )
+    retouched = np.clip(
+        ramp.astype(np.int16)
+        + np.pad(np.full((3, 3), 9, dtype=np.int16), ((5, h - 8), (5, w - 8))),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    rng = np.random.RandomState(7)
+    base_audio = (rng.standard_normal(6400) * 8000).astype(np.int16)
+    clicked = base_audio.copy()
+    clicked[100:103] += 500  # a transient click, envelope barely moves
+
+    frames = [ramp, (255 - ramp).astype(np.uint8)]
+
+    rows = [
+        (0, encode_bmp(ramp)),                      # image keeper
+        (1, encode_bmp(retouched)),                 # image near-dup -> drop
+        (2, _palette_png()),                        # undecodable image
+        (3, _sof9_jpeg(ramp)),                      # undecodable image
+        (4, _nonpcm_wav()),                         # undecodable audio
+        (5, encode_wav(base_audio)),                # audio keeper
+        (6, encode_wav(clicked)),                   # audio near-dup -> drop
+        (7, encode_avi_mjpeg(frames, quant=1)),     # video keeper
+        (8, encode_avi_mjpeg(frames, quant=2)),     # re-encode -> drop
+        (9, _junk_frame_avi(ramp)),                 # undecodable video
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out, report = curate_media(df)
+    kept = {r["media_id"] for r in out.collect()}
+
+    # undecodables pass through (never crash, never dedup); one of each
+    # modality's near-dup family drops
+    assert kept == {0, 2, 3, 4, 5, 7, 9}
+    assert report["n_input"] == 10
+    assert report["n_bad_format"] == 0
+    assert report["n_after_gates"] == 10
+    assert report["n_exact_dropped"] == 0
+    assert report["n_undecodable"] == 4
+    assert report["n_neardup_dropped_image"] == 1
+    assert report["n_neardup_dropped_audio"] == 1
+    assert report["n_neardup_dropped_video"] == 1
+    assert report["n_neardup_dropped"] == 3
+    assert report["n_output"] == 7
+
+
+def test_curate_media_empty_input(spark):
+    """ADVICE r13: F.sum over zero rows is NULL — an empty corpus must
+    report zeros, not TypeError."""
+    from adampro_spark.pipeline.multimodal import curate_media
+
+    df = spark.createDataFrame([], "media_id long, content binary")
+    out, report = curate_media(df)
+    assert out.count() == 0
+    assert report["n_input"] == 0
+    assert report["n_output"] == 0
+    assert report["n_undecodable"] == 0
+
+
+def test_curate_media_grid_too_small_passes_through(spark):
+    """An image under the 9×8 dhash grid (but over the user's size
+    floor) is never decoded for hashing: it passes through, not counted
+    undecodable (the probed-dims eligibility route, ADVICE r13)."""
+    from adampro_spark.pipeline.multimodal import curate_media, encode_bmp
+
+    small = np.full((6, 6), 50, dtype=np.uint8)
+    big = (np.add.outer(np.arange(16) * 5, np.arange(16) * 11) % 256).astype(
+        np.uint8
+    )
+    df = spark.createDataFrame(
+        [(0, encode_bmp(small)), (1, encode_bmp(small)), (2, encode_bmp(big))],
+        "media_id long, content binary",
+    )
+    out, report = curate_media(df)
+    # the two small copies differ only... they ARE byte-identical: exact
+    # dedup still catches them (cheap sha, no decode)
+    assert {r["media_id"] for r in out.collect()} == {0, 2}
+    assert report["n_exact_dropped"] == 1
+    assert report["n_undecodable"] == 0
+    assert report["n_neardup_dropped"] == 0
+
+
+def test_image_dhash_null_on_undecodable(spark):
+    """The tolerant kernel contract: undecodable blobs hash to NULL,
+    decodable neighbours in the same Arrow batch still hash."""
+    from adampro_spark.pipeline.multimodal import encode_bmp, image_dhash
+
+    img = (np.add.outer(np.arange(12) * 3, np.arange(12) * 5) % 256).astype(
+        np.uint8
+    )
+    df = spark.createDataFrame(
+        [(0, encode_bmp(img)), (1, _palette_png()), (2, b"not media")],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[0] is not None and got[0] >= 0
+    assert got[1] is None
+    assert got[2] is None
+
+
+def test_video_fingerprint_null_on_undecodable(spark):
+    from adampro_spark.pipeline.multimodal import (
+        encode_avi_mjpeg,
+        video_fingerprint,
+    )
+
+    frame = np.full((16, 16), 100, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, encode_avi_mjpeg([frame])), (1, _junk_frame_avi(frame))],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r for r in video_fingerprint(df).collect()}
+    assert got[0]["n_frames"] == 1 and got[0]["px_sum"] == 16 * 16 * 100
+    assert got[1]["px_sum"] is None and got[1]["n_sampled"] is None
+
+
+def test_extract_features_null_on_undecodable(spark):
+    from adampro_spark.pipeline.multimodal import (
+        decode_media,
+        encode_bmp,
+        extract_features,
+    )
+
+    img = np.full((10, 10), 80, dtype=np.uint8)
+    meta = {
+        "format": "bmp", "width": 10, "height": 10,
+        "n_frames": 1, "sample_rate": None,
+    }
+    from adampro_spark.pipeline.multimodal import media_schema
+
+    df = spark.createDataFrame(
+        [(0, encode_bmp(img), meta), (1, b"\x89PNG\r\n\x1a\njunk", meta)],
+        media_schema(),
+    )
+    got = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(df, out_dim=4, decoder=decode_media).collect()
+    }
+    assert got[0] is not None and len(got[0]) == 4
+    assert got[1] is None
+
+
+def test_fingerprint_pairs_null_dropped_negative_raises(spark):
+    from adampro_spark.pipeline.dedup import fingerprint_pairs
+
+    df = spark.createDataFrame(
+        [(1, 12345), (2, 12345), (3, None)], "doc_id long, fp long"
+    )
+    pairs = fingerprint_pairs(df, "fp", pk="doc_id", nbits=63).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+    bad = spark.createDataFrame([(1, -5), (2, -5)], "doc_id long, fp long")
+    with pytest.raises(Exception, match="NONNEGATIVE"):
+        fingerprint_pairs(bad, "fp", pk="doc_id", nbits=63).collect()
+
+
+def test_fingerprint_against_null_dropped(spark):
+    from adampro_spark.pipeline.dedup import fingerprint_against
+
+    new = spark.createDataFrame(
+        [(1, 999), (2, None), (3, 12)], "doc_id long, fp long"
+    )
+    ref = spark.createDataFrame([(10, 999), (11, None)], "doc_id long, fp long")
+    out = fingerprint_against(new, ref, "fp", pk="doc_id", nbits=63)
+    # 1 matches ref 10 and drops; the NULL rows pass through untouched
+    assert {r["doc_id"] for r in out.collect()} == {2, 3}
