@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from adampro_spark.operators.scan import DISTANCE_COL
 from adampro_spark.pipeline.text import (
     HASH_P,
+    HEURISTIC_LANGID_LANGS,
     QUALITY_STOPWORDS,
     STOPWORDS,
     fingerprint_expr,
@@ -279,7 +280,7 @@ BENCH_ONLY["text_stats_full"] = lambda spark, sf: text_stats(
 def _langid_sql() -> str:
     structs = ", ".join(
         f"{{'hits': len(list_filter(toks, t -> list_contains({list(STOPWORDS[lang])}, t))), 'lang': '{lang}'}}"
-        for lang in sorted(STOPWORDS)
+        for lang in sorted(HEURISTIC_LANGID_LANGS)
     )
     return f"""
     SELECT doc_id,
@@ -1332,7 +1333,7 @@ def _curate_exact_row(spark, sf):
 def _curate_exact_sql() -> str:
     structs = ", ".join(
         f"{{'hits': len(list_filter(toks, t -> list_contains({list(STOPWORDS[lang])}, t))), 'lang': '{lang}'}}"
-        for lang in sorted(STOPWORDS)
+        for lang in sorted(HEURISTIC_LANGID_LANGS)
     )
     quality = (
         "(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) / length(text) ELSE 0.0 END)"
@@ -1768,7 +1769,14 @@ def _gopher_row(spark, sf):
         .withColumn("_ap_ztoks", _script_toks_expr())
         .withColumn("_ap_ftoks", _tokens_expr("ftext"))
         .withColumn(
-            "_ap_flang", langid_expr("ftext", toks=F.col("_ap_ftoks"))
+            # full-map sweep (round 14): the it/pt plants must route to
+            # their OWN lists, which the frozen-five default cannot name
+            "_ap_flang",
+            langid_expr(
+                "ftext",
+                toks=F.col("_ap_ftoks"),
+                langs=tuple(sorted(STOPWORDS)),
+            ),
         )
         .select(
             "doc_id",
@@ -1830,23 +1838,29 @@ _LANG_PLANTS = (
     "dans le jardin avec une balle et des amis sous le soleil",
     "der hund ist nicht mit der katze und das kind ist auf dem weg zu "
     "der schule mit einem ball und ein buch",
+    # round 14 (verdict r13 #3): it/pt plants — dominated by their own
+    # stop lists (10 hits each) with ≤3 accidental hits on any sibling
+    # Romance list, so the full-map argmax routes them unambiguously
+    "il gatto è nella casa e i bambini non sono che per una volta con "
+    "le cose di un amico di strada",
+    "o cachorro não está em casa para que os meninos de uma rua com um "
+    "amigo possam ver a bola",
 )
 
 
 def _lang_plant_expr():
     did = F.col("doc_id")
     tail = F.substring(F.col("text"), 1, 24)
-    return (
-        F.when(
-            did % 3 == 0,
-            F.concat(F.lit(_LANG_PLANTS[0]), F.lit(" "), tail),
-        )
-        .when(
-            did % 3 == 1,
-            F.concat(F.lit(_LANG_PLANTS[1]), F.lit(" "), tail),
-        )
-        .otherwise(F.col("text"))
+    expr = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(_LANG_PLANTS[0]), F.lit(" "), tail),
     )
+    for i in (1, 2, 3):
+        expr = expr.when(
+            did % 5 == i,
+            F.concat(F.lit(_LANG_PLANTS[i]), F.lit(" "), tail),
+        )
+    return expr.otherwise(F.col("text"))
 
 
 def _script_text_expr():
@@ -2100,8 +2114,10 @@ def _gopher_sql() -> str:
     ),
     fz AS (
       SELECT doc_id,
-        CASE WHEN doc_id % 3 = 0 THEN '{{FRP}}' || ' ' || substr(text, 1, 24)
-             WHEN doc_id % 3 = 1 THEN '{{DEP}}' || ' ' || substr(text, 1, 24)
+        CASE WHEN doc_id % 5 = 0 THEN '{{FRP}}' || ' ' || substr(text, 1, 24)
+             WHEN doc_id % 5 = 1 THEN '{{DEP}}' || ' ' || substr(text, 1, 24)
+             WHEN doc_id % 5 = 2 THEN '{{ITP}}' || ' ' || substr(text, 1, 24)
+             WHEN doc_id % 5 = 3 THEN '{{PTP}}' || ' ' || substr(text, 1, 24)
              ELSE text END AS fx
       FROM documents
     ),
@@ -2176,6 +2192,8 @@ def _gopher_sql_full() -> str:
         .replace("{TH}", _SCRIPT_PLANTS[2])
         .replace("{FRP}", _LANG_PLANTS[0])
         .replace("{DEP}", _LANG_PLANTS[1])
+        .replace("{ITP}", _LANG_PLANTS[2])
+        .replace("{PTP}", _LANG_PLANTS[3])
     )
 
 
@@ -3719,7 +3737,7 @@ def _report_by_row(spark, sf):
 def _report_by_sql() -> str:
     structs = ", ".join(
         f"{{'hits': len(list_filter(toks, t -> list_contains({list(STOPWORDS[lang])}, t))), 'lang': '{lang}'}}"
-        for lang in sorted(STOPWORDS)
+        for lang in sorted(HEURISTIC_LANGID_LANGS)
     )
     quality = (
         "(CASE WHEN length(text) > 0 THEN length(regexp_replace(text,"
@@ -3826,7 +3844,7 @@ def _curate_full_row(spark, sf):
 def _curate_full_sql(v: int = _LM_V, floor: float = _CF_FLOOR) -> str:
     structs = ", ".join(
         f"{{'hits': len(list_filter(toks, t -> list_contains({list(STOPWORDS[lang])}, t))), 'lang': '{lang}'}}"
-        for lang in sorted(STOPWORDS)
+        for lang in sorted(HEURISTIC_LANGID_LANGS)
     )
     quality = (
         "(CASE WHEN length(text) > 0 THEN length(regexp_replace(text,"

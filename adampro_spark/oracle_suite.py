@@ -1967,6 +1967,51 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
     )
 
+    # round-14 progressive leg (verdict r13 #2): the same flat-gray
+    # exactly-recoverable plant, but through the SOF2 writer/decoder
+    # pair — varied dc_al exercises DC successive approximation +
+    # refinement scans, and the all-zero AC bands decode as pure
+    # cross-block EOBn runs; the 'jpeg' leg's oracle formulas apply
+    # unchanged (identical coefficients at quant=1)
+    def _jpeg_prog_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import (
+            decode_media,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            ids, n1, n2, n3 = [], [], [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                v = did % 256
+                h = 8 + (did % 3) * 4
+                w = 8 + (did % 5) * 2
+                blob = encode_jpeg_progressive(
+                    np.full((h, w), v, dtype=np.uint8),
+                    quant=1,
+                    dc_al=did % 3,
+                    ac_split=5 + (did % 2) * 58,  # two bands / single band
+                )
+                dec = decode_media(blob, w, h)
+                ids.append(did)
+                n1.append(int(dec.size))
+                n2.append(int(dec.astype(np.int64).sum()))
+                n3.append(dec.shape[1] * 1000 + dec.shape[0])
+            yield pd.DataFrame(
+                {"media_id": ids, "n1": n1, "n2": n2, "n3": n3}
+            )
+
+    jprog = media.select("media_id").mapInPandas(
+        _jpeg_prog_kernel, schema="media_id long, n1 long, n2 long, n3 long"
+    ).select(
+        F.lit("jpeg_prog").alias("part"),
+        "media_id", "n1", "n2", "n3",
+        F.lit(None).cast("string").alias("s"),
+    )
+
     # round-13 dhash part: a planted-gradient grayscale BMP per doc
     # (pixel = (doc_id + 3x + 7y) % 256, dims indivisible by the 9x8
     # grid so the floor cell boundaries are exercised) rides the REAL
@@ -2134,8 +2179,8 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.col("format").alias("s"),
     )
     return (
-        fp.unionByName(jp).unionByName(jrgb).unionByName(dh)
-        .unionByName(aw).unionByName(vf).unionByName(pr)
+        fp.unionByName(jp).unionByName(jrgb).unionByName(jprog)
+        .unionByName(dh).unionByName(aw).unionByName(vf).unionByName(pr)
     )
 
 
@@ -2155,6 +2200,18 @@ _register(
     FROM documents
     UNION ALL
     SELECT 'jpeg', doc_id,
+           ((8 + (doc_id % 3) * 4) * (8 + (doc_id % 5) * 2))::BIGINT,
+           ((doc_id % 256) * (8 + (doc_id % 3) * 4)
+             * (8 + (doc_id % 5) * 2))::BIGINT,
+           ((8 + (doc_id % 5) * 2) * 1000 + (8 + (doc_id % 3) * 4))::BIGINT,
+           NULL::VARCHAR
+    FROM documents
+    UNION ALL
+    -- round-14 progressive (SOF2) leg: the flat plant survives quant=1
+    -- exactly regardless of scan script, so the baseline formulas apply
+    -- verbatim — the Spark side runs the real progressive writer and
+    -- the Annex-G multi-scan decoder
+    SELECT 'jpeg_prog', doc_id,
            ((8 + (doc_id % 3) * 4) * (8 + (doc_id % 5) * 2))::BIGINT,
            ((doc_id % 256) * (8 + (doc_id % 3) * 4)
              * (8 + (doc_id % 5) * 2))::BIGINT,

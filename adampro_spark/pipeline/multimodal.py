@@ -465,6 +465,64 @@ class _BitWriter:
         return bytes(self.buf)
 
 
+def _jpeg_planes(
+    img: np.ndarray, subsample: bool
+) -> "tuple[int, int, list[np.ndarray], list[tuple[int, int]]]":
+    """(h, w, component planes, sampling factors) for the JPEG writers:
+    grayscale passes through; RGB converts to YCbCr (full-range BT.601
+    JFIF), 4:4:4 or — with ``subsample`` — 4:2:0 via 2×2 box-averaged
+    chroma (factored from encode_jpeg for the progressive writer)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        return h, w, [img.astype(np.float64)], [(1, 1)]
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if not subsample:
+        return h, w, [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    # pad to even, then 2×2 box-average the chroma planes
+    he, we = (h + 1) & ~1, (w + 1) & ~1
+
+    def _pad(p, hh, ww):
+        out = np.empty((hh, ww))
+        out[:p.shape[0], :p.shape[1]] = p
+        out[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
+        return out
+
+    cbp, crp = _pad(cb, he, we), _pad(cr, he, we)
+    cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+    cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+    return h, w, [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+
+
+def _jpeg_qt(quant) -> np.ndarray:
+    """The validated 8×8 float quantization table both writers divide by
+    (and serialize verbatim — see encode_jpeg's rounding note)."""
+    qt = np.full((8, 8), 1.0) * (quant if quant is not None else 1)
+    qt = np.maximum(np.round(np.asarray(qt, dtype=np.float64)), 1.0)
+    if qt.shape != (8, 8):
+        qt = np.full((8, 8), float(np.ravel(qt)[0]))
+    if qt.max() > 65535:
+        raise ValueError(
+            f"quantization values up to {int(qt.max())} exceed the JPEG "
+            "16-bit DQT range"
+        )
+    return qt
+
+
+def _pad_plane(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate a component plane up to the full MCU grid."""
+    full = np.empty((ph, pw))
+    sh, sw = min(p.shape[0], ph), min(p.shape[1], pw)
+    full[:sh, :sw] = p[:sh, :sw]
+    full[sh:, :sw] = full[sh - 1:sh, :sw]
+    full[:, sw:] = full[:, sw - 1:sw]
+    return full
+
+
 def _encode_block(
     wr: "_BitWriter", block: np.ndarray, qt: np.ndarray, pred: int,
     dc: dict, ac: dict, C: np.ndarray,
@@ -518,68 +576,26 @@ def encode_jpeg(
     emits a DRI segment and RSTn markers every N MCUs (what camera/web
     encoders do for error resilience) — exercises the decoder's
     restart-resync path."""
-    img = np.asarray(img, dtype=np.uint8)
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    qt = np.full((8, 8), 1.0) * (quant if quant is not None else 1)
     # ROUND the table up front: the scan divides by exactly what the
     # DQT stores (a fractional table would make the decoder dequantize
-    # with a different value than the encoder divided by)
-    qt = np.maximum(np.round(np.asarray(qt, dtype=np.float64)), 1.0)
-    if qt.shape != (8, 8):
-        qt = np.full((8, 8), float(np.ravel(qt)[0]))
-    # validate BEFORE the per-MCU scan, not at DQT-serialization time —
-    # the scan is the dominant cost (review r12, second pass)
-    if qt.max() > 65535:
-        raise ValueError(
-            f"quantization values up to {int(qt.max())} exceed the JPEG "
-            "16-bit DQT range"
-        )
+    # with a different value than the encoder divided by); validate
+    # BEFORE the per-MCU scan, not at DQT-serialization time — the scan
+    # is the dominant cost (review r12, second pass)
+    qt = _jpeg_qt(quant)
     C = _dct_matrix()
     dc = _huff_codes(_K3_DC_BITS, _K3_DC_VALS)
     ac = _huff_codes(_K3_AC_BITS, _K3_AC_VALS)
 
-    if gray:
-        comps = [img.astype(np.float64)]
-        samp = [(1, 1)]
-    else:
-        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            # pad to even, then 2×2 box-average the chroma planes
-            he, we = (h + 1) & ~1, (w + 1) & ~1
-            def _pad(p, hh, ww):
-                out = np.empty((hh, ww))
-                out[:p.shape[0], :p.shape[1]] = p
-                out[p.shape[0]:, :p.shape[1]] = p[-1:, :]
-                out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
-                return out
-            cbp, crp = _pad(cb, he, we), _pad(cr, he, we)
-            cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
-            comps, samp = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
-        else:
-            comps, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    h, w, comps, samp = _jpeg_planes(img, subsample)
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    def _plane_blocks(p, hi, vi):
-        """Pad the plane to the full MCU grid and pre-slice 8×8 blocks."""
-        ph, pw = mcuy * vi * 8, mcux * hi * 8
-        full = np.empty((ph, pw))
-        sh, sw = min(p.shape[0], ph), min(p.shape[1], pw)
-        full[:sh, :sw] = p[:sh, :sw]
-        full[sh:, :sw] = full[sh - 1:sh, :sw]
-        full[:, sw:] = full[:, sw - 1:sw]
-        return full
-
     planes = [
-        _plane_blocks(p, hi, vi) for p, (hi, vi) in zip(comps, samp)
+        _pad_plane(p, mcuy * vi * 8, mcux * hi * 8)
+        for p, (hi, vi) in zip(comps, samp)
     ]
     scan = bytearray()
     wr = _BitWriter()
@@ -638,6 +654,187 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
     out += scan + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: flat 256-symbol AC Huffman table for the progressive writer: the K.3
+#: baseline AC table lacks the EOBn symbols (0x10..0xE0) progressive
+#: cross-block EOB runs need, so the writer ships its own canonical
+#: table — 255 codes at 8 bits + 1 at 9 covers every symbol (wasteful
+#: but valid; a fixture writer optimizes for coverage, not size, and
+#: the 8-bit all-ones code stays unassigned)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quant: "np.ndarray | int | None" = None,
+    subsample: bool = False,
+    ac_split: int = 5,
+    dc_al: int = 1,
+) -> bytes:
+    """Minimal PROGRESSIVE (SOF2) JPEG writer — the fixture generator
+    for :func:`decode_jpeg`'s progressive path (round 14, the
+    encode_jpeg pattern).  Scan script (the libjpeg
+    ``jpeg_simple_progression`` shape, simplified): one interleaved
+    DC-first scan at successive approximation ``Al=dc_al``, then
+    ``dc_al`` one-raw-bit-per-block DC refinement scans, then
+    per-component spectral-selection AC scans (bands ``1..ac_split``
+    and ``ac_split+1..63`` at ``Al=0``) with cross-block EOBn runs.
+    AC successive approximation is NOT emitted — the checked-in
+    external JDK ImageIO fixture covers that decoder path.  At
+    ``quant=1`` the coefficients are identical to the baseline
+    writer's, so pixels round-trip exactly the same and the same
+    oracle formulas adjudicate both.  Grayscale, RGB 4:4:4, or 4:2:0
+    with ``subsample=True``."""
+    if not 1 <= int(ac_split) <= 63:
+        raise ValueError(f"ac_split must be in 1..63, got {ac_split}")
+    if not 0 <= int(dc_al) <= 13:
+        raise ValueError(f"dc_al must be in 0..13, got {dc_al}")
+    qt = _jpeg_qt(quant)
+    C = _dct_matrix()
+    dc = _huff_codes(_K3_DC_BITS, _K3_DC_VALS)
+    ac = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    h, w, comps, samp = _jpeg_planes(img, subsample)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # quantize every block up front (vectorized DCT per component);
+    # zigzag order so scans slice spectral bands directly
+    qzz = []
+    for p, (hi, vi) in zip(comps, samp):
+        full = _pad_plane(p, mcuy * vi * 8, mcux * hi * 8)
+        nbh, nbw = mcuy * vi, mcux * hi
+        blocks = full.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3)
+        coef = C @ (blocks - 128.0) @ C.T
+        q = np.round(coef / qt).astype(np.int64)
+        qzz.append(q.reshape(nbh, nbw, 64)[:, :, _ZIGZAG])
+
+    def _mag_bits(wr: "_BitWriter", v: int, table: dict, sym_hi: int = 0):
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        code, ln = table[sym_hi | s]
+        wr.put(code, ln)
+        if s:
+            wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    # DC block order: interleaved MCU walk (multi-component) or the
+    # component's own grid (grayscale — identical to the padded grid
+    # at 1×1 factors, the only single-component shape this writer emits)
+    if len(comps) > 1:
+        order = [
+            (ci, my * vi + by, mx * hi + bx)
+            for my in range(mcuy)
+            for mx in range(mcux)
+            for ci, (hi, vi) in enumerate(samp)
+            for by in range(vi)
+            for bx in range(hi)
+        ]
+    else:
+        nbh0, nbw0 = qzz[0].shape[:2]
+        order = [(0, by, bx) for by in range(nbh0) for bx in range(nbw0)]
+
+    scans: "list[tuple[bytes, bytes]]" = []
+    all_comps_hdr = bytes([len(comps)]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(len(comps))
+    )
+
+    # 1) DC first scan (Ss=Se=0, Ah=0, Al=dc_al): diffs of the
+    # arithmetic-shifted DC values
+    wr = _BitWriter()
+    preds = [0] * len(comps)
+    for ci, by, bx in order:
+        v = int(qzz[ci][by, bx, 0]) >> dc_al
+        _mag_bits(wr, v - preds[ci], dc)
+        preds[ci] = v
+    scans.append((all_comps_hdr + bytes([0, 0, dc_al]), wr.flush()))
+
+    # 2) DC refinement scans: one raw bit per block at each Al
+    for al in range(dc_al - 1, -1, -1):
+        wr = _BitWriter()
+        for ci, by, bx in order:
+            wr.put((int(qzz[ci][by, bx, 0]) >> al) & 1, 1)
+        scans.append(
+            (all_comps_hdr + bytes([0, 0, ((al + 1) << 4) | al]), wr.flush())
+        )
+
+    # 3) per-component spectral-selection AC scans over the TRUE block
+    # grid (non-interleaved scans never cover MCU padding, T.81 A.2.2)
+    bands = (
+        [(1, int(ac_split)), (int(ac_split) + 1, 63)]
+        if ac_split < 63
+        else [(1, 63)]
+    )
+    for ci, (hi, vi) in enumerate(samp):
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        nbh, nbw = -(-ch // 8), -(-cw // 8)
+        for Ss, Se in bands:
+            wr = _BitWriter()
+            eobrun = 0
+
+            def _flush_eob():
+                nonlocal eobrun
+                while eobrun:
+                    chunk = min(eobrun, 32767)
+                    n = chunk.bit_length() - 1
+                    code, ln = ac[n << 4]
+                    wr.put(code, ln)
+                    if n:
+                        wr.put(chunk - (1 << n), n)
+                    eobrun -= chunk
+
+            for by in range(nbh):
+                for bx in range(nbw):
+                    band = qzz[ci][by, bx, Ss:Se + 1]
+                    nz = np.nonzero(band)[0]
+                    if len(nz) == 0:
+                        eobrun += 1
+                        continue
+                    _flush_eob()
+                    run = 0
+                    for j in range(int(nz[-1]) + 1):
+                        v = int(band[j])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac[0xF0]  # ZRL
+                            wr.put(code, ln)
+                            run -= 16
+                        _mag_bits(wr, v, ac, run << 4)
+                        run = 0
+                    if int(nz[-1]) < Se - Ss:
+                        eobrun = 1  # trailing zeros open an EOB run
+            _flush_eob()
+            scans.append(
+                (bytes([1, ci + 1, 0x00, Ss, Se, 0]), wr.flush())
+            )
+
+    def _seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+
+    qnat = np.round(qt).astype(np.int64).ravel()[_ZIGZAG]
+    out = bytearray(b"\xff\xd8")  # SOI
+    if qnat.max() > 255:
+        out += _seg(0xDB, bytes([0x10]) + qnat.astype(">u2").tobytes())
+    else:
+        out += _seg(0xDB, bytes([0]) + qnat.astype(np.uint8).tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += _seg(0xC2, sof)  # SOF2 progressive
+    out += _seg(0xC4, bytes([0x00] + _K3_DC_BITS) + bytes(_K3_DC_VALS))
+    out += _seg(0xC4, bytes([0x10] + _PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+    for sos, entropy in scans:
+        out += _seg(0xDA, sos) + entropy
+    out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
@@ -716,6 +913,51 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _parse_dqt(data: bytes, qts: "dict[int, np.ndarray]") -> None:
+    """One DQT segment (possibly several 8/16-bit tables) into ``qts``
+    as natural-order (8 × 8) float tables."""
+    i = 0
+    while i < len(data):
+        prec, tid = data[i] >> 4, data[i] & 0x0F
+        i += 1
+        if prec == 0:
+            tbl = np.frombuffer(data[i:i + 64], dtype=np.uint8)
+            i += 64
+        else:
+            tbl = np.frombuffer(data[i:i + 128], dtype=">u2")
+            i += 128
+        z = np.zeros(64, dtype=np.float64)
+        z[_ZIGZAG] = tbl.astype(np.float64)
+        qts[tid] = z.reshape(8, 8)
+
+
+def _parse_dht(data: bytes, dc_luts: dict, ac_luts: dict) -> None:
+    """One DHT segment (possibly several tables) into the decoder LUTs.
+    Progressive streams re-emit DHT between scans (T.81 allows table
+    redefinition), so these dicts mutate as the scan walk proceeds."""
+    i = 0
+    while i < len(data):
+        cls, tid = data[i] >> 4, data[i] & 0x0F
+        bits = list(data[i + 1:i + 17])
+        nv = sum(bits)
+        vals = list(data[i + 17:i + 17 + nv])
+        (dc_luts if cls == 0 else ac_luts)[tid] = _huff_lut(bits, vals)
+        i += 17 + nv
+
+
+def _entropy_end(content: bytes, pos: int) -> int:
+    """Position of the first REAL marker at/after ``pos`` (skipping
+    stuffed 0xFF00 and RSTn, which live inside entropy data) — how the
+    progressive walk finds where a scan's bitstream ends."""
+    while pos + 1 < len(content):
+        if content[pos] == 0xFF:
+            nxt = content[pos + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return pos
+        pos += 1
+    return len(content)
+
+
 def _fancy_double(a: np.ndarray, axis: int) -> np.ndarray:
     """libjpeg's triangular "fancy" 2× upsample along one axis: each
     input sample emits two outputs weighted 3:1 toward itself and its
@@ -757,6 +999,303 @@ def _to_full_res(
     return p
 
 
+def _jpeg_finish(
+    planes: list, scan_comps: list, h: int, w: int,
+    hmax: int, vmax: int, rgb: bool, y0: dict,
+) -> np.ndarray:
+    """The shared decode tail (baseline + progressive): crop/upsample
+    component planes to full resolution and emit the luma grid or — for
+    ``rgb=True`` — the BT.601 (JFIF) RGB conversion."""
+    if rgb:
+        full = [
+            _to_full_res(planes[ci], c, h, w, hmax, vmax)
+            for ci, c in enumerate(scan_comps)
+        ]
+        if len(full) == 1:
+            yf = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            return np.repeat(yf[:, :, None], 3, axis=2)
+        yf, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        # full-range BT.601 (JFIF) — same constants as encode_jpeg's
+        # forward matrix and the independent test's reference
+        r = yf + 1.402 * cr
+        g = yf - 0.344136 * cb - 0.714136 * cr
+        b = yf + 1.772 * cb
+        return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+            np.uint8
+        )
+    out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    # the luma plane covers the MCU grid at ITS sampling resolution:
+    # crop to ceil(dim * hi/hmax) per T.81 A.1.1
+    ch = -(-h * y0["v"] // vmax)
+    cw = -(-w * y0["h"] // hmax)
+    out = out[:ch, :cw]
+    if (ch, cw) != (h, w):
+        # subsampled-luma streams don't occur in practice (Y always has
+        # the max factors); replicate up rather than guess interpolation
+        yi = (np.arange(h) * ch // h).clip(0, ch - 1)
+        xi = (np.arange(w) * cw // w).clip(0, cw - 1)
+        out = out[np.ix_(yi, xi)]
+    return out
+
+
+def _prog_restart(rd: "_BitReader") -> None:
+    """Consume an expected RSTn at a restart boundary (progressive
+    scans reset DC predictors and the EOB run there, T.81 G.1.2)."""
+    m = rd.align_to_marker()
+    if not (0xD0 <= m <= 0xD7):
+        raise ValueError(f"expected JPEG restart marker, got 0xFF{m:02X}")
+
+
+def _prog_dc_scan(
+    rd: "_BitReader", sc: list, Ah: int, Al: int, coefs: list,
+    dc_luts: dict, restart: int, mcux: int, mcuy: int, grids: list,
+) -> None:
+    """A progressive DC scan (T.81 G.1.2.1/G.1.2.2): interleaved MCU
+    order when several components share the scan, the component's own
+    block-grid order otherwise.  First pass (Ah=0) Huffman-decodes
+    diffs scaled by ``<< Al``; refinement passes read ONE raw bit per
+    block and OR it in at ``Al`` (two's-complement, libjpeg jdphuff
+    convention — numpy int32 matches)."""
+    preds = [0] * len(sc)
+
+    def unit(si: int, byy: int, bxx: int) -> None:
+        comp = sc[si]
+        blk = coefs[comp["ci"]][byy, bxx]
+        if Ah == 0:
+            s = rd.huff(dc_luts[comp["dc"]])
+            preds[si] += _extend(rd.bits(s), s)
+            blk[0] = preds[si] << Al
+        elif rd.bits(1):
+            blk[0] |= 1 << Al
+
+    if len(sc) > 1:
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    _prog_restart(rd)
+                    preds[:] = [0] * len(sc)
+                for si, comp in enumerate(sc):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            unit(si, my * comp["v"] + by, mx * comp["h"] + bx)
+                mcu_i += 1
+    else:
+        nbh, nbw = grids[sc[0]["ci"]]
+        i = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart and i and i % restart == 0:
+                    _prog_restart(rd)
+                    preds[:] = [0]
+                unit(0, by, bx)
+                i += 1
+
+
+def _prog_ac_scan(
+    rd: "_BitReader", sc: list, Ss: int, Se: int, Ah: int, Al: int,
+    coefs: list, ac_luts: dict, restart: int, grids: list,
+) -> None:
+    """A progressive AC scan (single component, non-interleaved block
+    order).  First pass (Ah=0, T.81 G.1.2.2): zero-run/magnitude
+    symbols scaled ``<< Al`` with EOBn runs spanning blocks.
+    Refinement (Ah>0, G.1.2.3, the jdphuff decode_mcu_AC_refine
+    shape): newly-significant coefficients arrive as ±(1<<Al) placed
+    at the next zero-history position; every nonzero-history
+    coefficient passed on the way appends one correction bit."""
+    comp = sc[0]
+    act = ac_luts[comp["ac"]]
+    arr = coefs[comp["ci"]]
+    nbh, nbw = grids[comp["ci"]]
+    p1, m1 = 1 << Al, -(1 << Al)
+    eob = 0
+    i = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            if restart and i and i % restart == 0:
+                _prog_restart(rd)
+                eob = 0
+            i += 1
+            blk = arr[by, bx]
+            if Ah == 0:
+                if eob > 0:
+                    eob -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = rd.huff(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eob = (1 << r) - 1  # EOBn covers THIS block too
+                        if r:
+                            eob += rd.bits(r)
+                        break
+                    k += r
+                    if k > Se:
+                        raise ValueError("JPEG AC run past band end")
+                    blk[k] = _extend(rd.bits(s), s) << Al
+                    k += 1
+                continue
+            # refinement pass
+            k = Ss
+            if eob == 0:
+                while k <= Se:
+                    rs = rd.huff(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eob = 1 << r
+                            if r:
+                                eob += rd.bits(r)
+                            break
+                        # r == 15: pass over 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "bad JPEG refinement magnitude"
+                            )
+                        val = p1 if rd.bits(1) else m1
+                    while k <= Se:
+                        if blk[k] != 0:
+                            if rd.bits(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= Se:
+                        blk[k] = val
+                    k += 1
+            if eob > 0:
+                while k <= Se:
+                    if blk[k] != 0:
+                        if rd.bits(1) and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    k += 1
+                eob -= 1
+
+
+def _progressive_planes(
+    content: bytes, pos: int, h: int, w: int, comps: list,
+    qts: dict, dc_luts: dict, ac_luts: dict, restart: int, need: set,
+) -> list:
+    """Decode every scan of a progressive (SOF2) JPEG from the first
+    SOS marker at ``pos`` and return the per-component float pixel
+    planes (MCU-grid resolution, pre-IDCT +128 level shift) — the
+    progressive sibling of decode_jpeg's baseline MCU loop.
+
+    Scans whose components are all outside ``need`` (chroma scans in a
+    luma-only decode) are SKIPPED without entropy decoding: progressive
+    scans are marker-delimited, so the walk just strides to the next
+    marker — a third of the Huffman work for the common luma path.
+    Interleaved DC scans carry every component, so those always decode
+    (the chroma DC coefficients keep bitstream sync); coefficient
+    arrays exist for all components for the same reason.  DHT/DQT/DRI
+    between scans mutate the live tables (T.81 allows redefinition)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+    # non-interleaved scans iterate the component's TRUE block grid
+    # (ceil(ceil(dim·fac/facmax)/8), T.81 A.2.2), a prefix of the padded
+    # MCU grid above
+    grids = [
+        (
+            -(-(-(-h * c["v"] // vmax)) // 8),
+            -(-(-(-w * c["h"] // hmax)) // 8),
+        )
+        for c in comps
+    ]
+    byid = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    ri = restart
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(content):
+            raise ValueError("truncated JPEG stream (trailing fill bytes)")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(content):
+            raise ValueError("truncated JPEG segment header")
+        seglen = int.from_bytes(content[pos + 2:pos + 4], "big")
+        data = content[pos + 4:pos + 2 + seglen]
+        nxt = pos + 2 + seglen
+        if marker == 0xC4:
+            _parse_dht(data, dc_luts, ac_luts)
+        elif marker == 0xDB:
+            _parse_dqt(data, qts)
+        elif marker == 0xDD:
+            ri = int.from_bytes(data[0:2], "big")
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unexpected second SOF in progressive stream")
+        elif marker == 0xDA:
+            ns = data[0]
+            sc = []
+            for s in range(ns):
+                cid, tabs = data[1 + 2 * s], data[2 + 2 * s]
+                ci, comp = byid[cid]
+                sc.append(
+                    {**comp, "ci": ci, "dc": tabs >> 4, "ac": tabs & 0x0F}
+                )
+            Ss, Se = data[1 + 2 * ns], data[2 + 2 * ns]
+            Ah, Al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 0x0F
+            if not any(s["ci"] in need for s in sc) and len(sc) == 1:
+                pos = _entropy_end(content, nxt)  # skip unneeded scan
+                continue
+            rd = _BitReader(content, nxt)
+            if Ss == 0:
+                if Se != 0:
+                    raise ValueError(
+                        "progressive DC scan must have Se=0 (got "
+                        f"Ss={Ss}, Se={Se})"
+                    )
+                _prog_dc_scan(
+                    rd, sc, Ah, Al, coefs, dc_luts, ri, mcux, mcuy, grids
+                )
+            else:
+                if len(sc) != 1:
+                    raise ValueError(
+                        "progressive AC scan must be single-component"
+                    )
+                _prog_ac_scan(
+                    rd, sc, Ss, Se, Ah, Al, coefs, ac_luts, ri, grids
+                )
+            pos = _entropy_end(content, rd.pos)
+            continue
+        pos = nxt
+    # dequantize + IDCT the needed components in one vectorized pass
+    C = _dct_matrix()
+    planes: list = []
+    for ci, c in enumerate(comps):
+        if ci not in need:
+            planes.append(None)
+            continue
+        zz = coefs[ci].astype(np.float64)
+        nbh, nbw = zz.shape[:2]
+        blk = np.zeros((nbh, nbw, 64), dtype=np.float64)
+        blk[:, :, _ZIGZAG] = zz
+        coefn = blk.reshape(nbh, nbw, 8, 8) * qts[c["tq"]]
+        px = C.T @ coefn @ C + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8))
+    return planes
+
+
 def decode_jpeg(
     content: bytes, width: int = 0, height: int = 0, rgb: bool = False
 ) -> np.ndarray:
@@ -773,11 +1312,17 @@ def decode_jpeg(
     through the full-range BT.601 JFIF matrix — verified pixel-exact ±2
     against the JDK ImageIO (IJG libjpeg) decoder on checked-in
     external fixtures; a grayscale stream replicates luma ×3.
-    ``width``/``height`` args are ignored — the SOF0 header is the
-    truth.  Progressive (SOF2), extended/12-bit (SOF1 is accepted: its
-    baseline-Huffman 8-bit form is bit-identical), arithmetic and
-    hierarchical variants raise NotImplementedError and route to the
-    ``decoder=`` hook."""
+    ``width``/``height`` args are ignored — the SOF header is the
+    truth.  PROGRESSIVE (SOF2, round 14 — verdict r13 #2: the dominant
+    large-web-JPEG flavor) decodes fully: spectral-selection and
+    successive-approximation DC/AC scans per T.81 Annex G
+    (:func:`_progressive_planes` — EOB runs, refinement correction
+    bits, per-scan DHT redefinition, restart markers), sharing this
+    function's dequantize/IDCT/upsample/color tail, and verified
+    against a JDK ImageIO progressive-mode fixture.  Extended/12-bit
+    (SOF1 is accepted: its baseline-Huffman 8-bit form is
+    bit-identical), arithmetic and hierarchical variants raise
+    NotImplementedError and route to the ``decoder=`` hook."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     qts: dict[int, np.ndarray] = {}
@@ -787,6 +1332,7 @@ def decode_jpeg(
     h = w = 0
     restart = 0
     pos = 2
+    progressive = False
     scan_comps: list[dict] = []
     while pos + 2 <= len(content):
         if content[pos] != 0xFF:
@@ -814,36 +1360,15 @@ def decode_jpeg(
         seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
         data = content[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
-            i = 0
-            while i < len(data):
-                prec, tid = data[i] >> 4, data[i] & 0x0F
-                i += 1
-                if prec == 0:
-                    tbl = np.frombuffer(data[i : i + 64], dtype=np.uint8)
-                    i += 64
-                else:
-                    tbl = np.frombuffer(
-                        data[i : i + 128], dtype=">u2"
-                    )
-                    i += 128
-                z = np.zeros(64, dtype=np.float64)
-                z[_ZIGZAG] = tbl.astype(np.float64)
-                qts[tid] = z.reshape(8, 8)
+            _parse_dqt(data, qts)
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
-            i = 0
-            while i < len(data):
-                cls, tid = data[i] >> 4, data[i] & 0x0F
-                bits = list(data[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = list(data[i + 17 : i + 17 + nv])
-                lut = _huff_lut(bits, vals)
-                (dc_luts if cls == 0 else ac_luts)[tid] = lut
-                i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline Huffman
+            _parse_dht(data, dc_luts, ac_luts)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             if data[0] != 8:
                 raise NotImplementedError(
                     f"only 8-bit JPEG supported (precision={data[0]})"
                 )
+            progressive = marker == 0xC2
             h = int.from_bytes(data[1:3], "big")
             w = int.from_bytes(data[3:5], "big")
             nc = data[5]
@@ -856,16 +1381,22 @@ def decode_jpeg(
                 }
                 for c in range(nc)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline-sequential JPEG supported (progressive/"
-                "arithmetic/hierarchical SOF marker "
+                "only baseline/progressive Huffman JPEG supported "
+                "(lossless/arithmetic/hierarchical SOF marker "
                 f"0xFF{marker:02X}) — pass a real decoder= for these"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(data[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if progressive:
+                # the progressive walk owns everything from the first
+                # SOS on (scans, inter-scan DHT/DQT/DRI) — hand it the
+                # marker position itself
+                scan_comps = comps
+                break
             ns = data[0]
             scan_comps = []
             for s in range(ns):
@@ -878,17 +1409,19 @@ def decode_jpeg(
             break
         pos += 2 + seglen
     if not scan_comps or h == 0:
-        raise ValueError("JPEG stream has no SOS/SOF0 scan")
-    # This decoder implements INTERLEAVED scans (all components in one
-    # SOS — what every common baseline encoder emits).  A
+        raise ValueError("JPEG stream has no SOS/SOF scan")
+    # The BASELINE path implements INTERLEAVED scans (all components in
+    # one SOS — what every common baseline encoder emits).  A
     # non-interleaved stream (per-component scans) changes the MCU
     # definition to one data unit per MCU (T.81 A.2.2): decoding it with
     # per-MCU sampling-factor block counts would desynchronize the
     # bitstream into garbage, so reject honestly (review r12).  A
     # single-component IMAGE is fine when its factors are 1×1 (the two
-    # MCU definitions coincide there).
-    if len(scan_comps) != len(comps) or (
-        len(comps) == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1)
+    # MCU definitions coincide there).  The progressive walk handles
+    # both scan shapes natively (per-component scans are the norm there).
+    if not progressive and (
+        len(scan_comps) != len(comps)
+        or (len(comps) == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1))
     ):
         raise NotImplementedError(
             "non-interleaved JPEG scan (per-component SOS) unsupported — "
@@ -909,13 +1442,18 @@ def decode_jpeg(
     # the luma plane is the scan's FIRST component (Y in YCbCr, the only
     # component in grayscale); rgb=True materializes every plane
     y0 = scan_comps[0]
+    if progressive:
+        need = set(range(len(comps))) if rgb else {0}
+        planes = _progressive_planes(
+            content, pos, h, w, comps, qts, dc_luts, ac_luts, restart, need
+        )
+        return _jpeg_finish(planes, scan_comps, h, w, hmax, vmax, rgb, y0)
     planes: list = [
         np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
         if (ci == 0 or rgb)
         else None
         for ci, c in enumerate(scan_comps)
     ]
-    luma = planes[0]
 
     rd = _BitReader(content, pos)
     preds = [0] * len(scan_comps)
@@ -963,36 +1501,7 @@ def decode_jpeg(
                             xx = (mx * comp["h"] + bx) * 8
                             planes[ci][yy:yy + 8, xx:xx + 8] = px
             mcu_i += 1
-    if rgb:
-        full = [
-            _to_full_res(planes[ci], c, h, w, hmax, vmax)
-            for ci, c in enumerate(scan_comps)
-        ]
-        if len(full) == 1:
-            yf = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-            return np.repeat(yf[:, :, None], 3, axis=2)
-        yf, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-        # full-range BT.601 (JFIF) — same constants as encode_jpeg's
-        # forward matrix and the independent test's reference
-        r = yf + 1.402 * cr
-        g = yf - 0.344136 * cb - 0.714136 * cr
-        b = yf + 1.772 * cb
-        return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
-            np.uint8
-        )
-    out = np.clip(np.round(luma), 0, 255).astype(np.uint8)
-    # the luma plane covers the MCU grid at ITS sampling resolution:
-    # crop to ceil(dim * hi/hmax) per T.81 A.1.1
-    ch = -(-h * y0["v"] // vmax)
-    cw = -(-w * y0["h"] // hmax)
-    out = out[:ch, :cw]
-    if (ch, cw) != (h, w):
-        # subsampled-luma streams don't occur in practice (Y always has
-        # the max factors); replicate up rather than guess interpolation
-        yi = (np.arange(h) * ch // h).clip(0, ch - 1)
-        xi = (np.arange(w) * cw // w).clip(0, cw - 1)
-        out = out[np.ix_(yi, xi)]
-    return out
+    return _jpeg_finish(planes, scan_comps, h, w, hmax, vmax, rgb, y0)
 
 
 def decode_media(content: bytes, width: int, height: int) -> np.ndarray:

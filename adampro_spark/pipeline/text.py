@@ -21,16 +21,47 @@ from pyspark.sql import functions as F
 HASH_P = 1_000_000_007  # modulus for the portable polynomial hash
 HASH_M = 31
 
-# Tiny per-language stopword lists for the n-gram-free language heuristic.
-# Deliberately short and frozen: the langid below is a deterministic
-# *heuristic* (hit-count argmax), not a model — the oracle mirrors it.
+# Tiny per-language stopword lists — 10 high-frequency function words
+# each, deliberately short and FROZEN (they are shared oracle constants).
+# Round 14 (verdict r13 #3): extended from the original 5 to the FULL
+# 21-language inventory of the trained langid (langid.SEED_TEXTS), so
+# per-document stop-word routing (:func:`lang_stopwords_expr`, the
+# Gopher required-word gate) no longer falls back to English for
+# it/pt/nl/ru/... documents.  ja/zh entries are single characters (the
+# script tokenizer emits character tokens for space-free scripts).
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
     "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "dans", "pour"),
     "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
     "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+    "it": ("di", "che", "la", "il", "un", "per", "non", "sono", "le", "una"),
+    "pt": ("de", "que", "o", "a", "não", "para", "com", "uma", "os", "um"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "op", "voor", "met"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för", "den"),
+    "da": ("og", "det", "at", "en", "den", "til", "er", "som", "på", "af"),
+    "fi": ("ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "kun", "niin"),
+    "pl": ("i", "w", "nie", "się", "na", "że", "jest", "do", "z", "to"),
+    "cs": ("a", "se", "na", "je", "že", "s", "z", "do", "to", "v"),
+    "ru": ("и", "в", "не", "на", "что", "с", "как", "это", "по", "он"),
+    "ja": ("の", "に", "は", "を", "た", "が", "で", "て", "と", "し"),
+    "ko": ("그리고", "그러나", "또한", "있다", "하는", "것이", "수", "있는", "때", "더"),
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "كان", "لا"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "de", "da", "ne", "gibi", "çok"),
+    "el": ("και", "το", "να", "της", "που", "την", "με", "από", "τα", "ο"),
+    "hu": ("a", "az", "és", "hogy", "nem", "is", "egy", "van", "de", "meg"),
+    "ro": ("și", "de", "la", "în", "a", "cu", "pe", "este", "nu", "o"),
 }
+
+#: The n-gram-free HEURISTIC langid (:func:`langid_expr`) scores only
+#: the ORIGINAL five languages — frozen on purpose: its hit-count
+#: argmax over 10-word lists cannot separate 21 related languages
+#: (it/es/pt share function words), its detections are pinned by
+#: oracle rows since round 8, and the trained NB langid
+#: (pipeline/langid.py) is the 21-language instrument.  The FULL
+#: STOPWORDS map above serves routing (scoring a doc against its
+#: detected language's list), where more languages only improve it.
+HEURISTIC_LANGID_LANGS: tuple[str, ...] = ("de", "en", "es", "fr", "zh")
 
 QUALITY_STOPWORDS = STOPWORDS["en"]
 
@@ -338,15 +369,26 @@ def bpe_token_count(text: str | Column) -> Column:
     ).cast("long")
 
 
-def langid_expr(text: str | Column, toks: Column | None = None) -> Column:
+def langid_expr(
+    text: str | Column,
+    toks: Column | None = None,
+    langs: "tuple[str, ...] | None" = None,
+) -> Column:
     """Deterministic language heuristic: argmax of per-language stopword
-    hit counts, ties broken by language code order, no hits → 'und'.
+    hit counts over the FROZEN :data:`HEURISTIC_LANGID_LANGS` five by
+    default (NOT the full routing map — see that constant's rationale),
+    ties broken by language code order, no hits → 'und'.
 
     ``toks``: a MATERIALIZED token-array column to score instead of
     tokenizing ``text`` inline — without it the tokenization is embedded
     in every per-language filter (5×/row; measured 1.5 s vs ~0.5 s at
     sf0.1).  Callers that already stage tokens (text_stats, curate's
     gate pass) pass their column through.
+
+    ``langs`` (round 14): an explicit code subset of :data:`STOPWORDS`
+    to score instead — e.g. ``sorted(STOPWORDS)`` for the full
+    21-language sweep where the 4× expression cost is acceptable (each
+    language adds one array_contains filter per row).
     """
     toks = tokens_expr(text) if toks is None else toks
 
@@ -356,7 +398,7 @@ def langid_expr(text: str | Column, toks: Column | None = None) -> Column:
         return F.size(F.filter(toks, lambda t: F.array_contains(F.lit(list(sw)), t)))
 
     scored = []
-    for lang in sorted(STOPWORDS):
+    for lang in sorted(langs or HEURISTIC_LANGID_LANGS):
         scored.append(F.struct(_hits(STOPWORDS[lang]).alias("hits"), F.lit(lang).alias("lang")))
     # array_max on (hits, lang) structs: max hits, then max lang — to keep
     # ties deterministic *and* mirrorable we order by (hits asc, lang asc)

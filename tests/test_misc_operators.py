@@ -735,8 +735,14 @@ def test_jpeg_unsupported_variants_raise_honestly():
         decode_jpeg(b"not a jpeg stream")
     blob = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     i = bytes(blob).find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # forge progressive SOF2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    blob[i + 1] = 0xC9  # forge arithmetic-coded SOF9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(blob))
+    # a BASELINE stream forged to SOF2 (round 14: progressive now
+    # decodes) carries an Ss=0,Se=63 scan that is illegal in the
+    # progressive process — it must raise, never desync into garbage
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bytes(blob))
 
 
