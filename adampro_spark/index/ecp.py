@@ -146,6 +146,67 @@ def build_ecp(
     return indexed, meta
 
 
+def ecp_append(
+    new_df: DataFrame,
+    vector_col: str,
+    meta: "dict[str, Any]",
+) -> "tuple[DataFrame, dict[str, Any]]":
+    """Incremental eCP maintenance (round 14, verdict r13 #7): assign
+    ONLY a new batch to the EXISTING leaders — one broadcast-LUT argmin
+    pass over the batch, never a corpus re-scan — and return
+    ``(new_index_rows, updated_meta)``.
+
+    Soundness: counts grow by the new per-cell populations; radii only
+    GROW (max of the stored radius and the new members' leader
+    distances), so :func:`ecp_knn`'s cell-bound τ-ceiling and
+    :func:`ecp_radius`'s triangle pruning stay exact — an enlarged
+    radius only weakens pruning, never misses a member.  Leaders never
+    move (moving them would invalidate every existing assignment; that
+    is a rebuild).  The ``frac`` scale-proportional probe budget reads
+    the refreshed counts, so probes stay proportional as the corpus
+    grows.  :func:`adampro_spark.index.persist.append_index` wraps this
+    with the parquet append + catalog refresh + staleness clear."""
+    from adampro_spark.index._util import attach_lut
+
+    if meta.get("type") != "ecp":
+        raise ValueError(f"ecp_append needs an ecp meta, got {meta.get('type')!r}")
+    pk = meta["pk"]
+    leaders = [[float(x) for x in r] for r in meta["leaders"]]
+    wl = attach_lut(
+        new_df.filter(F.col(vector_col).isNotNull()), _ap_leaders=leaders
+    )
+    dists = ref_dists_expr(vector_col, F.col("_ap_leaders"), meta["distance"])
+    # same fused single-eval struct argmin as the build (first-minimum
+    # tie-break), so appended assignments are bit-identical to what a
+    # fresh rebuild with these leaders would produce
+    best = F.array_min(
+        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    assigned = wl.select(
+        pk,
+        best["i"].cast("int").alias(FEATURE_COL),
+        best["d"].alias("_ap_dmin"),
+    ).persist()
+    stats = {
+        int(r[FEATURE_COL]): (int(r["cnt"]), float(r["rad"]))
+        for r in assigned.groupBy(FEATURE_COL)
+        .agg(F.count("*").alias("cnt"), F.max("_ap_dmin").alias("rad"))
+        .collect()
+    }
+    indexed = assigned.select(pk, FEATURE_COL).localCheckpoint(eager=True)
+    assigned.unpersist()
+    out = dict(meta)
+    out["counts"] = [
+        int(c) + stats.get(i, (0, 0.0))[0]
+        for i, c in enumerate(meta["counts"])
+    ]
+    out["radii"] = [
+        max(float(r), stats.get(i, (0, 0.0))[1])
+        for i, r in enumerate(meta["radii"])
+    ]
+    return indexed, out
+
+
 def scan_ecp(
     index_df: DataFrame,
     meta: dict[str, Any],

@@ -690,6 +690,15 @@ class IndexOps:
             made.append(name)
         return made
 
+    def append(self, name: str, new_df: DataFrame):
+        """Incrementally extend a persisted eCP index with the batch of
+        rows inserted since its build (IP.append_index, round 14):
+        broadcast-argmin assignment of the batch to the existing
+        leaders, parquet append into the cell layout, counts/radii
+        refresh, staleness flag cleared.  Non-eCP types raise (trained
+        codebooks need a rebuild)."""
+        return IP.append_index(self.spark, self.catalog, name, new_df)
+
     def load(self, name: str, allow_stale: bool = True):
         return IP.load_index(self.spark, self.catalog, name, allow_stale)
 

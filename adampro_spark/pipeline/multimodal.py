@@ -1806,6 +1806,114 @@ def decode_avi_frames(
 _DHASH_FORMATS = ("bmp", "png", "jpeg")
 
 
+#: helper columns the media-curate gates carry (house _ap_ prefix)
+_GATE_COLS = ("_ap_fmt", "_ap_w", "_ap_h", "_ap_nf")
+
+
+def _media_gates(
+    df: DataFrame,
+    content_col: str,
+    pk: str,
+    formats: "tuple[str, ...] | None",
+    min_width: "int | None",
+    min_height: "int | None",
+) -> "tuple[DataFrame, DataFrame, dict]":
+    """The header-only probe-gate stage shared by :func:`curate_media`
+    and :func:`curate_media_against`: returns ``(flags, gated, head)``
+    where ``flags`` is the PERSISTED slim probe table (caller must
+    unpersist), ``gated`` is ``df`` joined with the surviving rows'
+    probed format/dims as :data:`_GATE_COLS`, and ``head`` is the
+    report prefix (n_input .. n_after_gates)."""
+    n_input = df.count()
+    probed = probe_media(df, content_col, pk)
+    fmt_ok = (
+        F.col("format").isin(list(formats))
+        if formats is not None
+        else F.col("format") != F.lit("unknown")
+    )
+    size_ok = F.lit(True)
+    if min_width is not None:
+        size_ok = size_ok & (
+            F.col("width").isNull() | (F.col("width") >= int(min_width))
+        )
+    if min_height is not None:
+        size_ok = size_ok & (
+            F.col("height").isNull() | (F.col("height") >= int(min_height))
+        )
+    flags = probed.select(
+        pk,
+        F.col("format").alias("_ap_fmt"),
+        F.col("width").alias("_ap_w"),
+        F.col("height").alias("_ap_h"),
+        F.col("n_frames").alias("_ap_nf"),
+        fmt_ok.alias("_fmt_ok"),
+        size_ok.alias("_size_ok"),
+    ).persist()
+    # F.sum over ZERO rows is NULL — coalesce so an empty corpus
+    # reports zeros instead of TypeError (ADVICE r13)
+    agg = flags.agg(
+        F.coalesce(F.sum((~F.col("_fmt_ok")).cast("long")), F.lit(0)).alias(
+            "bad_fmt"
+        ),
+        F.coalesce(
+            F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")),
+            F.lit(0),
+        ).alias("too_small"),
+        F.coalesce(
+            F.sum((F.col("_fmt_ok") & F.col("_size_ok")).cast("long")),
+            F.lit(0),
+        ).alias("kept"),
+    ).first()
+    gated = df.join(
+        flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).select(
+            pk, *_GATE_COLS
+        ),
+        pk,
+    )
+    head = {
+        "n_input": n_input,
+        "n_bad_format": int(agg["bad_fmt"]),
+        "n_too_small": int(agg["too_small"]),
+        "n_after_gates": int(agg["kept"]),
+    }
+    return flags, gated, head
+
+
+def _modality_specs(
+    decoder: Callable, content_col: str, pk: str
+) -> "tuple[tuple[str, set, Column, Callable], ...]":
+    """(name, formats, header-dims eligibility, hasher) per near-dup
+    modality — eligibility is judged from the PROBED dims carried in
+    :data:`_GATE_COLS`, so grid-too-small blobs are never decoded."""
+    grid_r, grid_c = DHASH_GRID
+    return (
+        (
+            "image",
+            set(_DHASH_FORMATS),
+            F.col("_ap_fmt").isin(list(_DHASH_FORMATS))
+            & (F.col("_ap_w") >= grid_c)
+            & (F.col("_ap_h") >= grid_r),
+            lambda d: image_dhash(d, content_col, pk, decoder=decoder),
+        ),
+        (
+            "audio",
+            {"wav"},
+            (F.col("_ap_fmt") == "wav")
+            & (F.col("_ap_nf") >= AUDIO_ENVELOPE_WINDOWS),
+            lambda d: audio_dhash(d, content_col, pk),
+        ),
+        (
+            "video",
+            {"avi"},
+            (F.col("_ap_fmt") == "avi")
+            & (F.col("_ap_nf") >= 1)
+            & (F.col("_ap_w") >= grid_c)
+            & (F.col("_ap_h") >= grid_r),
+            lambda d: video_dhash(d, content_col, pk),
+        ),
+    )
+
+
 def curate_media(
     df: DataFrame,
     content_col: str = "content",
@@ -1870,73 +1978,23 @@ def curate_media(
         raise ValueError(f"unknown curate_media dedup {dedup!r}")
 
     t0 = time.perf_counter()
-    n_input = df.count()
-    probed = probe_media(df, content_col, pk)
-    fmt_ok = (
-        F.col("format").isin(list(formats))
-        if formats is not None
-        else F.col("format") != F.lit("unknown")
+    flags, gated, head = _media_gates(
+        df, content_col, pk, formats, min_width, min_height
     )
-    size_ok = F.lit(True)
-    if min_width is not None:
-        size_ok = size_ok & (
-            F.col("width").isNull() | (F.col("width") >= int(min_width))
-        )
-    if min_height is not None:
-        size_ok = size_ok & (
-            F.col("height").isNull() | (F.col("height") >= int(min_height))
-        )
-    # carry the probed format/dims through the gates: the near-dup stage
-    # routes modalities and skips grid-too-small blobs from the HEADER,
-    # never by decoding (house _ap_ helper-column prefix)
-    flags = probed.select(
-        pk,
-        F.col("format").alias("_ap_fmt"),
-        F.col("width").alias("_ap_w"),
-        F.col("height").alias("_ap_h"),
-        F.col("n_frames").alias("_ap_nf"),
-        fmt_ok.alias("_fmt_ok"),
-        size_ok.alias("_size_ok"),
-    ).persist()
-    helper_cols = ("_ap_fmt", "_ap_w", "_ap_h", "_ap_nf")
     try:
-        # F.sum over ZERO rows is NULL — coalesce so an empty corpus
-        # reports zeros instead of TypeError (ADVICE r13)
-        agg = flags.agg(
-            F.coalesce(
-                F.sum((~F.col("_fmt_ok")).cast("long")), F.lit(0)
-            ).alias("bad_fmt"),
-            F.coalesce(
-                F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")),
-                F.lit(0),
-            ).alias("too_small"),
-            F.coalesce(
-                F.sum((F.col("_fmt_ok") & F.col("_size_ok")).cast("long")),
-                F.lit(0),
-            ).alias("kept"),
-        ).first()
-        gated = df.join(
-            flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).select(
-                pk, *helper_cols
-            ),
-            pk,
-        )
         if stage_timings is not None:
             stage_timings["probe_sec"] = round(time.perf_counter() - t0, 3)
 
-        n_after_gates = int(agg["kept"])
+        n_after_gates = head["n_after_gates"]
         report = {
-            "n_input": n_input,
-            "n_bad_format": int(agg["bad_fmt"]),
-            "n_too_small": int(agg["too_small"]),
-            "n_after_gates": n_after_gates,
+            **head,
             "n_exact_dropped": 0,
             "n_neardup_dropped": 0,
             "n_undecodable": 0,
             "n_output": n_after_gates,
         }
         if dedup is None:
-            return gated.drop(*helper_cols), report
+            return gated.drop(*_GATE_COLS), report
 
         # exact stage: a slim localCheckpointed pk drop-list (at most
         # the duplicate count) — the blob DF itself is never cached
@@ -1969,34 +2027,9 @@ def curate_media(
                 .distinct()
                 .collect()
             }
-            grid_r, grid_c = DHASH_GRID
-            modalities = (
-                (
-                    "image",
-                    set(_DHASH_FORMATS),
-                    F.col("_ap_fmt").isin(list(_DHASH_FORMATS))
-                    & (F.col("_ap_w") >= grid_c)
-                    & (F.col("_ap_h") >= grid_r),
-                    lambda d: image_dhash(d, content_col, pk, decoder=decoder),
-                ),
-                (
-                    "audio",
-                    {"wav"},
-                    (F.col("_ap_fmt") == "wav")
-                    & (F.col("_ap_nf") >= AUDIO_ENVELOPE_WINDOWS),
-                    lambda d: audio_dhash(d, content_col, pk),
-                ),
-                (
-                    "video",
-                    {"avi"},
-                    (F.col("_ap_fmt") == "avi")
-                    & (F.col("_ap_nf") >= 1)
-                    & (F.col("_ap_w") >= grid_c)
-                    & (F.col("_ap_h") >= grid_r),
-                    lambda d: video_dhash(d, content_col, pk),
-                ),
-            )
-            for name, fmts, cond, hasher in modalities:
+            for name, fmts, cond, hasher in _modality_specs(
+                decoder, content_col, pk
+            ):
                 report[f"n_neardup_dropped_{name}"] = 0
                 if not (fmts & present):
                     continue  # modality absent: no empty decode jobs
@@ -2029,7 +2062,155 @@ def curate_media(
         report["n_undecodable"] = n_undec
         report["n_output"] = n_after_gates - n_exact_dropped - n_neardup
         all_drops = reduce(lambda a, b: a.unionByName(b), drop_dfs)
-        out = gated.join(all_drops, pk, "left_anti").drop(*helper_cols)
+        out = gated.join(all_drops, pk, "left_anti").drop(*_GATE_COLS)
+        return out, report
+    finally:
+        flags.unpersist()
+
+
+def curate_media_against(
+    new: DataFrame,
+    ref: DataFrame,
+    content_col: str = "content",
+    pk: str = "media_id",
+    formats: "tuple[str, ...] | None" = None,
+    min_width: int | None = None,
+    min_height: int | None = None,
+    dedup: str | None = "dhash",
+    max_hamming: int = 6,
+    decoder: Callable[[bytes, int, int], np.ndarray] = decode_media,
+    stage_timings: "dict[str, float] | None" = None,
+) -> "tuple[DataFrame, dict]":
+    """Curate a NEW media batch AGAINST an existing curated corpus — the
+    continuous-ingestion sibling of :func:`curate_media` (round 14,
+    verdict r13 #6) and the media counterpart of
+    :func:`~adampro_spark.pipeline.dedup.dedup_against`:
+
+    1. **Probe gates** on the new batch (header-only, same knobs as
+       ``curate_media``).
+    2. **Exact-vs-ref** (``dedup="exact"`` or ``"dhash"``): drop new
+       rows whose ``(sha256, length)`` already exists in ``ref`` — one
+       hash semi-join, nothing decoded.
+    3. **Near-dup-vs-ref** (``dedup="dhash"``): per modality (image
+       dHash / audio envelope / video mean-frame dHash over the probed-
+       eligible rows of EACH side), drop new rows within
+       ``max_hamming`` of any ref row via
+       :func:`~adampro_spark.pipeline.dedup.fingerprint_against`
+       (Manku cross-corpus equi-join, expected-bucket-scaled ref cap —
+       the reference side never self-joins).  Undecodable new blobs
+       pass through, counted as ``n_undecodable``.
+
+    The new batch is NOT deduplicated against itself (the
+    ``dedup_against`` convention) — run :func:`curate_media` on the
+    batch first (or on the union afterwards) when intra-batch dedup is
+    wanted.  ``ref`` is taken as already curated: it is probed
+    header-only for modality routing but never gated or dropped.
+
+    Report keys: ``n_input, n_bad_format, n_too_small, n_after_gates,
+    n_exact_vs_ref, n_neardup_vs_ref, n_neardup_vs_ref_{image,audio,
+    video}, n_undecodable, n_output``."""
+    import time
+    from functools import reduce
+
+    from adampro_spark.pipeline.dedup import fingerprint_against
+
+    if dedup not in (None, "exact", "dhash"):
+        raise ValueError(f"unknown curate_media_against dedup {dedup!r}")
+
+    t0 = time.perf_counter()
+    flags, gated, head = _media_gates(
+        new, content_col, pk, formats, min_width, min_height
+    )
+    try:
+        if stage_timings is not None:
+            stage_timings["probe_sec"] = round(time.perf_counter() - t0, 3)
+        n_after_gates = head["n_after_gates"]
+        report = {
+            **head,
+            "n_exact_vs_ref": 0,
+            "n_neardup_vs_ref": 0,
+            "n_undecodable": 0,
+            "n_output": n_after_gates,
+        }
+        if dedup is None:
+            return gated.drop(*_GATE_COLS), report
+
+        # exact-vs-ref: (sha256, length) anti-join — the ref fingerprint
+        # table is slim and hash-distributed, never the ref blobs
+        t1 = time.perf_counter()
+        keys = ["fp_hex", "n_bytes"]
+        new_fp = media_fingerprint(gated, content_col, pk)
+        ref_fp = media_fingerprint(ref, content_col, pk).select(*keys)
+        exact_drops = (
+            new_fp.join(ref_fp, keys, "left_semi")
+            .select(pk)
+            .localCheckpoint(eager=True)
+        )
+        n_exact = exact_drops.count()
+        report["n_exact_vs_ref"] = n_exact
+        drop_dfs = [exact_drops]
+        if stage_timings is not None:
+            stage_timings["exact_sec"] = round(time.perf_counter() - t1, 3)
+
+        n_neardup = 0
+        n_undec = 0
+        if dedup == "dhash":
+            t2 = time.perf_counter()
+            base = gated.join(exact_drops, pk, "left_anti")
+            present = {
+                r["_ap_fmt"]
+                for r in flags.filter(F.col("_fmt_ok") & F.col("_size_ok"))
+                .select("_ap_fmt")
+                .distinct()
+                .collect()
+            }
+            # ref routes by its own header probe (it is not gated)
+            ref_probed = probe_media(ref, content_col, pk).select(
+                pk,
+                F.col("format").alias("_ap_fmt"),
+                F.col("width").alias("_ap_w"),
+                F.col("height").alias("_ap_h"),
+                F.col("n_frames").alias("_ap_nf"),
+            )
+            ref_routed = ref.join(ref_probed, pk)
+            for name, fmts, cond, hasher in _modality_specs(
+                decoder, content_col, pk
+            ):
+                report[f"n_neardup_vs_ref_{name}"] = 0
+                if not (fmts & present):
+                    continue
+                new_h = hasher(base.filter(cond)).persist()
+                n_undec += new_h.filter(F.col("dhash").isNull()).count()
+                ref_h = hasher(ref_routed.filter(cond))
+                matches = fingerprint_against(
+                    new_h,
+                    ref_h,
+                    "dhash",
+                    pk=pk,
+                    max_hamming=int(max_hamming),
+                    nbits=63,
+                    return_matches=True,
+                )
+                mod_drops = (
+                    matches.select(F.col("new_pk").alias(pk))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                new_h.unpersist()
+                n_mod = mod_drops.count()
+                report[f"n_neardup_vs_ref_{name}"] = n_mod
+                n_neardup += n_mod
+                drop_dfs.append(mod_drops)
+            if stage_timings is not None:
+                stage_timings["neardup_sec"] = round(
+                    time.perf_counter() - t2, 3
+                )
+
+        report["n_neardup_vs_ref"] = n_neardup
+        report["n_undecodable"] = n_undec
+        report["n_output"] = n_after_gates - n_exact - n_neardup
+        all_drops = reduce(lambda a, b: a.unionByName(b), drop_dfs)
+        out = gated.join(all_drops, pk, "left_anti").drop(*_GATE_COLS)
         return out, report
     finally:
         flags.unpersist()

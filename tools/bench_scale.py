@@ -96,6 +96,11 @@ ROWS = [
     # round 13: exact triangle-inequality cell-bound eCP kNN (fresh
     # per-dir index build + τ-pruned probe — verdict r12 #8)
     "knn_ecp_bound_scaled",
+    # round 14 (verdict r13 #5/#8): the lossy eCP budget path with the
+    # same build/probe split, and the decontamination shuffle route
+    # forced over the broadcast cap
+    "knn_ecp_scaled",
+    "pipeline_decontaminate_routed",
 ]
 COPIES = 10
 SHIFT = 10_000_000
@@ -127,33 +132,75 @@ def _bm25_scaled(spark, sf_dir):
     return res.select("doc_id", F.round(SCORE_COL, 4).alias(SCORE_COL))
 
 
-def _ecp_bound_scaled(spark, sf_dir):
-    """Round-13 exact cell-bound eCP kNN (verdict r12 #8) over THIS
-    dir's embeddings — fresh catalog per dir (the *_persisted registry
-    row would silently reuse the first-built index, the bm25 trap).
-    Build + query both inside the timing, the bm25 convention: at 10×
-    vectors the sqrt(n)-leader build and the τ-bounded cell probe must
-    scale together; the pruning keeps the query side sublinear."""
-    import shutil
+#: per-(row, sf_dir) index-BUILD seconds recorded by the eCP callables —
+#: main() subtracts them so BENCH_sf1 carries {build, probe} split rows
+#: (round 14, verdict r13 #5: the 6.43× knn_ecp_bound_scaled ratio was
+#: build-dominated; the probe's partition-pruned scaling deserves its
+#: own number since a build is amortized across queries at 100 TB)
+_BUILD_SEC: "dict[tuple[str, str], float]" = {}
 
+
+def _ecp_scaled(name: str, cell_bound: bool):
+    """eCP kNN probes (exact cell-bound + the reference's lossy budget
+    path) over THIS dir's embeddings — fresh catalog per dir (the
+    *_persisted registry row would silently reuse the first-built
+    index, the bm25 trap).  The build runs EAGERLY here and its wall
+    time is recorded into _BUILD_SEC; the returned DataFrame is the
+    lazy probe, so main()'s collect times probe-only on top."""
+
+    def run(spark, sf_dir):
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from adampro_spark.operators.scan import DISTANCE_COL
+        from adampro_spark.ops import AdamOps
+
+        tag = ("ecpb_" if cell_bound else "ecpl_") + os.path.basename(
+            sf_dir.rstrip("/")
+        )
+        base = os.path.join(ROOT, "_scratch", "scale_" + tag)
+        shutil.rmtree(base, ignore_errors=True)
+        ops = AdamOps(spark, base)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        dim = len(emb.select("embedding").first()["embedding"])
+        t0 = time.perf_counter()
+        ops.index.create_from_df(
+            "emb_ecpb", "embeddings_ext", emb, "embedding", "ecp", pk="vec_id"
+        )
+        _BUILD_SEC[(name, sf_dir)] = round(time.perf_counter() - t0, 3)
+        res = ops.query.index(
+            "emb_ecpb", [0.1] * dim, 20, "euclidean", df=emb,
+            cell_bound=cell_bound,
+        )
+        return res.select(
+            "vec_id", F.round(DISTANCE_COL, 4).alias(DISTANCE_COL)
+        )
+
+    return run
+
+
+def _decontaminate_routed(spark, sf_dir):
+    """The OVER-CAP decontamination leg (round 14, verdict r13 #8): the
+    same corpus/eval derivation as pipeline_decontaminate_bloom but with
+    ``max_broadcast_grams`` forced under the eval-gram count, so
+    ``_route_eval_grams`` takes the shuffle-semi + bloom-hint route at
+    BOTH scales — measuring the route a truly huge eval suite would
+    take, not just plan-asserting it (the pytest does that)."""
     from pyspark.sql import functions as F
 
-    from adampro_spark.operators.scan import DISTANCE_COL
-    from adampro_spark.ops import AdamOps
+    from adampro_spark.pipeline.mix import decontaminate
+    from adampro_spark.session import load_tables
 
-    tag = "ecpb_" + os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(ROOT, "_scratch", "scale_" + tag)
-    shutil.rmtree(base, ignore_errors=True)
-    ops = AdamOps(spark, base)
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    dim = len(emb.select("embedding").first()["embedding"])
-    ops.index.create_from_df(
-        "emb_ecpb", "embeddings_ext", emb, "embedding", "ecp", pk="vec_id"
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.array_join(
+            F.slice(F.split(F.lower("text"), r"\s+"), 6, 13), " "
+        ).alias("text")
     )
-    res = ops.query.index(
-        "emb_ecpb", [0.1] * dim, 20, "euclidean", df=emb, cell_bound=True
-    )
-    return res.select("vec_id", F.round(DISTANCE_COL, 4).alias(DISTANCE_COL))
+    return decontaminate(
+        docs, ev, n=13, method="semi", max_broadcast_grams=10
+    ).select("doc_id")
 
 
 def _assign_skew(spark, sf_dir):
@@ -249,7 +296,11 @@ def main() -> None:
     registry = {**S.QUERIES, **S.BENCH_ONLY}
     registry["fulltext_bm25_scaled"] = _bm25_scaled
     registry["events_assign_skew"] = _assign_skew
-    registry["knn_ecp_bound_scaled"] = _ecp_bound_scaled
+    registry["knn_ecp_bound_scaled"] = _ecp_scaled(
+        "knn_ecp_bound_scaled", cell_bound=True
+    )
+    registry["knn_ecp_scaled"] = _ecp_scaled("knn_ecp_scaled", cell_bound=False)
+    registry["pipeline_decontaminate_routed"] = _decontaminate_routed
     # warm plan shapes once at the smallest sf
     for name in ROWS:
         try:
@@ -265,8 +316,22 @@ def main() -> None:
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).collect()
             rec[tag] = round(time.perf_counter() - t0, 3)
+            b = _BUILD_SEC.pop((name, sf_dir), None)
+            if b is not None:
+                # split rows (verdict r13 #5): an index build is
+                # amortized across queries — the probe's own scaling is
+                # the per-query claim
+                rec[f"{tag}_build"] = b
+                rec[f"{tag}_probe"] = round(rec[tag] - b, 3)
             spark.catalog.clearCache()
         rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        if "sf0.1_probe" in rec and rec["sf0.1_probe"] > 0:
+            rec["ratio_build"] = round(
+                rec["sf1_build"] / max(rec["sf0.1_build"], 1e-9), 2
+            )
+            rec["ratio_probe"] = round(
+                rec["sf1_probe"] / rec["sf0.1_probe"], 2
+            )
         rows[name] = rec
         print(name, rec, flush=True)
 
