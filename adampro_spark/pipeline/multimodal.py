@@ -170,27 +170,61 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
 
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
-    """Real WAV decode (16-bit PCM, RIFF chunk walk) in pure numpy →
-    (int16 sample array [n or n × channels], sample_rate)."""
+    """Real WAV decode (RIFF chunk walk) in pure numpy →
+    (int16 sample array [n or n × channels], sample_rate).
+
+    Coverage (round 14 widened beyond 16-bit PCM to the common web
+    flavors, every variant normalized to the int16 contract):
+
+    * PCM (format 1): 8-bit unsigned (``(v − 128) << 8``), 16-bit
+      verbatim, 24-bit (high two bytes), 32-bit (``>> 16``);
+    * IEEE float (format 3): 32-bit, clipped to [−1, 1] × 32767.
+
+    ADPCM/µ-law/extensible and other codecs raise honestly (the
+    failure-tolerant kernels turn that into a NULL fingerprint)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, nch, rate, bits, data = 12, 1, 0, 16, b""
+    pos, fmt, nch, rate, bits, data = 12, 1, 1, 0, 16, b""
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         clen = int.from_bytes(content[pos + 4 : pos + 8], "little")
         payload = content[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
-            if int.from_bytes(payload[0:2], "little") != 1:
-                raise NotImplementedError("only PCM WAV supported")
+            fmt = int.from_bytes(payload[0:2], "little")
+            if fmt not in (1, 3):
+                raise NotImplementedError(
+                    f"only PCM/IEEE-float WAV supported (format {fmt})"
+                )
             nch = int.from_bytes(payload[2:4], "little")
             rate = int.from_bytes(payload[4:8], "little")
             bits = int.from_bytes(payload[14:16], "little")
         elif cid == b"data":
             data = payload
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if bits != 16:
-        raise NotImplementedError(f"only 16-bit PCM supported (got {bits})")
-    samples = np.frombuffer(data, dtype="<i2")
+    if fmt == 3:
+        if bits != 32:
+            raise NotImplementedError(
+                f"only 32-bit IEEE-float WAV supported (got {bits})"
+            )
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        samples = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+        samples = ((u - 128) << 8).astype(np.int16)
+    elif bits == 24:
+        b3 = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+        b3 = b3.reshape(-1, 3).astype(np.int32)
+        v = (b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+        samples = (v >> 8).astype(np.int16)
+    elif bits == 32:
+        samples = (np.frombuffer(data, dtype="<i4") >> 16).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"only 8/16/24/32-bit PCM supported (got {bits})"
+        )
     if nch > 1:
         samples = samples.reshape(-1, nch)
     return samples, rate
@@ -284,18 +318,23 @@ def decode_png(
     content: bytes, width: int = 0, height: int = 0, rgb: bool = False
 ) -> np.ndarray:
     """Real PNG decode in stdlib zlib + numpy: chunk walk, IDAT inflate,
-    per-row defilter (None/Sub/Up/Average/Paeth), luma grayscale output —
-    8-bit depth, color types 0/2/4/6, no interlace (palette and Adam7
-    raise honestly).  ``rgb=True`` (round 13, parity with
-    ``decode_jpeg``): (h × w × 3) uint8 — truecolor channels verbatim
-    (lossless), gray replicated ×3, alpha dropped.  ``width``/``height``
-    args are ignored — the IHDR is the truth, like :func:`decode_bmp`.
+    per-row defilter (None/Sub/Up/Average/Paeth), luma grayscale output.
+    Coverage (round 14 widened the web-corpus classes): color types
+    0/2/4/6 at 8- and 16-bit depth (16-bit samples downscale to their
+    high byte, the standard reduction) and PALETTE (type 3) at 8-bit
+    index depth (PLTE lookup → truecolor semantics).  Sub-byte depths
+    (1/2/4) and Adam7 interlace raise honestly.  ``rgb=True`` (round 13,
+    parity with ``decode_jpeg``): (h × w × 3) uint8 — truecolor/palette
+    channels verbatim (lossless), gray replicated ×3, alpha dropped.
+    ``width``/``height`` args are ignored — the IHDR is the truth, like
+    :func:`decode_bmp`.
 
-    Defilter cost note: Up is fully vectorized; Sub is a per-channel
+    Defilter cost note: Up is fully vectorized; Sub is a per-byte-lane
     running sum (vectorized via cumsum mod 256); Average/Paeth keep the
     spec's per-byte recurrence (left-neighbour dependency) — fine at
     thumbnail sizes, and any hot path at scale re-encodes with filter
-    0/2 rows anyway."""
+    0/2 rows anyway.  Filter distance is the PIXEL byte width (ch ×
+    bytes-per-sample, PNG 9. Filtering), not the channel count."""
     import zlib
 
     if content[: len(_PNG_MAGIC)] != _PNG_MAGIC:
@@ -303,6 +342,9 @@ def decode_png(
     pos = len(_PNG_MAGIC)
     w = h = 0
     ch = 1
+    depth = 8
+    color = 0
+    plte: "np.ndarray | None" = None
     idat = bytearray()
     while pos + 8 <= len(content):
         clen = int.from_bytes(content[pos : pos + 4], "big")
@@ -312,20 +354,36 @@ def decode_png(
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, color, _comp, _filt, interlace = data[8:13]
-            if depth != 8:
-                raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
-            if color not in _PNG_CHANNELS:
-                raise NotImplementedError(f"palette PNG unsupported (color={color})")
+            if color == 3:
+                if depth != 8:
+                    raise NotImplementedError(
+                        f"sub-byte palette PNG unsupported (depth={depth})"
+                    )
+                ch = 1
+            elif color in _PNG_CHANNELS:
+                if depth not in (8, 16):
+                    raise NotImplementedError(
+                        f"only 8/16-bit PNG supported (depth={depth})"
+                    )
+                ch = _PNG_CHANNELS[color]
+            else:
+                raise NotImplementedError(f"unknown PNG color type {color}")
             if interlace != 0:
                 raise NotImplementedError("Adam7 interlaced PNG unsupported")
-            ch = _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
         pos += 12 + clen
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG has no PLTE chunk")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * ch
+    bpp = ch * (2 if depth == 16 else 1)  # filter distance in BYTES
+    stride = w * bpp
     rows = raw.reshape(h, stride + 1)
     ftypes = rows[:, 0]
     recon = np.zeros((h, stride), dtype=np.int32)
@@ -343,19 +401,32 @@ def decode_png(
         elif ft == 2:
             recon[y] = (cur + up) % 256
         elif ft == 1:
-            # per-channel byte lanes: recon[i] = raw[i] + recon[i-ch] is a
+            # per-byte-lane: recon[i] = raw[i] + recon[i-bpp] is a
             # running sum mod 256 within each lane
-            lanes = cur.reshape(w, ch)
+            lanes = cur.reshape(w, bpp)
             recon[y] = (np.cumsum(lanes, axis=0, dtype=np.int64) % 256).reshape(stride)
         else:
             line = recon[y]
             for i in range(stride):
-                a = int(line[i - ch]) if i >= ch else 0
+                a = int(line[i - bpp]) if i >= bpp else 0
                 b = int(up[i])
-                c = int(up[i - ch]) if i >= ch else 0
+                c = int(up[i - bpp]) if i >= bpp else 0
                 pred = (a + b) // 2 if ft == 3 else _paeth(a, b, c)
                 line[i] = (int(cur[i]) + pred) % 256
+    if depth == 16:
+        # big-endian sample pairs → keep the HIGH byte (the exact
+        # round-toward-zero 16→8 reduction: v >> 8)
+        recon = recon.reshape(h, w * ch, 2)[:, :, 0]
     px = recon.astype(np.uint32).reshape(h, w, ch)
+    if color == 3:
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        prgb = plte[idx]  # (h × w × 3) uint8, truecolor semantics
+        if rgb:
+            return prgb
+        pr, pg, pb = (prgb[..., i].astype(np.uint32) for i in range(3))
+        return ((299 * pr + 587 * pg + 114 * pb) // 1000).astype(np.uint8)
     if ch <= 2:  # gray (+alpha ignored)
         gray = px[..., 0].astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2) if rgb else gray

@@ -4,10 +4,11 @@ fingerprint front-door guards (ADVICE r13).
 
 The planted undecodable blobs are all PROBE-VALID (header parses, so the
 header-only gates keep them) but CODEC-UNSUPPORTED (the decoders raise):
-palette PNG, arithmetic-coded (SOF9) JPEG, non-PCM WAV, an AVI whose
-frame payload is not JPEG — exactly the blob classes a real web corpus
-guarantees to contain.  The contract under test: the job COMPLETES, such
-rows pass through dedup as non-candidates, and the report counts them."""
+Adam7-interlaced PNG, arithmetic-coded (SOF9) JPEG, ADPCM WAV, an AVI
+whose frame payload is not JPEG — exactly the blob classes a real web
+corpus guarantees to contain.  The contract under test: the job
+COMPLETES, such rows pass through dedup as non-candidates, and the
+report counts them."""
 
 from __future__ import annotations
 
@@ -18,8 +19,9 @@ import pytest
 
 
 def _palette_png(w: int = 16, h: int = 16) -> bytes:
-    """A real palette (color-type 3) PNG: media_probe reads its IHDR
-    dims; decode_png raises NotImplementedError on it."""
+    """A real palette (color-type 3) PNG — 16 RGB entries, row i filled
+    with index i%16 (decodable as of round 14; media_probe reads its
+    IHDR dims)."""
     from adampro_spark.pipeline.multimodal import _PNG_MAGIC, _png_chunk
 
     ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
@@ -29,6 +31,22 @@ def _palette_png(w: int = 16, h: int = 16) -> bytes:
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _interlaced_png(w: int = 16, h: int = 16) -> bytes:
+    """An Adam7-interlaced grayscale PNG: media_probe reads its IHDR
+    dims; decode_png raises NotImplementedError on it (the remaining
+    honest-raise PNG class after round 14)."""
+    from adampro_spark.pipeline.multimodal import _PNG_MAGIC, _png_chunk
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
+    raw = b"".join(b"\x00" + bytes([50] * w) for i in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
@@ -114,7 +132,7 @@ def test_curate_media_undecodable_tolerance_and_modalities(spark):
     rows = [
         (0, encode_bmp(ramp)),                      # image keeper
         (1, encode_bmp(retouched)),                 # image near-dup -> drop
-        (2, _palette_png()),                        # undecodable image
+        (2, _interlaced_png()),                     # undecodable image
         (3, _sof9_jpeg(ramp)),                      # undecodable image
         (4, _nonpcm_wav()),                         # undecodable audio
         (5, encode_wav(base_audio)),                # audio keeper
@@ -250,7 +268,7 @@ def test_image_dhash_null_on_undecodable(spark):
         np.uint8
     )
     df = spark.createDataFrame(
-        [(0, encode_bmp(img)), (1, _palette_png()), (2, b"not media")],
+        [(0, encode_bmp(img)), (1, _interlaced_png()), (2, b"not media")],
         "media_id long, content binary",
     )
     got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
@@ -415,6 +433,164 @@ def test_jpeg_progressive_dhash_pairs_with_baseline(spark):
         image_dhash(df), "dhash", pk="media_id", max_hamming=6, nbits=63
     ).collect()
     assert len(pairs) == 1 and pairs[0]["hamming"] <= 6
+
+
+# ---------------------------------------------------------------------------
+# Round-14 codec widening: palette/16-bit PNG, 8/24/32-bit + float WAV
+# ---------------------------------------------------------------------------
+
+
+def test_png_palette_decode():
+    """Color-type-3 PNG: PLTE lookup gives truecolor semantics — the
+    rgb path returns palette entries verbatim, the luma path applies the
+    same BT.601 integer formula as truecolor."""
+    from adampro_spark.pipeline.multimodal import decode_png
+
+    blob = _palette_png()
+    rgb = decode_png(blob, rgb=True)
+    plte = np.array([(x * 3 % 256, (x * 3 + 1) % 256, (x * 3 + 2) % 256)
+                     for x in range(16)], dtype=np.uint8)
+    # row i is palette entry i%16; our palette bytes are 0..47 in order
+    want = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    for i in range(16):
+        assert (rgb[i] == want[i % 16]).all(), i
+    luma = decode_png(blob)
+    r, g, b = (want[:, c].astype(np.uint32) for c in range(3))
+    lrow = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    for i in range(16):
+        assert (luma[i] == lrow[i % 16]).all(), i
+    del plte
+
+
+def test_png_16bit_decode_high_byte_and_filter_distance():
+    """16-bit grayscale PNG: samples reduce to their high byte, and the
+    Sub/Paeth filter distance is the PIXEL byte width (2), not the
+    channel count — a Sub-filtered row decodes exactly."""
+    import zlib as _z
+
+    from adampro_spark.pipeline.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+    )
+
+    h, w = 4, 6
+    vals = (np.add.outer(np.arange(h) * 1000, np.arange(w) * 257) % 65536).astype(
+        np.uint16
+    )
+    rows = []
+    for y in range(h):
+        be = vals[y].astype(">u2").tobytes()
+        if y % 2 == 0:
+            rows.append(b"\x00" + be)  # filter None
+        else:
+            # filter Sub over 2-byte lanes
+            raw = np.frombuffer(be, dtype=np.uint8).astype(np.int32)
+            sub = raw.copy()
+            sub[2:] = (raw[2:] - raw[:-2]) % 256
+            rows.append(b"\x01" + sub.astype(np.uint8).tobytes())
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    blob = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    assert (out == (vals >> 8).astype(np.uint8)).all()
+
+
+def _wav_blob(fmt: int, bits: int, payload: bytes, nch: int = 1) -> bytes:
+    from adampro_spark.pipeline.multimodal import _riff_chunk
+
+    block = max(nch * (bits // 8), 1)
+    fmtc = (
+        fmt.to_bytes(2, "little")
+        + nch.to_bytes(2, "little")
+        + (16_000).to_bytes(4, "little")
+        + (16_000 * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmtc) + _riff_chunk(b"data", payload)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_wav_variants_normalize_to_int16():
+    """8/24/32-bit PCM and 32-bit IEEE float all decode to the int16
+    contract with the exact documented reductions."""
+    from adampro_spark.pipeline.multimodal import decode_wav
+
+    # 8-bit unsigned: (v - 128) << 8
+    u8 = np.array([0, 128, 255, 64], dtype=np.uint8)
+    s, rate = decode_wav(_wav_blob(1, 8, u8.tobytes()))
+    assert rate == 16_000
+    assert s.tolist() == [((int(v) - 128) << 8) for v in u8]
+
+    # 24-bit: high two bytes (arithmetic >> 8 after sign-extension)
+    vals24 = [0x000100, 0x7FFFFF, -0x800000, -0x000100]
+    b24 = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals24
+    )
+    s, _ = decode_wav(_wav_blob(1, 24, b24))
+    assert s.tolist() == [v >> 8 for v in vals24]
+
+    # 32-bit int: >> 16
+    vals32 = np.array([1 << 16, -(1 << 16), 0x7FFF0000, -0x80000000], dtype=np.int32)
+    s, _ = decode_wav(_wav_blob(1, 32, vals32.astype("<i4").tobytes()))
+    assert s.tolist() == [int(v) >> 16 for v in vals32]
+
+    # IEEE float: clip to [-1, 1] * 32767 (round-half-even is fine: the
+    # planted values land exactly)
+    f = np.array([0.0, 1.0, -1.0, 2.0, -3.0, 0.5], dtype=np.float32)
+    s, _ = decode_wav(_wav_blob(3, 32, f.tobytes()))
+    assert s.tolist() == [0, 32767, -32767, 32767, -32767, 16384]
+
+    # stereo float folds to channel 0 in decode_media/audio kernels;
+    # here just check the (n, 2) shape survives
+    st = np.array([0.1, -0.1, 0.2, -0.2], dtype=np.float32)
+    s, _ = decode_wav(_wav_blob(3, 32, st.tobytes(), nch=2))
+    assert s.shape == (2, 2)
+
+
+def test_curate_media_hashes_palette_png(spark):
+    """A palette PNG is now a first-class image in curate_media: a
+    palette re-encode of a BMP near-dups with it instead of passing
+    through as undecodable."""
+    import zlib as _z
+
+    from adampro_spark.pipeline.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        curate_media,
+        decode_png,
+        encode_bmp,
+    )
+
+    h, w = 16, 16
+    gray = (np.add.outer(np.arange(h) * 16, np.arange(w) * 3) % 256).astype(
+        np.uint8
+    )
+    # palette = identity grayscale: index v -> (v, v, v)
+    plte = b"".join(bytes([v, v, v]) for v in range(256))
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    pal_png = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(pal_png) == gray).all()  # identity palette
+    df = spark.createDataFrame(
+        [(0, encode_bmp(gray)), (1, pal_png)],
+        "media_id long, content binary",
+    )
+    out, rep = curate_media(df)
+    assert {r["media_id"] for r in out.collect()} == {0}
+    assert rep["n_neardup_dropped_image"] == 1
+    assert rep["n_undecodable"] == 0
 
 
 # ---------------------------------------------------------------------------
