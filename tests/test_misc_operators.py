@@ -565,11 +565,17 @@ def test_png_unsupported_shapes_raise_honestly():
 
     with pytest.raises(ValueError):
         decode_png(b"not a png at all----")
-    # forge a 16-bit-depth IHDR: must raise, not mis-decode
     blob = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
     assert blob[24] == 8  # depth byte inside IHDR
-    blob[24] = 16
+    # sub-byte depth: honest NotImplementedError (round 14: real 16-bit
+    # streams now DECODE, so the unsupported class moved to 1/2/4-bit)
+    blob[24] = 4
     with pytest.raises(NotImplementedError):
+        decode_png(bytes(blob))
+    # a 16-bit IHDR forged onto 8-bit row data is a CORRUPT stream (the
+    # byte count no longer matches the stride): must raise, not mis-decode
+    blob[24] = 16
+    with pytest.raises(ValueError):
         decode_png(bytes(blob))
 
 
