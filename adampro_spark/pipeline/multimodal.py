@@ -169,6 +169,29 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def _mulaw_table() -> np.ndarray:
+    """The 256-entry G.711 µ-law → int16 expansion table (ITU-T G.711
+    Table 2a/2b: invert the byte, split sign/exponent/mantissa, expand
+    ``((m << 3) + 0x84) << e − 0x84``)."""
+    codes = np.arange(256, dtype=np.int32) ^ 0xFF
+    sign = codes & 0x80
+    e = (codes >> 4) & 0x07
+    m = codes & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """The 256-entry G.711 A-law → int16 expansion table (ITU-T G.711
+    Table 1a/1b: XOR 0x55, exponent 0 keeps the linear segment)."""
+    codes = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = codes & 0x80
+    e = (codes >> 4) & 0x07
+    m = codes & 0x0F
+    mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << (e - 1))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """Real WAV decode (RIFF chunk walk) in pure numpy →
     (int16 sample array [n or n × channels], sample_rate).
@@ -178,9 +201,11 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
     * PCM (format 1): 8-bit unsigned (``(v − 128) << 8``), 16-bit
       verbatim, 24-bit (high two bytes), 32-bit (``>> 16``);
-    * IEEE float (format 3): 32-bit, clipped to [−1, 1] × 32767.
+    * IEEE float (format 3): 32-bit, clipped to [−1, 1] × 32767;
+    * G.711 A-law (format 6) / µ-law (format 7): 8-bit companded
+      telephony samples through the exact ITU expansion tables.
 
-    ADPCM/µ-law/extensible and other codecs raise honestly (the
+    ADPCM/extensible and other codecs raise honestly (the
     failure-tolerant kernels turn that into a NULL fingerprint)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -191,9 +216,9 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         payload = content[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             fmt = int.from_bytes(payload[0:2], "little")
-            if fmt not in (1, 3):
+            if fmt not in (1, 3, 6, 7):
                 raise NotImplementedError(
-                    f"only PCM/IEEE-float WAV supported (format {fmt})"
+                    f"only PCM/IEEE-float/G.711 WAV supported (format {fmt})"
                 )
             nch = int.from_bytes(payload[2:4], "little")
             rate = int.from_bytes(payload[4:8], "little")
@@ -201,7 +226,14 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         elif cid == b"data":
             data = payload
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if fmt == 3:
+    if fmt in (6, 7):
+        if bits != 8:
+            raise NotImplementedError(
+                f"G.711 WAV must be 8-bit (got {bits})"
+            )
+        lut = _alaw_table() if fmt == 6 else _mulaw_table()
+        samples = lut[np.frombuffer(data, dtype=np.uint8)]
+    elif fmt == 3:
         if bits != 32:
             raise NotImplementedError(
                 f"only 32-bit IEEE-float WAV supported (got {bits})"
@@ -238,6 +270,13 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: Adam7 interlace pass grid: (x-origin, y-origin, x-stride, y-stride)
+#: per pass, PNG spec 8.2
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 # channels per PNG color type (3 = palette, unsupported)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
@@ -321,9 +360,11 @@ def decode_png(
     per-row defilter (None/Sub/Up/Average/Paeth), luma grayscale output.
     Coverage (round 14 widened the web-corpus classes): color types
     0/2/4/6 at 8- and 16-bit depth (16-bit samples downscale to their
-    high byte, the standard reduction) and PALETTE (type 3) at 8-bit
-    index depth (PLTE lookup → truecolor semantics).  Sub-byte depths
-    (1/2/4) and Adam7 interlace raise honestly.  ``rgb=True`` (round 13,
+    high byte, the standard reduction), PALETTE (type 3) at 8-bit index
+    depth (PLTE lookup → truecolor semantics), and ADAM7 interlace
+    (seven independently-filtered passes scattered onto their
+    (y0::dy, x0::dx) grids).  Sub-byte depths (1/2/4) raise honestly.
+    ``rgb=True`` (round 13,
     parity with ``decode_jpeg``): (h × w × 3) uint8 — truecolor/palette
     channels verbatim (lossless), gray replicated ×3, alpha dropped.
     ``width``/``height`` args are ignored — the IHDR is the truth, like
@@ -344,6 +385,7 @@ def decode_png(
     ch = 1
     depth = 8
     color = 0
+    interlace = 0
     plte: "np.ndarray | None" = None
     idat = bytearray()
     while pos + 8 <= len(content):
@@ -368,8 +410,8 @@ def decode_png(
                 ch = _PNG_CHANNELS[color]
             else:
                 raise NotImplementedError(f"unknown PNG color type {color}")
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
         elif ctype == b"PLTE":
             if len(data) % 3:
                 raise ValueError("PNG PLTE length not a multiple of 3")
@@ -383,41 +425,69 @@ def decode_png(
         raise ValueError("palette PNG has no PLTE chunk")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     bpp = ch * (2 if depth == 16 else 1)  # filter distance in BYTES
-    stride = w * bpp
-    rows = raw.reshape(h, stride + 1)
-    ftypes = rows[:, 0]
-    recon = np.zeros((h, stride), dtype=np.int32)
-    for y in range(h):
-        ft = int(ftypes[y])
-        if ft > 4:
-            # reject loudly — silently treating an invalid byte as Paeth
-            # would hand garbage pixels to extract_features as a "valid"
-            # decode
-            raise ValueError(f"invalid PNG filter type {ft} on row {y}")
-        cur = rows[y, 1:].astype(np.int32)
-        up = recon[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
-        if ft == 0:
-            recon[y] = cur
-        elif ft == 2:
-            recon[y] = (cur + up) % 256
-        elif ft == 1:
-            # per-byte-lane: recon[i] = raw[i] + recon[i-bpp] is a
-            # running sum mod 256 within each lane
-            lanes = cur.reshape(w, bpp)
-            recon[y] = (np.cumsum(lanes, axis=0, dtype=np.int64) % 256).reshape(stride)
-        else:
-            line = recon[y]
-            for i in range(stride):
-                a = int(line[i - bpp]) if i >= bpp else 0
-                b = int(up[i])
-                c = int(up[i - bpp]) if i >= bpp else 0
-                pred = (a + b) // 2 if ft == 3 else _paeth(a, b, c)
-                line[i] = (int(cur[i]) + pred) % 256
-    if depth == 16:
-        # big-endian sample pairs → keep the HIGH byte (the exact
-        # round-toward-zero 16→8 reduction: v >> 8)
-        recon = recon.reshape(h, w * ch, 2)[:, :, 0]
-    px = recon.astype(np.uint32).reshape(h, w, ch)
+
+    def _defilter(buf: np.ndarray, hh: int, ww: int) -> np.ndarray:
+        """Defilter ``hh`` scanlines of ``ww`` pixels (one image, or one
+        Adam7 pass — filtering never crosses a pass boundary) and reduce
+        to (hh × ww × ch) uint8 samples (16-bit keeps the HIGH byte,
+        the exact round-toward-zero v >> 8 reduction)."""
+        stride = ww * bpp
+        rows = buf.reshape(hh, stride + 1)
+        ftypes = rows[:, 0]
+        recon = np.zeros((hh, stride), dtype=np.int32)
+        for y in range(hh):
+            ft = int(ftypes[y])
+            if ft > 4:
+                # reject loudly — silently treating an invalid byte as
+                # Paeth would hand garbage pixels to extract_features as
+                # a "valid" decode
+                raise ValueError(f"invalid PNG filter type {ft} on row {y}")
+            cur = rows[y, 1:].astype(np.int32)
+            up = recon[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+            if ft == 0:
+                recon[y] = cur
+            elif ft == 2:
+                recon[y] = (cur + up) % 256
+            elif ft == 1:
+                # per-byte-lane: recon[i] = raw[i] + recon[i-bpp] is a
+                # running sum mod 256 within each lane
+                lanes = cur.reshape(ww, bpp)
+                recon[y] = (
+                    np.cumsum(lanes, axis=0, dtype=np.int64) % 256
+                ).reshape(stride)
+            else:
+                line = recon[y]
+                for i in range(stride):
+                    a = int(line[i - bpp]) if i >= bpp else 0
+                    b = int(up[i])
+                    c = int(up[i - bpp]) if i >= bpp else 0
+                    pred = (a + b) // 2 if ft == 3 else _paeth(a, b, c)
+                    line[i] = (int(cur[i]) + pred) % 256
+        if depth == 16:
+            recon = recon.reshape(hh, ww * ch, 2)[:, :, 0]
+        return recon.astype(np.uint8).reshape(hh, ww, ch)
+
+    if interlace == 0:
+        samples = _defilter(raw, h, w)
+    else:
+        # Adam7 (round 14): seven sub-images, each filtered
+        # independently, scattered onto the (y0::dy, x0::dx) grids;
+        # empty passes contribute no bytes (not even filter bytes)
+        samples = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            nbytes = hp * (wp * bpp + 1)
+            if off + nbytes > raw.size:
+                raise ValueError("truncated Adam7 PNG pass data")
+            samples[y0::dy, x0::dx] = _defilter(
+                raw[off:off + nbytes], hp, wp
+            )
+            off += nbytes
+    px = samples.astype(np.uint32)
     if color == 3:
         idx = px[..., 0]
         if int(idx.max(initial=0)) >= len(plte):

@@ -4,7 +4,7 @@ fingerprint front-door guards (ADVICE r13).
 
 The planted undecodable blobs are all PROBE-VALID (header parses, so the
 header-only gates keep them) but CODEC-UNSUPPORTED (the decoders raise):
-Adam7-interlaced PNG, arithmetic-coded (SOF9) JPEG, ADPCM WAV, an AVI
+sub-byte-depth PNG, arithmetic-coded (SOF9) JPEG, ADPCM WAV, an AVI
 whose frame payload is not JPEG — exactly the blob classes a real web
 corpus guarantees to contain.  The contract under test: the job
 COMPLETES, such rows pass through dedup as non-candidates, and the
@@ -36,14 +36,15 @@ def _palette_png(w: int = 16, h: int = 16) -> bytes:
     )
 
 
-def _interlaced_png(w: int = 16, h: int = 16) -> bytes:
-    """An Adam7-interlaced grayscale PNG: media_probe reads its IHDR
-    dims; decode_png raises NotImplementedError on it (the remaining
-    honest-raise PNG class after round 14)."""
+def _subbyte_png(w: int = 16, h: int = 16) -> bytes:
+    """A 4-bit-depth grayscale PNG: media_probe reads its IHDR dims;
+    decode_png raises NotImplementedError on it (the remaining
+    honest-raise PNG class after round 14 — Adam7 and palette decode
+    now)."""
     from adampro_spark.pipeline.multimodal import _PNG_MAGIC, _png_chunk
 
-    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
-    raw = b"".join(b"\x00" + bytes([50] * w) for i in range(h))
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([4, 0, 0, 0, 0])
+    raw = b"".join(b"\x00" + bytes([0x55] * (w // 2)) for i in range(h))
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -132,7 +133,7 @@ def test_curate_media_undecodable_tolerance_and_modalities(spark):
     rows = [
         (0, encode_bmp(ramp)),                      # image keeper
         (1, encode_bmp(retouched)),                 # image near-dup -> drop
-        (2, _interlaced_png()),                     # undecodable image
+        (2, _subbyte_png()),                        # undecodable image
         (3, _sof9_jpeg(ramp)),                      # undecodable image
         (4, _nonpcm_wav()),                         # undecodable audio
         (5, encode_wav(base_audio)),                # audio keeper
@@ -268,7 +269,7 @@ def test_image_dhash_null_on_undecodable(spark):
         np.uint8
     )
     df = spark.createDataFrame(
-        [(0, encode_bmp(img)), (1, _interlaced_png()), (2, b"not media")],
+        [(0, encode_bmp(img)), (1, _subbyte_png()), (2, b"not media")],
         "media_id long, content binary",
     )
     got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
@@ -551,6 +552,70 @@ def test_wav_variants_normalize_to_int16():
     st = np.array([0.1, -0.1, 0.2, -0.2], dtype=np.float32)
     s, _ = decode_wav(_wav_blob(3, 32, st.tobytes(), nch=2))
     assert s.shape == (2, 2)
+
+
+def test_png_adam7_external_encoder_interop():
+    """Adam7-interlaced PNGs encoded by JDK ImageIO (progressive mode)
+    decode EXACTLY (PNG is lossless): 17×17 dims make every pass
+    ragged, so the pass-grid arithmetic and per-pass filtering are both
+    pinned against an independent encoder's bytes."""
+    import os
+
+    from adampro_spark.pipeline.multimodal import decode_png
+
+    fixdir = os.path.join(os.path.dirname(__file__), "resources", "png")
+    gray = open(os.path.join(fixdir, "adam7_gray.png"), "rb").read()
+    assert gray[28] == 1  # IHDR interlace byte
+    truth = np.load(os.path.join(fixdir, "adam7_truth.npz"))["gray"]
+    assert (decode_png(gray) == truth).all()
+
+    color = open(os.path.join(fixdir, "adam7_color.png"), "rb").read()
+    assert color[28] == 1
+    n = 17
+    want = np.zeros((n, n, 3), dtype=np.uint8)
+    for y in range(n):
+        for x in range(n):
+            want[y, x] = ((x * 11) % 256, (y * 17) % 256, (x * 3 + y * 5) % 256)
+    assert (decode_png(color, rgb=True) == want).all()
+
+
+def test_wav_g711_expansion_tables():
+    """µ-law/A-law decode through the exact ITU expansion: spot values
+    from the G.711 tables, and a µ-law re-encode of a sine hashes like
+    its linear original through the envelope fingerprint."""
+    from adampro_spark.pipeline.multimodal import (
+        _alaw_table,
+        _mulaw_table,
+        audio_envelope_bits,
+        decode_wav,
+    )
+
+    mu = _mulaw_table()
+    assert mu[0xFF] == 0          # quiet point (positive zero)
+    assert mu[0x7F] == 0          # negative zero folds to 0
+    assert mu[0x80] == 32124      # max POSITIVE magnitude (bytes with
+    assert mu[0x00] == -32124     # bit 7 set are the positive half)
+    al = _alaw_table()
+    assert al[0x55] == -8 and al[0xD5] == 8  # the A-law zero pair
+    assert int(np.abs(al).max()) == 32256    # A-law full scale
+
+    # container: µ-law WAV decodes via the table
+    t = np.arange(6400)
+    lin = (np.sin(t / 40.0) * 12000).astype(np.int16)
+    # companding round-trip: encode linear -> µ-law byte via nearest
+    # table entry (test-side only; the engine only DECODES G.711)
+    order = np.argsort(mu)
+    idx = np.clip(np.searchsorted(mu[order], lin), 0, 255)
+    mu_bytes = order[idx].astype(np.uint8)
+    blob = _wav_blob(7, 8, mu_bytes.tobytes())
+    dec, rate = decode_wav(blob)
+    assert rate == 16_000
+    # companded quantization error is bounded by the top-segment step
+    assert int(np.abs(dec.astype(np.int32) - lin).max()) <= 1024
+    # and the loudness envelope survives companding bit-for-bit-ish
+    h_lin = audio_envelope_bits(lin)
+    h_mu = audio_envelope_bits(dec)
+    assert bin(h_lin ^ h_mu).count("1") <= 4
 
 
 def test_curate_media_hashes_palette_png(spark):
