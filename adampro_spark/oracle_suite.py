@@ -2126,9 +2126,10 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.lit(None).cast("string").alias("s"),
     )
-    # round-13 probe part: header-only metadata sniff over a 5-format
-    # cycle (bmp/jpeg/wav/avi/png, planted dims/lengths) — the ffprobe-
-    # lite pass; every field is pure arithmetic for the oracle
+    # round-13 probe part: header-only metadata sniff over a format
+    # cycle (bmp/jpeg/wav/avi/png + round 14: animated gif, planted
+    # dims/lengths/frame counts) — the ffprobe-lite pass; every field
+    # is pure arithmetic for the oracle
     def _probe_kernel(batches):
         import numpy as np
         import pandas as pd
@@ -2136,6 +2137,7 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         from adampro_spark.pipeline.multimodal import (
             encode_avi_mjpeg,
             encode_bmp,
+            encode_gif,
             encode_jpeg,
             encode_png,
             encode_wav,
@@ -2145,7 +2147,7 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
             ids, blobs = [], []
             for did in pdf["media_id"]:
                 did = int(did)
-                kind = did % 5
+                kind = did % 6
                 h = 18 + did % 5
                 w = 19 + did % 3
                 img = np.full((h, w), did % 256, dtype=np.uint8)
@@ -2159,8 +2161,10 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
                 elif kind == 3:
                     nfr = 3 + did % 4
                     blob = encode_avi_mjpeg([img] * nfr)
-                else:
+                elif kind == 4:
                     blob = encode_png(img)
+                else:
+                    blob = encode_gif([img] * (1 + did % 3))
                 ids.append(did)
                 blobs.append(blob)
             yield pd.DataFrame({"media_id": ids, "content": blobs})
@@ -2312,17 +2316,19 @@ _register(
     FROM documents
     UNION ALL
     -- round-13 probe leg: header-only metadata over the planted
-    -- 5-format cycle, all fields pure arithmetic
+    -- format cycle (round 14: + animated gif), all fields pure
+    -- arithmetic
     SELECT 'probe', doc_id,
-      CASE WHEN doc_id % 5 = 2 THEN NULL::BIGINT
+      CASE WHEN doc_id % 6 = 2 THEN NULL::BIGINT
            ELSE ((19 + doc_id % 3) * 1000 + (18 + doc_id % 5))::BIGINT END,
-      CASE doc_id % 5
+      CASE doc_id % 6
            WHEN 2 THEN (6400 + (doc_id % 7) * 160)::BIGINT
            WHEN 3 THEN (3 + doc_id % 4)::BIGINT
+           WHEN 5 THEN (1 + doc_id % 3)::BIGINT
            ELSE 1::BIGINT END,
-      CASE WHEN doc_id % 5 = 2 THEN 16000::BIGINT ELSE NULL::BIGINT END,
-      CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
-           WHEN 3 THEN 'avi' ELSE 'png' END
+      CASE WHEN doc_id % 6 = 2 THEN 16000::BIGINT ELSE NULL::BIGINT END,
+      CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+           WHEN 3 THEN 'avi' WHEN 4 THEN 'png' ELSE 'gif' END
     FROM documents
     """,
 )

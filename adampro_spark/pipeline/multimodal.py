@@ -507,6 +507,241 @@ def decode_png(
 
 
 # ---------------------------------------------------------------------------
+# GIF: real LZW decode in pure numpy (round 14 — GIF is a major class of
+# any web image corpus and probed as 'unknown' before; public GIF87a/89a
+# spec: logical screen + color tables, sub-blocked LZW image data with
+# growing 3..12-bit codes, the 4-pass GIF interlace).  First frame only:
+# animated GIFs report their frame count through media_probe and hash by
+# frame 1 (the standard thumbnail convention); later frames need the
+# disposal/composition model a real player owns.
+# ---------------------------------------------------------------------------
+
+#: GIF interlace pass grid: (row origin, row stride) per pass
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(
+    frames: "np.ndarray | list[np.ndarray]",
+) -> bytes:
+    """Minimal GIF89a writer for GRAYSCALE frames (identity 256-gray
+    global palette) — the fixture generator completing the encode/decode
+    pairs (encode_bmp/png/jpeg/wav/avi convention).  LZW data uses
+    LITERAL 8-bit codes at a fixed 9-bit width, emitting CLEAR before
+    the dictionary would force a width change (the classic
+    uncompressed-GIF device: ~12.5% size overhead, zero compressor
+    state, fully spec-compliant).  A list of frames writes an animated
+    stream (one image descriptor per frame)."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w = np.asarray(frames[0]).shape[:2]
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries; bg 0; aspect 0
+    out += bytes(v for v in range(256) for _ in range(3))  # identity gray
+    for f in frames:
+        img = np.asarray(f, dtype=np.uint8)
+        if img.shape != (h, w):
+            raise ValueError("all GIF frames must share one shape")
+        out += b"\x2c" + (0).to_bytes(4, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        out += bytes([8])  # LZW minimum code size
+        # literal 9-bit codes, LSB-first; CLEAR every 254 literals keeps
+        # the notional dictionary under the 9->10 bit growth point
+        acc = 0
+        nbits = 0
+        payload = bytearray()
+
+        def _put(code: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                payload.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        _put(256)  # initial CLEAR
+        for i, v in enumerate(img.ravel()):
+            if i and i % 254 == 0:
+                _put(256)
+            _put(int(v))
+        _put(257)  # END
+        if nbits:
+            payload.append(acc & 0xFF)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """Decode one GIF image's LZW stream (already de-sub-blocked) into
+    ``n_pixels`` palette indices — variable 3..12-bit codes, LSB-first
+    bit packing, clear/end codes, the standard grow-on-insert rule."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # dictionary as a list of byte strings; rebuilt on CLEAR
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    size = min_code + 1
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while n_out < n_pixels:
+        while nbits < size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        if code == clear:
+            table = list(base)
+            size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        if prev is not None and len(table) == (1 << size) and size < 12:
+            size += 1
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out:n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError("GIF LZW stream ended before the image filled")
+    return out
+
+
+def _gif_walk(content: bytes):
+    """Yield ``(kind, payload)`` for each GIF block: the header fields
+    first (``('screen', (w, h, global_palette))``), then one
+    ``('image', (left, top, w, h, interlaced, palette, lzw_min, data))``
+    per image descriptor (extensions are skipped).  Shared by
+    :func:`decode_gif` and :func:`media_probe`."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w = int.from_bytes(content[6:8], "little")
+    h = int.from_bytes(content[8:10], "little")
+    flags = content[10]
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gpal = np.frombuffer(content[pos:pos + 3 * n], dtype=np.uint8)
+        gpal = gpal.reshape(-1, 3)
+        pos += 3 * n
+    yield "screen", (w, h, gpal)
+
+    def _skip_subblocks(p: int) -> int:
+        while p < len(content) and content[p] != 0:
+            p += 1 + content[p]
+        return p + 1
+
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            return
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = _skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+        left = int.from_bytes(content[pos + 1:pos + 3], "little")
+        top = int.from_bytes(content[pos + 3:pos + 5], "little")
+        iw = int.from_bytes(content[pos + 5:pos + 7], "little")
+        ih = int.from_bytes(content[pos + 7:pos + 9], "little")
+        iflags = content[pos + 9]
+        pos += 10
+        pal = gpal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(content[pos:pos + 3 * n], dtype=np.uint8)
+            pal = pal.reshape(-1, 3)
+            pos += 3 * n
+        lzw_min = content[pos]
+        pos += 1
+        chunks = []
+        while pos < len(content) and content[pos] != 0:
+            ln = content[pos]
+            chunks.append(content[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1  # block terminator
+        yield "image", (
+            left, top, iw, ih, bool(iflags & 0x40), pal, lzw_min,
+            b"".join(chunks),
+        )
+
+
+def decode_gif(
+    content: bytes, width: int = 0, height: int = 0, rgb: bool = False
+) -> np.ndarray:
+    """Real GIF decode (87a/89a) in pure numpy: LZW with variable-width
+    LSB-first codes, global/local color tables, the 4-pass GIF
+    interlace, FIRST frame composited onto the logical screen (animated
+    GIFs hash by frame 1 — :func:`media_probe` reports their frame
+    count).  Returns the BT.601 luma grid, or (h × w × 3) uint8 with
+    ``rgb=True`` (palette entries verbatim).  ``width``/``height`` args
+    are ignored — the header is the truth, like the other decoders."""
+    walk = _gif_walk(content)
+    _, (w, h, _gpal) = next(walk)
+    frame = None
+    for kind, payload in walk:
+        if kind == "image":
+            frame = payload
+            break
+    if frame is None:
+        raise ValueError("GIF stream has no image descriptor")
+    left, top, iw, ih, interlaced, pal, lzw_min, data = frame
+    if pal is None:
+        raise ValueError("GIF image has no color table")
+    if not 2 <= lzw_min <= 11:
+        raise ValueError(f"invalid GIF LZW minimum code size {lzw_min}")
+    idx = _gif_lzw(data, lzw_min, iw * ih).reshape(ih, iw)
+    if interlaced:
+        ordered = np.empty_like(idx)
+        src = 0
+        for y0, dy in _GIF_PASSES:
+            n = len(range(y0, ih, dy))
+            ordered[y0::dy] = idx[src:src + n]
+            src += n
+        idx = ordered
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("GIF palette index out of range")
+    screen = np.zeros((h, w), dtype=np.uint8) if not rgb else np.zeros(
+        (h, w, 3), dtype=np.uint8
+    )
+    px = pal[idx]  # (ih × iw × 3)
+    eh, ew = min(ih, h - top), min(iw, w - left)
+    if rgb:
+        screen[top:top + eh, left:left + ew] = px[:eh, :ew]
+        return screen
+    r, g, b = (px[..., i].astype(np.uint32) for i in range(3))
+    luma = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    screen[top:top + eh, left:left + ew] = luma[:eh, :ew]
+    return screen
+
+
+# ---------------------------------------------------------------------------
 # JPEG: real baseline-sequential decode in pure numpy (round 12, verdict
 # r11 #6 — JPEG is the dominant format of any web-crawl image corpus, so
 # the fingerprint/profile path was skipping the majority class).  Public
@@ -1657,6 +1892,8 @@ def decode_media(content: bytes, width: int, height: int) -> np.ndarray:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         samples, _rate = decode_wav(content)
         mono = samples if samples.ndim == 1 else samples[:, 0]
@@ -1944,7 +2181,7 @@ def decode_avi_frames(
 
 #: formats image_dhash can decode (decode_media routes them to a 2-D
 #: luma grid; wav decodes to a 1×n strip too short for the dhash grid)
-_DHASH_FORMATS = ("bmp", "png", "jpeg")
+_DHASH_FORMATS = ("bmp", "png", "jpeg", "gif")
 
 
 #: helper columns the media-curate gates carry (house _ap_ prefix)
@@ -2085,7 +2322,8 @@ def curate_media(
        both dedup stages (the text-curate convention).
     3. **Near-dup dedup** (``dedup="dhash"``), PER MODALITY and never
        cross-modality (round 14, verdict r13 #4): images
-       (:data:`_DHASH_FORMATS`) through :func:`image_dhash` (``decoder``
+       (:data:`_DHASH_FORMATS` — bmp/png/jpeg/gif) through
+       :func:`image_dhash` (``decoder``
        is forwarded), wav through :func:`audio_dhash`, avi through
        :func:`video_dhash`; each family's pairs via the Manku machinery
        (:func:`~adampro_spark.pipeline.dedup.fingerprint_pairs`,
@@ -2366,9 +2604,10 @@ def media_probe(content: bytes) -> dict:
     ``None`` for fields the format lacks; unrecognized magic probes as
     ``format='unknown'`` (never raises — a probe must survive junk).
 
-    Formats: BMP (BITMAPINFOHEADER), PNG (IHDR), baseline JPEG (first
-    SOF marker), PCM WAV (fmt + data chunks), MJPEG-AVI (avih header +
-    decode-free frame count)."""
+    Formats: BMP (BITMAPINFOHEADER), PNG (IHDR), JPEG (first SOF
+    marker, baseline or progressive), GIF 87a/89a (logical screen +
+    sub-block-strided frame count), PCM WAV (fmt + data chunks),
+    MJPEG-AVI (avih header + decode-free frame count)."""
     out = {
         "format": "unknown", "width": None, "height": None,
         "n_frames": None, "sample_rate": None,
@@ -2386,6 +2625,20 @@ def media_probe(content: bytes) -> dict:
             out["width"] = int.from_bytes(content[16:20], "big")
             out["height"] = int.from_bytes(content[20:24], "big")
             out["n_frames"] = 1
+        elif content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 13:
+            out["format"] = "gif"
+            out["width"] = int.from_bytes(content[6:8], "little")
+            out["height"] = int.from_bytes(content[8:10], "little")
+            # frame count by sub-block STRIDING (the avi_frame_count
+            # convention — nothing is LZW-decoded)
+            n = 0
+            try:
+                for kind, _ in _gif_walk(content):
+                    if kind == "image":
+                        n += 1
+            except Exception:
+                pass  # junk tail: report the frames walked so far
+            out["n_frames"] = n
         elif content[:2] == b"\xff\xd8":
             out["format"] = "jpeg"
             pos = 2

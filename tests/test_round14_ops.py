@@ -618,6 +618,55 @@ def test_wav_g711_expansion_tables():
     assert bin(h_lin ^ h_mu).count("1") <= 4
 
 
+def test_gif_external_encoder_interop():
+    """GIF fixtures encoded by JDK ImageIO (identity-gray indexed
+    palette, so GIF is lossless) decode EXACTLY: sequential, the 4-pass
+    GIF interlace, and an animated stream (frame 1 + probed frame
+    count); media_probe reads dims/frames by sub-block striding."""
+    import os
+
+    from adampro_spark.pipeline.multimodal import decode_gif, media_probe
+
+    fixdir = os.path.join(os.path.dirname(__file__), "resources", "gif")
+    w, h = 19, 15
+    want = (
+        (np.arange(w)[None, :] * 13 + np.arange(h)[:, None] * 29) % 256
+    ).astype(np.uint8)
+    for name, frames in (("plain", 1), ("inter", 1), ("anim", 3)):
+        blob = open(os.path.join(fixdir, f"{name}.gif"), "rb").read()
+        p = media_probe(blob)
+        assert (p["format"], p["width"], p["height"], p["n_frames"]) == (
+            "gif", w, h, frames,
+        ), name
+        assert (decode_gif(blob) == want).all(), name
+        assert (decode_gif(blob, rgb=True) == want[:, :, None]).all(), name
+
+
+def test_gif_rides_curate_media(spark):
+    """GIF is a first-class image modality: a GIF re-encode of a BMP
+    near-dups with it; junk-tailed GIF bytes hash to NULL and pass
+    through (the failure-tolerance contract)."""
+    import os
+
+    from adampro_spark.pipeline.multimodal import curate_media, decode_gif, encode_bmp
+
+    fixdir = os.path.join(os.path.dirname(__file__), "resources", "gif")
+    gif = open(os.path.join(fixdir, "plain.gif"), "rb").read()
+    bmp_twin = encode_bmp(decode_gif(gif))
+    # a GIF whose LZW data is truncated mid-image: probe-valid, decode
+    # raises -> NULL hash -> passes through
+    cut = gif[: len(gif) - 40]
+    df = spark.createDataFrame(
+        [(0, bmp_twin), (1, gif), (2, cut)],
+        "media_id long, content binary",
+    )
+    out, rep = curate_media(df)
+    kept = {r["media_id"] for r in out.collect()}
+    assert kept == {0, 2}
+    assert rep["n_neardup_dropped_image"] == 1
+    assert rep["n_undecodable"] == 1
+
+
 def test_curate_media_hashes_palette_png(spark):
     """A palette PNG is now a first-class image in curate_media: a
     palette re-encode of a BMP near-dups with it instead of passing
