@@ -2012,18 +2012,19 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
     )
 
-    # round-13 dhash part: a planted-gradient grayscale BMP per doc
+    # round-13 dhash part: a planted-gradient grayscale image per doc
     # (pixel = (doc_id + 3x + 7y) % 256, dims indivisible by the 9x8
     # grid so the floor cell boundaries are exercised) rides the REAL
-    # image_dhash operator (encode_bmp -> decode_media -> box means ->
-    # 63-bit compare hash); BMP decode is lossless and the box means
-    # are exact integer-sum doubles, so DuckDB re-derives the hash from
-    # the pixel formula alone
+    # image_dhash operator (encode -> decode_media -> box means ->
+    # 63-bit compare hash).  Round 14: odd docs encode as identity-
+    # palette GIF instead of BMP — both are LOSSLESS, so the pixels are
+    # the formula either way and ONE oracle formulation adjudicates the
+    # BMP and GIF(LZW) decode paths alike
     def _bmp_kernel(batches):
         import numpy as np
         import pandas as pd
 
-        from adampro_spark.pipeline.multimodal import encode_bmp
+        from adampro_spark.pipeline.multimodal import encode_bmp, encode_gif
 
         for pdf in batches:
             ids, blobs = [], []
@@ -2035,7 +2036,9 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
                 xs = np.arange(w, dtype=np.int64)[None, :]
                 img = ((did + 3 * xs + 7 * ys) % 256).astype(np.uint8)
                 ids.append(did)
-                blobs.append(encode_bmp(img))
+                blobs.append(
+                    encode_bmp(img) if did % 2 == 0 else encode_gif(img)
+                )
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     from adampro_spark.pipeline.multimodal import image_dhash
