@@ -169,6 +169,53 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+#: IMA/DVI ADPCM quantizer step table (89 entries) and index-adjust
+#: table — the public IMA reference tables
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_adpcm_decode_mono(data: bytes, block_align: int) -> np.ndarray:
+    """IMA ADPCM (WAV format 0x11) mono block decode: per block a
+    4-byte header (int16 predictor = sample 0, step index, reserved)
+    then 4-bit nibbles low-first, each expanding through the IMA
+    predictor recurrence.  The recurrence is inherently sequential, so
+    this is a per-nibble Python loop — fine at fixture/clip scale; a
+    100 TB audio corpus transcodes to PCM upstream anyway."""
+    out: list = []
+    ba = max(int(block_align), 5)
+    for off in range(0, len(data), ba):
+        block = data[off:off + ba]
+        if len(block) < 5:
+            break
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = min(max(block[2], 0), 88)
+        out.append(pred)
+        for byte in block[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEPS[index])
+                diff = step >> 3
+                if n & 4:
+                    diff += step
+                if n & 2:
+                    diff += step >> 1
+                if n & 1:
+                    diff += step >> 2
+                pred = pred - diff if n & 8 else pred + diff
+                pred = min(max(pred, -32768), 32767)
+                index = min(max(index + int(_IMA_INDEX[n & 7]), 0), 88)
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
 def _mulaw_table() -> np.ndarray:
     """The 256-entry G.711 µ-law → int16 expansion table (ITU-T G.711
     Table 2a/2b: invert the byte, split sign/exponent/mantissa, expand
@@ -203,29 +250,52 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
       verbatim, 24-bit (high two bytes), 32-bit (``>> 16``);
     * IEEE float (format 3): 32-bit, clipped to [−1, 1] × 32767;
     * G.711 A-law (format 6) / µ-law (format 7): 8-bit companded
-      telephony samples through the exact ITU expansion tables.
+      telephony samples through the exact ITU expansion tables;
+    * IMA/DVI ADPCM (format 0x11, mono): the 4-bit predictor
+      recurrence over per-block headers.
 
-    ADPCM/extensible and other codecs raise honestly (the
+    MS-ADPCM/extensible and other codecs raise honestly (the
     failure-tolerant kernels turn that into a NULL fingerprint)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, fmt, nch, rate, bits, data = 12, 1, 1, 0, 16, b""
+    block_align = 0
+    fact: "int | None" = None
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         clen = int.from_bytes(content[pos + 4 : pos + 8], "little")
         payload = content[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             fmt = int.from_bytes(payload[0:2], "little")
-            if fmt not in (1, 3, 6, 7):
+            if fmt not in (1, 3, 6, 7, 0x11):
                 raise NotImplementedError(
-                    f"only PCM/IEEE-float/G.711 WAV supported (format {fmt})"
+                    "only PCM/IEEE-float/G.711/IMA-ADPCM WAV supported "
+                    f"(format {fmt})"
                 )
             nch = int.from_bytes(payload[2:4], "little")
             rate = int.from_bytes(payload[4:8], "little")
+            block_align = int.from_bytes(payload[12:14], "little")
             bits = int.from_bytes(payload[14:16], "little")
+        elif cid == b"fact" and clen >= 4:
+            # compressed formats record the TRUE per-channel sample
+            # count here — the final block's encoder pad is not signal
+            fact = int.from_bytes(payload[0:4], "little")
         elif cid == b"data":
             data = payload
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt == 0x11:
+        if nch != 1:
+            raise NotImplementedError(
+                f"only mono IMA ADPCM WAV supported (got {nch} channels)"
+            )
+        if bits != 4:
+            raise NotImplementedError(
+                f"IMA ADPCM WAV must be 4-bit (got {bits})"
+            )
+        samples = _ima_adpcm_decode_mono(data, block_align)
+        if fact is not None:
+            samples = samples[:fact]
+        return samples, rate
     if fmt in (6, 7):
         if bits != 8:
             raise NotImplementedError(
@@ -2670,20 +2740,31 @@ def media_probe(content: bytes) -> dict:
         elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             out["format"] = "wav"
             pos, rate, nch, bits, dlen = 12, None, 1, 16, None
+            codec, balign = 1, 0
             while pos + 8 <= len(content):
                 cid = content[pos:pos + 4]
                 clen = int.from_bytes(content[pos + 4:pos + 8], "little")
                 if cid == b"fmt " and clen >= 16:
                     p = content[pos + 8:pos + 8 + clen]
+                    codec = int.from_bytes(p[0:2], "little")
                     nch = int.from_bytes(p[2:4], "little") or 1
                     rate = int.from_bytes(p[4:8], "little")
+                    balign = int.from_bytes(p[12:14], "little")
                     bits = int.from_bytes(p[14:16], "little") or 16
                 elif cid == b"data":
                     dlen = clen
                 pos += 8 + clen + (clen % 2)
             out["sample_rate"] = rate
             if dlen is not None:
-                out["n_frames"] = dlen // max(nch * (bits // 8), 1)
+                if codec == 0x11 and bits == 4 and balign >= 5:
+                    # IMA ADPCM: 1 header sample + 2 nibbles/byte per
+                    # block (matches _ima_adpcm_decode_mono exactly)
+                    nb, rem = divmod(dlen, balign)
+                    out["n_frames"] = nb * (2 * (balign - 4) + 1) + (
+                        2 * (rem - 4) + 1 if rem >= 5 else 0
+                    )
+                else:
+                    out["n_frames"] = dlen // max(nch * (bits // 8), 1)
         elif content[:4] == b"RIFF" and content[8:12] == b"AVI ":
             out["format"] = "avi"
             out["n_frames"] = avi_frame_count(content)
@@ -2705,20 +2786,28 @@ def media_probe(content: bytes) -> dict:
 
 
 def probe_media(
-    df: DataFrame, content_col: str = "content", pk: str = "media_id"
+    df: DataFrame,
+    content_col: str = "content",
+    pk: str = "media_id",
+    keep_content: bool = False,
 ) -> DataFrame:
     """``(pk, format, width, height, n_frames, sample_rate)`` from
     :func:`media_probe` over a binary column — one Arrow-batched
-    header-only pass (no pixel/sample ever decoded)."""
+    header-only pass (no pixel/sample ever decoded).  ``keep_content``
+    threads the blob column through the projection (round 14: the
+    STREAMING gate pass needs metadata and bytes in one stateless map —
+    a stream cannot self-join probe results back by pk)."""
 
     def kern(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             rows = [media_probe(bytes(c)) for c in pdf[content_col]]
-            yield pd.DataFrame(
+            cols = {pk: pdf[pk]}
+            if keep_content:
+                cols[content_col] = pdf[content_col]
+            cols.update(
                 {
-                    pk: pdf[pk],
                     "format": [r["format"] for r in rows],
                     "width": [r["width"] for r in rows],
                     "height": [r["height"] for r in rows],
@@ -2726,11 +2815,13 @@ def probe_media(
                     "sample_rate": [r["sample_rate"] for r in rows],
                 }
             )
+            yield pd.DataFrame(cols)
 
+    mid = f"{content_col} binary, " if keep_content else ""
     return df.select(pk, content_col).mapInPandas(
         kern,
         schema=(
-            f"{pk} long, format string, width int, height int, "
+            f"{pk} long, {mid}format string, width int, height int, "
             "n_frames long, sample_rate int"
         ),
     )
@@ -2850,6 +2941,54 @@ def video_dhash(
 
     return df.select(pk, content_col).mapInPandas(
         kern, schema=f"{pk} long, dhash long"
+    )
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    pk: str = "media_id",
+    every_n: int = 1,
+) -> DataFrame:
+    """``(pk, frame_no, dhash long)`` PER-FRAME perceptual fingerprints
+    of an MJPEG-AVI column — the temporally-SENSITIVE sibling of
+    :func:`video_dhash` (round 14, closing its documented caveat: the
+    mean-frame hash is frame-order-invariant, so a reversed clip hashed
+    identically).  One Arrow-batched pass, one output row per sampled
+    frame (``frame_no`` counts sampled frames in stream order —
+    multiply by ``every_n`` for the container index); clip-level
+    matching anchors pairs on ``(frame_no, hamming ≤ t)`` — e.g.
+    ``fingerprint_pairs(fdh.withColumn("_k", ...), ...)`` per frame_no
+    group — which a reversed or re-cut clip no longer satisfies.
+    Undecodable blobs emit ZERO rows (counted upstream by the probe
+    gates), keeping the explode NULL-free."""
+
+    def kern(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            fnos: list = []
+            hashes: list = []
+            for mid, c in zip(pdf[pk], pdf[content_col]):
+                try:
+                    frames = decode_avi_frames(bytes(c), every_n=every_n)
+                    hs = [int(dhash_bits(f.astype(np.float64))) for f in frames]
+                except Exception:
+                    continue
+                ids.extend([int(mid)] * len(hs))
+                fnos.extend(range(len(hs)))
+                hashes.extend(hs)
+            yield pd.DataFrame(
+                {
+                    pk: pd.array(ids, dtype="Int64"),
+                    "frame_no": pd.array(fnos, dtype="Int64"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select(pk, content_col).mapInPandas(
+        kern, schema=f"{pk} long, frame_no long, dhash long"
     )
 
 

@@ -1009,3 +1009,48 @@ def stream_insert_entity(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_media_gates(
+    stream: DataFrame,
+    content_col: str = "content",
+    pk: str = "media_id",
+    formats: "tuple[str, ...] | None" = None,
+    min_width: "int | None" = None,
+    min_height: "int | None" = None,
+) -> DataFrame:
+    """:func:`~adampro_spark.pipeline.multimodal.curate_media`'s PROBE
+    GATES on a STREAM (round 14): the header-only probe is a stateless
+    Arrow projection, so the format whitelist and size floors filter
+    micro-batches with exactly batch stage-1 semantics (the
+    :func:`stream_curate` batch≡stream contract; runs identically on a
+    batch DataFrame).  Returns the gated stream with the probed
+    metadata attached (``format, width, height, n_frames,
+    sample_rate``).
+
+    The dedup stages are inherently GLOBAL (cross-corpus hash and
+    fingerprint joins) and stay batch — for cross-batch EXACT media
+    dedup, chain :func:`stream_dedup` with
+    ``key_col=F.sha2(F.col(content_col), 256)`` (bounded by its
+    watermark); near-dup fingerprint dedup needs the batch
+    ``curate_media`` over the sink.  No attrition report: a streaming
+    query cannot collect counts mid-plan (``df.observe`` or sink-count
+    comparison instead)."""
+    from adampro_spark.pipeline.multimodal import probe_media
+
+    probed = probe_media(stream, content_col, pk, keep_content=True)
+    fmt_ok = (
+        F.col("format").isin(list(formats))
+        if formats is not None
+        else F.col("format") != F.lit("unknown")
+    )
+    size_ok = F.lit(True)
+    if min_width is not None:
+        size_ok = size_ok & (
+            F.col("width").isNull() | (F.col("width") >= int(min_width))
+        )
+    if min_height is not None:
+        size_ok = size_ok & (
+            F.col("height").isNull() | (F.col("height") >= int(min_height))
+        )
+    return probed.filter(fmt_ok & size_ok)

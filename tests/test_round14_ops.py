@@ -667,6 +667,201 @@ def test_gif_rides_curate_media(spark):
     assert rep["n_undecodable"] == 1
 
 
+def test_wav_ima_adpcm_hand_vector_and_roundtrip():
+    """IMA ADPCM (WAV format 0x11): an exact HAND-COMPUTED vector pins
+    the predictor recurrence (steps, index walk, clamps), the probe's
+    n_frames matches the decoded length exactly, and an encode→decode
+    round trip of a sine keeps SNR high and the envelope hash close."""
+    from adampro_spark.pipeline.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        audio_envelope_bits,
+        decode_wav,
+        media_probe,
+    )
+
+    # one 8-byte block: pred=100, index=4, bytes 0x10 0x82 0x37 0xF9
+    block = (100).to_bytes(2, "little", signed=True) + bytes(
+        [4, 0, 0x10, 0x82, 0x37, 0xF9]
+    )
+    blob = _wav_blob(0x11, 4, block)
+    # _wav_blob writes block_align = nch*(bits//8) = 0; patch it to 8
+    i = blob.find(b"fmt ")
+    blob = blob[: i + 8 + 12] + (8).to_bytes(2, "little") + blob[i + 8 + 14:]
+    dec, rate = decode_wav(blob)
+    # hand-derived: s0=100 then nibbles 0,1,2,8,7,3,9,F through the
+    # published step/index tables starting at index 4
+    assert dec.tolist() == [100, 101, 104, 109, 108, 119, 133, 129, 106]
+    assert media_probe(blob)["n_frames"] == len(dec)
+
+    # property round trip with a test-local reference encoder
+    def ima_encode(samples, ba=256):
+        out = bytearray()
+        i = 0
+        n = len(samples)
+        while i < n:
+            pred = int(samples[i])
+            index = 0
+            out += pred.to_bytes(2, "little", signed=True) + bytes([index, 0])
+            i += 1
+            nibs = []
+            for _ in range(2 * (ba - 4)):
+                target = int(samples[i]) if i < n else pred
+                step = int(_IMA_STEPS[index])
+                delta = target - pred
+                nib = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = min(max(pred, -32768), 32767)
+                index = min(max(index + int(_IMA_INDEX[nib & 7]), 0), 88)
+                nibs.append(nib)
+                if i < n:
+                    i += 1
+            for lo, hi in zip(nibs[0::2], nibs[1::2]):
+                out.append(lo | (hi << 4))
+        return bytes(out)
+
+    t = np.arange(6400)
+    sig = (np.sin(t / 30.0) * 9000).astype(np.int16)
+    ba = 256
+    enc = ima_encode(sig, ba)
+    blob2 = _wav_blob(0x11, 4, enc)
+    i = blob2.find(b"fmt ")
+    blob2 = (
+        blob2[: i + 8 + 12] + ba.to_bytes(2, "little") + blob2[i + 8 + 14:]
+    )
+    dec2, _ = decode_wav(blob2)
+    dec2 = dec2[: len(sig)]
+    err = dec2.astype(np.float64) - sig.astype(np.float64)
+    snr = 10 * np.log10((sig.astype(np.float64) ** 2).mean() / (err**2).mean())
+    assert snr > 25, snr  # ADPCM keeps ~30+ dB on a smooth sine
+    h1 = audio_envelope_bits(sig)
+    h2 = audio_envelope_bits(dec2)
+    assert bin(h1 ^ h2).count("1") <= 4
+
+    # with a `fact` chunk the decoder drops the final block's encoder
+    # pad, so the UNTRIMMED decode hashes near the original too (the
+    # spec-correct true-sample-count path)
+    from adampro_spark.pipeline.multimodal import _riff_chunk
+
+    fmtc = (
+        (0x11).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (16_000).to_bytes(4, "little")
+        + (8_000).to_bytes(4, "little")
+        + ba.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmtc)
+        + _riff_chunk(b"fact", len(sig).to_bytes(4, "little"))
+        + _riff_chunk(b"data", enc)
+    )
+    blob3 = b"RIFF" + len(body).to_bytes(4, "little") + body
+    dec3, _ = decode_wav(blob3)
+    assert len(dec3) == len(sig)
+    assert bin(h1 ^ audio_envelope_bits(dec3)).count("1") <= 4
+
+
+def test_stream_media_gates_match_batch(spark, tmp_path):
+    """The media probe gates stream: a file-source stream through
+    stream_media_gates keeps exactly the rows batch curate_media's
+    stage 1 keeps, with the probed metadata attached."""
+    from adampro_spark.pipeline.multimodal import (
+        curate_media,
+        encode_bmp,
+        encode_wav,
+    )
+    from adampro_spark.streaming.ingest import stream_media_gates
+
+    big = (np.add.outer(np.arange(16) * 5, np.arange(16) * 3) % 256).astype(
+        np.uint8
+    )
+    small = np.full((4, 4), 7, dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_bmp(big))),
+        (1, bytearray(small.tobytes())),        # junk -> unknown
+        (2, bytearray(encode_bmp(small))),      # under the floor
+        (3, bytearray(encode_wav(np.zeros(200, dtype=np.int16)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    batch_out, _ = curate_media(
+        df, min_width=8, min_height=8, dedup=None
+    )
+    want = {r["media_id"] for r in batch_out.collect()}
+
+    src = str(tmp_path / "media_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("media_id long, content binary").parquet(
+        src
+    )
+    gated = stream_media_gates(stream, min_width=8, min_height=8)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("media_gate_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_media"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT media_id, format FROM media_gate_stream"
+    ).collect()
+    assert {r["media_id"] for r in got} == want
+    fmts = {r["media_id"]: r["format"] for r in got}
+    assert fmts[0] == "bmp" and fmts[3] == "wav"
+
+
+def test_video_frame_dhash_is_order_sensitive(spark):
+    """Per-frame video hashes distinguish a REVERSED clip (which the
+    mean-frame video_dhash cannot): frame-anchored hashes match the
+    original only in original order; undecodable blobs emit zero rows."""
+    from adampro_spark.pipeline.multimodal import (
+        encode_avi_mjpeg,
+        video_dhash,
+        video_frame_dhash,
+    )
+
+    h, w = 20, 24
+    f1 = (np.add.outer(np.arange(h) * 9, np.arange(w) * 5) % 256).astype(
+        np.uint8
+    )
+    f2 = (255 - f1).astype(np.uint8)
+    fwd = encode_avi_mjpeg([f1, f2], quant=1)
+    rev = encode_avi_mjpeg([f2, f1], quant=1)
+    df = spark.createDataFrame(
+        [(0, fwd), (1, rev), (2, b"RIFF\x00\x00\x00\x00AVI junk")],
+        "media_id long, content binary",
+    )
+    mean_h = {r["media_id"]: r["dhash"] for r in video_dhash(df).collect()}
+    assert mean_h[0] == mean_h[1]  # the documented mean-frame blind spot
+    per = {
+        (r["media_id"], r["frame_no"]): r["dhash"]
+        for r in video_frame_dhash(df).collect()
+    }
+    assert set(k[0] for k in per) == {0, 1}  # junk emits zero rows
+    assert per[(0, 0)] == per[(1, 1)] and per[(0, 1)] == per[(1, 0)]
+    assert per[(0, 0)] != per[(0, 1)]  # frames are distinct
+    # frame-anchored equality holds only in matching order
+    assert [per[(0, i)] for i in (0, 1)] != [per[(1, i)] for i in (0, 1)]
+
+
 def test_curate_media_hashes_palette_png(spark):
     """A palette PNG is now a first-class image in curate_media: a
     palette re-encode of a BMP near-dups with it instead of passing
