@@ -2090,6 +2090,57 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("n3"),
         F.lit(None).cast("string").alias("s"),
     )
+    # round-14 G.711 part: planted µ-law BYTES by formula ride the real
+    # RIFF fmt-7 container -> decode_wav ITU expansion ->
+    # audio_envelope_bits path; the oracle re-expands the same bytes
+    # through the 256-entry table as a SQL literal (exact int16 values,
+    # exact |sample| window sums)
+    def _g711_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import (
+            _riff_chunk,
+            audio_envelope_bits,
+            decode_wav,
+        )
+
+        for pdf in batches:
+            ids, n1, n2 = [], [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                nn = 6400 + (did % 7) * 160
+                t = np.arange(nn, dtype=np.int64)
+                bb = ((did * 7 + 13 * t) % 256).astype(np.uint8)
+                fmtc = (
+                    (7).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little")
+                    + (8000).to_bytes(4, "little")
+                    + (8000).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")
+                    + (8).to_bytes(2, "little")
+                )
+                body = (
+                    b"WAVE"
+                    + _riff_chunk(b"fmt ", fmtc)
+                    + _riff_chunk(b"data", bb.tobytes())
+                )
+                blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+                samples, _rate = decode_wav(blob)
+                ids.append(did)
+                n1.append(int(audio_envelope_bits(samples)))
+                n2.append(nn)
+            yield pd.DataFrame({"media_id": ids, "n1": n1, "n2": n2})
+
+    gw = media.select("media_id").mapInPandas(
+        _g711_kernel, schema="media_id long, n1 long, n2 long"
+    ).select(
+        F.lit("gwav").alias("part"),
+        "media_id", "n1", "n2",
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("string").alias("s"),
+    )
+
     # round-13 video part: a planted MJPEG-AVI per doc (flat frames,
     # exactly recoverable at quant=1) rides the real encode_avi_mjpeg ->
     # decode_avi_frames -> video_fingerprint path with every_n=2
@@ -2187,7 +2238,8 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         fp.unionByName(jp).unionByName(jrgb).unionByName(jprog)
-        .unionByName(dh).unionByName(aw).unionByName(vf).unionByName(pr)
+        .unionByName(dh).unionByName(aw).unionByName(gw)
+        .unionByName(vf).unionByName(pr)
     )
 
 
@@ -2195,6 +2247,19 @@ _PAL_VALUES = ", ".join(
     f"({i}, {r}.0, {g}.0, {b}.0)"
     for i, (r, g, b) in enumerate(_JPEG_PALETTE)
 )
+
+
+def _mu_sql_literal() -> str:
+    """The 256-entry G.711 µ-law expansion table as a DuckDB list
+    literal — the oracle re-expands the planted µ-law bytes through the
+    SAME shared constant the engine decodes with (the STOPWORDS/
+    minhash-coeffs shared-constant convention)."""
+    from adampro_spark.pipeline.multimodal import _mulaw_table
+
+    return "[" + ", ".join(str(int(v)) for v in _mulaw_table()) + "]"
+
+
+_MU_SQL = _mu_sql_literal()
 
 _register(
     "multimodal_fingerprint",
@@ -2302,6 +2367,34 @@ _register(
           / ((w + 1) * nn // 64 - w * nn // 64)) AS env
       FROM (
         SELECT doc_id, 6400 + (doc_id % 7) * 160 AS nn FROM documents
+      )
+    )
+    UNION ALL
+    -- round-14 G.711 leg: the planted µ-law bytes expand through the
+    -- shared 256-entry table (SQL literal) to exact int16 samples, so
+    -- the loudness-envelope hash re-derives like the awav leg
+    SELECT 'gwav', doc_id,
+      list_sum(list_transform(generate_series(0, 62), i ->
+        CASE WHEN env[i + 1] > env[i + 2]
+             THEN (1::BIGINT << i) ELSE 0::BIGINT
+        END))::BIGINT,
+      nn::BIGINT,
+      NULL::BIGINT, NULL::VARCHAR
+    FROM (
+      SELECT doc_id, nn,
+        -- mu is hoisted to a per-ROW column: a list literal inside the
+        -- innermost lambda re-materialized per ELEMENT (~330M times at
+        -- sf0.1 — minutes); per row it folds once
+        list_transform(generate_series(0, 63), w ->
+          list_sum(list_transform(
+            generate_series(w * nn // 64, (w + 1) * nn // 64 - 1), t ->
+              abs(list_extract(mu,
+                  ((doc_id * 7 + 13 * t) % 256) + 1))::BIGINT))::DOUBLE
+          / ((w + 1) * nn // 64 - w * nn // 64)) AS env
+      FROM (
+        SELECT doc_id, 6400 + (doc_id % 7) * 160 AS nn,
+               {_MU_SQL} AS mu
+        FROM documents
       )
     )
     UNION ALL
