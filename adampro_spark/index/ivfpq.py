@@ -42,6 +42,107 @@ CELL_COL = "ap_cell"             # the coarse cell (partition column)
 MAX_LEADERS = 200  # same cap as eCP (ECPIndexGenerator.scala:27)
 
 
+def _pq_encode(
+    df: DataFrame,
+    vector_col: str,
+    pk: str,
+    leaders: np.ndarray,
+    codebooks: list,
+    bounds,
+) -> DataFrame:
+    """``(pk, cell, codes)`` for every row: nearest-leader coarse cell,
+    then per-sub-vector residual codeword argmin — ONE Arrow-batched
+    pandas UDF (two batch matmuls per sub-vector).  Shared by the build
+    and :func:`ivfpq_append` so appended codes are bit-identical to
+    what the build would emit for the same vectors."""
+    from pyspark.sql import types as T
+
+    L = np.asarray(leaders, dtype=np.float64).copy()
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    blist = [tuple(b) for b in bounds]
+
+    def _encode(vs):
+        import pandas as pd
+
+        Vs = [np.asarray(x, dtype=np.float64) for x in vs]
+        if not Vs:
+            return pd.DataFrame({"cell": [], "codes": []})
+        V = np.stack(Vs)
+        dd = ((V[:, None, :] - L[None, :, :]) ** 2).sum(axis=2)
+        cells = dd.argmin(axis=1)
+        R = V - L[cells]
+        cols = []
+        for (s, ln), cb in zip(blist, cbs):
+            sub = R[:, s : s + ln]
+            d2s = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            cols.append(d2s.argmin(axis=1).astype(np.int32))
+        C = np.stack(cols, axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "codes": list(C)}
+        )
+
+    enc = F.pandas_udf(
+        _encode,
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+    )
+    return df.select(pk, enc(F.col(vector_col)).alias("_e")).select(
+        pk,
+        F.col("_e.cell").alias(CELL_COL),
+        F.col("_e.codes").alias(FEATURE_COL),
+    )
+
+
+def ivfpq_append(
+    new_df: DataFrame,
+    vector_col: str,
+    meta: "dict[str, Any]",
+) -> "tuple[DataFrame, dict[str, Any]]":
+    """Incremental IVF-PQ maintenance (round 14, the :func:`~adampro_
+    spark.index.ecp.ecp_append` pattern): encode ONLY a new batch
+    against the FROZEN leaders and residual codebooks — the exact
+    build-time Arrow pass — and return ``(new_index_rows,
+    updated_meta)`` with counts and ``n`` grown.
+
+    Soundness: the scan's ADC tables derive from the same codebooks the
+    appended codes were quantized with, so appended rows rank exactly
+    like build-time rows.  What degrades under DISTRIBUTION DRIFT is
+    quantization error (recall), never candidate-math correctness —
+    rebuild when a refreshed autofit recall measurement decays.
+    Leaders and codebooks never move (moving them would invalidate
+    every existing code).  :func:`adampro_spark.index.persist.
+    append_index` wraps this with the cell-partitioned parquet append +
+    catalog refresh + staleness clear."""
+    if meta.get("type") != "ivfpq":
+        raise ValueError(
+            f"ivfpq_append needs an ivfpq meta, got {meta.get('type')!r}"
+        )
+    pk = meta["pk"]
+    batch = new_df.filter(F.col(vector_col).isNotNull())
+    indexed = _pq_encode(
+        batch, vector_col, pk,
+        np.array(meta["leaders"], dtype=np.float64),
+        meta["codebooks"],
+        meta["bounds"],
+    ).localCheckpoint(eager=True)
+    stats = {
+        int(r[CELL_COL]): int(r["cnt"])
+        for r in indexed.groupBy(CELL_COL)
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    out = dict(meta)
+    out["counts"] = [
+        int(c) + stats.get(i, 0) for i, c in enumerate(meta["counts"])
+    ]
+    out["n"] = int(meta.get("n", 0)) + sum(stats.values())
+    return indexed, out
+
+
 def build_ivfpq(
     df: DataFrame,
     vector_col: str,
@@ -74,44 +175,7 @@ def build_ivfpq(
         for i, (s, ln) in enumerate(bounds)
     ]
 
-    L = leaders.copy()
-    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    blist = list(bounds)
-
-    def _encode(vs):
-        import pandas as pd
-
-        Vs = [np.asarray(x, dtype=np.float64) for x in vs]
-        if not Vs:
-            return pd.DataFrame({"cell": [], "codes": []})
-        V = np.stack(Vs)
-        dd = ((V[:, None, :] - L[None, :, :]) ** 2).sum(axis=2)
-        cells = dd.argmin(axis=1)
-        R = V - L[cells]
-        cols = []
-        for (s, ln), cb in zip(blist, cbs):
-            sub = R[:, s : s + ln]
-            d2s = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            cols.append(d2s.argmin(axis=1).astype(np.int32))
-        C = np.stack(cols, axis=1)
-        return pd.DataFrame(
-            {"cell": cells.astype(np.int32), "codes": list(C)}
-        )
-
-    enc = F.pandas_udf(
-        _encode,
-        T.StructType(
-            [
-                T.StructField("cell", T.IntegerType()),
-                T.StructField("codes", T.ArrayType(T.IntegerType())),
-            ]
-        ),
-    )
-    indexed = df.select(pk, enc(F.col(vector_col)).alias("_e")).select(
-        pk,
-        F.col("_e.cell").alias(CELL_COL),
-        F.col("_e.codes").alias(FEATURE_COL),
-    )
+    indexed = _pq_encode(df, vector_col, pk, leaders, codebooks, bounds)
     counts = {
         int(r[CELL_COL]): int(r["cnt"])
         for r in indexed.groupBy(CELL_COL).agg(F.count("*").alias("cnt")).collect()

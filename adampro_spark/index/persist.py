@@ -162,22 +162,31 @@ def append_index(
        cell bounds stay sound) and the staleness flag CLEARS: the index
        once again reflects the entity.
 
-    Only eCP appends: its leaders are fixed sample points, so new rows
-    slot into existing cells without touching old assignments.  The
-    trained index families (PQ/VA+/SH codebooks, LSH autofit bands)
-    would serve new rows through stale models — those remain
-    rebuild-only, and this raises for them."""
+    The CELL-partitioned families append: eCP's leaders and IVF-PQ's
+    leaders+codebooks are fixed at build, so new rows slot into
+    existing cells (eCP: radii only grow, exact bounds stay sound;
+    IVF-PQ: codes quantize through the same codebooks the scan's ADC
+    tables use — drift degrades recall, never candidate math).  The
+    remaining trained families (flat PQ/VA+/SH marks, LSH autofit
+    bands) have no partition layout to extend and stay rebuild-only —
+    this raises for them."""
     rec = catalog.index(name)
-    if rec["type"] != "ecp":
-        raise NotImplementedError(
-            f"append_index supports ecp only (index {name!r} is "
-            f"{rec['type']!r}; trained codebooks need a rebuild)"
-        )
-    from adampro_spark.index.ecp import ecp_append
+    if rec["type"] == "ecp":
+        from adampro_spark.index.ecp import ecp_append as _append
 
-    indexed, new_meta = ecp_append(new_df, rec["attribute"], rec["meta"])
+        part_col = FEATURE_COL
+    elif rec["type"] == "ivfpq":
+        from adampro_spark.index.ivfpq import CELL_COL as part_col
+        from adampro_spark.index.ivfpq import ivfpq_append as _append
+    else:
+        raise NotImplementedError(
+            f"append_index supports ecp/ivfpq (index {name!r} is "
+            f"{rec['type']!r}; flat trained codebooks need a rebuild)"
+        )
+
+    indexed, new_meta = _append(new_df, rec["attribute"], rec["meta"])
     path = catalog.index_path(name)
-    indexed.write.mode("append").partitionBy(FEATURE_COL).parquet(path)
+    indexed.write.mode("append").partitionBy(part_col).parquet(path)
     catalog.update_index_fields(name, meta=new_meta, stale=False)
     return load_index(spark, catalog, name)
 

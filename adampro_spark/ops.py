@@ -691,12 +691,12 @@ class IndexOps:
         return made
 
     def append(self, name: str, new_df: DataFrame):
-        """Incrementally extend a persisted eCP index with the batch of
-        rows inserted since its build (IP.append_index, round 14):
-        broadcast-argmin assignment of the batch to the existing
-        leaders, parquet append into the cell layout, counts/radii
-        refresh, staleness flag cleared.  Non-eCP types raise (trained
-        codebooks need a rebuild)."""
+        """Incrementally extend a persisted cell-partitioned index
+        (eCP or IVF-PQ) with the batch of rows inserted since its build
+        (IP.append_index, round 14): frozen-model assignment/encoding
+        of the batch only, parquet append into the cell layout,
+        counts (+ eCP radii) refresh, staleness flag cleared.  Flat
+        trained families raise (codebooks need a rebuild)."""
         return IP.append_index(self.spark, self.catalog, name, new_df)
 
     def load(self, name: str, allow_stale: bool = True):

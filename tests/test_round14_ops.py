@@ -994,10 +994,81 @@ def test_ecp_append_incremental_maintenance(spark, tmp_path):
     )
     assert got_r == want_r
 
-    # non-eCP indexes must refuse to append (trained codebooks)
+    # flat trained families must refuse to append (codebooks rebuild)
     ops.index.create_from_df("e_vaf_app", "embapp", base, "embedding", "vaf", pk="vec_id")
-    with pytest.raises(NotImplementedError, match="ecp only"):
+    with pytest.raises(NotImplementedError, match="rebuild"):
         ops.index.append("e_vaf_app", batch)
+
+
+def test_ivfpq_append_incremental_maintenance(spark, tmp_path):
+    """IVF-PQ appends with FROZEN leaders + codebooks: appended rows'
+    (cell, codes) are bit-identical to a build-time encode of the same
+    vectors (numpy reference), counts/n grow to the union, the parquet
+    append stays inside the cell layout, staleness clears, and the
+    scan over the grown corpus retrieves the planted exact twin of the
+    query first."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adampro_spark.index.ivfpq import CELL_COL, FEATURE_COL
+    from adampro_spark.operators.scan import DISTANCE_COL
+    from adampro_spark.ops import AdamOps
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+
+    ops = AdamOps(spark, str(tmp_path / "cat"))
+    ops.index.create_from_df(
+        "pq_app", "embapp", base, "embedding", "ivfpq", pk="vec_id"
+    )
+    old_meta = ops.index.load("pq_app")[1]
+    data = ops.catalog._read()
+    data["indexes"]["pq_app"]["stale"] = True
+    ops.catalog._write(data)
+
+    idx_df, meta = ops.index.append("pq_app", batch)
+    assert ops.catalog.index("pq_app")["stale"] is False
+    assert meta["leaders"] == old_meta["leaders"]
+    assert meta["codebooks"] == old_meta["codebooks"]
+    assert sum(meta["counts"]) == emb.count() == meta["n"]
+    cells = glob.glob(
+        os.path.join(ops.catalog.index_path("pq_app"), f"{CELL_COL}=*")
+    )
+    assert len(cells) > 1
+
+    # appended codes == numpy reference encode with the frozen model
+    L = np.array(meta["leaders"], dtype=np.float64)
+    cbs = [np.array(cb, dtype=np.float64) for cb in meta["codebooks"]]
+    bounds = [tuple(b) for b in meta["bounds"]]
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in batch.collect()}
+    got = {
+        r["vec_id"]: (r[CELL_COL], list(r[FEATURE_COL]))
+        for r in idx_df.join(
+            batch.select("vec_id"), "vec_id", "left_semi"
+        ).collect()
+    }
+    assert set(got) == set(vecs)
+    for vid in list(got)[:40]:
+        v = vecs[vid]
+        cell = int(((v[None, :] - L) ** 2).sum(axis=1).argmin())
+        r = v - L[cell]
+        codes = [
+            int(((r[s:s + ln][None, :] - cb) ** 2).sum(axis=1).argmin())
+            for (s, ln), cb in zip(bounds, cbs)
+        ]
+        assert got[vid] == (cell, codes), vid
+
+    # a query at an APPENDED vector retrieves that vector first
+    probe_id = next(iter(vecs))
+    res = ops.query.index(
+        "pq_app", [float(x) for x in vecs[probe_id]], 5, "euclidean", df=emb
+    ).collect()
+    assert res[0]["vec_id"] == probe_id
+    assert res[0][DISTANCE_COL] == pytest.approx(0.0, abs=1e-9)
 
 
 # ---------------------------------------------------------------------------
