@@ -2243,6 +2243,83 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _curate_media_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH row for the flagship multimodal composition (round 14):
+    synthesize a deterministic mixed-media corpus from ``documents``
+    in one Arrow pass — per doc_id%5: a formula BMP, a retouched BMP
+    near-dup of the previous doc's image, a GIF re-encode of the base
+    two back (a 3-member image family per 5 docs), a per-doc sawtooth
+    WAV, junk bytes — then run the full probe → exact → per-modality
+    near-dup pipeline.  Synthesis rides inside the timing (the jpeg-leg
+    convention): blob building is ~24×24 images, small next to the
+    decode+Manku stages the row exists to measure."""
+    from adampro_spark.pipeline.multimodal import curate_media
+
+    docs = _table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def _kern(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import (
+            encode_bmp,
+            encode_gif,
+            encode_wav,
+        )
+
+        tt = np.arange(6400, dtype=np.int64)
+
+        def img_of(fam: int) -> np.ndarray:
+            # SEEDED-random pixels per family: linear gradients share
+            # their dHash sign structure across families (everything
+            # collided into one giant near-dup family); random fields
+            # sit ~32 hamming bits apart
+            return np.random.RandomState(fam).randint(
+                0, 256, size=(24, 24), dtype=np.int64
+            ).astype(np.uint8)
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                k = did % 5
+                fam = did // 5
+                if k == 0:
+                    blob = encode_bmp(img_of(fam))
+                elif k == 1:
+                    im = img_of(fam).astype(np.int16)
+                    im[5:8, 5:8] += 9
+                    blob = encode_bmp(np.clip(im, 0, 255).astype(np.uint8))
+                elif k == 2:
+                    blob = encode_gif(img_of(fam))
+                elif k == 3:
+                    # per-doc random ENVELOPE profile (a flat sawtooth
+                    # has the same loudness envelope for every doc):
+                    # seeded window gains over 100-sample steps
+                    g = np.random.RandomState(100_000 + did).randint(
+                        1, 6, size=64
+                    )
+                    s = (
+                        (((did * 7 + 13 * tt) % 2048) - 1024) // 8
+                        * np.repeat(g, 100)
+                    ).astype(np.int16)
+                    blob = encode_wav(s)
+                else:
+                    blob = b"junk" + did.to_bytes(8, "big")
+                ids.append(did)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(_kern, schema="media_id long, content binary")
+    survivors, _report = curate_media(media)
+    return survivors.select("media_id")
+
+
+BENCH_ONLY["multimodal_curate"] = _curate_media_corpus
+
+
 _PAL_VALUES = ", ".join(
     f"({i}, {r}.0, {g}.0, {b}.0)"
     for i, (r, g, b) in enumerate(_JPEG_PALETTE)

@@ -43,6 +43,9 @@ HEADLINE = [
     # round 13: exact triangle-inequality cell-bound variant (verdict
     # r12 #8) over the same persisted eCP index
     "knn_ecp_bound_persisted",
+    # round 14: the flagship multimodal composition (synth + probe ->
+    # exact -> per-modality near-dup), timed end to end
+    "multimodal_curate",
     "text_stats",
     "dedup_minhash",
     "dedup_embedding",

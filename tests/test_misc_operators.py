@@ -303,10 +303,14 @@ def test_decode_media_unknown_magic_raises():
     # stream must reject loudly, never return garbage pixels
     with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0truncated-jpeg", 2, 2)
-    # a codec this environment genuinely lacks (GIF) stays an honest
-    # NotImplementedError through the decoder hook
-    with pytest.raises(NotImplementedError):
+    # GIF routes to the real LZW decoder (round 14) — a malformed body
+    # must reject loudly, never return garbage pixels
+    with pytest.raises(ValueError):
         decode_media(b"GIF89a-not-decodable", 2, 2)
+    # a format this environment genuinely lacks (WEBP) stays an honest
+    # decode_unavailable NotImplementedError through the decoder hook
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 2, 2)
     # PNG magic routes to the real decoder, which must reject a
     # malformed body loudly rather than return garbage
     with pytest.raises(Exception):

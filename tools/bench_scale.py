@@ -101,6 +101,8 @@ ROWS = [
     # forced over the broadcast cap
     "knn_ecp_scaled",
     "pipeline_decontaminate_routed",
+    # round 14: the flagship multimodal composition at 10x blobs
+    "multimodal_curate",
 ]
 COPIES = 10
 SHIFT = 10_000_000
