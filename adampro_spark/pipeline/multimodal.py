@@ -2676,8 +2676,11 @@ def media_probe(content: bytes) -> dict:
 
     Formats: BMP (BITMAPINFOHEADER), PNG (IHDR), JPEG (first SOF
     marker, baseline or progressive), GIF 87a/89a (logical screen +
-    sub-block-strided frame count), PCM WAV (fmt + data chunks),
-    MJPEG-AVI (avih header + decode-free frame count)."""
+    sub-block-strided frame count), WAV (fmt + data chunks, every
+    decode_wav codec), MJPEG-AVI (avih header + decode-free frame
+    count), and — probe-ONLY, no decoder: WebP (VP8/VP8L/VP8X dims)
+    and FLAC (STREAMINFO rate + total samples); probed-but-undecodable
+    formats pass curate gates and ride through dedup untouched."""
     out = {
         "format": "unknown", "width": None, "height": None,
         "n_frames": None, "sample_rate": None,
@@ -2737,6 +2740,44 @@ def media_probe(content: bytes) -> dict:
                         out["n_frames"] = 1
                     break
                 pos += 2 + seglen
+        elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+            # round 14: WebP is a major modern-web class — the probe
+            # names it and reads dims header-only (no VP8 decoder here:
+            # probed-but-undecodable formats pass curate gates and ride
+            # through dedup untouched, the documented convention)
+            out["format"] = "webp"
+            tag = content[12:16]
+            p = content[20:]
+            if tag == b"VP8X" and len(p) >= 10:
+                # extended: 24-bit canvas minus one at +4/+7
+                out["width"] = 1 + int.from_bytes(p[4:7], "little")
+                out["height"] = 1 + int.from_bytes(p[7:10], "little")
+            elif tag == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
+                # lossless: 14+14 bits packed little-endian after 0x2F
+                bits = int.from_bytes(p[1:5], "little")
+                out["width"] = (bits & 0x3FFF) + 1
+                out["height"] = ((bits >> 14) & 0x3FFF) + 1
+            elif tag == b"VP8 " and len(p) >= 10 and p[3:6] == b"\x9d\x01\x2a":
+                # lossy keyframe: dims after the 9d012a start code,
+                # low 14 bits each (upper 2 bits are the scale)
+                out["width"] = int.from_bytes(p[6:8], "little") & 0x3FFF
+                out["height"] = int.from_bytes(p[8:10], "little") & 0x3FFF
+            out["n_frames"] = 1
+        elif content[:4] == b"fLaC" and len(content) >= 26:
+            # round 14: FLAC STREAMINFO is always the first metadata
+            # block — sample rate (20 bits), channels (3), and total
+            # samples (36) sit at fixed bit offsets
+            out["format"] = "flac"
+            si = content[8:]  # skip marker + block header
+            if len(si) >= 18:
+                out["sample_rate"] = (
+                    (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+                )
+                out["n_frames"] = (
+                    ((si[13] & 0x0F) << 32)
+                    | (si[14] << 24) | (si[15] << 16)
+                    | (si[16] << 8) | si[17]
+                ) or None
         elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             out["format"] = "wav"
             pos, rate, nch, bits, dlen = 12, None, 1, 16, None

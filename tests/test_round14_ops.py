@@ -862,6 +862,89 @@ def test_video_frame_dhash_is_order_sensitive(spark):
     assert [per[(0, i)] for i in (0, 1)] != [per[(1, i)] for i in (0, 1)]
 
 
+def test_media_probe_webp_flac_header_only():
+    """Probe-only coverage of the modern-web formats the engine does
+    not decode: WebP dims for all three bitstream flavors (hand-crafted
+    headers per spec — the probe never touches pixel data) and FLAC
+    STREAMINFO rate/total-samples; such blobs pass curate gates and
+    ride through dedup untouched."""
+    from adampro_spark.pipeline.multimodal import media_probe
+
+    def webp(tag: bytes, payload: bytes) -> bytes:
+        chunk = tag + len(payload).to_bytes(4, "little") + payload
+        body = b"WEBP" + chunk
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    # VP8 lossy keyframe: 3 frame-tag bytes, 9d012a start code, dims
+    vp8 = webp(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little"),
+    )
+    p = media_probe(vp8)
+    assert (p["format"], p["width"], p["height"]) == ("webp", 320, 240)
+
+    # VP8L lossless: 0x2F then 14+14 packed bits (minus-one coded)
+    bits = (319) | ((239) << 14)
+    vp8l = webp(b"VP8L", bytes([0x2F]) + bits.to_bytes(4, "little"))
+    p = media_probe(vp8l)
+    assert (p["format"], p["width"], p["height"]) == ("webp", 320, 240)
+
+    # VP8X extended: 24-bit canvas minus one at offsets 4/7
+    vp8x = webp(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"),
+    )
+    p = media_probe(vp8x)
+    assert (p["format"], p["width"], p["height"]) == ("webp", 640, 480)
+
+    # FLAC STREAMINFO: rate 44100 at bits 80..99, total samples 36 bits
+    si = bytearray(34)
+    rate, total = 44_100, 1_234_567
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0x0F) << 4) | ((2 - 1) << 1)  # stereo
+    si[13] = ((16 - 1) >> 4 & 0x01) << 4 | ((total >> 32) & 0x0F)
+    si[14] = (total >> 24) & 0xFF
+    si[15] = (total >> 16) & 0xFF
+    si[16] = (total >> 8) & 0xFF
+    si[17] = total & 0xFF
+    flac = b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si)
+    p = media_probe(flac)
+    assert (p["format"], p["sample_rate"], p["n_frames"]) == (
+        "flac", 44_100, 1_234_567,
+    )
+
+
+def test_webp_flac_ride_curate_gates(spark):
+    from adampro_spark.pipeline.multimodal import curate_media, encode_bmp
+
+    def webp_vp8():
+        payload = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + (64).to_bytes(2, "little") + (64).to_bytes(2, "little")
+        )
+        chunk = b"VP8 " + len(payload).to_bytes(4, "little") + payload
+        body = b"WEBP" + chunk
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    img = (np.add.outer(np.arange(16) * 5, np.arange(16) * 3) % 256).astype(
+        np.uint8
+    )
+    df = spark.createDataFrame(
+        [(0, encode_bmp(img)), (1, webp_vp8()), (2, webp_vp8())],
+        "media_id long, content binary",
+    )
+    out, rep = curate_media(df, min_width=8, min_height=8)
+    # the two identical webp blobs ARE byte dups: the sha gate catches
+    # them without any decode; the survivor passes through near-dup
+    assert {r["media_id"] for r in out.collect()} == {0, 1}
+    assert rep["n_exact_dropped"] == 1
+    assert rep["n_undecodable"] == 0
+    assert rep["n_bad_format"] == 0
+
+
 def test_curate_media_hashes_palette_png(spark):
     """A palette PNG is now a first-class image in curate_media: a
     palette re-encode of a BMP near-dups with it instead of passing
