@@ -347,7 +347,7 @@ _ADAM7_PASSES = (
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 )
-# channels per PNG color type (3 = palette, unsupported)
+# channels per PNG color type (3 = palette, handled separately)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -430,10 +430,12 @@ def decode_png(
     per-row defilter (None/Sub/Up/Average/Paeth), luma grayscale output.
     Coverage (round 14 widened the web-corpus classes): color types
     0/2/4/6 at 8- and 16-bit depth (16-bit samples downscale to their
-    high byte, the standard reduction), PALETTE (type 3) at 8-bit index
-    depth (PLTE lookup → truecolor semantics), and ADAM7 interlace
-    (seven independently-filtered passes scattered onto their
-    (y0::dy, x0::dx) grids).  Sub-byte depths (1/2/4) raise honestly.
+    high byte, the standard reduction), PALETTE (type 3) at every index
+    depth (PLTE lookup → truecolor semantics), SUB-BYTE gray and
+    palette (1/2/4-bit, round 15 — MSB-first unpack from byte-padded
+    scanlines, gray values left-bit-replicated to 8-bit per PNG 12.5),
+    and ADAM7 interlace (seven independently-filtered passes scattered
+    onto their (y0::dy, x0::dx) grids).
     ``rgb=True`` (round 13,
     parity with ``decode_jpeg``): (h × w × 3) uint8 — truecolor/palette
     channels verbatim (lossless), gray replicated ×3, alpha dropped.
@@ -467,15 +469,20 @@ def decode_png(
             h = int.from_bytes(data[4:8], "big")
             depth, color, _comp, _filt, interlace = data[8:13]
             if color == 3:
-                if depth != 8:
-                    raise NotImplementedError(
-                        f"sub-byte palette PNG unsupported (depth={depth})"
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(
+                        f"invalid palette PNG depth {depth}"
                     )
                 ch = 1
             elif color in _PNG_CHANNELS:
-                if depth not in (8, 16):
+                # sub-byte depths exist ONLY for grayscale and palette
+                # (PNG 11.2.2); round 15 decodes them (verdict r14 #7 —
+                # the last common legacy-web PNG shape)
+                allowed = (1, 2, 4, 8, 16) if color == 0 else (8, 16)
+                if depth not in allowed:
                     raise NotImplementedError(
-                        f"only 8/16-bit PNG supported (depth={depth})"
+                        f"unsupported PNG depth {depth} for color type "
+                        f"{color}"
                     )
                 ch = _PNG_CHANNELS[color]
             else:
@@ -494,14 +501,27 @@ def decode_png(
     if color == 3 and plte is None:
         raise ValueError("palette PNG has no PLTE chunk")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    bpp = ch * (2 if depth == 16 else 1)  # filter distance in BYTES
+    # filter distance in BYTES: ceil of the pixel's bit width, so 1 for
+    # every sub-byte depth (PNG 9. Filtering)
+    bpp = ch * 2 if depth == 16 else max(1, (ch * depth) // 8)
+
+    def _stride(ww: int) -> int:
+        return (ww * ch * depth + 7) // 8
 
     def _defilter(buf: np.ndarray, hh: int, ww: int) -> np.ndarray:
         """Defilter ``hh`` scanlines of ``ww`` pixels (one image, or one
         Adam7 pass — filtering never crosses a pass boundary) and reduce
         to (hh × ww × ch) uint8 samples (16-bit keeps the HIGH byte,
-        the exact round-toward-zero v >> 8 reduction)."""
-        stride = ww * bpp
+        the exact round-toward-zero v >> 8 reduction; sub-byte rows
+        unpack MSB-first from their byte-padded scanlines, round 15)."""
+        stride = _stride(ww)
+        if buf.size != hh * (stride + 1):
+            # a forged depth/dims IHDR leaves the inflated byte count
+            # out of step with the stride — corrupt stream, say so
+            raise ValueError(
+                f"PNG IDAT size {buf.size} does not match "
+                f"{hh} scanlines of stride {stride}"
+            )
         rows = buf.reshape(hh, stride + 1)
         ftypes = rows[:, 0]
         recon = np.zeros((hh, stride), dtype=np.int32)
@@ -520,8 +540,9 @@ def decode_png(
                 recon[y] = (cur + up) % 256
             elif ft == 1:
                 # per-byte-lane: recon[i] = raw[i] + recon[i-bpp] is a
-                # running sum mod 256 within each lane
-                lanes = cur.reshape(ww, bpp)
+                # running sum mod 256 within each lane (stride need not
+                # equal ww·bpp for sub-byte rows — reshape by lane)
+                lanes = cur.reshape(-1, bpp)
                 recon[y] = (
                     np.cumsum(lanes, axis=0, dtype=np.int64) % 256
                 ).reshape(stride)
@@ -535,6 +556,16 @@ def decode_png(
                     line[i] = (int(cur[i]) + pred) % 256
         if depth == 16:
             recon = recon.reshape(hh, ww * ch, 2)[:, :, 0]
+        elif depth < 8:
+            # unpack MSB-first packed samples; trailing pad bits of each
+            # byte-aligned scanline are discarded by the [:ww] slice
+            bits = np.unpackbits(recon.astype(np.uint8), axis=1)
+            if depth == 1:
+                recon = bits[:, :ww]
+            else:
+                grouped = bits.reshape(hh, stride * (8 // depth), depth)
+                weights = 1 << np.arange(depth - 1, -1, -1)
+                recon = (grouped * weights).sum(axis=2)[:, :ww]
         return recon.astype(np.uint8).reshape(hh, ww, ch)
 
     if interlace == 0:
@@ -557,6 +588,9 @@ def decode_png(
                 raw[off:off + nbytes], hp, wp
             )
             off += nbytes
+    if color == 0 and depth < 8:
+        # left-bit replication (PNG 12.5): 0..2^d-1 → 0..255 exactly
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
     px = samples.astype(np.uint32)
     if color == 3:
         idx = px[..., 0]

@@ -571,9 +571,14 @@ def test_png_unsupported_shapes_raise_honestly():
         decode_png(b"not a png at all----")
     blob = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
     assert blob[24] == 8  # depth byte inside IHDR
-    # sub-byte depth: honest NotImplementedError (round 14: real 16-bit
-    # streams now DECODE, so the unsupported class moved to 1/2/4-bit)
+    # round 15: sub-byte depths DECODE now, so a 4-bit IHDR forged onto
+    # 8-bit row data is a CORRUPT stream (byte count vs stride), and the
+    # honest NotImplementedError class moved to spec-invalid depth/color
+    # combos (e.g. depth 3)
     blob[24] = 4
+    with pytest.raises(ValueError, match="stride"):
+        decode_png(bytes(blob))
+    blob[24] = 3
     with pytest.raises(NotImplementedError):
         decode_png(bytes(blob))
     # a 16-bit IHDR forged onto 8-bit row data is a CORRUPT stream (the

@@ -4,7 +4,7 @@ fingerprint front-door guards (ADVICE r13).
 
 The planted undecodable blobs are all PROBE-VALID (header parses, so the
 header-only gates keep them) but CODEC-UNSUPPORTED (the decoders raise):
-sub-byte-depth PNG, arithmetic-coded (SOF9) JPEG, ADPCM WAV, an AVI
+truncated-IDAT PNG, arithmetic-coded (SOF9) JPEG, ADPCM WAV, an AVI
 whose frame payload is not JPEG — exactly the blob classes a real web
 corpus guarantees to contain.  The contract under test: the job
 COMPLETES, such rows pass through dedup as non-candidates, and the
@@ -36,19 +36,21 @@ def _palette_png(w: int = 16, h: int = 16) -> bytes:
     )
 
 
-def _subbyte_png(w: int = 16, h: int = 16) -> bytes:
-    """A 4-bit-depth grayscale PNG: media_probe reads its IHDR dims;
-    decode_png raises NotImplementedError on it (the remaining
-    honest-raise PNG class after round 14 — Adam7 and palette decode
-    now)."""
+def _truncated_png(w: int = 16, h: int = 16) -> bytes:
+    """A PNG whose IDAT is cut mid-stream: media_probe reads its IHDR
+    dims (probe-valid), decode_png raises on the truncated inflate —
+    the corrupt-download blob class every crawl contains.  (Round 15
+    note: this replaced the 4-bit-depth fixture here, which DECODES
+    now — sub-byte coverage lives in test_round15_ops.)"""
     from adampro_spark.pipeline.multimodal import _PNG_MAGIC, _png_chunk
 
-    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([4, 0, 0, 0, 0])
-    raw = b"".join(b"\x00" + bytes([0x55] * (w // 2)) for i in range(h))
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    raw = b"".join(b"\x00" + bytes([0x55] * w) for i in range(h))
+    z = zlib.compress(raw)
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IDAT", z[: len(z) // 2])
         + _png_chunk(b"IEND", b"")
     )
 
@@ -133,7 +135,7 @@ def test_curate_media_undecodable_tolerance_and_modalities(spark):
     rows = [
         (0, encode_bmp(ramp)),                      # image keeper
         (1, encode_bmp(retouched)),                 # image near-dup -> drop
-        (2, _subbyte_png()),                        # undecodable image
+        (2, _truncated_png()),                      # undecodable image
         (3, _sof9_jpeg(ramp)),                      # undecodable image
         (4, _nonpcm_wav()),                         # undecodable audio
         (5, encode_wav(base_audio)),                # audio keeper
@@ -269,7 +271,7 @@ def test_image_dhash_null_on_undecodable(spark):
         np.uint8
     )
     df = spark.createDataFrame(
-        [(0, encode_bmp(img)), (1, _subbyte_png()), (2, b"not media")],
+        [(0, encode_bmp(img)), (1, _truncated_png()), (2, b"not media")],
         "media_id long, content binary",
     )
     got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}

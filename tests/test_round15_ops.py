@@ -194,3 +194,170 @@ def test_animated_gif_video_routing(spark):
     assert 0 in ids and 1 in ids and 4 in ids
     assert 2 not in ids and 5 not in ids
     assert report["n_undecodable"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Sub-byte PNG decode (verdict r14 #7)
+# ---------------------------------------------------------------------------
+
+def test_subbyte_png_exact_vs_external_encoder():
+    """1/2/4-bit gray and 4-bit palette PNGs written by JDK ImageIO
+    decode exactly (left-bit replication for gray, PLTE luma for
+    palette) — external bytes, zero tolerance."""
+    import os
+
+    from adampro_spark.pipeline.multimodal import decode_png
+
+    res = os.path.join(os.path.dirname(__file__), "resources", "png")
+    n = 17
+    for f, scale, fml in (
+        ("subbyte_gray1", 255, lambda x, y: (x * 3 + y * 5) % 2),
+        ("subbyte_pal2", 85, lambda x, y: (x + y * 3) % 4),
+        ("subbyte_pal4", 17, lambda x, y: (x * 7 + y * 11) % 16),
+    ):
+        with open(os.path.join(res, f + ".png"), "rb") as fh:
+            got = decode_png(fh.read())
+        want = np.array(
+            [[fml(x, y) * scale for x in range(n)] for y in range(n)],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(got, want), f
+    pal = [(i * 16, (i * 32) % 256, 255 - i * 17) for i in range(16)]
+    with open(os.path.join(res, "subbyte_pal4c.png"), "rb") as fh:
+        blob = fh.read()
+    want = np.array(
+        [
+            [
+                sum(
+                    c * m
+                    for c, m in zip(pal[(x * 7 + y * 11) % 16], (299, 587, 114))
+                )
+                // 1000
+                for x in range(n)
+            ]
+            for y in range(n)
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_png(blob), want)
+    wantrgb = np.array(
+        [[pal[(x * 7 + y * 11) % 16] for x in range(n)] for y in range(n)],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_png(blob, rgb=True), wantrgb)
+
+
+def _pack_subbyte_rows(vals: np.ndarray, depth: int) -> bytes:
+    """Pack (h × w) samples into MSB-first byte-padded filter-0
+    scanlines (the hand-built sibling of the JDK fixtures, letting the
+    tests choose filters/values the external encoder would not)."""
+    h, w = vals.shape
+    out = bytearray()
+    for y in range(h):
+        bits = np.zeros(((w * depth + 7) // 8) * 8, dtype=np.uint8)
+        for x in range(w):
+            v = int(vals[y, x])
+            for k in range(depth):
+                bits[x * depth + k] = (v >> (depth - 1 - k)) & 1
+        out += b"\x00" + np.packbits(bits).tobytes()
+    return bytes(out)
+
+
+def test_subbyte_palette_png_near_dups_with_8bit_twin(spark):
+    """The verdict-r14 #7 done-criterion: a 4-bit palette PNG and its
+    8-bit twin decode to the same luma grid, so curate_media's image
+    near-dup collapses them."""
+    import zlib
+
+    from adampro_spark.pipeline.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        curate_media,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(154)
+    idx = rng.randint(0, 16, size=(16, 16))
+    gray8 = (idx * 17).astype(np.uint8)
+    blob8 = encode_png(gray8)
+
+    ihdr = (16).to_bytes(4, "big") * 2 + bytes([4, 3, 0, 0, 0])
+    plte = bytes(v for i in range(16) for v in (i * 17, i * 17, i * 17))
+    raw = _pack_subbyte_rows(idx, 4)
+    blob4 = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob4), gray8)
+
+    other = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, blob8), (1, blob4), (2, encode_png(other))],
+        "media_id long, content binary",
+    )
+    out, report = curate_media(df)
+    assert {r["media_id"] for r in out.collect()} == {0, 2}
+    assert report["n_neardup_dropped_image"] == 1
+    assert report["n_undecodable"] == 0
+
+
+def test_subbyte_png_filters_and_invalid_depths():
+    """Sub-byte rows defilter at byte distance 1 (Up/Sub over packed
+    bytes), and spec-invalid combos still raise."""
+    import zlib
+
+    from adampro_spark.pipeline.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+    )
+
+    # depth-2 gray, rows filtered: row0 None, row1 Up, row2 Sub
+    vals = np.array(
+        [[0, 1, 2, 3, 3, 2, 1, 0, 1], [1, 2, 3, 0, 0, 3, 2, 1, 2],
+         [3, 3, 0, 0, 1, 1, 2, 2, 3]]
+    )
+    h, w = vals.shape
+    stride = (w * 2 + 7) // 8
+
+    def pack_row(row):
+        bits = np.zeros(stride * 8, dtype=np.uint8)
+        for x, v in enumerate(row):
+            bits[2 * x] = (v >> 1) & 1
+            bits[2 * x + 1] = v & 1
+        return np.packbits(bits)
+
+    rows = [pack_row(r) for r in vals]
+    raw = bytes([0]) + rows[0].tobytes()
+    raw += bytes([2]) + ((rows[1].astype(int) - rows[0]) % 256).astype(
+        np.uint8
+    ).tobytes()
+    sub = np.empty(stride, dtype=np.uint8)
+    prev = 0
+    for i in range(stride):
+        sub[i] = (int(rows[2][i]) - prev) % 256
+        prev = int(rows[2][i])
+    raw += bytes([1]) + sub.tobytes()
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([2, 0, 0, 0, 0])
+    blob = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), (vals * 85).astype(np.uint8))
+
+    # sub-byte TRUECOLOR is spec-invalid: must still raise
+    bad = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([4, 2, 0, 0, 0])
+    blob_bad = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", bad)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(blob_bad)
