@@ -1092,6 +1092,7 @@ def _encode_block(
 def encode_jpeg(
     img: np.ndarray, quant: "np.ndarray | int | None" = None,
     subsample: bool = False, restart_interval: int = 0,
+    interleave: bool = True,
 ) -> bytes:
     """Minimal baseline-sequential JPEG writer — the fixture generator
     for :func:`decode_jpeg` (the encode_bmp/encode_png pattern).
@@ -1105,7 +1106,11 @@ def encode_jpeg(
     luma Huffman tables for every component.  ``restart_interval``
     emits a DRI segment and RSTn markers every N MCUs (what camera/web
     encoders do for error resilience) — exercises the decoder's
-    restart-resync path."""
+    restart-resync path.  ``interleave=False`` (round 15, verdict r14
+    #8) writes one SOS per component over its TRUE block grid (one
+    data unit per MCU, T.81 A.2.2) — the non-interleaved baseline
+    shape some encoders emit for large images, exercising
+    decode_jpeg's sequential multi-scan route."""
     # ROUND the table up front: the scan divides by exactly what the
     # DQT stores (a fractional table would make the decoder dequantize
     # with a different value than the encoder divided by); validate
@@ -1127,31 +1132,59 @@ def encode_jpeg(
         _pad_plane(p, mcuy * vi * 8, mcux * hi * 8)
         for p, (hi, vi) in zip(comps, samp)
     ]
-    scan = bytearray()
-    wr = _BitWriter()
-    preds = [0] * len(comps)
-    mcu_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                scan += wr.flush()
-                scan += bytes(
-                    [0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8]
-                )
-                wr = _BitWriter()
-                preds = [0] * len(comps)
-            for ci, ((hi, vi), plane) in enumerate(zip(samp, planes)):
-                for by in range(vi):
-                    for bx in range(hi):
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        preds[ci] = _encode_block(
-                            wr, plane[y0:y0 + 8, x0:x0 + 8], qt,
-                            preds[ci], dc, ac, C,
+    if interleave:
+        scan = bytearray()
+        wr = _BitWriter()
+        preds = [0] * len(comps)
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    scan += wr.flush()
+                    scan += bytes(
+                        [0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8]
+                    )
+                    wr = _BitWriter()
+                    preds = [0] * len(comps)
+                for ci, ((hi, vi), plane) in enumerate(zip(samp, planes)):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            y0 = (my * vi + by) * 8
+                            x0 = (mx * hi + bx) * 8
+                            preds[ci] = _encode_block(
+                                wr, plane[y0:y0 + 8, x0:x0 + 8], qt,
+                                preds[ci], dc, ac, C,
+                            )
+                mcu_i += 1
+        scan += wr.flush()
+        scans = [bytes(scan)]
+    else:
+        # one scan per component over its TRUE block grid; restart
+        # numbering resets per scan (T.81 E.1.4)
+        scans = []
+        for (hi, vi), plane in zip(samp, planes):
+            nby = -(-(-(-h * vi // vmax)) // 8)
+            nbx = -(-(-(-w * hi // hmax)) // 8)
+            wr = _BitWriter()
+            pred = 0
+            scan = bytearray()
+            n = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and n and n % restart_interval == 0:
+                        scan += wr.flush()
+                        scan += bytes(
+                            [0xFF, 0xD0 + (n // restart_interval - 1) % 8]
                         )
-            mcu_i += 1
-    scan += wr.flush()
-    scan = bytes(scan)
+                        wr = _BitWriter()
+                        pred = 0
+                    pred = _encode_block(
+                        wr, plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                        qt, pred, dc, ac, C,
+                    )
+                    n += 1
+            scan += wr.flush()
+            scans.append(bytes(scan))
 
     def _seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
@@ -1178,12 +1211,17 @@ def encode_jpeg(
     out += _seg(0xC4, bytes([0x10] + _K3_AC_BITS) + bytes(_K3_AC_VALS))
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
-    sos = bytes([len(comps)])
-    for ci in range(len(comps)):
-        sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
-    out += scan + b"\xff\xd9"  # EOI
+    if interleave:
+        sos = bytes([len(comps)])
+        for ci in range(len(comps)):
+            sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([0, 63, 0])
+        out += _seg(0xDA, sos) + scans[0]
+    else:
+        for ci, scan in enumerate(scans):
+            sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+            out += _seg(0xDA, sos) + scan
+    out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
@@ -1710,9 +1748,71 @@ def _prog_ac_scan(
                 eob -= 1
 
 
+def _seq_scan(
+    rd: "_BitReader", sc: list, coefs: list, dc_luts: dict,
+    ac_luts: dict, restart: int, mcux: int, mcuy: int, grids: list,
+) -> None:
+    """One SEQUENTIAL-mode scan inside the multi-scan walk (round 15,
+    verdict r14 #8): full DC+AC Huffman blocks, the baseline block
+    syntax — but over the walk's scan framing, so NON-INTERLEAVED
+    baseline streams (one SOS per component, the shape decode_jpeg's
+    fast interleaved loop rejected) decode through the same machinery
+    progressive scans use.  ``Ns=1`` scans iterate the component's
+    TRUE block grid (one data unit per MCU, T.81 A.2.2); multi-
+    component scans iterate frame MCU order with per-component
+    sampling-factor block counts."""
+    preds = [0] * len(sc)
+
+    def unit(si: int, byy: int, bxx: int) -> None:
+        comp = sc[si]
+        blk = coefs[comp["ci"]][byy, bxx]
+        s = rd.huff(dc_luts[comp["dc"]])
+        preds[si] += _extend(rd.bits(s), s)
+        blk[0] = preds[si]
+        act = ac_luts[comp["ac"]]
+        k = 1
+        while k < 64:
+            rs = rd.huff(act)
+            r, ssss = rs >> 4, rs & 0x0F
+            if ssss == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            blk[k] = _extend(rd.bits(ssss), ssss)
+            k += 1
+
+    if len(sc) > 1:
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    _prog_restart(rd)
+                    preds[:] = [0] * len(sc)
+                for si, comp in enumerate(sc):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            unit(si, my * comp["v"] + by, mx * comp["h"] + bx)
+                mcu_i += 1
+    else:
+        nbh, nbw = grids[sc[0]["ci"]]
+        i = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart and i and i % restart == 0:
+                    _prog_restart(rd)
+                    preds[:] = [0]
+                unit(0, by, bx)
+                i += 1
+
+
 def _progressive_planes(
     content: bytes, pos: int, h: int, w: int, comps: list,
     qts: dict, dc_luts: dict, ac_luts: dict, restart: int, need: set,
+    sequential: bool = False,
 ) -> list:
     """Decode every scan of a progressive (SOF2) JPEG from the first
     SOS marker at ``pos`` and return the per-component float pixel
@@ -1726,7 +1826,14 @@ def _progressive_planes(
     Interleaved DC scans carry every component, so those always decode
     (the chroma DC coefficients keep bitstream sync); coefficient
     arrays exist for all components for the same reason.  DHT/DQT/DRI
-    between scans mutate the live tables (T.81 allows redefinition)."""
+    between scans mutate the live tables (T.81 allows redefinition).
+
+    ``sequential=True`` (round 15, verdict r14 #8): the stream is
+    SOF0/SOF1 with NON-INTERLEAVED scans — every SOS routes to
+    :func:`_seq_scan` (full baseline blocks) after validating the
+    fixed baseline band ``Ss=0, Se=63, Ah=Al=0``; everything else
+    about the walk (inter-scan tables, scan skipping, entropy-segment
+    striding) is shared."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -1789,7 +1896,17 @@ def _progressive_planes(
                 pos = _entropy_end(content, nxt)  # skip unneeded scan
                 continue
             rd = _BitReader(content, nxt)
-            if Ss == 0:
+            if sequential:
+                if (Ss, Se, Ah, Al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        f"baseline SOS must carry Ss=0 Se=63 Ah=Al=0 "
+                        f"(got {Ss},{Se},{Ah},{Al})"
+                    )
+                _seq_scan(
+                    rd, sc, coefs, dc_luts, ac_luts, ri, mcux, mcuy,
+                    grids,
+                )
+            elif Ss == 0:
                 if Se != 0:
                     raise ValueError(
                         "progressive DC scan must have Se=0 (got "
@@ -1849,7 +1966,10 @@ def decode_jpeg(
     (:func:`_progressive_planes` — EOB runs, refinement correction
     bits, per-scan DHT redefinition, restart markers), sharing this
     function's dequantize/IDCT/upsample/color tail, and verified
-    against a JDK ImageIO progressive-mode fixture.  Extended/12-bit
+    against a JDK ImageIO progressive-mode fixture.  NON-INTERLEAVED
+    baseline streams (one SOS per component — round 15, verdict r14
+    #8) decode through the same multi-scan walk in sequential mode,
+    pixel-identical to their interleaved twins.  Extended/12-bit
     (SOF1 is accepted: its baseline-Huffman 8-bit form is
     bit-identical), arithmetic and hierarchical variants raise
     NotImplementedError and route to the ``decoder=`` hook."""
@@ -1935,27 +2055,39 @@ def decode_jpeg(
                 scan_comps.append(
                     {**comp, "dc": tabs >> 4, "ac": tabs & 0x0F}
                 )
-            pos = pos + 2 + seglen
+            sos_pos = pos  # the marker itself — the multi-scan walk
+            pos = pos + 2 + seglen  # …vs past it, for the inline loop
             break
         pos += 2 + seglen
     if not scan_comps or h == 0:
         raise ValueError("JPEG stream has no SOS/SOF scan")
-    # The BASELINE path implements INTERLEAVED scans (all components in
-    # one SOS — what every common baseline encoder emits).  A
-    # non-interleaved stream (per-component scans) changes the MCU
-    # definition to one data unit per MCU (T.81 A.2.2): decoding it with
-    # per-MCU sampling-factor block counts would desynchronize the
-    # bitstream into garbage, so reject honestly (review r12).  A
-    # single-component IMAGE is fine when its factors are 1×1 (the two
-    # MCU definitions coincide there).  The progressive walk handles
-    # both scan shapes natively (per-component scans are the norm there).
+    # The inline BASELINE loop below implements INTERLEAVED scans (all
+    # components in one SOS — what every common baseline encoder
+    # emits).  A non-interleaved stream (per-component scans) changes
+    # the MCU definition to one data unit per MCU (T.81 A.2.2), and a
+    # single-component image with sampling factors > 1×1 likewise
+    # iterates its true block grid — both route through the multi-scan
+    # walk in SEQUENTIAL mode (round 15, verdict r14 #8: the
+    # progressive machinery already owned per-component scan framing).
     if not progressive and (
         len(scan_comps) != len(comps)
         or (len(comps) == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1))
     ):
-        raise NotImplementedError(
-            "non-interleaved JPEG scan (per-component SOS) unsupported — "
-            "pass a real decoder= for these streams"
+        if rgb and len(comps) not in (1, 3):
+            raise NotImplementedError(
+                f"rgb=True supports 1- or 3-component JPEG, got "
+                f"{len(comps)} components — pass a real decoder= for "
+                f"these"
+            )
+        need = set(range(len(comps))) if rgb else {0}
+        planes = _progressive_planes(
+            content, sos_pos, h, w, comps, qts, dc_luts, ac_luts,
+            restart, need, sequential=True,
+        )
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _jpeg_finish(
+            planes, comps, h, w, hmax, vmax, rgb, comps[0]
         )
 
     if rgb and len(scan_comps) not in (1, 3):

@@ -726,8 +726,11 @@ def test_jpeg_quant_table_and_bigger_quant():
     assert int(np.abs(out300.astype(int) - 200).max()) <= 20
     with pytest.raises(ValueError, match="16-bit DQT"):
         encode_jpeg(flat, quant=70000)
-    # non-interleaved (per-component SOS) rejects honestly: forge an SOS
-    # carrying only the first of three components
+    # a per-component SOS routes through the sequential multi-scan walk
+    # (round 15, verdict r14 #8 — this used to reject): forge an SOS
+    # claiming only the first of three components; the Y block leads
+    # the interleaved entropy data, so the luma decodes exactly and the
+    # trailing chroma bits are strided over as scan remainder
     rgbi = np.zeros((8, 8, 3), dtype=np.uint8)
     blob = bytearray(encode_jpeg(rgbi))
     i = bytes(blob).find(b"\xff\xda")
@@ -737,8 +740,7 @@ def test_jpeg_quant_table_and_bigger_quant():
            + bytes(blob[i + 4 + 1 + 6: i + 2 + ln]))  # comp1 + ss/se/ah
     new = bytes([0xFF, 0xDA]) + (len(one) + 3).to_bytes(2, "big") + bytes([1]) + one
     forged = bytes(blob[:i]) + new + bytes(blob[i + 2 + ln:])
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
-        decode_jpeg(forged)
+    assert np.array_equal(decode_jpeg(forged), decode_jpeg(bytes(blob)))
 
 
 def test_jpeg_unsupported_variants_raise_honestly():

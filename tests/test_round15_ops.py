@@ -361,3 +361,67 @@ def test_subbyte_png_filters_and_invalid_depths():
     )
     with pytest.raises(NotImplementedError):
         decode_png(blob_bad)
+
+
+# ---------------------------------------------------------------------------
+# Non-interleaved baseline JPEG scans (verdict r14 #8)
+# ---------------------------------------------------------------------------
+
+def test_noninterleaved_baseline_jpeg_decodes_identically():
+    """A non-interleaved baseline stream (one SOS per component, T.81
+    A.2.2 block-grid MCUs) must decode pixel-identical to the
+    interleaved stream of the same planes — gray, 4:4:4 and 4:2:0,
+    with and without restart markers, luma and rgb paths."""
+    from adampro_spark.pipeline.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(155)
+    g = rng.randint(0, 256, (21, 19), np.int64).astype(np.uint8)
+    c = rng.randint(0, 256, (17, 23, 3), np.int64).astype(np.uint8)
+    for img, sub, ris in ((g, False, (0, 3)), (c, False, (0, 4)),
+                          (c, True, (0, 2))):
+        for ri in ris:
+            b_i = encode_jpeg(img, quant=1, subsample=sub,
+                              restart_interval=ri)
+            b_n = encode_jpeg(img, quant=1, subsample=sub,
+                              restart_interval=ri, interleave=False)
+            if img.ndim == 3:
+                assert b_i != b_n  # genuinely different streams (for
+                # 1-component 1x1 the two MCU definitions coincide)
+            for rgb in ((False, True) if img.ndim == 3 else (False,)):
+                assert np.array_equal(
+                    decode_jpeg(b_i, rgb=rgb), decode_jpeg(b_n, rgb=rgb)
+                ), (img.shape, sub, ri, rgb)
+
+    # malformed band bytes on a per-component scan still raise (the
+    # gray 1-component stream stays on the inline interleaved path, so
+    # corrupt the COLOR non-interleaved stream's first SOS)
+    blob = bytearray(encode_jpeg(c, quant=1, interleave=False))
+    i = blob.find(b"\xff\xda")
+    assert i > 0
+    # SOS payload: len(2) ns(1) comp(2) Ss Se Ah/Al — corrupt Se
+    blob[i + 2 + 2 + 1 + 2 + 1] = 31
+    with pytest.raises(ValueError, match="Se=63"):
+        decode_jpeg(bytes(blob))
+
+
+def test_noninterleaved_jpeg_through_curate_media(spark):
+    """The verdict-r14 #8 done-criterion: a per-component-scan JPEG is
+    no longer counted undecodable by curate_media — it decodes and
+    near-dups with its interleaved twin."""
+    from adampro_spark.pipeline.multimodal import curate_media, encode_jpeg
+
+    rng = np.random.RandomState(156)
+    img = rng.randint(0, 256, (24, 24, 3), np.int64).astype(np.uint8)
+    other = rng.randint(0, 256, (24, 24), np.int64).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (0, encode_jpeg(img, quant=1)),
+            (1, encode_jpeg(img, quant=1, interleave=False)),
+            (2, encode_jpeg(other, quant=1)),
+        ],
+        "media_id long, content binary",
+    )
+    out, report = curate_media(df)
+    assert {r["media_id"] for r in out.collect()} == {0, 2}
+    assert report["n_undecodable"] == 0
+    assert report["n_neardup_dropped_image"] == 1
