@@ -263,3 +263,49 @@ def lsh_knn(
     dn = distance_name or meta["distance"]
     cands = scan_lsh(index_df, meta, query, k, num_of_q=num_of_q, prefilter=prefilter)
     return sequential_scan(df, vector_col, query, k, dn, prefilter=cands, pk=meta["pk"])
+
+
+def lsh_append(
+    new_df: DataFrame,
+    vector_col: str,
+    meta: "dict[str, Any]",
+) -> "tuple[DataFrame, dict[str, Any]]":
+    """Incremental LSH maintenance (round 15 — the
+    :func:`~adampro_spark.index.ecp.ecp_append` pattern): hash ONLY a
+    new batch through the FROZEN projections/offsets/width — the exact
+    build-time :func:`_buckets` Arrow pass — and return
+    ``(new_index_rows, updated_meta)`` with ``n`` grown (the autofit
+    probe count was fit at build and stays; LSH recall under
+    distribution drift degrades gracefully, candidate math never
+    breaks — the lossy-family contract)."""
+    if meta.get("type") != "lsh":
+        raise ValueError(
+            f"lsh_append needs an lsh meta, got {meta.get('type')!r}"
+        )
+    pk = meta["pk"]
+    batch = new_df.filter(F.col(vector_col).isNotNull())
+    meta_local = {
+        k: meta[k]
+        for k in (
+            "proj", "offsets", "nbuckets", "ntables", "nhashes", "distance",
+        )
+        if k in meta
+    }
+    if "width" in meta:
+        meta_local["width"] = meta["width"]
+
+    def _sig(vs):
+        import pandas as pd
+
+        V = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+        B = _buckets(V, meta_local)
+        return pd.Series(list(B))
+
+    sig_udf = F.pandas_udf(_sig, T.ArrayType(T.IntegerType()))
+    indexed = batch.select(
+        pk, sig_udf(F.col(vector_col)).alias(FEATURE_COL)
+    ).localCheckpoint(eager=True)
+    out = dict(meta)
+    if "n" in out:
+        out["n"] = int(out["n"]) + batch.count()
+    return indexed, out

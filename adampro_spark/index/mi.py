@@ -151,3 +151,46 @@ def mi_knn(
     want = candidate_budget(times_k, k, frac, meta, index_df)
     cands = scan_mi(index_df, meta, query, want, prefilter=prefilter)
     return sequential_scan(df, vector_col, query, k, dn, prefilter=cands, pk=meta["pk"])
+
+
+def mi_append(
+    new_df: DataFrame,
+    vector_col: str,
+    meta: "dict[str, Any]",
+) -> "tuple[DataFrame, dict[str, Any]]":
+    """Incremental MI maintenance (round 15 — the
+    :func:`~adampro_spark.index.ecp.ecp_append` pattern): rank ONLY the
+    new batch against the FROZEN reference objects — the exact
+    build-time ranked-refs expression, so appended features are
+    bit-identical to a rebuild with these refs — and return
+    ``(new_index_rows, updated_meta)`` with ``n`` grown.  Refs never
+    move (that is a rebuild); drift degrades permutation selectivity
+    (recall), never the exact refinement."""
+    if meta.get("type") != "mi":
+        raise ValueError(
+            f"mi_append needs an mi meta, got {meta.get('type')!r}"
+        )
+    from adampro_spark.index._util import attach_lut
+
+    pk = meta["pk"]
+    batch = new_df.filter(F.col(vector_col).isNotNull())
+    refs = [[float(x) for x in r] for r in meta["refs"]]
+    nr = len(refs)
+    ki_v = int(meta["ki"])
+    wr = attach_lut(batch, _ap_refs=refs)
+    dists = ref_dists_expr(vector_col, F.col("_ap_refs"), meta["distance"])
+    ranked = F.array_sort(
+        F.zip_with(
+            dists,
+            F.lit(list(range(nr))),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    feature = F.slice(F.transform(ranked, lambda s: s["i"]), 1, ki_v)
+    indexed = wr.select(pk, feature.alias(FEATURE_COL)).localCheckpoint(
+        eager=True
+    )
+    out = dict(meta)
+    if "n" in out:
+        out["n"] = int(out["n"]) + batch.count()
+    return indexed, out

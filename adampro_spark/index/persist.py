@@ -162,31 +162,71 @@ def append_index(
        cell bounds stay sound) and the staleness flag CLEARS: the index
        once again reflects the entity.
 
-    The CELL-partitioned families append: eCP's leaders and IVF-PQ's
-    leaders+codebooks are fixed at build, so new rows slot into
-    existing cells (eCP: radii only grow, exact bounds stay sound;
-    IVF-PQ: codes quantize through the same codebooks the scan's ADC
-    tables use — drift degrades recall, never candidate math).  The
-    remaining trained families (flat PQ/VA+/SH marks, LSH autofit
-    bands) have no partition layout to extend and stay rebuild-only —
-    this raises for them."""
+    EVERY vector family appends (round 15, verdict r14 #4 extended the
+    round-14 ecp/ivfpq pair): each freezes its trained model and
+    encodes only the batch —
+
+    * eCP / IVF-PQ: frozen leaders (+codebooks); cell-partitioned
+      parquet gains files only in touched cells; eCP radii only grow,
+      so exact bounds stay sound.
+    * VA-F / VAV / VA+: frozen marks (+PCA); the two OUTER marks widen
+      to the batch envelope — assignment counts inner marks only, so
+      existing cells never move while edge-cell bounds stay exact for
+      out-of-envelope appends (va_append's soundness argument).
+    * LSH / SH / MI / flat PQ: frozen projections / eigenfunctions /
+      refs / codebooks — the exact build-time encode pass over the
+      batch; drift degrades recall, never candidate math.
+
+    Fulltext posting lists aggregate per TERM across documents — a new
+    batch changes existing rows' document frequencies, so there is no
+    encode-only-the-batch form; it stays rebuild-only and raises."""
     rec = catalog.index(name)
-    if rec["type"] == "ecp":
+    itype = rec["type"]
+    part_col = None
+    if itype == "ecp":
         from adampro_spark.index.ecp import ecp_append as _append
 
         part_col = FEATURE_COL
-    elif rec["type"] == "ivfpq":
+    elif itype == "ivfpq":
         from adampro_spark.index.ivfpq import CELL_COL as part_col
         from adampro_spark.index.ivfpq import ivfpq_append as _append
+    elif itype in ("vaf", "vav"):
+        from adampro_spark.index.va import va_append as _append
+    elif itype == "vaplus":
+        from adampro_spark.index.vaplus import vaplus_append as _append
+    elif itype == "lsh":
+        from adampro_spark.index.lsh import lsh_append as _append
+    elif itype == "sh":
+        from adampro_spark.index.sh import sh_append as _append
+    elif itype == "mi":
+        from adampro_spark.index.mi import mi_append as _append
+    elif itype == "pq":
+        from adampro_spark.index.pq import pq_append as _append
     else:
         raise NotImplementedError(
-            f"append_index supports ecp/ivfpq (index {name!r} is "
-            f"{rec['type']!r}; flat trained codebooks need a rebuild)"
+            f"append_index supports the vector families (index {name!r} "
+            f"is {itype!r}; fulltext posting lists aggregate across "
+            f"documents and need a rebuild)"
         )
 
     indexed, new_meta = _append(new_df, rec["attribute"], rec["meta"])
     path = catalog.index_path(name)
-    indexed.write.mode("append").partitionBy(part_col).parquet(path)
+    buckets = rec["meta"].get("buckets")
+    if part_col is not None:
+        indexed.write.mode("append").partitionBy(part_col).parquet(path)
+    elif buckets:
+        pk = rec["meta"]["pk"]
+        tbl = _bucket_table_name(name)
+        (
+            indexed.repartition(int(buckets), pk)
+            .write.mode("append")
+            .bucketBy(int(buckets), pk)
+            .sortBy(pk)
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+    else:
+        indexed.write.mode("append").parquet(path)
     catalog.update_index_fields(name, meta=new_meta, stale=False)
     return load_index(spark, catalog, name)
 

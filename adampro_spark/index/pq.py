@@ -196,3 +196,54 @@ def pq_knn(
         index_df, meta, query, k, p=p, times_k=times_k, prefilter=prefilter, frac=frac
     )
     return sequential_scan(df, vector_col, query, k, distance_name, prefilter=cands, pk=meta["pk"])
+
+
+def pq_append(
+    new_df: DataFrame,
+    vector_col: str,
+    meta: "dict[str, Any]",
+) -> "tuple[DataFrame, dict[str, Any]]":
+    """Incremental flat-PQ maintenance (round 15 — the
+    :func:`~adampro_spark.index.ivfpq.ivfpq_append` pattern without the
+    cell layer): quantize ONLY the new batch through the FROZEN
+    codebooks — the exact build-time Arrow argmin pass — and return
+    ``(new_index_rows, updated_meta)`` with ``n`` grown.  The scan's
+    ADC tables derive from the same codebooks, so appended codes rank
+    exactly like build-time codes; drift costs quantization error
+    (recall), never candidate math.  Codebooks never move (that is a
+    rebuild)."""
+    if meta.get("type") != "pq":
+        raise ValueError(
+            f"pq_append needs a pq meta, got {meta.get('type')!r}"
+        )
+    from pyspark.sql import types as T
+
+    pk = meta["pk"]
+    batch = new_df.filter(F.col(vector_col).isNotNull())
+    cb_local = [np.asarray(cb, dtype=np.float64) for cb in meta["codebooks"]]
+    bounds_local = [tuple(b) for b in meta["bounds"]]
+
+    def _codes(vs):
+        import pandas as pd
+
+        out = []
+        Vs = [np.asarray(x, dtype=np.float64) for x in vs]
+        if not Vs:
+            return pd.Series(out)
+        V = np.stack(Vs)
+        code_cols = []
+        for (s, ln), cb in zip(bounds_local, cb_local):
+            sub = V[:, s : s + ln]
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            code_cols.append(d2.argmin(axis=1).astype(np.int32))
+        C = np.stack(code_cols, axis=1)  # (n × nsq)
+        return pd.Series(list(C))
+
+    codes_udf = F.pandas_udf(_codes, T.ArrayType(T.IntegerType()))
+    indexed = batch.select(
+        pk, codes_udf(F.col(vector_col)).alias(FEATURE_COL)
+    ).localCheckpoint(eager=True)
+    out = dict(meta)
+    if "n" in out:
+        out["n"] = int(out["n"]) + batch.count()
+    return indexed, out

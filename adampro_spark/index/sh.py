@@ -205,3 +205,44 @@ def sh_knn(
     return sequential_scan(
         df, vector_col, query, k, "euclidean", prefilter=cands, pk=meta["pk"]
     )
+
+
+def sh_append(
+    new_df: DataFrame,
+    vector_col: str,
+    meta: "dict[str, Any]",
+) -> "tuple[DataFrame, dict[str, Any]]":
+    """Incremental SH maintenance (round 15 — the
+    :func:`~adampro_spark.index.ecp.ecp_append` pattern): signature
+    ONLY the new batch through the FROZEN PCA/eigenfunctions — the
+    exact build-time :func:`_np_signature` Arrow pass, bit-identical to
+    a rebuild with this model — and return ``(new_index_rows,
+    updated_meta)`` with ``n`` grown.  The trained model never moves
+    (that is a rebuild); drift degrades signature selectivity (recall),
+    never the exact refinement."""
+    if meta.get("type") != "sh":
+        raise ValueError(
+            f"sh_append needs an sh meta, got {meta.get('type')!r}"
+        )
+    from pyspark.sql import types as T
+
+    pk = meta["pk"]
+    batch = new_df.filter(F.col(vector_col).isNotNull())
+    meta_local = {
+        k: meta[k] for k in ("pca", "min_proj", "eigenfunctions", "nbits")
+    }
+
+    def _sig(vs):
+        import pandas as pd
+
+        V = np.array([np.asarray(x, dtype=np.float64) for x in vs])
+        return pd.Series(list(_np_signature(V, meta_local)))
+
+    sig_udf = F.pandas_udf(_sig, T.ArrayType(T.IntegerType()))
+    indexed = batch.select(
+        pk, sig_udf(F.col(vector_col)).alias(FEATURE_COL)
+    ).localCheckpoint(eager=True)
+    out = dict(meta)
+    if "n" in out:
+        out["n"] = int(out["n"]) + batch.count()
+    return indexed, out

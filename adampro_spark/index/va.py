@@ -390,3 +390,51 @@ def va_knn(
         pk=meta["pk"],
         **scan_kwargs,
     )
+
+
+def va_append(
+    new_df: DataFrame,
+    vector_col: str,
+    meta: "dict[str, Any]",
+) -> "tuple[DataFrame, dict[str, Any]]":
+    """Incremental VA-F/VAV maintenance (round 15, verdict r14 #4 — the
+    :func:`~adampro_spark.index.ecp.ecp_append` pattern): encode ONLY a
+    new batch against the FROZEN marks and return ``(new_index_rows,
+    updated_meta)``.
+
+    Soundness: cell assignment counts only the INNER marks strictly
+    below x (:func:`_cells_expr`), so widening the two OUTER marks to
+    cover the batch envelope — ``marks[d][0] = min(old, batch_min)``,
+    ``marks[d][-1] = max(old, batch_max)`` — changes NO existing
+    assignment while making the edge cells' scan bounds cover any
+    out-of-envelope appended value.  The bound tables therefore stay
+    exact for old and new rows alike; what drifts under a shifted
+    distribution is mark EQUIFREQUENCY (candidate tightness, i.e. scan
+    cost), never candidate completeness.  Rebuild when the appended
+    mass dominates."""
+    if meta.get("type") not in ("vaf", "vav"):
+        raise ValueError(
+            f"va_append needs a vaf/vav meta, got {meta.get('type')!r}"
+        )
+    from adampro_spark.index._util import attach_lut
+
+    pk = meta["pk"]
+    dim = int(meta["dim"])
+    batch = new_df.filter(F.col(vector_col).isNotNull())
+    if batch.first() is None:
+        return (
+            batch.select(pk, F.lit(None).cast("array<int>").alias(FEATURE_COL)),
+            dict(meta),
+        )
+    mins, maxs = _minmax(batch, vector_col, dim)
+    marks = [[float(x) for x in mk] for mk in meta["marks"]]
+    for d in range(dim):
+        marks[d][0] = float(min(marks[d][0], mins[d]))
+        marks[d][-1] = float(max(marks[d][-1], maxs[d]))
+    wm = attach_lut(batch, _ap_marks=marks)
+    indexed = wm.select(
+        pk, _cells_expr(vector_col, F.col("_ap_marks")).alias(FEATURE_COL)
+    ).localCheckpoint(eager=True)
+    out = dict(meta)
+    out["marks"] = marks
+    return indexed, out

@@ -149,3 +149,53 @@ def vaplus_knn(
     return sequential_scan(
         df, vector_col, query, k, distance_name, prefilter=cands, pk=meta["pk"]
     )
+
+
+def vaplus_append(
+    new_df: DataFrame,
+    vector_col: str,
+    meta: "dict[str, Any]",
+) -> "tuple[DataFrame, dict[str, Any]]":
+    """Incremental VA+ maintenance (round 15 — the
+    :func:`~adampro_spark.index.va.va_append` pattern in the ROTATED
+    space): project ONLY the new batch through the frozen PCA, widen
+    the outer marks to the projected batch envelope (assignment counts
+    inner marks only, so existing cells never move — va_append's
+    soundness argument), encode, and return ``(new_index_rows,
+    updated_meta)``.  The PCA never refits (that is a rebuild); what
+    drifts is mark equifrequency, never bound exactness."""
+    if meta.get("type") != "vaplus":
+        raise ValueError(
+            f"vaplus_append needs a vaplus meta, got {meta.get('type')!r}"
+        )
+    from adampro_spark.index._util import attach_lut
+    from adampro_spark.index.va import _minmax
+
+    pk = meta["pk"]
+    dim = int(meta["dim"])
+    batch = new_df.filter(F.col(vector_col).isNotNull())
+    if batch.first() is None:
+        return (
+            batch.select(pk, F.lit(None).cast("array<int>").alias(FEATURE_COL)),
+            dict(meta),
+        )
+    eigv = np.asarray(meta["pca"], dtype=np.float64)
+    with_pca = attach_lut(batch, _ap_pca=eigv.T.tolist())
+    tmp = with_pca.select(
+        F.col(pk), _proj_expr(vector_col, F.col("_ap_pca")).alias("_proj")
+    ).persist()
+    try:
+        mins, maxs = _minmax(tmp, "_proj", dim)
+        marks = [[float(x) for x in mk] for mk in meta["marks"]]
+        for d in range(dim):
+            marks[d][0] = float(min(marks[d][0], mins[d]))
+            marks[d][-1] = float(max(marks[d][-1], maxs[d]))
+        wm = attach_lut(tmp, _ap_marks=marks)
+        indexed = wm.select(
+            pk, _cells_expr("_proj", F.col("_ap_marks")).alias(FEATURE_COL)
+        ).localCheckpoint(eager=True)
+    finally:
+        tmp.unpersist()
+    out = dict(meta)
+    out["marks"] = marks
+    return indexed, out

@@ -691,12 +691,13 @@ class IndexOps:
         return made
 
     def append(self, name: str, new_df: DataFrame):
-        """Incrementally extend a persisted cell-partitioned index
-        (eCP or IVF-PQ) with the batch of rows inserted since its build
-        (IP.append_index, round 14): frozen-model assignment/encoding
-        of the batch only, parquet append into the cell layout,
-        counts (+ eCP radii) refresh, staleness flag cleared.  Flat
-        trained families raise (codebooks need a rebuild)."""
+        """Incrementally extend a persisted vector index with the batch
+        of rows inserted since its build (IP.append_index; round 14
+        ecp/ivfpq, round 15 every vector family): frozen-model
+        assignment/encoding of the batch only, parquet (or bucketed
+        table / cell layout) append, meta refresh (counts/radii/marks
+        envelope/n), staleness flag cleared.  Fulltext stays
+        rebuild-only (posting lists aggregate across documents)."""
         return IP.append_index(self.spark, self.catalog, name, new_df)
 
     def load(self, name: str, allow_stale: bool = True):

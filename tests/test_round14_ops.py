@@ -1079,10 +1079,12 @@ def test_ecp_append_incremental_maintenance(spark, tmp_path):
     )
     assert got_r == want_r
 
-    # flat trained families must refuse to append (codebooks rebuild)
+    # round 15: every vector family appends now (vaf included) — the
+    # rebuild-only refusal moved to fulltext, covered in
+    # test_round15_ops.test_lsh_sh_mi_pq_append_encode_identity
     ops.index.create_from_df("e_vaf_app", "embapp", base, "embedding", "vaf", pk="vec_id")
-    with pytest.raises(NotImplementedError, match="rebuild"):
-        ops.index.append("e_vaf_app", batch)
+    vaf_idx, vaf_meta = ops.index.append("e_vaf_app", batch)
+    assert vaf_idx.count() == emb.count()
 
 
 def test_ivfpq_append_incremental_maintenance(spark, tmp_path):

@@ -425,3 +425,198 @@ def test_noninterleaved_jpeg_through_curate_media(spark):
     assert {r["media_id"] for r in out.collect()} == {0, 2}
     assert report["n_undecodable"] == 0
     assert report["n_neardup_dropped_image"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Incremental append for the remaining index families (verdict r14 #4)
+# ---------------------------------------------------------------------------
+
+def _split_emb(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    return emb, base, batch
+
+
+def test_va_append_exact_with_out_of_envelope_batch(spark, tmp_path):
+    """VA-F append through AdamOps: staleness clears, appended cells
+    equal a frozen-marks encode, and the EXACT candidate contract holds
+    over the grown corpus even for a batch vector pushed OUTSIDE the
+    build envelope (the widened outer marks keep edge-cell bounds
+    sound)."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.index.va import FEATURE_COL, va_knn
+    from adampro_spark.operators.scan import DISTANCE_COL, sequential_scan
+    from adampro_spark.ops import AdamOps
+
+    emb, base, batch = _split_emb(spark)
+    # push one appended vector far outside the build envelope
+    batch = batch.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 10,
+            F.transform("embedding", lambda x: x * 5.0 + 3.0),
+        ).otherwise(F.col("embedding")),
+    )
+    grown = base.unionByName(batch)
+
+    ops = AdamOps(spark, str(tmp_path / "cat"))
+    ops.index.create_from_df("v_app", "embva", base, "embedding", "vaf", pk="vec_id")
+    old_meta = ops.index.load("v_app")[1]
+    data = ops.catalog._read()
+    data["indexes"]["v_app"]["stale"] = True
+    ops.catalog._write(data)
+
+    idx_df, meta = ops.index.append("v_app", batch)
+    assert ops.catalog.index("v_app")["stale"] is False
+    # inner marks frozen; outer marks only widened
+    for old_mk, new_mk in zip(old_meta["marks"], meta["marks"]):
+        assert old_mk[1:-1] == new_mk[1:-1]
+        assert new_mk[0] <= old_mk[0] and new_mk[-1] >= old_mk[-1]
+    assert idx_df.count() == emb.count()
+
+    # exact candidate contract on the grown corpus, including a query
+    # near the out-of-envelope vector
+    far_q = [3.0] * 64
+    for q, k in ((far_q, 7), ([0.1] * 64, 11)):
+        want = [
+            (r["vec_id"], round(r[DISTANCE_COL], 6))
+            for r in sequential_scan(
+                grown, "embedding", q, k, "euclidean", pk="vec_id"
+            ).collect()
+        ]
+        got = [
+            (r["vec_id"], round(r[DISTANCE_COL], 6))
+            for r in va_knn(
+                grown, "embedding", idx_df, meta, q, k, "euclidean"
+            ).collect()
+        ]
+        assert got == want, (k,)
+    # the pushed vector is the top hit for its own neighborhood
+    top = va_knn(grown, "embedding", idx_df, meta, far_q, 1, "euclidean").first()
+    assert top["vec_id"] == 10
+
+
+def test_vav_and_vaplus_append_exact(spark):
+    """VAV and VA+ appends: frozen inner marks (+frozen PCA), exact
+    kNN over the grown corpus equals brute force."""
+    from adampro_spark.index.va import build_va, va_append, va_knn
+    from adampro_spark.index.vaplus import (
+        build_vaplus,
+        vaplus_append,
+        vaplus_knn,
+    )
+    from adampro_spark.operators.scan import DISTANCE_COL, sequential_scan
+
+    emb, base, batch = _split_emb(spark)
+    q = [round(0.05 * ((i * 5) % 11) - 0.2, 4) for i in range(64)]
+
+    for build, append, knn, kw in (
+        (build_va, va_append, va_knn, {"index_type": "vav"}),
+        (build_vaplus, vaplus_append, vaplus_knn, {}),
+    ):
+        idx0, meta0 = build(base, "embedding", pk="vec_id", **kw)
+        new_rows, meta1 = append(batch, "embedding", meta0)
+        for old_mk, new_mk in zip(meta0["marks"], meta1["marks"]):
+            assert old_mk[1:-1] == new_mk[1:-1]
+        idx = idx0.unionByName(new_rows)
+        want = [
+            (r["vec_id"], round(r[DISTANCE_COL], 6))
+            for r in sequential_scan(
+                emb, "embedding", q, 9, "euclidean", pk="vec_id"
+            ).collect()
+        ]
+        got = [
+            (r["vec_id"], round(r[DISTANCE_COL], 6))
+            for r in knn(emb, "embedding", idx, meta1, q, 9).collect()
+        ]
+        assert got == want, build.__name__
+
+
+def test_lsh_sh_mi_pq_append_encode_identity(spark, tmp_path):
+    """The lossy families: appended rows' features are BIT-IDENTICAL to
+    the frozen-model encode a rebuild with this model would produce
+    (numpy recompute per family), n grows, and the persisted append +
+    staleness clear works through AdamOps for a plain-parquet family."""
+    import numpy as np
+
+    from adampro_spark.index._util import np_distance
+    from adampro_spark.index.lsh import _buckets, build_lsh, lsh_append
+    from adampro_spark.index.mi import build_mi, mi_append
+    from adampro_spark.index.pq import build_pq, pq_append
+    from adampro_spark.index.sh import _np_signature, build_sh, sh_append
+
+    emb, base, batch = _split_emb(spark)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in batch.collect()}
+    n_base, n_batch = base.count(), batch.count()
+
+    # LSH
+    _, meta = build_lsh(base, "embedding", pk="vec_id", autofit=False)
+    rows, m1 = lsh_append(batch, "embedding", meta)
+    got = {r["vec_id"]: list(r["ap_indexfeature"]) for r in rows.collect()}
+    V = np.stack([vecs[k] for k in sorted(vecs)])
+    want = _buckets(V, meta)
+    for i, k in enumerate(sorted(vecs)):
+        assert got[k] == list(want[i]), ("lsh", k)
+
+    # SH
+    _, meta = build_sh(base, "embedding", pk="vec_id", autofit=False)
+    rows, m1 = sh_append(batch, "embedding", meta)
+    assert m1["n"] == n_base + n_batch
+    got = {r["vec_id"]: list(r["ap_indexfeature"]) for r in rows.collect()}
+    want = _np_signature(
+        V, {k: meta[k] for k in ("pca", "min_proj", "eigenfunctions", "nbits")}
+    )
+    for i, k in enumerate(sorted(vecs)):
+        assert got[k] == list(want[i]), ("sh", k)
+
+    # MI
+    _, meta = build_mi(base, "embedding", pk="vec_id", autofit=False)
+    rows, m1 = mi_append(batch, "embedding", meta)
+    assert m1["n"] == n_base + n_batch
+    got = {r["vec_id"]: list(r["ap_indexfeature"]) for r in rows.collect()}
+    refs = np.array(meta["refs"], dtype=np.float64)
+    for k in list(sorted(vecs))[:40]:
+        d = np_distance(vecs[k], refs, meta["distance"])
+        order = np.argsort(
+            np.array(list(zip(d, range(len(d)))), dtype=[("d", float), ("i", int)]),
+            order=("d", "i"),
+        )[: meta["ki"]]
+        assert got[k] == [int(i) for i in order], ("mi", k)
+
+    # flat PQ
+    _, meta = build_pq(base, "embedding", pk="vec_id", autofit=False)
+    rows, m1 = pq_append(batch, "embedding", meta)
+    assert m1["n"] == n_base + n_batch
+    got = {r["vec_id"]: list(r["ap_indexfeature"]) for r in rows.collect()}
+    cbs = [np.asarray(cb) for cb in meta["codebooks"]]
+    for k in list(sorted(vecs))[:40]:
+        want_codes = []
+        for (s, ln), cb in zip(meta["bounds"], cbs):
+            d2 = ((vecs[k][s:s + ln][None, :] - cb) ** 2).sum(axis=1)
+            want_codes.append(int(d2.argmin()))
+        assert got[k] == want_codes, ("pq", k)
+
+    # lifecycle through AdamOps for a plain-parquet family (sh)
+    from adampro_spark.ops import AdamOps
+
+    ops = AdamOps(spark, str(tmp_path / "cat"))
+    ops.index.create_from_df("s_app", "embsh", base, "embedding", "sh", pk="vec_id")
+    data = ops.catalog._read()
+    data["indexes"]["s_app"]["stale"] = True
+    ops.catalog._write(data)
+    idx_df, meta = ops.index.append("s_app", batch)
+    assert ops.catalog.index("s_app")["stale"] is False
+    assert idx_df.count() == emb.count()
+    # fulltext stays rebuild-only
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ops.index.create_from_df(
+        "ft_app", "docsft", docs.select("doc_id", "text"), "text",
+        "fulltext", pk="doc_id",
+    )
+    with pytest.raises(NotImplementedError, match="rebuild"):
+        ops.index.append("ft_app", docs.limit(5))
