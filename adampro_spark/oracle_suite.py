@@ -2141,6 +2141,41 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
     )
 
+    # round-15 FLAC part: a planted sawtooth (new constants, shorter
+    # clip) rides the REAL encode_flac container (fixed-order-2
+    # predictor + Rice residual) -> decode_flac -> audio_envelope_bits
+    # via audio_dhash's container dispatch; FLAC is lossless, so the
+    # oracle re-derives the envelope hash from the sample formula like
+    # the awav leg
+    def _flac_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import encode_flac
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                n = 1920 + (did % 5) * 128
+                t = np.arange(n, dtype=np.int64)
+                sm = ((did * 11 + 17 * t) % 2048) - 1024
+                ids.append(did)
+                blobs.append(encode_flac(sm.astype(np.int16)))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    flac_media = media.select("media_id").mapInPandas(
+        _flac_kernel, schema="media_id long, content binary"
+    )
+    fl = audio_dhash(flac_media).select(
+        F.lit("flac").alias("part"),
+        "media_id",
+        F.col("dhash").alias("n1"),
+        (1920 + (F.col("media_id") % 5) * 128).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("string").alias("s"),
+    )
+
     # round-13 video part: a planted MJPEG-AVI per doc (flat frames,
     # exactly recoverable at quant=1) rides the real encode_avi_mjpeg ->
     # decode_avi_frames -> video_fingerprint path with every_n=2
@@ -2239,7 +2274,7 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
     return (
         fp.unionByName(jp).unionByName(jrgb).unionByName(jprog)
         .unionByName(dh).unionByName(aw).unionByName(gw)
-        .unionByName(vf).unionByName(pr)
+        .unionByName(fl).unionByName(vf).unionByName(pr)
     )
 
 
@@ -2484,6 +2519,27 @@ _register(
         SELECT doc_id, 6400 + (doc_id % 7) * 160 AS nn,
                {_MU_SQL} AS mu
         FROM documents
+      )
+    )
+    UNION ALL
+    -- round-15 FLAC leg: lossless container, so the envelope hash
+    -- re-derives from the planted formula exactly like the awav leg
+    SELECT 'flac', doc_id,
+      list_sum(list_transform(generate_series(0, 62), i ->
+        CASE WHEN env[i + 1] > env[i + 2]
+             THEN (1::BIGINT << i) ELSE 0::BIGINT
+        END))::BIGINT,
+      nn::BIGINT,
+      NULL::BIGINT, NULL::VARCHAR
+    FROM (
+      SELECT doc_id, nn,
+        list_transform(generate_series(0, 63), w ->
+          list_sum(list_transform(
+            generate_series(w * nn // 64, (w + 1) * nn // 64 - 1), t ->
+              abs(((doc_id * 11 + 17 * t) % 2048) - 1024)::BIGINT))::DOUBLE
+          / ((w + 1) * nn // 64 - w * nn // 64)) AS env
+      FROM (
+        SELECT doc_id, 1920 + (doc_id % 5) * 128 AS nn FROM documents
       )
     )
     UNION ALL

@@ -333,6 +333,473 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# FLAC: real decode in pure numpy + stdlib (round 15, verdict r14 #2 —
+# FLAC was probe-only, leaving the dominant lossless web-audio format
+# invisible to envelope near-dup).  Public spec (RFC 9639 / the
+# xiph.org format document): metadata block walk, byte-aligned frames
+# with UTF-8-coded numbers, CONSTANT / VERBATIM / FIXED / LPC
+# subframes, Rice-coded residual partitions, wasted bits, and the
+# left-side / right-side / mid-side inter-channel decorrelations.
+# Output normalizes to the decode_wav int16 contract so a FLAC
+# transcode of a WAV fixture hashes identically in the audio
+# near-dup family.  encode_flac is the fixture writer (the
+# encode_wav/encode_png convention) with real CRC-8/CRC-16 footers.
+# ---------------------------------------------------------------------------
+
+_FLAC_FIXED_COEFS = ([], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1])
+
+#: frame-header block-size codes 0b0001-0b1111 (0b0110/0b0111 take the
+#: size from trailing bytes; index 0 is reserved)
+_FLAC_BLOCKSIZES = {
+    0b0001: 192, 0b0010: 576, 0b0011: 1152, 0b0100: 2304, 0b0101: 4608,
+    0b1000: 256, 0b1001: 512, 0b1010: 1024, 0b1011: 2048, 0b1100: 4096,
+    0b1101: 8192, 0b1110: 16384, 0b1111: 32768,
+}
+
+_FLAC_SAMPLE_SIZES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20,
+                      0b110: 24, 0b111: 32}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC
+    frame-header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 with polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the
+    FLAC whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit reader (the FLAC packing order; the JPEG
+    :class:`_BitReader` is MSB-first too but owns marker unstuffing —
+    FLAC has none, so this stays minimal)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def u(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            out = (out << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def s(self, n: int) -> int:
+        v = self.u(n)
+        return v - (1 << n) if v >= 1 << (n - 1) else v
+
+    def unary(self) -> int:
+        """Count 0 bits up to the terminating 1 (FLAC unary)."""
+        q = 0
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC unary code")
+            if (self.data[self.pos] >> (7 - self.bit)) & 1:
+                self.bit += 1
+                if self.bit == 8:
+                    self.bit = 0
+                    self.pos += 1
+                return q
+            q += 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _flac_utf8(rd: "_FlacBits") -> int:
+    """The UTF-8-style coded frame/sample number (RFC 9639 9.1.5)."""
+    b0 = rd.u(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise ValueError(f"invalid FLAC coded number lead byte 0x{b0:02X}")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        b = rd.u(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC coded number continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def _flac_residual(rd: "_FlacBits", blocksize: int, order: int) -> "list[int]":
+    """Rice-coded residual: 2-bit method, 4-bit partition order,
+    2^po partitions with per-partition parameter (escape = raw)."""
+    method = rd.u(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = rd.u(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        # RFC 9639: the partition order must divide the block size
+        raise ValueError("FLAC partition order does not divide blocksize")
+    out: "list[int]" = []
+    for p in range(nparts):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        param = rd.u(pbits)
+        if param == escape:
+            raw = rd.u(5)
+            for _ in range(n):
+                out.append(rd.s(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = rd.unary()
+                r = rd.u(param) if param else 0
+                zz = (q << param) | r
+                out.append((zz >> 1) ^ -(zz & 1))  # zigzag → signed
+    return out
+
+
+def _flac_subframe(rd: "_FlacBits", blocksize: int, bps: int) -> np.ndarray:
+    """One subframe → int64 sample array of length ``blocksize``."""
+    if rd.u(1):
+        raise ValueError("FLAC subframe padding bit set")
+    ftype = rd.u(6)
+    wasted = 0
+    if rd.u(1):
+        wasted = rd.unary() + 1
+        bps -= wasted
+    if ftype == 0:  # CONSTANT
+        v = rd.s(bps)
+        out = np.full(blocksize, v, dtype=np.int64)
+    elif ftype == 1:  # VERBATIM
+        out = np.array([rd.s(bps) for _ in range(blocksize)], dtype=np.int64)
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        warm = [rd.s(bps) for _ in range(order)]
+        res = _flac_residual(rd, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, blocksize):
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * int(out[i - 1 - j])
+            out[i] = pred + res[i - order]
+    elif ftype >= 32:  # LPC, order 1-32
+        order = ftype - 31
+        warm = [rd.s(bps) for _ in range(order)]
+        prec = rd.u(4)
+        if prec == 0x0F:
+            raise ValueError("invalid FLAC LPC precision")
+        prec += 1
+        shift = rd.s(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        qlp = [rd.s(prec) for _ in range(order)]
+        res = _flac_residual(rd, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, blocksize):
+            acc = 0
+            for j, c in enumerate(qlp):
+                acc += c * int(out[i - 1 - j])
+            out[i] = (acc >> shift) + res[i - order]
+    else:
+        raise ValueError(f"reserved FLAC subframe type {ftype}")
+    if wasted:
+        out = out << wasted
+    return out
+
+
+def decode_flac(content: bytes) -> "tuple[np.ndarray, int]":
+    """Real FLAC decode → ``(int16 samples [n or n × channels],
+    sample_rate)`` — the :func:`decode_wav` contract, so a FLAC
+    transcode of a WAV clip yields the SAME array and the audio
+    near-dup family pairs them.  Sample sizes normalize like WAV:
+    16-bit verbatim, 8-bit ``<< 8``, 12-bit ``<< 4``, 20-bit ``>> 4``,
+    24-bit ``>> 8``, 32-bit ``>> 16``.  CRC-8/CRC-16 fields are parsed
+    but not verified (a corrupt stream fails structurally; the
+    corpus kernels turn any raise into a NULL fingerprint)."""
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    bps = channels = rate = 0
+    total = 0
+    # metadata blocks: 1-byte header (last<<7 | type), 3-byte length
+    while pos + 4 <= len(content):
+        head = content[pos]
+        blen = int.from_bytes(content[pos + 1:pos + 4], "big")
+        body = content[pos + 4:pos + 4 + blen]
+        if head & 0x7F == 0:  # STREAMINFO
+            if blen < 18:
+                raise ValueError("truncated FLAC STREAMINFO")
+            rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            channels = ((body[12] >> 1) & 0x07) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = (
+                ((body[13] & 0x0F) << 32) | (body[14] << 24)
+                | (body[15] << 16) | (body[16] << 8) | body[17]
+            )
+        pos += 4 + blen
+        if head & 0x80:
+            break
+    if rate == 0 or channels == 0:
+        raise ValueError("FLAC stream has no STREAMINFO")
+    rd = _FlacBits(content, pos)
+    chans: "list[np.ndarray]" = [np.empty(0, dtype=np.int64) for _ in range(channels)]
+    got = 0
+    while rd.pos < len(content) and (total == 0 or got < total):
+        sync = rd.u(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"bad FLAC frame sync 0x{sync:04X}")
+        rd.u(1)  # reserved
+        rd.u(1)  # blocking strategy
+        bs_code = rd.u(4)
+        sr_code = rd.u(4)
+        ca = rd.u(4)
+        ss_code = rd.u(3)
+        rd.u(1)  # reserved
+        _flac_utf8(rd)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 0b0110:
+            blocksize = rd.u(8) + 1
+        elif bs_code == 0b0111:
+            blocksize = rd.u(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 0b1100:
+            rd.u(8)
+        elif sr_code in (0b1101, 0b1110):
+            rd.u(16)
+        elif sr_code == 0b1111:
+            raise ValueError("invalid FLAC sample rate code")
+        fbps = _FLAC_SAMPLE_SIZES.get(ss_code, bps)
+        rd.u(8)  # CRC-8 (not verified)
+        if ca <= 7:
+            nch = ca + 1
+            if nch != channels:
+                raise ValueError("FLAC frame channel count mismatch")
+            subs = [_flac_subframe(rd, blocksize, fbps) for _ in range(nch)]
+        elif ca in (8, 9, 10):
+            if channels != 2:
+                raise ValueError("FLAC stereo decorrelation in non-stereo stream")
+            # the SIDE channel carries one extra bit
+            if ca == 8:  # left/side
+                left = _flac_subframe(rd, blocksize, fbps)
+                side = _flac_subframe(rd, blocksize, fbps + 1)
+                subs = [left, left - side]
+            elif ca == 9:  # right/side (side first)
+                side = _flac_subframe(rd, blocksize, fbps + 1)
+                right = _flac_subframe(rd, blocksize, fbps)
+                subs = [side + right, right]
+            else:  # mid/side
+                mid = _flac_subframe(rd, blocksize, fbps)
+                side = _flac_subframe(rd, blocksize, fbps + 1)
+                m2 = (mid << 1) | (side & 1)
+                subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ca}")
+        rd.align()
+        rd.u(16)  # CRC-16 (not verified)
+        take = blocksize if total == 0 else min(blocksize, total - got)
+        for c in range(channels):
+            chans[c] = np.concatenate([chans[c], subs[c][:take]])
+        got += take
+    shift = {8: 8, 12: 4, 16: 0, 20: -4, 24: -8, 32: -16}.get(bps)
+    if shift is None:
+        raise NotImplementedError(f"unsupported FLAC bits-per-sample {bps}")
+    out = np.stack(chans, axis=1) if channels > 1 else chans[0]
+    out = (out << shift) if shift >= 0 else (out >> -shift)
+    return out.astype(np.int16), rate
+
+
+class _FlacWriter:
+    """MSB-first bit writer for :func:`encode_flac`."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def u(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.u(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+def _flac_write_residual(wr: "_FlacWriter", res: "list[int]") -> None:
+    """Rice partition order 0; parameter fit from the mean magnitude
+    (the standard estimate), escape-raw when even that overflows."""
+    zz = [(v << 1) ^ (v >> 63) for v in (int(x) for x in res)]
+    mean = (sum(zz) // max(len(zz), 1)) if zz else 0
+    param = 0
+    while (1 << (param + 1)) < mean + 1 and param < 14:
+        param += 1
+    wr.u(0, 2)  # method: 4-bit Rice
+    wr.u(0, 4)  # partition order 0
+    maxq = max((z >> param) for z in zz) if zz else 0
+    if maxq > 48:  # pathological distribution: raw escape
+        raw = max(max(abs(int(v)) for v in res).bit_length() + 1, 1) if res else 1
+        wr.u(0x0F, 4)
+        wr.u(raw, 5)
+        for v in res:
+            wr.u(int(v), raw)
+        return
+    wr.u(param, 4)
+    for z in zz:
+        q = z >> param
+        wr.u(0, q)
+        wr.u(1, 1)
+        if param:
+            wr.u(z & ((1 << param) - 1), param)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 16_000,
+    block_size: int = 4096,
+    subframe: str = "fixed",
+    order: int = 2,
+) -> bytes:
+    """Minimal FLAC writer for int16 mono/stereo input — the fixture
+    generator for :func:`decode_flac` (the encode_wav convention).
+    ``subframe``: ``"fixed"`` (order 0-4 predictor + Rice residual,
+    what real encoders emit for most blocks; constant blocks are
+    detected and written as CONSTANT), ``"verbatim"``.  Channels write
+    independently (no decorrelation).  Real CRC-8/CRC-16 checksums and
+    UTF-8 frame numbers, so third-party decoders accept the stream;
+    the MD5 field is zeroed (permitted by the spec)."""
+    s = np.asarray(samples)
+    if s.dtype != np.int16:
+        raise ValueError("encode_flac takes int16 samples (the WAV contract)")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, nch = s.shape
+    if not 1 <= nch <= 2:
+        raise ValueError("encode_flac supports mono/stereo")
+    if subframe not in ("fixed", "verbatim"):
+        raise ValueError(f"unknown FLAC subframe strategy {subframe!r}")
+    if not 0 <= order <= 4:
+        raise ValueError("FLAC fixed order must be 0-4")
+    out = bytearray(b"fLaC")
+    # STREAMINFO (last metadata block)
+    si = bytearray()
+    si += block_size.to_bytes(2, "big") * 2
+    si += (0).to_bytes(3, "big") * 2  # frame sizes unknown
+    si += bytes([
+        (sample_rate >> 12) & 0xFF,
+        (sample_rate >> 4) & 0xFF,
+        ((sample_rate & 0x0F) << 4) | ((nch - 1) << 1) | (15 >> 4),
+        ((15 & 0x0F) << 4) | ((n >> 32) & 0x0F),
+    ])
+    si += ((n & 0xFFFFFFFF)).to_bytes(4, "big")
+    si += bytes(16)  # md5 unset
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    for fi in range(0, n, block_size):
+        blk = s[fi:fi + block_size]
+        bs = blk.shape[0]
+        wr = _FlacWriter()
+        wr.u(0x3FFE, 14)
+        wr.u(0, 1)  # reserved
+        wr.u(0, 1)  # fixed blocksize stream
+        wr.u(0b0111, 4)  # blocksize as 16-bit field
+        wr.u(0b1101, 4)  # sample rate as 16-bit Hz field
+        wr.u(nch - 1, 4)  # independent channels
+        wr.u(0b100, 3)  # 16-bit samples
+        wr.u(0, 1)  # reserved
+        fno = fi // block_size
+        if fno < 0x80:
+            wr.u(fno, 8)
+        else:  # 2-byte UTF-8 (fixtures never need more)
+            wr.u(0xC0 | (fno >> 6), 8)
+            wr.u(0x80 | (fno & 0x3F), 8)
+        wr.u(bs - 1, 16)
+        wr.u(sample_rate, 16)
+        wr.u(_crc8(bytes(wr.buf)), 8)
+        for c in range(nch):
+            ch = blk[:, c].astype(np.int64)
+            wr.u(0, 1)
+            if subframe == "verbatim" :
+                wr.u(1, 6)
+                wr.u(0, 1)  # no wasted bits
+                for v in ch:
+                    wr.u(int(v), 16)
+            elif np.all(ch == ch[0]):
+                wr.u(0, 6)  # CONSTANT
+                wr.u(0, 1)
+                wr.u(int(ch[0]), 16)
+            else:
+                o = min(order, bs - 1)
+                wr.u(8 + o, 6)  # FIXED
+                wr.u(0, 1)
+                for v in ch[:o]:
+                    wr.u(int(v), 16)
+                coefs = _FLAC_FIXED_COEFS[o]
+                res = []
+                for i in range(o, bs):
+                    pred = sum(c2 * int(ch[i - 1 - j]) for j, c2 in enumerate(coefs))
+                    res.append(int(ch[i]) - pred)
+                _flac_write_residual(wr, res)
+        wr.align()
+        body = wr.bytes()
+        out += body + _crc16(body).to_bytes(2, "big")
+    return bytes(out)
+
+
+def decode_audio(content: bytes) -> "tuple[np.ndarray, int]":
+    """Audio container dispatch (round 15): RIFF/WAVE via
+    :func:`decode_wav`, FLAC via :func:`decode_flac` — both normalize
+    to the int16 contract, so the envelope near-dup family pairs a
+    clip with its transcode across containers."""
+    if content[:4] == b"fLaC":
+        return decode_flac(content)
+    return decode_wav(content)
+
+
+
+# ---------------------------------------------------------------------------
 # PNG: real decode via stdlib zlib + numpy defilter (round-7 verdict #3 —
 # the most common compressed image format no longer needs an external
 # codec; the container ships no image libraries, but PNG's DEFLATE layer
@@ -2180,8 +2647,10 @@ def decode_media(content: bytes, width: int, height: int) -> np.ndarray:
         return decode_jpeg(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)
-    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        samples, _rate = decode_wav(content)
+    if (
+        content[:4] == b"RIFF" and content[8:12] == b"WAVE"
+    ) or content[:4] == b"fLaC":
+        samples, _rate = decode_audio(content)
         mono = samples if samples.ndim == 1 else samples[:, 0]
         return ((mono.astype(np.int32) + 32768) >> 8).astype(np.uint8)[None, :]
     return decode_unavailable(content, width, height)
@@ -2576,8 +3045,8 @@ def _modality_specs(
         ),
         (
             "audio",
-            {"wav"},
-            (F.col("_ap_fmt") == "wav")
+            {"wav", "flac"},
+            F.col("_ap_fmt").isin(["wav", "flac"])
             & (F.col("_ap_nf") >= AUDIO_ENVELOPE_WINDOWS),
             lambda d: audio_dhash(d, content_col, pk),
         ),
@@ -2627,7 +3096,9 @@ def curate_media(
        cross-modality (round 14, verdict r13 #4): images
        (:data:`_DHASH_FORMATS` — bmp/png/jpeg/single-frame gif) through
        :func:`image_dhash` (``decoder``
-       is forwarded), wav through :func:`audio_dhash`, avi AND animated
+       is forwarded), wav AND flac through :func:`audio_dhash`
+       (round 15 — a FLAC transcode of a WAV clip decodes to the same
+       int16 array, so the envelope family pairs them), avi AND animated
        (``n_frames > 1``) gif through
        :func:`video_dhash` (round 15, verdict r14 #3 — two animations
        sharing a title card no longer collide on frame-1 dHash); each
@@ -3315,8 +3786,9 @@ def audio_dhash(
     content_col: str = "content",
     pk: str = "media_id",
 ) -> DataFrame:
-    """``(pk, dhash long)`` envelope fingerprints for a WAV binary
-    column — decode_wav + :func:`audio_envelope_bits` in one
+    """``(pk, dhash long)`` envelope fingerprints for a WAV or FLAC
+    binary column (container dispatch via :func:`decode_audio`,
+    round 15) — decode + :func:`audio_envelope_bits` in one
     Arrow-batched mapInPandas pass; near-dup AUDIO dedup rides the same
     Manku machinery:
     ``deduplicate(df, fingerprint_pairs(audio_dhash(df), "dhash",
@@ -3332,7 +3804,7 @@ def audio_dhash(
             hashes: list = []
             for c in pdf[content_col]:
                 try:
-                    samples, _rate = decode_wav(bytes(c))
+                    samples, _rate = decode_audio(bytes(c))
                     hashes.append(int(audio_envelope_bits(samples)))
                 except Exception:
                     hashes.append(None)

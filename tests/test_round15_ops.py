@@ -620,3 +620,214 @@ def test_lsh_sh_mi_pq_append_encode_identity(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="rebuild"):
         ops.index.append("ft_app", docs.limit(5))
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode (verdict r14 #2)
+# ---------------------------------------------------------------------------
+
+def _flac_wrap(body_writer, n, bps=16, nch=1, ca=None, rate=16000):
+    """Hand-build a single-frame FLAC stream: STREAMINFO + one frame
+    whose subframe bits come from ``body_writer(wr)`` — lets tests
+    exercise decode paths the fixture encoder never emits (LPC, wasted
+    bits, stereo decorrelation, Rice2, partitions, odd depths)."""
+    from adampro_spark.pipeline.multimodal import _crc8, _crc16, _FlacWriter
+
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += n.to_bytes(2, "big") * 2
+    si += (0).to_bytes(3, "big") * 2
+    si += bytes([
+        (rate >> 12) & 0xFF,
+        (rate >> 4) & 0xFF,
+        ((rate & 0x0F) << 4) | ((nch - 1) << 1) | ((bps - 1) >> 4),
+        (((bps - 1) & 0x0F) << 4) | 0,
+    ])
+    si += n.to_bytes(4, "big")
+    si += bytes(16)
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    wr = _FlacWriter()
+    wr.u(0x3FFE, 14)
+    wr.u(0, 2)
+    wr.u(0b0111, 4)   # blocksize via 16-bit field
+    wr.u(0b1101, 4)   # rate via 16-bit field
+    wr.u(ca if ca is not None else nch - 1, 4)
+    wr.u({8: 0b001, 16: 0b100, 24: 0b110}[bps], 3)
+    wr.u(0, 1)
+    wr.u(0, 8)        # frame number 0
+    wr.u(n - 1, 16)
+    wr.u(rate, 16)
+    wr.u(_crc8(bytes(wr.buf)), 8)
+    body_writer(wr)
+    wr.align()
+    body = wr.bytes()
+    return bytes(out + body + _crc16(body).to_bytes(2, "big"))
+
+
+def _write_verbatim(wr, vals, bits):
+    wr.u(0, 1)
+    wr.u(1, 6)
+    wr.u(0, 1)
+    for v in vals:
+        wr.u(int(v), bits)
+
+
+def test_flac_round_trip_and_transcode_identity():
+    """encode_flac → decode_flac across subframe strategies and
+    channel shapes; a FLAC transcode of a WAV clip decodes to the SAME
+    int16 array (the pairing contract)."""
+    from adampro_spark.pipeline.multimodal import (
+        decode_audio,
+        decode_flac,
+        encode_flac,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(157)
+    s = (rng.standard_normal(9000) * 6000).astype(np.int16)
+    for sub, order in (("fixed", 0), ("fixed", 2), ("fixed", 4),
+                       ("verbatim", 0)):
+        got, rate = decode_flac(
+            encode_flac(s, 22050, block_size=4096, subframe=sub, order=order)
+        )
+        assert rate == 22050 and np.array_equal(got, s), (sub, order)
+    c = np.full(5000, -1234, dtype=np.int16)
+    assert np.array_equal(decode_flac(encode_flac(c))[0], c)
+    st = (rng.standard_normal((5000, 2)) * 9000).astype(np.int16)
+    got, _ = decode_flac(encode_flac(st, 44100))
+    assert got.shape == (5000, 2) and np.array_equal(got, st)
+    # transcode identity through the dispatcher
+    ws, wr_ = decode_audio(encode_wav(s, 16000))
+    fs, fr = decode_audio(encode_flac(ws, wr_))
+    assert np.array_equal(ws, fs) and wr_ == fr
+
+
+def test_flac_decode_only_paths_hand_built():
+    """LPC subframes, wasted bits, all three stereo decorrelations,
+    Rice2 + partition order > 0, and 8/24-bit depth normalization —
+    streams hand-assembled per RFC 9639, expected values simulated in
+    numpy."""
+    from adampro_spark.pipeline.multimodal import decode_flac
+
+    rng = np.random.RandomState(158)
+    n = 200
+
+    # LPC order 2, shift 1, qlp [3, -1]: x[i] = ((3*x[i-1] - x[i-2]) >> 1) + res
+    warm = [100, 250]
+    res = rng.randint(-40, 40, size=n - 2)
+    x = list(warm)
+    for r in res:
+        x.append(((3 * x[-1] - 1 * x[-2]) >> 1) + int(r))
+
+    def lpc_body(wr):
+        wr.u(0, 1)
+        wr.u(31 + 2, 6)   # LPC order 2
+        wr.u(0, 1)
+        for v in warm:
+            wr.u(v, 16)
+        wr.u(12 - 1, 4)   # precision 12
+        wr.u(1, 5)        # shift 1
+        for c in (3, -1):
+            wr.u(c, 12)
+        # residual: method Rice2 (5-bit), partition order 1
+        wr.u(1, 2)
+        wr.u(1, 4)
+        half = n // 2
+        parts = [res[: half - 2], res[half - 2:]]
+        for part in parts:
+            param = 4
+            wr.u(param, 5)
+            for v in part:
+                zz = (int(v) << 1) ^ (int(v) >> 63)
+                wr.u(0, zz >> param)
+                wr.u(1, 1)
+                wr.u(zz & ((1 << param) - 1), param)
+
+    got, _ = decode_flac(_flac_wrap(lpc_body, n))
+    assert np.array_equal(got, np.array(x, dtype=np.int16))
+
+    # wasted bits: samples all << 1, subframe stores v >> 1 at bps-1
+    vals = (rng.randint(-4000, 4000, size=n) << 1).astype(np.int16)
+
+    def wasted_body(wr):
+        wr.u(0, 1)
+        wr.u(1, 6)        # VERBATIM
+        wr.u(1, 1)        # wasted flag
+        wr.u(1, 1)        # unary 0 -> wasted = 1
+        for v in vals:
+            wr.u(int(v) >> 1, 15)
+
+    got, _ = decode_flac(_flac_wrap(wasted_body, n))
+    assert np.array_equal(got, vals)
+
+    # stereo decorrelations
+    L = rng.randint(-8000, 8000, size=n).astype(np.int64)
+    R = rng.randint(-8000, 8000, size=n).astype(np.int64)
+    side = L - R
+    mid = (L + R) >> 1
+
+    def mk(ca):
+        def body(wr):
+            if ca == 8:    # left/side
+                _write_verbatim(wr, L, 16)
+                _write_verbatim(wr, side, 17)
+            elif ca == 9:  # right/side (side first)
+                _write_verbatim(wr, side, 17)
+                _write_verbatim(wr, R, 16)
+            else:          # mid/side
+                _write_verbatim(wr, mid, 16)
+                _write_verbatim(wr, side, 17)
+        return body
+
+    for ca in (8, 9, 10):
+        got, _ = decode_flac(_flac_wrap(mk(ca), n, nch=2, ca=ca))
+        assert np.array_equal(got[:, 0], L.astype(np.int16)), ca
+        assert np.array_equal(got[:, 1], R.astype(np.int16)), ca
+
+    # depth normalization: 8-bit << 8, 24-bit >> 8 (the WAV convention)
+    v8 = rng.randint(-128, 128, size=n)
+    got, _ = decode_flac(_flac_wrap(
+        lambda wr: _write_verbatim(wr, v8, 8), n, bps=8))
+    assert np.array_equal(got, (v8 << 8).astype(np.int16))
+    v24 = rng.randint(-(1 << 23), 1 << 23, size=n)
+    got, _ = decode_flac(_flac_wrap(
+        lambda wr: _write_verbatim(wr, v24, 24), n, bps=24))
+    assert np.array_equal(got, (v24 >> 8).astype(np.int16))
+
+    # structural garbage raises (the corpus kernels turn this to NULL)
+    with pytest.raises(ValueError):
+        decode_flac(b"fLaC" + b"\x00" * 10)
+
+
+def test_flac_joins_audio_neardup_family(spark):
+    """The verdict-r14 #2 done-criterion: a FLAC transcode of a WAV
+    clip drops as an audio near-dup inside curate_media; fresh FLAC
+    material survives; probe gates route by the STREAMINFO frame
+    count."""
+    from adampro_spark.pipeline.multimodal import (
+        curate_media,
+        encode_flac,
+        encode_wav,
+        probe_media,
+    )
+
+    rng = np.random.RandomState(159)
+    a = (rng.standard_normal(6400) * 8000).astype(np.int16)
+    clicked = a.copy()
+    clicked[50:53] += 400
+    fresh = (rng.standard_normal(6400) * 8000).astype(np.int16)
+    rows = [
+        (0, encode_wav(a)),                       # keeper
+        (1, encode_flac(clicked)),                # transcoded click copy -> drop
+        (2, encode_flac(fresh)),                  # fresh flac -> keep
+        (3, encode_flac(np.full(30, 5, np.int16))),  # under envelope grid
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pr = {r["media_id"]: (r["format"], r["n_frames"], r["sample_rate"])
+          for r in probe_media(df).collect()}
+    assert pr[1][0] == "flac" and pr[1][1] == 6400 and pr[1][2] == 16000
+    assert pr[3][1] == 30
+    out, report = curate_media(df)
+    assert {r["media_id"] for r in out.collect()} == {0, 2, 3}
+    assert report["n_neardup_dropped_audio"] == 1
+    assert report["n_undecodable"] == 0
