@@ -2056,6 +2056,50 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("s"),
     )
 
+    # round-15 WebP part: planted gray formula pixels ride the REAL
+    # encode_webp (VP8L literal / subtract-green / one of the 14
+    # predictor modes, cycling by doc_id) -> decode_webp -> image_dhash
+    # path; VP8L is lossless and gray luma is exact (r=g=b -> luma=v),
+    # so the oracle re-derives the 63-bit dhash from the formula alone
+    def _webp_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adampro_spark.pipeline.multimodal import encode_webp
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                h = 17 + did % 4
+                w = 18 + did % 5
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                img = ((did * 5 + 11 * xs + 3 * ys) % 256).astype(np.uint8)
+                mode = did % 3
+                if mode == 0:
+                    blob = encode_webp(img)
+                elif mode == 1:
+                    blob = encode_webp(img, subtract_green=True)
+                else:
+                    blob = encode_webp(img, predictor_mode=(did // 3) % 14)
+                ids.append(did)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    webp_media = media.select("media_id").mapInPandas(
+        _webp_kernel, schema="media_id long, content binary"
+    )
+    wp = image_dhash(webp_media).select(
+        F.lit("webp").alias("part"),
+        "media_id",
+        F.col("dhash").alias("n1"),
+        ((17 + F.col("media_id") % 4) * 1000 + (18 + F.col("media_id") % 5))
+        .cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("string").alias("s"),
+    )
+
     # round-13 audio part: planted sawtooth PCM (exact int16 formula,
     # clip length indivisible by the 64 windows) rides the real
     # encode_wav -> decode_wav -> audio_envelope_bits path; the oracle
@@ -2273,7 +2317,7 @@ def _multimodal_fp(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         fp.unionByName(jp).unionByName(jrgb).unionByName(jprog)
-        .unionByName(dh).unionByName(aw).unionByName(gw)
+        .unionByName(dh).unionByName(wp).unionByName(aw).unionByName(gw)
         .unionByName(fl).unionByName(vf).unionByName(pr)
     )
 
@@ -2468,6 +2512,34 @@ _register(
                * ((j + 1) * ww // 8 - j * ww // 8)))) AS m
       FROM (
         SELECT doc_id, 18 + doc_id % 5 AS hh, 19 + doc_id % 3 AS ww
+        FROM documents
+      )
+    )
+    UNION ALL
+    -- round-15 WebP leg: VP8L is lossless, gray luma exact, so the
+    -- dhash re-derives from the planted formula (the dhash-leg
+    -- machinery with the round-15 constants)
+    SELECT 'webp', doc_id,
+      list_sum(list_transform(generate_series(0, 8), i ->
+        list_sum(list_transform(generate_series(0, 6), j ->
+          CASE WHEN m[i + 1][j + 1] > m[i + 1][j + 2]
+               THEN (1::BIGINT << (i * 7 + j)) ELSE 0::BIGINT
+          END))))::BIGINT,
+      (hh * 1000 + ww)::BIGINT,
+      NULL::BIGINT, NULL::VARCHAR
+    FROM (
+      SELECT doc_id, hh, ww,
+        list_transform(generate_series(0, 8), i ->
+          list_transform(generate_series(0, 7), j ->
+            list_sum(list_transform(
+              generate_series(i * hh // 9, (i + 1) * hh // 9 - 1), y ->
+                list_sum(list_transform(
+                  generate_series(j * ww // 8, (j + 1) * ww // 8 - 1), x ->
+                    ((doc_id * 5 + 11 * x + 3 * y) % 256)::BIGINT))))::DOUBLE
+            / (((i + 1) * hh // 9 - i * hh // 9)
+               * ((j + 1) * ww // 8 - j * ww // 8)))) AS m
+      FROM (
+        SELECT doc_id, 17 + doc_id % 4 AS hh, 18 + doc_id % 5 AS ww
         FROM documents
       )
     )

@@ -1363,6 +1363,685 @@ def decode_gif_frames(content: bytes, every_n: int = 1) -> "list[np.ndarray]":
 
 
 # ---------------------------------------------------------------------------
+# WebP lossless (VP8L): real decode in pure numpy + stdlib (round 15,
+# verdict r14 #1 — WebP is a top-2 modern-web image format and was
+# probe-only, invisible to perceptual near-dup).  Public spec: the WebP
+# Lossless Bitstream Specification — LSB-first bit packing, canonical
+# prefix codes (DEFLATE conventions: code bits written MSB-first into
+# the LSB-first stream), LZ77 backrefs with the 120-entry 2D distance
+# map, color cache, meta prefix groups, and the four inverse
+# transforms (predictor, color, subtract-green, color-indexing with
+# sub-byte pixel bundling).  Lossy VP8 streams raise honestly (the
+# corpus kernels turn that into a NULL fingerprint — probe-only, as
+# before).  encode_webp is the fixture writer (literal-only prefix
+# streams plus opt-in transforms); no external encoder exists in this
+# container (verified: the stdlib test .webp is lossy VP8+ALPH), so
+# interop rests on the spec + symmetric round-trip — the documented
+# ADPCM/FLAC fixture situation.
+# ---------------------------------------------------------------------------
+
+#: (dx, dy) near-pixel offsets for LZ77 distance codes 1..120
+#: (spec "Distance Mapping"; code > 120 → dist = code - 120)
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3),
+    (0, 8), (1, 8), (-1, 8), (3, 8), (-3, 8), (6, 7), (-6, 7), (8, 4),
+    (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+#: code-length-code transmission order (spec 6.2.2.2)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15)
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (the VP8L packing order — the opposite of
+    FLAC's :class:`_FlacBits`)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def u(self, n: int) -> int:
+        out = 0
+        for i in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("truncated VP8L bitstream")
+            out |= ((self.data[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+
+class _PrefixCode:
+    """Canonical prefix decoder: bit-by-bit tree walk where the first
+    bit read is the code's MSB (DEFLATE convention).  A single-symbol
+    code reads ZERO bits (spec: simple codes may assign one symbol)."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, lengths: "list[int]") -> None:
+        used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ValueError("VP8L prefix code with no symbols")
+        if len(used) == 1:
+            self.single = used[0][1]
+            self.table = {}
+            return
+        self.single = None
+        # canonical assignment: count per length, first code per length
+        maxlen = max(ln for ln, _ in used)
+        bl_count = [0] * (maxlen + 1)
+        for ln, _ in used:
+            bl_count[ln] += 1
+        code = 0
+        next_code = [0] * (maxlen + 2)
+        for ln in range(1, maxlen + 1):
+            code = (code + bl_count[ln - 1]) << 1
+            next_code[ln] = code
+        table = {}
+        for ln, sym in sorted(used):
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+        # completeness check: the kraft sum must be exactly 1
+        if sum(1 << (maxlen - ln) for ln, _ in used) != 1 << maxlen:
+            raise ValueError("incomplete/oversubscribed VP8L prefix code")
+        self.table = table
+
+    def read(self, rd: "_Vp8lBits") -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        ln = 0
+        while ln <= 15:
+            code = (code << 1) | rd.u(1)
+            ln += 1
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code bits")
+
+
+def _vp8l_read_code(rd: "_Vp8lBits", alphabet: int) -> "_PrefixCode":
+    """One prefix code: simple (1-2 symbols) or normal (code-length
+    code + run-length-coded lengths), spec 6.2.2."""
+    if rd.u(1):  # simple
+        num = rd.u(1) + 1
+        first_8bit = rd.u(1)
+        s0 = rd.u(8 if first_8bit else 1)
+        lengths = [0] * alphabet
+        if num == 2:
+            s1 = rd.u(8)
+            if s0 >= alphabet or s1 >= alphabet:
+                raise ValueError("VP8L simple code symbol out of range")
+            lengths[s0] = lengths[s1] = 1
+        else:
+            if s0 >= alphabet:
+                raise ValueError("VP8L simple code symbol out of range")
+            lengths[s0] = 1
+        return _PrefixCode(lengths)
+    ncl = rd.u(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(ncl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = rd.u(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if rd.u(1):  # limited symbol count
+        nbits = 2 + 2 * rd.u(3)
+        max_symbol = 2 + rd.u(nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    sym = 0
+    while sym < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        c = cl_code.read(rd)
+        if c < 16:
+            lengths[sym] = c
+            sym += 1
+            if c:
+                prev = c
+        elif c == 16:
+            rep = 3 + rd.u(2)
+            lengths[sym:sym + rep] = [prev] * min(rep, alphabet - sym)
+            sym += rep
+        elif c == 17:
+            sym += 3 + rd.u(3)
+        else:  # 18
+            sym += 11 + rd.u(7)
+    return _PrefixCode(lengths)
+
+
+def _vp8l_prefix_value(rd: "_Vp8lBits", code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec 6.2.3)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + rd.u(extra) + 1
+
+
+def _vp8l_spatial(rd: "_Vp8lBits", w: int, h: int, level0: bool) -> np.ndarray:
+    """One entropy-coded ARGB image (spec 6.2): optional color cache,
+    optional meta prefix groups (level 0 only), prefix-code groups,
+    literal / backref / cache-hit pixel loop.  Returns (h × w) uint32
+    ARGB."""
+    cache_bits = rd.u(4) if rd.u(1) else 0
+    if cache_bits > 11:
+        raise ValueError(f"invalid VP8L color cache bits {cache_bits}")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    meta = None
+    meta_bits = 0
+    ngroups = 1
+    if level0 and rd.u(1):  # meta prefix codes
+        meta_bits = rd.u(3) + 2
+        mw = -(-w >> meta_bits)
+        mh = -(-h >> meta_bits)
+        meta_img = _vp8l_spatial(rd, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        ngroups = int(meta.max()) + 1
+    groups = []
+    lit_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    for _ in range(ngroups):
+        groups.append((
+            _vp8l_read_code(rd, lit_alpha),
+            _vp8l_read_code(rd, 256),
+            _vp8l_read_code(rd, 256),
+            _vp8l_read_code(rd, 256),
+            _vp8l_read_code(rd, 40),
+        ))
+    out = np.zeros(w * h, dtype=np.uint32)
+    npix = w * h
+    pos = 0
+
+    def _cache_insert(argb: int) -> None:
+        if cache is not None:
+            cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+
+    while pos < npix:
+        if meta is None:
+            g_code, r_code, b_code, a_code, d_code = groups[0]
+        else:
+            x, y = pos % w, pos // w
+            gi = int(meta[y >> meta_bits, x >> meta_bits])
+            g_code, r_code, b_code, a_code, d_code = groups[gi]
+        s = g_code.read(rd)
+        if s < 256:  # literal
+            r = r_code.read(rd)
+            b = b_code.read(rd)
+            a = a_code.read(rd)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            _cache_insert(px)
+            pos += 1
+        elif s < 256 + 24:  # backref
+            length = _vp8l_prefix_value(rd, s - 256)
+            dcode = _vp8l_prefix_value(rd, d_code.read(rd))
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dcode - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > npix:
+                raise ValueError("VP8L backref out of range")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                _cache_insert(px)
+                pos += 1
+        else:  # color cache hit
+            if cache is None:
+                raise ValueError("VP8L cache hit without a color cache")
+            out[pos] = cache[s - 256 - 24]
+            pos += 1
+    return out.reshape(h, w)
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-channel byte average (a + b) // 2 on packed ARGB."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_channels(px: int) -> "tuple[int, int, int, int]":
+    return (px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF
+
+
+def _vp8l_predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """The 14 spatial predictors (spec 4.2.2), scalar packed-ARGB."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return int(_avg2(_avg2(np.uint32(L), np.uint32(TR)), np.uint32(T)))
+    if mode == 6:
+        return int(_avg2(np.uint32(L), np.uint32(TL)))
+    if mode == 7:
+        return int(_avg2(np.uint32(L), np.uint32(T)))
+    if mode == 8:
+        return int(_avg2(np.uint32(TL), np.uint32(T)))
+    if mode == 9:
+        return int(_avg2(np.uint32(T), np.uint32(TR)))
+    if mode == 10:
+        return int(_avg2(_avg2(np.uint32(L), np.uint32(TL)),
+                         _avg2(np.uint32(T), np.uint32(TR))))
+    if mode == 11:  # Select
+        la, lr, lg, lb = _vp8l_channels(L)
+        ta, tr_, tg, tb = _vp8l_channels(T)
+        tla, tlr, tlg, tlb = _vp8l_channels(TL)
+        pa, pr, pg, pb = la + ta - tla, lr + tr_ - tlr, lg + tg - tlg, lb + tb - tlb
+        p_l = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
+        p_t = abs(pa - ta) + abs(pr - tr_) + abs(pg - tg) + abs(pb - tb)
+        return L if p_l < p_t else T
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for sh in (24, 16, 8, 0):
+            v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+            out |= max(0, min(255, v)) << sh
+        return out
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = int(_avg2(np.uint32(L), np.uint32(T)))
+        out = 0
+        for sh in (24, 16, 8, 0):
+            a = (ave >> sh) & 0xFF
+            b = (TL >> sh) & 0xFF
+            # C integer division truncates toward zero (libwebp
+            # ClampedAddSubtractHalf does (a - b) / 2 in int)
+            v = a + int((a - b) / 2)
+            out |= max(0, min(255, v)) << sh
+        return out
+    raise ValueError(f"invalid VP8L predictor mode {mode}")
+
+
+def _vp8l_add_pixels(a: int, b: int) -> int:
+    """Per-channel mod-256 addition of packed ARGB."""
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= ((((a >> sh) & 0xFF) + ((b >> sh) & 0xFF)) & 0xFF) << sh
+    return out
+
+
+def _ctd(t: int, c: int) -> int:
+    """ColorTransformDelta: both args as signed 8-bit, product >> 5."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Decode a VP8L chunk payload (starting at the 0x2F signature) →
+    (h × w × 4) uint8 RGBA."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("not a VP8L stream (bad signature)")
+    rd = _Vp8lBits(payload, 1)
+    w = rd.u(14) + 1
+    h = rd.u(14) + 1
+    rd.u(1)  # alpha hint
+    if rd.u(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms = []  # (type, data, width-at-read-time)
+    cur_w = w
+    seen = set()
+    while rd.u(1):
+        ttype = rd.u(2)
+        if ttype in seen:
+            raise ValueError("repeated VP8L transform")
+        seen.add(ttype)
+        if ttype == 2:  # subtract green
+            transforms.append((2, None, cur_w))
+        elif ttype in (0, 1):  # predictor / color
+            size_bits = rd.u(3) + 2
+            bw = -(-cur_w >> size_bits)
+            bh = -(-h >> size_bits)
+            sub = _vp8l_spatial(rd, bw, bh, False)
+            transforms.append((ttype, (size_bits, sub), cur_w))
+        else:  # color indexing
+            psize = rd.u(8) + 1
+            praw = _vp8l_spatial(rd, psize, 1, False)[0]
+            pal = np.zeros(psize, dtype=np.uint32)
+            prev = 0
+            for i in range(psize):
+                prev = _vp8l_add_pixels(prev, int(praw[i]))
+                pal[i] = prev
+            if psize <= 2:
+                wbits = 3
+            elif psize <= 4:
+                wbits = 2
+            elif psize <= 16:
+                wbits = 1
+            else:
+                wbits = 0
+            transforms.append((3, (pal, wbits), cur_w))
+            if wbits:
+                cur_w = -(-cur_w >> wbits)
+    img = _vp8l_spatial(rd, cur_w, h, True)
+    for ttype, data, tw in reversed(transforms):
+        if ttype == 3:
+            pal, wbits = data
+            if wbits:
+                per = 1 << wbits
+                ibits = 8 >> wbits
+                idx = np.zeros((h, tw), dtype=np.uint32)
+                packed = (img >> 8) & 0xFF
+                for j in range(per):
+                    cols = np.arange(img.shape[1]) * per + j
+                    keep = cols < tw
+                    vals = (packed >> (j * ibits)) & ((1 << ibits) - 1)
+                    idx[:, cols[keep]] = vals[:, keep]
+            else:
+                idx = (img >> 8) & 0xFF
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("VP8L palette index out of range")
+            img = pal[idx]
+        elif ttype == 2:
+            g = (img >> 8) & 0xFF
+            r = (((img >> 16) & 0xFF) + g) & 0xFF
+            b = ((img & 0xFF) + g) & 0xFF
+            img = (img & 0xFF00FF00) | (r << 16) | b
+        elif ttype == 1:  # color transform
+            size_bits, sub = data
+            hh, ww = img.shape
+            for y in range(hh):
+                for x in range(ww):
+                    el = int(sub[y >> size_bits, x >> size_bits])
+                    # element packing (spec 4.2.3 / libwebp): g2r in
+                    # the BLUE byte, g2b in GREEN, r2b in RED
+                    g2r = el & 0xFF
+                    g2b = (el >> 8) & 0xFF
+                    r2b = (el >> 16) & 0xFF
+                    px = int(img[y, x])
+                    a, r, g, b = _vp8l_channels(px)
+                    r = (r + _ctd(g2r, g)) & 0xFF
+                    b = (b + _ctd(g2b, g) + _ctd(r2b, r)) & 0xFF
+                    img[y, x] = (a << 24) | (r << 16) | (g << 8) | b
+        else:  # predictor
+            size_bits, sub = data
+            hh, ww = img.shape
+            for y in range(hh):
+                for x in range(ww):
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = int(img[0, x - 1])  # L
+                    elif x == 0:
+                        pred = int(img[y - 1, 0])  # T
+                    else:
+                        mode = (int(sub[y >> size_bits, x >> size_bits]) >> 8) & 0xFF
+                        L = int(img[y, x - 1])
+                        T = int(img[y - 1, x])
+                        TL = int(img[y - 1, x - 1])
+                        # rightmost column: the flat-array layout makes
+                        # top[x+1] the CURRENT row's first (already
+                        # reconstructed) pixel — libwebp semantics
+                        TR = int(img[y - 1, x + 1]) if x + 1 < ww else int(img[y, 0])
+                        pred = _vp8l_predict(mode, L, T, TL, TR)
+                    img[y, x] = _vp8l_add_pixels(int(img[y, x]), pred)
+    a = (img >> 24) & 0xFF
+    r = (img >> 16) & 0xFF
+    g = (img >> 8) & 0xFF
+    b = img & 0xFF
+    return np.stack([r, g, b, a], axis=2).astype(np.uint8)
+
+
+def decode_webp(
+    content: bytes, width: int = 0, height: int = 0, rgb: bool = False
+) -> np.ndarray:
+    """WebP container decode: VP8L (lossless) chunks — directly or
+    inside a VP8X extended container — decode fully; LOSSY VP8 raises
+    honestly (probe-only, the pre-round-15 status for all of WebP).
+    Returns the BT.601 luma grid, or (h × w × 3) RGB with ``rgb=True``
+    (alpha dropped).  ``width``/``height`` args are ignored — the
+    bitstream header is the truth, like the other decoders."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP stream")
+    pos = 12
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        ln = int.from_bytes(content[pos + 4:pos + 8], "little")
+        if tag == b"VP8L":
+            rgba = decode_vp8l(content[pos + 8:pos + 8 + ln])
+            if rgb:
+                return rgba[:, :, :3]
+            return _bt601_luma(rgba[:, :, :3])
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 WebP unsupported (probe-only) — pass a real "
+                "decoder= for these streams"
+            )
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("WEBP container has no VP8L/VP8 chunk")
+
+
+class _Vp8lWriter:
+    """LSB-first bit writer (value bits) with MSB-first code emission
+    (the DEFLATE convention :class:`_PrefixCode` reads)."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def u(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def code(self, c: int, ln: int) -> None:
+        """Emit a prefix code MSB-first."""
+        for i in range(ln - 1, -1, -1):
+            self.u((c >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _vp8l_write_flat_code(wr: "_Vp8lWriter", alphabet: int) -> "dict[int, tuple[int, int]]":
+    """Write a NORMAL prefix code assigning 8-bit lengths to symbols
+    0..255 (exactly filling the code space; any remaining alphabet
+    tail — the green code's 24 length symbols — is skipped with an
+    18-code zero run so the reader's symbol loop terminates), via the
+    code-length code; returns symbol → (code, len)."""
+    tail = alphabet - 256
+    assert alphabet == 256 or 11 <= tail <= 138
+    # code-length code alphabet: 8 (the length), 16 (repeat prev),
+    # 18 (zero run) — lengths 1/2/2, canonical codes 0 / 10 / 11
+    cl_lengths = [0] * 19
+    cl_lengths[8] = 1
+    cl_lengths[16] = 2
+    cl_lengths[18] = 2
+    wr.u(0, 1)  # normal (not simple)
+    order = _VP8L_CL_ORDER
+    n = 1 + max(order.index(8), order.index(16), order.index(18))
+    wr.u(n - 4, 4)
+    for i in range(n):
+        wr.u(cl_lengths[order[i]], 3)
+    wr.u(0, 1)  # no limited-symbol-count header
+    wr.code(0, 1)  # length 8 for symbol 0
+    done = 1
+    while done < 256:
+        rep = min(6, 256 - done)
+        if rep < 3:
+            for _ in range(rep):
+                wr.code(0, 1)
+            done += rep
+        else:
+            wr.code(2, 2)   # symbol 16: repeat prev 3+u2
+            wr.u(rep - 3, 2)
+            done += rep
+    if tail:
+        wr.code(3, 2)       # symbol 18: skip 11+u7 zeros
+        wr.u(tail - 11, 7)
+    return {s: (s, 8) for s in range(256)}
+
+
+def _vp8l_write_single(wr: "_Vp8lWriter", sym: int) -> None:
+    """Write a SIMPLE prefix code with one symbol (reads zero bits)."""
+    wr.u(1, 1)  # simple
+    wr.u(0, 1)  # one symbol
+    if sym < 2:
+        wr.u(0, 1)  # 1-bit first symbol
+        wr.u(sym, 1)
+    else:
+        wr.u(1, 1)  # 8-bit first symbol
+        wr.u(sym, 8)
+
+
+def encode_webp(
+    img: np.ndarray,
+    subtract_green: bool = False,
+    predictor_mode: "int | None" = None,
+) -> bytes:
+    """Minimal lossless WebP (VP8L) writer — the fixture generator for
+    :func:`decode_webp` (the encode_png convention).  Literal-only
+    entropy stream: flat 8-bit codes for green/red/blue (exactly
+    filling the code space), single-symbol codes for alpha (255) and
+    distance; no color cache, no meta groups.  ``subtract_green`` and
+    ``predictor_mode`` (a single uniform mode over one whole-image
+    block) opt into those transforms so decode paths get round-trip
+    coverage.  Grayscale (h × w) or RGB (h × w × 3) uint8 input."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w = a.shape[:2]
+    if w > 1 << 14 or h > 1 << 14:
+        raise ValueError("VP8L dims exceed 14 bits")
+    R = a[:, :, 0].astype(np.int64)
+    G = a[:, :, 1].astype(np.int64)
+    B = a[:, :, 2].astype(np.int64)
+    wr = _Vp8lWriter()
+    wr.u(w - 1, 14)
+    wr.u(h - 1, 14)
+    wr.u(0, 1)  # no alpha hint
+    wr.u(0, 3)  # version
+    if predictor_mode is not None:
+        if not 0 <= predictor_mode <= 13:
+            raise ValueError("predictor mode must be 0-13")
+        # transform present: predictor, block size covering the image
+        size_bits = 2
+        while (1 << size_bits) < max(w, h):
+            size_bits += 1
+        size_bits = min(size_bits, 9)
+        bw = -(-w >> size_bits)
+        bh = -(-h >> size_bits)
+        if bw != 1 or bh != 1:
+            raise ValueError("image too large for one predictor block")
+        wr.u(1, 1)
+        wr.u(0, 2)  # predictor
+        wr.u(size_bits - 2, 3)
+        # the 1x1 mode subimage: literal pixel 0xff00<mode>00 — green
+        # holds the mode; emit with single-symbol codes (zero data bits)
+        wr.u(0, 1)  # no color cache
+        _vp8l_write_single(wr, predictor_mode)  # green
+        _vp8l_write_single(wr, 0)               # red
+        _vp8l_write_single(wr, 0)               # blue
+        _vp8l_write_single(wr, 255)             # alpha
+        _vp8l_write_single(wr, 0)               # distance
+        # one pixel, zero bits to read
+        # apply the forward predictor to residuals below
+    if subtract_green:
+        wr.u(1, 1)
+        wr.u(2, 2)
+        R = (R - G) % 256
+        B = (B - G) % 256
+    wr.u(0, 1)  # no more transforms
+    if predictor_mode is not None:
+        # forward-predict (mode fixed; first row/col use L/T rules)
+        packed = (
+            (np.full((h, w), 255, dtype=np.int64) << 24)
+            | (R << 16) | (G << 8) | B
+        )
+        res = np.zeros_like(packed)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = int(packed[0, x - 1])
+                elif x == 0:
+                    pred = int(packed[y - 1, 0])
+                else:
+                    L = int(packed[y, x - 1])
+                    T = int(packed[y - 1, x])
+                    TL = int(packed[y - 1, x - 1])
+                    TR = int(packed[y - 1, x + 1]) if x + 1 < w else int(packed[y, 0])
+                    pred = _vp8l_predict(predictor_mode, L, T, TL, TR)
+                d = 0
+                for sh in (24, 16, 8, 0):
+                    d |= ((((int(packed[y, x]) >> sh) & 0xFF)
+                           - ((pred >> sh) & 0xFF)) & 0xFF) << sh
+                res[y, x] = d
+        A2 = (res >> 24) & 0xFF
+        R = (res >> 16) & 0xFF
+        G = (res >> 8) & 0xFF
+        B = res & 0xFF
+    else:
+        A2 = np.full((h, w), 255, dtype=np.int64)
+    # main image: no cache, no meta, one group
+    wr.u(0, 1)  # no color cache
+    wr.u(0, 1)  # no meta prefix
+    gmap = _vp8l_write_flat_code(wr, 280)   # green incl. length tail
+    rmap = _vp8l_write_flat_code(wr, 256)
+    bmap = _vp8l_write_flat_code(wr, 256)
+    if predictor_mode is not None:
+        amap = _vp8l_write_flat_code(wr, 256)  # alpha residuals vary
+    else:
+        _vp8l_write_single(wr, 255)
+        amap = None
+    _vp8l_write_single(wr, 0)  # distance (unused)
+    for y in range(h):
+        for x in range(w):
+            c, ln = gmap[int(G[y, x])]
+            wr.code(c, ln)
+            c, ln = rmap[int(R[y, x])]
+            wr.code(c, ln)
+            c, ln = bmap[int(B[y, x])]
+            wr.code(c, ln)
+            if amap is not None:
+                c, ln = amap[int(A2[y, x])]
+                wr.code(c, ln)
+    payload = b"\x2f" + wr.bytes()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+# ---------------------------------------------------------------------------
 # JPEG: real baseline-sequential decode in pure numpy (round 12, verdict
 # r11 #6 — JPEG is the dominant format of any web-crawl image corpus, so
 # the fingerprint/profile path was skipping the majority class).  Public
@@ -2647,6 +3326,8 @@ def decode_media(content: bytes, width: int, height: int) -> np.ndarray:
         return decode_jpeg(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return decode_webp(content)
     if (
         content[:4] == b"RIFF" and content[8:12] == b"WAVE"
     ) or content[:4] == b"fLaC":
@@ -2946,8 +3627,12 @@ def _video_frames(blob: bytes, every_n: int = 1) -> "list[np.ndarray]":
 
 
 #: formats image_dhash can decode (decode_media routes them to a 2-D
-#: luma grid; wav decodes to a 1×n strip too short for the dhash grid)
-_DHASH_FORMATS = ("bmp", "png", "jpeg", "gif")
+#: luma grid; wav decodes to a 1×n strip too short for the dhash grid).
+#: webp joined in round 15: VP8L (lossless) decodes fully; lossy VP8
+#: raises inside the failure-tolerant kernels → NULL fingerprint,
+#: counted n_undecodable (probe-only near-dup status, now with
+#: telemetry instead of silence)
+_DHASH_FORMATS = ("bmp", "png", "jpeg", "gif", "webp")
 
 
 #: helper columns the media-curate gates carry (house _ap_ prefix)

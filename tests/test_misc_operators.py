@@ -307,10 +307,21 @@ def test_decode_media_unknown_magic_raises():
     # must reject loudly, never return garbage pixels
     with pytest.raises(ValueError):
         decode_media(b"GIF89a-not-decodable", 2, 2)
-    # a format this environment genuinely lacks (WEBP) stays an honest
+    # WEBP routes to the real VP8L decoder (round 15): a truncated
+    # container rejects loudly; a well-formed LOSSY VP8 chunk stays an
+    # honest NotImplementedError (probe-only)
+    with pytest.raises(ValueError):
+        decode_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 2, 2)
+    lossy = b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    with pytest.raises(NotImplementedError):
+        decode_media(
+            b"RIFF" + (len(lossy) + 4).to_bytes(4, "little") + b"WEBP" + lossy,
+            2, 2,
+        )
+    # a format this environment genuinely lacks (TIFF) stays an honest
     # decode_unavailable NotImplementedError through the decoder hook
     with pytest.raises(NotImplementedError):
-        decode_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 2, 2)
+        decode_media(b"II*\x00not-a-real-tiff", 2, 2)
     # PNG magic routes to the real decoder, which must reject a
     # malformed body loudly rather than return garbage
     with pytest.raises(Exception):

@@ -940,10 +940,12 @@ def test_webp_flac_ride_curate_gates(spark):
     )
     out, rep = curate_media(df, min_width=8, min_height=8)
     # the two identical webp blobs ARE byte dups: the sha gate catches
-    # them without any decode; the survivor passes through near-dup
+    # them without any decode; the survivor enters the image family
+    # (round 15: webp is a _DHASH_FORMATS member) where the LOSSY
+    # codec hashes to an honest NULL — counted, never crashing
     assert {r["media_id"] for r in out.collect()} == {0, 1}
     assert rep["n_exact_dropped"] == 1
-    assert rep["n_undecodable"] == 0
+    assert rep["n_undecodable"] == 1
     assert rep["n_bad_format"] == 0
 
 

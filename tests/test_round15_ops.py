@@ -831,3 +831,392 @@ def test_flac_joins_audio_neardup_family(spark):
     assert {r["media_id"] for r in out.collect()} == {0, 2, 3}
     assert report["n_neardup_dropped_audio"] == 1
     assert report["n_undecodable"] == 0
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) decode (verdict r14 #1)
+# ---------------------------------------------------------------------------
+
+def _vp8l_canonical(lengths):
+    """Canonical (code, len) per symbol — the test-side mirror of
+    _PrefixCode's assignment, for hand-writing streams."""
+    used = sorted((ln, sym) for sym, ln in enumerate(lengths) if ln > 0)
+    maxlen = max(ln for ln, _ in used)
+    bl = [0] * (maxlen + 1)
+    for ln, _ in used:
+        bl[ln] += 1
+    code = 0
+    nxt = [0] * (maxlen + 2)
+    for ln in range(1, maxlen + 1):
+        code = (code + bl[ln - 1]) << 1
+        nxt[ln] = code
+    out = {}
+    for ln, sym in used:
+        out[sym] = (nxt[ln], ln)
+        nxt[ln] += 1
+    return out
+
+
+def _write_lengths_code(wr, lengths):
+    """Emit a NORMAL prefix code whose code-length code is the complete
+    16×4-bit literal code (CL symbols 0-15 at length 4): every symbol's
+    length is written explicitly, no run coding."""
+    from adampro_spark.pipeline.multimodal import _VP8L_CL_ORDER
+
+    assert all(0 <= ln <= 15 for ln in lengths)
+    wr.u(0, 1)          # normal
+    wr.u(19 - 4, 4)     # all 19 CL entries transmitted
+    for sym in _VP8L_CL_ORDER:
+        wr.u(4 if sym <= 15 else 0, 3)
+    wr.u(0, 1)          # no limited-symbol-count header
+    for ln in lengths:
+        wr.code(ln, 4)  # CL canonical: symbol v ↔ code v at 4 bits
+    return _vp8l_canonical(lengths)
+
+
+def _single(wr, sym):
+    from adampro_spark.pipeline.multimodal import _vp8l_write_single
+
+    _vp8l_write_single(wr, sym)
+
+
+def _vp8l_blob(body_bits):
+    """Wrap written VP8L bits (after the w/h/alpha/version header,
+    which the caller includes) in a RIFF/WEBP container."""
+    payload = b"\x2f" + body_bits.bytes()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_vp8l_round_trips_and_probe():
+    """encode_webp → decode_webp exact across literal, subtract-green
+    and all 14 predictor modes; media_probe reads the VP8L dims."""
+    from adampro_spark.pipeline.multimodal import (
+        decode_webp,
+        encode_webp,
+        media_probe,
+    )
+
+    rng = np.random.RandomState(160)
+    c = rng.randint(0, 256, (17, 21, 3), np.int64).astype(np.uint8)
+    g = rng.randint(0, 256, (19, 23), np.int64).astype(np.uint8)
+    blob = encode_webp(c)
+    assert media_probe(blob) == {
+        "format": "webp", "width": 21, "height": 17, "n_frames": 1,
+        "sample_rate": None,
+    }
+    assert np.array_equal(decode_webp(blob, rgb=True), c)
+    assert np.array_equal(decode_webp(encode_webp(c, subtract_green=True), rgb=True), c)
+    for m in range(14):
+        assert np.array_equal(
+            decode_webp(encode_webp(c, predictor_mode=m), rgb=True), c
+        ), m
+    luma = decode_webp(encode_webp(g))
+    assert np.array_equal(luma, g)
+
+
+
+
+def _complete4(symbols, alphabet):
+    """Length table: every needed symbol at 4 bits, padded with unused
+    low symbols to EXACTLY 16 used entries (a complete 4-bit code)."""
+    need = sorted(set(symbols))
+    assert len(need) <= 16
+    lens = [0] * alphabet
+    for sym in need:
+        lens[sym] = 4
+    used = len(need)
+    for sym in range(alphabet):
+        if used == 16:
+            break
+        if lens[sym] == 0:
+            lens[sym] = 4
+            used += 1
+    assert used == 16
+    return lens
+
+
+def test_vp8l_lz77_and_color_cache_hand_built():
+    """Hand-assembled stream: a literal row, two length-8 backrefs at a
+    DIRECT distance (prefix 13 + 5 extras → 128 → dist 8), a color
+    cache hit, then a NEAR-MAP backref (symbol 0 → (0,1) → dist = w) —
+    pixel semantics pinned by simulation here, not the library
+    encoder."""
+    from adampro_spark.pipeline.multimodal import _Vp8lWriter, decode_webp
+
+    w, h = 8, 4
+    row = [(255, i * 30 % 256, (i * 7 + 3) % 256, (i * 11) % 256)
+           for i in range(w)]  # (a, r, g, b)
+    cache_bits = 4
+    px = [(a << 24) | (r << 16) | (g << 8) | b for (a, r, g, b) in row]
+    cache_state = {}
+    for p in px * 3:  # row 0 literals + two copied rows, in order
+        cache_state[(0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+    tgt = (0x1E35A7BD * px[3] & 0xFFFFFFFF) >> (32 - cache_bits)
+    hit_val = cache_state[tgt]
+
+    length_sym = 256 + 5            # prefix 5: 6 + u(1) + 1 → 7 or 8
+    cache_sym = 256 + 24 + tgt
+    galpha = 256 + 24 + (1 << cache_bits)
+
+    wr = _Vp8lWriter()
+    wr.u(w - 1, 14)
+    wr.u(h - 1, 14)
+    wr.u(0, 1)
+    wr.u(0, 3)
+    wr.u(0, 1)                      # no transforms
+    wr.u(1, 1)                      # color cache
+    wr.u(cache_bits, 4)
+    wr.u(0, 1)                      # no meta prefix
+    gmap = _write_lengths_code(
+        wr, _complete4([g for (_, _, g, _) in row] + [length_sym, cache_sym],
+                       galpha))
+    rmap = _write_lengths_code(wr, _complete4([r for (_, r, _, _) in row], 256))
+    bmap = _write_lengths_code(wr, _complete4([b for (_, _, _, b) in row], 256))
+    _single(wr, 255)                # alpha
+    dmap = _write_lengths_code(wr, _complete4([0, 13], 40))
+
+    for (_, r, g, b) in row:        # row 0 literals
+        wr.code(*gmap[g])
+        wr.code(*rmap[r])
+        wr.code(*bmap[b])
+    for _ in range(2):              # rows 1-2: direct-distance copies
+        wr.code(*gmap[length_sym])
+        wr.u(1, 1)                  # length extra → 8
+        wr.code(*dmap[13])
+        wr.u(31, 5)                 # 96 + 31 + 1 = 128 → dist 8
+    wr.code(*gmap[cache_sym])       # row 3 pixel 0: cache hit
+    wr.code(*gmap[length_sym])      # rest of row 3: near-map backref
+    wr.u(0, 1)                      # length extra → 7
+    wr.code(*dmap[0])               # prefix value 1 → map (0,1) → dist 8
+
+    got = decode_webp(_vp8l_blob(wr), rgb=True)
+    want = np.array([[(r, g, b) for (_, r, g, b) in row]] * 4, dtype=np.uint8)
+    ha, hr, hg, hb = ((hit_val >> s) & 0xFF for s in (24, 16, 8, 0))
+    want[3, 0] = (hr, hg, hb)
+    want[3, 1:] = [  # near backref copies row 2 cols 1.. (dist 8)
+        (r, g, b) for (_, r, g, b) in row
+    ][1:]
+    assert np.array_equal(got, want)
+
+
+def test_vp8l_palette_bundling_hand_built():
+    """Color-indexing transform with sub-byte bundling: 4-entry
+    palette → 2-bit indices, 4 per packed byte; delta-coded palette
+    entries; trailing pad bits in the last packed byte ignored."""
+    from adampro_spark.pipeline.multimodal import _Vp8lWriter, decode_webp
+
+    w, h = 10, 3
+    pal = [(255, 20, 40, 60), (255, 200, 10, 90), (255, 0, 0, 0),
+           (255, 130, 250, 5)]
+    idx = [[(x * 3 + y) % 4 for x in range(w)] for y in range(h)]
+
+    wr = _Vp8lWriter()
+    wr.u(w - 1, 14)
+    wr.u(h - 1, 14)
+    wr.u(0, 1)
+    wr.u(0, 3)
+    wr.u(1, 1)                      # a transform
+    wr.u(3, 2)                      # color indexing
+    wr.u(len(pal) - 1, 8)
+    # palette subimage (psize × 1): DELTA-coded entries as literals
+    deltas = []
+    prev = (0, 0, 0, 0)
+    for p in pal:
+        deltas.append(tuple((c - q) % 256 for c, q in zip(p, prev)))
+        prev = p
+    wr.u(0, 1)                      # no cache in subimage
+    gmapp = _write_lengths_code(wr, _complete4([d[2] for d in deltas], 280))
+    rmapp = _write_lengths_code(wr, _complete4([d[1] for d in deltas], 256))
+    bmapp = _write_lengths_code(wr, _complete4([d[3] for d in deltas], 256))
+    amapp = _write_lengths_code(wr, _complete4([d[0] for d in deltas], 256))
+    _single(wr, 0)                  # distance
+    for (da, dr, dg, db) in deltas:
+        wr.code(*gmapp[dg])
+        wr.code(*rmapp[dr])
+        wr.code(*bmapp[db])
+        wr.code(*amapp[da])
+    wr.u(0, 1)                      # no more transforms
+    # main image at PACKED width ceil(10/4) = 3
+    packed = []
+    for y in range(h):
+        rowb = []
+        for x0 in range(0, w, 4):
+            b = 0
+            for j, x in enumerate(range(x0, min(x0 + 4, w))):
+                b |= idx[y][x] << (2 * j)
+            rowb.append(b)
+        packed.append(rowb)
+    wr.u(0, 1)                      # no cache
+    wr.u(0, 1)                      # no meta
+    gvals = sorted({b for rowb in packed for b in rowb})
+    gmap = _write_lengths_code(wr, _complete4(gvals, 280))
+    _single(wr, 0)                  # red
+    _single(wr, 0)                  # blue
+    _single(wr, 255)                # alpha
+    _single(wr, 0)                  # distance
+    for rowb in packed:
+        for b in rowb:
+            wr.code(*gmap[b])
+
+    got = decode_webp(_vp8l_blob(wr), rgb=True)
+    want = np.array(
+        [[pal[idx[y][x]][1:] for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, want)
+
+
+def test_vp8l_color_transform_hand_built():
+    """Color transform: one whole-image block with fixed multipliers;
+    residuals forward-computed here, inverse must recover the
+    original."""
+    from adampro_spark.pipeline.multimodal import (
+        _Vp8lWriter,
+        _ctd,
+        decode_webp,
+    )
+
+    rng = np.random.RandomState(161)
+    w, h = 8, 4
+    orig = rng.randint(0, 256, (h, w, 3))
+    g2r, g2b, r2b = 0x30, 0xE8, 0x10
+    res = np.zeros_like(orig)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in orig[y, x])
+            rr = (r - _ctd(g2r, g)) % 256
+            bb = (b - _ctd(g2b, g) - _ctd(r2b, r)) % 256
+            res[y, x] = (rr, g, bb)
+
+    wr = _Vp8lWriter()
+    wr.u(w - 1, 14)
+    wr.u(h - 1, 14)
+    wr.u(0, 1)
+    wr.u(0, 3)
+    wr.u(1, 1)
+    wr.u(1, 2)                      # color transform
+    size_bits = 3                   # 8x8 block covers the image
+    wr.u(size_bits - 2, 3)
+    wr.u(0, 1)                      # subimage: no cache
+    _single(wr, g2b)                # green channel ← green_to_blue
+    _single(wr, r2b)                # red channel ← red_to_blue
+    _single(wr, g2r)                # blue channel ← green_to_red
+    _single(wr, 255)                # alpha
+    _single(wr, 0)                  # distance
+    wr.u(0, 1)                      # no more transforms
+    wr.u(0, 1)                      # no cache
+    wr.u(0, 1)                      # no meta
+    from adampro_spark.pipeline.multimodal import _vp8l_write_flat_code
+
+    gmap = _vp8l_write_flat_code(wr, 280)
+    rmap = _vp8l_write_flat_code(wr, 256)
+    bmap = _vp8l_write_flat_code(wr, 256)
+    _single(wr, 255)
+    _single(wr, 0)
+    for y in range(h):
+        for x in range(w):
+            rr, g, bb = (int(v) for v in res[y, x])
+            wr.code(*gmap[g])
+            wr.code(*rmap[rr])
+            wr.code(*bmap[bb])
+
+    got = decode_webp(_vp8l_blob(wr), rgb=True)
+    assert np.array_equal(got, orig.astype(np.uint8))
+
+
+def test_vp8l_meta_prefix_groups_hand_built():
+    """Meta prefix groups: a 2×2 meta image routes 4×4 blocks to two
+    all-single-symbol groups — block color pattern must follow the
+    meta routing."""
+    from adampro_spark.pipeline.multimodal import _Vp8lWriter, decode_webp
+
+    w = h = 8
+    meta_bits = 2
+    meta = [[0, 1], [1, 0]]
+    colors = [(10, 20, 30), (40, 50, 60)]  # (g, r, b) per group
+
+    wr = _Vp8lWriter()
+    wr.u(w - 1, 14)
+    wr.u(h - 1, 14)
+    wr.u(0, 1)
+    wr.u(0, 3)
+    wr.u(0, 1)                      # no transforms
+    wr.u(0, 1)                      # no cache
+    wr.u(1, 1)                      # meta prefix present
+    wr.u(meta_bits - 2, 3)
+    # meta subimage 2×2: green = group id via a 2-symbol simple code
+    wr.u(0, 1)                      # subimage: no cache
+    wr.u(1, 1)                      # simple green code
+    wr.u(1, 1)                      # two symbols
+    wr.u(0, 1)                      # 1-bit first symbol
+    wr.u(0, 1)                      # symbol 0
+    wr.u(1, 8)                      # symbol 1
+    _single(wr, 0)                  # red
+    _single(wr, 0)                  # blue
+    _single(wr, 255)                # alpha
+    _single(wr, 0)                  # distance
+    # canonical 1-bit codes: symbol 0 → 0, symbol 1 → 1
+    for rowm in meta:
+        for v in rowm:
+            wr.u(v, 1)
+    # two groups, all single-symbol codes (zero data bits per pixel)
+    for (g, r, b) in colors:
+        _single(wr, g)
+        _single(wr, r)
+        _single(wr, b)
+        _single(wr, 255)
+        _single(wr, 0)
+    # pixel loop reads zero bits — nothing more to write
+
+    got = decode_webp(_vp8l_blob(wr), rgb=True)
+    want = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            g, r, b = colors[meta[y >> meta_bits][x >> meta_bits]]
+            want[y, x] = (r, g, b)
+    assert np.array_equal(got, want)
+
+
+def test_webp_containers_and_curate_media_integration(spark):
+    """The verdict-r14 #1 done-criteria: a VP8L re-encode of a BMP twin
+    near-dups inside curate_media; the external LOSSY fixture (CPython
+    test data, VP8X+ALPH+VP8) probes dims but decodes to an honest
+    NULL, counted n_undecodable."""
+    import os
+
+    from adampro_spark.pipeline.multimodal import (
+        curate_media,
+        decode_webp,
+        encode_bmp,
+        encode_webp,
+        media_probe,
+    )
+
+    lossy = open(
+        os.path.join(os.path.dirname(__file__), "resources", "webp",
+                     "lossy_vp8x.webp"), "rb",
+    ).read()
+    pr = media_probe(lossy)
+    assert pr["format"] == "webp" and pr["width"] >= 9 and pr["height"] >= 8
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(lossy)
+
+    rng = np.random.RandomState(162)
+    img = rng.randint(0, 256, (24, 24), np.int64).astype(np.uint8)
+    fresh = rng.randint(0, 256, (24, 24), np.int64).astype(np.uint8)
+    rows = [
+        (0, encode_bmp(img)),                     # keeper
+        (1, encode_webp(img, subtract_green=True)),  # VP8L twin -> drop
+        (2, encode_webp(fresh)),                  # fresh VP8L -> keep
+        (3, lossy),                               # lossy: NULL, passes
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out, report = curate_media(df)
+    assert {r["media_id"] for r in out.collect()} == {0, 2, 3}
+    assert report["n_neardup_dropped_image"] == 1
+    assert report["n_undecodable"] == 1
+    assert report["n_bad_format"] == 0
