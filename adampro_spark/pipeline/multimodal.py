@@ -3861,18 +3861,21 @@ def curate_media(
         if dedup == "dhash":
             t2 = time.perf_counter()
             base = gated.join(exact_drops, pk, "left_anti")
-            present = {
-                r["_ap_fmt"]
-                for r in flags.filter(F.col("_fmt_ok") & F.col("_size_ok"))
-                .select("_ap_fmt")
-                .distinct()
-                .collect()
-            }
-            for name, fmts, cond, hasher in _modality_specs(
-                decoder, content_col, pk
-            ):
+            specs = _modality_specs(decoder, content_col, pk)
+            # per-modality presence in ONE aggregate over the slim
+            # persisted flags (round 15: the old distinct-format set
+            # would launch an empty video decode job for a corpus of
+            # single-frame gifs now that gif sits in two format sets —
+            # the ELIGIBILITY condition is the precise test)
+            pres = flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).agg(
+                *[
+                    F.max(F.when(cond, F.lit(1))).alias(name)
+                    for name, _fmts, cond, _h in specs
+                ]
+            ).first()
+            for name, fmts, cond, hasher in specs:
                 report[f"n_neardup_dropped_{name}"] = 0
-                if not (fmts & present):
+                if pres[name] is None:
                     continue  # modality absent: no empty decode jobs
                 hashed = hasher(base.filter(cond)).persist()
                 n_undec += hashed.filter(F.col("dhash").isNull()).count()
@@ -3998,13 +4001,13 @@ def curate_media_against(
         if dedup == "dhash":
             t2 = time.perf_counter()
             base = gated.join(exact_drops, pk, "left_anti")
-            present = {
-                r["_ap_fmt"]
-                for r in flags.filter(F.col("_fmt_ok") & F.col("_size_ok"))
-                .select("_ap_fmt")
-                .distinct()
-                .collect()
-            }
+            specs = _modality_specs(decoder, content_col, pk)
+            pres = flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).agg(
+                *[
+                    F.max(F.when(cond, F.lit(1))).alias(name)
+                    for name, _fmts, cond, _h in specs
+                ]
+            ).first()
             # ref routes by its own header probe (it is not gated)
             ref_probed = probe_media(ref, content_col, pk).select(
                 pk,
@@ -4014,11 +4017,9 @@ def curate_media_against(
                 F.col("n_frames").alias("_ap_nf"),
             )
             ref_routed = ref.join(ref_probed, pk)
-            for name, fmts, cond, hasher in _modality_specs(
-                decoder, content_col, pk
-            ):
+            for name, fmts, cond, hasher in specs:
                 report[f"n_neardup_vs_ref_{name}"] = 0
-                if not (fmts & present):
+                if pres[name] is None:
                     continue
                 new_h = hasher(base.filter(cond)).persist()
                 n_undec += new_h.filter(F.col("dhash").isNull()).count()
