@@ -24,6 +24,8 @@ DuckDB SQL and the driver hash-checks results end-to-end.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -1019,6 +1021,7 @@ def fingerprint_pairs(
     max_hamming: int = 3,
     nbits: int = SIMHASH_BITS,
     max_bucket_size: int = 1024,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Near-dup pairs ``(id_a, id_b, hamming)`` over ANY precomputed
     NONNEGATIVE integer fingerprint column — the Manku multi-block
@@ -1037,19 +1040,33 @@ def fingerprint_pairs(
     assert-folded guard (ADVICE r13): the Manku block keys use
     arithmetic shifts, so a bit-63-set hash would silently sign-extend
     into wrong keys — i.e. MISSED pairs, not an error — use 63-bit
-    hash conventions (``nbits`` ≤ 63)."""
+    hash conventions (``nbits`` ≤ 63).
+
+    ``group_cols`` (round 15): extra partitioning columns prepended to
+    the band-bucket key so candidates NEVER cross groups — one call
+    over a multi-family fingerprint table (e.g. curate_media's
+    image/audio/video modality tag) replaces a per-family call series:
+    buckets are keyed by (group, block-index, block-value), so the pair
+    set is exactly the union of the per-group pair sets (the hot-bucket
+    cap applies per group-bucket, same as per-family calls) while the
+    explode/shuffle/join machinery runs ONCE."""
     key_arr, _, _ = _simhash_block_keys(nbits, max_hamming)
+    gcols = list(group_cols)
     sim = (
         _spread(df)
         .filter(F.col(fp_col).isNotNull())
-        .select(F.col(pk).alias("_pk"), _nonneg_fp_guard(fp_col).alias("_s"))
+        .select(
+            F.col(pk).alias("_pk"), _nonneg_fp_guard(fp_col).alias("_s"), *gcols
+        )
     )
     # barrier: stop CollapseProject inlining the fingerprint expression
     # into every block-key expression (see minhash_dup_pairs)
     sim = sim.persist()
-    chunked = sim.select("_pk", F.posexplode(key_arr).alias("_ci", "_cv"))
+    chunked = sim.select(
+        "_pk", *gcols, F.posexplode(key_arr).alias("_ci", "_cv")
+    )
     cand = banded_candidates(
-        chunked, ["_ci", "_cv"], max_bucket_size=max_bucket_size
+        chunked, gcols + ["_ci", "_cv"], max_bucket_size=max_bucket_size
     )
     ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
     return (

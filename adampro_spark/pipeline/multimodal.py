@@ -3639,73 +3639,168 @@ _DHASH_FORMATS = ("bmp", "png", "jpeg", "gif", "webp")
 _GATE_COLS = ("_ap_fmt", "_ap_w", "_ap_h", "_ap_nf")
 
 
-def _media_gates(
+def _modality_hash(
+    blob: bytes,
+    fmt: "str",
+    w: "int | None",
+    h: "int | None",
+    nf: "int | None",
+    decoder: Callable,
+) -> "tuple[str | None, int | None]":
+    """Per-blob modality routing + perceptual hash — the in-kernel
+    mirror of :func:`_modality_specs` (round 15): eligibility is judged
+    from the PROBED header fields (grid-too-small / too-short blobs are
+    never decoded), the hash is the SAME per-blob reduction each
+    modality's standalone kernel runs (:func:`image_dhash` /
+    :func:`audio_dhash` / :func:`video_dhash`), and an undecodable
+    eligible blob yields ``(modality, None)`` — the failure-tolerance
+    convention.  Ineligible blobs yield ``(None, None)``."""
+    grid_r, grid_c = DHASH_GRID
+    if (
+        fmt in _DHASH_FORMATS
+        and not (fmt == "gif" and nf is not None and nf > 1)
+        and w is not None
+        and h is not None
+        and w >= grid_c
+        and h >= grid_r
+    ):
+        try:
+            return "image", int(dhash_bits(decoder(blob, 0, 0)))
+        except Exception:
+            return "image", None
+    if (
+        fmt in ("wav", "flac")
+        and nf is not None
+        and nf >= AUDIO_ENVELOPE_WINDOWS
+    ):
+        try:
+            samples, _rate = decode_audio(blob)
+            return "audio", int(audio_envelope_bits(samples))
+        except Exception:
+            return "audio", None
+    if (
+        (
+            (fmt == "avi" and nf is not None and nf >= 1)
+            or (fmt == "gif" and nf is not None and nf > 1)
+        )
+        and w is not None
+        and h is not None
+        and w >= grid_c
+        and h >= grid_r
+    ):
+        try:
+            frames = _video_frames(blob)
+            mean = np.mean(
+                np.stack([f.astype(np.float64) for f in frames]), axis=0
+            )
+            return "video", int(dhash_bits(mean))
+        except Exception:
+            return "video", None
+    return None, None
+
+
+def _media_stats(
     df: DataFrame,
     content_col: str,
     pk: str,
     formats: "tuple[str, ...] | None",
     min_width: "int | None",
     min_height: "int | None",
-) -> "tuple[DataFrame, DataFrame, dict]":
-    """The header-only probe-gate stage shared by :func:`curate_media`
-    and :func:`curate_media_against`: returns ``(flags, gated, head)``
-    where ``flags`` is the PERSISTED slim probe table (caller must
-    unpersist), ``gated`` is ``df`` joined with the surviving rows'
-    probed format/dims as :data:`_GATE_COLS`, and ``head`` is the
-    report prefix (n_input .. n_after_gates)."""
-    n_input = df.count()
-    probed = probe_media(df, content_col, pk)
-    fmt_ok = (
-        F.col("format").isin(list(formats))
-        if formats is not None
-        else F.col("format") != F.lit("unknown")
-    )
-    size_ok = F.lit(True)
-    if min_width is not None:
-        size_ok = size_ok & (
-            F.col("width").isNull() | (F.col("width") >= int(min_width))
-        )
-    if min_height is not None:
-        size_ok = size_ok & (
-            F.col("height").isNull() | (F.col("height") >= int(min_height))
-        )
-    flags = probed.select(
-        pk,
-        F.col("format").alias("_ap_fmt"),
-        F.col("width").alias("_ap_w"),
-        F.col("height").alias("_ap_h"),
-        F.col("n_frames").alias("_ap_nf"),
-        fmt_ok.alias("_fmt_ok"),
-        size_ok.alias("_size_ok"),
-    ).persist()
-    # F.sum over ZERO rows is NULL — coalesce so an empty corpus
-    # reports zeros instead of TypeError (ADVICE r13)
-    agg = flags.agg(
-        F.coalesce(F.sum((~F.col("_fmt_ok")).cast("long")), F.lit(0)).alias(
-            "bad_fmt"
+    want_sha: bool,
+    want_dhash: bool,
+    decoder: Callable,
+    gate_hashes: bool = True,
+) -> DataFrame:
+    """ONE Arrow pass over the blobs: header probe, gate flags, exact
+    fingerprint (sha256-hex prefix + byte length) and the per-modality
+    perceptual hash — the guide-§8 "decide with small rows" stage of
+    :func:`curate_media` (round 15).  Every decision downstream (gates,
+    exact dedup, near-dup pairs, report counts) reads this slim table;
+    the blob column itself crosses the Python boundary exactly once and
+    is re-read only by the final survivor join.  The pre-r15 shape ran
+    a separate probe pass, a separate sha pass, and one decode pass PER
+    modality — 6-7 full passes over a corpus whose payload is the
+    dominant cost at 100 TB.
+
+    ``gate_hashes=False`` hashes every row regardless of the gate flags
+    (the reference side of :func:`curate_media_against` is probed and
+    hashed but never gated)."""
+    fmts = tuple(formats) if formats is not None else None
+    minw = None if min_width is None else int(min_width)
+    minh = None if min_height is None else int(min_height)
+
+    def kern(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            fmt_l: list = []
+            w_l: list = []
+            h_l: list = []
+            nf_l: list = []
+            fok_l: list = []
+            sok_l: list = []
+            nb_l: list = []
+            sha_l: list = []
+            mod_l: list = []
+            dh_l: list = []
+            for c in pdf[content_col]:
+                blob = bytes(c)
+                pr = media_probe(blob)
+                fmt = pr["format"]
+                w, h, nf = pr["width"], pr["height"], pr["n_frames"]
+                fmt_ok = (fmt in fmts) if fmts is not None else (fmt != "unknown")
+                size_ok = (
+                    minw is None or w is None or w >= minw
+                ) and (minh is None or h is None or h >= minh)
+                sha = mod = dh = None
+                if (fmt_ok and size_ok) or not gate_hashes:
+                    if want_sha:
+                        sha = hashlib.sha256(blob).hexdigest()[:16]
+                    if want_dhash:
+                        mod, dh = _modality_hash(blob, fmt, w, h, nf, decoder)
+                fmt_l.append(fmt)
+                w_l.append(w)
+                h_l.append(h)
+                nf_l.append(nf)
+                fok_l.append(fmt_ok)
+                sok_l.append(size_ok)
+                nb_l.append(len(blob))
+                sha_l.append(sha)
+                mod_l.append(mod)
+                dh_l.append(dh)
+            yield pd.DataFrame(
+                {
+                    pk: pdf[pk],
+                    "_ap_fmt": fmt_l,
+                    "_ap_w": pd.array(w_l, dtype="Int32"),
+                    "_ap_h": pd.array(h_l, dtype="Int32"),
+                    "_ap_nf": pd.array(nf_l, dtype="Int64"),
+                    "_fmt_ok": fok_l,
+                    "_size_ok": sok_l,
+                    "n_bytes": pd.array(nb_l, dtype="Int64"),
+                    "fp_hex": sha_l,
+                    "_mod": mod_l,
+                    "dhash": pd.array(dh_l, dtype="Int64"),
+                }
+            )
+
+    from adampro_spark.pipeline.dedup import _spread
+
+    # _spread: a small single-row-group source arrives as few tasks no
+    # matter the core count — round-robin the blobs so the ONE decode
+    # pass uses every core (cluster-scale inputs span many splits and
+    # this is a no-op; the guarded shuffle only ever moves a corpus
+    # that fits in a single row group)
+    return _spread(df.select(pk, content_col)).mapInPandas(
+        kern,
+        schema=(
+            f"{pk} long, _ap_fmt string, _ap_w int, _ap_h int, "
+            "_ap_nf long, _fmt_ok boolean, _size_ok boolean, "
+            "n_bytes long, fp_hex string, _mod string, dhash long"
         ),
-        F.coalesce(
-            F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")),
-            F.lit(0),
-        ).alias("too_small"),
-        F.coalesce(
-            F.sum((F.col("_fmt_ok") & F.col("_size_ok")).cast("long")),
-            F.lit(0),
-        ).alias("kept"),
-    ).first()
-    gated = df.join(
-        flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).select(
-            pk, *_GATE_COLS
-        ),
-        pk,
     )
-    head = {
-        "n_input": n_input,
-        "n_bad_format": int(agg["bad_fmt"]),
-        "n_too_small": int(agg["too_small"]),
-        "n_after_gates": int(agg["kept"]),
-    }
-    return flags, gated, head
 
 
 def _modality_specs(
@@ -3818,38 +3913,60 @@ def curate_media(
     if dedup not in (None, "exact", "dhash"):
         raise ValueError(f"unknown curate_media dedup {dedup!r}")
 
+    # ONE pass over the blobs computes every per-row fact (probe, gate
+    # flags, sha, modality hash) into a slim persisted table; gates,
+    # exact dedup, near-dup pairs and all report counts are decided on
+    # that table, and the blobs are re-read exactly once more — by the
+    # final survivor semi-join (guide §8: decide with small rows, move
+    # big rows once; the pre-r15 shape re-read the corpus 6-7 times)
     t0 = time.perf_counter()
-    flags, gated, head = _media_gates(
-        df, content_col, pk, formats, min_width, min_height
-    )
+    stats = _media_stats(
+        df, content_col, pk, formats, min_width, min_height,
+        want_sha=dedup in ("exact", "dhash"),
+        want_dhash=dedup == "dhash",
+        decoder=decoder,
+    ).persist()
     try:
+        agg = stats.agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.coalesce(
+                F.sum((~F.col("_fmt_ok")).cast("long")), F.lit(0)
+            ).alias("bad_fmt"),
+            F.coalesce(
+                F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")),
+                F.lit(0),
+            ).alias("too_small"),
+            F.coalesce(
+                F.sum((F.col("_fmt_ok") & F.col("_size_ok")).cast("long")),
+                F.lit(0),
+            ).alias("kept"),
+        ).first()
         if stage_timings is not None:
             stage_timings["probe_sec"] = round(time.perf_counter() - t0, 3)
-
-        n_after_gates = head["n_after_gates"]
+        n_after_gates = int(agg["kept"])
         report = {
-            **head,
+            "n_input": int(agg["n_input"]),
+            "n_bad_format": int(agg["bad_fmt"]),
+            "n_too_small": int(agg["too_small"]),
+            "n_after_gates": n_after_gates,
             "n_exact_dropped": 0,
             "n_neardup_dropped": 0,
             "n_undecodable": 0,
             "n_output": n_after_gates,
         }
+        kept = stats.filter(F.col("_fmt_ok") & F.col("_size_ok"))
         if dedup is None:
-            return gated.drop(*_GATE_COLS), report
+            keep = kept.select(pk).localCheckpoint(eager=True)
+            return df.join(keep, pk, "left_semi"), report
 
-        # exact stage: a slim localCheckpointed pk drop-list (at most
-        # the duplicate count) — the blob DF itself is never cached
+        # exact stage: min-pk survivor per (sha, length) family — a
+        # window over the cached slim table, nothing re-decoded
         t1 = time.perf_counter()
-        fp = media_fingerprint(gated, content_col, pk)
         from pyspark.sql import Window
 
         w = Window.partitionBy("fp_hex", "n_bytes").orderBy(pk)
-        exact_drops = (
-            fp.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > 1)
-            .select(pk)
-            .localCheckpoint(eager=True)
-        )
+        ranked = kept.withColumn("_rn", F.row_number().over(w))
+        exact_drops = ranked.filter(F.col("_rn") > 1).select(pk)
         n_exact_dropped = exact_drops.count()
         report["n_exact_dropped"] = n_exact_dropped
         drop_dfs = [exact_drops]
@@ -3860,43 +3977,62 @@ def curate_media(
         n_undec = 0
         if dedup == "dhash":
             t2 = time.perf_counter()
-            base = gated.join(exact_drops, pk, "left_anti")
-            specs = _modality_specs(decoder, content_col, pk)
-            # per-modality presence in ONE aggregate over the slim
-            # persisted flags (round 15: the old distinct-format set
-            # would launch an empty video decode job for a corpus of
-            # single-frame gifs now that gif sits in two format sets —
-            # the ELIGIBILITY condition is the precise test)
-            pres = flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).agg(
+            base = ranked.filter(F.col("_rn") == 1)
+            mod_names = [n for n, *_ in _modality_specs(decoder, content_col, pk)]
+            # presence + per-modality undecodable counts in ONE agg
+            pres = base.agg(
                 *[
-                    F.max(F.when(cond, F.lit(1))).alias(name)
-                    for name, _fmts, cond, _h in specs
-                ]
+                    F.max(F.when(F.col("_mod") == n, F.lit(1))).alias(n)
+                    for n in mod_names
+                ],
+                *[
+                    F.coalesce(
+                        F.sum(
+                            (
+                                (F.col("_mod") == n)
+                                & F.col("dhash").isNull()
+                            ).cast("long")
+                        ),
+                        F.lit(0),
+                    ).alias(f"_u_{n}")
+                    for n in mod_names
+                ],
             ).first()
-            for name, fmts, cond, hasher in specs:
-                report[f"n_neardup_dropped_{name}"] = 0
-                if pres[name] is None:
-                    continue  # modality absent: no empty decode jobs
-                hashed = hasher(base.filter(cond)).persist()
-                n_undec += hashed.filter(F.col("dhash").isNull()).count()
+            present = [n for n in mod_names if pres[n] is not None]
+            for n in mod_names:
+                report[f"n_neardup_dropped_{n}"] = 0
+            n_undec = sum(int(pres[f"_u_{n}"]) for n in present)
+            if present:
+                # ONE banded pair pass over all modalities: the modality
+                # tag rides the band-bucket key (group_cols), so pairs
+                # never cross modalities — identical pair set to the old
+                # per-modality call series, one explode/join instead of
+                # three
                 pairs = fingerprint_pairs(
-                    hashed,
+                    base.filter(F.col("_mod").isNotNull()),
                     "dhash",
                     pk=pk,
                     max_hamming=int(max_hamming),
                     nbits=63,
+                    group_cols=("_mod",),
                 )
-                mod_drops = (
+                nd_drops = (
                     dup_groups(pairs)
                     .filter(F.col("id") != F.col("survivor"))
                     .select(F.col("id").alias(pk))
-                    .localCheckpoint(eager=True)
                 )
-                hashed.unpersist()
-                n_mod = mod_drops.count()
-                report[f"n_neardup_dropped_{name}"] = n_mod
-                n_neardup += n_mod
-                drop_dfs.append(mod_drops)
+                mod_counts = {
+                    r["_mod"]: int(r["n"])
+                    for r in nd_drops.join(base.select(pk, "_mod"), pk)
+                    .groupBy("_mod")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                for n in present:
+                    n_mod = mod_counts.get(n, 0)
+                    report[f"n_neardup_dropped_{n}"] = n_mod
+                    n_neardup += n_mod
+                drop_dfs.append(nd_drops)
             if stage_timings is not None:
                 stage_timings["neardup_sec"] = round(
                     time.perf_counter() - t2, 3
@@ -3906,10 +4042,17 @@ def curate_media(
         report["n_undecodable"] = n_undec
         report["n_output"] = n_after_gates - n_exact_dropped - n_neardup
         all_drops = reduce(lambda a, b: a.unionByName(b), drop_dfs)
-        out = gated.join(all_drops, pk, "left_anti").drop(*_GATE_COLS)
-        return out, report
+        # slim survivor-pk list, checkpointed so the returned lineage
+        # never re-runs the decode kernel after stats unpersists; the
+        # blobs make their single second pass through this semi-join
+        keep = (
+            kept.select(pk)
+            .join(all_drops, pk, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        return df.join(keep, pk, "left_semi"), report
     finally:
-        flags.unpersist()
+        stats.unpersist()
 
 
 def curate_media_against(
@@ -3961,34 +4104,68 @@ def curate_media_against(
     if dedup not in (None, "exact", "dhash"):
         raise ValueError(f"unknown curate_media_against dedup {dedup!r}")
 
+    # ONE pass over each side's blobs (round 15, the curate_media
+    # single-pass shape): the new batch is probed + gated + hashed in
+    # one Arrow kernel, the reference is probed + hashed (never gated)
+    # in one more — the pre-r15 shape re-read the new batch ~6× and the
+    # reference up to 4× (sha pass + one probe+decode pass per modality)
     t0 = time.perf_counter()
-    flags, gated, head = _media_gates(
-        new, content_col, pk, formats, min_width, min_height
-    )
+    want_sha = dedup in ("exact", "dhash")
+    want_dh = dedup == "dhash"
+    stats = _media_stats(
+        new, content_col, pk, formats, min_width, min_height,
+        want_sha=want_sha, want_dhash=want_dh, decoder=decoder,
+    ).persist()
+    ref_stats = None
     try:
+        agg = stats.agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.coalesce(
+                F.sum((~F.col("_fmt_ok")).cast("long")), F.lit(0)
+            ).alias("bad_fmt"),
+            F.coalesce(
+                F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")),
+                F.lit(0),
+            ).alias("too_small"),
+            F.coalesce(
+                F.sum((F.col("_fmt_ok") & F.col("_size_ok")).cast("long")),
+                F.lit(0),
+            ).alias("kept"),
+        ).first()
         if stage_timings is not None:
             stage_timings["probe_sec"] = round(time.perf_counter() - t0, 3)
-        n_after_gates = head["n_after_gates"]
+        n_after_gates = int(agg["kept"])
         report = {
-            **head,
+            "n_input": int(agg["n_input"]),
+            "n_bad_format": int(agg["bad_fmt"]),
+            "n_too_small": int(agg["too_small"]),
+            "n_after_gates": n_after_gates,
             "n_exact_vs_ref": 0,
             "n_neardup_vs_ref": 0,
             "n_undecodable": 0,
             "n_output": n_after_gates,
         }
+        kept = stats.filter(F.col("_fmt_ok") & F.col("_size_ok"))
         if dedup is None:
-            return gated.drop(*_GATE_COLS), report
+            keep = kept.select(pk).localCheckpoint(eager=True)
+            return new.join(keep, pk, "left_semi"), report
 
-        # exact-vs-ref: (sha256, length) anti-join — the ref fingerprint
-        # table is slim and hash-distributed, never the ref blobs
+        # the reference side: probed + hashed unconditionally (it is
+        # never gated), one blob pass for sha AND every modality hash
+        ref_stats = _media_stats(
+            ref, content_col, pk, None, None, None,
+            want_sha=want_sha, want_dhash=want_dh, decoder=decoder,
+            gate_hashes=False,
+        ).persist()
+
+        # exact-vs-ref: (sha256, length) semi-join — slim fingerprint
+        # tables on both sides, never the blobs
         t1 = time.perf_counter()
         keys = ["fp_hex", "n_bytes"]
-        new_fp = media_fingerprint(gated, content_col, pk)
-        ref_fp = media_fingerprint(ref, content_col, pk).select(*keys)
         exact_drops = (
-            new_fp.join(ref_fp, keys, "left_semi")
+            kept.select(pk, *keys)
+            .join(ref_stats.select(*keys), keys, "left_semi")
             .select(pk)
-            .localCheckpoint(eager=True)
         )
         n_exact = exact_drops.count()
         report["n_exact_vs_ref"] = n_exact
@@ -4000,30 +4177,39 @@ def curate_media_against(
         n_undec = 0
         if dedup == "dhash":
             t2 = time.perf_counter()
-            base = gated.join(exact_drops, pk, "left_anti")
-            specs = _modality_specs(decoder, content_col, pk)
-            pres = flags.filter(F.col("_fmt_ok") & F.col("_size_ok")).agg(
+            base = kept.join(exact_drops, pk, "left_anti")
+            mod_names = [n for n, *_ in _modality_specs(decoder, content_col, pk)]
+            pres = base.agg(
                 *[
-                    F.max(F.when(cond, F.lit(1))).alias(name)
-                    for name, _fmts, cond, _h in specs
-                ]
+                    F.max(F.when(F.col("_mod") == n, F.lit(1))).alias(n)
+                    for n in mod_names
+                ],
+                *[
+                    F.coalesce(
+                        F.sum(
+                            (
+                                (F.col("_mod") == n)
+                                & F.col("dhash").isNull()
+                            ).cast("long")
+                        ),
+                        F.lit(0),
+                    ).alias(f"_u_{n}")
+                    for n in mod_names
+                ],
             ).first()
-            # ref routes by its own header probe (it is not gated)
-            ref_probed = probe_media(ref, content_col, pk).select(
-                pk,
-                F.col("format").alias("_ap_fmt"),
-                F.col("width").alias("_ap_w"),
-                F.col("height").alias("_ap_h"),
-                F.col("n_frames").alias("_ap_nf"),
-            )
-            ref_routed = ref.join(ref_probed, pk)
-            for name, fmts, cond, hasher in specs:
+            # per-modality cross-corpus matching keeps its own
+            # fingerprint_against call (the expected-bucket ref cap is
+            # sized from each modality's OWN ref count), but both sides
+            # now read pre-computed slim hash tables — no decode jobs
+            for name in mod_names:
                 report[f"n_neardup_vs_ref_{name}"] = 0
                 if pres[name] is None:
                     continue
-                new_h = hasher(base.filter(cond)).persist()
-                n_undec += new_h.filter(F.col("dhash").isNull()).count()
-                ref_h = hasher(ref_routed.filter(cond))
+                n_undec += int(pres[f"_u_{name}"])
+                new_h = base.filter(F.col("_mod") == name).select(pk, "dhash")
+                ref_h = ref_stats.filter(F.col("_mod") == name).select(
+                    pk, "dhash"
+                )
                 matches = fingerprint_against(
                     new_h,
                     ref_h,
@@ -4033,12 +4219,9 @@ def curate_media_against(
                     nbits=63,
                     return_matches=True,
                 )
-                mod_drops = (
-                    matches.select(F.col("new_pk").alias(pk))
-                    .distinct()
-                    .localCheckpoint(eager=True)
-                )
-                new_h.unpersist()
+                mod_drops = matches.select(
+                    F.col("new_pk").alias(pk)
+                ).distinct()
                 n_mod = mod_drops.count()
                 report[f"n_neardup_vs_ref_{name}"] = n_mod
                 n_neardup += n_mod
@@ -4052,10 +4235,16 @@ def curate_media_against(
         report["n_undecodable"] = n_undec
         report["n_output"] = n_after_gates - n_exact - n_neardup
         all_drops = reduce(lambda a, b: a.unionByName(b), drop_dfs)
-        out = gated.join(all_drops, pk, "left_anti").drop(*_GATE_COLS)
-        return out, report
+        keep = (
+            kept.select(pk)
+            .join(all_drops, pk, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        return new.join(keep, pk, "left_semi"), report
     finally:
-        flags.unpersist()
+        stats.unpersist()
+        if ref_stats is not None:
+            ref_stats.unpersist()
 
 
 def media_probe(content: bytes) -> dict:
