@@ -2332,10 +2332,19 @@ def _curate_media_corpus(spark: SparkSession, sf: str) -> DataFrame:
     near-dup pipeline.  Synthesis rides inside the timing (the jpeg-leg
     convention): blob building is ~24×24 images, small next to the
     decode+Manku stages the row exists to measure."""
+    from adampro_spark.pipeline.dedup import _spread
     from adampro_spark.pipeline.multimodal import curate_media
 
-    docs = _table(spark, sf, "documents").select(
-        F.col("doc_id").alias("media_id")
+    # spread the SLIM id rows before the synthesis kernel: documents at
+    # bench scale is a single-row-group file, so the scan hands every id
+    # to one task and the whole synthesis pass (and its re-run by the
+    # final survivor semi-join) serializes onto one core — repartition
+    # the 8-byte ids here (not the blobs) and curate_media's own
+    # _spread becomes a no-op, so blob bytes never ride an exchange
+    docs = _spread(
+        _table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
 
     def _kern(batches):

@@ -608,22 +608,38 @@ def dup_groups(
     """
     if algorithm not in ("auto", "star", "propagate"):
         raise ValueError(f"unknown components algorithm {algorithm!r}")
-    # the symmetric union reads `pairs` twice in one job — fine: the
-    # banded pair generators keep their own persist barriers, so the
-    # second read replays caches (measured: materializing the pair table
-    # here instead COSTS a full extra pass)
+    # symmetrize with ONE read of `pairs` (round 15): the old two-branch
+    # union re-executed the whole pair-generator lineage twice per edge
+    # materialization (the generators' internal persists cap the damage
+    # locally, but at corpus scale the candidate-verify join is itself a
+    # full pass over the pair table) — exploding both orientations from
+    # a single scan halves that work with an identical edge set
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.src", "_e.dst")
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("survivor", F.col("id"))
+    # FUSED first round (round 15): min-label propagation's round 1 from
+    # self-labels is exactly min(own id, min neighbor id), which is one
+    # map-side-combinable aggregate over the symmetric edge list — no
+    # label join, no separate node-id distinct, and one fewer eager
+    # checkpoint+changed-count round trip.  Banded near-dup graphs are
+    # star-shaped (diameter ≤ 2), so this fusion removes a third to a
+    # half of the propagation jobs on the common shape.
+    labels = edges.groupBy(F.col("src").alias("id")).agg(
+        F.least(F.col("src"), F.min("dst")).alias("survivor")
     )
     # Each round's plan references `labels` TWICE (the neighbor join and
     # the own-label join), so without truncation the LOGICAL plan doubles
@@ -658,7 +674,7 @@ def dup_groups(
     budget = min(ESCAPE_ROUNDS, max_iterations) if algorithm == "auto" else max_iterations
     converged = False
     labels = ckpt(labels)
-    rounds = 0
+    rounds = 1  # the fused init IS propagation round 1
     for _ in range(budget):
         rounds += 1
         # candidate labels: own label + min neighbor label
