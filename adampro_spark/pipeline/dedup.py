@@ -629,18 +629,15 @@ def dup_groups(
         )
         .select("_e.src", "_e.dst")
         .distinct()
-        .persist()
     )
-    # FUSED first round (round 15): min-label propagation's round 1 from
-    # self-labels is exactly min(own id, min neighbor id), which is one
-    # map-side-combinable aggregate over the symmetric edge list — no
-    # label join, no separate node-id distinct, and one fewer eager
-    # checkpoint+changed-count round trip.  Banded near-dup graphs are
-    # star-shaped (diameter ≤ 2), so this fusion removes a third to a
-    # half of the propagation jobs on the common shape.
-    labels = edges.groupBy(F.col("src").alias("id")).agg(
-        F.least(F.col("src"), F.min("dst")).alias("survivor")
-    )
+    # CHECKPOINT (not persist) the slim symmetric edge list (round 15):
+    # a persist caches the DATA but every round's action still re-ANALYZES
+    # and re-OPTIMIZES the full pair-generator lineage (band UDFs, windows,
+    # joins — measured ~0.5-1.5 s of driver planning per eager round on
+    # the curate compositions); the checkpoint truncates the logical plan
+    # to the materialized blocks, so the deep lineage is planned exactly
+    # once and every propagation/star round plans against a flat source.
+    # Storage profile is unchanged — the same slim (long, long) rows.
     # Each round's plan references `labels` TWICE (the neighbor join and
     # the own-label join), so without truncation the LOGICAL plan doubles
     # per round — 2^rounds subtrees; a 14-round chain OOMed the driver
@@ -666,10 +663,20 @@ def dup_groups(
     else:
         ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
+    edges = ckpt(edges)
+    # FUSED first round (round 15): min-label propagation's round 1 from
+    # self-labels is exactly min(own id, min neighbor id), which is one
+    # map-side-combinable aggregate over the symmetric edge list — no
+    # label join, no separate node-id distinct, and one fewer eager
+    # checkpoint+changed-count round trip.  Banded near-dup graphs are
+    # star-shaped (diameter ≤ 2), so this fusion removes a third to a
+    # half of the propagation jobs on the common shape.
+    labels = edges.groupBy(F.col("src").alias("id")).agg(
+        F.least(F.col("src"), F.min("dst")).alias("survivor")
+    )
+
     if algorithm == "star":
-        out = _star_components(edges, ckpt, max_iterations, _stats)
-        edges.unpersist()
-        return out
+        return _star_components(edges, ckpt, max_iterations, _stats)
 
     budget = min(ESCAPE_ROUNDS, max_iterations) if algorithm == "auto" else max_iterations
     converged = False
@@ -709,13 +716,11 @@ def dup_groups(
         if _stats is not None:
             _stats["rounds"] = _stats.get("rounds", 0) + rounds
             _stats["algorithm"] = "auto->star"
-        edges.unpersist()
         return out
     if not converged:
         # explicit propagate hit the cap: labels are WRONG for any
         # component wider than the round budget — refuse loudly (the old
         # behavior returned them silently; review r7)
-        edges.unpersist()
         raise RuntimeError(
             f"dup_groups(algorithm='propagate') did not converge in "
             f"{max_iterations} rounds — the graph's diameter exceeds the "
@@ -723,7 +728,6 @@ def dup_groups(
         )
     if _stats is not None:
         _stats.update({"rounds": rounds, "algorithm": "propagate"})
-    edges.unpersist()
     return labels
 
 
@@ -1068,9 +1072,16 @@ def fingerprint_pairs(
     explode/shuffle/join machinery runs ONCE."""
     key_arr, _, _ = _simhash_block_keys(nbits, max_hamming)
     gcols = list(group_cols)
+    # no _spread here (round 15): the fingerprints are PRECOMPUTED, so the
+    # map-side work before the first shuffle (a posexplode of slim block
+    # keys) is trivial at any partition count, and every heavy stage —
+    # bucket stats, candidate self-join, verify joins — sits behind a
+    # shuffle whose parallelism comes from spark.sql.shuffle.partitions /
+    # AQE, not from the input split.  The probe itself was the cost: a
+    # df.rdd partition check forces a full plan of the (often deep)
+    # caller lineage, measured ~1-2 s per call in the curate compositions.
     sim = (
-        _spread(df)
-        .filter(F.col(fp_col).isNotNull())
+        df.filter(F.col(fp_col).isNotNull())
         .select(
             F.col(pk).alias("_pk"), _nonneg_fp_guard(fp_col).alias("_s"), *gcols
         )

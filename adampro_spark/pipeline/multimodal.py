@@ -3925,26 +3925,23 @@ def curate_media(
         want_sha=dedup in ("exact", "dhash"),
         want_dhash=dedup == "dhash",
         decoder=decoder,
-    ).persist()
-    try:
-        agg = stats.agg(
-            F.count(F.lit(1)).alias("n_input"),
-            F.coalesce(
-                F.sum((~F.col("_fmt_ok")).cast("long")), F.lit(0)
-            ).alias("bad_fmt"),
-            F.coalesce(
-                F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")),
-                F.lit(0),
-            ).alias("too_small"),
-            F.coalesce(
-                F.sum((F.col("_fmt_ok") & F.col("_size_ok")).cast("long")),
-                F.lit(0),
-            ).alias("kept"),
-        ).first()
-        if stage_timings is not None:
-            stage_timings["probe_sec"] = round(time.perf_counter() - t0, 3)
+    )
+    kept_c = F.col("_fmt_ok") & F.col("_size_ok")
+    gate_aggs = [
+        F.count(F.lit(1)).alias("n_input"),
+        F.coalesce(
+            F.sum((~F.col("_fmt_ok")).cast("long")), F.lit(0)
+        ).alias("bad_fmt"),
+        F.coalesce(
+            F.sum((F.col("_fmt_ok") & ~F.col("_size_ok")).cast("long")),
+            F.lit(0),
+        ).alias("too_small"),
+        F.coalesce(F.sum(kept_c.cast("long")), F.lit(0)).alias("kept"),
+    ]
+
+    def _gate_report(agg) -> dict:
         n_after_gates = int(agg["kept"])
-        report = {
+        return {
             "n_input": int(agg["n_input"]),
             "n_bad_format": int(agg["bad_fmt"]),
             "n_too_small": int(agg["too_small"]),
@@ -3954,21 +3951,76 @@ def curate_media(
             "n_undecodable": 0,
             "n_output": n_after_gates,
         }
-        kept = stats.filter(F.col("_fmt_ok") & F.col("_size_ok"))
-        if dedup is None:
-            keep = kept.select(pk).localCheckpoint(eager=True)
+
+    if dedup is None:
+        stats = stats.persist()
+        try:
+            agg = stats.agg(*gate_aggs).first()
+            if stage_timings is not None:
+                stage_timings["probe_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            report = _gate_report(agg)
+            keep = stats.filter(kept_c).select(pk).localCheckpoint(
+                eager=True
+            )
             return df.join(keep, pk, "left_semi"), report
+        finally:
+            stats.unpersist()
 
-        # exact stage: min-pk survivor per (sha, length) family — a
-        # window over the cached slim table, nothing re-decoded
+    # exact stage fused into the SAME cached table and the SAME agg job
+    # (round 15): rank byte-identical (sha, length) families with one
+    # window over the full stats table — gate-failed rows carry a NULL
+    # sha so they only ever rank among themselves and the kept rows'
+    # ranks are exactly the old over-kept-only ranks — then fold the
+    # gate counts, the exact-drop count AND the per-modality presence /
+    # undecodable counts into ONE aggregate.first().  The pre-fusion
+    # shape ran three eager jobs (gates agg, exact-drop count, presence
+    # agg), each re-planning the stats lineage.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp_hex", "n_bytes").orderBy(pk)
+    stats = stats.withColumn("_rn", F.row_number().over(w)).persist()
+    base_c = kept_c & (F.col("_rn") == 1)
+    mod_names = (
+        [n for n, *_ in _modality_specs(decoder, content_col, pk)]
+        if dedup == "dhash"
+        else []
+    )
+    try:
+        agg = stats.agg(
+            *gate_aggs,
+            F.coalesce(
+                F.sum((kept_c & (F.col("_rn") > 1)).cast("long")), F.lit(0)
+            ).alias("exact_dropped"),
+            *[
+                F.max(F.when(base_c & (F.col("_mod") == n), F.lit(1))).alias(n)
+                for n in mod_names
+            ],
+            *[
+                F.coalesce(
+                    F.sum(
+                        (
+                            base_c
+                            & (F.col("_mod") == n)
+                            & F.col("dhash").isNull()
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias(f"_u_{n}")
+                for n in mod_names
+            ],
+        ).first()
+        if stage_timings is not None:
+            stage_timings["probe_sec"] = round(time.perf_counter() - t0, 3)
+        report = _gate_report(agg)
+        n_after_gates = report["n_after_gates"]
+        kept = stats.filter(kept_c)
+
         t1 = time.perf_counter()
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("fp_hex", "n_bytes").orderBy(pk)
-        ranked = kept.withColumn("_rn", F.row_number().over(w))
-        exact_drops = ranked.filter(F.col("_rn") > 1).select(pk)
-        n_exact_dropped = exact_drops.count()
+        n_exact_dropped = int(agg["exact_dropped"])
         report["n_exact_dropped"] = n_exact_dropped
+        exact_drops = stats.filter(kept_c & (F.col("_rn") > 1)).select(pk)
         drop_dfs = [exact_drops]
         if stage_timings is not None:
             stage_timings["exact_sec"] = round(time.perf_counter() - t1, 3)
@@ -3977,27 +4029,8 @@ def curate_media(
         n_undec = 0
         if dedup == "dhash":
             t2 = time.perf_counter()
-            base = ranked.filter(F.col("_rn") == 1)
-            mod_names = [n for n, *_ in _modality_specs(decoder, content_col, pk)]
-            # presence + per-modality undecodable counts in ONE agg
-            pres = base.agg(
-                *[
-                    F.max(F.when(F.col("_mod") == n, F.lit(1))).alias(n)
-                    for n in mod_names
-                ],
-                *[
-                    F.coalesce(
-                        F.sum(
-                            (
-                                (F.col("_mod") == n)
-                                & F.col("dhash").isNull()
-                            ).cast("long")
-                        ),
-                        F.lit(0),
-                    ).alias(f"_u_{n}")
-                    for n in mod_names
-                ],
-            ).first()
+            base = stats.filter(base_c)
+            pres = agg
             present = [n for n in mod_names if pres[n] is not None]
             for n in mod_names:
                 report[f"n_neardup_dropped_{n}"] = 0
