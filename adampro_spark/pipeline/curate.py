@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from adampro_spark.pipeline.dedup import (
+    dedup_drops,
     deduplicate,
     exact_dedup,
     minhash_dup_pairs,
@@ -714,6 +715,14 @@ def curate(
 
     n_pre_dedup = int(agg["kept"]) - (n_lm_fail or 0)
 
+    # Both dedup paths resolve a SLIM drop-list, checkpoint it, and count
+    # THAT instead of ``out.count()`` (round 15): the old shape re-ran the
+    # whole gate/repetition lineage a second time just to learn how many
+    # rows survived — n_output ≡ n_pre_dedup − |drops| because every drop
+    # id comes from ``kept`` (the pair/group generators run over it) and
+    # appears exactly once.  At corpus scale that is one full pass saved;
+    # the survivors themselves stay a lazy anti-join against the
+    # checkpointed drop-list.
     if dedup is None:
         out = kept
         n_out = n_pre_dedup
@@ -722,13 +731,14 @@ def curate(
         # dedup_kw reaches exact_dedup too — e.g. normalize="ccnet" for
         # the paper's case/accent/digit/punct-folded match (Wenzek 2020)
         groups = exact_dedup(kept, text_col=text_col, pk=pk, **dedup_kw)
-        dropped = groups.select(F.explode("dup_ids").alias(pk))
+        dropped = groups.select(
+            F.explode("dup_ids").alias(pk)
+        ).localCheckpoint(eager=True)
         if stage_timings is not None:
-            dropped = dropped.localCheckpoint(eager=True)
             stage_timings["pairs_sec"] = round(time.perf_counter() - t1, 3)
         t2 = time.perf_counter()
         out = kept.join(dropped, pk, "left_anti")
-        n_out = out.count()
+        n_out = n_pre_dedup - dropped.count()
         if stage_timings is not None:
             stage_timings["resolution_sec"] = round(time.perf_counter() - t2, 3)
     else:
@@ -752,10 +762,15 @@ def curate(
         if stage_timings is not None:
             stage_timings["pairs_sec"] = round(time.perf_counter() - t1, 3)
         t2 = time.perf_counter()
-        out = deduplicate(
+        dropped = dedup_drops(
             kept, pairs, pk=pk, keep_by=dedup_keep_by, keep=dedup_keep
         )
-        n_out = out.count()
+        if dedup_keep_by is not None:
+            # the keep_by drop-list joins kept's score column — checkpoint
+            # it so the count and the anti-join don't each re-run kept
+            dropped = dropped.localCheckpoint(eager=True)
+        out = kept.join(dropped, pk, "left_anti")
+        n_out = n_pre_dedup - dropped.count()
         if stage_timings is not None:
             stage_timings["resolution_sec"] = round(time.perf_counter() - t2, 3)
 

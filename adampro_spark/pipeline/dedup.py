@@ -830,12 +830,33 @@ def deduplicate(
     per-component aggregates — the corpus itself is still touched only
     by the final anti-join.
     """
+    drops = dedup_drops(df, pairs, pk=pk, id_a=id_a, id_b=id_b,
+                        keep_by=keep_by, keep=keep)
+    return df.join(drops, pk, "left_anti")
+
+
+def dedup_drops(
+    df: DataFrame,
+    pairs: DataFrame,
+    pk: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    keep_by: str | None = None,
+    keep: str = "max",
+) -> DataFrame:
+    """The SLIM drop-list behind :func:`deduplicate` — ``(pk)`` of every
+    near-duplicate group member except its survivor (round 15, factored
+    out): each id appears at most once and only ids from ``pairs`` can
+    appear, so ``count(drops)`` equals the rows ``deduplicate`` removes —
+    callers that need both the survivors and the removed-count can count
+    this slim table instead of re-running the corpus lineage under
+    ``deduplicate(...).count()``.  ``df`` is only touched on the
+    ``keep_by`` path (one slim score join), never scanned otherwise."""
     groups = dup_groups(pairs, id_a, id_b)
     if keep_by is None:
-        drops = groups.filter(F.col("id") != F.col("survivor")).select(
+        return groups.filter(F.col("id") != F.col("survivor")).select(
             F.col("id").alias(pk)
         )
-        return df.join(drops, pk, "left_anti")
     if keep not in ("max", "min"):
         raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
     scored = groups.join(
@@ -853,12 +874,11 @@ def deduplicate(
         .groupBy("survivor")
         .agg(F.min("id").alias("_ap_keep"))
     )
-    drops = (
+    return (
         scored.join(keepers, "survivor")
         .filter(F.col("id") != F.col("_ap_keep"))
         .select(F.col("id").alias(pk))
     )
-    return df.join(drops, pk, "left_anti")
 
 
 # ---------------------------------------------------------------------------
