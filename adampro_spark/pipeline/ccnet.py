@@ -107,6 +107,14 @@ def ccnet_pipeline(
 
     if langid_model is None or langid_meta is None:
         langid_model, langid_meta = fit_langid()
+    # _spread BELOW the langid projection (round 15): the trained-NB
+    # scorer is the composition's heaviest per-row kernel — a
+    # single-row-group input would evaluate it on one core (measured:
+    # the langid+gates pass 4.6 s single-task at sf0.1); curate's own
+    # spread sits ABOVE this projection and cannot parallelize it
+    from adampro_spark.pipeline.dedup import _spread
+
+    df = _spread(df)
     # langid_min_gap: CCNet drops documents the identifier is not
     # confident about — below-floor predictions come back 'und' and the
     # same filter removes them (pass langid.LANGID_GAP_FLOOR)

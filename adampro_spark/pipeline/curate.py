@@ -450,7 +450,14 @@ def curate(
     """
     import time
 
+    from adampro_spark.pipeline.dedup import _spread
+
     _check_reserved_columns(df)
+    # _spread first (round 15): the gate/repetition flags (and any langid
+    # column the caller staged) are per-row expression work — a
+    # single-row-group input would evaluate all of it on one core; at
+    # cluster scale this is a no-op (see pipeline/text._spread)
+    df = _spread(df)
     # knob compatibility up front (review r12): these used to raise only
     # AFTER the whole gate pipeline had run — minutes of cluster work
     # before a parameter error on a big corpus

@@ -43,20 +43,11 @@ from adampro_spark.pipeline.text import (
 # ---------------------------------------------------------------------------
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the scan's parallelism is below the
-    session's core count.  A small single-row-group parquet file arrives
-    as ONE task no matter how many byte-range splits the reader makes, so
-    every downstream Arrow-UDF / fold stage would run on one core.  At
-    cluster scale inputs span many row groups and this is a no-op (the
-    condition never fires); the guarded shuffle only ever moves a
-    corpus that fits in a single row group.
-    """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# _spread moved to pipeline/text.py (round 15) so the text/LM/curate
+# per-row operators can share it without a circular import; re-exported
+# here because every banded generator (and external callers) imports it
+# from this module.
+from adampro_spark.pipeline.text import _spread  # noqa: E402,F401
 
 
 # A hot-set (single-join-key) table is broadcast back to the corpus only

@@ -21,6 +21,25 @@ from pyspark.sql import functions as F
 HASH_P = 1_000_000_007  # modulus for the portable polynomial hash
 HASH_M = 31
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan's parallelism is below the
+    session's core count.  A small single-ROW-GROUP parquet file yields
+    all its rows to ONE task no matter how many byte-range splits the
+    reader makes (splits without a row-group start produce nothing), so
+    every downstream per-row stage — Arrow kernels, HOF projections,
+    tokenize-explode map sides — would run on one core.  At cluster
+    scale inputs span many row groups and this is a no-op (the
+    condition never fires); the guarded shuffle only ever moves a
+    corpus that fits in a single row group.  (Round 15: moved here from
+    dedup.py so the text/LM/curate per-row operators can share it.)
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # Tiny per-language stopword lists — 10 high-frequency function words
 # each, deliberately short and FROZEN (they are shared oracle constants).
 # Round 14 (verdict r13 #3): extended from the original 5 to the FULL
@@ -447,7 +466,13 @@ def text_stats(
     """
     # stage the token array once: six consumers below would otherwise
     # each re-tokenize the document (no CSE for CodegenFallback lambdas)
-    df = df.withColumn("_ts_toks", resolve_tokenizer(text_col, tokenizer))
+    # _spread first (round 15): this is a map-only projection, so a
+    # single-row-group input would otherwise evaluate EVERY document's
+    # HOF/repetition expressions on one core (measured: the 13-signal
+    # pass 9 s single-task at sf0.1 vs ~2 s spread)
+    df = _spread(df).withColumn(
+        "_ts_toks", resolve_tokenizer(text_col, tokenizer)
+    )
     toks = F.col("_ts_toks")
     n_chars = F.length(F.col(text_col)).cast("long")
     n_tokens = F.size(toks).cast("long")

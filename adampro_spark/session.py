@@ -74,8 +74,13 @@ def get_spark(app_name: str = "adampro-spark", master: str | None = None) -> Spa
         # ONE partition and every downstream map/UDF stage runs on one core
         # of 32.  minPartitionNum alone is floored by openCostInBytes (4 MB
         # default), which keeps a few-MB file whole — lower it so the
-        # min-partition floor actually bites.  At cluster scale inputs
-        # already span many >=128 MB splits, so both settings are inert.
+        # min-partition floor actually bites.  NOTE (round 15): byte-range
+        # splits only parallelize MULTI-row-group files — a single-row-group
+        # file yields all its rows to the one split containing the row
+        # group, so per-row-heavy operators additionally _spread their
+        # input (pipeline/dedup.py) rather than relying on the reader.
+        # At cluster scale inputs already span many >=128 MB splits, so
+        # both settings are inert.
         .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
     )
