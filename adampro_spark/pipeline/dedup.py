@@ -1215,10 +1215,22 @@ def embedding_dup_pairs(
 
     band_udf = F.pandas_udf(_band_hashes, T.ArrayType(T.LongType()))
 
-    spread_df = _spread(df)
-    bandtab = spread_df.select(
+    # ONE persisted (pk, vec, norm, bands) table — the _minhash_base
+    # convention (round 15): without the barrier the band-hash UDF ran
+    # TWICE (the bucket-stats aggregate and the join-back inside
+    # banded_candidates each evaluate bandtab) and the vector+norm
+    # projection re-scanned the corpus twice more for the two verify
+    # joins — four corpus passes for one pair set.  At 100 TB the
+    # banded signature table is a persisted artifact of the corpus
+    # build anyway.
+    hashed = _spread(df).select(
         F.col(pk).alias("_pk"),
-        F.posexplode(band_udf(v)).alias("_band_idx", "_band_hash"),
+        v.alias("_v"),
+        norm.alias("_n"),
+        band_udf(v).alias("_bands"),
+    ).persist()
+    bandtab = hashed.select(
+        "_pk", F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash")
     )
     cand = banded_candidates(
         bandtab, ["_band_idx", "_band_hash"], max_bucket_size=max_bucket_size
@@ -1226,7 +1238,7 @@ def embedding_dup_pairs(
 
     # vectors join back by pk for candidate pairs only (narrow shuffle of
     # (pk, vec) for the candidate set — never ×bands duplicated)
-    vecs = spread_df.select(F.col(pk).alias("_pk"), v.alias("_v"), norm.alias("_n"))
+    vecs = hashed.select("_pk", "_v", "_n")
     cos = F.when(
         (F.col("n_a") < 1e-12) | (F.col("n_b") < 1e-12), F.lit(0.0)
     ).otherwise(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
