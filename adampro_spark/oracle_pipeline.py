@@ -3126,16 +3126,22 @@ def _dsir_rows(spark, sf):
     )
 
     docs = _docs(spark, sf).select("doc_id", "text")
-    target = docs.filter(F.col("doc_id") % 10 == 0)
-    buckets, meta = fit_dsir(docs, target, n_buckets=_DSIR_B)
-    w = dsir_weights(docs, buckets, meta).select(
+    # round 15: the target is a slice of the raw corpus, so the fit runs
+    # as ONE feature pass (Column target), and the per-doc weights are
+    # computed once into a slim checkpoint shared by both output legs
+    # (the resample used to re-run the whole explode+ratio join)
+    buckets, meta = fit_dsir(
+        docs, F.col("doc_id") % 10 == 0, n_buckets=_DSIR_B
+    )
+    wdf = dsir_weights(docs, buckets, meta).localCheckpoint(eager=True)
+    w = wdf.select(
         F.lit("dsir").alias("model"), "doc_id",
         F.round("dsir_logweight", 4).alias("lm_logprob"),
         F.col("dsir_feats").alias("lm_tokens"),
         F.lit(None).cast("string").alias("bucket"),
     )
     top = dsir_resample(
-        docs, buckets, meta, k=_DSIR_K, seed=_DSIR_SEED
+        docs, buckets, meta, k=_DSIR_K, seed=_DSIR_SEED, weights=wdf
     ).select(
         F.lit("dsir_top").alias("model"), "doc_id",
         F.round("dsir_logweight", 4).alias("lm_logprob"),

@@ -97,7 +97,7 @@ def _exploded_features(
 
 def fit_dsir(
     raw: DataFrame,
-    target: DataFrame,
+    target: "DataFrame | Column",
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     bigrams: bool = True,
@@ -113,9 +113,16 @@ def fit_dsir(
     corpora (smoothing makes it a constant), applied by the scorers to
     buckets absent from the table.
 
-    The fit is two bounded aggregations: each corpus collapses to at
-    most ``n_buckets`` count rows regardless of size, so the returned
-    table is always broadcastable.
+    ``target`` is either its own DataFrame, or (round 15) a boolean
+    Column over ``raw`` marking the target slice — the common "target
+    is a subset of the raw corpus" case then fits BOTH sides from ONE
+    feature pass (``groupBy(bucket).agg(count, count-if-target)``)
+    instead of exploding the raw corpus twice.  Counts are identical
+    by construction.
+
+    The fit is two bounded aggregations (one with a Column target):
+    each corpus collapses to at most ``n_buckets`` count rows
+    regardless of size, so the returned table is always broadcastable.
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
@@ -127,20 +134,52 @@ def fit_dsir(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    raw_c = counts(raw).persist()
-    tgt_c = counts(target).persist()
+    if isinstance(target, Column):
+        # one feature pass, two conditional counts: the target flag is
+        # evaluated per document and rides the slim (bucket, flag) rows
+        both = (
+            raw.select(
+                _token_hashes(text_col).alias("_th"), target.alias("_t")
+            )
+            .select(
+                F.explode(
+                    _doc_features(F.col("_th"), n_buckets, bigrams)
+                ).alias("bucket"),
+                F.col("_t"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("_rc"),
+                F.coalesce(
+                    F.sum(F.col("_t").cast("long")), F.lit(0)
+                ).alias("_tc"),
+            )
+        )
+        raw_c = tgt_c = both.persist()
+    else:
+        raw_c = counts(raw).withColumnRenamed("cnt", "_rc").persist()
+        tgt_c = counts(target).withColumnRenamed("cnt", "_tc").persist()
     try:
-        n_raw = int(
-            raw_c.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
-        )
-        n_tgt = int(
-            tgt_c.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
-        )
+        if raw_c is tgt_c:
+            tot = raw_c.agg(
+                F.coalesce(F.sum("_rc"), F.lit(0)).alias("nr"),
+                F.coalesce(F.sum("_tc"), F.lit(0)).alias("nt"),
+            ).collect()[0]
+            n_raw, n_tgt = int(tot["nr"]), int(tot["nt"])
+            # target ⊆ raw: every target bucket is a raw bucket, so the
+            # single grouped table IS the full-outer join (a zero-count
+            # target side joins as 0 exactly like the missing-row path)
+            joined = raw_c
+        else:
+            n_raw = int(
+                raw_c.agg(F.coalesce(F.sum("_rc"), F.lit(0))).collect()[0][0]
+            )
+            n_tgt = int(
+                tgt_c.agg(F.coalesce(F.sum("_tc"), F.lit(0))).collect()[0][0]
+            )
+            joined = raw_c.join(tgt_c, "bucket", "full_outer")
         dr = float(n_raw + n_buckets)
         dt = float(n_tgt + n_buckets)
-        joined = raw_c.withColumnRenamed("cnt", "_rc").join(
-            tgt_c.withColumnRenamed("cnt", "_tc"), "bucket", "full_outer"
-        )
         buckets = joined.select(
             "bucket",
             (
@@ -152,7 +191,8 @@ def fit_dsir(
         ).localCheckpoint(eager=True)  # ≤ 2·n_buckets rows
     finally:
         raw_c.unpersist()
-        tgt_c.unpersist()
+        if tgt_c is not raw_c:
+            tgt_c.unpersist()
     meta = {
         "n_raw": n_raw,
         "n_target": n_tgt,
@@ -282,6 +322,7 @@ def dsir_resample(
     seed: int = 42,
     mode: str = "auto",
     relative_error: float = 0.001,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted sample of ``k`` documents WITHOUT replacement,
     probability ∝ exp(ln(10)·dsir_logweight), via the Gumbel top-k
@@ -326,7 +367,16 @@ def dsir_resample(
         )
     if mode == "auto":
         mode = "exact" if int(k) <= DSIR_EXACT_MAX_K else "threshold"
-    w = dsir_weights(df, buckets, meta, text_col=text_col, pk=pk)
+    # ``weights`` (round 15): callers that already computed
+    # dsir_weights(df, ...) — e.g. to emit the weights themselves —
+    # pass it here so the feature explode + ratio join doesn't run a
+    # second time over the corpus; the result is identical because the
+    # resample key is a deterministic function of (pk, dsir_logweight).
+    w = (
+        weights
+        if weights is not None
+        else dsir_weights(df, buckets, meta, text_col=text_col, pk=pk)
+    )
     u = F.greatest(
         _unit_hash(F.col(pk), f"dsir|{seed}"), F.lit(1e-12)
     )  # clamp: u = 0 would send the Gumbel to -inf
