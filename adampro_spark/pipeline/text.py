@@ -34,6 +34,12 @@ def _spread(df: DataFrame) -> DataFrame:
     corpus that fits in a single row group.  (Round 15: moved here from
     dedup.py so the text/LM/curate per-row operators can share it.)
     """
+    if df.isStreaming:
+        # stream/batch unification (tests/test_streaming_io.py): the
+        # operators that _spread guards are map-only on streams, the
+        # micro-batch source controls parallelism, and .rdd is illegal
+        # on a streaming DataFrame — pass through untouched
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
