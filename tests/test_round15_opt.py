@@ -132,3 +132,81 @@ def test_media_stats_matches_per_kernel_facts(spark):
     assert stats[12]["_mod"] == "audio"
     assert stats[13]["_mod"] is None  # below the 9x8 grid: never decoded
     assert stats[15]["_mod"] == "image" and stats[15]["dhash"] is None
+
+
+def test_fit_dsir_column_target_equals_dataframe_target(spark):
+    """The one-pass Column-target fit (round-15 optimization) produces
+    the SAME bucket table and meta as the two-pass DataFrame-target fit
+    when the target is a slice of the raw corpus."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.pipeline.dsir import fit_dsir
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} alpha beta w{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    pred = F.col("doc_id") % 10 == 0
+    b1, m1 = fit_dsir(docs, docs.filter(pred), n_buckets=64)
+    b2, m2 = fit_dsir(docs, pred, n_buckets=64)
+    assert m1 == m2
+    t1 = {r["bucket"]: r["log_ratio"] for r in b1.collect()}
+    t2 = {r["bucket"]: r["log_ratio"] for r in b2.collect()}
+    assert t1 == t2
+
+
+def test_dsir_resample_precomputed_weights_identical(spark):
+    """dsir_resample(weights=) selects exactly the rows the internal
+    weights pass would — the resample key is a deterministic function
+    of (pk, dsir_logweight)."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.pipeline.dsir import (
+        dsir_resample, dsir_weights, fit_dsir,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 11} gamma d{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    buckets, meta = fit_dsir(docs, F.col("doc_id") % 6 == 0, n_buckets=32)
+    inline = {
+        r["doc_id"]
+        for r in dsir_resample(docs, buckets, meta, k=9, seed=3).collect()
+    }
+    wdf = dsir_weights(docs, buckets, meta)
+    reused = {
+        r["doc_id"]
+        for r in dsir_resample(
+            docs, buckets, meta, k=9, seed=3, weights=wdf
+        ).collect()
+    }
+    assert inline == reused and len(inline) == 9
+
+
+def test_dedup_drops_complements_deduplicate(spark):
+    """dedup_drops (round-15 factoring) is exactly the complement of
+    deduplicate's survivors, for both survivor policies — so counting
+    the slim drop-list equals counting the removed corpus rows."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.pipeline.dedup import dedup_drops, deduplicate
+
+    df = spark.createDataFrame(
+        [(i, (i % 4) * 10) for i in range(12)], "doc_id long, q long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (7, 9), (3, 11)], "id_a long, id_b long"
+    )
+    ids = {r["doc_id"] for r in df.select("doc_id").collect()}
+    for kw in ({}, {"keep_by": "q", "keep": "max"}):
+        kept = {
+            r["doc_id"]
+            for r in deduplicate(df, pairs, pk="doc_id", **kw).collect()
+        }
+        drops = {
+            r["doc_id"]
+            for r in dedup_drops(df, pairs, pk="doc_id", **kw).collect()
+        }
+        assert kept == ids - drops
+        assert drops and drops.issubset(ids)
