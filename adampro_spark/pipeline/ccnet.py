@@ -118,10 +118,20 @@ def ccnet_pipeline(
     # langid_min_gap: CCNet drops documents the identifier is not
     # confident about — below-floor predictions come back 'und' and the
     # same filter removes them (pass langid.LANGID_GAP_FLOOR)
+    # nd_pin (round 16, guide §4.4): without it the 'und' filter below
+    # is pushed through this projection with the langid UDF substituted
+    # into the condition — the composition's heaviest kernel then ran
+    # TWICE per row, and the pushed copy ran BELOW the _spread exchange
+    # on the unsplit scan (measured: a 1.4 s one-working-task job per
+    # materialization at sf0.1; plan showed two ArrowEvalPython nodes).
+    from adampro_spark.pipeline.text import nd_pin
+
     tagged = df.withColumn(
         lang_col,
-        trained_langid_col(
-            langid_model, langid_meta, text_col, min_gap=langid_min_gap
+        nd_pin(
+            trained_langid_col(
+                langid_model, langid_meta, text_col, min_gap=langid_min_gap
+            )
         ),
     ).filter(F.col(lang_col) != "und")
     if handles is not None:

@@ -3979,7 +3979,23 @@ def curate_media(
     # agg), each re-planning the stats lineage.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("fp_hex", "n_bytes").orderBy(pk)
+    # round 16 (verdict r15 #3): gate-FAILED rows all carry a NULL sha,
+    # so partitioning the rank window by raw (fp_hex, n_bytes) funnels
+    # every reject of a popular byte length into one (NULL, n_bytes)
+    # reducer — invisible locally, a classic skewed-key straggler at
+    # 100 TB (guide §2.5).  Rank failed rows in per-row singleton
+    # partitions instead: their ``_rn`` is only ever read under a
+    # ``kept_c`` guard (base_c / exact_dropped / exact_drops), so any
+    # value is semantically equivalent, and kept rows keep the exact
+    # (fp_hex, n_bytes) partitions — sha hex is [0-9a-f], so the "_r"
+    # prefix can never collide a reject into a kept family's ranking.
+    w = Window.partitionBy(
+        F.coalesce(
+            F.col("fp_hex"),
+            F.concat(F.lit("_r"), F.col(pk).cast("string")),
+        ),
+        "n_bytes",
+    ).orderBy(pk)
     stats = stats.withColumn("_rn", F.row_number().over(w)).persist()
     base_c = kept_c & (F.col("_rn") == 1)
     mod_names = (

@@ -955,6 +955,30 @@ def pushdown_barrier(flag: Column) -> Column:
     return flag | (F.spark_partition_id() < F.lit(0))
 
 
+def nd_pin(col: Column, dtype: str = "string") -> Column:
+    """Value-identity on ``col``, marked NONDETERMINISTIC — the
+    :func:`pushdown_barrier` trick for a non-boolean projected column.
+
+    Why (round 16, guide §4.4): a ``.filter`` on a column computed by a
+    Python UDF lets ``PushPredicateThroughNonJoin`` substitute the UDF
+    into the pushed-down condition, so the UDF is evaluated TWICE per
+    row — once below the push target (for ccnet's ``lang != 'und'``
+    gate that meant the whole trained-NB scorer ran a second time on
+    the UN-SPREAD scan, one task of 32) and once in the projection that
+    produces the column.  Folding an always-NULL nondeterministic
+    branch into the column makes the Project fail the optimizer's
+    ``forall(_.deterministic)`` gate, so the filter stays put and the
+    UDF evaluates exactly once.  The second coalesce branch is a typed
+    NULL literal, never the column again — a repeated column reference
+    would itself be extracted and batch-evaluated twice by the Python
+    UDF extraction pass.
+    """
+    nd_null = F.when(
+        F.spark_partition_id() < F.lit(0), F.lit(None).cast(dtype)
+    )
+    return F.coalesce(col, nd_null)
+
+
 def repetition_gate_flag(rep: "dict[str, Column]", ceilings) -> Column:
     """Fold ``{signal: max}`` ceilings over :func:`with_repetition`'s
     signal expressions into ONE pinned boolean gate (conjunction of

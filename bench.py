@@ -198,9 +198,15 @@ def main() -> None:
     # swing ~2x with background load; the min is the operator's cost (no
     # state is shared between passes — every call builds fresh DataFrames
     # and the cache is cleared after each query)
+    # BENCH_REPEATS (round 16, verdict r15 #6): optional EXTRA passes,
+    # folded into the same per-query min — the host swings ±12-30% run
+    # to run, so a 3+-pass min tightens per-row variance without
+    # touching the default methodology, the query set, or the JSON line.
+    # Default 2 = the exact historical behavior.
+    n_passes = max(2, int(os.environ.get("BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     best_stages: dict[str, dict] = {}
-    for _pass in range(2):
+    for _pass in range(n_passes):
         for name in names:
             fn = registry[name]
             t0 = time.perf_counter()
