@@ -46,6 +46,56 @@ MAX_LEADERS = 200  # ECPIndexGenerator.scala:27
 LAST_BOUND_STATS: dict[str, float] = {}
 
 
+#: minimum build-time prunability estimate for ecp_knn(cell_bound=True)
+#: to run its phase-2 "scan seed cells, re-tighten τ to the measured
+#: kth" job (round 16, verdict r15 #2).  The r15 telemetry showed
+#: cells_read_frac = 1.0 at BOTH scales: on a distance-concentrated
+#: corpus every cell's lower bound sits below the true kth distance, so
+#: NO exact method can exclude a single cell and the extra job is pure
+#: cost (+30% on the bench row).  The estimate below is computed from
+#: the build sample; skipping phase 2 is exactness-SAFE (it only widens
+#: the set of cells read, never narrows it).
+ECP_BOUND_MIN_PRUNE = 0.02
+
+
+def ecp_bound_prune_estimate(
+    meta: "dict[str, Any]",
+    sample: np.ndarray,
+    k: int = 20,
+    n_corpus: int | None = None,
+) -> "float | None":
+    """Fraction of non-empty cells an EXACT τ could prune, estimated on
+    the build sample: for probe queries drawn from the sample, compare
+    every cell's lower bound ``d(q, leader) − radius`` against the
+    estimated corpus kth-NN distance (the ``k_eff ≈ k·m/n``-th sample
+    distance — the autofit sample-sparsity correction).  A cell is
+    prunable only if its lower bound exceeds the TRUE kth distance, so
+    averaging ``frac(lb > kth_est)`` over probes measures whether the
+    triangle-inequality bound can do anything at all on this corpus —
+    ~0 on uniform/concentrated data, large on clustered data."""
+    S = np.asarray(sample, dtype=np.float64)
+    m = len(S)
+    leaders = np.array(meta.get("leaders") or [], dtype=np.float64)
+    radii = np.array(meta.get("radii") or [], dtype=np.float64)
+    counts = np.array(meta.get("counts") or [], dtype=np.int64)
+    if m < 100 or not len(leaders) or len(radii) != len(leaders):
+        return None
+    nz = counts > 0
+    if not nz.any():
+        return None
+    n = int(n_corpus or m)
+    k_eff = k if n <= m else max(2, int(round(k * m / n)))
+    fracs = []
+    for qi in np.linspace(0, m - 1, num=min(16, m), dtype=int):
+        q = S[qi]
+        d = np_distance(q, leaders, meta["distance"])
+        lb = np.maximum(d - radii, 0.0)
+        ds = np.sort(np_distance(q, S, meta["distance"]))
+        kth_est = float(ds[min(k_eff, m - 1)])  # ds[0] = self
+        fracs.append(float((lb[nz] > kth_est).mean()))
+    return round(float(np.mean(fracs)), 4)
+
+
 def build_ecp(
     df: DataFrame,
     vector_col: str,
@@ -153,6 +203,16 @@ def build_ecp(
 
         fit_sample = sample_matrix(df, vector_col, 1000, seed + 7, pk=pk)
         autofit_meta("ecp", meta, fit_sample, distance_name=distance_name, n_corpus=n)
+        if distance_name in METRIC_DISTANCES:
+            # cell-bound prunability (round 16, verdict r15 #2) off the
+            # SAME sample — no extra job; ecp_knn(cell_bound) consults
+            # it to skip the τ-tightening pass on corpora whose geometry
+            # cannot prune (exactness unaffected either way)
+            est = ecp_bound_prune_estimate(
+                meta, fit_sample, n_corpus=n
+            )
+            if est is not None:
+                meta["bound_prune_frac"] = est
     return indexed, meta
 
 
@@ -384,7 +444,22 @@ def ecp_knn(
     # ties at exactly kth survive the ``<=`` test.  Costs one extra
     # small job over 1-2 cells; at scale it shrinks cells_read from
     # ~all to the handful geometrically near q.
-    if cum >= k and len(seeds) < len(order):
+    # Round 16 (verdict r15 #2): run that job only when the BUILD-TIME
+    # prunability estimate says the bound can exclude anything on this
+    # corpus — the r15 telemetry proved cells_read_frac = 1.0 at both
+    # scales, i.e. every cell's lb sits below the true kth (measured
+    # here too: a PERFECT τ prunes 0/44 cells at sf0.1), so the seed
+    # scan bought nothing and cost +30% on the bench row.  Skipping is
+    # exactness-safe: τ stays the geometric ceiling, the scan set only
+    # widens.  Indexes built before the estimate existed (no
+    # ``bound_prune_frac`` key) keep the r15 behavior.
+    prune_est = meta.get("bound_prune_frac")
+    phase2 = (
+        cum >= k
+        and len(seeds) < len(order)
+        and (prune_est is None or prune_est >= ECP_BOUND_MIN_PRUNE)
+    )
+    if phase2:
         seed_cands = index_df.filter(
             F.col(FEATURE_COL).isin(seeds)
         ).select(pk)
@@ -407,6 +482,8 @@ def ecp_knn(
         rows_total=int(counts.sum()),
         rows_read=int(counts[chosen].sum()) if chosen else 0,
         tau=round(tau, 6),
+        phase2=bool(phase2),
+        prune_est=prune_est,
     )
     cands = index_df.filter(F.col(FEATURE_COL).isin(chosen)).select(pk)
     return sequential_scan(

@@ -13,6 +13,45 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def test_ecp_bound_phase2_gate(spark):
+    """Round 16 (verdict r15 #2): ecp_knn(cell_bound=True) runs its
+    τ-tightening seed scan only when the build-time prunability
+    estimate says the triangle bound can exclude anything — skipping is
+    exactness-safe (the scan set only widens), so the top-k must be
+    identical under every gate setting and equal to brute force."""
+    from adampro_spark.index import ecp
+    from adampro_spark.index.ecp import build_ecp, ecp_knn
+    from adampro_spark.operators.scan import sequential_scan
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx, meta = build_ecp(df, "embedding", pk="vec_id")
+    assert "bound_prune_frac" in meta  # the estimator rode the autofit sample
+    q = [0.2] * 8
+    brute = {
+        (r["vec_id"], round(r["ap_distance"], 6))
+        for r in sequential_scan(df, "embedding", q, 10, "euclidean", pk="vec_id").collect()
+    }
+
+    outs = {}
+    for label, est in (("skip", 0.0), ("run", 1.0), ("legacy", None)):
+        m = dict(meta)
+        if est is None:
+            m.pop("bound_prune_frac", None)
+        else:
+            m["bound_prune_frac"] = est
+        res = ecp_knn(df, "embedding", idx, m, q, 10, cell_bound=True)
+        outs[label] = {
+            (r["vec_id"], round(r["ap_distance"], 6)) for r in res.collect()
+        }
+        if est == 0.0:
+            assert ecp.LAST_BOUND_STATS["phase2"] is False
+        else:
+            assert ecp.LAST_BOUND_STATS["phase2"] is True
+    assert outs["skip"] == outs["run"] == outs["legacy"] == brute
+
+
 def test_curate_media_reject_rank_isolation(spark):
     """Round 16 (verdict r15 #3): the exact-dedup rank window now gives
     every gate-FAILED row (NULL sha) its own singleton partition instead
