@@ -3228,7 +3228,15 @@ def _ccnet_rows(spark, sf, include_mh: bool = True):
     vocab, meta = fit_unigram_lm(docs, vocab_size=_LM_V)
     handles: list = []
     rep: dict = {}
-    out = ccnet_pipeline(docs, vocab, meta, handles=handles, report_out=rep)
+    # token_table_out (round 16, verdict r15 #4): ONE persisted
+    # (doc_id, lang, tok) explode of the survivors feeds the shared-LM
+    # score AND both per-language legs below — was three tokenize
+    # passes over the same survivor corpus
+    tt: list = []
+    out = ccnet_pipeline(
+        docs, vocab, meta, handles=handles, report_out=rep,
+        token_table_out=tt,
+    )
     shared = out.select(
         F.lit("ccnet").alias("model"),
         "doc_id",
@@ -3243,12 +3251,13 @@ def _ccnet_rows(spark, sf, include_mh: bool = True):
     # language bucketed against its own model (fit_unigram_lm_by /
     # lm_bucket_by); the count hint reuses curate's n_output
     surv = handles[-1]
+    ex = tt[0] if tt else None
     vocab_by, metas = fit_unigram_lm_by(
-        surv, by="lang_cc", vocab_size=_LM_V
+        surv, by="lang_cc", vocab_size=_LM_V, exploded=ex
     )
     pl = lm_bucket_by(
         surv, vocab_by, metas, by="lang_cc",
-        method="auto", max_group_rows_hint=rep["n_output"],
+        method="auto", max_group_rows_hint=rep["n_output"], exploded=ex,
     ).select(
         F.lit("ccnet_pl").alias("model"),
         "doc_id",
@@ -3274,7 +3283,7 @@ def _ccnet_rows(spark, sf, include_mh: bool = True):
         # the all-pairs oracle states.
         legs.append(_ccnet_mh_rows(spark, sf, docs, vocab, meta, handles_mh))
     res = _union_all(legs).localCheckpoint(eager=True)
-    for h in handles + handles_mh:  # release the composition's caches
+    for h in handles + handles_mh + tt:  # release the composition's caches
         h.unpersist()
     return res
 

@@ -56,6 +56,7 @@ def ccnet_pipeline(
     per_language_lm: bool = False,
     vocab_size: int | None = None,
     langid_min_gap: float | None = None,
+    token_table_out: list | None = None,
 ) -> DataFrame:
     """Run the CCNet corpus build end-to-end; returns ``(pk, lang_col,
     lm_logprob, bucket)`` — every curate survivor with its trained-NB
@@ -164,6 +165,20 @@ def ccnet_pipeline(
         # persist-only-with-a-release-path rule as the tagged corpus
         survivors = survivors.persist()
         handles.append(survivors)
+    exploded = None
+    if token_table_out is not None:
+        # shared token explode (round 16, verdict r15 #4): the LM legs
+        # below — and any per-language fit/score the CALLER runs on the
+        # same survivors — each tokenize the survivor corpus; one
+        # persisted (pk, lang, tok) table feeds them all.  Appended to
+        # token_table_out so the caller owns the release (the handles
+        # convention) — without the list nothing is persisted.
+        from adampro_spark.pipeline.lm import lm_token_table
+
+        exploded = lm_token_table(
+            survivors, by=lang_col, text_col=text_col, pk=pk
+        ).persist()
+        token_table_out.append(exploded)
     if per_language_lm:
         from adampro_spark.pipeline.lm import (
             DEFAULT_VOCAB, fit_unigram_lm_by, lm_bucket_by,
@@ -174,11 +189,12 @@ def ccnet_pipeline(
             vocab_size=(
                 DEFAULT_VOCAB if vocab_size is None else int(vocab_size)
             ),
+            exploded=exploded,
         )
         return lm_bucket_by(
             survivors, vocab_by, metas, by=lang_col,
             text_col=text_col, pk=pk, n_buckets=n_buckets,
-            method="auto", max_group_rows_hint=hint,
+            method="auto", max_group_rows_hint=hint, exploded=exploded,
         )
     if vocab is None or meta is None:
         raise ValueError(
@@ -195,4 +211,5 @@ def ccnet_pipeline(
         n_buckets=n_buckets,
         method="auto",
         max_group_rows_hint=hint,
+        exploded=exploded,
     )

@@ -106,6 +106,7 @@ def lm_score(
     pk: str = "doc_id",
     score_col: str = "lm_logprob",
     carry: "Sequence[str] | None" = None,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean log10 token probability: ``(pk[, carry…],
     score_col, lm_tokens)`` — one row per input document.  Empty
@@ -125,11 +126,12 @@ def lm_score(
     corpus-sized pk join.
     """
     carry = list(carry or [])
-    exploded = df.select(
-        F.col(pk),
-        *[F.col(c) for c in carry],
-        F.explode_outer(tokens_expr(text_col)).alias("tok"),
-    )
+    if exploded is None:
+        exploded = df.select(
+            F.col(pk),
+            *[F.col(c) for c in carry],
+            F.explode_outer(tokens_expr(text_col)).alias("tok"),
+        )
     joined = exploded.join(
         F.broadcast(vocab.select("tok", "logp")), on="tok", how="left"
     )
@@ -143,6 +145,22 @@ def lm_score(
     )
 
 
+def lm_token_table(
+    df: DataFrame, by: str, text_col: str = "text", pk: str = "doc_id"
+) -> DataFrame:
+    """The shared ``(pk, by, tok)`` token explode (round 16, verdict r15
+    #4): the per-group LM FIT, the per-group SCORE, and the shared-LM
+    score with ``carry=[by]`` each tokenize the same corpus — a caller
+    that persists THIS table (and releases it, the handles convention)
+    pays the tokenize once and feeds all three via their ``exploded=``
+    parameter.  ``tok`` is NULL for empty documents (explode_outer — the
+    scoring contract); fit consumers drop the NULLs, which reproduces
+    the plain-explode fit exactly."""
+    return df.select(
+        F.col(pk), F.col(by), F.explode_outer(tokens_expr(text_col)).alias("tok")
+    )
+
+
 def fit_unigram_lm_by(
     df: DataFrame,
     by: str,
@@ -150,6 +168,7 @@ def fit_unigram_lm_by(
     vocab_size: int = DEFAULT_VOCAB,
     sample_fraction: float | None = None,
     seed: int = 42,
+    exploded: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, dict[str, Any]]]:
     """Fit one add-one-smoothed unigram LM PER GROUP — the CCNet shape
     (Wenzek et al. 2020 score each language against its own LM; one
@@ -176,12 +195,27 @@ def fit_unigram_lm_by(
         raise ValueError("vocab_size must be >= 1")
     from pyspark.sql import Window
 
-    src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
-    counts = (
-        src.select(F.col(by), F.explode(tokens_expr(text_col)).alias("tok"))
-        .groupBy(by, "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    if exploded is not None:
+        # shared token table (round 16, lm_token_table): dropping its
+        # NULL-tok rows (empty documents) leaves exactly the plain
+        # explode this fit used to run itself
+        if sample_fraction is not None:
+            raise ValueError(
+                "fit_unigram_lm_by: exploded= and sample_fraction= are "
+                "mutually exclusive (the shared table is the full corpus)"
+            )
+        counts = (
+            exploded.filter(F.col("tok").isNotNull())
+            .groupBy(by, "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    else:
+        src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+        counts = (
+            src.select(F.col(by), F.explode(tokens_expr(text_col)).alias("tok"))
+            .groupBy(by, "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     counts = counts.persist()
     try:
         tots = {
@@ -251,6 +285,7 @@ def lm_score_by(
     text_col: str = "text",
     pk: str = "doc_id",
     score_col: str = "lm_logprob",
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Score each document against ITS GROUP'S model: ``(pk, by,
     score_col, lm_tokens)``.  Same plan shape as :func:`lm_score` with
@@ -265,9 +300,10 @@ def lm_score_by(
             for x in (g, float(metas[g]["oov_logp"]))
         ]
     )
-    exploded = df.select(
-        F.col(pk), F.col(by), F.explode_outer(tokens_expr(text_col)).alias("tok")
-    )
+    if exploded is None:
+        exploded = df.select(
+            F.col(pk), F.col(by), F.explode_outer(tokens_expr(text_col)).alias("tok")
+        )
     joined = exploded.join(
         F.broadcast(vocab_by.select(by, "tok", "logp")), on=[by, "tok"], how="left"
     )
@@ -291,6 +327,7 @@ def lm_bucket_by(
     n_buckets: int = 3,
     method: str = "auto",
     max_group_rows_hint: int | None = None,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group perplexity buckets scored against PER-GROUP models —
     :func:`lm_bucket` with :func:`fit_unigram_lm_by` models: the full
@@ -312,7 +349,7 @@ def lm_bucket_by(
         )
     scores = lm_score_by(
         df.select(pk, by, text_col), vocab_by, metas, by,
-        text_col=text_col, pk=pk,
+        text_col=text_col, pk=pk, exploded=exploded,
     )
     scored = scores.select(
         pk, by, F.round("lm_logprob", 4).alias("lm_logprob")
@@ -460,9 +497,11 @@ def fit_bigram_lm(
     table's per-prev ``t_sum``/``t_types``), the ``(prev, cur, cnt)``
     bigram table, and meta (the unigram fields plus ``lam``/``denom``/
     ``bigram_size_eff``; for kn also ``smoothing``, ``discount``,
-    ``cont_denom``).  Fit cost: one explode → groupBy over consecutive
-    token pairs (map-side combined); kn adds two vocab-sized
-    aggregations of the persisted pair table.
+    ``cont_denom``).  Fit cost (round 16): ONE explode → groupBy over
+    positioned (prev-nullable, cur) pairs — the unigram fit reads off
+    the pair table's ``cur`` marginal instead of a second corpus
+    tokenize (bit-identical vocabulary by construction); kn adds two
+    vocab-sized aggregations of the persisted pair table.
     """
     if not 0.0 <= lam < 1.0:
         raise ValueError("lam must be in [0, 1) — the unigram leg keeps "
@@ -474,39 +513,70 @@ def fit_bigram_lm(
             f"discount must be in (0, 1) — every table count is >= 1, so "
             f"D < 1 keeps the discounted leg non-negative; got {discount}"
         )
-    vocab, meta = fit_unigram_lm(
-        df, text_col=text_col, vocab_size=vocab_size,
-        sample_fraction=sample_fraction, seed=seed,
-    )
+    # ONE corpus pass for BOTH fits (round 16): the unigram counts are a
+    # marginal of the positioned pair table — every token occurs exactly
+    # once as ``cur`` in the (prev-nullable, cur) explode (a document's
+    # first token carries prev = NULL), so cnt(tok) = Σ_prev P[prev, tok]
+    # exactly.  The old shape called fit_unigram_lm first: a SECOND full
+    # tokenize + explode + token-row shuffle of the corpus for numbers
+    # the pair aggregate already holds.  P is grouped (≤ distinct-pair
+    # rows), so the unigram marginal, the top-V, and every kn statistic
+    # below aggregate a reduced table — token rows shuffle once.
     src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
     tk = tokens_expr(text_col)
     staged = src.select(tk.alias("_tk"))
     n = F.size(F.col("_tk"))
-    pair_arr = F.when(
-        n >= 2,
+    pos_arr = F.when(
+        n >= 1,
         F.transform(
-            F.sequence(F.lit(2), n),
+            F.sequence(F.lit(1), n),
             lambda i: F.struct(
-                F.element_at(F.col("_tk"), i - 1).alias("prev"),
+                F.when(i > 1, F.element_at(F.col("_tk"), i - 1)).alias("prev"),
                 F.element_at(F.col("_tk"), i).alias("cur"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-    pairs = (
-        staged.select(F.explode(pair_arr).alias("_p"))
+    pall = (
+        staged.select(F.explode(pos_arr).alias("_p"))
         .select("_p.prev", "_p.cur")
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    if smoothing == "kn":
-        # three consumers of the full pair aggregate -> persist once
-        pairs = pairs.persist()
+    # the unigram fit off the pair marginal — counts, ordering, ties,
+    # smoothing denominator all BIT-IDENTICAL to fit_unigram_lm (pinned
+    # by tests/test_round16_opt.py)
+    counts = pall.groupBy(F.col("cur").alias("tok")).agg(
+        F.sum("cnt").alias("cnt")
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("d"),
+    ).collect()[0]
+    n_tok, d_tok = int(tot["n"]), int(tot["d"])
+    v_eff = min(vocab_size, d_tok)
+    u_denom = float(n_tok + v_eff + 1)
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .withColumn("logp", F.log10((F.col("cnt") + 1) / F.lit(u_denom)))
+        .localCheckpoint(eager=True)
+    )
+    meta: dict[str, Any] = {
+        "n_tokens": n_tok,
+        "vocab_size_eff": v_eff,
+        "oov_logp": math.log10(1.0 / u_denom),
+        "base": 10,
+        "smoothing": "add_one",
+    }
+    # bigram table: NULL-prev groups are exactly the first-token rows,
+    # so filtering them leaves the grouped (prev, cur, cnt) pair table
+    pairs = pall.filter(F.col("prev").isNotNull())
     top = (
         pairs.orderBy(F.col("cnt").desc(), F.col("prev").asc(), F.col("cur").asc())
         .limit(bigram_size)
         .localCheckpoint(eager=True)
     )
-    meta = dict(meta)
     meta["lam"] = float(lam)
     meta["denom"] = float(meta["n_tokens"] + meta["vocab_size_eff"] + 1)
     meta["bigram_size_eff"] = top.count()
@@ -549,10 +619,12 @@ def fit_bigram_lm(
                 .localCheckpoint(eager=True)
             )
         finally:
-            pairs.unpersist()
+            pall.unpersist()
         meta["smoothing"] = "kn"
         meta["discount"] = float(discount)
         meta["cont_denom"] = float(n_types + meta["vocab_size_eff"] + 1)
+    else:
+        pall.unpersist()
     return vocab, top, meta
 
 
@@ -779,6 +851,7 @@ def lm_bucket(
     n_buckets: int = 3,
     method: str = "auto",
     max_group_rows_hint: int | None = None,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every document to a perplexity bucket — CCNet's
     head/middle/tail corpus split (Wenzek et al. 2020 §4.3: Common Crawl
@@ -845,7 +918,7 @@ def lm_bucket(
     # it (round 10: one upstream evaluation, zero extra joins)
     scores = lm_score(
         df.select(*keep, text_col), vocab, meta, text_col=text_col, pk=pk,
-        carry=[by] if by else None,
+        carry=[by] if by else None, exploded=exploded,
     )
     scored = scores.select(
         *keep, F.round("lm_logprob", 4).alias("lm_logprob")

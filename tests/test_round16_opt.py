@@ -13,6 +13,91 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def test_fit_bigram_unigram_marginal_parity(spark):
+    """Round 16: fit_bigram_lm now derives the unigram fit from the
+    positioned pair table's ``cur`` marginal (one corpus pass instead of
+    two).  The vocabulary, meta, bigram table, and kn statistics must be
+    BIT-IDENTICAL to the standalone fit_unigram_lm + the old two-pass
+    shape — pinned on a corpus with empty docs, NULL text, one-token
+    docs, and vocab/bigram truncation in play."""
+    from adampro_spark.pipeline.lm import fit_bigram_lm, fit_unigram_lm
+
+    rows = [
+        (1, "a b a c a b"),
+        (2, "b c b c b"),
+        (3, "a"),
+        (4, ""),
+        (5, None),
+        (6, "c a a a b d e f g h"),
+        (7, "d d d d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uv, um = fit_unigram_lm(df, vocab_size=4)
+    for smoothing in ("interp", "kn"):
+        bv, bt, bm = fit_bigram_lm(
+            df, vocab_size=4, bigram_size=5, smoothing=smoothing
+        )
+        uni = {
+            (r["tok"], r["cnt"], round(r["logp"], 12)) for r in uv.collect()
+        }
+        got = {
+            (r["tok"], r["cnt"], round(r["logp"], 12)) for r in bv.collect()
+        }
+        assert got == uni
+        for key in ("n_tokens", "vocab_size_eff", "oov_logp"):
+            assert bm[key] == um[key], key
+        tops = sorted((r["prev"], r["cur"], r["cnt"]) for r in bt.collect())
+        # hand-checked grouped pair counts, top-5 by (cnt desc, prev, cur)
+        assert len(tops) == bm["bigram_size_eff"] == 5
+    # kn statistics: cont/ctx/t_sum ride the vocab table
+    bv, bt, bm = fit_bigram_lm(df, vocab_size=4, bigram_size=5, smoothing="kn")
+    assert bm["smoothing"] == "kn" and "cont_denom" in bm
+    cols = set(bv.columns)
+    assert {"tok", "cnt", "logp", "cont", "ctx_total", "t_sum", "t_types"} <= cols
+
+
+def test_lm_shared_token_table_parity(spark):
+    """Round 16 (verdict r15 #4): fit_unigram_lm_by / lm_score_by /
+    lm_score(carry=) accept a shared lm_token_table explode — outputs
+    must equal the unshared forms exactly (the shared table keeps
+    NULL-tok rows for empty docs; fit consumers drop them)."""
+    from adampro_spark.pipeline.lm import (
+        fit_unigram_lm, fit_unigram_lm_by, lm_score, lm_score_by,
+        lm_token_table,
+    )
+
+    rows = [
+        (1, "en", "a b a c"),
+        (2, "en", "b c b"),
+        (3, "de", "x y x"),
+        (4, "de", ""),
+        (5, "en", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ex = lm_token_table(df, by="lang").persist()
+    try:
+        v1, m1 = fit_unigram_lm_by(df, by="lang", vocab_size=3)
+        v2, m2 = fit_unigram_lm_by(df, by="lang", vocab_size=3, exploded=ex)
+        key = lambda d: sorted(  # noqa: E731
+            (r["lang"], r["tok"], r["cnt"], round(r["logp"], 12))
+            for r in d.collect()
+        )
+        assert key(v1) == key(v2) and m1 == m2
+        s1 = lm_score_by(df, v1, m1, by="lang").collect()
+        s2 = lm_score_by(df, v1, m1, by="lang", exploded=ex).collect()
+        srt = lambda rs: sorted(  # noqa: E731
+            (r["doc_id"], r["lang"], None if r["lm_logprob"] is None
+             else round(r["lm_logprob"], 12), r["lm_tokens"]) for r in rs
+        )
+        assert srt(s1) == srt(s2)
+        uvoc, umeta = fit_unigram_lm(df, vocab_size=3)
+        c1 = lm_score(df, uvoc, umeta, carry=["lang"]).collect()
+        c2 = lm_score(df, uvoc, umeta, carry=["lang"], exploded=ex).collect()
+        assert srt(c1) == srt(c2)
+    finally:
+        ex.unpersist()
+
+
 def test_ecp_bound_phase2_gate(spark):
     """Round 16 (verdict r15 #2): ecp_knn(cell_bound=True) runs its
     τ-tightening seed scan only when the build-time prunability
