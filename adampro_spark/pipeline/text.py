@@ -15,11 +15,19 @@ DuckDB ``list_reduce`` left-fold on BIGINT).
 
 from __future__ import annotations
 
+import re as _re_mod
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_P = 1_000_000_007  # modulus for the portable polynomial hash
 HASH_M = 31
+
+
+#: a bare round-robin ``Repartition n`` logical node (an upstream
+#: _spread); keyed repartitions print as RepartitionByExpression and
+#: deliberately do NOT match
+_RR_REPARTITION = _re_mod.compile(r"\bRepartition \d")
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -42,6 +50,21 @@ def _spread(df: DataFrame) -> DataFrame:
         return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    # round 16: an input already carrying an explicit round-robin
+    # repartition (an upstream _spread — the engine's only producer of
+    # bare ``Repartition n`` nodes; keyed repartitions print as
+    # RepartitionByExpression) is spread by construction.  Skip BEFORE
+    # probing: under AQE, ``.rdd`` on a post-shuffle plan EXECUTES the
+    # pending map stages just to report a partition count — measured
+    # 1.6 s per call on the ccnet tagged lineage (curate re-probing the
+    # corpus its caller had already spread).
+    try:
+        if _RR_REPARTITION.search(
+            df._jdf.queryExecution().analyzed().toString()
+        ):
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
