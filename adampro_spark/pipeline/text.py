@@ -537,7 +537,13 @@ def text_stats(
         F.round(quality, 4).alias("quality"),
     ]
     if repetition:
-        df, finals, _internals = with_repetition(
+        # Arrow twin on batch frames (round 16, verdict r15 #7): the
+        # staged HOF reductions were the row's dominant per-row cost
+        # (interpreted CodegenFallback lambdas); the kernel computes the
+        # same integers, the same Spark expressions compute the ratios.
+        # Streams keep the pure-expression path (stream/batch contract).
+        rep_impl = with_repetition if df.isStreaming else with_repetition_arrow
+        df, finals, _internals = rep_impl(
             df, text_col, toks=toks, extended=(repetition == "full")
         )
         cols += [c.alias(n) for n, c in finals.items()]
@@ -936,6 +942,210 @@ def with_repetition(
         + [f"_rep_ds{n}" for n in NS]
     )
     return staged, finals, internals
+
+
+#: n-gram orders of the extended dup-char-coverage signals (shared with
+#: with_repetition's NS — one authority for the Arrow twin below)
+REPETITION_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _arrow_repetition_struct(extended: bool):
+    """Vectorized-kernel twin of :func:`with_repetition`'s staged
+    integer reductions (round 16, verdict r15 #7): ONE pandas UDF
+    ``(text, toks) -> struct<…longs…>`` computes every count the 13
+    repetition signals need — sorted-line/paragraph dup masses, best
+    2/3/4-gram runs, dup-5gram counts, positioned n-gram hash chains
+    and their interval-union char coverage.  The FINAL ratio/round
+    expressions stay in Spark (see :func:`with_repetition_arrow`), so
+    all double arithmetic and rounding are bit-identical to the HOF
+    path — this kernel only moves EXACT INTEGER work across the
+    boundary.
+
+    Parity notes, item by item (pinned by tests/test_round16_opt.py and
+    the text_stats oracle hash): Python ``str`` sort = code-point order
+    = UTF8String's UTF-8 binary order; ``len(str)`` = code points =
+    ``F.length``; ``"\\n"``/``"\\n\\n"`` splits are literal in both;
+    ``ord`` = ``F.ascii``; the 31-poly/1e9+7 folds are exact int
+    arithmetic; the run-length fold keeps the FIRST strictly-greater
+    run, i.e. the lexicographically smallest gram among ties, exactly
+    like ``_step``; the incremental hash chain H_k[i] =
+    (H_{k-1}[i]·31 + th[i+k-1]) mod P IS the left fold with acc=0.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ns = REPETITION_NS
+    fields = ["nl", "nd", "lc", "dc", "bc2", "bl2", "n5", "n5d"]
+    if extended:
+        fields += [
+            "np_", "npd", "pc", "pdc", "bc3", "bl3", "bc4", "bl4", "tc",
+        ] + [f"c{n}" for n in ns]
+    schema = T.StructType([T.StructField(f, T.LongType()) for f in fields])
+    P, M = HASH_P, HASH_M
+    max_n = max(ns)
+
+    def _dup_mass(sorted_items):
+        # (#items, #distinct, total char mass, char mass of items
+        # occurring >1x) over a SORTED list — one neighbor sweep
+        n_ = len(sorted_items)
+        nd = total = dup = 0
+        i = 0
+        while i < n_:
+            j = i
+            while j + 1 < n_ and sorted_items[j + 1] == sorted_items[i]:
+                j += 1
+            mass = sum(len(x) for x in sorted_items[i:j + 1])
+            total += mass
+            if j > i:
+                dup += mass
+            nd += 1
+            i = j + 1
+        return n_, nd, total, dup
+
+    def _run_best(sorted_grams):
+        # longest run; ties -> first in sorted order (lexicographically
+        # smallest), exactly with_repetition's _step fold
+        bc, bg, prev, run = 0, "", None, 0
+        for g in sorted_grams:
+            run = run + 1 if g == prev else 1
+            if run > bc:
+                bc, bg = run, g
+            prev = g
+        return bc, len(bg)
+
+    def _grams(tk, n):
+        if len(tk) < n:
+            return []
+        return [" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)]
+
+    def kern(text, toks):  # (pd.Series, pd.Series) -> pd.DataFrame
+        rows = {f: [] for f in fields}
+        for t, tk in zip(text, toks):
+            tk = [] if tk is None else list(tk)
+            ls = (
+                sorted(x for x in t.split("\n") if len(x) > 0)
+                if t is not None
+                else []
+            )
+            nl, nd, lc, dc = _dup_mass(ls)
+            bc2, bl2 = _run_best(sorted(_grams(tk, 2)))
+            g5 = _grams(tk, 5)
+            rec = {
+                "nl": nl, "nd": nd, "lc": lc, "dc": dc,
+                "bc2": bc2, "bl2": bl2,
+                "n5": len(g5), "n5d": len(set(g5)),
+            }
+            if extended:
+                ps = (
+                    sorted(x for x in t.split("\n\n") if len(x) > 0)
+                    if t is not None
+                    else []
+                )
+                np_, npd, pc, pdc = _dup_mass(ps)
+                rec.update(np_=np_, npd=npd, pc=pc, pdc=pdc)
+                rec["bc3"], rec["bl3"] = _run_best(sorted(_grams(tk, 3)))
+                rec["bc4"], rec["bl4"] = _run_best(sorted(_grams(tk, 4)))
+                tl = np.array([len(x) for x in tk], dtype=np.int64)
+                rec["tc"] = int(tl.sum())
+                cum = np.concatenate(([0], np.cumsum(tl)))
+                th = np.empty(len(tk), dtype=np.int64)
+                for i, x in enumerate(tk):
+                    acc = 0
+                    for ch in x:
+                        acc = (acc * M + ord(ch)) % P
+                    th[i] = acc
+                H = th
+                for k in range(2, max_n + 1):
+                    H = (
+                        (H[: len(th) - k + 1] * M + th[k - 1:]) % P
+                        if len(th) >= k
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    if k not in ns:
+                        continue
+                    cov = 0
+                    if len(H):
+                        order = np.argsort(H, kind="stable")
+                        hs = H[order]
+                        m = np.zeros(len(hs), dtype=bool)
+                        m[1:] |= hs[1:] == hs[:-1]
+                        m[:-1] |= hs[:-1] == hs[1:]
+                        # 1-based duplicate-gram start positions, ascending
+                        starts = np.sort(order[m]) + 1
+                        e = 0
+                        for s in starts:
+                            a = max(int(s), e + 1)
+                            b = int(s) + k - 1
+                            if b >= a:
+                                cov += int(cum[b] - cum[a - 1])
+                            if b > e:
+                                e = b
+                    rec[f"c{k}"] = cov
+            for f in fields:
+                rows[f].append(rec[f])
+        return pd.DataFrame(rows, dtype="int64")
+
+    return F.pandas_udf(kern, schema)
+
+
+def with_repetition_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    toks: Column | None = None,
+    extended: bool = False,
+    tokenizer: str = "whitespace",
+) -> tuple[DataFrame, dict[str, Column], list[str]]:
+    """Drop-in for :func:`with_repetition` on BATCH frames: the staged
+    higher-order-function reductions (interpreted CodegenFallback
+    expressions — the dominant per-row cost of the 13-signal pass) run
+    in ONE Arrow kernel instead; the final ratio + round(…, 4)
+    expressions are the SAME Spark expressions over the kernel's longs,
+    so the output is bit-identical (guide §4.2: batch the custom work,
+    keep Spark's arithmetic for the contract surface)."""
+    t = _c(text_col)
+    if toks is None:
+        toks = resolve_tokenizer(text_col, tokenizer)
+    staged = df.withColumn("_rep", _arrow_repetition_struct(extended)(t, toks))
+    s = F.col("_rep")
+    n_chars = F.length(t)
+
+    def _top_gram(bc: Column, bl: Column) -> Column:
+        return F.round(
+            F.when(
+                (n_chars > 0) & (bc > 0),
+                F.least(bc * bl / n_chars, F.lit(1.0)),
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+
+    finals = {
+        "dup_line_frac": F.round(
+            F.when(s["nl"] > 0, 1.0 - s["nd"] / s["nl"]).otherwise(F.lit(0.0)), 4
+        ),
+        "dup_line_char_frac": F.round(
+            F.when(s["lc"] > 0, s["dc"] / s["lc"]).otherwise(F.lit(0.0)), 4
+        ),
+        "top_2gram_char_frac": _top_gram(s["bc2"], s["bl2"]),
+        "dup_5gram_frac": F.round(
+            F.when(s["n5"] > 0, 1.0 - s["n5d"] / s["n5"]).otherwise(F.lit(0.0)), 4
+        ),
+    }
+    if extended:
+        finals["dup_para_frac"] = F.round(
+            F.when(s["np_"] > 0, 1.0 - s["npd"] / s["np_"]).otherwise(F.lit(0.0)), 4
+        )
+        finals["dup_para_char_frac"] = F.round(
+            F.when(s["pc"] > 0, s["pdc"] / s["pc"]).otherwise(F.lit(0.0)), 4
+        )
+        finals["top_3gram_char_frac"] = _top_gram(s["bc3"], s["bl3"])
+        finals["top_4gram_char_frac"] = _top_gram(s["bc4"], s["bl4"])
+        for n in REPETITION_NS:
+            finals[f"dup_{n}gram_char_frac"] = F.round(
+                F.when(s["tc"] > 0, s[f"c{n}"] / s["tc"]).otherwise(F.lit(0.0)),
+                4,
+            )
+    return staged, finals, ["_rep"]
 
 
 def pushdown_barrier(flag: Column) -> Column:

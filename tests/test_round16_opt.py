@@ -56,6 +56,55 @@ def test_fit_bigram_unigram_marginal_parity(spark):
     assert {"tok", "cnt", "logp", "cont", "ctx_total", "t_sum", "t_types"} <= cols
 
 
+def test_repetition_arrow_kernel_parity(spark):
+    """Round 16 (verdict r15 #7): text_stats' repetition signals now run
+    through one Arrow kernel computing the staged INTEGER reductions;
+    the ratio/round expressions stay in Spark.  Pin bit-equality with
+    the HOF path on an adversarial fixture: NULL/empty/whitespace text,
+    one-token docs, heavy line/paragraph/n-gram repetition, CJK +
+    combining marks + non-BMP codepoints, and a doc long enough for
+    every n-gram order."""
+    from pyspark.sql import functions as F
+
+    from adampro_spark.pipeline.text import (
+        resolve_tokenizer, with_repetition, with_repetition_arrow,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 "
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   \n  \n"),
+        (4, "one"),
+        (5, "dup line\ndup line\nuniq\n\ndup line"),
+        (6, "p1 p1 p1\n\np1 p1 p1\n\npx"),
+        (7, base * 4 + "tail"),
+        (8, ("a b c d e f g h i j " * 3) + "a b c d e f g h i j"),
+        (9, "日本語 テスト 日本語 テスト 𝔘𝔫𝔦 𝔘𝔫𝔦 café café"),
+        (10, "x\n" * 40 + "y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = df.withColumn("_ts_toks", resolve_tokenizer("text", "whitespace"))
+    toks = F.col("_ts_toks")
+    for ext in (False, True):
+        d1, f1, _ = with_repetition(staged, "text", toks=toks, extended=ext)
+        d2, f2, _ = with_repetition_arrow(staged, "text", toks=toks, extended=ext)
+        assert list(f1) == list(f2)
+        a = {
+            r["doc_id"]: tuple(r[n] for n in f1)
+            for r in d1.select(
+                "doc_id", *[c.alias(n) for n, c in f1.items()]
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: tuple(r[n] for n in f2)
+            for r in d2.select(
+                "doc_id", *[c.alias(n) for n, c in f2.items()]
+            ).collect()
+        }
+        assert a == b
+
+
 def test_lm_shared_token_table_parity(spark):
     """Round 16 (verdict r15 #4): fit_unigram_lm_by / lm_score_by /
     lm_score(carry=) accept a shared lm_token_table explode — outputs
