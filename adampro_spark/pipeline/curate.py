@@ -317,7 +317,15 @@ def curate(
     **dedup_kw: Any,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Filter + deduplicate a document corpus; returns ``(survivors,
-    report)`` where the report counts each gate's attrition:
+    report)`` where the report counts each gate's attrition.
+
+    ``pk`` values MUST be unique in the input (ADVICE r15): the dedup
+    survivor machinery resolves drop-lists per pk, and the report's
+    ``n_output``/``n_dup_dropped`` are computed as ``n_pre_dedup −
+    |drop-list|`` — with duplicate pks the anti-join removes every row
+    carrying a dropped pk while the slim list counts it once, so both
+    the survivors and the counts would silently diverge.  The report
+    counts each gate's attrition:
 
     ``n_input, n_lang_fail, n_short, n_too_long, n_low_quality,
     n_after_gates, n_dup_dropped, n_output`` (a doc failing several gates

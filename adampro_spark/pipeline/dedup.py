@@ -1184,9 +1184,17 @@ def embedding_dup_pairs(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int = 1024,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs ``(id_a, id_b, cos_sim)`` with exact cosine
     similarity ≥ threshold, id_a < id_b.
+
+    ``materialize=True`` eagerly localCheckpoints the (small) pair set
+    and RELEASES the persisted vector/band and tagged-band caches before
+    returning — the :func:`minhash_dup_pairs` recipe (ADVICE r7/r15):
+    repeated calls in one session otherwise accumulate a persisted
+    corpus-scale copy of the vectors per call until eviction pressure.
+    The default stays lazy (plan inspection, composition).
 
     Candidates via sign-LSH (random-hyperplane) banding: bit = sign(v·h),
     band hash folds r bits, equi-join on (band_idx, band_hash).
@@ -1276,11 +1284,13 @@ def embedding_dup_pairs(
         norm.alias("_n"),
         band_udf(v).alias("_bands"),
     ).persist()
+    handles: list = [hashed]
     bandtab = hashed.select(
         "_pk", F.posexplode(F.col("_bands")).alias("_band_idx", "_band_hash")
     )
     cand = banded_candidates(
-        bandtab, ["_band_idx", "_band_hash"], max_bucket_size=max_bucket_size
+        bandtab, ["_band_idx", "_band_hash"], max_bucket_size=max_bucket_size,
+        handles=handles if materialize else None,
     )
 
     # vectors join back by pk for candidate pairs only (narrow shuffle of
@@ -1289,7 +1299,7 @@ def embedding_dup_pairs(
     cos = F.when(
         (F.col("n_a") < 1e-12) | (F.col("n_b") < 1e-12), F.lit(0.0)
     ).otherwise(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
-    return (
+    pairs = (
         cand.join(
             vecs.select(
                 F.col("_pk").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
@@ -1306,6 +1316,13 @@ def embedding_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+    if materialize:
+        try:
+            pairs = pairs.localCheckpoint(eager=True)
+        finally:
+            for h in handles:
+                h.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -245,6 +245,25 @@ def test_minhash_materialize_releases_signature_cache(spark, tables):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_embedding_materialize_releases_vector_cache(spark, tables):
+    """embedding_dup_pairs(materialize=True) must leave NO persisted plan
+    behind (the minhash recipe, ADVICE r15) and return the same pairs as
+    the lazy default."""
+    from adampro_spark.pipeline.dedup import embedding_dup_pairs
+
+    spark.catalog.clearCache()
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(120)
+    lazy = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_dup_pairs(emb, threshold=0.9).collect()
+    }
+    spark.catalog.clearCache()
+    eager = embedding_dup_pairs(emb, threshold=0.9, materialize=True)
+    got = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in eager.collect()}
+    assert got == lazy
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_curate_rejects_reserved_columns(spark, tables):
     from adampro_spark.pipeline.curate import curate
 
