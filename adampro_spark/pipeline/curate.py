@@ -770,8 +770,12 @@ def curate(
                 **dedup_kw,
             )
         elif dedup == "simhash":
-            pairs = simhash_pairs(kept, text_col=text_col, pk=pk, **dedup_kw)
-            pairs = pairs.localCheckpoint(eager=True)
+            # materialize=True: eager pair checkpoint + the internal
+            # fingerprint/tagged-band caches released, like the minhash
+            # branch (ADVICE r7/r15)
+            pairs = simhash_pairs(
+                kept, text_col=text_col, pk=pk, materialize=True, **dedup_kw
+            )
         else:
             raise ValueError(f"unknown curate dedup {dedup!r}")
         if stage_timings is not None:

@@ -1047,6 +1047,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     nbits: int = SIMHASH_BITS,
     max_bucket_size: int = 1024,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on Manku-style multi-block keys
     (:func:`_simhash_block_keys` — every pair with hamming ≤
@@ -1064,6 +1065,7 @@ def simhash_pairs(
         max_hamming=max_hamming,
         nbits=nbits,
         max_bucket_size=max_bucket_size,
+        materialize=materialize,
     )
 
 
@@ -1100,6 +1102,7 @@ def fingerprint_pairs(
     nbits: int = SIMHASH_BITS,
     max_bucket_size: int = 1024,
     group_cols: "Sequence[str]" = (),
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs ``(id_a, id_b, hamming)`` over ANY precomputed
     NONNEGATIVE integer fingerprint column — the Manku multi-block
@@ -1127,7 +1130,13 @@ def fingerprint_pairs(
     buckets are keyed by (group, block-index, block-value), so the pair
     set is exactly the union of the per-group pair sets (the hot-bucket
     cap applies per group-bucket, same as per-family calls) while the
-    explode/shuffle/join machinery runs ONCE."""
+    explode/shuffle/join machinery runs ONCE.
+
+    ``materialize=True`` eagerly localCheckpoints the (small) pair set
+    and RELEASES the persisted fingerprint and tagged-band caches before
+    returning — the :func:`minhash_dup_pairs` recipe (ADVICE r7/r15):
+    repeated calls in one session otherwise accumulate persisted copies
+    of the fingerprint table per call until eviction pressure."""
     key_arr, _, _ = _simhash_block_keys(nbits, max_hamming)
     gcols = list(group_cols)
     # no _spread here (round 15): the fingerprints are PRECOMPUTED, so the
@@ -1147,20 +1156,29 @@ def fingerprint_pairs(
     # barrier: stop CollapseProject inlining the fingerprint expression
     # into every block-key expression (see minhash_dup_pairs)
     sim = sim.persist()
+    handles: list = [sim]
     chunked = sim.select(
         "_pk", *gcols, F.posexplode(key_arr).alias("_ci", "_cv")
     )
     cand = banded_candidates(
-        chunked, gcols + ["_ci", "_cv"], max_bucket_size=max_bucket_size
+        chunked, gcols + ["_ci", "_cv"], max_bucket_size=max_bucket_size,
+        handles=handles if materialize else None,
     )
     ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
-    return (
+    pairs = (
         cand.join(sim.select(F.col("_pk").alias("id_a"), F.col("_s").alias("s_a")), "id_a")
         .join(sim.select(F.col("_pk").alias("id_b"), F.col("_s").alias("s_b")), "id_b")
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if materialize:
+        try:
+            pairs = pairs.localCheckpoint(eager=True)
+        finally:
+            for h in handles:
+                h.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -4057,6 +4057,11 @@ def curate_media(
                 # never cross modalities — identical pair set to the old
                 # per-modality call series, one explode/join instead of
                 # three
+                # materialize=True (round 16): the pair set checkpoints
+                # eagerly and the internal fingerprint/tagged-band caches
+                # release before resolution — repeated curate_media calls
+                # in one session no longer accumulate them; the flat pair
+                # input also lets dup_groups take its lazy-persist arm
                 pairs = fingerprint_pairs(
                     base.filter(F.col("_mod").isNotNull()),
                     "dhash",
@@ -4064,6 +4069,7 @@ def curate_media(
                     max_hamming=int(max_hamming),
                     nbits=63,
                     group_cols=("_mod",),
+                    materialize=True,
                 )
                 nd_drops = (
                     dup_groups(pairs)

@@ -264,6 +264,25 @@ def test_embedding_materialize_releases_vector_cache(spark, tables):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_simhash_materialize_releases_fingerprint_cache(spark, tables):
+    """simhash_pairs(materialize=True) must leave NO persisted plan
+    behind (the minhash recipe) and return the same pairs as the lazy
+    default."""
+    from adampro_spark.pipeline.dedup import simhash_pairs
+
+    spark.catalog.clearCache()
+    docs = tables["documents"].select("doc_id", "text").limit(120)
+    lazy = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+    spark.catalog.clearCache()
+    eager = simhash_pairs(docs, max_hamming=8, materialize=True)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in eager.collect()}
+    assert got == lazy
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_curate_rejects_reserved_columns(spark, tables):
     from adampro_spark.pipeline.curate import curate
 
