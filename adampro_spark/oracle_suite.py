@@ -833,12 +833,16 @@ _LOSSY_PARAMS: dict[str, dict] = {
     # recall sweeps: ecp exact from times_k=20 at sf0.01 and 75 at sf0.1,
     # mi at 25 (sf0.01; auto-frac carries sf0.1), lsh at (64 tables, 16
     # probes), sh at (25, 12) sf0.01 / (100, 32) sf0.1.  Registered with
-    # margin at the LARGER scale — widening is monotone, so the widths
-    # below are exact at BOTH sf0.01 and sf0.1 (verified by sweep), not
-    # just at the driver's sf0.01 gate.
+    # margin at the LARGER scale — widening is monotone (the seeded
+    # jitter sequence at a larger num_of_q is a strict prefix-superset,
+    # so the candidate set only grows), so the widths below are exact at
+    # sf0.001, sf0.01 AND sf0.1 (verified by sweep), not just at the
+    # driver's gate.  Round 16: manhattan-LSH missed 1/10 neighbors at
+    # the 500-row sf0.001 with 16 probes (the p-stable radius is fit for
+    # denser buckets); 32 probes are exact at all three SFs.
     "ecp": {"times_k": 85},
     "mi": {"times_k": 30},
-    "lsh": {"ntables": 64, "num_of_q": 16},
+    "lsh": {"ntables": 64, "num_of_q": 32},
     "sh": {"times_k": 110, "num_of_q": 32},
 }
 
